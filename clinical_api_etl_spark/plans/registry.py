@@ -1,0 +1,29 @@
+"""Aggregated query registry.
+
+Collects every :class:`~clinical_api_etl_spark.plans.base.Query` declared by
+the plans submodules into one ordered dict consumed by ``__spark_entry__.py``
+(driver contract), ``bench.py`` (headline queries), and the differential
+tests.
+"""
+
+from __future__ import annotations
+
+from clinical_api_etl_spark.plans.base import Query
+
+
+def all_queries() -> dict[str, Query]:
+    # Imports are local so a syntax error in one family surfaces at call
+    # time with a clean traceback, and to avoid import cycles.
+    from clinical_api_etl_spark.plans import clinical_parity, extensions, relational
+
+    merged: dict[str, Query] = {}
+    for mod in (relational, clinical_parity, extensions):
+        for name, q in mod.QS.queries.items():
+            if name in merged:
+                raise ValueError(f"duplicate query {name!r} across plan modules")
+            merged[name] = q
+    return merged
+
+
+def headline_queries() -> dict[str, Query]:
+    return {n: q for n, q in all_queries().items() if q.headline}

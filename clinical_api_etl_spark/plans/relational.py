@@ -1,0 +1,901 @@
+"""Relational query inventory over the driver's TPC-H-ish star schema.
+
+Covers the SURVEY.md §2 operator families on the testdata tables:
+projections/filters (P1-P8), joins (J1-J4), aggregations (A1-A11),
+reshaping (R1-R2), windows/sorts/set-ops (§2.6), and scalar functions
+(F6-F14). Each query is the *Spark primitive* the reference capability maps
+to, exercised on data large enough to be meaningfully distributed.
+
+Scale notes (100 TB posture):
+* Dim joins (`region`/`nation`/`customer`/`supplier`/`part`) broadcast —
+  the fact-side scan never shuffles for them.
+* Fact-fact joins (`orders` ⋈ `lineitem`) shuffle on the join key once;
+  AQE handles skew splitting.
+* All aggregations are partial+final hash aggregates (Catalyst default);
+  conditional counters (A3-A5 analogues) are single-pass `sum(when)` —
+  never per-rule rescans like the reference's Python loops
+  (reference `etl-service/src/etl.py:163-194`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from clinical_api_etl_spark.functions.numeric import davg, dsum, money
+from clinical_api_etl_spark.plans.base import DAVG, DSUM, MON, QuerySet
+from clinical_api_etl_spark.sources.catalog import load
+
+QS = QuerySet()
+
+_TS = "timestamp"  # testdata parquet carries naive timestamps
+
+
+def _ts(lit: str):
+    return F.lit(lit).cast(_TS)
+
+
+# ---------------------------------------------------------------------------
+# Headline aggregate: TPC-H Q1-style pricing summary (A1 grouped roll-up).
+# ---------------------------------------------------------------------------
+
+_DISC_PRICE = f"CAST({MON('l_extendedprice')} * (1 - {MON('l_discount')}) AS DECIMAL(18,4))"
+
+
+@QS.add(
+    "tpch_q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {DSUM('l_quantity', 'sum_qty')},
+           {DSUM('l_extendedprice', 'sum_base_price')},
+           CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({_DISC_PRICE} * (1 + {MON('l_tax')})) AS DOUBLE) AS sum_charge,
+           {DAVG('l_quantity', 'avg_qty')},
+           {DAVG('l_extendedprice', 'avg_price')},
+           {DAVG('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="A1/A6: grouped roll-up with cnt/avg/min-max-family aggregates "
+    "(reference gold roll-up etl.py:200-227 re-expressed at TPC-H shape).",
+    headline=True,
+    tags=("agg", "A1"),
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = (money("l_extendedprice") * (one - money("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    charge = disc_price * (one + money("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= _ts("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4: dim-broadcast + fact-fact shuffle joins (TPC-H Q3/Q5/Q6 shapes).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "tpch_q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="J4+P2: broadcast dim join, fact-fact equi-join, top-K with "
+    "deterministic tie-break (TakeOrderedAndProject, no full sort).",
+    headline=True,
+    tags=("join", "J4", "P2"),
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < _ts("1997-06-30 00:00:00")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > _ts("1997-06-30 00:00:00")
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = (money("l_extendedprice") * (one - money("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@QS.add(
+    "tpch_q5_local_supplier_volume",
+    f"""
+    SELECT n_name, CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="J4: five-way star join; every dim side broadcasts, the single "
+    "shuffle is orders⋈lineitem on orderkey.",
+    headline=True,
+    tags=("join", "J4"),
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1998-01-01 00:00:00"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = (money("l_extendedprice") * (one - money("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
+
+
+@QS.add(
+    "tpch_q6_forecast_revenue",
+    f"""
+    SELECT CAST(SUM({MON('l_extendedprice')} * {MON('l_discount')}) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+    doc="P1/P5-style conjunctive predicate pushdown + scalar aggregate; "
+    "the whole query is one parquet scan with pushed filters.",
+    headline=True,
+    tags=("filter", "agg", "P1"),
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
+        & (F.col("l_discount").between(0.02, 0.06))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(money("l_extendedprice") * money("l_discount"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J2: anti / semi / full-outer joins (the reference's ON CONFLICT family,
+# db.py:41-127, re-expressed as set-based joins).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "j1_customers_without_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="J1 anti-join: the reference's `ON CONFLICT DO NOTHING` insert is "
+    "semantically new LEFT ANTI JOIN existing (db.py:56,75,98).",
+    tags=("join", "J1"),
+)
+def j1_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@QS.add(
+    "j1_parts_with_lineitems_by_brand",
+    """
+    SELECT p_brand, COUNT(*) AS n_parts
+    FROM part
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    GROUP BY p_brand
+    """,
+    doc="J1 semi-join (EXISTS) + count by group.",
+    tags=("join", "J1"),
+)
+def j1_parts_with_lineitems_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+@QS.add(
+    "j2_nation_balance_full_outer",
+    f"""
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(c.cust_bal, CAST(0 AS DOUBLE)) AS cust_bal,
+           COALESCE(s.supp_bal, CAST(0 AS DOUBLE)) AS supp_bal
+    FROM (SELECT c_nationkey AS nk, {DSUM('c_acctbal', 'cust_bal')}
+          FROM customer GROUP BY c_nationkey) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, {DSUM('s_acctbal', 'supp_bal')}
+          FROM supplier GROUP BY s_nationkey) s
+    ON c.nk = s.nk
+    """,
+    doc="J2 upsert-join: `ON CONFLICT DO UPDATE` is a full-outer merge on "
+    "the key with per-column coalesce (db.py:83-85,120-126).",
+    tags=("join", "J2"),
+)
+def j2_nation_balance_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(dsum("c_acctbal", "cust_bal"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(dsum("s_acctbal", "supp_bal"))
+    )
+    return cust.join(supp, "nk", "full_outer").select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
+        F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P2/P4: the reference's query surface (dynamic filters + top-N).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "p1_dynamic_filter_events",
+    """
+    SELECT event_id, user_id, value, ts
+    FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 1000
+    """,
+    doc="P1+P2: the reference's parameterized slice query "
+    "(database.service.ts:94-150): optional equality + time-range "
+    "predicates, ORDER BY time DESC LIMIT 1000 — with a unique tie-break "
+    "key so the limit is deterministic.",
+    tags=("filter", "P1", "P2"),
+)
+def p1_dynamic_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts") >= _ts("2024-01-05 00:00:00"))
+            & (F.col("ts") <= _ts("2024-01-20 00:00:00"))
+        )
+        .select("event_id", "user_id", "value", "ts")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(1000)
+    )
+
+
+@QS.add(
+    "p2_topn_recent_events",
+    """
+    SELECT event_id, ts, event_type
+    FROM events
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 100
+    """,
+    doc="P2 top-N by time: Spark plans TakeOrderedAndProject (true top-K, "
+    "no full sort) — the scalable form of ORDER BY ... LIMIT.",
+    tags=("P2",),
+)
+def p2_topn_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(100)
+    )
+
+
+@QS.add(
+    "p4_membership_filter_brands",
+    f"""
+    SELECT p_brand, COUNT(*) AS n_parts, {DSUM('p_retailprice', 'total_price')}
+    FROM part
+    WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+    GROUP BY p_brand
+    """,
+    doc="P4 membership filter (isin) — reference REQ_UNIT membership "
+    "rule shape (etl.py:17,164).",
+    tags=("filter", "P4"),
+)
+def p4_membership_filter_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"), dsum("p_retailprice", "total_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 + A3-A5: rule-based data-quality counters (bounds join + one-pass
+# conditional counts — replaces the reference's per-rule Python rescans).
+# ---------------------------------------------------------------------------
+
+_BOUNDS = [
+    ("click", 0.0, 100.0),
+    ("view", 0.0, 200.0),
+    ("purchase", 10.0, 400.0),
+    ("signup", 0.0, 50.0),
+    ("error", 0.0, 30.0),
+]
+_BOUNDS_SQL = ", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in _BOUNDS)
+
+
+@QS.add(
+    "p8_out_of_range_by_type",
+    f"""
+    WITH bounds(event_type, lo, hi) AS (VALUES {_BOUNDS_SQL})
+    SELECT e.event_type,
+           CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS oor_cnt,
+           COUNT(*) AS total_cnt
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    GROUP BY e.event_type
+    """,
+    doc="P8/A5: per-type range rule via a broadcast bounds dim + single-pass "
+    "sum(when) — one shuffle instead of the reference's per-type rescan loop "
+    "(etl.py:181-194).",
+    tags=("quality", "P8", "A5"),
+)
+def p8_out_of_range_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bounds = spark.createDataFrame(_BOUNDS, "event_type string, lo double, hi double")
+    oor = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(oor, 1).otherwise(0)).cast("long").alias("oor_cnt"),
+            F.count(F.lit(1)).alias("total_cnt"),
+        )
+    )
+
+
+@QS.add(
+    "a3_conditional_counters",
+    """
+    SELECT CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+           CAST(SUM(CASE WHEN value >= 450 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_value,
+           CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 0 AND 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_night,
+           COUNT(*) AS n_total
+    FROM events
+    """,
+    doc="A3/A4: multiple rule counters in ONE pass over the fact table "
+    "(sum(when) fusion) — the Spark-native form of the reference's "
+    "quality counting (etl.py:155-195).",
+    tags=("quality", "A3"),
+)
+def a3_conditional_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_errors"),
+        F.sum(F.when(F.col("value") >= 450, 1).otherwise(0))
+        .cast("long")
+        .alias("n_high_value"),
+        F.sum(F.when(F.hour("ts").between(0, 5), 1).otherwise(0))
+        .cast("long")
+        .alias("n_night"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/A6-A9: distinct projections and the reference's six-views family.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "a2_distinct_projection",
+    """
+    SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    """,
+    doc="A2 dimension extraction: SELECT DISTINCT over grouping keys "
+    "(reference dim upsert source, db.py:69-86).",
+    tags=("agg", "A2"),
+)
+def a2_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+@QS.add(
+    "a6_avg_by_group",
+    f"""
+    SELECT event_type, {DAVG('value', 'avg_value')} FROM events GROUP BY event_type
+    """,
+    doc="A6: v_study_quality shape — AVG by group (08_views.sql:1-4).",
+    tags=("agg", "A6", "views"),
+)
+def a6_avg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").groupBy("event_type").agg(davg("value", "avg_value"))
+
+
+@QS.add(
+    "a7_daily_avg_trend",
+    f"""
+    SELECT event_type, date_trunc('day', ts) AS day, {DAVG('value', 'avg_value')},
+           COUNT(*) AS n_events
+    FROM events
+    WHERE event_type IN ('purchase', 'click')
+    GROUP BY event_type, date_trunc('day', ts)
+    """,
+    doc="A7: v_glucose_trend shape — filtered daily average, day bucketing "
+    "via to_date (08_views.sql:6-10, etl.py:210).",
+    tags=("agg", "A7", "views"),
+)
+def a7_daily_avg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(davg("value", "avg_value"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@QS.add(
+    "a8_counts_by_group",
+    """
+    SELECT lang, source, COUNT(*) AS cnt FROM documents GROUP BY lang, source
+    """,
+    doc="A8: v_counts_by_site shape — COUNT(*) by composite key "
+    "(08_views.sql:12-15).",
+    tags=("agg", "A8", "views"),
+)
+def a8_counts_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10/A11: multi-grain roll-ups and distinct aggregates. [EXT]
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "a10_rollup_lineitem",
+    f"""
+    SELECT l_returnflag, l_linestatus, {DSUM('l_quantity', 'sum_qty')},
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="[EXT] A10: rollup over the agg grain — the coarser roll-ups the "
+    "reference's agg table schema hints at but never implements "
+    "(07_measurement_agg.sql:4-5).",
+    tags=("agg", "A10"),
+)
+def a10_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@QS.add(
+    "a10_cube_orders",
+    f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           {DSUM('o_totalprice', 'total_price')}
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="[EXT] A10: cube over order dimensions.",
+    tags=("agg", "A10"),
+)
+def a10_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice", "total_price"))
+    )
+
+
+@QS.add(
+    "a11_count_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="[EXT] A11: exact multi-column distinct aggregates (Spark expands "
+    "to partial aggregates per distinct column).",
+    tags=("agg", "A11"),
+)
+def a11_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        F.countDistinct("l_suppkey").cast("long").alias("n_supps"),
+    )
+
+
+@QS.add(
+    "a11_approx_count_distinct",
+    None,  # HLL sketch values are implementation-specific — rows-only check.
+    doc="[EXT] A11: approx_count_distinct — the 100 TB-scale form of "
+    "distinct user counting (HLL sketch, no shuffle of raw values).",
+    tags=("agg", "A11", "approx"),
+)
+def a11_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6: windows, set ops.  [EXT] beyond the reference's indexes-only hints.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "w1_latest_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) t WHERE rn = 1
+    """,
+    doc="[EXT] window ranking: latest-observation-per-entity — the query "
+    "the reference's (participant, time DESC) indexes are designed for "
+    "(02_staging_clinical_trials.sql:31-34).",
+    tags=("window",),
+)
+def w1_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@QS.add(
+    "w2_running_quantity_by_supplier",
+    f"""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM({MON('l_quantity')}) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber) AS DOUBLE) AS running_qty
+    FROM lineitem
+    """,
+    doc="[EXT] frame-based window aggregate: running total per partition "
+    "with a unique ordering key (decimal-exact, order-independent).",
+    tags=("window",),
+)
+def w2_running_quantity_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(money("l_quantity")).over(w).cast("double").alias("running_qty"),
+    )
+
+
+@QS.add(
+    "w3_rank_parts_by_price",
+    """
+    SELECT p_brand, p_partkey, p_retailprice,
+           RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
+           DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense_rank
+    FROM part
+    """,
+    doc="[EXT] rank/dense_rank (deterministic under ties by construction).",
+    tags=("window",),
+)
+def w3_rank_parts_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return load(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+@QS.add(
+    "w4_daily_revenue_lag",
+    f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, {DSUM('value', 'daily_value')}
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    )
+    SELECT event_type, day, daily_value,
+           LAG(daily_value) OVER (PARTITION BY event_type ORDER BY day) AS prev_value,
+           daily_value - COALESCE(LAG(daily_value) OVER (PARTITION BY event_type ORDER BY day),
+                                  CAST(0 AS DOUBLE)) AS delta
+    FROM daily
+    """,
+    doc="[EXT] lag over a pre-aggregated daily series (agg + analytic window "
+    "composition).",
+    tags=("window",),
+)
+def w4_daily_revenue_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(dsum("value", "daily_value"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    prev = F.lag("daily_value").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "daily_value",
+        prev.alias("prev_value"),
+        (F.col("daily_value") - F.coalesce(prev, F.lit(0.0))).alias("delta"),
+    )
+
+
+@QS.add(
+    "setop_nations_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="[EXT] INTERSECT set op.",
+    tags=("setop",),
+)
+def setop_nations_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+@QS.add(
+    "setop_nations_except",
+    """
+    SELECT n_nationkey AS nationkey FROM nation
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="[EXT] EXCEPT set op: nations with no suppliers.",
+    tags=("setop",),
+)
+def setop_nations_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return nation.subtract(supp)
+
+
+# ---------------------------------------------------------------------------
+# R1/R2 + F14: reshaping and semi-structured extraction.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "r1_explode_part_words",
+    """
+    SELECT word, COUNT(*) AS cnt,
+           CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands
+    FROM (SELECT p_brand, UNNEST(string_split(p_name, ' ')) AS word FROM part) t
+    GROUP BY word
+    """,
+    doc="R1: 1→N row explosion via split+explode — the Spark-native form of "
+    "the reference's blood-pressure row doubling (etl.py:103-135).",
+    tags=("reshape", "R1"),
+)
+def r1_explode_part_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return (
+        part.select("p_brand", F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("p_brand").cast("long").alias("n_brands"),
+        )
+    )
+
+
+@QS.add(
+    "r2_typed_split_json",
+    """
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_num,
+           CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NULL
+                THEN props END AS k_text
+    FROM events
+    """,
+    doc="R2+F14: typed split (num XOR text) via try_cast on a JSON-extracted "
+    "field — the reference's value_num/value_text discipline "
+    "(etl.py:119,136-149) over semi-structured input.",
+    tags=("reshape", "R2", "F14"),
+)
+def r2_typed_split_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    k_num = k.try_cast("int")
+    return ev.select(
+        "event_id",
+        k_num.alias("k_num"),
+        F.when(k_num.isNull(), F.col("props")).alias("k_text"),
+    )
+
+
+@QS.add(
+    "f14_json_stats_by_type",
+    """
+    SELECT event_type,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_cnt
+    FROM events GROUP BY event_type
+    """,
+    doc="F14: JSON field extraction feeding integral aggregates "
+    "(events.props exercises get_json_object).",
+    tags=("functions", "F14"),
+)
+def f14_json_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("k_sum"),
+        F.count(k).cast("long").alias("k_cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9/F11: interval arithmetic, least/greatest.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "f9_recent_window_counts",
+    """
+    SELECT event_type, COUNT(*) AS cnt
+    FROM events
+    WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY
+    GROUP BY event_type
+    """,
+    doc="F9: interval arithmetic anchored at max(ts) (deterministic analogue "
+    "of the reference's now()-relative v_recent_30d, 08_views.sql:22-25). "
+    "The scalar max broadcasts to every task.",
+    tags=("functions", "F9", "P7"),
+)
+def f9_recent_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("max_ts"))
+    return (
+        ev.crossJoin(F.broadcast(max_ts))
+        .filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 7 DAYS"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@QS.add(
+    "f11_least_greatest",
+    f"""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(LEAST(l_discount, l_tax) AS DECIMAL(18,2))) AS DOUBLE) AS sum_min_rate,
+           CAST(SUM(CAST(GREATEST(l_discount, l_tax) AS DECIMAL(18,2))) AS DOUBLE) AS sum_max_rate
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="F11: LEAST/GREATEST — the reference's min/max merge functions in "
+    "the agg upsert (db.py:124-125).",
+    tags=("functions", "F11"),
+)
+def f11_least_greatest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(money(F.least("l_discount", "l_tax")))
+        .cast("double")
+        .alias("sum_min_rate"),
+        F.sum(money(F.greatest("l_discount", "l_tax")))
+        .cast("double")
+        .alias("sum_max_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shaped (batch-equivalent) hourly windows; the same transform is
+# reused by streaming/windows.py under readStream.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stream_window_hourly_counts",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS cnt, {DSUM('value', 'total_value')}
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    doc="[EXT] tumbling event-time window (F.window 1 hour) — batch "
+    "equivalent of the streaming hourly roll-up; window.start == "
+    "date_trunc('hour') for epoch-aligned tumbling windows.",
+    headline=True,
+    tags=("streaming", "window"),
+)
+def stream_window_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
