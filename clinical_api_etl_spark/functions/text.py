@@ -1,0 +1,79 @@
+"""Text column expressions: tokenization, shingles, fingerprints, language
+and quality heuristics. All JVM-side higher-order functions — no UDFs —
+so they whole-stage-codegen and scale linearly with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Minimal English stopword list for the language-ID / quality heuristics.
+#: Deliberately small and frozen: it is part of the declared semantics
+#: (the DuckDB oracle embeds the same list).
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+    "was", "for", "on", "with", "as", "by", "at", "it", "this", "that",
+)
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c)).cast("long")
+
+
+def distinct_token_count(c: Column) -> Column:
+    return F.size(F.array_distinct(tokens(c))).cast("long")
+
+
+def stopword_ratio(c: Column) -> Column:
+    """Fraction of tokens in EN_STOPWORDS (DOUBLE; deterministic division)."""
+    toks = tokens(c)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return n_stop.cast("double") / F.size(toks).cast("double")
+
+
+def predict_lang(c: Column, threshold: float = 0.05) -> Column:
+    """n-gram-free language-ID heuristic: stopword density ≥ threshold → 'en'
+    else 'und'. (A real system adds per-language char-n-gram profiles; the
+    declared contract here is the stopword-density rule.)"""
+    return F.when(stopword_ratio(c) >= threshold, F.lit("en")).otherwise(F.lit("und"))
+
+
+def quality_score(c: Column) -> Column:
+    """Composite document-quality heuristic in [0,1]:
+
+    0.5 * stopword_ratio  (fluency proxy)
+    + 0.3 * min(len/400, 1) (length credit)
+    + 0.2 * distinct/total  (repetition penalty)
+
+    Fixed evaluation order so any engine computes bit-identical doubles.
+    """
+    len_score = F.least(F.length(c).cast("double") / F.lit(400.0), F.lit(1.0))
+    rep = distinct_token_count(c).cast("double") / token_count(c).cast("double")
+    return (
+        F.lit(0.5) * stopword_ratio(c) + F.lit(0.3) * len_score + F.lit(0.2) * rep
+    )
+
+
+def word_shingles(c: Column, n: int) -> Column:
+    """Distinct word n-gram shingles as an array<string> (the unit set for
+    Jaccard / MinHash dedup). Documents shorter than n words yield their
+    whole text as a single shingle."""
+    toks = tokens(c)
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(ngrams)
+
+
+def fingerprint(c: Column) -> Column:
+    """Canonical-form document fingerprint: md5 of the sorted distinct token
+    set — token-order/whitespace/duplication-insensitive identity."""
+    canonical = F.array_join(F.array_sort(F.array_distinct(tokens(c))), " ")
+    return F.md5(canonical)

@@ -1,0 +1,144 @@
+"""Multimodal (image/audio/video) column plumbing. [EXT]
+
+Media are opaque ``binary`` payload columns with a typed metadata struct:
+
+    payload   binary
+    media     struct<kind string, mime string, width int, height int,
+                     duration_ms long>
+
+The Spark-side machinery — schema, partition-friendly batch shapes,
+Arrow-batched ``mapInPandas`` decode/feature/resize/frame-sample stages —
+is real and tested. The *codec* step is stubbed: this container has no
+image/audio libraries, so ``decode_media`` raises ``NotImplementedError``
+unless ``fake=True``, in which case a clearly-marked deterministic fake
+decoder produces byte-derived features so the distributed plumbing can be
+exercised end-to-end.
+
+Scale posture: payloads never pass through the driver; each ``mapInPandas``
+batch holds ``spark.sql.execution.arrow.maxRecordsPerBatch`` rows, so
+executor memory bounds batch size, and feature extraction parallelizes with
+the scan. Binary stats (length/digest) stay JVM-side entirely.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_STRUCT = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def attach_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a multimodal frame from a text table for tests/benches:
+    payload = utf-8 bytes, metadata derived from the id. (In production the
+    payload column arrives from the lakehouse as real bytes.)"""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            kind.alias("kind"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("media"),
+    )
+
+
+def binary_stats(df: DataFrame) -> DataFrame:
+    """JVM-side payload statistics: byte length + content digest, grouped by
+    media kind. No Python involvement at all."""
+    return (
+        df.select(
+            F.col("media.kind").alias("kind"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("digest"),
+        )
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.countDistinct("digest").cast("long").alias("n_distinct"),
+        )
+    )
+
+
+def _fake_decode(payload: bytes, dim: int) -> list[float]:
+    """Deterministic FAKE decode: folds payload bytes into ``dim`` buckets.
+    Stands in for a real codec (PIL/libav) absent from this container —
+    keeps batch shapes and schemas honest without pretending to decode."""
+    acc = [0.0] * dim
+    for i, b in enumerate(payload):
+        acc[i % dim] += float(b)
+    total = sum(acc) or 1.0
+    return [a / total for a in acc]
+
+
+def decode_media(df: DataFrame, *, dim: int = 8, fake: bool = False) -> DataFrame:
+    """Decode/feature-extract stage as Arrow-batched ``mapInPandas``.
+
+    With ``fake=False`` (production posture) this raises
+    ``NotImplementedError`` at *plan build time* — the real implementation
+    plugs a codec into ``_decode_batch`` without touching the Spark
+    plumbing. With ``fake=True`` the deterministic byte-fold fake runs the
+    full distributed path.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media codecs (PIL/libav) are not available in this environment; "
+            "pass fake=True to run the deterministic fake decoder"
+        )
+
+    def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": [m["kind"] for m in pdf["media"]],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "feature": [_fake_decode(p, dim) for p in pdf["payload"]],
+                }
+            )
+
+    return df.select("doc_id", "payload", "media").mapInPandas(
+        _decode_batch, schema=FEATURE_SCHEMA
+    )
+
+
+def frame_sample(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video payloads: one output row per sampled
+    frame timestamp. The timestamp lattice is computed JVM-side from
+    metadata; actual frame extraction belongs to ``decode_media``'s codec.
+    Videos lacking duration metadata yield a single frame at t=0."""
+    frames = F.when(
+        F.col("media.duration_ms").isNotNull(),
+        F.sequence(F.lit(0).cast("long"), F.col("media.duration_ms"), F.lit(every_ms).cast("long")),
+    ).otherwise(F.array(F.lit(0).cast("long")))
+    return df.filter(F.col("media.kind") == "video").select(
+        "doc_id", F.explode(frames).alias("frame_ts_ms")
+    )

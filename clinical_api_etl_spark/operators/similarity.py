@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns. [EXT]
+
+Two paths:
+
+* ``cosine_topk`` — exact brute-force: query⨯corpus join + per-query top-k
+  window. Correctness baseline; O(Q·N) — fine when Q is small (the query
+  set broadcasts) even at large N.
+* ``lsh_topk`` — random-hyperplane LSH: sign-bit signatures, candidates
+  from shared band buckets, exact cosine re-rank of candidates only. The
+  scale path: candidate generation is a bucket equi-join (shuffle on the
+  bucket key), never a cross join. Hyperplanes are derived deterministically
+  from ``xxhash64`` so results are reproducible (no RNG state).
+
+Everything is expression-level (zip_with/aggregate folds in DOUBLE); the
+embedding arrays never leave the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from clinical_api_etl_spark.functions.vectors import as_double, cosine, dot
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self excluded).
+
+    Output: (query_id, neighbor_id, cos_sim, rank) — rank 1..k with vec-id
+    tie-break, so results are totally ordered and oracle-comparable.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    sim = cosine(F.col("q_vec"), F.col("c_vec"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _signature(vec_col: str, num_planes: int, dim: int):
+    """Sign-bit signature against ``num_planes`` pseudo-random hyperplanes.
+
+    Plane p, dimension d has component ±1 chosen by bit 0 of
+    ``xxhash64(p * dim + d)`` — deterministic, identical on every executor,
+    and never materialized (folded into the projection).
+    """
+    v = as_double(F.col(vec_col))
+    bits = []
+    for p in range(num_planes):
+        comp = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d, p=p: F.when(
+                F.xxhash64(d + F.lit(p * dim)).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)),
+        )
+        proj = F.aggregate(
+            F.zip_with(v, comp, lambda x, c: x * c), F.lit(0.0), lambda a, x: a + x
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).alias(f"b{p}"))
+    return bits
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH candidates + exact cosine re-rank.
+
+    A candidate must share at least one of ``bands`` signature bands with
+    the query. Recall < 1 by design; the trade is candidate-set size vs the
+    brute-force scan. Same output shape as :func:`cosine_topk`.
+    """
+    rows = num_planes // bands
+    bits = _signature(vec_col, num_planes, dim)
+
+    def with_bands(df: DataFrame, idn: str, vecn: str) -> DataFrame:
+        sig = df.select(
+            F.col(id_col).alias(idn), F.col(vec_col).alias(vecn), *bits
+        )
+        band_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "", *[F.col(f"b{b * rows + r}") for r in range(rows)]
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return sig.select(idn, vecn, F.explode(band_arr).alias("bb")).select(
+            idn, vecn, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+
+    qb = with_bands(queries, "query_id", "q_vec")
+    cb = with_bands(corpus, "neighbor_id", "c_vec")
+    candidates = (
+        cb.join(F.broadcast(qb), ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sim = cosine(F.col("q_vec"), F.col("c_vec"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        candidates.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cos ≥ threshold).
+
+    Brute-force pair generation here (exact, oracle-comparable); the LSH
+    bucket pre-filter above is the scale path for the same predicate.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    sim = cosine(F.col("v_a"), F.col("v_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

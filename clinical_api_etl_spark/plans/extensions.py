@@ -1,14 +1,382 @@
-"""[EXT] LLM-data-pipeline operators: dedup, similarity, text analysis,
-multimodal plumbing — declared queries over ``documents`` / ``embeddings``.
+"""[EXT] LLM-data-pipeline operators as declared queries over
+``documents`` / ``embeddings``: dedup (exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine), similarity search (brute-force + hyperplane
+LSH), text analysis (language-ID, quality, token stats, fingerprints), and
+multimodal binary plumbing.
 
-Filled in family by family; each entry pairs the Spark implementation in
-``operators/`` with a DuckDB oracle where the algorithm is exactly
-SQL-expressible (exact dedup, n-gram Jaccard, brute-force cosine top-k,
-text statistics). Sketch/LSH-based variants are rows-only checks.
+Oracle discipline: algorithms that are exactly SQL-expressible carry a
+DuckDB oracle (including bit-identical cosine via ``list_reduce`` —
+DuckDB's ``sum()`` uses blocked summation and can NOT be used for float
+folds). Sketch/LSH candidate generators are rows-only checks, but each is
+verified *in tests* against its exact counterpart (LSH output ⊆ exact
+output).
 """
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clinical_api_etl_spark.functions.text import EN_STOPWORDS
 from clinical_api_etl_spark.plans.base import QuerySet
+from clinical_api_etl_spark.sources.catalog import load
 
 QS = QuerySet()
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB fragments (must mirror functions/text.py + vectors.py).
+# ---------------------------------------------------------------------------
+
+_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+_STOPS = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+def _shingles_sql(n: int) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len(t)-{n - 1},1)+1),"
+        f" i -> array_to_string(t[i:i+{n - 1}], ' ')))"
+    )
+
+
+#: Sequential left-fold dot/norm — matches Spark's aggregate() fold exactly.
+def _fold_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]),"
+        f" (x,y) -> x+y)"
+    )
+
+
+def _fold_norm(a: str) -> str:
+    return f"sqrt(list_reduce(list_transform({a}, x -> x*x), (x,y) -> x+y))"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return f"{_fold_dot(a, b)} / ({_fold_norm(a)} * {_fold_norm(b)})"
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS digest,
+           MIN(doc_id) AS survivor_id,
+           COUNT(*) AS n_members
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="[EXT] exact dedup: hash-groupBy on the content digest; survivor = "
+    "min id per group. One shuffle on the digest — the O(N) baseline.",
+    headline=True,
+    tags=("dedup",),
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5("text").alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+    )
+
+
+_JACCARD_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id, {_shingles_sql(3)} AS shingles
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+    ),
+    e AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common,
+             MIN(a.n_sh) AS n_a, MIN(b.n_sh) AS n_b
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+    FROM p
+    WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.8
+"""
+
+
+@QS.add(
+    "dedup_ngram_jaccard",
+    _JACCARD_ORACLE,
+    doc="[EXT] exact 3-gram Jaccard near-dup pairs (threshold 0.8): shingle "
+    "explode + self-equi-join on the shingle — work scales with shared-"
+    "shingle bucket sizes, never N².",
+    headline=True,
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+@QS.add(
+    "dedup_minhash_lsh",
+    None,  # LSH candidate recall is probabilistic-by-design → rows-only;
+    # tests verify output ⊆ exact ngram_jaccard result.
+    doc="[EXT] MinHash(32)+LSH(8×4) near-dup pairs verified by exact "
+    "Jaccard — the sub-quadratic scale path for the 0.8-threshold dedup.",
+    tags=("dedup", "approx"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+@QS.add(
+    "dedup_simhash",
+    None,  # 64-bit fingerprint is hash-family-specific → rows-only.
+    doc="[EXT] SimHash-64 near-dup pairs (Hamming ≤ 3) via 4×16-bit band "
+    "buckets + popcount verify.",
+    tags=("dedup", "approx"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.dedup import simhash_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@QS.add(
+    "dedup_embedding_cosine",
+    f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cosine_sql('a.e', 'b.e')} AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {_cosine_sql('a.e', 'b.e')} >= 0.4
+    """,
+    doc="[EXT] embedding-cosine near-dup pairs (threshold calibrated to "
+    "this corpus's similarity mass at 0.4). Exact pair scan as the "
+    "correctness baseline; ann_lsh_topk is the bucketed scale path.",
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.similarity import embedding_near_duplicates
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "ann_cosine_topk",
+    f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+    s AS (
+      SELECT query_id, b.vec_id AS neighbor_id, {_cosine_sql('qe', 'b.e')} AS cos_sim
+      FROM q CROSS JOIN v b WHERE b.vec_id <> query_id
+    ),
+    r AS (SELECT query_id, neighbor_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+    doc="[EXT] exact brute-force cosine top-k (k=5, 10 query vectors): "
+    "broadcast queries ⨯ corpus scan + per-query top-k window. Cosine is "
+    "bit-deterministic (sequential double fold on both engines).",
+    headline=True,
+    tags=("similarity",),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(queries, emb, k=5).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+@QS.add(
+    "ann_lsh_topk",
+    None,  # LSH recall < 1 by design → rows-only; tests measure recall vs exact.
+    doc="[EXT] hyperplane-LSH approximate top-k: 16 deterministic sign "
+    "bits, 4×4-bit band buckets, exact cosine re-rank of candidates only.",
+    tags=("similarity", "approx"),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.similarity import lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(queries, emb, k=5).withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis.
+# ---------------------------------------------------------------------------
+
+_STOP_RATIO = (
+    f"len(list_filter({_TOKS}, x -> x IN ({_STOPS})))::DOUBLE"
+    f" / len({_TOKS})::DOUBLE"
+)
+
+
+@QS.add(
+    "text_language_id",
+    f"""
+    SELECT lang,
+           CASE WHEN {_STOP_RATIO} >= 0.05 THEN 'en' ELSE 'und' END AS predicted_lang,
+           COUNT(*) AS cnt
+    FROM documents
+    GROUP BY lang, CASE WHEN {_STOP_RATIO} >= 0.05 THEN 'en' ELSE 'und' END
+    """,
+    doc="[EXT] language-ID heuristic (stopword density ≥ 0.05 → 'en') "
+    "cross-tabulated against the labeled lang column.",
+    tags=("text",),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.textstats import language_id
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        language_id(docs)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@QS.add(
+    "text_quality_scores",
+    f"""
+    SELECT doc_id,
+           0.5 * ({_STOP_RATIO})
+           + 0.3 * least(length(text)::DOUBLE / 400.0, 1.0)
+           + 0.2 * (len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS})::DOUBLE)
+             AS quality
+    FROM documents
+    """,
+    doc="[EXT] per-document quality score: 0.5·stopword-density + "
+    "0.3·length-credit + 0.2·lexical-diversity, fixed evaluation order so "
+    "both engines produce bit-identical doubles.",
+    tags=("text",),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.functions.text import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@QS.add(
+    "text_token_stats",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(list_distinct({_TOKS}))) AS BIGINT) AS total_distinct_tokens,
+           CAST(MAX(len({_TOKS})) AS BIGINT) AS max_tokens
+    FROM documents GROUP BY source
+    """,
+    doc="[EXT] token counting (whitespace tokenizer) rolled up by source.",
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.functions.text import distinct_token_count, token_count
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("total_tokens"),
+        F.sum(distinct_token_count(F.col("text")))
+        .cast("long")
+        .alias("total_distinct_tokens"),
+        F.max(token_count(F.col("text"))).cast("long").alias("max_tokens"),
+    )
+
+
+@QS.add(
+    "text_fingerprints",
+    f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
+    FROM documents
+    """,
+    doc="[EXT] canonical-form fingerprint per document: md5 over the sorted "
+    "distinct token set (order/duplication-insensitive identity).",
+    tags=("text",),
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.textstats import fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    return fingerprints(docs)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "mm_binary_stats",
+    """
+    SELECT ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+           COUNT(*) AS n_items,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+    FROM documents
+    GROUP BY ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)]
+    """,
+    doc="[EXT] multimodal binary-column statistics: payload byte length + "
+    "sha256 digest per media kind, entirely JVM-side (no decode).",
+    tags=("multimodal",),
+)
+def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.multimodal import attach_media, binary_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return binary_stats(attach_media(docs))
+
+
+@QS.add(
+    "mm_decode_features",
+    None,  # Arrow-batched mapInPandas with the marked fake codec → rows-only.
+    doc="[EXT] decode/feature-extract stage over binary payloads via "
+    "mapInPandas (Arrow batches). Codec is a deterministic, clearly-marked "
+    "fake (no media libs in this container); plumbing/schema/batching real.",
+    tags=("multimodal", "udf"),
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.multimodal import attach_media, decode_media
+
+    docs = load(spark, sf_dir, "documents")
+    return decode_media(attach_media(docs), dim=8, fake=True)
+
+
+@QS.add(
+    "mm_frame_sample",
+    """
+    SELECT doc_id, CAST(0 AS BIGINT) AS frame_ts_ms
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+    doc="[EXT] video frame-sampling lattice: one row per sampled frame "
+    "timestamp from metadata (videos without duration → single frame 0).",
+    tags=("multimodal",),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.multimodal import attach_media, frame_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return frame_sample(attach_media(docs))

@@ -1,0 +1,124 @@
+"""[EXT] operator property tests (SURVEY §5.2 item 4 applied to the
+LLM-pipeline extensions): approximate methods are validated against their
+exact counterparts — LSH may only *miss*, never invent.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+class TestDedup:
+    def test_exact_dedup_finds_planted_dups(self, spark):
+        df = spark.createDataFrame(
+            [(1, "aa bb cc"), (2, "aa bb cc"), (3, "zz yy"), (4, "aa bb cc")],
+            "doc_id long, text string",
+        )
+        from clinical_api_etl_spark.operators.dedup import exact_duplicates
+
+        groups = exact_duplicates(df, "doc_id", "text").collect()
+        assert len(groups) == 1
+        assert groups[0]["survivor_id"] == 1 and groups[0]["n_members"] == 3
+
+    def test_minhash_lsh_subset_of_exact(self, docs):
+        from clinical_api_etl_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.8).collect()
+        }
+        assert lsh <= exact  # no false positives (verified candidates)
+        if exact:
+            recall = len(lsh) / len(exact)
+            assert recall >= 0.8, f"LSH recall {recall:.2f} below S-curve expectation"
+
+    def test_simhash_deterministic_and_verified(self, docs):
+        from clinical_api_etl_spark.operators.dedup import simhash_pairs
+
+        p1 = sorted(map(tuple, simhash_pairs(docs, "doc_id", "text").collect()))
+        p2 = sorted(map(tuple, simhash_pairs(docs, "doc_id", "text").collect()))
+        assert p1 == p2  # hash family is deterministic
+        assert all(h <= 3 and a < b for a, b, h in p1)
+
+
+class TestSimilarity:
+    def test_lsh_results_subset_with_true_cosines(self, emb):
+        """Every LSH hit carries the exact cosine for that pair (re-rank is
+        exact), and per-query hits are a subset of the brute-force ordering."""
+        from clinical_api_etl_spark.operators.similarity import cosine_topk, lsh_topk
+
+        queries = emb.filter(F.col("vec_id") < 5)
+        exact = cosine_topk(queries, emb, k=500)  # full ranking
+        truth = {
+            (r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact.collect()
+        }
+        approx = lsh_topk(queries, emb, k=5).collect()
+        assert approx, "LSH returned nothing"
+        for r in approx:
+            assert truth[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
+
+    def test_topk_rank_contract(self, emb):
+        from clinical_api_etl_spark.operators.similarity import cosine_topk
+
+        out = cosine_topk(emb.filter(F.col("vec_id") < 3), emb, k=4).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for q, rows in by_q.items():
+            rows.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in rows] == [1, 2, 3, 4]
+            sims = [r["cos_sim"] for r in rows]
+            assert sims == sorted(sims, reverse=True)
+            assert all(r["neighbor_id"] != q for r in rows)
+
+
+class TestMultimodal:
+    def test_decode_requires_explicit_fake(self, docs):
+        from clinical_api_etl_spark.operators.multimodal import attach_media, decode_media
+
+        with pytest.raises(NotImplementedError, match="codec"):
+            decode_media(attach_media(docs), fake=False)
+
+    def test_fake_decode_batch_shapes(self, docs):
+        from clinical_api_etl_spark.operators.multimodal import attach_media, decode_media
+
+        out = decode_media(attach_media(docs), dim=8, fake=True)
+        rows = out.collect()
+        assert len(rows) == docs.count()
+        for r in rows[:10]:
+            assert len(r["feature"]) == 8
+            assert abs(sum(r["feature"]) - 1.0) < 1e-9  # normalized byte-fold
+            assert r["n_bytes"] > 0
+        assert {r["kind"] for r in rows} == {"image", "audio", "video"}
+
+    def test_frame_sample_with_duration(self, spark):
+        from clinical_api_etl_spark.operators.multimodal import frame_sample
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"x"), ("video", None, None, None, 2500)),
+             (2, bytearray(b"y"), ("image", None, None, None, None))],
+            "doc_id long, payload binary, media struct<kind:string,mime:string,width:int,height:int,duration_ms:long>",
+        )
+        frames = frame_sample(df, every_ms=1000).collect()
+        assert [(r["doc_id"], r["frame_ts_ms"]) for r in frames] == [
+            (1, 0), (1, 1000), (1, 2000)]
