@@ -867,6 +867,41 @@ def f11_least_greatest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@QS.add(
+    "w5_sessionization",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 21600000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc="[EXT] gap-based sessionization (6h gap): lag + running-sum session "
+    "ids + per-session roll-up. Same semantics as the streaming "
+    "applyInPandasWithState operator (streaming/windows.py) — this batch "
+    "form is the oracle-checkable one.",
+    headline=True,
+    tags=("window", "streaming"),
+)
+def w5_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.streaming.windows import sessionize_batch
+
+    ev = load(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap_minutes=360)
+
+
 # ---------------------------------------------------------------------------
 # Streaming-shaped (batch-equivalent) hourly windows; the same transform is
 # reused by streaming/windows.py under readStream.
@@ -888,14 +923,8 @@ def f11_least_greatest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "window"),
 )
 def stream_window_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "total_value"))
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "cnt",
-            "total_value",
-        )
-    )
+    from clinical_api_etl_spark.streaming.windows import hourly_rollup
+
+    # Same transform runs under readStream with a watermark
+    # (streaming/windows.py) — batch/stream unification.
+    return hourly_rollup(load(spark, sf_dir, "events"))

@@ -1,0 +1,120 @@
+"""Streaming clinical ingestion (SURVEY §2.8 re-architecture).
+
+The reference runs one-shot pandas batch jobs behind HTTP (`main.py:63`);
+the Spark-native form is a **file-source stream over a drop folder**:
+
+* ``spark.readStream`` with the fixed 8-string-column schema (never
+  inferred — S1 semantics),
+* each micro-batch runs the same pure transforms as the batch runner
+  (``stage_bronze`` → ``build_silver`` → quality/gold) inside
+  ``foreachBatch`` against the idempotent warehouse sinks,
+* ``trigger(availableNow=True)`` gives the reference's per-job batch
+  behavior with streaming's exactly-once bookkeeping: the checkpoint
+  records processed files, so re-running never re-ingests (the streaming
+  analogue of the ``ON CONFLICT`` keys),
+* per-file lineage comes from ``_metadata.file_path`` (input_file_name is
+  not available on streaming sources' metadata column is), and job ids are
+  derived per batch.
+
+At scale this is the continuous-ingestion story: thousands of files/hour
+land in the drop folder; maxFilesPerTrigger bounds batch size; the
+quality/gold stages aggregate per micro-batch exactly like per-job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clinical_api_etl_spark.operators.clinical import (
+    GOLD_KEY,
+    SILVER_KEY,
+    build_gold,
+    build_silver,
+    quality_counts,
+    stage_bronze,
+)
+from clinical_api_etl_spark.jobs.runner import (
+    BRONZE_KEY,
+    BRONZE_TABLE,
+    GOLD_TABLE,
+    QUALITY_TABLE,
+    SILVER_TABLE,
+)
+from clinical_api_etl_spark.sources.clinical_csv import CSV_COLUMNS
+from clinical_api_etl_spark.sources.sinks import ParquetWarehouse
+
+STREAM_SCHEMA = T.StructType(
+    [T.StructField(c, T.StringType(), True) for c in CSV_COLUMNS]
+)
+
+
+def _process_batch(wh: ParquetWarehouse, batch_df: DataFrame, batch_id: int) -> None:
+    """One micro-batch = one logical job, keyed ``stream-<batch_id>``.
+
+    Runs per *file* within the batch so row_num lineage stays per-file
+    (the reference's (job, file, row_num) key — S5).
+    """
+    if batch_df.isEmpty():
+        return
+    job_id = f"stream-{batch_id}"
+    batch = batch_df.withColumn(
+        "_src", F.element_at(F.split(F.col("_source_file"), "/"), -1)
+    )
+    files = [r["_src"] for r in batch.select("_src").distinct().collect()]
+    for fname in sorted(files):
+        raw = (
+            batch.filter(F.col("_src") == fname)
+            .drop("_source_file", "_src")
+            .select(
+                *[F.coalesce(F.col(c), F.lit("")).alias(c) for c in CSV_COLUMNS]
+            )
+            .withColumn("unit", F.trim("unit"))
+        )
+        bronze = stage_bronze(raw, job_id, fname)
+        wh.append_if_absent(BRONZE_TABLE, bronze, BRONZE_KEY)
+        staged = wh.read(BRONZE_TABLE).filter(
+            (F.col("job_id") == job_id) & (F.col("source_filename") == fname)
+        )
+        wh.append_if_absent(SILVER_TABLE, build_silver(staged), list(SILVER_KEY))
+        wh.append(QUALITY_TABLE, quality_counts(raw, job_id))
+        wh.merge_aggregations(
+            GOLD_TABLE, build_gold(build_silver(staged), job_id), list(GOLD_KEY)
+        )
+
+
+def run_ingest_stream(
+    spark: SparkSession,
+    wh: ParquetWarehouse,
+    drop_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Start (and, for availableNow, await) the drop-folder ingestion stream."""
+    reader = (
+        spark.readStream.schema(STREAM_SCHEMA)
+        .option("header", True)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.csv(drop_dir).withColumn(
+        "_source_file", F.col("_metadata.file_path")
+    )
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: _process_batch(wh, df, bid)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    q = (
+        writer.trigger(availableNow=True)
+        if available_now
+        else writer.trigger(processingTime="10 seconds")
+    ).start()
+    if available_now:
+        q.awaitTermination()
+    return q

@@ -1,0 +1,150 @@
+"""Event-time windowing + stateful sessionization. [EXT]
+
+``hourly_rollup`` is the single transform behind both the batch query
+``stream_window_hourly_counts`` and the streaming path below — the
+batch/stream unification Structured Streaming is designed for: the same
+DataFrame expression runs under ``readStream`` with a watermark.
+
+``sessionize`` assigns gap-based sessions. Two implementations with
+identical semantics:
+
+* batch: lag + cumulative-sum windows (exactly SQL-expressible — this is
+  the form the DuckDB oracle checks),
+* streaming: ``applyInPandasWithState`` with per-user GroupState —
+  the custom-stateful-operator escape hatch for semantics watermarked
+  window functions can't express incrementally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
+
+from clinical_api_etl_spark.functions.numeric import dsum
+
+
+def hourly_rollup(events: DataFrame, *, watermark: str | None = None) -> DataFrame:
+    """Tumbling 1-hour event-time roll-up (batch and streaming)."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "cnt", "total_value"
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, *, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessions per user, batch form.
+
+    session boundary: ts - lag(ts) > gap. session_id = running count of
+    boundaries; output one row per session with span + event count.
+    Deterministic ordering via (ts, event_id).
+    """
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lit(gap_minutes * 60_000)  # ms precision == DuckDB epoch_ms
+    new_session = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w)) > gap),
+            1,
+        ).otherwise(0)
+    )
+    with_ids = events.withColumn("new_session", new_session).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        with_ids.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn("session_id", F.col("session_id").cast("long"))
+    )
+
+
+_SESSION_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("session_id", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("start_ts_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def sessionize_stream(events: DataFrame, *, gap_minutes: int = 30) -> DataFrame:
+    """Streaming sessionization via ``applyInPandasWithState``.
+
+    Per-user GroupState carries (open session id, last/first event time,
+    count); a batch's events extend or roll the open session. Emits every
+    session observed in the batch with its *current* extent — downstream
+    consumers upsert on (user_id, session_id), which matches the
+    incremental nature of session growth across micro-batches.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60_000_000  # integer µs — no float precision loss
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            session_id, last_us, start_us, n_events = state.get
+        else:
+            session_id, last_us, start_us, n_events = 0, None, None, 0
+
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out: list[tuple] = []
+        for ts in rows["ts"]:
+            t = ts.value // 1_000  # ns → µs, exact
+            if last_us is None or t - last_us > gap_us:
+                if last_us is not None:
+                    out.append((user_id, session_id, start_us, last_us, n_events))
+                session_id += 1
+                start_us, n_events = t, 0
+            n_events += 1
+            last_us = t
+        out.append((user_id, session_id, start_us, last_us, n_events))
+        state.update((session_id, last_us, start_us, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out],
+                "session_id": [r[1] for r in out],
+                "session_start": [pd.Timestamp(r[2], unit="us") for r in out],
+                "session_end": [pd.Timestamp(r[3], unit="us") for r in out],
+                "n_events": [r[4] for r in out],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,141 @@
+"""Structured Streaming tests (SURVEY §5.2 item 5): exactly-once drop-folder
+ingestion, batch/stream window equivalence, stateful sessionization parity.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_api_etl_spark.jobs.runner import BRONZE_TABLE, GOLD_TABLE, SILVER_TABLE
+from clinical_api_etl_spark.streaming.ingest import run_ingest_stream
+
+HEADER = "study_id,participant_id,measurement_type,value,unit,timestamp,site_id,quality_score"
+
+
+def _drop(tmp_path, name, rows):
+    d = tmp_path / "drop"
+    d.mkdir(exist_ok=True)
+    (d / name).write_text("\n".join([HEADER, *rows]) + "\n")
+    return str(d)
+
+
+class TestIngestStream:
+    def test_available_now_exactly_once(self, spark, warehouse, tmp_path):
+        drop = _drop(tmp_path, "f1.csv", [
+            "S1,P1,glucose,95.5,mg/dL,2024-01-15T09:30:00Z,SITE_A,0.98",
+            "S1,P1,blood_pressure,120/80,mmHg,2024-01-15T09:31:00Z,SITE_A,0.97",
+        ])
+        ckpt = str(tmp_path / "ckpt")
+        run_ingest_stream(spark, warehouse, drop, ckpt)
+        assert warehouse.read(BRONZE_TABLE).count() == 2
+        assert warehouse.read(SILVER_TABLE).count() == 3  # BP split
+
+        # re-run with no new files: checkpoint skips everything
+        run_ingest_stream(spark, warehouse, drop, ckpt)
+        assert warehouse.read(BRONZE_TABLE).count() == 2
+        assert warehouse.read(SILVER_TABLE).count() == 3
+
+        # add a file: only the new one is processed
+        _drop(tmp_path, "f2.csv", [
+            "S1,P2,weight,70.5,kg,2024-01-16T10:00:00Z,SITE_A,0.9",
+        ])
+        run_ingest_stream(spark, warehouse, drop, ckpt)
+        assert warehouse.read(BRONZE_TABLE).count() == 3
+        assert warehouse.read(SILVER_TABLE).count() == 4
+        gold = {r["measurement_type"]: r for r in warehouse.read(GOLD_TABLE).collect()}
+        assert gold["weight"]["cnt"] == 1
+
+    def test_checkpoint_survives_fresh_query(self, spark, warehouse, tmp_path):
+        """Losing the in-memory query but keeping the checkpoint must not
+        re-ingest (the reference's retry-safety, now from the stream log)."""
+        drop = _drop(tmp_path, "f1.csv", [
+            "S1,P1,glucose,95.5,mg/dL,2024-01-15T09:30:00Z,SITE_A,0.98",
+        ])
+        ckpt = str(tmp_path / "ckpt")
+        run_ingest_stream(spark, warehouse, drop, ckpt)
+        n = warehouse.read(BRONZE_TABLE).count()
+        run_ingest_stream(spark, warehouse, drop, ckpt)  # brand-new query object
+        assert warehouse.read(BRONZE_TABLE).count() == n
+
+
+class TestWindowedStream:
+    def test_stream_equals_batch_hourly_rollup(self, spark, tmp_path):
+        """availableNow file-source stream over the events table produces
+        exactly the batch hourly roll-up (trigger-once determinism)."""
+        from clinical_api_etl_spark.sources.catalog import load
+        from clinical_api_etl_spark.streaming.windows import hourly_rollup
+
+        sf = "/root/testdata/sf0.001"
+        events = load(spark, sf, "events")
+        src_dir = str(tmp_path / "events_parquet")
+        events.write.parquet(src_dir)  # nanos-free copy for the file stream
+
+        batch = {
+            (r["window_start"], r["event_type"]): (r["cnt"], r["total_value"])
+            for r in hourly_rollup(events).collect()
+        }
+
+        stream = spark.readStream.schema(events.schema).parquet(src_dir)
+        out_rows = []
+        q = (
+            hourly_rollup(stream.withWatermark("ts", "1 hour"))
+            .writeStream.outputMode("complete")
+            .foreachBatch(lambda df, bid: out_rows.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "wckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["window_start"], r["event_type"]): (r["cnt"], r["total_value"])
+            for r in out_rows
+        }
+        assert got == batch
+
+
+class TestSessionization:
+    def test_stream_sessionize_matches_batch(self, spark, tmp_path):
+        """applyInPandasWithState sessionization over a single availableNow
+        batch must agree with the batch lag/cumsum implementation."""
+        from clinical_api_etl_spark.sources.catalog import load
+        from clinical_api_etl_spark.streaming.windows import (
+            sessionize_batch,
+            sessionize_stream,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        events = load(spark, sf, "events").select("user_id", "event_id", "ts")
+        src_dir = str(tmp_path / "sess_parquet")
+        events.write.parquet(src_dir)
+
+        expected = {
+            (r["user_id"], r["session_id"]): (
+                r["session_start"], r["session_end"], r["n_events"])
+            for r in sessionize_batch(
+                events.withColumn("value", F.lit(0.0)), gap_minutes=360
+            ).collect()
+        }
+
+        stream = spark.readStream.schema(events.schema).parquet(src_dir)
+        out_rows = []
+        q = (
+            sessionize_stream(stream, gap_minutes=360)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: out_rows.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "sckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {}
+        for r in out_rows:  # last update per (user, session) wins
+            got[(r["user_id"], r["session_id"])] = (
+                r["session_start"], r["session_end"], r["n_events"])
+        assert len(got) == len(expected)
+        for k, (start, end, n) in expected.items():
+            g = got[k]
+            assert g[2] == n, f"session {k}: {g[2]} != {n}"
+            assert g[0] == start and g[1] == end
