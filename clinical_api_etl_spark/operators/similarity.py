@@ -21,7 +21,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from clinical_api_etl_spark.functions.vectors import as_double, cosine, dot
+from clinical_api_etl_spark.functions.vectors import as_double, dot, norm
+
+
+def _prep(
+    df: DataFrame, id_col: str, vec_col: str, id_alias: str, vec_alias: str
+) -> DataFrame:
+    """(id, vector-as-double, norm) — cast and norm hoisted to once per row.
+
+    Computing the norm per *pair* inside the similarity join would redo the
+    same fold |corpus| times per vector; hoisting it is bit-identical
+    (same left fold over the same doubles) and turns the pair-level work
+    into a single dot product + one multiply.
+    """
+    v = as_double(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        v.alias(vec_alias),
+        norm(v).alias(f"{vec_alias}_norm"),
+    )
+
+
+def _parallel(df: DataFrame) -> DataFrame:
+    """Spread the streamed side of a nested-loop/broadcast join: embedding
+    tables often arrive as one file → one partition, which would serialize
+    the entire similarity scan."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def cosine_topk(
@@ -37,13 +62,11 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cos_sim, rank) — rank 1..k with vec-id
     tie-break, so results are totally ordered and oracle-comparable.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    q = _prep(queries, id_col, vec_col, "query_id", "q_vec")
+    c = _parallel(_prep(corpus, id_col, vec_col, "neighbor_id", "c_vec"))
+    sim = dot(F.col("q_vec"), F.col("c_vec")) / (
+        F.col("q_vec_norm") * F.col("c_vec_norm")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
-    sim = cosine(F.col("q_vec"), F.col("c_vec"))
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -116,13 +139,14 @@ def lsh_topk(
         )
 
     qb = with_bands(queries, "query_id", "q_vec")
-    cb = with_bands(corpus, "neighbor_id", "c_vec")
+    cb = with_bands(_parallel(corpus), "neighbor_id", "c_vec")
     candidates = (
         cb.join(F.broadcast(qb), ["band", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    sim = cosine(F.col("q_vec"), F.col("c_vec"))
+    qv, cv = as_double(F.col("q_vec")), as_double(F.col("c_vec"))
+    sim = dot(qv, cv) / (norm(qv) * norm(cv))
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         candidates.select("query_id", "neighbor_id", sim.alias("cos_sim"))
@@ -143,11 +167,11 @@ def embedding_near_duplicates(
     Brute-force pair generation here (exact, oracle-comparable); the LSH
     bucket pre-filter above is the scale path for the same predicate.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
-    sim = cosine(F.col("v_a"), F.col("v_b"))
+    a = _parallel(_prep(df, id_col, vec_col, "id_a", "v_a"))
+    b = _prep(df, id_col, vec_col, "id_b", "v_b")
+    sim = dot(F.col("v_a"), F.col("v_b")) / (F.col("v_a_norm") * F.col("v_b_norm"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
