@@ -928,3 +928,136 @@ def stream_window_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same transform runs under readStream with a watermark
     # (streaming/windows.py) — batch/stream unification.
     return hourly_rollup(load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Coverage completions: A9/P7 view shapes, UNION set op, J3 semi-join
+# integrity, S8 asymmetric merge-upsert.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "a9_participants_per_study",
+    """
+    SELECT c_nationkey AS study_key, COUNT(*) AS n_participants
+    FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer) p
+    GROUP BY c_nationkey
+    """,
+    doc="A9: v_participants_per_study shape (08_views.sql:27-30) — count "
+    "over the A2-extracted dimension, composing the reference's dim-upsert "
+    "chain (db.py:69-86) with its count view.",
+    tags=("agg", "A9", "views"),
+)
+def a9_participants_per_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dims = (
+        load(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+    )
+    return dims.groupBy(F.col("c_nationkey").alias("study_key")).agg(
+        F.count(F.lit(1)).alias("n_participants")
+    )
+
+
+@QS.add(
+    "p7_low_quality_filter",
+    """
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE value IS NOT NULL AND value < 5.0
+    """,
+    doc="P7: v_low_quality shape (08_views.sql:17-20) — partial predicate "
+    "IS NOT NULL AND < bound; pushes to the parquet scan.",
+    tags=("filter", "P7", "views"),
+)
+def p7_low_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("value").isNotNull() & (F.col("value") < 5.0)).select(
+        "event_id", "user_id", "value"
+    )
+
+
+@QS.add(
+    "setop_nations_union",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="[EXT] UNION (distinct) set op.",
+    tags=("setop",),
+)
+def setop_nations_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.union(supp).distinct()
+
+
+@QS.add(
+    "j3_semi_join_integrity",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+    """,
+    doc="J3 referential validation as LEFT SEMI join (reference enforces "
+    "via FK, 05_processed_measurements.sql:4,15-16; Spark validates with "
+    "left_semi before the fact write).",
+    tags=("join", "J3"),
+)
+def j3_semi_join_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+_S8_STATS = """
+  SELECT l_suppkey,
+         COUNT(*) AS cnt,
+         {davg},
+         CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+         CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+  FROM lineitem WHERE l_shipdate {op} TIMESTAMP '1995-06-01 00:00:00'
+  GROUP BY l_suppkey
+"""
+
+
+@QS.add(
+    "s8_asymmetric_merge",
+    f"""
+    WITH old AS ({_S8_STATS.format(davg=DAVG('l_quantity', 'avg_qty'), op='<')}),
+         new AS ({_S8_STATS.format(davg=DAVG('l_quantity', 'avg_qty'), op='>=')})
+    SELECT COALESCE(new.l_suppkey, old.l_suppkey) AS suppkey,
+           COALESCE(new.cnt, old.cnt) AS cnt,
+           COALESCE(new.avg_qty, old.avg_qty) AS avg_qty,
+           LEAST(old.min_qty, new.min_qty) AS min_qty,
+           GREATEST(old.max_qty, new.max_qty) AS max_qty
+    FROM old FULL OUTER JOIN new ON old.l_suppkey = new.l_suppkey
+    """,
+    doc="S8: the reference's asymmetric agg upsert (db.py:110-127 — cnt/avg "
+    "REPLACED by the new job, min/max MERGED via LEAST/GREATEST across "
+    "history; quirk SURVEY §2.9.3) as a full-outer merge. Two 'jobs' are "
+    "simulated by splitting lineitem on ship date. Delta MERGE expresses "
+    "the same thing against a stored table (sources/sinks.py).",
+    tags=("join", "S8", "agg"),
+)
+def s8_asymmetric_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    cut = _ts("1995-06-01 00:00:00")
+
+    def stats(side: DataFrame) -> DataFrame:
+        return side.groupBy("l_suppkey").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            davg("l_quantity", "avg_qty"),
+            F.min("l_quantity").cast("double").alias("min_qty"),
+            F.max("l_quantity").cast("double").alias("max_qty"),
+        )
+
+    old = stats(li.filter(F.col("l_shipdate") < cut)).alias("old")
+    new = stats(li.filter(F.col("l_shipdate") >= cut)).alias("new")
+    return old.join(new, F.col("old.l_suppkey") == F.col("new.l_suppkey"), "full_outer").select(
+        F.coalesce(F.col("new.l_suppkey"), F.col("old.l_suppkey")).alias("suppkey"),
+        F.coalesce(F.col("new.cnt"), F.col("old.cnt")).alias("cnt"),
+        F.coalesce(F.col("new.avg_qty"), F.col("old.avg_qty")).alias("avg_qty"),
+        F.least(F.col("old.min_qty"), F.col("new.min_qty")).alias("min_qty"),
+        F.greatest(F.col("old.max_qty"), F.col("new.max_qty")).alias("max_qty"),
+    )
