@@ -12,6 +12,9 @@ from the filters the query builders attach.
 
 from __future__ import annotations
 
+import glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -35,20 +38,50 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+#: Fact tables above this on-disk size get re-spread after the scan when the
+#: source layout can't parallelize (see _spread).
+_SPREAD_MIN_BYTES = 4 * 1024 * 1024
+
+
+def _spread(spark: SparkSession, df: DataFrame, path: str, name: str) -> DataFrame:
+    """Repartition large fact scans whose file layout defeats parallelism.
+
+    The testdata ships each table as ONE parquet file with ONE row group, so
+    the scan — and with it every downstream partial aggregate — runs as a
+    single task no matter what ``maxPartitionBytes`` says (byte-range splits
+    of a single row group are empty). The same situation arises in real
+    deployments after aggressive compaction. A round-robin repartition right
+    after the scan restores parallelism; Catalyst still pushes filters and
+    column pruning *through* the repartition into the scan, so only
+    surviving rows are exchanged. Dimension tables are left alone (they
+    broadcast; an exchange would be pure overhead).
+    """
+    if name in BROADCAST_DIMS:
+        return df
+    try:
+        size = sum(os.path.getsize(p) for p in glob.glob(path) + [path] if os.path.isfile(p))
+    except OSError:
+        return df
+    if size >= _SPREAD_MIN_BYTES:
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized
         # parquet reader rejects; read nanos as INT64 and convert to a
         # microsecond timestamp JVM-side (truncation matches DuckDB's
         # ns→us narrowing). Stays fully distributed — no driver round-trip.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _spread(spark, df, path, name)
+    return _spread(spark, spark.read.parquet(path), path, name)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
