@@ -94,12 +94,33 @@ def ngram_jaccard_pairs(
         F.size("shingles") - F.ceil(F.lit(threshold) * F.size("shingles")) + 1
     ).cast("int")
     prefix = sh.select(
-        "doc_id", F.explode(F.slice("shingles", F.lit(1), pre_len)).alias("shingle")
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.posexplode(F.slice("shingles", F.lit(1), pre_len)).alias("pos", "shingle"),
+    )
+    # PPJoin-style pruning at join-probe time (integer predicates — nearly
+    # free, applied before the dedup shuffle and the verify joins):
+    #  * length filter: J ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|);
+    #  * position filter: a match at 0-based prefix positions (p_a, p_b)
+    #    bounds the overlap by min(p_a,p_b) possibly-common earlier
+    #    elements + this one + min of the suffix lengths, which must reach
+    #    α = ⌈t/(1+t)·(|A|+|B|)⌉ (the overlap any ≥t pair needs). The
+    #    bound holds for every match row, so true pairs always survive.
+    n_a, n_b = F.col("a.n_sh"), F.col("b.n_sh")
+    p_a, p_b = F.col("a.pos"), F.col("b.pos")
+    alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) * (n_a + n_b))
+    overlap_ub = (
+        F.lit(1) + F.least(p_a, p_b) + F.least(n_a - p_a - 1, n_b - p_b - 1)
     )
     cand = (
         prefix.alias("a")
-        .join(prefix.alias("b"), "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.least(n_a, n_b) >= F.lit(threshold) * F.greatest(n_a, n_b))
+            & (overlap_ub >= alpha),
+        )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         # Candidate rows are tiny (two longs) so AQE would coalesce the
         # dedup exchange into ~one partition and serialize the verify
