@@ -1,0 +1,203 @@
+"""Property-based invariants over the input grammar (SURVEY §5.2 item 4).
+
+Hypothesis generates CSV batches over the grammar the reference's
+``etl.py`` implies — decimal values, S/D blood-pressure strings (valid,
+out-of-range, malformed, slash-less numeric), blank/sentinel units and
+quality scores, garbage text — and each batch is pushed through the full
+pipeline, asserting the declared invariants against an independent pure-
+Python re-derivation of the reference semantics:
+
+* row conservation: silver rows = input rows + valid-BP rows (R1),
+* bronze lineage: row_num is exactly 1..n in file order (R3, §2.9.6),
+* null discipline: exactly one of value_num/value_text per silver row (R2),
+* quality counters equal the rule definitions recomputed row-by-row
+  (A3-A5 on bronze input — §2.9.5),
+* gold equals a per-key recompute over numeric silver rows (A1),
+* re-running the same job is a no-op (S5/S6 idempotency).
+
+Examples are few but each covers a whole generated batch — the per-example
+cost is a full Spark pipeline run.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal, InvalidOperation
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from clinical_api_etl_spark.jobs.runner import (
+    BRONZE_TABLE,
+    GOLD_TABLE,
+    QUALITY_TABLE,
+    SILVER_TABLE,
+    process_job,
+)
+from clinical_api_etl_spark.sources.sinks import ParquetWarehouse
+
+HEADER = "study_id,participant_id,measurement_type,value,unit,timestamp,site_id,quality_score"
+
+# -- reference semantics, re-derived independently in pure Python ----------
+
+REQ_UNIT = {"glucose", "cholesterol", "weight", "height", "blood_pressure"}
+RANGES = {
+    "glucose": (40.0, 400.0),
+    "cholesterol": (50.0, 400.0),
+    "weight": (1.0, 400.0),
+    "height": (30.0, 300.0),
+    "heart_rate": (20.0, 240.0),
+    "blood_pressure_1": (50.0, 250.0),
+    "blood_pressure_2": (30.0, 200.0),
+}
+
+
+def py_to_decimal(s: str) -> Decimal | None:
+    s = s.strip()
+    if not s:
+        return None
+    try:
+        d = Decimal(s)
+    except InvalidOperation:
+        return None
+    return None if not d.is_finite() else d
+
+
+def py_parse_bp(s: str):
+    parts = s.split("/")
+    if len(parts) != 2:
+        return None
+    try:
+        sys_v, dia_v = int(parts[0].strip()), int(parts[1].strip())
+    except ValueError:
+        return None
+    if 50 <= sys_v <= 250 and 30 <= dia_v <= 200:
+        return sys_v, dia_v
+    return None
+
+
+# -- input grammar ----------------------------------------------------------
+
+_types = st.sampled_from(
+    ["glucose", "cholesterol", "weight", "height", "blood_pressure", "heart_rate"]
+)
+_numbers = st.decimals(
+    min_value=Decimal("-9999"),
+    max_value=Decimal("9999"),
+    places=2,
+    allow_nan=False,
+    allow_infinity=False,
+).map(str)
+_bp_like = st.tuples(
+    st.integers(min_value=0, max_value=400), st.integers(min_value=0, max_value=300)
+).map(lambda t: f"{t[0]}/{t[1]}")
+_values = st.one_of(
+    _numbers,
+    _bp_like,
+    st.sampled_from(["", "  ", "not_a_number", "120-80", "1/2/3", "95.5 ", "12/"]),
+)
+_units = st.sampled_from(["mg/dL", "kg", "mmHg", "", " ", "bpm"])
+_scores = st.sampled_from(["0.98", "0.5", "", "null", "1.00"])
+_ts = st.integers(min_value=0, max_value=19).map(
+    lambda h: f"2024-05-0{1 + h % 9}T{h:02d}:30:00Z"
+)
+
+_row = st.tuples(
+    st.sampled_from(["S1", "S2"]),
+    st.sampled_from(["P1", "P2", "P3"]),
+    _types,
+    _values,
+    _units,
+    _ts,
+    st.sampled_from(["SITE_A", "SITE_B"]),
+    _scores,
+)
+_batches = st.lists(_row, min_size=1, max_size=20)
+
+
+def _csv_field(v: str) -> str:
+    return f'"{v}"' if ("," in v or '"' in v) else v
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_batches)
+def test_pipeline_invariants(spark, tmp_path_factory, rows):
+    tmp = tmp_path_factory.mktemp("prop")
+    wh = ParquetWarehouse(spark, str(tmp / "wh"))
+    csv = tmp / "batch.csv"
+    csv.write_text(
+        "\n".join([HEADER, *(",".join(_csv_field(f) for f in r) for r in rows)]) + "\n"
+    )
+
+    jid = process_job(spark, wh, str(csv))
+
+    # -- bronze lineage (R3): one row per input, row_num 1..n in order ------
+    bronze = sorted(
+        wh.read(BRONZE_TABLE).filter(f"job_id = '{jid}'").collect(),
+        key=lambda r: r["row_num"],
+    )
+    assert [r["row_num"] for r in bronze] == list(range(1, len(rows) + 1))
+    assert [r["value"] for r in bronze] == [r[3] for r in rows]
+
+    # -- row conservation (R1) ---------------------------------------------
+    n_valid_bp = sum(
+        1 for r in rows if r[2] == "blood_pressure" and py_parse_bp(r[3]) is not None
+    )
+    silver = wh.read(SILVER_TABLE).filter(f"job_id = '{jid}'").collect()
+    assert len(silver) == len(rows) + n_valid_bp
+
+    # -- null discipline (R2): exactly one of value_num/value_text ---------
+    for r in silver:
+        assert (r["value_num"] is None) != (r["value_text"] is None), r
+
+    # -- quality counters (A3-A5 on raw input, §2.9.5) ----------------------
+    expect = {"missing_unit_required": 0, "malformed_blood_pressure": 0, "numeric_out_of_range": 0}
+    for r in rows:
+        mtype, value, unit = r[2], r[3], r[4]
+        if mtype in REQ_UNIT and unit.strip() == "":
+            expect["missing_unit_required"] += 1
+        if mtype == "blood_pressure" and py_parse_bp(value) is None:
+            expect["malformed_blood_pressure"] += 1
+        num = py_to_decimal(value)
+        if mtype in RANGES and num is not None:
+            lo, hi = RANGES[mtype]
+            if num < Decimal(str(lo)) or num > Decimal(str(hi)):
+                expect["numeric_out_of_range"] += 1
+    got = {
+        r["rule_name"]: r["affected_rows"]
+        for r in wh.read(QUALITY_TABLE).filter(f"job_id = '{jid}'").collect()
+    }
+    assert got == {k: v for k, v in expect.items() if v > 0}
+
+    # -- gold recompute (A1): per-key stats over numeric silver rows --------
+    by_key: dict[tuple, list[Decimal]] = {}
+    for r in silver:
+        if r["value_num"] is not None:
+            key = (r["study_id"], r["participant_id"], r["site_id"], r["measurement_type"])
+            by_key.setdefault(key, []).append(r["value_num"])
+    gold = {
+        (r["study_id"], r["participant_id"], r["site_id"], r["measurement_type"]): r
+        for r in wh.read(GOLD_TABLE).collect()
+    }
+    assert set(gold) == set(by_key)
+    for key, vals in by_key.items():
+        g = gold[key]
+        assert g["cnt"] == len(vals)
+        assert g["min_num"] == float(min(vals))
+        assert g["max_num"] == float(max(vals))
+        assert g["avg_num"] == pytest.approx(
+            sum(float(v) for v in vals) / len(vals), rel=1e-9
+        )
+
+    # -- idempotency (S5/S6): same job re-run is a no-op --------------------
+    counts_before = {
+        t: wh.read(t).count() for t in (BRONZE_TABLE, SILVER_TABLE, GOLD_TABLE)
+    }
+    process_job(spark, wh, str(csv), job_id=jid)
+    for t, n in counts_before.items():
+        assert wh.read(t).count() == n, t
