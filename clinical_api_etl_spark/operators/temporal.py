@@ -1,0 +1,111 @@
+"""Temporal joins Spark lacks as primitives: as-of and range joins. [EXT]
+
+Neither exists in the reference (its only time logic is ``ORDER BY
+timestamp DESC`` and a 30-day view — SURVEY §2.6); both are table-stakes
+for event/feature pipelines, and both are built here as *compositions of
+existing DataFrame ops* — no UDF, no iterative driver logic — per the
+SURVEY §4.2 conclusion that no custom Catalyst rules are needed.
+
+``asof_join`` — for each left row, the single latest right row with
+``right.ts <= left.ts`` per key. Implemented as union + keyed sort +
+``last_value(ignorenulls)`` running window: one shuffle on the key, O(n)
+state, no join blow-up — the classic log-merge formulation, robust to any
+key skew AQE can't fix (a per-key sort is linear in that key's rows,
+whereas an inequality self-join on a hot key is quadratic).
+
+``range_join_bucketed`` — pairs (l, r) with ``r.ts ∈ [l.ts − window,
+l.ts)``. A pure inequality join would plan as a nested-loop cross product;
+bucketing time to the window length and equi-joining on (bucket, bucket+1)
+turns it into a hash join whose per-bucket fan-out is bounded by the event
+rate — the standard interval-bucketing rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    suffix: str = "_matched",
+) -> DataFrame:
+    """Point-in-time (backward) as-of join.
+
+    Output: every ``left`` row + the payload columns of the latest
+    ``right`` row with ``right_ts <= left_ts`` on the same key (NULLs when
+    no prior right row exists — left-join semantics). Ties on equal
+    timestamps resolve to the right row (<= semantics); callers that need
+    full determinism should de-duplicate ``right`` per (key, ts) first.
+    """
+    payload = F.struct(
+        F.col(right_ts).alias("__ts"), *[F.col(c) for c in right_payload]
+    )
+    r = right.select(
+        *on, F.col(right_ts).alias("__t"), F.lit(0).alias("__side"), payload.alias("__p")
+    )
+    l = left.select(
+        "*", F.col(left_ts).alias("__t"), F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+    )
+    w = (
+        W.partitionBy(*on)
+        .orderBy("__t", "__side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = (
+        l.select(*on, *[c for c in left.columns if c not in on], "__t", "__side", "__p")
+        .unionByName(r.select(*on, *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on], "__t", "__side", "__p"))
+        .withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    out_cols = [*left.columns]
+    sel = [F.col(c) for c in out_cols]
+    sel.append(F.col("__m.__ts").alias(f"{left_ts}{suffix}"))
+    sel.extend(F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in right_payload)
+    return matched.select(*sel)
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """All (left, right) pairs with ``right_ts ∈ [left_ts − window, left_ts)``.
+
+    With ``on`` keys the range condition simply rides on the equi-join.
+    Without keys, both sides are bucketed to ``window_seconds`` and the
+    right side fans out to (bucket, bucket+1) so every qualifying pair
+    shares a bucket — an equi hash join instead of a nested-loop scan.
+    Output: all left columns + the right columns suffixed ``_r``.
+    """
+    rsel = [F.col(c).alias(f"{c}_r") for c in right.columns]
+    lo = F.col(left_ts) - F.expr(f"INTERVAL {window_seconds} SECONDS")
+    in_range = (F.col(f"{right_ts}_r") >= lo) & (F.col(f"{right_ts}_r") < F.col(left_ts))
+    if on:
+        cond = in_range
+        for k in on:
+            cond = (F.col(k) == F.col(f"{k}_r")) & cond
+        return left.join(right.select(*rsel), cond, "inner")
+
+    bucket = (F.unix_timestamp(F.col(left_ts)) / window_seconds).cast("long")
+    rbucket = (F.unix_timestamp(F.col(f"{right_ts}_r")) / window_seconds).cast("long")
+    l = left.withColumn("__b", bucket)
+    r = (
+        right.select(*rsel)
+        .withColumn("__b0", rbucket)
+        .withColumn("__b", F.explode(F.array(F.col("__b0"), F.col("__b0") + 1)))
+        .drop("__b0")
+    )
+    return l.join(r, ["__b"], "inner").filter(in_range).drop("__b")

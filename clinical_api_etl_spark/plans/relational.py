@@ -1061,3 +1061,135 @@ def s8_asymmetric_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("old.min_qty"), F.col("new.min_qty")).alias("min_qty"),
         F.greatest(F.col("old.max_qty"), F.col("new.max_qty")).alias("max_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins [EXT]: as-of (point-in-time) and range joins — see
+# operators/temporal.py for the scale rationale.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "asof_purchase_attribution",
+    """
+    WITH c AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id, p.event_id, p.ts,
+           COALESCE(c.ts, TIMESTAMP '1970-01-01 00:00:00') AS ts_matched,
+           COALESCE(c.click_id, -1) AS click_id_matched
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="[EXT] as-of join: each purchase attributed to the user's latest "
+    "click at-or-before it (backward point-in-time join). Spark build: "
+    "union + keyed sort + last_value(ignorenulls) running window — one "
+    "shuffle, linear per key; the DuckDB oracle uses its native ASOF JOIN, "
+    "so two independent formulations must agree exactly. Right side "
+    "deduped per (user, ts) for tie determinism.",
+    tags=("join", "temporal", "window"),
+)
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.temporal import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["click_id"],
+    )
+    # Null-free projection (no-match → epoch/-1): NaT compares NaN-like in
+    # pandas, which would defeat the oracle's exact-equality check.
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.coalesce(F.col("ts_matched"), F.lit("1970-01-01 00:00:00").cast("timestamp")).alias("ts_matched"),
+        F.coalesce(F.col("click_id_matched"), F.lit(-1)).alias("click_id_matched"),
+    )
+
+
+@QS.add(
+    "range_join_click_burst",
+    """
+    SELECT p.event_id, CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks_1h
+    FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    GROUP BY p.event_id
+    """,
+    doc="[EXT] keyed range join: clicks in the hour before each purchase "
+    "(the range predicate rides on the user_id equi-join — hash join, "
+    "never a nested loop).",
+    tags=("join", "temporal"),
+)
+def range_join_click_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.temporal import range_join_bucketed
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = range_join_bucketed(
+        purchases, clicks, left_ts="ts", right_ts="ts", window_seconds=3600,
+        on=["user_id"],
+    )
+    return (
+        purchases.join(
+            joined.groupBy("event_id").agg(F.count("event_id_r").alias("n")),
+            "event_id",
+            "left",
+        )
+        .select("event_id", F.coalesce(F.col("n"), F.lit(0)).alias("n_clicks_1h"))
+    )
+
+
+@QS.add(
+    "range_join_global_burst",
+    """
+    SELECT l.event_id, CAST(COUNT(r.event_id) AS BIGINT) AS n_preceding_5m
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') l
+    LEFT JOIN (SELECT event_id, ts FROM events) r
+      ON r.ts >= l.ts - INTERVAL 5 MINUTES AND r.ts < l.ts
+    GROUP BY l.event_id
+    """,
+    doc="[EXT] keyless range join via time bucketing: events in the 5 "
+    "minutes before each purchase, across ALL users. A raw inequality "
+    "join plans as a nested-loop cross product; bucketing ts to the window "
+    "length and equi-joining (bucket, bucket+1) makes it a hash join with "
+    "bounded fan-out — the IEJoin-class rewrite for streams.",
+    tags=("join", "temporal"),
+)
+def range_join_global_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.temporal import range_join_bucketed
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "ts")
+    allev = ev.select("event_id", "ts")
+    joined = range_join_bucketed(
+        purchases, allev, left_ts="ts", right_ts="ts", window_seconds=300
+    )
+    return (
+        purchases.join(
+            joined.groupBy("event_id").agg(F.count("event_id_r").alias("n")),
+            "event_id",
+            "left",
+        )
+        .select("event_id", F.coalesce(F.col("n"), F.lit(0)).alias("n_preceding_5m"))
+    )

@@ -1,0 +1,105 @@
+"""Semantics tests for as-of and range joins (operators/temporal.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from clinical_api_etl_spark.operators.temporal import asof_join, range_join_bucketed
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "a"),
+            (1, _ts("2024-01-01T12:00:00"), "b"),
+            (2, _ts("2024-01-01T09:00:00"), "c"),  # before any right row
+            (3, _ts("2024-01-01T10:00:00"), "d"),  # key with no right rows
+        ],
+        "key long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:30:00"), 100),
+            (1, _ts("2024-01-01T10:00:00"), 200),  # exact tie with left 'a'
+            (1, _ts("2024-01-01T11:00:00"), 300),
+            (2, _ts("2024-01-01T09:30:00"), 400),
+        ],
+        "key long, ts timestamp, val long",
+    )
+    return left, right
+
+
+class TestAsofJoin:
+    def test_backward_semantics(self, spark):
+        left, right = _frames(spark)
+        out = {
+            r["tag"]: r
+            for r in asof_join(
+                left, right, on=["key"], left_ts="ts", right_ts="ts",
+                right_payload=["val"],
+            ).collect()
+        }
+        assert out["a"]["val_matched"] == 200  # tie → <= match
+        assert out["b"]["val_matched"] == 300  # latest prior, not first
+        assert out["c"]["val_matched"] is None  # right rows all later
+        assert out["d"]["val_matched"] is None  # key absent from right
+        assert out["b"]["ts_matched"] == _ts("2024-01-01T11:00:00")
+
+    def test_left_rows_preserved(self, spark):
+        left, right = _frames(spark)
+        out = asof_join(
+            left, right, on=["key"], left_ts="ts", right_ts="ts",
+            right_payload=["val"],
+        )
+        assert out.count() == left.count()
+        assert set(left.columns) <= set(out.columns)
+
+
+class TestRangeJoin:
+    def test_keyed_range(self, spark):
+        left, right = _frames(spark)
+        out = range_join_bucketed(
+            left, right, left_ts="ts", right_ts="ts", window_seconds=3600,
+            on=["key"],
+        )
+        got = {(r["tag"], r["val_r"]) for r in out.collect()}
+        # 'a'@10:00 window [09:00,10:00): only 09:30/100 (10:00 excluded)
+        # 'b'@12:00 window [11:00,12:00): only 11:00/300
+        # 'c'@09:00 window [08:00,09:00): nothing
+        assert got == {("a", 100), ("b", 300)}
+
+    def test_keyless_bucketed_equals_naive(self, spark):
+        left, right = _frames(spark)
+        out = range_join_bucketed(
+            left, right, left_ts="ts", right_ts="ts", window_seconds=3600
+        )
+        naive = left.join(
+            right.select(*[F.col(c).alias(f"{c}_r") for c in right.columns]),
+            (F.col("ts_r") >= F.col("ts") - F.expr("INTERVAL 3600 SECONDS"))
+            & (F.col("ts_r") < F.col("ts")),
+        )
+        key = lambda r: (r["key"], r["tag"], r["key_r"], r["val_r"])  # noqa: E731
+        assert sorted(map(key, out.collect())) == sorted(map(key, naive.collect()))
+
+    def test_bucket_boundary_inclusion(self, spark):
+        # right row exactly at left.ts - window is included; at left.ts excluded
+        left = spark.createDataFrame(
+            [(1, _ts("2024-01-01T10:00:00"))], "key long, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [
+                (1, _ts("2024-01-01T09:00:00"), "edge_lo"),
+                (1, _ts("2024-01-01T10:00:00"), "edge_hi"),
+            ],
+            "key long, ts timestamp, tag string",
+        )
+        out = range_join_bucketed(
+            left, right, left_ts="ts", right_ts="ts", window_seconds=3600
+        )
+        assert [r["tag_r"] for r in out.collect()] == ["edge_lo"]
