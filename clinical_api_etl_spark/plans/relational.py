@@ -1193,3 +1193,23 @@ def range_join_global_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", F.coalesce(F.col("n"), F.lit(0)).alias("n_preceding_5m"))
     )
+
+
+@QS.add(
+    "skew_count_distinct_spread",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+    doc="[EXT] hot-key-proof exact COUNT(DISTINCT): dedup on the wider "
+    "(key, value) pair first — a hot key spreads over its value domain — "
+    "then count (operators/skew.py:count_distinct_spread). Same result as "
+    "the direct distinct aggregate, different physical behavior under "
+    "skew.",
+    tags=("agg", "A11", "skew"),
+)
+def skew_count_distinct_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.skew import count_distinct_spread
+
+    ev = load(spark, sf_dir, "events")
+    return count_distinct_spread(ev, ["event_type"], "user_id")
