@@ -1213,3 +1213,41 @@ def skew_count_distinct_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return count_distinct_spread(ev, ["event_type"], "user_id")
+
+
+@QS.add(
+    "f_percentile_exact",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95
+    FROM events GROUP BY event_type
+    """,
+    doc="[EXT] exact interpolated percentiles (SQL `percentile`): Spark and "
+    "DuckDB share the linear-interpolation definition, so values match "
+    "bit-exactly. The approximate twin below is the 100 TB path.",
+    tags=("agg", "A11", "functions"),
+)
+def f_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+
+
+@QS.add(
+    "f_percentile_approx",
+    None,
+    doc="[EXT] approx_percentile via the Greenwald-Khanna sketch — "
+    "mergeable, bounded-memory, the percentile that scales (exact "
+    "percentile materializes each group's values). Rows-only check: the "
+    "sketch is engine-specific by design.",
+    tags=("agg", "A11", "approx"),
+)
+def f_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95"),
+    )

@@ -139,3 +139,98 @@ class TestSessionization:
             g = got[k]
             assert g[2] == n, f"session {k}: {g[2]} != {n}"
             assert g[0] == start and g[1] == end
+
+
+class TestLateData:
+    def test_watermark_drops_late_rows_in_append_mode(self, spark, tmp_path):
+        """Append-mode windowed agg with a 1h watermark: a row arriving in a
+        later batch but event-timed far before the advanced watermark never
+        reaches the sink; on-time windows are finalized exactly once."""
+        import time as _time
+
+        src = tmp_path / "late_src"
+        src.mkdir()
+        ckpt = str(tmp_path / "late_ckpt")
+
+        def write_batch(name, rows):
+            df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+            df.coalesce(1).write.mode("append").parquet(str(src))
+
+        from datetime import datetime
+
+        t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+        # Batch 1: events at 10:00-10:30 and a 14:00 row pushing the
+        # watermark (max 14:00 - 1h = 13:00 after this batch).
+        write_batch("b1", [
+            (t("2024-01-01T10:00:00"), "click", 1.0),
+            (t("2024-01-01T10:30:00"), "click", 2.0),
+            (t("2024-01-01T14:00:00"), "click", 4.0),
+        ])
+
+        from clinical_api_etl_spark.streaming.windows import hourly_rollup
+
+        out: list = []
+        stream = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(str(src))
+        q = (
+            hourly_rollup(stream, watermark="1 hour")
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: out.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        # Batch 2 (new query, same checkpoint): one on-time row (14:30) and
+        # one hopelessly late row (09:45, before the 13:00 watermark).
+        write_batch("b2", [
+            (t("2024-01-01T14:30:00"), "click", 8.0),
+            (t("2024-01-01T09:45:00"), "click", 100.0),
+        ])
+        stream2 = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(str(src))
+        q2 = (
+            hourly_rollup(stream2, watermark="1 hour")
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: out.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+
+        by_window = {r["window_start"].isoformat(): r["total_value"] for r in out}
+        # 10:00 window finalized with ONLY the on-time rows — the late
+        # 09:45/100.0 row was discarded by the watermark.
+        assert by_window.get("2024-01-01T10:00:00") == 3.0
+        assert "2024-01-01T09:00:00" not in by_window
+
+    def test_drop_duplicates_within_watermark(self, spark, tmp_path):
+        """dropDuplicatesWithinWatermark: re-delivered rows inside the
+        watermark horizon dedup on the business key with bounded state —
+        the streaming analogue of the S5 idempotency key."""
+        from datetime import datetime
+
+        t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+        src = tmp_path / "dup_src"
+        rows = [
+            (t("2024-01-01T10:00:00"), "k1", 1.0),
+            (t("2024-01-01T10:00:00"), "k1", 1.0),  # duplicate delivery
+            (t("2024-01-01T10:05:00"), "k2", 2.0),
+            (t("2024-01-01T12:00:00"), "k3", 3.0),
+        ]
+        spark.createDataFrame(rows, "ts timestamp, key string, value double") \
+            .coalesce(1).write.parquet(str(src))
+
+        out: list = []
+        stream = spark.readStream.schema("ts timestamp, key string, value double").parquet(str(src))
+        q = (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["key"])
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: out.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "dup_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert sorted(r["key"] for r in out) == ["k1", "k2", "k3"]
