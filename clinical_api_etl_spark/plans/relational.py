@@ -1251,3 +1251,92 @@ def f_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 10000).alias("p50"),
         F.percentile_approx("value", 0.95, 10000).alias("p95"),
     )
+
+
+@QS.add(
+    "w6_range_frame_moving_avg",
+    f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, {DSUM('value', 'daily_value')}
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    )
+    SELECT event_type, day, daily_value,
+           AVG(daily_value) OVER (
+             PARTITION BY event_type ORDER BY epoch(day)
+             RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW
+           ) AS ma_7d
+    FROM daily
+    """,
+    doc="[EXT] RANGE-framed window: 7-day moving average over daily revenue "
+    "— rangeBetween on epoch seconds (value-based frame, robust to gap "
+    "days, unlike a ROWS frame).",
+    tags=("window",),
+)
+def w6_range_frame_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(dsum("value", "daily_value"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("day"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "event_type", "day", "daily_value", F.avg("daily_value").over(w).alias("ma_7d")
+    )
+
+
+@QS.add(
+    "w7_ranking_family",
+    """
+    SELECT p_brand, p_partkey,
+           CAST(DENSE_RANK()  OVER w AS BIGINT) AS drank,
+           CAST(NTILE(4)      OVER w AS BIGINT) AS quartile,
+           PERCENT_RANK()     OVER w AS prank,
+           CUME_DIST()        OVER w AS cdist
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    """,
+    doc="[EXT] the full ranking-function family in one pass over a single "
+    "window definition (dense_rank / ntile / percent_rank / cume_dist).",
+    tags=("window",),
+)
+def w7_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@QS.add(
+    "a10_grouping_sets",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="A10 [EXT]: explicit GROUPING SETS with grouping_id disambiguation "
+    "(the agg table's nullable coarse keys, 07_measurement_agg.sql:4-5, "
+    "generalized).",
+    tags=("agg", "A10"),
+)
+def a10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+               CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        """
+    )
