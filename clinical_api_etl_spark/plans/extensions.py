@@ -380,3 +380,55 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return frame_sample(attach_media(docs))
+
+
+_PAIRS_06_SQL = f"""
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+            FROM (SELECT doc_id, {_shingles_sql(3)} AS shingles
+                  FROM (SELECT doc_id, {_TOKS} AS t FROM documents))) a
+      JOIN (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+            FROM (SELECT doc_id, {_shingles_sql(3)} AS shingles
+                  FROM (SELECT doc_id, {_TOKS} AS t FROM documents))) b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+      HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - COUNT(*) AS DOUBLE) >= 0.6
+"""
+
+
+@QS.add(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_06_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS id FROM edges),
+    walk(id, label) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.a, w.label FROM walk w JOIN edges e ON w.id = e.b
+      WHERE w.label < e.a
+    )
+    SELECT id AS doc_id, MIN(label) AS component FROM walk GROUP BY id
+    """,
+    doc="[EXT] duplicate-group formation: connected components over 0.6-"
+    "threshold Jaccard pairs (A~B~C is one group even when A~C is below "
+    "threshold). Spark: iterative min-label propagation with per-round "
+    "localCheckpoint (operators/graph.py) — the one genuinely iterative "
+    "algorithm in the engine; the oracle cross-checks it with a DuckDB "
+    "recursive CTE, two completely different formulations of transitive "
+    "closure.",
+    tags=("dedup", "graph"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.dedup import ngram_jaccard_pairs
+    from clinical_api_etl_spark.operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )

@@ -122,3 +122,31 @@ class TestMultimodal:
         frames = frame_sample(df, every_ms=1000).collect()
         assert [(r["doc_id"], r["frame_ts_ms"]) for r in frames] == [
             (1, 0), (1, 1000), (1, 2000)]
+
+
+class TestConnectedComponents:
+    def test_chain_and_clique(self, spark):
+        from clinical_api_etl_spark.operators.graph import connected_components
+
+        # chain 1-2-3-4, clique 10-11-12, pair 20-21
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+            "id_a long, id_b long",
+        )
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(edges).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    def test_long_path_converges(self, spark):
+        from clinical_api_etl_spark.operators.graph import connected_components
+        from pyspark.sql import functions as F
+
+        # path 0-1-2-...-19: worst-case diameter for min propagation
+        edges = spark.range(19).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        out = connected_components(edges)
+        assert out.filter(F.col("component") != 0).count() == 0
+        assert out.count() == 20
