@@ -432,3 +432,58 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("id").alias("doc_id"), "component"
     )
+
+
+@QS.add(
+    "text_tfidf_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents WHERE doc_id < 50
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM tok GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             ROUND(tf.tf * (LN(50.0 / df.df) + 1.0), 6) AS tfidf,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rank
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rank AS BIGINT) AS rank
+    FROM scored WHERE rank <= 3
+    """,
+    doc="[EXT] TF-IDF top-3 terms per document (first 50 docs): token "
+    "explode → tf per (doc, term), df per term, smooth-idf score. Ranking "
+    "is by the integer (tf, df, term) triple — float-free, so the two "
+    "engines can't disagree on order even at 1-ulp libm differences; the "
+    "tfidf column itself is rounded to 6 places for the same reason.",
+    tags=("text",),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from clinical_api_etl_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("term"))
+    return (
+        tf.join(df_, "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * (F.log(F.lit(50.0) / F.col("df")) + F.lit(1.0)), 6
+            ).alias("tfidf"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+    )
