@@ -53,6 +53,10 @@ def get_spark(
         # studies/participants) are small relative to facts; be generous about
         # broadcasting so fact-side scans never shuffle for dim joins.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Hive partition values stay strings: type inference would flip a
+        # numeric-looking study_id/job_id partition to int on read and break
+        # schema stability of the warehouse tables.
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -32,21 +32,49 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: The SURVEY §4/§7 blueprint layout: bronze partitioned by ingestion job
+#: (per-job pruning for re-ingest anti-joins and the data API's job reads),
+#: silver by study (the reference's leading index column).
+CLINICAL_PARTITIONING = {
+    "staging_clinical_measurements": ["job_id"],
+    "processed_measurements": ["study_id"],
+}
+
+
+def clinical_warehouse(spark: SparkSession, root: str) -> "ParquetWarehouse":
+    """Warehouse with the blueprint partition layout."""
+    return ParquetWarehouse(spark, root, partitioning=CLINICAL_PARTITIONING)
+
 
 class ParquetWarehouse:
-    """Directory-of-parquet-tables with idempotent write paths."""
+    """Directory-of-parquet-tables with idempotent write paths.
 
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    ``partitioning`` maps table name → partition columns (hive-style
+    directory layout). Partitioned tables get partition *pruning* on every
+    read that filters the partition column — the Spark analogue of the
+    reference's leading-index-column design (study/job-keyed indexes,
+    02_staging_clinical_trials.sql:26-34) — and per-partition appends
+    instead of whole-directory growth.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        *,
+        partitioning: dict[str, list[str]] | None = None,
+    ) -> None:
         self.spark = spark
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
+        self.partitioning = dict(partitioning or {})
 
     def _path(self, table: str) -> Path:
         return self.root / table
 
     def exists(self, table: str) -> bool:
         p = self._path(table)
-        return p.exists() and any(p.glob("*.parquet"))
+        return p.exists() and any(p.rglob("*.parquet"))
 
     def read(self, table: str) -> DataFrame | None:
         if not self.exists(table):
@@ -55,7 +83,10 @@ class ParquetWarehouse:
 
     def append(self, table: str, df: DataFrame) -> None:
         """S7-style plain append."""
-        df.write.mode("append").parquet(str(self._path(table)))
+        w = df.write.mode("append")
+        if table in self.partitioning:
+            w = w.partitionBy(*self.partitioning[table])
+        w.parquet(str(self._path(table)))
 
     def append_if_absent(self, table: str, df: DataFrame, key: list[str]) -> None:
         """S5/S6: INSERT ... ON CONFLICT DO NOTHING == anti-join + append.
@@ -73,7 +104,10 @@ class ParquetWarehouse:
 
     def _rewrite(self, table: str, df: DataFrame) -> None:
         tmp = self.root / f"{table}.tmp-{uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(str(tmp))
+        w = df.write.mode("overwrite")
+        if table in self.partitioning:
+            w = w.partitionBy(*self.partitioning[table])
+        w.parquet(str(tmp))
         final = self._path(table)
         if final.exists():
             shutil.rmtree(final)

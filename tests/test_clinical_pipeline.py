@@ -241,3 +241,31 @@ class TestFailureMarksJob:
         assert job["status"] == "failed"
         assert "study_id" in job["message"]
         assert job["completed_at"] is not None
+
+
+class TestPartitionedWarehouse:
+    def test_partition_pruning_and_schema_stability(self, spark, tmp_path):
+        """Blueprint layout: bronze partitioned by job_id, silver by
+        study_id. Per-job reads must prune partitions at the scan, and
+        numeric-looking partition values must stay strings."""
+        from clinical_api_etl_spark.sources.sinks import clinical_warehouse
+
+        wh = clinical_warehouse(spark, str(tmp_path / "wh"))
+        csv = _write_csv(tmp_path, "p1.csv", HAPPY)
+        jid = process_job(spark, wh, csv)
+        csv2 = _write_csv(tmp_path, "p2.csv", ["123,P9,glucose,95,mg/dL,2024-01-15T09:30:00Z,SITE_A,0.9"])
+        process_job(spark, wh, csv2)
+
+        bronze = wh.read(BRONZE_TABLE)
+        plan = (
+            bronze.filter(bronze.job_id == jid)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PartitionFilters: [isnotnull(job_id" in plan, plan
+        # numeric-looking study_id partition survives as string
+        silver = wh.read(SILVER_TABLE)
+        assert dict(silver.dtypes)["study_id"] == "string"
+        assert silver.filter(silver.study_id == "123").count() == 1
+        # re-ingest idempotency still holds under the partitioned layout
+        process_job(spark, wh, csv, job_id=jid)
+        assert bronze.count() == wh.read(BRONZE_TABLE).count()
