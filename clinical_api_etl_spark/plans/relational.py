@@ -1340,3 +1340,91 @@ def a10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@QS.add(
+    "p_like_filter",
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE p_name LIKE '%ring%' AND p_type LIKE 'ECO%'
+    """,
+    doc="[EXT] LIKE predicates (leading-wildcard contains + prefix match); "
+    "the prefix pattern compiles to a StartsWith pushed to the scan.",
+    tags=("filter",),
+)
+def p_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_name").like("%ring%") & F.col("p_type").like("ECO%")
+    ).select("p_partkey", "p_name")
+
+
+@QS.add(
+    "subq_above_avg_balance",
+    """
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    """,
+    doc="[EXT] scalar subquery in a predicate — Catalyst plans the subquery "
+    "once (Subquery reuse) and broadcasts the scalar. AVG on DOUBLE is "
+    "safe here because it only gates a comparison of exact inputs, and "
+    "the output columns are raw table values.",
+    tags=("filter", "subquery"),
+)
+def subq_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("__cust_subq")
+    return spark.sql(
+        """SELECT c_custkey, c_acctbal FROM __cust_subq
+           WHERE c_acctbal > (SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2))) FROM __cust_subq)"""
+    )
+
+
+@QS.add(
+    "a12_pivot_event_counts",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+    doc="[EXT] pivot: long→wide counts per user via df.groupBy().pivot() "
+    "with explicit values (no extra distinct pass); oracle uses portable "
+    "FILTER aggregation — same result, two formulations.",
+    tags=("agg", "reshape"),
+)
+def a12_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .count()
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("click", "purchase", "view")],
+        )
+    )
+
+
+@QS.add(
+    "r5_unpivot_part_measures",
+    """
+    SELECT p_partkey, 'retailprice' AS measure, CAST(p_retailprice AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    """,
+    doc="[EXT] unpivot/melt: wide→long via DataFrame.unpivot (SQL stack); "
+    "oracle is the portable UNION ALL formulation.",
+    tags=("reshape",),
+)
+def r5_unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return part.unpivot(
+        "p_partkey", ["retailprice", "size"], "measure", "value"
+    )
