@@ -142,3 +142,60 @@ def frame_sample(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
     return df.filter(F.col("media.kind") == "video").select(
         "doc_id", F.explode(frames).alias("frame_ts_ms")
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("media", MEDIA_STRUCT, False),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic FAKE resize: samples the payload down/up to w*h bytes
+    with even-stride indexing — stands in for a real scaler while keeping
+    output sizes proportional to the target dims."""
+    n = max(w * h, 1)
+    if not payload:
+        return bytes(n)
+    step = len(payload) / n
+    return bytes(payload[min(int(i * step), len(payload) - 1)] for i in range(n))
+
+
+def resize_images(
+    df: DataFrame, *, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """Resize stage for image payloads (Arrow-batched ``mapInPandas``).
+
+    Output keeps the multimodal frame shape (payload + metadata with the
+    new dims), so resize composes with ``decode_media``/``binary_stats``
+    downstream. Like decode, the codec is stubbed: ``fake=False`` raises at
+    plan build time; ``fake=True`` runs a deterministic byte-sampler
+    through the full distributed path. Non-image rows pass through
+    untouched (payload and metadata unchanged).
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image codecs are not available in this environment; "
+            "pass fake=True to run the deterministic fake resizer"
+        )
+
+    def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for p, m in zip(pdf["payload"], pdf["media"]):
+                if m["kind"] == "image":
+                    payloads.append(_fake_resize(p, width, height))
+                    metas.append({**m, "width": width, "height": height})
+                else:
+                    payloads.append(p)
+                    metas.append(dict(m))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "media": metas}
+            )
+
+    return df.select("doc_id", "payload", "media").mapInPandas(
+        _resize_batch, schema=RESIZED_SCHEMA
+    )

@@ -487,3 +487,19 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 3)
     )
+
+
+@QS.add(
+    "mm_resize_images",
+    None,  # codec stubbed (deterministic fake) → rows-only by design.
+    doc="[EXT] image resize stage: Arrow-batched mapInPandas keeping the "
+    "multimodal frame shape (payload + updated dims metadata) so it "
+    "composes with decode/binary_stats; codec stubbed behind fake=True "
+    "(operators/multimodal.py:resize_images).",
+    tags=("multimodal", "udf"),
+)
+def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.multimodal import attach_media, resize_images
+
+    docs = load(spark, sf_dir, "documents")
+    return resize_images(attach_media(docs), width=4, height=4, fake=True)

@@ -150,3 +150,31 @@ class TestConnectedComponents:
         out = connected_components(edges)
         assert out.filter(F.col("component") != 0).count() == 0
         assert out.count() == 20
+
+
+class TestResize:
+    def test_resize_requires_explicit_fake(self, docs):
+        from clinical_api_etl_spark.operators.multimodal import attach_media, resize_images
+
+        with pytest.raises(NotImplementedError):
+            resize_images(attach_media(docs), width=4, height=4)
+
+    def test_fake_resize_shapes_and_passthrough(self, docs):
+        from pyspark.sql import functions as F
+
+        from clinical_api_etl_spark.operators.multimodal import attach_media, resize_images
+
+        out = resize_images(attach_media(docs), width=4, height=4, fake=True)
+        rows = out.collect()
+        assert len(rows) == docs.count()
+        for r in rows:
+            if r["media"]["kind"] == "image":
+                assert len(r["payload"]) == 16
+                assert (r["media"]["width"], r["media"]["height"]) == (4, 4)
+            else:  # non-images untouched
+                assert r["media"]["width"] != 4 or r["media"]["kind"] != "image"
+        # composes with the decode stage downstream
+        from clinical_api_etl_spark.operators.multimodal import decode_media
+
+        feats = decode_media(out, fake=True)
+        assert feats.filter(F.col("kind") == "image").count() > 0

@@ -39,7 +39,7 @@ JOIN_RE = re.compile(
 CARTESIAN_OK = {"dedup_embedding_cosine", "ann_cosine_topk"}
 #: Queries declared as pandas-UDF operators (multimodal decode, stateful
 #: sessionization) — ArrowEvalPython expected.
-ARROW_OK = {"mm_decode_features", "w5_sessionization"}
+ARROW_OK = {"mm_decode_features", "mm_resize_images", "w5_sessionization"}
 
 
 def main() -> int:
