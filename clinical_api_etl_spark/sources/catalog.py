@@ -39,8 +39,9 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
 #: Fact tables above this on-disk size get re-spread after the scan when the
-#: source layout can't parallelize (see _spread).
-_SPREAD_MIN_BYTES = 4 * 1024 * 1024
+#: source layout can't parallelize (see _spread). 1 MiB compressed ≈ 50k+
+#: rows — enough that a serial scan stalls downstream window/agg stages.
+_SPREAD_MIN_BYTES = 1024 * 1024
 
 
 def _spread(spark: SparkSession, df: DataFrame, path: str, name: str) -> DataFrame:
