@@ -34,6 +34,7 @@ from clinical_api_etl_spark.operators.clinical import (
     extract_studies,
     quality_counts,
     stage_bronze,
+    validate_quality_scores,
 )
 from clinical_api_etl_spark.sources.clinical_csv import read_clinical_csv
 from clinical_api_etl_spark.sources.sinks import ParquetWarehouse
@@ -62,6 +63,7 @@ def process_job(
     try:
         ledger.mark(jid, "running", "reading csv", progress=10)
         raw = read_clinical_csv(spark, csv_path, root=data_root)
+        validate_quality_scores(raw)  # CHECK-constraint parity: job fails whole
 
         ledger.mark(jid, "running", "staging rows", progress=30)
         bronze = stage_bronze(raw, jid, filename)

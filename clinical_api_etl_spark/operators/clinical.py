@@ -47,6 +47,27 @@ SILVER_KEY = ("study_id", "participant_id", "measurement_type", "measured_at", "
 GOLD_KEY = ("study_id", "participant_id", "site_id", "measurement_type")
 
 
+def validate_quality_scores(raw: DataFrame) -> None:
+    """Reference failure parity: a non-sentinel ``quality_score`` that is
+    not a float (``float(qs)`` raises — etl.py:93) or falls outside [0,1]
+    (staging CHECK constraint, 02_staging_clinical_trials.sql:13) fails the
+    WHOLE job before anything is written — the reference's per-batch insert
+    transaction rolls back, so no partial state survives."""
+    from clinical_api_etl_spark.sources.clinical_csv import ClinicalCsvError
+
+    qs = F.trim(F.col("quality_score"))
+    non_sentinel = ~qs.isin("", "null") & qs.isNotNull()
+    as_num = qs.try_cast("double")
+    bad = non_sentinel & (
+        as_num.isNull() | F.isnan(as_num) | (as_num < 0.0) | (as_num > 1.0)
+    )
+    offender = raw.filter(bad).select("quality_score").limit(1).collect()
+    if offender:
+        raise ClinicalCsvError(
+            f"invalid quality_score {offender[0][0]!r}: must be a float in [0, 1]"
+        )
+
+
 def stage_bronze(raw: DataFrame, job_id: str, source_filename: str) -> DataFrame:
     """R3 lineage + bronze normalization (etl.py:72-98).
 

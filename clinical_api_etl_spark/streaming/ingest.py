@@ -34,6 +34,7 @@ from clinical_api_etl_spark.operators.clinical import (
     build_silver,
     quality_counts,
     stage_bronze,
+    validate_quality_scores,
 )
 from clinical_api_etl_spark.jobs.runner import (
     BRONZE_KEY,
@@ -72,6 +73,7 @@ def _process_batch(wh: ParquetWarehouse, batch_df: DataFrame, batch_id: int) -> 
             )
             .withColumn("unit", F.trim("unit"))
         )
+        validate_quality_scores(raw)  # CHECK parity — fails the micro-batch
         bronze = stage_bronze(raw, job_id, fname)
         wh.append_if_absent(BRONZE_TABLE, bronze, BRONZE_KEY)
         staged = wh.read(BRONZE_TABLE).filter(

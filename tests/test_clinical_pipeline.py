@@ -269,3 +269,40 @@ class TestPartitionedWarehouse:
         # re-ingest idempotency still holds under the partitioned layout
         process_job(spark, wh, csv, job_id=jid)
         assert bronze.count() == wh.read(BRONZE_TABLE).count()
+
+
+class TestQualityScoreCheckParity:
+    """Reference failure semantics: float(qs) raises on garbage (etl.py:93)
+    and the staging CHECK rejects values outside [0,1]
+    (02_staging_clinical_trials.sql:13) — either way the whole job fails
+    and nothing is persisted (per-batch txn rollback)."""
+
+    @pytest.mark.parametrize("score", ["abc", "1.01", "-0.1", "nan"])
+    def test_bad_scores_fail_job_with_no_partial_state(
+        self, spark, warehouse, tmp_path, score
+    ):
+        csv = _write_csv(
+            tmp_path,
+            f"bad_{score}.csv",
+            [f"S1,P1,glucose,95,mg/dL,2024-01-15T09:30:00Z,SITE_A,{score}"],
+        )
+        with pytest.raises(ClinicalCsvError):
+            process_job(spark, warehouse, csv)
+        assert warehouse.read(BRONZE_TABLE) is None  # nothing written
+        jobs = warehouse.read("etl_jobs")
+        assert jobs.filter(jobs.status == "failed").count() == 1
+
+    def test_valid_and_sentinel_scores_pass(self, spark, warehouse, tmp_path):
+        csv = _write_csv(
+            tmp_path,
+            "ok_scores.csv",
+            [
+                "S1,P1,glucose,95,mg/dL,2024-01-15T09:30:00Z,SITE_A,0.00",
+                "S1,P2,glucose,96,mg/dL,2024-01-15T09:31:00Z,SITE_A,1.00",
+                "S1,P3,glucose,97,mg/dL,2024-01-15T09:32:00Z,SITE_A,",
+                "S1,P4,glucose,98,mg/dL,2024-01-15T09:33:00Z,SITE_A,null",
+                "S1,P5,glucose,99,mg/dL,2024-01-15T09:34:00Z,SITE_A, 0.5 ",
+            ],
+        )
+        process_job(spark, warehouse, csv)
+        assert warehouse.read(BRONZE_TABLE).count() == 5
