@@ -201,3 +201,56 @@ def test_pipeline_invariants(spark, tmp_path_factory, rows):
     process_job(spark, wh, str(csv), job_id=jid)
     for t, n in counts_before.items():
         assert wh.read(t).count() == n, t
+
+
+# -- dedup: prefix+PPJoin filtering must be lossless vs brute force ---------
+
+_words = st.sampled_from([f"w{i}" for i in range(12)])
+_docs = st.lists(
+    st.lists(_words, min_size=1, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=12,
+)
+
+
+def _py_shingles(text: str, n: int = 3) -> set:
+    toks = text.strip().lower().split()
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_docs, threshold=st.sampled_from([0.25, 0.5, 0.8]))
+def test_ngram_jaccard_equals_bruteforce(spark, texts, threshold):
+    """The prefix-filter + PPJoin length/position pruning must emit exactly
+    the brute-force pair set at any threshold — pruning may only discard
+    non-candidates, never true pairs."""
+    from clinical_api_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=threshold
+        ).collect()
+    }
+    expect = {}
+    sh = [_py_shingles(t) for t in texts]
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            j = inter / union
+            if j >= threshold:
+                expect[(a, b)] = j
+    assert set(got) == set(expect), (sorted(got), sorted(expect))
+    for k, v in expect.items():
+        assert got[k] == pytest.approx(v, abs=1e-12)
