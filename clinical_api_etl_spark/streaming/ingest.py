@@ -94,8 +94,12 @@ def run_ingest_stream(
     *,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    processing_time: str = "10 seconds",
 ) -> None:
-    """Start (and, for availableNow, await) the drop-folder ingestion stream."""
+    """Start (and, for availableNow, await) the drop-folder ingestion stream.
+
+    ``available_now=False`` runs continuously with a ``processing_time``
+    trigger — the caller owns the returned query's lifecycle."""
     reader = (
         spark.readStream.schema(STREAM_SCHEMA)
         .option("header", True)
@@ -115,7 +119,7 @@ def run_ingest_stream(
     q = (
         writer.trigger(availableNow=True)
         if available_now
-        else writer.trigger(processingTime="10 seconds")
+        else writer.trigger(processingTime=processing_time)
     ).start()
     if available_now:
         q.awaitTermination()

@@ -234,3 +234,39 @@ class TestLateData:
         )
         q.awaitTermination()
         assert sorted(r["key"] for r in out) == ["k1", "k2", "k3"]
+
+
+class TestContinuousMode:
+    def test_continuous_trigger_picks_up_new_files(self, spark, warehouse, tmp_path):
+        """Non-availableNow mode: a live processingTime-triggered stream
+        ingests files dropped AFTER it starts (the drop-folder deployment
+        shape); caller stops the query."""
+        import time as _time
+
+        drop = _drop(tmp_path, "c1.csv", [
+            "S1,P1,glucose,95.5,mg/dL,2024-01-15T09:30:00Z,SITE_A,0.98",
+        ])
+        q = run_ingest_stream(
+            spark, warehouse, drop, str(tmp_path / "cckpt"),
+            available_now=False, processing_time="1 second",
+        )
+        try:
+            deadline = _time.time() + 60
+            while _time.time() < deadline:
+                t = warehouse.read(BRONZE_TABLE)
+                if t is not None and t.count() >= 1:
+                    break
+                _time.sleep(1)
+            assert warehouse.read(BRONZE_TABLE).count() == 1
+            # drop a second file into the LIVE stream
+            _drop(tmp_path, "c2.csv", [
+                "S2,P1,heart_rate,72,bpm,2024-01-15T10:00:00Z,SITE_B,0.9",
+            ])
+            deadline = _time.time() + 60
+            while _time.time() < deadline:
+                if warehouse.read(BRONZE_TABLE).count() >= 2:
+                    break
+                _time.sleep(1)
+            assert warehouse.read(BRONZE_TABLE).count() == 2
+        finally:
+            q.stop()

@@ -100,6 +100,9 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark raised\n{traceback.format_exc()}")
             continue
+        finally:
+            # Operators may persist() internals; keep queries independent.
+            spark.catalog.clearCache()
         if q.oracle is None:
             n = len(spark_pdf)
             status = "ok" if n >= 0 else "??"
