@@ -191,6 +191,13 @@ class ClinicalAPI:
         ok = self.spark.sparkContext._jsc is not None  # noqa: SLF001
         return _envelope(ok, "healthy" if ok else "spark session down")
 
+    def reset(self) -> dict:
+        """POST /__test__/reset — S12 test fixture: drop all warehouse
+        tables (reference main.py:40-45, corrected — see
+        ParquetWarehouse.reset)."""
+        self.wh.reset()
+        return _envelope(True, "reset")
+
 
 def _jsonable(v: Any) -> Any:
     if isinstance(v, datetime):
@@ -246,5 +253,9 @@ def build_fastapi_app(api: ClinicalAPI):
     @app.get("/api/data/studies/{study_id}")
     def study(study_id: str):
         return api.get_study_data(study_id)
+
+    @app.post("/__test__/reset")
+    def reset():
+        return api.reset()
 
     return app

@@ -1428,3 +1428,70 @@ def r5_unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.unpivot(
         "p_partkey", ["retailprice", "size"], "measure", "value"
     )
+
+
+@QS.add(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    doc="J4 [EXT]: TPC-H Q4 shape — correlated EXISTS (late-shipment: any "
+    "line shipped >60 days after the order date, referencing the OUTER "
+    "o_orderdate inside the subquery); Catalyst decorrelates it into a "
+    "left-semi join (SURVEY §4.2), so the predicate costs one semi-join, "
+    "not a per-row probe.",
+    tags=("join", "J4", "subquery"),
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__q4_orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("__q4_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM __q4_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM __q4_lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@QS.add(
+    "tpch_q18_big_orders",
+    f"""
+    SELECT o_orderkey, o_orderdate, {DSUM('l_quantity', 'total_qty')}
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_orderdate
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    """,
+    doc="J4 [EXT]: TPC-H Q18 core — join + group + HAVING on the aggregate "
+    "(threshold tuned to this data's quantity distribution).",
+    tags=("join", "J4", "agg"),
+)
+def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            dsum("l_quantity", "total_qty"),
+            F.sum(money("l_quantity")).alias("_exact"),
+        )
+        .filter(F.col("_exact") > 150)
+        .drop("_exact")
+    )

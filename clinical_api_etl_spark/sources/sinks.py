@@ -72,6 +72,13 @@ class ParquetWarehouse:
     def _path(self, table: str) -> Path:
         return self.root / table
 
+    def reset(self) -> None:
+        """S12: drop every table (the reference's test-reset endpoint,
+        main.py:40-45 — broken as shipped since its reset.sql is absent
+        from the repo; corrected semantics implemented here)."""
+        shutil.rmtree(self.root, ignore_errors=True)
+        self.root.mkdir(parents=True, exist_ok=True)
+
     def exists(self, table: str) -> bool:
         p = self._path(table)
         return p.exists() and any(p.rglob("*.parquet"))

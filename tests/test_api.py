@@ -93,3 +93,15 @@ def test_study_slice_404_on_empty(api):
 
 def test_health(api):
     _check_envelope(api.health(), True)
+
+
+def test_reset_clears_all_tables(api):
+    api.submit_job("study.csv")
+    assert api.get_data()["data"]  # populated
+    out = api.reset()
+    _check_envelope(out, True)
+    assert api.get_data()["data"] == []  # S12: everything gone
+    # pipeline works again after reset
+    out2 = api.submit_job("study.csv")
+    _check_envelope(out2, True)
+    assert len(api.get_data()["data"]) == 3
