@@ -1,0 +1,95 @@
+"""Deterministic k-means over embedding columns. [EXT]
+
+The second iterative algorithm in the engine (with connected components,
+``operators/graph.py``): Lloyd iterations as pure DataFrame ops —
+
+    assign:  argmin over broadcast centroids (squared L2, fixed fold order)
+    update:  groupBy(cluster) → per-dimension mean via ``posexplode`` +
+             pivot-free aggregation
+
+Determinism is the design constraint (results must reproduce across runs
+and cluster sizes): init = the ``k`` lowest-id vectors, a FIXED iteration
+count (no data-dependent convergence races), ties in argmin broken by the
+lower centroid id, and all arithmetic in DOUBLE with per-dimension
+sequential folds. MLlib's KMeans is the library alternative; this exists
+because seeded-random init + early-stop make MLlib runs non-reproducible
+across partitionings, which a data-pipeline dedup/bucketing stage can't
+tolerate.
+
+Scale: each iteration is one broadcast (k×dim doubles — tiny), one narrow
+argmin projection, and one groupBy — shuffle volume is rows×1 cluster id,
+never rows×k. Centroid update uses the driver only to hold k centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clinical_api_etl_spark.operators.similarity import _parallel
+
+
+def kmeans(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iterations: int = 5,
+) -> DataFrame:
+    """(id, cluster) after ``iterations`` Lloyd steps from deterministic
+    init (the k lowest-id vectors, cluster ids 0..k-1 in that order)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pts = _parallel(
+        df.select(F.col(id_col).alias("id"), v.alias("v"))
+    ).persist()
+
+    centroids = [
+        [float(x) for x in r["v"]]
+        for r in pts.orderBy("id").limit(k).collect()
+    ]
+
+    def assign(cents: list[list[float]]):
+        # squared L2 to each centroid as a flat fold; argmin with low-id ties
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.array(*[F.lit(c) for c in cent]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for cent in cents
+            ]
+        )
+        return pts.select(
+            "id", "v", (F.array_position(dists, F.array_min(dists)) - 1).alias("cluster")
+        )
+
+    dim = len(centroids[0])
+    for _ in range(iterations):
+        assigned = assign(centroids)
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new = list(centroids)
+        for r in means:
+            new[r["cluster"]] = [float(x) for x in r["centroid"]]
+        centroids = new
+
+    out = assign(centroids).select("id", F.col("cluster").cast("long").alias("cluster"))
+    pts.unpersist()
+    return out

@@ -503,3 +503,20 @@ def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return resize_images(attach_media(docs), width=4, height=4, fake=True)
+
+
+@QS.add(
+    "emb_kmeans_clusters",
+    None,  # iterative (5 fixed Lloyd steps) → rows-only; pytest verifies
+    # against a numpy re-implementation.
+    doc="[EXT] deterministic k-means (k=4, 5 Lloyd iterations, lowest-id "
+    "init, low-id tie-break) over the embeddings table — cluster "
+    "assignment for bucketing/dedup stages where seeded-random MLlib "
+    "init would break reproducibility (operators/clustering.py).",
+    tags=("similarity", "iterative"),
+)
+def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.clustering import kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans(emb, k=4, iterations=5)

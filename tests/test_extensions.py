@@ -178,3 +178,40 @@ class TestResize:
 
         feats = decode_media(out, fake=True)
         assert feats.filter(F.col("kind") == "image").count() > 0
+
+
+class TestKMeans:
+    def test_matches_numpy_lloyd(self, spark):
+        import numpy as np
+
+        from clinical_api_etl_spark.operators.clustering import kmeans
+
+        rng = np.random.RandomState(7)
+        centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+        pts = np.vstack([c + rng.randn(20, 2) * 0.3 for c in centers])
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in p]) for i, p in enumerate(pts)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {r["id"]: r["cluster"] for r in kmeans(df, k=3, iterations=4).collect()}
+
+        # numpy re-implementation with identical init/tie-break/iterations
+        cents = pts[:3].copy()
+        for _ in range(4):
+            d = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(3):
+                if (a == c).any():
+                    cents[c] = pts[a == c].mean(axis=0)
+        d = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        expect = d.argmin(axis=1)
+        assert got == {i: int(expect[i]) for i in range(len(pts))}
+
+    def test_deterministic_across_runs(self, spark):
+        from clinical_api_etl_spark.operators.clustering import kmeans
+        from clinical_api_etl_spark.sources.catalog import load
+
+        emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+        a = sorted(map(tuple, kmeans(emb, k=4, iterations=3).collect()))
+        b = sorted(map(tuple, kmeans(emb, k=4, iterations=3).collect()))
+        assert a == b

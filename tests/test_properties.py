@@ -254,3 +254,57 @@ def test_ngram_jaccard_equals_bruteforce(spark, texts, threshold):
     assert set(got) == set(expect), (sorted(got), sorted(expect))
     for k, v in expect.items():
         assert got[k] == pytest.approx(v, abs=1e-12)
+
+
+# -- asof_join vs brute force ------------------------------------------------
+
+_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),           # key
+        st.integers(min_value=0, max_value=50),          # minute offset
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_events_strategy, right=_events_strategy)
+def test_asof_join_equals_bruteforce(spark, left, right):
+    from datetime import datetime, timedelta
+
+    from clinical_api_etl_spark.operators.temporal import asof_join
+
+    base = datetime(2024, 1, 1)
+    t = lambda m: base + timedelta(minutes=m)  # noqa: E731
+    # dedupe right per (key, ts) with max val for tie determinism
+    rmap = {}
+    for i, (k, m) in enumerate(right):
+        rmap[(k, m)] = max(rmap.get((k, m), -1), i)
+    ldf = spark.createDataFrame(
+        [(k, t(m), i) for i, (k, m) in enumerate(left)],
+        "key long, ts timestamp, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t(m), v) for (k, m), v in rmap.items()],
+        "key long, ts timestamp, val long",
+    )
+    got = {
+        r["lid"]: (r["ts_matched"], r["val_matched"])
+        for r in asof_join(
+            ldf, rdf, on=["key"], left_ts="ts", right_ts="ts", right_payload=["val"]
+        ).collect()
+    }
+    assert set(got) == set(range(len(left)))
+    for i, (k, m) in enumerate(left):
+        prior = [(rm, v) for (rk, rm), v in rmap.items() if rk == k and rm <= m]
+        if prior:
+            bm, bv = max(prior)
+            assert got[i] == (t(bm), bv), (i, k, m)
+        else:
+            assert got[i] == (None, None), (i, k, m)
