@@ -39,6 +39,22 @@ def kmeans(
 ) -> DataFrame:
     """(id, cluster) after ``iterations`` Lloyd steps from deterministic
     init (the k lowest-id vectors, cluster ids 0..k-1 in that order)."""
+    out, _ = kmeans_fit(
+        df, id_col=id_col, vec_col=vec_col, k=k, iterations=iterations
+    )
+    return out
+
+
+def kmeans_fit(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iterations: int = 5,
+) -> tuple[DataFrame, list[list[float]]]:
+    """As :func:`kmeans`, also returning the final centroids (the model —
+    what IVF search probes against)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     pts = _parallel(
         df.select(F.col(id_col).alias("id"), v.alias("v"))
@@ -92,4 +108,4 @@ def kmeans(
 
     out = assign(centroids).select("id", F.col("cluster").cast("long").alias("cluster"))
     pts.unpersist()
-    return out
+    return out, centroids

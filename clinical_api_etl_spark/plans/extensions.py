@@ -520,3 +520,21 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return kmeans(emb, k=4, iterations=5)
+
+
+@QS.add(
+    "ann_ivf_topk",
+    None,  # recall < 1 by design (n_probe < n_clusters) → rows-only;
+    # pytest proves n_probe == n_clusters equals cosine_topk exactly.
+    doc="[EXT] IVF approximate top-k: deterministic-k-means cells, probe "
+    "the 2 nearest cells per query, exact cosine re-rank inside them — "
+    "each query touches ~n_probe/n_clusters of the corpus via a cell-id "
+    "equi-join (operators/similarity.py:ivf_topk).",
+    tags=("similarity", "approx"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(queries, emb, k=5, n_clusters=8, n_probe=2)

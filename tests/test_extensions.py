@@ -215,3 +215,41 @@ class TestKMeans:
         a = sorted(map(tuple, kmeans(emb, k=4, iterations=3).collect()))
         b = sorted(map(tuple, kmeans(emb, k=4, iterations=3).collect()))
         assert a == b
+
+
+class TestIvfTopk:
+    def test_full_probe_equals_bruteforce(self, emb):
+        """n_probe == n_clusters degrades to exact brute force — identical
+        (query, neighbor, rank) triples and cosines as cosine_topk."""
+        from pyspark.sql import functions as F
+
+        from clinical_api_etl_spark.operators.similarity import cosine_topk, ivf_topk
+
+        q = emb.filter(F.col("vec_id") < 5)
+        exact = {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+            for r in cosine_topk(q, emb, k=3).collect()
+        }
+        ivf = {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+            for r in ivf_topk(
+                q, emb, k=3, n_clusters=4, n_probe=4, kmeans_iterations=2
+            ).collect()
+        }
+        assert ivf == exact
+
+    def test_partial_probe_subset_and_ranked(self, emb):
+        from pyspark.sql import functions as F
+
+        from clinical_api_etl_spark.operators.similarity import ivf_topk
+
+        q = emb.filter(F.col("vec_id") < 5)
+        rows = ivf_topk(q, emb, k=3, n_clusters=4, n_probe=1, kmeans_iterations=2).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid, rs in by_q.items():
+            ranks = sorted(r["rank"] for r in rs)
+            assert ranks == list(range(1, len(rs) + 1))
+            sims = [r["cos_sim"] for r in sorted(rs, key=lambda r: r["rank"])]
+            assert sims == sorted(sims, reverse=True)
