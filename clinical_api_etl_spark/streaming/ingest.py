@@ -59,12 +59,29 @@ def _process_batch(wh: ParquetWarehouse, batch_df: DataFrame, batch_id: int) -> 
     """
     if batch_df.isEmpty():
         return
+    from clinical_api_etl_spark.jobs.ledger import JobLedger
+
     job_id = f"stream-{batch_id}"
     batch = batch_df.withColumn(
         "_src", F.element_at(F.split(F.col("_source_file"), "/"), -1)
     )
     files = [r["_src"] for r in batch.select("_src").distinct().collect()]
-    for fname in sorted(files):
+    # S9-S11 for the streaming path: every micro-batch job is a ledger row
+    # too, so the status surface is uniform across batch and stream jobs.
+    ledger = JobLedger(wh)
+    ledger.submit(",".join(sorted(files)), job_id=job_id)
+    try:
+        _run_files(wh, batch, job_id, sorted(files))
+    except Exception as e:  # noqa: BLE001
+        ledger.mark(job_id, "failed", str(e), progress=100)
+        raise
+    ledger.mark(job_id, "completed", "completed", progress=100)
+
+
+def _run_files(
+    wh: ParquetWarehouse, batch: DataFrame, job_id: str, files: list[str]
+) -> None:
+    for fname in files:
         raw = (
             batch.filter(F.col("_src") == fname)
             .drop("_source_file", "_src")

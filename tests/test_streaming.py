@@ -270,3 +270,19 @@ class TestContinuousMode:
             assert warehouse.read(BRONZE_TABLE).count() == 2
         finally:
             q.stop()
+
+
+class TestStreamLedger:
+    def test_stream_jobs_recorded_in_ledger(self, spark, warehouse, tmp_path):
+        """S9-S11 uniformity: micro-batch jobs appear in the same ledger as
+        batch jobs, terminal-stamped."""
+        drop = _drop(tmp_path, "l1.csv", [
+            "S1,P1,glucose,95.5,mg/dL,2024-01-15T09:30:00Z,SITE_A,0.98",
+        ])
+        run_ingest_stream(spark, warehouse, drop, str(tmp_path / "lckpt"))
+        jobs = warehouse.read("etl_jobs")
+        rows = jobs.filter(jobs.id.startswith("stream-")).collect()
+        assert len(rows) == 1
+        assert rows[0]["status"] == "completed"
+        assert rows[0]["filename"] == "l1.csv"
+        assert rows[0]["completed_at"] is not None
