@@ -286,3 +286,53 @@ class TestStreamLedger:
         assert rows[0]["status"] == "completed"
         assert rows[0]["filename"] == "l1.csv"
         assert rows[0]["completed_at"] is not None
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_matches_batch(self, spark, tmp_path):
+        """Stream-stream inner join with watermarks + event-time interval
+        (purchases ⋈ clicks within the preceding hour, per user) produces
+        exactly the batch range join under availableNow."""
+        from clinical_api_etl_spark.operators.temporal import range_join_bucketed
+        from clinical_api_etl_spark.sources.catalog import load
+
+        sf = "/root/testdata/sf0.001"
+        ev = load(spark, sf, "events").select("user_id", "event_id", "ts", "event_type")
+        purchases = ev.filter(ev.event_type == "purchase").drop("event_type")
+        clicks = ev.filter(ev.event_type == "click").drop("event_type")
+        pdir, cdir = str(tmp_path / "p"), str(tmp_path / "c")
+        purchases.write.parquet(pdir)
+        clicks.write.parquet(cdir)
+
+        expected = sorted(
+            (r["event_id"], r["event_id_r"])
+            for r in range_join_bucketed(
+                purchases, clicks, left_ts="ts", right_ts="ts",
+                window_seconds=3600, on=["user_id"],
+            ).collect()
+        )
+
+        sp = spark.readStream.schema(purchases.schema).parquet(pdir) \
+            .withWatermark("ts", "2 hours") \
+            .withColumnRenamed("event_id", "p_id").withColumnRenamed("ts", "p_ts")
+        sc = spark.readStream.schema(clicks.schema).parquet(cdir) \
+            .withWatermark("ts", "2 hours") \
+            .withColumnRenamed("event_id", "c_id").withColumnRenamed("ts", "c_ts") \
+            .withColumnRenamed("user_id", "c_user")
+        joined = sp.join(
+            sc,
+            (sp.user_id == sc.c_user)
+            & (sc.c_ts >= sp.p_ts - F.expr("INTERVAL 1 HOUR"))
+            & (sc.c_ts < sp.p_ts),
+        )
+        out = []
+        q = (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: out.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ssckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted((r["p_id"], r["c_id"]) for r in out)
+        assert got == expected
