@@ -77,3 +77,23 @@ def fingerprint(c: Column) -> Column:
     set — token-order/whitespace/duplication-insensitive identity."""
     canonical = F.array_join(F.array_sort(F.array_distinct(tokens(c))), " ")
     return F.md5(canonical)
+
+
+def chunk_spec(c: Column, chunk: int, stride: int) -> Column:
+    """Overlapping token-window chunks as array<struct<start,text,n>>.
+
+    start positions 1, 1+stride, ... (1-based); each chunk is ``chunk``
+    tokens (shorter at the tail). The unit op of training-sample prep:
+    documents → fixed-width sequences with overlap = chunk − stride.
+    """
+    toks = tokens(c)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    return F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.concat_ws(" ", F.slice(toks, s, chunk)).alias("text"),
+            F.least(F.lit(chunk), n - s + 1).alias("n"),
+        ),
+    )

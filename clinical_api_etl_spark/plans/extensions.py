@@ -538,3 +538,40 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(queries, emb, k=5, n_clusters=8, n_probe=2)
+
+
+@QS.add(
+    "text_chunk_windows",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST((s.s - 1) / 24 AS BIGINT) AS chunk_idx,
+           array_to_string(t[s.s : s.s + 31], ' ') AS chunk_text,
+           CAST(LEAST(32, len(t) - s.s + 1) AS INTEGER) AS n_tokens
+    FROM tok, UNNEST(generate_series(1, GREATEST(len(t), 1), 24)) AS s(s)
+    """,
+    doc="[EXT] document chunking: overlapping 32-token windows, stride 24 "
+    "(overlap 8) — the training-sample prep reshape, pure explode (one "
+    "narrow pass, no shuffle before downstream grouping).",
+    tags=("text", "reshape"),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.functions.text import chunk_spec
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(chunk_spec(F.col("text"), chunk=32, stride=24)).alias(
+                "chunk_idx", "ch"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("ch.text").alias("chunk_text"),
+            F.col("ch.n").alias("n_tokens"),
+        )
+    )
