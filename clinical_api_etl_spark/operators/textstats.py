@@ -41,3 +41,79 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     return df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    *,
+    doc_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    len_col: str = "n_tokens",
+    max_tokens: int = 64,
+) -> DataFrame:
+    """Greedy sequence packing: assign each document's chunks (in chunk
+    order) to consecutive bins of at most ``max_tokens`` tokens — the
+    pack-to-context-window step between chunking and batch assembly.
+
+    Deterministic and parallel-by-document: packing is a left fold over the
+    per-doc chunk list (``aggregate`` with a struct accumulator — JVM-side,
+    no UDF), so one shuffle on doc_id, then narrow. A chunk longer than
+    ``max_tokens`` gets a bin of its own (never split).
+
+    Output: (doc, chunk_idx, n_tokens, bin) with bin numbering 0.. per doc.
+    """
+    from pyspark.sql import functions as F
+
+    sorted_chunks = F.array_sort(
+        F.collect_list(F.struct(F.col(idx_col).alias("i"), F.col(len_col).alias("n")))
+    )
+    grouped = chunks.groupBy(F.col(doc_col).alias("doc")).agg(
+        sorted_chunks.alias("cs")
+    )
+    packed = F.aggregate(
+        F.col("cs"),
+        F.struct(
+            F.lit(0).alias("bin"),
+            F.lit(0).alias("used"),
+            F.array().cast("array<struct<i:long,n:int,bin:int>>").alias("out"),
+        ),
+        lambda acc, c: F.when(
+            (acc["used"] + c["n"] <= max_tokens) | (acc["used"] == 0),
+            F.struct(
+                acc["bin"].alias("bin"),
+                (acc["used"] + c["n"]).alias("used"),
+                F.concat(
+                    acc["out"],
+                    F.array(
+                        F.struct(
+                            c["i"].cast("long").alias("i"),
+                            c["n"].cast("int").alias("n"),
+                            acc["bin"].cast("int").alias("bin"),
+                        )
+                    ),
+                ).alias("out"),
+            ),
+        ).otherwise(
+            F.struct(
+                (acc["bin"] + 1).alias("bin"),
+                c["n"].cast("int").alias("used"),
+                F.concat(
+                    acc["out"],
+                    F.array(
+                        F.struct(
+                            c["i"].cast("long").alias("i"),
+                            c["n"].cast("int").alias("n"),
+                            (acc["bin"] + 1).cast("int").alias("bin"),
+                        )
+                    ),
+                ).alias("out"),
+            )
+        ),
+        lambda acc: acc["out"],
+    )
+    return grouped.select("doc", F.explode(packed).alias("c")).select(
+        F.col("doc").alias(doc_col),
+        F.col("c.i").alias(idx_col),
+        F.col("c.n").alias(len_col),
+        F.col("c.bin").cast("long").alias("bin"),
+    )

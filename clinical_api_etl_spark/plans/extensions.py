@@ -575,3 +575,21 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ch.n").alias("n_tokens"),
         )
     )
+
+
+@QS.add(
+    "text_pack_sequences",
+    None,  # greedy fold is order-dependent per doc → rows-only; pytest
+    # verifies against a Python re-implementation + capacity invariant.
+    doc="[EXT] sequence packing: greedy bin-assignment of each document's "
+    "chunks to 64-token context windows as a JVM-side aggregate fold "
+    "(operators/textstats.py:pack_chunks) — the chunking→batch-assembly "
+    "step of a training-data pipeline.",
+    tags=("text", "reshape", "iterative"),
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.textstats import pack_chunks
+    from clinical_api_etl_spark.plans.extensions import text_chunk_windows
+
+    chunks = text_chunk_windows(spark, sf_dir)
+    return pack_chunks(chunks, max_tokens=64)

@@ -253,3 +253,55 @@ class TestIvfTopk:
             assert ranks == list(range(1, len(rs) + 1))
             sims = [r["cos_sim"] for r in sorted(rs, key=lambda r: r["rank"])]
             assert sims == sorted(sims, reverse=True)
+
+
+class TestPackChunks:
+    def test_greedy_packing_matches_python(self, spark):
+        from clinical_api_etl_spark.operators.textstats import pack_chunks
+
+        rows = [  # (doc, idx, n_tokens)
+            (1, 0, 30), (1, 1, 30), (1, 2, 10), (1, 3, 64), (1, 4, 70),
+            (2, 0, 64), (2, 1, 1),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, chunk_idx long, n_tokens int")
+        got = {
+            (r["doc_id"], r["chunk_idx"]): r["bin"]
+            for r in pack_chunks(df, max_tokens=64).collect()
+        }
+
+        def pack(ns, cap=64):
+            out, b, used = [], 0, 0
+            for n in ns:
+                if used + n <= cap or used == 0:
+                    used += n
+                else:
+                    b += 1
+                    used = n
+                out.append(b)
+            return out
+
+        expect = {}
+        for doc in (1, 2):
+            ns = [n for d, i, n in rows if d == doc]
+            for (d, i, n), b in zip([r for r in rows if r[0] == doc], pack(ns)):
+                expect[(d, i)] = b
+        assert got == expect
+        # oversized chunk (70 > 64) got its own bin, never split
+        assert got[(1, 4)] != got[(1, 3)]
+
+    def test_bin_capacity_respected(self, spark):
+        from clinical_api_etl_spark.operators.textstats import pack_chunks
+        from pyspark.sql import functions as F
+
+        df = spark.range(40).select(
+            (F.col("id") % 4).alias("doc_id"),
+            (F.col("id") / 4).cast("long").alias("chunk_idx"),
+            ((F.col("id") % 7) * 3 + 5).cast("int").alias("n_tokens"),
+        )
+        packed = pack_chunks(df, max_tokens=20)
+        over = (
+            packed.groupBy("doc_id", "bin")
+            .agg(F.sum("n_tokens").alias("tot"), F.count("*").alias("k"))
+            .filter((F.col("tot") > 20) & (F.col("k") > 1))
+        )
+        assert over.count() == 0  # only single-chunk bins may exceed capacity
