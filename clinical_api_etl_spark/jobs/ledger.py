@@ -83,12 +83,26 @@ class JobLedger:
         self.wh.upsert(JOBS_TABLE, updated, ["id"])
 
     def fetch(self, job_id: str) -> Row | None:
-        """S11 corrected: actually returns the row (§2.9.1)."""
-        jobs = self.wh.read(JOBS_TABLE)
-        if jobs is None:
-            return None
-        rows = jobs.filter(F.col("id") == job_id).limit(1).collect()
-        return rows[0] if rows else None
+        """S11 corrected: actually returns the row (§2.9.1).
+
+        Retries across the warehouse's directory-swap window: this is the
+        polling path, typically read concurrently with a background job's
+        own ledger updates (single-writer/many-reader posture — see
+        ``ParquetWarehouse.read``)."""
+        import time
+
+        last: Exception | None = None
+        for _ in range(4):
+            try:
+                jobs = self.wh.read(JOBS_TABLE)
+                if jobs is None:
+                    return None
+                rows = jobs.filter(F.col("id") == job_id).limit(1).collect()
+                return rows[0] if rows else None
+            except Exception as e:  # noqa: BLE001 — transient swap race
+                last = e
+                time.sleep(0.25)
+        raise last
 
     def all_jobs(self) -> DataFrame | None:
         return self.wh.read(JOBS_TABLE)

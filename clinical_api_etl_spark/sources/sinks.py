@@ -84,9 +84,29 @@ class ParquetWarehouse:
         return p.exists() and any(p.rglob("*.parquet"))
 
     def read(self, table: str) -> DataFrame | None:
-        if not self.exists(table):
-            return None
-        return self.spark.read.parquet(str(self._path(table)))
+        """Read a table, tolerating a concurrent merge's directory swap.
+
+        The warehouse is single-writer / many-reader; ``_rewrite`` swaps
+        the table directory, so a reader can momentarily see a vanishing
+        file listing (e.g. a status poller during a background job's
+        ledger update). A short bounded retry rides out the swap window —
+        the Delta/Iceberg swap-out removes this entirely via snapshot
+        isolation.
+        """
+        import time
+
+        last: Exception | None = None
+        for _ in range(4):
+            if not self.exists(table):
+                return None
+            try:
+                df = self.spark.read.parquet(str(self._path(table)))
+                df.schema  # force file-listing/analysis now, inside the retry
+                return df
+            except Exception as e:  # noqa: BLE001 — transient listing race
+                last = e
+                time.sleep(0.25)
+        raise last
 
     def append(self, table: str, df: DataFrame) -> None:
         """S7-style plain append."""

@@ -105,3 +105,31 @@ def test_reset_clears_all_tables(api):
     out2 = api.submit_job("study.csv")
     _check_envelope(out2, True)
     assert len(api.get_data()["data"]) == 3
+
+
+def test_background_submit_polls_to_completion(spark, warehouse, tmp_path):
+    """background=True reproduces the reference's async submit (FastAPI
+    BackgroundTasks): the call returns immediately with a pending/running
+    job that reaches 'completed' on polling."""
+    import time as _time
+
+    from clinical_api_etl_spark.api import ClinicalAPI
+
+    data = tmp_path / "bgdata"
+    data.mkdir()
+    (data / "study.csv").write_text("\n".join([HEADER, *ROWS]) + "\n")
+    api = ClinicalAPI(spark, warehouse, str(data), background=True)
+
+    out = api.submit_job("study.csv")
+    _check_envelope(out, True)
+    jid = out["data"]["jobId"]
+
+    status = None
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        status = api.get_job_status(jid)["data"]["status"]
+        if status in ("completed", "failed"):
+            break
+        _time.sleep(1)
+    assert status == "completed"
+    assert len(api.get_data()["data"]) == 3
