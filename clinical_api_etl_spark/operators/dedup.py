@@ -79,15 +79,24 @@ def ngram_jaccard_pairs(
     * Verify joins the (small) candidate-pair table back to the shingle
       table on doc id; AQE broadcasts whichever side fits.
     """
-    hashed = F.array_sort(
-        F.transform(word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+    # Shingles hash straight from the raw n-gram stream: the string-level
+    # array_distinct inside word_shingles would cost an extra interpreted
+    # pass per row only to be subsumed by the distinct over sorted hashes
+    # below (duplicate n-grams hash equal). Same semantics incl. the
+    # shorter-than-n whole-text shingle.
+    from clinical_api_etl_spark.functions.text import tokens as _toks
+
+    toks = _toks(F.col(text_col))
+    raw_ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    hashed = F.array_distinct(
+        F.array_sort(F.transform(raw_ngrams, lambda s: F.xxhash64(s)))
     )
     sh = (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.array_distinct(hashed).alias("shingles"),
-        )
+        .select(F.col(id_col).alias("doc_id"), hashed.alias("shingles"))
         .persist()
     )
     pre_len = (
