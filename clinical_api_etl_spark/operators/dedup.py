@@ -24,9 +24,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from clinical_api_etl_spark.functions.text import word_shingles
-
-
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup groups: md5(text) → survivor (min id) + member count.
 
@@ -40,6 +37,29 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_members"),
         )
         .filter(F.col("n_members") > 1)
+    )
+
+
+def _hashed_shingles(text: Column, n: int) -> Column:
+    """Sorted distinct ``xxhash64`` longs of the word n-gram shingles.
+
+    Hashes straight from the raw n-gram stream: a string-level
+    ``array_distinct`` (as in :func:`word_shingles`) would cost an extra
+    interpreted pass per row only to be subsumed by the distinct over
+    sorted hashes (duplicate n-grams hash equal). Same semantics incl. the
+    shorter-than-n whole-text shingle. Jaccard over the hashed sets equals
+    Jaccard over the string sets unless two distinct shingles of the same
+    doc pair collide in 64 bits (P ≈ |union|²/2⁶⁵ — negligible).
+    """
+    from clinical_api_etl_spark.functions.text import tokens as _toks
+
+    toks = _toks(text)
+    raw_ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(
+        F.array_sort(F.transform(raw_ngrams, lambda s: F.xxhash64(s)))
     )
 
 
@@ -79,24 +99,12 @@ def ngram_jaccard_pairs(
     * Verify joins the (small) candidate-pair table back to the shingle
       table on doc id; AQE broadcasts whichever side fits.
     """
-    # Shingles hash straight from the raw n-gram stream: the string-level
-    # array_distinct inside word_shingles would cost an extra interpreted
-    # pass per row only to be subsumed by the distinct over sorted hashes
-    # below (duplicate n-grams hash equal). Same semantics incl. the
-    # shorter-than-n whole-text shingle.
-    from clinical_api_etl_spark.functions.text import tokens as _toks
-
-    toks = _toks(F.col(text_col))
-    raw_ngrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    hashed = F.array_distinct(
-        F.array_sort(F.transform(raw_ngrams, lambda s: F.xxhash64(s)))
-    )
     sh = (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .select(F.col(id_col).alias("doc_id"), hashed.alias("shingles"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            _hashed_shingles(F.col(text_col), n).alias("shingles"),
+        )
         .persist()
     )
     pre_len = (
@@ -162,8 +170,9 @@ def ngram_jaccard_pairs(
 
 def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     """MinHash signature as array<long>: for hash i, min over shingles of
-    xxhash64(shingle, "mh<i>"). Pure column expression — computed in one
-    projection, no explode."""
+    xxhash64(shingle, "mh<i>"). Works on string shingles or pre-hashed
+    longs (xxhash64 accepts either). Pure column expression — computed in
+    one projection, no explode."""
     return F.array(
         *[
             F.array_min(
@@ -191,45 +200,67 @@ def minhash_lsh_pairs(
     S-curve trade-off). Candidates then join back to shingle sets for exact
     verification, so output ⊆ the exact ``ngram_jaccard_pairs`` result
     (LSH can only *miss* pairs, never emit false positives).
+
+    Physical shape mirrors ``ngram_jaccard_pairs``:
+
+    * input repartitioned to default parallelism (single-file parquet would
+      otherwise run the whole sketch on one task);
+    * shingles hashed to ``xxhash64`` longs once and persisted — the
+      signature and both verify sides read the same cached table;
+    * the band self-join carries **ids only** (band, bucket, doc_id — three
+      longs); shingle arrays re-join by doc id after candidate dedup, so
+      the corpus is never shuffled ×bands;
+    * candidate pairs explicitly repartitioned on the pair key to pin
+      verify parallelism against AQE coalescing.
     """
     rows = num_hashes // bands
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col), n).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
-
+    sh = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            _hashed_shingles(F.col(text_col), n).alias("shingles"),
+        )
+        .persist()
+    )
+    sig = minhash_signature(F.col("shingles"), num_hashes)
     band_cols = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.xxhash64(
-                    F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
+                    F.concat_ws(",", *[F.element_at(sig, b * rows + r + 1) for r in range(rows)])
                 ).alias("bucket"),
             )
             for b in range(bands)
         ]
     )
-    buckets = sh.select(
-        "doc_id", "shingles", F.explode(band_cols).alias("bb")
-    ).select("doc_id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
-    a = buckets.select(
-        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"), "band", "bucket"
+    buckets = sh.select("doc_id", F.explode(band_cols).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    b = buckets.select(
-        F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"), "band", "bucket"
-    )
+    a = buckets.select(F.col("doc_id").alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col("doc_id").alias("id_b"), "band", "bucket")
     candidates = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return candidates.select(
-        "id_a", "id_b", (inter / union).alias("jaccard")
-    ).filter(F.col("jaccard") >= threshold)
+    with_sets = candidates.join(
+        sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")),
+        "id_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return with_sets.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def simhash_bits(tokens_col: Column, bits: int = 64) -> Column:
@@ -261,38 +292,75 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: Hamming(sig_a, sig_b) ≤ max_hamming.
 
-    Candidates come from 4×16-bit band buckets (a pair within Hamming ≤ 3
-    must agree on ≥1 of 4 bands — pigeonhole), then exact Hamming verify.
+    Candidates come from ``max_hamming + 1`` contiguous bit bands (a pair
+    within Hamming ≤ h differs in ≤ h bands, so by pigeonhole it agrees on
+    at least one of h+1 — candidate generation is therefore *complete* for
+    any ``max_hamming`` in [0, 63]), then exact Hamming verify.
+
+    Physical shape mirrors ``ngram_jaccard_pairs``: input repartitioned to
+    default parallelism and the signature table persisted; the band
+    self-join carries ids only (signatures re-join by doc id after the
+    candidate dedup), and candidate pairs are explicitly repartitioned on
+    the pair key to pin verify parallelism against AQE coalescing.
     """
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     from clinical_api_etl_spark.functions.text import tokens as _tokens
 
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        simhash_bits(_tokens(F.col(text_col))).alias("sig"),
+    bits = 64
+    n_bands = max_hamming + 1
+    # Contiguous near-even band widths covering all 64 bits.
+    base, rem = divmod(bits, n_bands)
+    widths = [base + (1 if b < rem else 0) for b in range(n_bands)]
+    starts = [sum(widths[:b]) for b in range(n_bands)]
+
+    sh = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            simhash_bits(_tokens(F.col(text_col))).alias("sig"),
+        )
+        .persist()
     )
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws("", F.slice(F.col("sig"), b * 16 + 1, 16)).alias("bucket"),
+                F.xxhash64(
+                    F.concat_ws("", F.slice(F.col("sig"), starts[b] + 1, widths[b]))
+                ).alias("bucket"),
             )
-            for b in range(4)
+            for b in range(n_bands)
         ]
     )
-    buckets = sh.select("doc_id", "sig", F.explode(band_arr).alias("bb")).select(
-        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    buckets = sh.select("doc_id", F.explode(band_arr).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a = buckets.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket")
-    b = buckets.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket")
+    a = buckets.select(F.col("doc_id").alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col("doc_id").alias("id_b"), "band", "bucket")
+    candidates = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
     hamming = F.aggregate(
         F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: F.abs(x - y)),
         F.lit(0),
         lambda acc, x: acc + x,
     ).cast("long")
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        candidates.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
         .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -40,6 +40,94 @@ CARTESIAN_OK = {"dedup_embedding_cosine", "ann_cosine_topk"}
 #: Queries declared as pandas-UDF operators (multimodal decode, stateful
 #: sessionization) — ArrowEvalPython expected.
 ARROW_OK = {"mm_decode_features", "mm_resize_images", "w5_sessionization"}
+#: Tables with fixed, tiny cardinality (TPC-H region=5, nation=25 rows at
+#: every SF) — a sort-merge join whose whole side derives from only these
+#: is always wrong; it should be a broadcast join.
+BROADCAST_DIMS = {"region", "nation"}
+#: Queries allowed a dim-side SMJ: j2 is a FULL OUTER join on nation
+#: (broadcast cannot build the full-outer side).
+DIM_SMJ_OK = {"j2_nation_balance_full_outer"}
+#: Queries allowed a filtered scan with empty PushedFilters (predicates
+#: that parquet cannot evaluate, e.g. on expressions of base columns).
+#: Both current entries filter on events.ts, which catalog.load derives
+#: from the TIMESTAMP(NANOS) long (`timestamp_micros(ts div 1000)`) — the
+#: predicate is substituted through the project onto an *expression* of
+#: the base column, which parquet cannot evaluate. Any new events query
+#: filtering on ts will (correctly) surface here for review.
+NO_PUSHDOWN_OK = {"f9_recent_window_counts", "range_join_global_burst"}
+
+
+def _walk(node):
+    """Yield every node of a physical plan, descending through AQE wrappers."""
+    name = node.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        yield from _walk(node.initialPlan())
+        return
+    yield node
+    kids = node.children()
+    for i in range(kids.size()):
+        yield from _walk(kids.apply(i))
+
+
+def _scan_tables(node):
+    """Table names (by parquet path stem) of every file scan under node."""
+    out = []
+    for n in _walk(node):
+        if n.getClass().getSimpleName() in ("FileSourceScanExec", "BatchScanExec"):
+            try:
+                paths = n.relation().location().rootPaths().mkString(",")
+            except Exception:  # noqa: BLE001
+                continue
+            for m in re.finditer(r"([A-Za-z0-9_]+)\.parquet", paths):
+                out.append(m.group(1))
+    return out
+
+
+def _dim_smj(root) -> bool:
+    """True if any non-full-outer SortMergeJoin has a side built *only*
+    from BROADCAST_DIMS tables — that side should have been broadcast."""
+    for n in _walk(root):
+        if n.getClass().getSimpleName() != "SortMergeJoinExec":
+            continue
+        if "FullOuter" in n.joinType().toString():
+            continue
+        kids = n.children()
+        for i in range(kids.size()):
+            tables = _scan_tables(kids.apply(i))
+            if tables and all(t in BROADCAST_DIMS for t in tables):
+                return True
+    return False
+
+
+_PASS_THROUGH = {
+    "WholeStageCodegenExec",
+    "InputAdapter",
+    "ColumnarToRowExec",
+    "InputAdapterExec",
+}
+
+
+def _no_pushdown(root) -> bool:
+    """True if a Filter sits *directly* on a parquet scan (only codegen
+    plumbing between) whose PushedFilters is empty.
+
+    A Filter above a Project is NOT flagged — Catalyst pushes base-column
+    predicates below projects, so a surviving post-project filter is on
+    derived columns and legitimately un-pushable."""
+    for n in _walk(root):
+        if n.getClass().getSimpleName() != "FilterExec":
+            continue
+        child = n.children().apply(0)
+        while child.getClass().getSimpleName() in _PASS_THROUGH:
+            child = child.children().apply(0)
+        if child.getClass().getSimpleName() == "FileSourceScanExec":
+            try:
+                pushed = child.metadata().apply("PushedFilters")
+            except Exception:  # noqa: BLE001
+                continue
+            if pushed.strip() == "[]":
+                return True
+    return False
 
 
 def main() -> int:
@@ -49,7 +137,8 @@ def main() -> int:
     for name, q in all_queries().items():
         try:
             df = q.builder(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+            root = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+            plan = root.toString()
         except Exception as e:  # noqa: BLE001
             print(f"ERROR {name}: {type(e).__name__}: {e}")
             failures += 1
@@ -66,6 +155,10 @@ def main() -> int:
         flags = []
         if "CartesianProduct" in joins and name not in CARTESIAN_OK:
             flags.append("CARTESIAN")
+        if name not in DIM_SMJ_OK and _dim_smj(root):
+            flags.append("DIM-SMJ")
+        if name not in NO_PUSHDOWN_OK and _no_pushdown(root):
+            flags.append("NO-PUSHDOWN")
         if "BatchEvalPython" in py_nodes:
             flags.append("PY-UDF")
         if (
