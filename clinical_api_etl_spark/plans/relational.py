@@ -939,11 +939,12 @@ def stream_window_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @QS.add(
     "a9_participants_per_study",
     """
-    SELECT c_nationkey AS study_key, COUNT(*) AS n_participants
+    SELECT c_nationkey AS study_key, COUNT(*) AS participants
     FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer) p
     GROUP BY c_nationkey
     """,
-    doc="A9: v_participants_per_study shape (08_views.sql:27-30) — count "
+    doc="A9: v_participants_per_study shape (08_views.sql:27-30, column "
+    "named `participants` to match the reference view contract) — count "
     "over the A2-extracted dimension, composing the reference's dim-upsert "
     "chain (db.py:69-86) with its count view.",
     tags=("agg", "A9", "views"),
@@ -953,7 +954,7 @@ def a9_participants_per_study(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
     )
     return dims.groupBy(F.col("c_nationkey").alias("study_key")).agg(
-        F.count(F.lit(1)).alias("n_participants")
+        F.count(F.lit(1)).alias("participants")
     )
 
 

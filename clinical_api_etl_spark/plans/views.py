@@ -72,7 +72,7 @@ def register_views(wh: ParquetWarehouse) -> None:
     # v_participants_per_study (08_views.sql:27-30)
     spark.sql(
         """CREATE OR REPLACE TEMP VIEW v_participants_per_study AS
-        SELECT study_id, COUNT(*) AS n_participants
+        SELECT study_id, COUNT(*) AS participants
         FROM participants GROUP BY study_id"""
     )
 

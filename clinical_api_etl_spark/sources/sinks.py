@@ -14,18 +14,32 @@ upserts (db.py:60-67). Here each becomes a set-based join:
   min/max merged across history via LEAST/GREATEST.
 * ``upsert`` — last-write-wins full-outer merge (job ledger, participants).
 
-Merges rewrite the table via write-to-temp + atomic directory swap (parquet
-cannot be overwritten in place while being read). On a real deployment this
-module is the one swap-out point: Delta/Iceberg ``MERGE`` gives the same
-semantics transactionally with file-level pruning instead of full rewrites;
-the operator layer above is unchanged. The anti-join itself broadcasts the
+Merges are **partition-scoped** where the layout allows it: when the merge
+key contains the table's partition column, only the partition directories
+present in the incoming batch are rewritten (write touched partitions to a
+temp dir, swap each ``col=value`` directory in, leave every other
+partition's files untouched). A job that merges one study's aggregates
+rewrites one study's directory — O(batch), not O(history) — which is the
+property that survives 100 TB. Tables whose key doesn't cover the
+partition column fall back to a whole-table rewrite via temp dir + rename
+swap (parquet cannot be overwritten in place while being read). On a real
+deployment this module is the one swap-out point: Delta/Iceberg ``MERGE``
+gives the same semantics transactionally with snapshot isolation; the
+operator layer above is unchanged. The anti-join itself broadcasts the
 *incoming* batch (a single job's rows — small) against the big existing
 table, so no shuffle of the warehouse side.
+
+Concurrency posture: single-writer / many-reader. A per-warehouse lock
+serializes writers in-process (the reference gets this from Postgres
+transactions; background API jobs run one at a time). Readers ride out a
+swap's brief directory-absence window via ``read``'s bounded retry.
 """
 
 from __future__ import annotations
 
 import shutil
+import threading
+import time
 import uuid
 from pathlib import Path
 
@@ -34,10 +48,15 @@ from pyspark.sql import functions as F
 
 #: The SURVEY §4/§7 blueprint layout: bronze partitioned by ingestion job
 #: (per-job pruning for re-ingest anti-joins and the data API's job reads),
-#: silver by study (the reference's leading index column).
+#: silver/gold/participants by study (the reference's leading index
+#: column), the job ledger by job id. Every merge target's key contains
+#: its partition column, so all merges run partition-scoped.
 CLINICAL_PARTITIONING = {
     "staging_clinical_measurements": ["job_id"],
     "processed_measurements": ["study_id"],
+    "measurement_aggregations": ["study_id"],
+    "participants": ["study_id"],
+    "etl_jobs": ["id"],
 }
 
 
@@ -68,6 +87,10 @@ class ParquetWarehouse:
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
         self.partitioning = dict(partitioning or {})
+        #: Serializes writers (background API jobs, concurrent tests) —
+        #: the in-process analogue of the reference's Postgres
+        #: transactions. RLock: append_if_absent calls append.
+        self._write_lock = threading.RLock()
 
     def _path(self, table: str) -> Path:
         return self.root / table
@@ -76,44 +99,59 @@ class ParquetWarehouse:
         """S12: drop every table (the reference's test-reset endpoint,
         main.py:40-45 — broken as shipped since its reset.sql is absent
         from the repo; corrected semantics implemented here)."""
-        shutil.rmtree(self.root, ignore_errors=True)
-        self.root.mkdir(parents=True, exist_ok=True)
+        with self._write_lock:
+            shutil.rmtree(self.root, ignore_errors=True)
+            self.root.mkdir(parents=True, exist_ok=True)
 
     def exists(self, table: str) -> bool:
         p = self._path(table)
         return p.exists() and any(p.rglob("*.parquet"))
+
+    def _swap_in_progress(self, table: str) -> bool:
+        """True while a rewrite's temp/old sibling directories exist —
+        i.e. a concurrent swap may explain a transiently absent table."""
+        return any(self.root.glob(f"{table}.tmp-*")) or any(
+            self.root.glob(f"{table}.old-*")
+        )
 
     def read(self, table: str) -> DataFrame | None:
         """Read a table, tolerating a concurrent merge's directory swap.
 
         The warehouse is single-writer / many-reader; ``_rewrite`` swaps
         the table directory, so a reader can momentarily see a vanishing
-        file listing (e.g. a status poller during a background job's
-        ledger update). A short bounded retry rides out the swap window —
-        the Delta/Iceberg swap-out removes this entirely via snapshot
-        isolation.
+        file listing *or a vanished directory* (e.g. a status poller
+        during a background job's ledger update). Both the exception path
+        and the absent-directory path retry; ``None`` is returned only
+        when absence persists with no swap in flight. The Delta/Iceberg
+        swap-out removes this entirely via snapshot isolation.
         """
-        import time
-
         last: Exception | None = None
         for _ in range(4):
-            if not self.exists(table):
+            if self.exists(table):
+                try:
+                    df = self.spark.read.parquet(str(self._path(table)))
+                    df.schema  # force file-listing/analysis now, inside the retry
+                    return df
+                except Exception as e:  # noqa: BLE001 — transient listing race
+                    last = e
+            # Absent with no swap artifacts: re-check existence *after*
+            # the artifact probe (the swap's rename-into-place strictly
+            # precedes its old-dir cleanup, so a table that is really
+            # there reappears by the second look) and give up early.
+            elif not self._swap_in_progress(table) and not self.exists(table):
                 return None
-            try:
-                df = self.spark.read.parquet(str(self._path(table)))
-                df.schema  # force file-listing/analysis now, inside the retry
-                return df
-            except Exception as e:  # noqa: BLE001 — transient listing race
-                last = e
-                time.sleep(0.25)
-        raise last
+            time.sleep(0.25)
+        if last is not None:
+            raise last
+        return None
 
     def append(self, table: str, df: DataFrame) -> None:
         """S7-style plain append."""
-        w = df.write.mode("append")
-        if table in self.partitioning:
-            w = w.partitionBy(*self.partitioning[table])
-        w.parquet(str(self._path(table)))
+        with self._write_lock:
+            w = df.write.mode("append")
+            if table in self.partitioning:
+                w = w.partitionBy(*self.partitioning[table])
+            w.parquet(str(self._path(table)))
 
     def append_if_absent(self, table: str, df: DataFrame, key: list[str]) -> None:
         """S5/S6: INSERT ... ON CONFLICT DO NOTHING == anti-join + append.
@@ -121,34 +159,97 @@ class ParquetWarehouse:
         Also dedups the incoming batch on the key (first wins — matching a
         unique-constraint insert where later conflicting rows are dropped).
         """
-        incoming = df.dropDuplicates(key)
-        existing = self.read(table)
-        if existing is not None:
-            incoming = incoming.join(
-                existing.select(*key), on=key, how="left_anti"
-            )
-        self.append(table, incoming)
+        with self._write_lock:
+            incoming = df.dropDuplicates(key)
+            existing = self.read(table)
+            if existing is not None:
+                incoming = incoming.join(
+                    existing.select(*key), on=key, how="left_anti"
+                )
+            self.append(table, incoming)
 
     def _rewrite(self, table: str, df: DataFrame) -> None:
+        """Whole-table rewrite: materialize to temp (live table still
+        readable), then swap via two renames. The table directory is
+        absent only between the renames — microseconds, not the rmtree
+        duration — and ``read`` retries across it."""
         tmp = self.root / f"{table}.tmp-{uuid.uuid4().hex}"
         w = df.write.mode("overwrite")
         if table in self.partitioning:
             w = w.partitionBy(*self.partitioning[table])
         w.parquet(str(tmp))
         final = self._path(table)
+        old = self.root / f"{table}.old-{uuid.uuid4().hex}"
         if final.exists():
-            shutil.rmtree(final)
+            final.rename(old)
         tmp.rename(final)
+        if old.exists():
+            shutil.rmtree(old)
+
+    def _scoped_pcol(self, table: str, key: list[str]) -> str | None:
+        """The partition column enabling a partition-scoped merge: the
+        table is hive-partitioned on exactly one column and that column is
+        part of the merge key (so no row of an untouched partition can
+        conflict with the incoming batch)."""
+        pcols = self.partitioning.get(table)
+        if pcols and len(pcols) == 1 and pcols[0] in key:
+            return pcols[0]
+        return None
+
+    def _touched_filter(self, pcol: str, df: DataFrame):
+        """Predicate selecting existing rows in partitions the incoming
+        batch touches. Collects the batch's distinct partition values —
+        one job's studies/ids, inherently small."""
+        vals = [r[0] for r in df.select(pcol).distinct().collect()]
+        non_null = [v for v in vals if v is not None]
+        cond = F.col(pcol).isin(non_null) if non_null else F.lit(False)
+        if len(non_null) < len(vals):  # batch has NULL partition rows
+            cond = cond | F.col(pcol).isNull()
+        return cond
+
+    def _swap_partitions(self, table: str, merged: DataFrame, pcol: str) -> None:
+        """Materialize ``merged`` (touched partitions only) to a temp dir,
+        then swap each written ``pcol=value`` directory into the live
+        table. Untouched partition directories are never opened, rewritten
+        or renamed — their files stay byte-identical."""
+        tmp = self.root / f"{table}.tmp-{uuid.uuid4().hex}"
+        merged.write.mode("overwrite").partitionBy(pcol).parquet(str(tmp))
+        final = self._path(table)
+        final.mkdir(parents=True, exist_ok=True)
+        old = self.root / f"{table}.old-{uuid.uuid4().hex}"
+        old.mkdir()
+        # Spark already hive-escaped the directory names in tmp — swap by
+        # name, no value→path encoding of our own.
+        for src in sorted(tmp.iterdir()):
+            if not src.is_dir() or not src.name.startswith(f"{pcol}="):
+                continue
+            dst = final / src.name
+            if dst.exists():
+                dst.rename(old / src.name)
+            src.rename(dst)
+        shutil.rmtree(old)
+        shutil.rmtree(tmp)
 
     def upsert(self, table: str, df: DataFrame, key: list[str]) -> None:
-        """S9/J2: last-write-wins merge on the key (new rows replace old)."""
-        existing = self.read(table)
-        if existing is None:
-            self._rewrite(table, df)
-            return
-        keep = existing.join(df.select(*key), on=key, how="left_anti")
-        merged = keep.unionByName(df, allowMissingColumns=True)
-        self._rewrite(table, merged)
+        """S9/J2: last-write-wins merge on the key (new rows replace old).
+
+        Partition-scoped when the key covers the partition column: only
+        partitions present in ``df`` are read back, merged and swapped.
+        """
+        with self._write_lock:
+            existing = self.read(table)
+            if existing is None:
+                self._rewrite(table, df)
+                return
+            pcol = self._scoped_pcol(table, key)
+            if pcol is not None:
+                existing = existing.filter(self._touched_filter(pcol, df))
+            keep = existing.join(df.select(*key), on=key, how="left_anti")
+            merged = keep.unionByName(df, allowMissingColumns=True)
+            if pcol is not None:
+                self._swap_partitions(table, merged, pcol)
+            else:
+                self._rewrite(table, merged)
 
     def merge_aggregations(self, table: str, df: DataFrame, key: list[str]) -> None:
         """S8: the reference's asymmetric agg upsert (db.py:120-126):
@@ -157,11 +258,21 @@ class ParquetWarehouse:
         ``min_num = LEAST(old, new)``, ``max_num = GREATEST(old, new)`` —
         so after re-ingest avg reflects only the latest job while min/max
         are historical (§2.9.3, replicated deliberately).
+
+        Partition-scoped like :meth:`upsert`: a job merging one study's
+        aggregates rewrites only that study's partition directory.
         """
+        with self._write_lock:
+            self._merge_aggregations(table, df, key)
+
+    def _merge_aggregations(self, table: str, df: DataFrame, key: list[str]) -> None:
         existing = self.read(table)
         if existing is None:
             self._rewrite(table, df)
             return
+        pcol = self._scoped_pcol(table, key)
+        if pcol is not None:
+            existing = existing.filter(self._touched_filter(pcol, df))
         new = df.select(
             *key,
             F.col("cnt").alias("_new_cnt"),
@@ -188,4 +299,7 @@ class ParquetWarehouse:
             .alias("max_num"),
             F.coalesce("_new_job", "job_id").alias("job_id"),
         )
-        self._rewrite(table, merged)
+        if pcol is not None:
+            self._swap_partitions(table, merged, pcol)
+        else:
+            self._rewrite(table, merged)

@@ -71,6 +71,8 @@ def test_v_recent_30d(views):
 
 
 def test_v_participants_per_study(views):
-    got = {r["study_id"]: r["n_participants"] for r in views.sql(
+    # Column named `participants`, matching the reference view contract
+    # (database/08_views.sql:28).
+    got = {r["study_id"]: r["participants"] for r in views.sql(
         "SELECT * FROM v_participants_per_study").collect()}
     assert got == {"S1": 2, "S2": 2}
