@@ -64,17 +64,26 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    print(line)
+    # Local round-over-round history: every run appends its per-query line
+    # so regressions are visible without waiting for the driver's
+    # BENCH_r{N}.json snapshots.
+    try:
+        hist = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl")
+        with open(hist, "a") as f:
+            rec = {"ts": time.strftime("%Y-%m-%dT%H:%M:%S"), **json.loads(line)}
+            f.write(json.dumps(rec) + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

@@ -85,7 +85,11 @@ def process_job(
         warehouse.append_if_absent(SILVER_TABLE, silver, list(SILVER_KEY))
 
         ledger.mark(jid, "running", "quality checks", progress=75)
-        warehouse.append(QUALITY_TABLE, quality_counts(raw, jid))
+        # Keyed-idempotent on (job_id, rule_name): a retried job id never
+        # duplicates its quality rows (parity with the bronze/silver keys).
+        warehouse.append_if_absent(
+            QUALITY_TABLE, quality_counts(raw, jid), ["job_id", "rule_name"]
+        )
 
         ledger.mark(jid, "running", "aggregations", progress=90)
         # Gold is built from THIS job's silver rows (the reference

@@ -23,7 +23,7 @@ aggregate; quality is one pass with a broadcast bounds dim.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -68,7 +68,7 @@ def validate_quality_scores(raw: DataFrame) -> None:
         )
 
 
-def stage_bronze(raw: DataFrame, job_id: str, source_filename: str) -> DataFrame:
+def stage_bronze(raw: DataFrame, job_id: str, source_filename: str | Column) -> DataFrame:
     """R3 lineage + bronze normalization (etl.py:72-98).
 
     Adds per-row ``id`` (uuid), 1-based ``row_num`` in file order, job
@@ -77,18 +77,28 @@ def stage_bronze(raw: DataFrame, job_id: str, source_filename: str) -> DataFrame
     ``timestamp`` parsed to TimestampType (the reference delegates that
     cast to Postgres at insert, 02_staging_clinical_trials.sql:11).
 
+    ``source_filename`` may be a Column (streaming multi-file batches pass
+    the per-row source file), in which case row numbering restarts per
+    file — one pass stages the whole batch.
+
     ``row_num`` determinism (§2.9.6): ``monotonically_increasing_id`` is
     ascending in file order for a splittable single-file read (partition id
-    ordering follows byte ranges), so ``row_number`` over it reproduces the
-    pandas 1..n numbering. Partitioned by source file, so at scale the sort
-    is per-file, never global.
+    ordering follows byte ranges; a task reading several whole files keeps
+    each file's rows contiguous and in order), so ``row_number`` over it
+    reproduces the pandas 1..n numbering. Partitioned by source file, so
+    at scale the sort is per-file, never global.
     """
+    src = (
+        F.lit(source_filename)
+        if isinstance(source_filename, str)
+        else source_filename
+    )
     order = F.monotonically_increasing_id()
-    w = W.partitionBy(F.lit(source_filename)).orderBy(order)
+    w = W.partitionBy(src).orderBy(order)
     return raw.select(
         F.expr("uuid()").alias("id"),
         F.lit(job_id).alias("job_id"),
-        F.lit(source_filename).alias("source_filename"),
+        src.alias("source_filename"),
         F.row_number().over(w).alias("row_num"),
         "study_id",
         "participant_id",

@@ -222,19 +222,26 @@ def minhash_lsh_pairs(
         )
         .persist()
     )
-    sig = minhash_signature(F.col("shingles"), num_hashes)
+    # sig MUST be materialized as a named column before element_at slices
+    # it: higher-order expressions get no codegen subexpression elimination,
+    # so inlining the 32-min-hash array into 32 element_at calls would
+    # evaluate the whole signature 32× per row (CollapseProject keeps the
+    # boundary because the alias is non-cheap and multiply referenced).
+    sigs = sh.select(
+        "doc_id", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+    )
     band_cols = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.xxhash64(
-                    F.concat_ws(",", *[F.element_at(sig, b * rows + r + 1) for r in range(rows)])
+                    F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
                 ).alias("bucket"),
             )
             for b in range(bands)
         ]
     )
-    buckets = sh.select("doc_id", F.explode(band_cols).alias("bb")).select(
+    buckets = sigs.select("doc_id", F.explode(band_cols).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     a = buckets.select(F.col("doc_id").alias("id_a"), "band", "bucket")

@@ -125,6 +125,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests verify output ⊆ exact ngram_jaccard result.
     doc="[EXT] MinHash(32)+LSH(8×4) near-dup pairs verified by exact "
     "Jaccard — the sub-quadratic scale path for the 0.8-threshold dedup.",
+    headline=True,
     tags=("dedup", "approx"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,6 +140,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # 64-bit fingerprint is hash-family-specific → rows-only.
     doc="[EXT] SimHash-64 near-dup pairs (Hamming ≤ 3) via 4×16-bit band "
     "buckets + popcount verify.",
+    headline=True,
     tags=("dedup", "approx"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,6 +215,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # LSH recall < 1 by design → rows-only; tests measure recall vs exact.
     doc="[EXT] hyperplane-LSH approximate top-k: 16 deterministic sign "
     "bits, 4×4-bit band buckets, exact cosine re-rank of candidates only.",
+    headline=True,
     tags=("similarity", "approx"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,6 +533,7 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the 2 nearest cells per query, exact cosine re-rank inside them — "
     "each query touches ~n_probe/n_clusters of the corpus via a cell-id "
     "equi-join (operators/similarity.py:ivf_topk).",
+    headline=True,
     tags=("similarity", "approx"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

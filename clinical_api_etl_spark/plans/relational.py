@@ -1089,6 +1089,7 @@ def s8_asymmetric_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle, linear per key; the DuckDB oracle uses its native ASOF JOIN, "
     "so two independent formulations must agree exactly. Right side "
     "deduped per (user, ts) for tie determinism.",
+    headline=True,
     tags=("join", "temporal", "window"),
 )
 def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1175,6 +1176,7 @@ def range_join_click_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join plans as a nested-loop cross product; bucketing ts to the window "
     "length and equi-joining (bucket, bucket+1) makes it a hash join with "
     "bounded fan-out — the IEJoin-class rewrite for streams.",
+    headline=True,
     tags=("join", "temporal"),
 )
 def range_join_global_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1481,6 +1483,7 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="J4 [EXT]: TPC-H Q18 core — join + group + HAVING on the aggregate "
     "(threshold tuned to this data's quantity distribution).",
+    headline=True,
     tags=("join", "J4", "agg"),
 )
 def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

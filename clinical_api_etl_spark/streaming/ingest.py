@@ -54,8 +54,11 @@ STREAM_SCHEMA = T.StructType(
 def _process_batch(wh: ParquetWarehouse, batch_df: DataFrame, batch_id: int) -> None:
     """One micro-batch = one logical job, keyed ``stream-<batch_id>``.
 
-    Runs per *file* within the batch so row_num lineage stays per-file
-    (the reference's (job, file, row_num) key — S5).
+    The whole batch is staged in ONE pass regardless of how many files it
+    spans: ``row_num`` lineage restarts per file via a window partitioned
+    on the per-row source filename (the reference's (job, file, row_num)
+    key — S5), so a 1,000-file trigger costs the same fixed number of
+    Spark jobs as a 1-file trigger.
     """
     if batch_df.isEmpty():
         return
@@ -71,36 +74,38 @@ def _process_batch(wh: ParquetWarehouse, batch_df: DataFrame, batch_id: int) -> 
     ledger = JobLedger(wh)
     ledger.submit(",".join(sorted(files)), job_id=job_id)
     try:
-        _run_files(wh, batch, job_id, sorted(files))
+        _run_batch(wh, batch, job_id)
     except Exception as e:  # noqa: BLE001
         ledger.mark(job_id, "failed", str(e), progress=100)
         raise
     ledger.mark(job_id, "completed", "completed", progress=100)
 
 
-def _run_files(
-    wh: ParquetWarehouse, batch: DataFrame, job_id: str, files: list[str]
-) -> None:
-    for fname in files:
-        raw = (
-            batch.filter(F.col("_src") == fname)
-            .drop("_source_file", "_src")
-            .select(
-                *[F.coalesce(F.col(c), F.lit("")).alias(c) for c in CSV_COLUMNS]
-            )
-            .withColumn("unit", F.trim("unit"))
-        )
-        validate_quality_scores(raw)  # CHECK parity — fails the micro-batch
-        bronze = stage_bronze(raw, job_id, fname)
-        wh.append_if_absent(BRONZE_TABLE, bronze, BRONZE_KEY)
-        staged = wh.read(BRONZE_TABLE).filter(
-            (F.col("job_id") == job_id) & (F.col("source_filename") == fname)
-        )
-        wh.append_if_absent(SILVER_TABLE, build_silver(staged), list(SILVER_KEY))
-        wh.append(QUALITY_TABLE, quality_counts(raw, job_id))
-        wh.merge_aggregations(
-            GOLD_TABLE, build_gold(build_silver(staged), job_id), list(GOLD_KEY)
-        )
+def _run_batch(wh: ParquetWarehouse, batch: DataFrame, job_id: str) -> None:
+    """One pass over every file in the trigger: stage → silver → quality →
+    gold, each sink written once. Every write is keyed-idempotent (bronze/
+    silver/quality by natural key, gold via the S8 merge), so a retried
+    micro-batch under the same ``stream-<batch_id>`` job id re-writes
+    nothing — including the quality report (ADVICE: previously a plain
+    append that duplicated on retry)."""
+    raw = batch.select(
+        *[F.coalesce(F.col(c), F.lit("")).alias(c) for c in CSV_COLUMNS],
+        F.col("_src"),
+    ).withColumn("unit", F.trim("unit"))
+    # CHECK parity: any offending row fails the whole micro-batch BEFORE
+    # any sink is touched (the reference's per-batch transaction rollback).
+    validate_quality_scores(raw)
+    bronze = stage_bronze(raw, job_id, F.col("_src"))
+    wh.append_if_absent(BRONZE_TABLE, bronze, BRONZE_KEY)
+    staged = wh.read(BRONZE_TABLE).filter(F.col("job_id") == job_id)
+    silver = build_silver(staged)
+    wh.append_if_absent(SILVER_TABLE, silver, list(SILVER_KEY))
+    wh.append_if_absent(
+        QUALITY_TABLE,
+        quality_counts(raw.drop("_src"), job_id),
+        ["job_id", "rule_name"],
+    )
+    wh.merge_aggregations(GOLD_TABLE, build_gold(silver, job_id), list(GOLD_KEY))
 
 
 def run_ingest_stream(

@@ -48,6 +48,62 @@ class TestIngestStream:
         gold = {r["measurement_type"]: r for r in warehouse.read(GOLD_TABLE).collect()}
         assert gold["weight"]["cnt"] == 1
 
+    def test_multi_file_trigger_is_one_pass(self, spark, warehouse, tmp_path):
+        """A trigger spanning N files must hit each sink a CONSTANT number
+        of times (one batch-wide pass), not O(N) — the per-file loop made
+        a 1,000-file trigger ~4,000 sequential Spark jobs."""
+        for i in range(8):
+            drop = _drop(tmp_path, f"m{i}.csv", [
+                f"S{i},P1,glucose,9{i}.5,mg/dL,2024-01-15T09:3{i}:00Z,SITE_A,0.98",
+                f"S{i},P2,blood_pressure,120/8{i},mmHg,2024-01-15T10:0{i}:00Z,SITE_B,0.97",
+            ])
+        calls: list[str] = []
+        for m in ("append", "append_if_absent", "upsert", "merge_aggregations"):
+            orig = getattr(warehouse, m)
+
+            def wrapped(*a, _orig=orig, _m=m, **kw):
+                calls.append(_m)
+                return _orig(*a, **kw)
+
+            setattr(warehouse, m, wrapped)
+        run_ingest_stream(spark, warehouse, drop, str(tmp_path / "mckpt"))
+        # One batch = bronze + silver + quality + gold + dim/ledger writes,
+        # independent of the 8 files. (Per-file would be ≥ 8×4 = 32.)
+        assert len(calls) <= 10, f"{len(calls)} sink calls for 8 files: {calls}"
+        assert warehouse.read(BRONZE_TABLE).count() == 16
+        # row_num restarts per file (the (job, file, row_num) S5 key)
+        per_file = (
+            warehouse.read(BRONZE_TABLE)
+            .groupBy("source_filename")
+            .agg(F.min("row_num").alias("lo"), F.max("row_num").alias("hi"))
+            .collect()
+        )
+        assert all(r["lo"] == 1 and r["hi"] == 2 for r in per_file)
+        assert warehouse.read(SILVER_TABLE).count() == 8 + 16  # BP rows split
+
+    def test_retried_batch_does_not_duplicate_quality_rows(
+        self, spark, warehouse, tmp_path
+    ):
+        """ADVICE parity: if a micro-batch fails after the quality append
+        and is retried under the same stream-<batch_id> job id, the quality
+        report must not duplicate — append is keyed on (job_id, rule_name)."""
+        from clinical_api_etl_spark.jobs.runner import QUALITY_TABLE
+        from clinical_api_etl_spark.streaming.ingest import _run_batch
+
+        drop = _drop(tmp_path, "q1.csv", [
+            "S1,P1,glucose,95.5,,2024-01-15T09:30:00Z,SITE_A,0.98",  # missing unit
+        ])
+        batch = (
+            spark.read.option("header", True).csv(drop)
+            .withColumn("_source_file", F.lit("q1.csv"))
+            .withColumn("_src", F.lit("q1.csv"))
+        )
+        _run_batch(warehouse, batch, "stream-7")
+        _run_batch(warehouse, batch, "stream-7")  # the retry
+        quality = warehouse.read(QUALITY_TABLE).filter(F.col("job_id") == "stream-7")
+        assert quality.count() == quality.dropDuplicates(["job_id", "rule_name"]).count()
+        assert quality.filter(F.col("rule_name") == "missing_unit_required").count() == 1
+
     def test_checkpoint_survives_fresh_query(self, spark, warehouse, tmp_path):
         """Losing the in-memory query but keeping the checkpoint must not
         re-ingest (the reference's retry-safety, now from the stream log)."""
