@@ -8,11 +8,12 @@ Media are opaque ``binary`` payload columns with a typed metadata struct:
 
 The Spark-side machinery — schema, partition-friendly batch shapes,
 Arrow-batched ``mapInPandas`` decode/feature/resize/frame-sample stages —
-is real and tested. The *codec* step is stubbed: this container has no
-image/audio libraries, so ``decode_media`` raises ``NotImplementedError``
-unless ``fake=True``, in which case a clearly-marked deterministic fake
-decoder produces byte-derived features so the distributed plumbing can be
-exercised end-to-end.
+is real and tested. The *codec* step is guarded: when Pillow is
+importable, image payloads decode/resize for real; otherwise
+``decode_media``/``resize_images`` raise ``NotImplementedError`` unless
+``fake=True``, in which case a clearly-marked deterministic fake decoder
+produces byte-derived features so the distributed plumbing can be
+exercised end-to-end. (Audio/video codecs remain stubbed either way.)
 
 Scale posture: payloads never pass through the driver; each ``mapInPandas``
 batch holds ``spark.sql.execution.arrow.maxRecordsPerBatch`` rows, so
@@ -88,6 +89,16 @@ def binary_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def _pil_available() -> bool:
+    """True when Pillow is importable (guarded — not shipped here)."""
+    try:
+        from PIL import Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def _fake_decode(payload: bytes, dim: int) -> list[float]:
     """Deterministic FAKE decode: folds payload bytes into ``dim`` buckets.
     Stands in for a real codec (PIL/libav) absent from this container —
@@ -99,29 +110,59 @@ def _fake_decode(payload: bytes, dim: int) -> list[float]:
     return [a / total for a in acc]
 
 
+def _pil_decode(payload: bytes, dim: int) -> list[float]:
+    """Real image decode via Pillow: grayscale intensity histogram folded
+    into ``dim`` buckets, normalized to sum 1 — a deterministic, codec-true
+    feature. Runs inside an executor's Arrow batch, never on the driver."""
+    import io
+
+    from PIL import Image
+
+    hist = Image.open(io.BytesIO(payload)).convert("L").histogram()  # 256 bins
+    acc = [0.0] * dim
+    for level, count in enumerate(hist):
+        acc[level * dim // 256] += float(count)
+    total = sum(acc) or 1.0
+    return [a / total for a in acc]
+
+
 def decode_media(df: DataFrame, *, dim: int = 8, fake: bool = False) -> DataFrame:
     """Decode/feature-extract stage as Arrow-batched ``mapInPandas``.
 
-    With ``fake=False`` (production posture) this raises
-    ``NotImplementedError`` at *plan build time* — the real implementation
-    plugs a codec into ``_decode_batch`` without touching the Spark
-    plumbing. With ``fake=True`` the deterministic byte-fold fake runs the
-    full distributed path.
+    Codec resolution, at *plan build time*:
+
+    * ``fake=True`` — the deterministic byte-fold fake runs the full
+      distributed path (batch shapes/schemas real, decode admittedly not).
+    * ``fake=False`` with Pillow importable — image payloads decode for
+      real (grayscale-histogram features); non-image kinds keep the fake
+      fold (audio/video codecs remain stubbed, documented).
+    * ``fake=False`` without Pillow — ``NotImplementedError``: this
+      container ships no codec, and pretending otherwise would be worse.
     """
+    use_pil = False
     if not fake:
-        raise NotImplementedError(
-            "media codecs (PIL/libav) are not available in this environment; "
-            "pass fake=True to run the deterministic fake decoder"
-        )
+        if not _pil_available():
+            raise NotImplementedError(
+                "media codecs (PIL/libav) are not available in this "
+                "environment; pass fake=True to run the deterministic fake "
+                "decoder"
+            )
+        use_pil = True
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            feats = [
+                _pil_decode(p, dim)
+                if use_pil and m["kind"] == "image"
+                else _fake_decode(p, dim)
+                for p, m in zip(pdf["payload"], pdf["media"])
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "kind": [m["kind"] for m in pdf["media"]],
                     "n_bytes": [len(p) for p in pdf["payload"]],
-                    "feature": [_fake_decode(p, dim) for p in pdf["payload"]],
+                    "feature": feats,
                 }
             )
 
@@ -171,23 +212,38 @@ def resize_images(
 
     Output keeps the multimodal frame shape (payload + metadata with the
     new dims), so resize composes with ``decode_media``/``binary_stats``
-    downstream. Like decode, the codec is stubbed: ``fake=False`` raises at
-    plan build time; ``fake=True`` runs a deterministic byte-sampler
-    through the full distributed path. Non-image rows pass through
+    downstream. Codec resolution mirrors ``decode_media``: ``fake=True``
+    runs the deterministic byte-sampler; ``fake=False`` uses Pillow
+    (real ``Image.resize``, PNG-encoded output) when importable and raises
+    ``NotImplementedError`` otherwise. Non-image rows pass through
     untouched (payload and metadata unchanged).
     """
+    use_pil = False
     if not fake:
-        raise NotImplementedError(
-            "image codecs are not available in this environment; "
-            "pass fake=True to run the deterministic fake resizer"
-        )
+        if not _pil_available():
+            raise NotImplementedError(
+                "image codecs are not available in this environment; "
+                "pass fake=True to run the deterministic fake resizer"
+            )
+        use_pil = True
+
+    def _pil_resize(payload: bytes) -> bytes:
+        import io
+
+        from PIL import Image
+
+        out = io.BytesIO()
+        Image.open(io.BytesIO(payload)).resize((width, height)).save(out, "PNG")
+        return out.getvalue()
 
     def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, metas = [], []
             for p, m in zip(pdf["payload"], pdf["media"]):
                 if m["kind"] == "image":
-                    payloads.append(_fake_resize(p, width, height))
+                    payloads.append(
+                        _pil_resize(p) if use_pil else _fake_resize(p, width, height)
+                    )
                     metas.append({**m, "width": width, "height": height})
                 else:
                     payloads.append(p)

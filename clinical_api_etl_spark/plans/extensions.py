@@ -151,6 +151,43 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @QS.add(
+    "dedup_minhash_gate",
+    "SELECT TRUE AS subset_ok, 0.9 AS recall_floor, TRUE AS met",
+    doc="[EXT] hash-checked invariants for dedup_minhash_lsh vs the exact "
+    "ngram_jaccard result: the verified-candidate output must be a subset "
+    "of the exact pairs (LSH can only miss, never invent) and recall must "
+    "stay ≥ 0.9 (measured 1.0 at sf0.001/0.01/0.1 — the corpus's dup "
+    "clusters are near-identical, so every band agrees).",
+    tags=("dedup", "approx", "gate"),
+)
+def dedup_minhash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    mh = minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    both = mh.withColumn("m", F.lit(1)).join(
+        exact.withColumn("e", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    return both.agg(
+        F.sum(F.when(F.col("e").isNull(), 1).otherwise(0)).alias("_false_pos"),
+        F.sum(F.coalesce("e", F.lit(0))).alias("_n_exact"),
+        F.sum(F.when(F.col("e").isNotNull() & F.col("m").isNotNull(), 1).otherwise(0)).alias("_hits"),
+    ).select(
+        (F.col("_false_pos") == 0).alias("subset_ok"),
+        F.lit(0.9).alias("recall_floor"),
+        (F.col("_hits") / F.greatest(F.col("_n_exact"), F.lit(1)) >= 0.9).alias("met"),
+    )
+
+
+@QS.add(
     "dedup_embedding_cosine",
     f"""
     WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
@@ -224,6 +261,71 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return lsh_topk(queries, emb, k=5).withColumn("rank", F.col("rank").cast("long"))
+
+
+def _recall_gate(approx: DataFrame, exact: DataFrame, floor: float) -> DataFrame:
+    """Scalar recall-vs-exact gate: one row (n_exact, recall_floor, met).
+
+    Both inputs carry (query_id, neighbor_id). The approximate method is
+    deterministic (fixed hyperplanes / deterministic k-means), so ``met``
+    is stable run-to-run — a hash-checked oracle row turns the rows-only
+    approximate query into a driver-enforced recall invariant: if a code
+    change drops recall below the floor, the hash mismatches.
+    """
+    hits = approx.select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
+    return (
+        exact.select("query_id", "neighbor_id")
+        .join(hits, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            (F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))).alias("_r"),
+        )
+        .select(
+            "n_exact",
+            F.lit(floor).alias("recall_floor"),
+            (F.col("_r") >= floor).alias("met"),
+        )
+    )
+
+
+@QS.add(
+    "ann_lsh_recall_gate",
+    "SELECT CAST(50 AS BIGINT) AS n_exact, 0.5 AS recall_floor, TRUE AS met",
+    doc="[EXT] hash-checked recall floor for ann_lsh_topk: recall vs the "
+    "exact brute-force top-k must stay ≥ 0.5 (measured 0.56–0.74 across "
+    "sf0.001–0.1; hyperplanes are deterministic so the gate is stable). "
+    "Converts the approximate query's rows-only status into a driver-"
+    "enforced invariant.",
+    tags=("similarity", "approx", "gate"),
+)
+def ann_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.similarity import cosine_topk, lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return _recall_gate(
+        lsh_topk(queries, emb, k=5), cosine_topk(queries, emb, k=5), 0.5
+    )
+
+
+@QS.add(
+    "ann_ivf_recall_gate",
+    "SELECT CAST(50 AS BIGINT) AS n_exact, 0.75 AS recall_floor, TRUE AS met",
+    doc="[EXT] hash-checked recall floor for ann_ivf_topk: recall vs the "
+    "exact brute-force top-k must stay ≥ 0.75 (measured 0.80–0.86 across "
+    "sf0.001–0.1; k-means init is deterministic so the gate is stable).",
+    tags=("similarity", "approx", "gate"),
+)
+def ann_ivf_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return _recall_gate(
+        ivf_topk(queries, emb, k=5, n_clusters=8, n_probe=2),
+        cosine_topk(queries, emb, k=5),
+        0.75,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -544,9 +646,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries, emb, k=5, n_clusters=8, n_probe=2)
 
 
-@QS.add(
-    "text_chunk_windows",
-    f"""
+#: Shared by text_chunk_windows and the text_pack_sequences oracle.
+_CHUNK_SQL = f"""
     WITH tok AS (
       SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id < 100
     )
@@ -555,7 +656,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(t[s.s : s.s + 31], ' ') AS chunk_text,
            CAST(LEAST(32, len(t) - s.s + 1) AS INTEGER) AS n_tokens
     FROM tok, UNNEST(generate_series(1, GREATEST(len(t), 1), 24)) AS s(s)
-    """,
+"""
+
+
+@QS.add(
+    "text_chunk_windows",
+    _CHUNK_SQL,
     doc="[EXT] document chunking: overlapping 32-token windows, stride 24 "
     "(overlap 8) — the training-sample prep reshape, pure explode (one "
     "narrow pass, no shuffle before downstream grouping).",
@@ -583,12 +689,30 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @QS.add(
     "text_pack_sequences",
-    None,  # greedy fold is order-dependent per doc → rows-only; pytest
-    # verifies against a Python re-implementation + capacity invariant.
+    f"""
+    WITH RECURSIVE chunks AS ({_CHUNK_SQL}),
+    ordered AS (
+      SELECT doc_id, chunk_idx, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY chunk_idx) AS rn
+      FROM chunks
+    ),
+    packed AS (
+      SELECT doc_id, chunk_idx, n_tokens, rn, 0 AS bin, n_tokens AS used
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.doc_id, o.chunk_idx, o.n_tokens, o.rn,
+             CASE WHEN p.used + o.n_tokens <= 64 THEN p.bin ELSE p.bin + 1 END,
+             CASE WHEN p.used + o.n_tokens <= 64 THEN p.used + o.n_tokens
+                  ELSE o.n_tokens END
+      FROM packed p JOIN ordered o ON o.doc_id = p.doc_id AND o.rn = p.rn + 1
+    )
+    SELECT doc_id, chunk_idx, n_tokens, CAST(bin AS BIGINT) AS bin FROM packed
+    """,
     doc="[EXT] sequence packing: greedy bin-assignment of each document's "
     "chunks to 64-token context windows as a JVM-side aggregate fold "
     "(operators/textstats.py:pack_chunks) — the chunking→batch-assembly "
-    "step of a training-data pipeline.",
+    "step of a training-data pipeline. Oracle: the same greedy fold as a "
+    "DuckDB recursive CTE over rank-ordered chunks.",
     tags=("text", "reshape", "iterative"),
 )
 def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -92,12 +92,48 @@ class TestSimilarity:
             assert all(r["neighbor_id"] != q for r in rows)
 
 
+def _pil_missing() -> bool:
+    from clinical_api_etl_spark.operators.multimodal import _pil_available
+
+    return not _pil_available()
+
+
 class TestMultimodal:
-    def test_decode_requires_explicit_fake(self, docs):
+    def test_decode_requires_explicit_fake_without_codec(self, docs):
         from clinical_api_etl_spark.operators.multimodal import attach_media, decode_media
 
-        with pytest.raises(NotImplementedError, match="codec"):
+        if _pil_missing():
+            with pytest.raises(NotImplementedError, match="codec"):
+                decode_media(attach_media(docs), fake=False)
+        else:  # Pillow present: real path builds without raising
             decode_media(attach_media(docs), fake=False)
+
+    @pytest.mark.skipif(
+        _pil_missing(), reason="Pillow not installed in this container"
+    )
+    def test_real_png_decode_with_pil(self, spark):
+        """With Pillow present, an actual PNG decodes through the full
+        mapInPandas path: a half-black/half-white 8×2 image yields a
+        bimodal grayscale histogram (mass only in the darkest and
+        brightest buckets)."""
+        import io
+
+        from PIL import Image
+
+        from clinical_api_etl_spark.operators.multimodal import decode_media
+
+        img = Image.new("L", (8, 2))
+        img.putdata([0] * 8 + [255] * 8)
+        buf = io.BytesIO()
+        img.save(buf, "PNG")
+        df = spark.createDataFrame(
+            [(1, bytearray(buf.getvalue()), ("image", "image/png", 8, 2, None))],
+            "doc_id long, payload binary, media struct<kind:string,mime:string,width:int,height:int,duration_ms:long>",
+        )
+        row = decode_media(df, dim=8, fake=False).collect()[0]
+        assert row["feature"][0] == pytest.approx(0.5)
+        assert row["feature"][7] == pytest.approx(0.5)
+        assert sum(row["feature"][1:7]) == pytest.approx(0.0)
 
     def test_fake_decode_batch_shapes(self, docs):
         from clinical_api_etl_spark.operators.multimodal import attach_media, decode_media
@@ -153,11 +189,36 @@ class TestConnectedComponents:
 
 
 class TestResize:
-    def test_resize_requires_explicit_fake(self, docs):
+    def test_resize_requires_explicit_fake_without_codec(self, docs):
         from clinical_api_etl_spark.operators.multimodal import attach_media, resize_images
 
-        with pytest.raises(NotImplementedError):
+        if _pil_missing():
+            with pytest.raises(NotImplementedError):
+                resize_images(attach_media(docs), width=4, height=4)
+        else:
             resize_images(attach_media(docs), width=4, height=4)
+
+    @pytest.mark.skipif(
+        _pil_missing(), reason="Pillow not installed in this container"
+    )
+    def test_real_png_resize_with_pil(self, spark):
+        import io
+
+        from PIL import Image
+
+        from clinical_api_etl_spark.operators.multimodal import resize_images
+
+        img = Image.new("L", (8, 8), color=128)
+        buf = io.BytesIO()
+        img.save(buf, "PNG")
+        df = spark.createDataFrame(
+            [(1, bytearray(buf.getvalue()), ("image", "image/png", 8, 8, None))],
+            "doc_id long, payload binary, media struct<kind:string,mime:string,width:int,height:int,duration_ms:long>",
+        )
+        row = resize_images(df, width=4, height=4, fake=False).collect()[0]
+        out = Image.open(io.BytesIO(bytes(row["payload"])))
+        assert out.size == (4, 4)
+        assert (row["media"]["width"], row["media"]["height"]) == (4, 4)
 
     def test_fake_resize_shapes_and_passthrough(self, docs):
         from pyspark.sql import functions as F

@@ -308,3 +308,63 @@ def test_asof_join_equals_bruteforce(spark, left, right):
             assert got[i] == (t(bm), bv), (i, k, m)
         else:
             assert got[i] == (None, None), (i, k, m)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ns_vals=st.lists(
+        st.one_of(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            # cluster around the truncate-vs-floor hazard: sub-microsecond
+            # negatives and exact-millenium boundaries
+            st.integers(min_value=-2_000, max_value=2_000),
+            st.sampled_from([-1, 1, -999, 999, -1000, 1000, -1_000_000_001]),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_events_ns_to_us_conversion_matches_duckdb(spark, tmp_path_factory, ns_vals):
+    """catalog.load's TIMESTAMP(NANOS) → microsecond conversion
+    (`ts div 1000`, sources/catalog.py) must agree with DuckDB's
+    TIMESTAMP_NS → TIMESTAMP narrowing for every int64 — including
+    pre-epoch values, where truncation toward zero and flooring diverge
+    (−1500 ns → −1 µs under both engines: BOTH truncate; this test pins
+    that parity so neither side silently switches to flooring)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from clinical_api_etl_spark.sources.catalog import load
+
+    d = tmp_path_factory.mktemp("nsus")
+    path = str(d / "events.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array(ns_vals, type=pa.timestamp("ns"))}),
+        path,
+        use_deprecated_int96_timestamps=False,
+        coerce_timestamps=None,
+    )
+    got = [
+        r["us"]
+        for r in load(spark, str(d), "events")
+        .select(F.unix_micros("ts").alias("us"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT epoch_us(CAST(ts AS TIMESTAMP)) FROM read_parquet('{path}')"
+        ).fetchall()
+    ]
+    assert sorted(got) == sorted(want)
+    # and both equal int64 truncation-toward-zero
+    assert sorted(got) == sorted(int(v / 1000) if v >= 0 else -((-v) // 1000) for v in ns_vals)
