@@ -97,3 +97,33 @@ def chunk_spec(c: Column, chunk: int, stride: int) -> Column:
             F.least(F.lit(chunk), n - s + 1).alias("n"),
         ),
     )
+
+
+#: PII patterns, restricted to the regex subset Java (Spark) and RE2
+#: (DuckDB) interpret identically: character classes, +/{m,n} quantifiers,
+#: no backreferences or lookaround.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}(-[0-9]{4})?", "[PHONE]"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "[SSN]"),
+)
+
+
+def redact_pii(c: Column) -> Column:
+    """Scrub emails / phone numbers / SSN-shaped tokens, in PII_PATTERNS
+    order (SSN last so the more specific phone pattern wins on overlap).
+    Pure ``regexp_replace`` chain — JVM-side, no UDF."""
+    out = c
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(c: Column) -> Column:
+    """struct<email,phone,ssn> match counts per document (pre-redaction)."""
+    return F.struct(
+        *[
+            F.regexp_count(c, F.lit(pat)).cast("long").alias(kind)
+            for kind, pat, _ in PII_PATTERNS
+        ]
+    )

@@ -81,29 +81,36 @@ def kmeans_fit(
                 for cent in cents
             ]
         )
-        return pts.select(
-            "id", "v", (F.array_position(dists, F.array_min(dists)) - 1).alias("cluster")
+        # Materialize the k-fold distance array as a named column before
+        # argmin: array_position + array_min reference it twice, and
+        # higher-order expressions get no codegen subexpression elimination
+        # (CollapseProject keeps the boundary for non-cheap, multiply-
+        # referenced aliases) — inlining would evaluate all k folds twice.
+        return pts.select("id", "v", dists.alias("_d")).select(
+            "id", "v", (F.array_position("_d", F.array_min("_d")) - 1).alias("cluster")
         )
 
     dim = len(centroids[0])
     for _ in range(iterations):
         assigned = assign(centroids)
-        means = (
-            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cluster")
+        # Centroid update as ONE shuffle: dim codegen'd sum aggregates over
+        # element_at (map-side partial aggregation reduces each partition to
+        # k rows before the exchange) — replaces a posexplode (rows×dim) +
+        # two groupBys + per-dim sort, which shuffled 64× more rows.
+        sums = (
+            assigned.groupBy("cluster")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("centroid")
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
             )
             .collect()
         )
         new = list(centroids)
-        for r in means:
-            new[r["cluster"]] = [float(x) for x in r["centroid"]]
+        for r in sums:
+            new[r["cluster"]] = [float(r[f"s{i}"]) / r["n"] for i in range(dim)]
         centroids = new
 
     out = assign(centroids).select("id", F.col("cluster").cast("long").alias("cluster"))

@@ -168,6 +168,46 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+) -> DataFrame:
+    """Decontamination scan: for each training document, how many distinct
+    word n-grams it shares with ANY benchmark document, and with how many
+    benchmark documents it overlaps at all.
+
+    The eval-set-leakage check of an LLM data pipeline: any training doc
+    with ``n_shared > 0`` contains verbatim benchmark n-grams and is a
+    removal candidate. Same physical shape as ``ngram_jaccard_pairs``
+    candidate generation — shingles hash to longs, the join is a bucketed
+    equi-join on the shingle hash (work scales with shared-shingle mass,
+    never |train|×|bench|), and the benchmark side (inherently small)
+    broadcasts.
+
+    Output: (train_id, n_shared, n_bench_docs), overlapping docs only.
+    """
+    t = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(_hashed_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    b = bench.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(_hashed_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    return (
+        t.join(F.broadcast(b), "shingle")
+        .groupBy("train_id")
+        .agg(
+            F.countDistinct("shingle").cast("long").alias("n_shared"),
+            F.countDistinct("bench_id").cast("long").alias("n_bench_docs"),
+        )
+    )
+
+
 def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     """MinHash signature as array<long>: for hash i, min over shingles of
     xxhash64(shingle, "mh<i>"). Works on string shingles or pre-hashed

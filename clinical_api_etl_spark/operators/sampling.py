@@ -1,0 +1,85 @@
+"""Deterministic sampling & splitting for training-data pipelines. [EXT]
+
+The reference has no sampling surface (it is a point-lookup ETL API); these
+are the dataset-assembly operators a 100 TB corpus pipeline needs in front
+of training: reproducible train/val/test assignment and exact stratified
+sampling. Both are *hash-deterministic* — no RNG state, no
+``rand()``/seeds, identical output for any partitioning, executor count or
+engine, which is what makes them auditable (the same doc always lands in
+the same split) and oracle-checkable cross-engine.
+
+Portability note: the hash is ``md5`` of the decimal string of the id —
+NOT ``xxhash64`` — because the split must be reproducible *outside* Spark
+(DuckDB, Python, SQL warehouses all agree on md5). Fixed-width lowercase
+hex compares lexicographically == numerically, so thresholding the first 4
+hex chars partitions the id space at 16-bit granularity with no
+hex→integer conversion.
+
+Scale posture: both operators are a narrow projection plus (for the
+stratified case) one window shuffle on the strata key — no joins, no
+collects, no skew sensitivity beyond the strata themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _hex_bucket(id_col: Column) -> Column:
+    """First 4 hex chars of md5(id-as-string): a uniform 16-bit bucket in
+    ['0000', 'ffff'], identical in any engine with md5."""
+    return F.substring(F.md5(id_col.cast("string")), 1, 4)
+
+
+#: 16-bit thresholds for an 80/10/10 split: floor(0.8·65536)=52428=0xcccc,
+#: floor(0.9·65536)=58982=0xe666.
+_TRAIN_MAX = "cccc"
+_VAL_MAX = "e666"
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """Adds a ``split`` column ('train' | 'val' | 'test') keyed purely on
+    the row id hash — stable under re-runs, appends, repartitioning and
+    engine choice. Default 80/10/10; fractions are quantized to 1/65536.
+    """
+    t_max = format(int(train * 65536), "04x")
+    v_max = format(int((train + val) * 65536), "04x")
+    b = _hex_bucket(F.col(id_col))
+    return df.withColumn(
+        "split",
+        F.when(b < t_max, "train").when(b < v_max, "val").otherwise("test"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    id_col: str,
+    *,
+    fraction: float = 0.1,
+) -> DataFrame:
+    """EXACT deterministic stratified sample: within each stratum, rank
+    rows by (md5-of-id, id) and keep the first ``ceil(fraction · n)``.
+
+    Unlike ``df.sampleBy`` (Bernoulli per row — approximate counts, RNG-
+    seeded) this guarantees the per-stratum sample size exactly and
+    reproducibly: the hash order is a fixed random-looking permutation of
+    each stratum, so the prefix is an unbiased sample. One window shuffle
+    on the strata key.
+    """
+    w = W.partitionBy(*strata).orderBy(_hex_bucket(F.col(id_col)), F.col(id_col))
+    n = F.count(F.lit(1)).over(W.partitionBy(*strata))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", n)
+        .filter(F.col("_rn") <= F.ceil(F.lit(fraction) * F.col("_n")))
+        .drop("_rn", "_n")
+    )

@@ -721,3 +721,155 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     chunks = text_chunk_windows(spark, sf_dir)
     return pack_chunks(chunks, max_tokens=64)
+
+
+# ---------------------------------------------------------------------------
+# Dataset assembly: deterministic splits, stratified sampling,
+# decontamination, PII scrubbing. [EXT]
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "split_train_val_test",
+    """
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM (
+      SELECT doc_id,
+             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4) < 'cccc' THEN 'train'
+                  WHEN substr(md5(doc_id::VARCHAR), 1, 4) < 'e666' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ) GROUP BY split
+    """,
+    doc="[EXT] deterministic 80/10/10 train/val/test assignment keyed on "
+    "md5(doc_id) hex thresholds (operators/sampling.py:split_assign) — "
+    "reproducible across engines, partitionings and appends; narrow "
+    "projection, zero shuffles before the audit aggregate.",
+    tags=("sampling", "split"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.sampling import split_assign
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        split_assign(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+@QS.add(
+    "sample_stratified_events",
+    """
+    WITH r AS (
+      SELECT event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY substr(md5(event_id::VARCHAR), 1, 4), event_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_id, event_type FROM r WHERE rn <= CEIL(0.1 * n)
+    """,
+    doc="[EXT] exact deterministic 10% stratified sample per event_type "
+    "(operators/sampling.py:stratified_sample): md5-order prefix per "
+    "stratum — exact per-stratum counts, no RNG, one window shuffle. The "
+    "reproducible alternative to Bernoulli sampleBy for training-subset "
+    "carving.",
+    tags=("sampling",),
+)
+def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.sampling import stratified_sample
+
+    ev = load(spark, sf_dir, "events")
+    return stratified_sample(
+        ev.select("event_id", "event_type"), ["event_type"], "event_id", fraction=0.1
+    )
+
+
+@QS.add(
+    "decontaminate_vs_benchmark",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, unnest({_shingles_sql(5)}) AS shingle FROM tok
+    ),
+    t AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+    b AS (SELECT * FROM sh WHERE doc_id % 97 = 0)
+    SELECT t.doc_id AS train_id,
+           CAST(COUNT(DISTINCT t.shingle) AS BIGINT) AS n_shared,
+           CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+    FROM t JOIN b ON t.shingle = b.shingle
+    GROUP BY t.doc_id
+    """,
+    doc="[EXT] eval-set decontamination: training docs sharing any verbatim "
+    "5-gram with the benchmark slice (doc_id % 97 == 0 stands in for the "
+    "eval set). Bucketed equi-join on hashed shingles with the benchmark "
+    "side broadcast (operators/dedup.py:ngram_overlap) — work scales with "
+    "shared-shingle mass, never |train|x|bench|.",
+    tags=("dedup", "text", "decontamination"),
+)
+def decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.dedup import ngram_overlap
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return ngram_overlap(train, bench, "doc_id", "text", n=5)
+
+
+@QS.add(
+    "text_pii_redaction",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             text || ' reach me at user' || doc_id::VARCHAR
+                  || '@mail.example.org or +1-555-0199 or 123-45-6789'
+               AS contaminated
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(contaminated,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}(-[0-9]{4})?', '[PHONE]', 'g'),
+                 '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g')) AS fp,
+           CAST(len(regexp_extract_all(contaminated,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(contaminated,
+                 '\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}(-[0-9]{4})?')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(contaminated,
+                 '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn
+    FROM c
+    """,
+    doc="[EXT] PII scrubbing (functions/text.py:redact_pii): email/phone/"
+    "SSN patterns from the Java-regex ∩ RE2 subset, applied as a "
+    "regexp_replace chain over deterministically contaminated text; the "
+    "oracle hash-checks the redacted output byte-for-byte plus per-kind "
+    "match counts. Pure JVM expressions, zero UDF.",
+    tags=("text", "pii"),
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.functions.text import pii_counts, redact_pii
+
+    docs = load(spark, sf_dir, "documents")
+    contaminated = F.concat(
+        F.col("text"),
+        F.lit(" reach me at user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or +1-555-0199 or 123-45-6789"),
+    )
+    with_c = docs.select("doc_id", contaminated.alias("contaminated"))
+    counts = pii_counts(F.col("contaminated"))
+    return with_c.select(
+        "doc_id",
+        F.md5(redact_pii(F.col("contaminated"))).alias("fp"),
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ssn"].alias("n_ssn"),
+    )

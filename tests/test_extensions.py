@@ -366,3 +366,90 @@ class TestPackChunks:
             .filter((F.col("tot") > 20) & (F.col("k") > 1))
         )
         assert over.count() == 0  # only single-chunk bins may exceed capacity
+
+
+class TestSamplingAndSplits:
+    def test_split_assign_deterministic_and_complete(self, docs, spark):
+        from clinical_api_etl_spark.operators.sampling import split_assign
+
+        a = {r["doc_id"]: r["split"] for r in split_assign(docs, "doc_id").collect()}
+        b = {r["doc_id"]: r["split"] for r in split_assign(
+            docs.repartition(7), "doc_id").collect()}
+        assert a == b  # partitioning-independent
+        n = len(a)
+        frac_train = sum(1 for s in a.values() if s == "train") / n
+        assert 0.7 < frac_train < 0.9  # hash-uniform around 0.8
+        assert set(a.values()) <= {"train", "val", "test"}
+
+    def test_stratified_sample_exact_counts(self, spark):
+        from clinical_api_etl_spark.operators.sampling import stratified_sample
+        from clinical_api_etl_spark.sources.catalog import load
+
+        ev = load(spark, SF, "events").select("event_id", "event_type")
+        got = stratified_sample(ev, ["event_type"], "event_id", fraction=0.1)
+        import math
+
+        want = {
+            r["event_type"]: math.ceil(0.1 * r["n"])
+            for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        per = {
+            r["event_type"]: r["n"]
+            for r in got.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert per == want  # EXACT per-stratum sizes
+        # sample is a subset of the input
+        assert got.join(ev, ["event_id", "event_type"], "left_anti").count() == 0
+
+
+class TestDecontamination:
+    def test_planted_overlap_detected(self, spark):
+        from clinical_api_etl_spark.operators.dedup import ngram_overlap
+
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        train = spark.createDataFrame(
+            [
+                (1, "prefix text the quick brown fox jumps over suffix"),  # leaked
+                (2, "completely unrelated content about spark plans"),
+                (3, "quick brown fox jumps over the lazy dog indeed"),  # leaked
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["train_id"]: (r["n_shared"], r["n_bench_docs"])
+            for r in ngram_overlap(train, bench, "doc_id", "text", n=5).collect()
+        }
+        assert set(got) == {1, 3}
+        assert all(v[0] >= 1 and v[1] == 1 for v in got.values())
+
+
+class TestPiiRedaction:
+    def test_planted_pii_scrubbed(self, spark):
+        from clinical_api_etl_spark.functions.text import pii_counts, redact_pii
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail alice.smith+x@corp.example.com now"),
+                (2, "call +1-555-0199 or 12-345-678"),
+                (3, "ssn 123-45-6789 leaked"),
+                (4, "clean text, nothing to scrub"),
+            ],
+            "id long, text string",
+        )
+        out = {
+            r["id"]: (r["red"], r["c"])
+            for r in df.select(
+                "id",
+                redact_pii(F.col("text")).alias("red"),
+                pii_counts(F.col("text")).alias("c"),
+            ).collect()
+        }
+        assert out[1][0] == "mail [EMAIL] now"
+        assert out[1][1]["email"] == 1
+        assert "[PHONE]" in out[2][0] and "0199" not in out[2][0]
+        assert out[3][0] == "ssn [SSN] leaked"
+        assert out[4][0] == "clean text, nothing to scrub"
+        assert tuple(out[4][1]) == (0, 0, 0)
