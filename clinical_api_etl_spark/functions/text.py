@@ -127,3 +127,43 @@ def pii_counts(c: Column) -> Column:
             for kind, pat, _ in PII_PATTERNS
         ]
     )
+
+
+#: BPE-ish pre-tokenization pattern (Java-regex ∩ RE2): letter runs,
+#: digit runs, single non-space punctuation — the coarse split a byte-pair
+#: tokenizer applies before merges.
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def winnow_fingerprints(c: Column, *, k: int = 4, w: int = 5) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03): hash every k-gram, slide a w-window over the hash
+    sequence, keep each window's minimum — guarantees any shared run of
+    ≥ w+k-1 tokens between two documents shares a fingerprint, with
+    ~2/(w+1) selection density.
+
+    Hashes are md5-hex prefixes (8 chars): lexicographic min == numeric
+    min for fixed-width lowercase hex, and every engine computes the same
+    md5 — so the fingerprint set is engine-portable (unlike xxhash64).
+    Returns the sorted distinct selected hashes as array<string>. Pure
+    column expression; the k-gram hash array must be materialized by the
+    caller's projection boundary (no-HOF-CSE rule) — see
+    ``operators/textstats.py:winnow``.
+    """
+    toks = tokens(c)
+    kgrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.transform(kgrams, lambda g: F.substring(F.md5(g), 1, 8))
+
+
+def winnow_select(hashes: Column, *, w: int = 5) -> Column:
+    """Second stage of winnowing over a *materialized* hash-array column:
+    min of each w-window, distinct, sorted."""
+    n = F.size(hashes)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(hashes, i, w)),
+    )
+    return F.array_sort(F.array_distinct(wins))

@@ -873,3 +873,130 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["phone"].alias("n_phone"),
         counts["ssn"].alias("n_ssn"),
     )
+
+
+@QS.add(
+    "text_winnow_fingerprints",
+    """
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents WHERE doc_id < 200
+    ),
+    kg AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(t)-3, 1)+1),
+                            i -> substr(md5(array_to_string(t[i:i+3], ' ')), 1, 8)) AS h
+      FROM tok
+    ),
+    sel AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, greatest(len(h)-4, 1)+1),
+                              i -> list_aggregate(h[i:i+4], 'min')))) AS fps
+      FROM kg
+    )
+    SELECT doc_id, unnest(fps) AS fingerprint FROM sel
+    """,
+    doc="[EXT] winnowing fingerprints (Schleimer/Wilkerson/Aiken, "
+    "SIGMOD'03): per-window minimum over md5-hashed 4-gram sequences "
+    "(w=5) — any ≥8-token shared run between documents is guaranteed a "
+    "common fingerprint at ~1/3 the density of full shingling. The "
+    "copy-detection primitive between exact dedup and MinHash; md5-hex "
+    "prefixes keep the selection engine-portable. "
+    "functions/text.py:winnow_fingerprints/winnow_select.",
+    tags=("text", "dedup", "fingerprint"),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.functions.text import winnow_fingerprints, winnow_select
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # Materialize the k-gram hash array before the window-min pass: the
+    # select stage references it w times per output element (no-HOF-CSE).
+    hashed = docs.select(
+        "doc_id", winnow_fingerprints(F.col("text"), k=4).alias("h")
+    )
+    return hashed.select(
+        "doc_id",
+        F.explode(winnow_select(F.col("h"), w=5)).alias("fingerprint"),
+    )
+
+
+@QS.add(
+    "text_bpe_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT)
+             AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+             AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="[EXT] token accounting both ways a data pipeline needs it: "
+    "whitespace tokens (cost estimation vs word counts) and BPE-ish "
+    "pre-tokenization (letter runs / digit runs / punctuation — the split "
+    "a byte-pair tokenizer applies before merges; "
+    "functions/text.py:BPE_SPLIT_PATTERN). Narrow projection, zero UDF.",
+    tags=("text",),
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.functions.text import BPE_SPLIT_PATTERN, token_count
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(BPE_SPLIT_PATTERN)).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+@QS.add(
+    "emb_int8_quantize",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+               FROM embeddings),
+    s AS (SELECT vec_id, e,
+                 127.0 / greatest(list_max(list_transform(e, x -> abs(x))), 1e-12)
+                   AS scale
+          FROM v)
+    SELECT vec_id, scale,
+           CAST(list_reduce(list_transform(e, x -> floor(x * scale + 0.5)),
+                            (a, b) -> a + b) AS BIGINT) AS q_sum,
+           CAST(list_max(list_transform(e, x -> abs(floor(x * scale + 0.5)))) AS BIGINT)
+             AS q_max_abs
+    FROM s
+    """,
+    doc="[EXT] symmetric int8 embedding quantization (per-vector scale = "
+    "127/max|x|): the storage/serving compression step of an embedding "
+    "pipeline at 100 TB (4x smaller vectors, SIMD-friendly dot products). "
+    "Rounding is explicit floor(x+0.5) — identical in every engine, no "
+    "HALF_UP/HALF_EVEN ambiguity; checks quantized checksum and max "
+    "magnitude (≤127) per vector.",
+    tags=("similarity", "compression"),
+)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.functions.vectors import as_double
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = as_double(F.col("embedding"))
+    # scale referenced per element in the quantize transform → materialize
+    # both the double vector and the scale before that projection.
+    s = emb.select(
+        "vec_id",
+        e.alias("e"),
+        (
+            F.lit(127.0)
+            / F.greatest(
+                F.array_max(F.transform(e, lambda x: F.abs(x))), F.lit(1e-12)
+            )
+        ).alias("scale"),
+    )
+    q = F.transform(F.col("e"), lambda x: F.floor(x * F.col("scale") + F.lit(0.5)))
+    qm = s.select("vec_id", "scale", q.alias("q"))
+    return qm.select(
+        "vec_id",
+        "scale",
+        F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda a, b: a + b).alias("q_sum"),
+        F.array_max(F.transform(F.col("q"), lambda x: F.abs(x))).cast("long").alias("q_max_abs"),
+    )

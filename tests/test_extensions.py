@@ -453,3 +453,64 @@ class TestPiiRedaction:
         assert out[3][0] == "ssn [SSN] leaked"
         assert out[4][0] == "clean text, nothing to scrub"
         assert tuple(out[4][1]) == (0, 0, 0)
+
+
+class TestWinnowing:
+    def test_shared_run_guarantees_shared_fingerprint(self, spark):
+        """The winnowing guarantee (SIGMOD'03): two docs sharing a run of
+        >= w+k-1 tokens (here 8) must share at least one fingerprint."""
+        from clinical_api_etl_spark.functions.text import (
+            winnow_fingerprints,
+            winnow_select,
+        )
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+        df = spark.createDataFrame(
+            [(1, f"intro words {shared} tail one"),
+             (2, f"totally different prefix {shared} other ending"),
+             (3, "no overlap at all in this third document text")],
+            "doc_id long, text string",
+        )
+        hashed = df.select("doc_id", winnow_fingerprints(F.col("text"), k=4).alias("h"))
+        fps = {
+            r["doc_id"]: set(r["fps"])
+            for r in hashed.select(
+                "doc_id", winnow_select(F.col("h"), w=5).alias("fps")
+            ).collect()
+        }
+        assert fps[1] & fps[2], "shared 8-token run must share a fingerprint"
+        assert not (fps[1] & fps[3])
+
+    def test_density_below_full_shingling(self, docs):
+        from clinical_api_etl_spark.functions.text import (
+            winnow_fingerprints,
+            winnow_select,
+        )
+
+        hashed = docs.select("doc_id", winnow_fingerprints(F.col("text"), k=4).alias("h"))
+        out = hashed.select(
+            F.size("h").alias("n_kgrams"),
+            F.size(winnow_select(F.col("h"), w=5)).alias("n_sel"),
+        ).agg(F.sum("n_kgrams").alias("k"), F.sum("n_sel").alias("s")).collect()[0]
+        assert out["s"] < 0.6 * out["k"]  # ~2/(w+1)=1/3 expected density
+
+
+class TestInt8Quantize:
+    def test_roundtrip_error_bound(self, spark):
+        """Dequantized values err by at most scale/2 per component, and
+        quantized magnitudes never exceed 127."""
+        from clinical_api_etl_spark.plans.extensions import emb_int8_quantize
+
+        out = emb_int8_quantize(spark, SF).collect()
+        assert all(r["q_max_abs"] <= 127 for r in out)
+        import math
+
+        emb = {r["vec_id"]: r["embedding"] for r in
+               spark.read.parquet(f"{SF}/embeddings.parquet").collect()}
+        for r in out[:20]:
+            v = [float(x) for x in emb[r["vec_id"]]]
+            scale = r["scale"]
+            q = [math.floor(x * scale + 0.5) for x in v]
+            assert sum(q) == r["q_sum"]
+            for x, qi in zip(v, q):
+                assert abs(qi / scale - x) <= 0.5 / scale + 1e-12
