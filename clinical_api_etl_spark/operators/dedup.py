@@ -318,6 +318,11 @@ def simhash_bits(tokens_col: Column, bits: int = 64) -> Column:
     JVM-side, no UDF. Kept as a bit array (not packed into a BIGINT): band
     extraction and Hamming distance are then plain array ops, and ANSI-mode
     long-overflow concerns disappear.
+
+    NOTE: the expression form costs ``bits`` interpreted lambda evals per
+    token (higher-order functions don't codegen); prefer
+    :func:`simhash_signatures` on whole tables — same signature values via
+    explode + whole-stage-codegen'd sums.
     """
     votes = F.aggregate(
         tokens_col,
@@ -332,6 +337,37 @@ def simhash_bits(tokens_col: Column, bits: int = 64) -> Column:
         ),
     )
     return F.transform(votes, lambda v: F.when(v > 0, 1).otherwise(0))
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """(doc_id, sig) with the same values as :func:`simhash_bits`, computed
+    the codegen-friendly way: explode tokens, hash once per token, then
+    ``bits`` integer ``sum(when(getbit...))`` aggregates — one shuffle of
+    (doc_id, hash) pairs with map-side partial aggregation, every
+    expression inside whole-stage codegen. Integer sums are exact, so the
+    result is order-independent and identical to the interpreted fold.
+    """
+    from clinical_api_etl_spark.functions.text import tokens as _tokens
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.getbit("h", F.lit(j)) == 1, 1).otherwise(-1)).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = F.array(
+        *[
+            F.when(F.col(f"v{j}") > 0, F.lit(1)).otherwise(F.lit(0))
+            for j in range(bits)
+        ]
+    )
+    return votes.select("doc_id", sig.alias("sig"))
 
 
 def simhash_pairs(
@@ -352,7 +388,6 @@ def simhash_pairs(
     """
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
-    from clinical_api_etl_spark.functions.text import tokens as _tokens
 
     bits = 64
     n_bands = max_hamming + 1
@@ -361,14 +396,12 @@ def simhash_pairs(
     widths = [base + (1 if b < rem else 0) for b in range(n_bands)]
     starts = [sum(widths[:b]) for b in range(n_bands)]
 
-    sh = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            simhash_bits(_tokens(F.col(text_col))).alias("sig"),
-        )
-        .persist()
-    )
+    sh = simhash_signatures(
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism),
+        id_col,
+        text_col,
+        bits,
+    ).persist()
     band_arr = F.array(
         *[
             F.struct(
