@@ -1000,3 +1000,90 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda a, b: a + b).alias("q_sum"),
         F.array_max(F.transform(F.col("q"), lambda x: F.abs(x))).cast("long").alias("q_max_abs"),
     )
+
+
+@QS.add(
+    "corpus_clean_for_training",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest({_shingles_sql(5)}) AS shingle FROM tok),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id
+      FROM sh t JOIN sh b ON t.shingle = b.shingle
+      WHERE t.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
+    )
+    SELECT d.doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+    FROM documents d
+    WHERE d.doc_id % 97 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      AND len({_TOKS}) >= 20
+    """,
+    doc="[EXT] end-to-end corpus curation: training docs (non-benchmark) "
+    "minus decontamination hits (any shared 5-gram with the eval slice) "
+    "minus too-short documents — the anti-join composition that turns the "
+    "decontaminate_vs_benchmark scan into an actionable clean corpus. "
+    "Flagged ids broadcast into the anti-join; the length predicate is a "
+    "narrow projection.",
+    tags=("dedup", "text", "decontamination", "pipeline"),
+)
+def corpus_clean_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.functions.text import token_count
+    from clinical_api_etl_spark.operators.dedup import ngram_overlap
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    flagged = ngram_overlap(train, bench, "doc_id", "text", n=5).select(
+        F.col("train_id").alias("doc_id")
+    )
+    return (
+        train.join(F.broadcast(flagged), "doc_id", "left_anti")
+        .select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+        .filter(F.col("n_tokens") >= 20)
+    )
+
+
+@QS.add(
+    "corpus_quality_gate",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len({_TOKS}) AS n_tokens,
+             {_STOP_RATIO} AS stop_ratio
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_tokens BETWEEN 20 AND 10000
+                          AND stop_ratio >= 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep,
+           CAST(SUM(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_too_short,
+           CAST(SUM(CASE WHEN stop_ratio < 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_stopword
+    FROM scored
+    """,
+    doc="[EXT] corpus quality gate summary: keep/drop accounting over the "
+    "token-length band and stopword-density floor (the cheap-filter stage "
+    "in front of dedup/decontamination in a training pipeline). Single "
+    "narrow pass + one aggregate; every predicate is a column expression "
+    "shared with functions/text.py.",
+    tags=("text", "quality", "pipeline"),
+)
+def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.functions.text import stopword_ratio, token_count
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        token_count(F.col("text")).alias("n_tokens"),
+        stopword_ratio(F.col("text")).alias("stop_ratio"),
+    )
+    keep = (
+        F.col("n_tokens").between(20, 10000) & (F.col("stop_ratio") >= 0.05)
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_keep"),
+        F.sum(F.when(F.col("n_tokens") < 20, 1).otherwise(0)).cast("long").alias("n_too_short"),
+        F.sum(F.when(F.col("stop_ratio") < 0.05, 1).otherwise(0)).cast("long").alias("n_low_stopword"),
+    )

@@ -77,7 +77,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # parquet reader rejects; read nanos as INT64 and convert to a
         # microsecond timestamp JVM-side (truncation matches DuckDB's
         # ns→us narrowing). Stays fully distributed — no driver round-trip.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
