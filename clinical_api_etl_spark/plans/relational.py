@@ -1499,3 +1499,205 @@ def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_exact") > 150)
         .drop("_exact")
     )
+
+
+# ---------------------------------------------------------------------------
+# J4 widening (round 2): the remaining classic TPC-H join/agg shapes the
+# schema supports — cross-nation volume (q7), returned-item top-N (q10),
+# promo ratio (q14), disjunctive multi-band predicate (q19). Values adapted
+# to the testdata's simplified domains (NATION_n names, plain 'PROMO' type).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "tpch_q7_nation_volume",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(dp) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+             {_DISC_PRICE} AS dp
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="J4 (TPC-H q7 shape): six-way join with a symmetric cross-nation "
+    "disjunction and per-year roll-up. Both nation sides broadcast twice "
+    "under different aliases; the only shuffles are lineitem⋈orders and "
+    "the final group-by.",
+    tags=("join", "J4", "agg"),
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    dp = (money("l_extendedprice") * (one - money("l_discount"))).cast("decimal(18,4)")
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(
+            F.broadcast(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+                        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(pair_ok)
+        .select("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"), dp.alias("dp"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("dp").cast("double").alias("revenue"))
+    )
+
+
+@QS.add(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="J4 (TPC-H q10 shape): returned-item revenue per customer over a "
+    "half-year window, top-20 with a deterministic custkey tie-break "
+    "(TakeOrderedAndProject — never a global sort). The returnflag filter "
+    "pushes to the lineitem scan.",
+    tags=("join", "J4", "agg", "topk"),
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1996-07-01 00:00:00"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    one = F.lit(1).cast("decimal(3,2)")
+    dp = (money("l_extendedprice") * (one - money("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(
+            F.broadcast(
+                orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+                .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(dp).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@QS.add(
+    "tpch_q14_promo_revenue",
+    f"""
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE}
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+           CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS total_revenue,
+           CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE}
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS promo_ratio
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+    """,
+    doc="J4 (TPC-H q14 shape): conditional revenue ratio over a month "
+    "(testdata p_type domain is the plain 'PROMO' literal). Both "
+    "conditional sums stay decimal-exact; only the final ratio divides "
+    "as DOUBLE, so the fp result is engine-identical.",
+    tags=("join", "J4", "agg", "F10"),
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1996-02-01 00:00:00"))
+    )
+    part = load(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(3,2)")
+    dp = (money("l_extendedprice") * (one - money("l_discount"))).cast("decimal(18,4)")
+    promo = F.when(F.col("p_type") == "PROMO", dp).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    agg = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).agg(
+        F.sum(promo).cast("double").alias("promo_revenue"),
+        F.sum(dp).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.col("promo_revenue") / F.col("total_revenue")).alias("promo_ratio"),
+    )
+
+
+@QS.add(
+    "tpch_q19_brand_bands",
+    f"""
+    SELECT CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="J4 (TPC-H q19 shape): disjunction of brand/size/quantity bands "
+    "across both join sides. Catalyst splits the OR into per-side "
+    "implied filters (p_brand IN (...) pushes to the part scan, "
+    "l_quantity range to lineitem) before evaluating the residual "
+    "condition post-join — the classic pushdown-through-disjunction test.",
+    tags=("join", "J4", "filter"),
+)
+def tpch_q19_brand_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(3,2)")
+    dp = (money("l_extendedprice") * (one - money("l_discount"))).cast("decimal(18,4)")
+    band = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(band)
+        .agg(F.sum(dp).cast("double").alias("revenue"))
+    )
