@@ -1701,3 +1701,128 @@ def tpch_q19_brand_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(band)
         .agg(F.sum(dp).cast("double").alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-checked gates for the approximate aggregates: each asserts the
+# ALGORITHM'S guarantee (rank error / relative error / partition sanity)
+# rather than sketch-internal values, turning rows-only queries into
+# driver-enforced invariants. All three are deterministic: the HLL merge is
+# register-wise max (order-independent), the GK rank property holds for any
+# merge order, and the k-means checks are structural.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "f_percentile_approx_gate",
+    "SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_groups, TRUE AS p50_ok, TRUE AS p95_ok FROM events",
+    doc="[EXT] rank-error gate for f_percentile_approx: for each group, "
+    "the rank of the returned p50/p95 value must lie within the "
+    "Greenwald-Khanna accuracy bound (1/accuracy = 1e-4 of n, padded to "
+    "2% for merge slack) of the target rank — the sketch's contract, "
+    "merge-order-independent, checked without comparing sketch internals.",
+    tags=("agg", "A11", "approx", "gate"),
+)
+def f_percentile_approx_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95"),
+    )
+    joined = ev.select("event_type", "value").join(F.broadcast(approx), "event_type")
+    ranks = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") <= F.col("p50"), 1).otherwise(0)).alias("r50"),
+        F.sum(F.when(F.col("value") <= F.col("p95"), 1).otherwise(0)).alias("r95"),
+    )
+    tol = 0.02
+    ok50 = (F.col("r50") >= (0.5 - tol) * F.col("n")) & (
+        F.col("r50") <= (0.5 + tol) * F.col("n") + 1
+    )
+    ok95 = (F.col("r95") >= (0.95 - tol) * F.col("n")) & (
+        F.col("r95") <= (0.95 + tol) * F.col("n") + 1
+    )
+    return ranks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min(ok50).alias("p50_ok"),
+        F.min(ok95).alias("p95_ok"),
+    )
+
+
+@QS.add(
+    "a11_approx_distinct_gate",
+    "SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_groups, TRUE AS within_rsd FROM events",
+    doc="[EXT] relative-error gate for a11_approx_count_distinct: per "
+    "group, |approx − exact| / exact ≤ 15% (3× the default 5% rsd). The "
+    "HLL merge is register-wise max — order-independent, so the gate is "
+    "stable across partitionings and runs.",
+    tags=("agg", "A11", "approx", "gate"),
+)
+def a11_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    both = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    rel_ok = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users")
+    ) <= 0.15
+    return both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min(rel_ok).alias("within_rsd"),
+    )
+
+
+@QS.add(
+    "emb_kmeans_gate",
+    "SELECT CAST(4 AS BIGINT) AS n_clusters_used, TRUE AS all_assigned, "
+    "TRUE AS improves_on_single_cluster",
+    doc="[EXT] structural gate for emb_kmeans_clusters: every vector gets "
+    "exactly one cluster in [0,k), all k clusters are non-empty on this "
+    "corpus, and the clustering's within-cluster squared distance beats "
+    "the single-centroid baseline (it must — Lloyd monotonically "
+    "decreases WCSS from any init).",
+    tags=("similarity", "approx", "gate"),
+)
+def emb_kmeans_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.functions.vectors import as_double
+    from clinical_api_etl_spark.operators.clustering import kmeans_fit
+
+    emb = load(spark, sf_dir, "embeddings")
+    assign, cents = kmeans_fit(emb, k=4, iterations=5)
+    v = as_double(F.col("embedding"))
+    pts = emb.select(F.col("vec_id").alias("id"), v.alias("v")).join(assign, "id")
+
+    def sqdist(cent):
+        return F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.array(*[F.lit(x) for x in cent]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # WCSS under the fitted model vs the global-mean single cluster.
+    dim = len(cents[0])
+    gm = emb.select(*[F.avg(F.element_at(v, i + 1)).alias(f"m{i}") for i in range(dim)]).collect()[0]
+    gmean = [float(gm[f"m{i}"]) for i in range(dim)]
+    wcss_expr = None
+    for ci, cent in enumerate(cents):
+        d = F.when(F.col("cluster") == ci, sqdist(cent))
+        wcss_expr = d if wcss_expr is None else F.coalesce(wcss_expr, d)
+    stats = pts.agg(
+        F.countDistinct("cluster").cast("long").alias("n_clusters_used"),
+        F.min(F.col("cluster").between(0, 3)).alias("in_range"),
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.sum(wcss_expr).alias("wcss"),
+        F.sum(sqdist(gmean)).alias("sst"),
+    )
+    n_vecs = emb.count()
+    return stats.select(
+        "n_clusters_used",
+        (F.col("in_range") & (F.col("n_assigned") == n_vecs)).alias("all_assigned"),
+        (F.col("wcss") < F.col("sst")).alias("improves_on_single_cluster"),
+    )
