@@ -59,6 +59,22 @@ def split_assign(
     )
 
 
+def hash_sample(df: DataFrame, id_col: str, *, fraction: float = 0.1) -> DataFrame:
+    """Deterministic Bernoulli-by-hash sample: keep rows whose 16-bit
+    md5 bucket falls below ``fraction`` of the bucket space.
+
+    The 100 TB sampling path: a NARROW filter — no shuffle, no window, no
+    per-stratum serialization — with per-stratum counts binomial around
+    ``fraction · n`` (hash uniformity) rather than exact. Reproducible
+    across engines/partitionings like :func:`split_assign`; within any
+    stratum the kept set is the same fixed pseudo-random subset. Use
+    :func:`stratified_sample` when exact per-stratum counts matter more
+    than scan-shape.
+    """
+    threshold = format(int(fraction * 65536), "04x")
+    return df.filter(_hex_bucket(F.col(id_col)) < threshold)
+
+
 def stratified_sample(
     df: DataFrame,
     strata: list[str],
@@ -74,6 +90,11 @@ def stratified_sample(
     reproducibly: the hash order is a fixed random-looking permutation of
     each stratum, so the prefix is an unbiased sample. One window shuffle
     on the strata key.
+
+    Scale note: the window sorts each stratum inside ONE task, so a hot
+    stratum (a key holding a large share of 100 TB) serializes. When the
+    exact-count guarantee isn't required, :func:`hash_sample` keeps the
+    same determinism with a narrow, shuffle-free scan.
     """
     w = W.partitionBy(*strata).orderBy(_hex_bucket(F.col(id_col)), F.col(id_col))
     n = F.count(F.lit(1)).over(W.partitionBy(*strata))

@@ -1087,3 +1087,25 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_tokens") < 20, 1).otherwise(0)).cast("long").alias("n_too_short"),
         F.sum(F.when(F.col("stop_ratio") < 0.05, 1).otherwise(0)).cast("long").alias("n_low_stopword"),
     )
+
+
+@QS.add(
+    "sample_hash_bernoulli",
+    """
+    SELECT event_id, event_type
+    FROM events
+    WHERE substr(md5(event_id::VARCHAR), 1, 4) < '1999'
+    """,
+    doc="[EXT] deterministic Bernoulli-by-hash 10% sample "
+    "(operators/sampling.py:hash_sample, threshold 0x1999 = "
+    "floor(0.1*65536)): the 100 TB sampling path — a NARROW filter with "
+    "no shuffle/window/per-stratum serialization, reproducible across "
+    "engines and partitionings; per-stratum counts are binomial instead "
+    "of exact (sample_stratified_events is the exact-count counterpart).",
+    tags=("sampling",),
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.sampling import hash_sample
+
+    ev = load(spark, sf_dir, "events")
+    return hash_sample(ev.select("event_id", "event_type"), "event_id", fraction=0.1)

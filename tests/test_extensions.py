@@ -514,3 +514,19 @@ class TestInt8Quantize:
             assert sum(q) == r["q_sum"]
             for x, qi in zip(v, q):
                 assert abs(qi / scale - x) <= 0.5 / scale + 1e-12
+
+
+class TestHashSample:
+    def test_partitioning_invariant_and_near_fraction(self, spark):
+        from clinical_api_etl_spark.operators.sampling import hash_sample
+        from clinical_api_etl_spark.sources.catalog import load
+
+        ev = load(spark, SF, "events").select("event_id")
+        a = {r["event_id"] for r in hash_sample(ev, "event_id", fraction=0.1).collect()}
+        b = {r["event_id"] for r in hash_sample(ev.repartition(5), "event_id", fraction=0.1).collect()}
+        assert a == b
+        n = ev.count()
+        assert 0.05 * n < len(a) < 0.15 * n  # binomial around 10%
+        # monotone: a larger fraction strictly contains a smaller one
+        c = {r["event_id"] for r in hash_sample(ev, "event_id", fraction=0.2).collect()}
+        assert a <= c
