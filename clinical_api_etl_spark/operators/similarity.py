@@ -211,24 +211,19 @@ def ivf_topk(
     )
 
     q = _prep(queries, id_col, vec_col, "query_id", "q_vec")
-    # n_probe nearest cells per query: distances to the broadcast centroid
-    # list, sorted (dist, cluster) structs, slice, explode.
-    dists = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("q_vec"),
-                        F.array(*[F.lit(x) for x in cent]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("dist"),
-                F.lit(ci).cast("long").alias("cluster"),
-            )
-            for ci, cent in enumerate(centroids)
-        ]
+    # n_probe nearest cells per query: distances to the centroid matrix
+    # (ONE 2-D array literal — k×dim separate lit nodes made plan analysis
+    # the dominant cost), sorted (dist, cluster) structs, slice, explode.
+    dists = F.transform(
+        F.lit(centroids),
+        lambda cent, ci: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("q_vec"), cent, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            ci.cast("long").alias("cluster"),
+        ),
     )
     probed = q.withColumn(
         "cluster",
