@@ -14,10 +14,15 @@ from clinical_api_etl_spark.plans.base import Query
 def all_queries() -> dict[str, Query]:
     # Imports are local so a syntax error in one family surfaces at call
     # time with a clean traceback, and to avoid import cycles.
-    from clinical_api_etl_spark.plans import clinical_parity, extensions, relational
+    from clinical_api_etl_spark.plans import (
+        clinical_parity,
+        extensions,
+        relational,
+        tpch_deep,
+    )
 
     merged: dict[str, Query] = {}
-    for mod in (relational, clinical_parity, extensions):
+    for mod in (relational, tpch_deep, clinical_parity, extensions):
         for name, q in mod.QS.queries.items():
             if name in merged:
                 raise ValueError(f"duplicate query {name!r} across plan modules")
