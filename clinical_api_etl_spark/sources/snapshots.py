@@ -1,0 +1,239 @@
+"""Manifest-based snapshot warehouse: MVCC on plain parquet. [EXT]
+
+``ParquetWarehouse`` (``sources/sinks.py``) gives the reference's
+ON-CONFLICT merge semantics but swaps live directories, so a concurrent
+reader can observe a transiently absent table (bounded-retry papered
+over; ADVICE round 1). This subclass replaces the *physical* layer with
+the table-format idea Delta/Iceberg standardized — a log of immutable
+snapshots over immutable data files — while inheriting every merge
+computation unchanged:
+
+* Data files are written once under ``<table>/data/<commit-id>/`` and
+  NEVER modified or renamed afterwards.
+* Each commit writes the next ``_manifests/v<N>.json`` — the complete
+  list of file paths that make up snapshot N — via write-temp +
+  atomic-rename. The manifest is the only mutable pointer.
+* Readers resolve the latest manifest at plan time; the files it names
+  exist until an explicit ``vacuum``, so there is **no swap window at
+  all**: a reader holding snapshot N keeps a consistent view while any
+  number of later commits land (snapshot isolation, single-writer /
+  many-reader).
+* Partition-scoped merges REUSE untouched partitions' files across
+  snapshots: a merge into one study writes that study's new files plus
+  a manifest; every other partition's entry is carried over by path.
+  Commit cost is O(touched partition), and storage is shared between
+  snapshots like Delta/Iceberg, not copied.
+* ``read(table, version=...)`` is time travel; ``history`` lists
+  snapshots; ``compact`` rewrites the live snapshot into one commit
+  dir (the OPTIMIZE analogue — reads otherwise union one parquet
+  relation per live commit); ``vacuum`` drops files unreferenced by
+  the retained manifests.
+
+At 100 TB this is the posture that matters: the manifest write is O(1)
+metadata, data-file writes are only the touched partitions, and old
+snapshots double as both reader isolation and rollback. On a real
+deployment the swap-out is Delta/Iceberg themselves; the operator layer
+above (``append_if_absent`` / ``upsert`` / ``merge_aggregations``,
+reference db.py:41-127 semantics) is unchanged — it is inherited
+verbatim from ``ParquetWarehouse``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from functools import reduce
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+from clinical_api_etl_spark.sources.sinks import ParquetWarehouse
+
+_MANIFESTS = "_manifests"
+
+
+class SnapshotWarehouse(ParquetWarehouse):
+    """``ParquetWarehouse`` with manifest-pinned snapshot reads.
+
+    Logical semantics (idempotent appends, last-write-wins upsert, the
+    asymmetric aggregation merge, partition scoping) are inherited; only
+    ``read``/``exists``/``append`` and the two rewrite primitives are
+    overridden to commit snapshots instead of mutating directories.
+    """
+
+    # -- manifest log -----------------------------------------------------
+
+    def _manifest_dir(self, table: str) -> Path:
+        return self._path(table) / _MANIFESTS
+
+    def _data_root(self, table: str) -> Path:
+        return self._path(table) / "data"
+
+    def versions(self, table: str) -> list[int]:
+        mdir = self._manifest_dir(table)
+        if not mdir.is_dir():
+            return []
+        out = []
+        for p in mdir.iterdir():
+            if p.suffix == ".json" and p.stem.startswith("v"):
+                try:
+                    out.append(int(p.stem[1:]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def _load_manifest(self, table: str, version: int | None = None) -> dict | None:
+        vs = self.versions(table)
+        if not vs:
+            return None
+        v = max(vs) if version is None else version
+        if v not in vs:
+            raise ValueError(f"{table}: no snapshot v{v} (have {vs})")
+        with open(self._manifest_dir(table) / f"v{v:08d}.json") as f:
+            return json.load(f)
+
+    def history(self, table: str) -> list[dict]:
+        """Snapshot log, oldest first: version, file count, operation."""
+        out = []
+        for v in self.versions(table):
+            m = self._load_manifest(table, v)
+            out.append(
+                {
+                    "version": m["version"],
+                    "operation": m["operation"],
+                    "n_files": len(m["files"]),
+                }
+            )
+        return out
+
+    def _commit(self, table: str, files: list[str], operation: str) -> None:
+        """Atomically publish the next snapshot. Files are relpaths under
+        the table's data root; the rename is the commit point."""
+        mdir = self._manifest_dir(table)
+        mdir.mkdir(parents=True, exist_ok=True)
+        vs = self.versions(table)
+        nxt = (max(vs) + 1) if vs else 1
+        manifest = {
+            "version": nxt,
+            "operation": operation,
+            "partitioned": table in self.partitioning,
+            "files": sorted(files),
+        }
+        tmp = mdir / f".tmp-{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps(manifest, indent=1))
+        os.rename(tmp, mdir / f"v{nxt:08d}.json")
+
+    # -- physical write ---------------------------------------------------
+
+    def _write_commit_files(self, table: str, df: DataFrame) -> list[str]:
+        """Write ``df`` into a fresh immutable commit dir; return the
+        relpaths (under data/) of the parquet files produced."""
+        cid = uuid.uuid4().hex
+        dest = self._data_root(table) / cid
+        w = df.write.mode("overwrite")
+        if table in self.partitioning:
+            w = w.partitionBy(*self.partitioning[table])
+        w.parquet(str(dest))
+        root = self._data_root(table)
+        return [str(p.relative_to(root)) for p in dest.rglob("*.parquet")]
+
+    # -- overridden surface ----------------------------------------------
+
+    def exists(self, table: str) -> bool:
+        m = self._load_manifest(table)
+        return bool(m and m["files"])
+
+    def read(self, table: str, version: int | None = None) -> DataFrame | None:
+        """Snapshot read: resolve a manifest, read exactly its files.
+
+        Files are grouped per commit dir (Spark's partition discovery
+        rejects hive dirs under differing non-hive parents in one pass)
+        and unioned by name — after ``compact`` that is a single parquet
+        relation. No retry loop: manifests only ever gain successors,
+        and the files a manifest names outlive it until ``vacuum``.
+        """
+        m = self._load_manifest(table, version)
+        if m is None or not m["files"]:
+            return None
+        root = self._data_root(table)
+        by_commit: dict[str, list[str]] = {}
+        for rel in m["files"]:
+            by_commit.setdefault(rel.split("/", 1)[0], []).append(str(root / rel))
+        parts = []
+        for cid, paths in sorted(by_commit.items()):
+            r = self.spark.read
+            if m["partitioned"]:
+                r = r.option("basePath", str(root / cid))
+            parts.append(r.parquet(*paths))
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def append(self, table: str, df: DataFrame) -> None:
+        with self._write_lock:
+            prev = self._load_manifest(table)
+            new = self._write_commit_files(table, df)
+            carried = prev["files"] if prev else []
+            self._commit(table, carried + new, "append")
+
+    def _rewrite(self, table: str, df: DataFrame) -> None:
+        with self._write_lock:
+            new = self._write_commit_files(table, df)
+            self._commit(table, new, "rewrite")
+
+    def _swap_partitions(self, table: str, merged: DataFrame, pcol: str) -> None:
+        """Partition-scoped commit: new files for touched partitions, the
+        previous snapshot's entries carried over (by path — no data
+        movement) for every other partition."""
+        with self._write_lock:
+            prev = self._load_manifest(table)
+            new = self._write_commit_files(table, merged)
+            touched = {rel.split("/")[1] for rel in new if "/" in rel}
+            carried = [
+                rel
+                for rel in (prev["files"] if prev else [])
+                if len(rel.split("/")) < 2 or rel.split("/")[1] not in touched
+            ]
+            self._commit(table, carried + new, f"merge[{pcol}]")
+
+    # -- maintenance ------------------------------------------------------
+
+    def compact(self, table: str) -> None:
+        """OPTIMIZE-analogue: rewrite the live snapshot into one commit
+        dir so reads plan a single parquet relation. Safe against its own
+        input — the rewrite lands in a fresh commit dir, never touching
+        the files being read. Older snapshots stay readable until
+        ``vacuum``."""
+        with self._write_lock:
+            df = self.read(table)
+            if df is not None:
+                self._rewrite(table, df)
+
+    def vacuum(self, table: str, keep_last: int = 1) -> int:
+        """Drop manifests older than the newest ``keep_last`` and delete
+        data files no retained manifest references. Returns the number of
+        files removed. Readers still planning against vacuumed snapshots
+        will fail — run with a retention matching reader lifetimes, as
+        with Delta's VACUUM."""
+        with self._write_lock:
+            vs = self.versions(table)
+            if not vs:
+                return 0
+            retained = vs[-keep_last:] if keep_last > 0 else []
+            live: set[str] = set()
+            for v in retained:
+                live.update(self._load_manifest(table, v)["files"])
+            for v in vs:
+                if v not in retained:
+                    (self._manifest_dir(table) / f"v{v:08d}.json").unlink()
+            root = self._data_root(table)
+            removed = 0
+            if root.is_dir():
+                for p in root.rglob("*.parquet"):
+                    if str(p.relative_to(root)) not in live:
+                        p.unlink()
+                        removed += 1
+                for d in sorted(root.iterdir()):
+                    if d.is_dir() and not any(d.rglob("*.parquet")):
+                        shutil.rmtree(d)
+            return removed
