@@ -355,15 +355,21 @@ def simhash_signatures(
         F.col(id_col).alias("doc_id"),
         F.explode(_tokens(F.col(text_col))).alias("tok"),
     ).select("doc_id", F.xxhash64("tok").alias("h"))
+    # Branch-free per-bit tally: s_j = Σ ((h >> j) & 1) and one row count.
+    # The ±1 vote sum is v_j = 2·s_j − n, so the sign bit is 2·s_j > n —
+    # algebraically identical to summing when(getbit)=±1 votes, but each
+    # of the 64 aggregate expressions is a shift+mask+add instead of a
+    # conditional (measurably cheaper across rows×64 evals).
     votes = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
         *[
-            F.sum(F.when(F.getbit("h", F.lit(j)) == 1, 1).otherwise(-1)).alias(f"v{j}")
+            F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1))).alias(f"s{j}")
             for j in range(bits)
-        ]
+        ],
     )
     sig = F.array(
         *[
-            F.when(F.col(f"v{j}") > 0, F.lit(1)).otherwise(F.lit(0))
+            F.when(2 * F.col(f"s{j}") > F.col("n_tok"), F.lit(1)).otherwise(F.lit(0))
             for j in range(bits)
         ]
     )

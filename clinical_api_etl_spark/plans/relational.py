@@ -1826,3 +1826,73 @@ def emb_kmeans_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("in_range") & (F.col("n_assigned") == n_vecs)).alias("all_assigned"),
         (F.col("wcss") < F.col("sst")).alias("improves_on_single_cluster"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A13 [EXT]: heavy hitters — exact roll-up + one-pass frequent-items sketch.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "a13_heavy_hitters_exact",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) > 0.008 * (SELECT COUNT(*) FROM events)
+    """,
+    doc="[EXT] exact heavy hitters: users emitting > 0.8% of all events — "
+    "grouped count HAVING against a broadcast global scalar. The exact "
+    "baseline the frequent-items sketch is gated against.",
+    tags=("agg", "A13", "subquery"),
+)
+def a13_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    total = ev.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .join(F.broadcast(total))
+        .filter(F.col("n_events") > F.lit(0.008) * F.col("_n"))
+        .select("user_id", "n_events")
+    )
+
+
+@QS.add(
+    "a13_freq_items_gate",
+    """
+    SELECT TRUE AS all_heavy_hitters_found,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+              SELECT user_id FROM events GROUP BY user_id
+              HAVING COUNT(*) > 0.008 * (SELECT COUNT(*) FROM events)
+           ) t) AS n_heavy
+    """,
+    doc="[EXT] containment gate for the one-pass frequent-items sketch "
+    "(Karp-Shenker-Papadimitriou via df.stat.freqItems): every exact "
+    "heavy hitter (> 0.8% of events) MUST appear in the sketch output — "
+    "the algorithm guarantee; false positives are allowed, misses are "
+    "not. The sketch is single-pass with O(1/support) state per "
+    "partition — the 100 TB path when an exact per-key count is too "
+    "expensive.",
+    tags=("agg", "A13", "approx", "gate"),
+)
+def a13_freq_items_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .join(F.broadcast(ev.agg(F.count(F.lit(1)).alias("_n"))))
+        .filter(F.col("_cnt") > F.lit(0.008) * F.col("_n"))
+        .select("user_id")
+    )
+    sketch_ids = (
+        ev.stat.freqItems(["user_id"], 0.008)
+        .select(F.explode("user_id_freqItems").alias("user_id"))
+    )
+    n_missing = exact.join(sketch_ids, "user_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("_miss")
+    )
+    n_heavy = exact.agg(F.count(F.lit(1)).cast("long").alias("n_heavy"))
+    return n_missing.join(n_heavy).select(
+        (F.col("_miss") == 0).alias("all_heavy_hitters_found"), "n_heavy"
+    )
