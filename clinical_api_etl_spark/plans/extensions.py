@@ -1109,3 +1109,97 @@ def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return hash_sample(ev.select("event_id", "event_type"), "event_id", fraction=0.1)
+
+
+@QS.add(
+    "text_repetition_scores",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    uni AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_cnt,
+             CAST(SUM(c) AS BIGINT) AS n_tokens
+      FROM (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    ),
+    bi AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bi,
+             CAST(COUNT(DISTINCT bg) AS BIGINT) AS n_bi_distinct
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        FROM t
+      ) GROUP BY doc_id
+    )
+    SELECT uni.doc_id, n_tokens,
+           CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_frac,
+           CASE WHEN n_bi IS NULL OR n_bi = 0 THEN 0.0
+                ELSE 1.0 - CAST(n_bi_distinct AS DOUBLE) / CAST(n_bi AS DOUBLE)
+           END AS dup_bigram_frac
+    FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id
+    """,
+    doc="[EXT] Gopher-style repetition quality signals per document: "
+    "top-token mass fraction and duplicate-bigram fraction — the "
+    "standard degenerate-text filters of LLM corpus curation. ONE pass: "
+    "unigrams and bigrams are tagged with a level and exploded from a "
+    "single concatenated gram array, so the corpus is scanned and "
+    "tokenized once and both signals come out of the same two-stage "
+    "hash aggregate (map-side partials reduce each doc to one row per "
+    "partition before each shuffle) via level-conditional aggregates — "
+    "no branch join. The naive shape (separate unigram/bigram branches "
+    "+ doc_id join) scans twice and joins; same row volume, double the "
+    "I/O.",
+    tags=("text",),
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    # Guard via a conditional empty array, not a row filter: a filter on
+    # size(toks) is a predicate over a computed column — unpushable by
+    # construction, and explode of the empty array drops the row anyway.
+    # (sequence(1, 0) would count DOWN, so the guard is load-bearing.)
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(
+        F.transform("toks", lambda t: F.struct(F.lit(0).alias("lvl"), t.alias("g"))),
+        F.transform(bigrams, lambda b: F.struct(F.lit(1).alias("lvl"), b.alias("g"))),
+    )
+    per_gram = (
+        toks.select("doc_id", F.explode(grams).alias("gr"))
+        .groupBy("doc_id", F.col("gr.lvl").alias("lvl"), F.col("gr.g").alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    is_uni = F.col("lvl") == 0
+    is_bi = F.col("lvl") == 1
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.max(F.when(is_uni, F.col("c"))).cast("long").alias("top_cnt"),
+        F.sum(F.when(is_uni, F.col("c"))).cast("long").alias("n_tokens"),
+        F.sum(F.when(is_bi, F.col("c"))).cast("long").alias("n_bi"),
+        # Each (doc, lvl=1, g) group is one distinct bigram.
+        F.count(F.when(is_bi, F.lit(1))).cast("long").alias("n_bi_distinct"),
+    )
+    dup_frac = F.when(
+        F.col("n_bi").isNull() | (F.col("n_bi") == 0), F.lit(0.0)
+    ).otherwise(
+        F.lit(1.0) - F.col("n_bi_distinct").cast("double") / F.col("n_bi").cast("double")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("top_cnt").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "top_token_frac"
+        ),
+        dup_frac.alias("dup_bigram_frac"),
+    )

@@ -54,7 +54,16 @@ DIM_SMJ_OK = {"j2_nation_balance_full_outer"}
 #: predicate is substituted through the project onto an *expression* of
 #: the base column, which parquet cannot evaluate. Any new events query
 #: filtering on ts will (correctly) surface here for review.
-NO_PUSHDOWN_OK = {"f9_recent_window_counts", "range_join_global_burst"}
+#: text_repetition_scores: explode()'s implicit `size(arr) > 0 AND
+#: isnotnull(arr)` guard, where arr is the token-split expression —
+#: Catalyst pushes it below the Project so it lands directly on the scan,
+#: but it is a predicate over a regex split of `text`, unpushable by
+#: construction (same category as the events.ts entries above).
+NO_PUSHDOWN_OK = {
+    "f9_recent_window_counts",
+    "range_join_global_burst",
+    "text_repetition_scores",
+}
 
 
 def _walk(node):
