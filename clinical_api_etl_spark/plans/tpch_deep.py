@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from clinical_api_etl_spark.functions.numeric import money
 from clinical_api_etl_spark.plans.base import MON, QuerySet
@@ -545,4 +546,150 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("numcust"),
             F.sum(money("c_acctbal")).cast("double").alias("totacctbal"),
         )
+    )
+
+
+@QS.add(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH eligible AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost,
+             ANY_VALUE(1) AS _dummy
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    ),
+    regional AS (
+      SELECT l_partkey, l_suppkey, unit_cost, s_name, s_acctbal, n_name
+      FROM eligible
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name,
+           p_partkey AS partkey, p_name, unit_cost
+    FROM regional r
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'LARGE' AND p_size <= 25
+      AND unit_cost = (SELECT MIN(unit_cost) FROM regional r2
+                       WHERE r2.l_partkey = r.l_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, partkey
+    LIMIT 100
+    """,
+    doc="J4 (TPC-H q2 shape): for each qualifying part, the EUROPE "
+    "supplier(s) offering the minimum unit cost — a correlated scalar-MIN "
+    "subquery. No partsupp, so a supplier's offer price for a part is "
+    "MIN(l_extendedprice / l_quantity) over its lineitems (double IEEE "
+    "division — bit-identical across engines, and MIN is order-free). "
+    "Decorrelated Spark-side as MIN OVER (PARTITION BY part) on the "
+    "already-reduced (part, supplier) table: one fact shuffle for the "
+    "pair aggregate, one narrow shuffle for the window, no self-join and "
+    "no broadcast-the-aggregate assumption. Dims broadcast; top-100 via "
+    "TakeOrderedAndProject on a total order (acctbal DESC, nation, "
+    "supplier, part) so the LIMIT boundary is deterministic.",
+    tags=("join", "J4", "subquery", "window"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 25)
+    )
+    supp_region = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pair_cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    regional = pair_cost.join(
+        F.broadcast(supp_region), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        regional.withColumn("_min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("_min_cost"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("p_partkey").alias("partkey"),
+            "p_name",
+            "unit_cost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "partkey"
+        )
+        .limit(100)
+    )
+
+
+@QS.add(
+    "tpch_q20_dominant_suppliers",
+    """
+    SELECT s_suppkey AS suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_9'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM (
+          SELECT l_partkey, l_suppkey,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+                 SUM(SUM(CAST(l_quantity AS DECIMAL(18,2))))
+                   OVER (PARTITION BY l_partkey) AS total
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE '%bolt%')
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY l_partkey, l_suppkey
+        ) WHERE qty * 5 > total
+      )
+    """,
+    doc="J1/J4 (TPC-H q20 shape): suppliers in one nation who are "
+    "'dominant' for some name-filtered part — shipped more than 20% of "
+    "that part's total quantity in a two-year window. The canonical "
+    "availqty-vs-half-of-shipped threshold needs partsupp; the re-target "
+    "keeps the exact operator nest: IN over an aggregate-threshold "
+    "subquery that itself has an IN over a LIKE-filtered part set. "
+    "Spark side: broadcast semi-join the part filter into the fact scan, "
+    "one shuffle for the (part, supplier) quantity aggregate, per-part "
+    "totals as SUM OVER (PARTITION BY part) on the reduced table (no "
+    "broadcast-the-aggregate), `qty * 5 > total` in exact decimals "
+    "(never 0.2 * total — fp multiply differs across engines), then a "
+    "left-semi join back to the nation-filtered supplier dim.",
+    tags=("join", "J1", "J4", "subquery", "window"),
+)
+def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    bolt_parts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    grp = (
+        li.join(F.broadcast(bolt_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(money("l_quantity")).alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        grp.withColumn("total", F.sum("qty").over(w))
+        .filter(F.col("qty") * F.lit(5) > F.col("total"))
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select(F.col("s_suppkey").alias("suppkey"), "s_name", "n_name")
     )
