@@ -1203,3 +1203,66 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         dup_frac.alias("dup_bigram_frac"),
     )
+
+
+@QS.add(
+    "text_rarity_scores",
+    f"""
+    WITH occ AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c_doc
+      FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    lm AS (
+      SELECT tok, CAST(SUM(c_doc) AS BIGINT) AS corpus_cnt
+      FROM occ GROUP BY tok
+    )
+    SELECT doc_id,
+           CAST(SUM(c_doc) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN corpus_cnt < 3 THEN c_doc ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c_doc) AS DOUBLE) AS rare_frac,
+           CAST(SUM(c_doc * corpus_cnt) AS DOUBLE)
+             / CAST(SUM(c_doc) AS DOUBLE) AS avg_tok_count
+    FROM occ JOIN lm USING (tok)
+    GROUP BY doc_id
+    """,
+    doc="[EXT] Corpus-rarity quality signals per document — the "
+    "exact-arithmetic stand-in for a CCNet-style LM perplexity filter: "
+    "fraction of token occurrences whose corpus-wide count is < 3, and "
+    "the average corpus count of the doc's tokens. The unigram LM is "
+    "built FROM the per-(doc, token) reduced table (occurrences are "
+    "collapsed before any join, so the zipf-head token skew never rides "
+    "a shuffle as raw rows), then joined back on token and rolled up per "
+    "doc. All sums are integer counts — order-independent across "
+    "engines; the only float ops are two final divisions. A true "
+    "log-prob sum would be fp-association-order-dependent and can never "
+    "be oracle-hashed.",
+    tags=("text",),
+)
+def text_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    # Both the LM build and the join probe consume occ: persist the reduced
+    # (doc, tok, count) table so the corpus is scanned and tokenized ONCE
+    # and the vocabulary is never broadcast (it is unbounded at scale —
+    # the join on tok is a shuffle join whose zipf-head skew AQE splits).
+    occ = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_doc"))
+    ).persist()
+    lm = occ.groupBy("tok").agg(F.sum("c_doc").cast("long").alias("corpus_cnt"))
+    joined = occ.join(lm, "tok")
+    return joined.groupBy("doc_id").agg(
+        F.sum("c_doc").cast("long").alias("n_tokens"),
+        (
+            F.sum(F.when(F.col("corpus_cnt") < 3, F.col("c_doc")).otherwise(F.lit(0)))
+            .cast("double")
+            / F.sum("c_doc").cast("double")
+        ).alias("rare_frac"),
+        (
+            F.sum(F.col("c_doc") * F.col("corpus_cnt")).cast("double")
+            / F.sum("c_doc").cast("double")
+        ).alias("avg_tok_count"),
+    )
