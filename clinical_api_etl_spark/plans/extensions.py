@@ -1266,3 +1266,83 @@ def text_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("c_doc").cast("double")
         ).alias("avg_tok_count"),
     )
+
+
+@QS.add(
+    "emb_pq_codes",
+    None,  # codebooks are a trained model (deterministic, but k-means-
+    # derived) → rows-only; emb_pq_gate hash-checks the invariants and
+    # pytest verifies codes against a numpy re-implementation.
+    doc="[EXT] product quantization encode (m=8 subspaces × k=16 "
+    "centroids): each 64-dim vector becomes 8 int codes — 256 B float32 "
+    "→ 8 B, the faiss-IVFPQ compression layout. Codebooks train "
+    "driver-side on the deterministic lowest-id sample (model-on-sample "
+    "convention, operators/pq.py); encode is one narrow shuffle-free "
+    "projection with per-subspace argmin over literal centroid chains.",
+    tags=("similarity", "approx", "iterative"),
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.pq import pq_fit
+
+    emb = load(spark, sf_dir, "embeddings")
+    out, _ = pq_fit(emb, m=8, k=16, iterations=5)
+    return out
+
+
+@QS.add(
+    "emb_pq_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs, TRUE AS codes_ok,
+           TRUE AS recon_beats_mean
+    FROM embeddings
+    """,
+    doc="[EXT] structural gate for emb_pq_codes: every vector is encoded "
+    "(row-preserving), every code lies in [0, k) with exactly m codes "
+    "per vector, and total squared reconstruction error beats the "
+    "global-mean predictor (SST) — per-subspace Lloyd can only improve "
+    "on the one-centroid baseline, so PQ must explain variance or the "
+    "encode is wrong.",
+    tags=("similarity", "approx", "gate"),
+)
+def emb_pq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.functions.vectors import as_double
+    from clinical_api_etl_spark.operators.pq import pq_fit
+
+    emb = load(spark, sf_dir, "embeddings")
+    encoded, books = pq_fit(emb, m=8, k=16, iterations=5)
+    m, k = len(books), len(books[0])
+    v = as_double(F.col("embedding"))
+    dim = sum(len(b[0]) for b in books)
+    gm = emb.select(
+        *[F.avg(F.element_at(v, i + 1)).alias(f"m{i}") for i in range(dim)]
+    ).collect()[0]
+    sst = (
+        emb.select(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(gm[f"m{i}"])) for i in range(dim)]),
+                    lambda a, b: (a - b) * (a - b),
+                ).alias("_sq"),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("sq")
+        )
+        .agg(F.sum("sq").alias("sst"))
+        .collect()[0]["sst"]
+    )
+    n_vecs = emb.count()
+    stats = encoded.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min(
+            (F.array_min("codes") >= 0)
+            & (F.array_max("codes") < k)
+            & (F.size("codes") == m)
+        ).alias("codes_ok"),
+        F.sum("recon_err").alias("total_err"),
+    )
+    return stats.select(
+        F.lit(n_vecs).cast("long").alias("n_vecs"),
+        ((F.col("n_rows") == n_vecs) & F.col("codes_ok")).alias("codes_ok"),
+        (F.col("total_err") < F.lit(float(sst))).alias("recon_beats_mean"),
+    )

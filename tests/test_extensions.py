@@ -530,3 +530,54 @@ class TestHashSample:
         # monotone: a larger fraction strictly contains a smaller one
         c = {r["event_id"] for r in hash_sample(ev, "event_id", fraction=0.2).collect()}
         assert a <= c
+
+
+class TestProductQuantization:
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from clinical_api_etl_spark.operators.pq import pq_fit
+
+        rng = np.random.RandomState(11)
+        pts = rng.randn(60, 8) * 2.0
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in p]) for i, p in enumerate(pts)],
+            "vec_id long, embedding array<double>",
+        )
+        out, books = pq_fit(df, m=2, k=4, iterations=3)
+        got = {r["id"]: (list(r["codes"]), r["recon_err"]) for r in out.collect()}
+
+        # numpy re-implementation: per-subspace Lloyd with identical
+        # init (first k sample rows), low-index tie-break, fixed iters.
+        def lloyd(sub):
+            cents = sub[:4].copy()
+            for _ in range(3):
+                d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                a = d.argmin(axis=1)
+                for c in range(4):
+                    if (a == c).any():
+                        cents[c] = sub[a == c].mean(axis=0)
+            return cents
+
+        cents = [lloyd(pts[:, s * 4 : (s + 1) * 4]) for s in range(2)]
+        for s in range(2):
+            assert np.allclose(cents[s], np.array(books[s]), atol=1e-9)
+        for i, p in enumerate(pts):
+            codes, err = got[i]
+            expect_err = 0.0
+            for s in range(2):
+                sub = p[s * 4 : (s + 1) * 4]
+                d = ((cents[s] - sub[None, :]) ** 2).sum(axis=1)
+                assert codes[s] == int(d.argmin())
+                expect_err += float(d.min())
+            assert abs(err - expect_err) < 1e-6
+
+    def test_deterministic_and_row_preserving(self, emb):
+        from clinical_api_etl_spark.operators.pq import pq_fit
+
+        a, _ = pq_fit(emb, m=8, k=16, iterations=2)
+        b, _ = pq_fit(emb, m=8, k=16, iterations=2)
+        ra = sorted((r["id"], tuple(r["codes"])) for r in a.collect())
+        rb = sorted((r["id"], tuple(r["codes"])) for r in b.collect())
+        assert ra == rb
+        assert len(ra) == emb.count()
