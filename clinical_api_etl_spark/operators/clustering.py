@@ -24,7 +24,8 @@ Determinism is the design constraint (results must reproduce across runs
 and cluster sizes): training set = the ``train_sample`` lowest-id vectors,
 init = the ``k`` lowest-id vectors, a FIXED iteration count (no
 data-dependent convergence races), ties in argmin broken by the lower
-centroid id, and sequential left-to-right float summation driver-side.
+centroid id, and fixed-shape numpy reductions driver-side (deterministic
+for a given sample — no RNG, no data-dependent order).
 MLlib's KMeans is the library alternative; this exists because
 seeded-random init + early-stop make MLlib runs non-reproducible across
 partitionings, which a data-pipeline dedup/bucketing stage can't tolerate.
@@ -59,33 +60,83 @@ def _lloyd(
 ) -> list[list[float]]:
     """Driver-side Lloyd over the (already deterministic-ordered) sample.
 
-    Pure Python, sequential fold order — bit-reproducible everywhere.
-    Mirrors the distributed semantics exactly: init = first k points,
-    squared-L2 argmin with lower-index tie-break, mean update, empty
-    clusters keep their previous centroid.
+    Vectorized numpy, deterministic: fixed-shape reductions are
+    bit-reproducible run to run, ``argmin`` breaks ties on the lower
+    index, empty clusters keep their previous centroid. (An earlier
+    pure-Python version was the trainer bottleneck — ~5s of interpreter
+    loops at an 8k×64 sample; numpy is <100 ms for the same model.)
     """
-    cents = [list(p) for p in pts[:k]]
-    dim = len(cents[0])
+    import numpy as np
+
+    P = np.asarray(pts, dtype=np.float64)
+    cents = P[:k].copy()
     for _ in range(iterations):
-        sums = [[0.0] * dim for _ in range(k)]
-        counts = [0] * k
-        for p in pts:
-            best, best_d = 0, None
-            for ci, c in enumerate(cents):
-                d = 0.0
-                for a, b in zip(p, c):
-                    d += (a - b) * (a - b)
-                if best_d is None or d < best_d:
-                    best, best_d = ci, d
-            counts[best] += 1
-            s = sums[best]
-            for j, a in enumerate(p):
-                s[j] += a
-        cents = [
-            [s[j] / counts[ci] for j in range(dim)] if counts[ci] else cents[ci]
-            for ci, s in enumerate(sums)
-        ]
-    return cents
+        d = ((P[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(k):
+            mask = a == c
+            if mask.any():
+                cents[c] = P[mask].mean(axis=0)
+    return [[float(x) for x in c] for c in cents]
+
+
+def collect_sample(pts: DataFrame, n: int) -> list[list[float]]:
+    """The ``n`` lowest-id vectors of a prepared ``(id, v)`` frame —
+    ``TakeOrderedAndProject`` (per-partition top-N heap, never a full
+    sort), the engine's deterministic training sample."""
+    return [
+        [float(x) for x in r["v"]] for r in pts.orderBy("id").limit(n).collect()
+    ]
+
+
+def assign_cells(pts: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Distributed argmin over literal centroids with low-index ties, as a
+    persisted ``(id, cluster)`` frame — the shared assignment pass of
+    k-means, IVF, and IVFPQ.
+
+    argmin_c |v-c|² == argmin_c (|c|² - 2⟨v,c⟩) since |v|² is constant
+    per row; centroid coordinates are literals, so each score is a plain
+    multiply-add chain over element_at(v, d): whole-stage codegen, no
+    higher-order function (an interpreted zip_with/aggregate fold pays a
+    lambda eval per row × centroid × dim). repr(float) round-trips doubles
+    exactly, so the generated SQL is bit-identical run to run.
+
+    Shape constraint (learned at k=8 × dim=64): ONE array-of-k-chains
+    expression is a single ~80 KB codegen node — janino's 64 KB method
+    limit kills the whole stage and Spark silently falls back to
+    interpreted Volcano AFTER paying the failed compile. k SEPARATE scalar
+    score columns keep every expression small enough to compile and let
+    codegen split them across methods; the argmin then reads the named
+    columns in a second projection (the array there is referenced twice —
+    array_position + array_min — so CollapseProject keeps the boundary
+    and never re-inlines the chains).
+    """
+    cols = []
+    for i, cent in enumerate(centroids):
+        dot_terms = " + ".join(
+            f"({c!r})*element_at(v,{d + 1})" for d, c in enumerate(cent)
+        )
+        cols.append(
+            F.expr(f"({sum(c * c for c in cent)!r} - 2.0*({dot_terms}))").alias(
+                f"_s{i}"
+            )
+        )
+    arr = F.array(*[f"_s{i}" for i in range(len(centroids))])
+    return (
+        pts.select("id", *cols)
+        .select(
+            "id",
+            (F.array_position(arr, F.array_min(arr)) - 1)
+            .cast("long")
+            .alias("cluster"),
+        )
+        # Persisted so consumers (IVF probe join, WCSS gates) read the
+        # materialized (id, cluster) pairs — 16 bytes/row — instead of
+        # re-fusing the k×dim-term score expression into each of their
+        # whole-stage-codegen spans (every distinct downstream plan shape
+        # paid a fresh ~1.5s janino compile of it).
+        .persist()
+    )
 
 
 def kmeans_fit(
@@ -104,42 +155,8 @@ def kmeans_fit(
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     pts = _parallel(df.select(F.col(id_col).alias("id"), v.alias("v")))
 
-    sample = [
-        [float(x) for x in r["v"]]
-        for r in pts.orderBy("id").limit(train_sample).collect()
-    ]
+    sample = collect_sample(pts, train_sample)
     if len(sample) < k:
         raise ValueError(f"k={k} exceeds available vectors ({len(sample)})")
     centroids = _lloyd(sample, k, iterations)
-
-    # Final assignment: argmin over centroids with low-id ties, as a fully
-    # codegen'd score — argmin_c |v-c|² == argmin_c (|c|² - 2⟨v,c⟩) since
-    # |v|² is constant per row. Centroid coordinates are literals, so each
-    # score is a plain multiply-add chain over element_at(v, d): whole-stage
-    # codegen, no higher-order function (an interpreted zip_with/aggregate
-    # fold pays a lambda eval per row × centroid × dim). repr(float)
-    # round-trips doubles exactly, so the generated SQL is bit-identical
-    # run to run (determinism contract).
-    scores = []
-    for cent in centroids:
-        dot_terms = " + ".join(
-            f"({c!r})*element_at(v,{d + 1})" for d, c in enumerate(cent)
-        )
-        scores.append(f"({sum(c * c for c in cent)!r} - 2.0*({dot_terms}))")
-    dists = F.expr(f"array({', '.join(scores)})")
-    out = (
-        pts.select("id", dists.alias("_d"))
-        .select(
-            "id",
-            (F.array_position("_d", F.array_min("_d")) - 1)
-            .cast("long")
-            .alias("cluster"),
-        )
-        # Persisted so consumers (IVF probe join, WCSS gates) read the
-        # materialized (id, cluster) pairs — 16 bytes/row — instead of
-        # re-fusing the k×dim-term score expression into each of their
-        # whole-stage-codegen spans (every distinct downstream plan shape
-        # paid a fresh ~1.5s janino compile of it).
-        .persist()
-    )
-    return out, centroids
+    return assign_cells(pts, centroids), centroids

@@ -1346,3 +1346,55 @@ def emb_pq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n_rows") == n_vecs) & F.col("codes_ok")).alias("codes_ok"),
         (F.col("total_err") < F.lit(float(sst))).alias("recon_beats_mean"),
     )
+
+
+@QS.add(
+    "ann_ivfpq_topk",
+    None,  # recall < 1 by design (n_probe < n_clusters, PQ shortlist)
+    # → rows-only; ann_ivfpq_gate hash-checks the recall floor and
+    # pytest proves full-probe + full-refine equals exact l2_topk.
+    doc="[EXT] IVFPQ approximate top-k with exact refinement — the "
+    "composed scale path: k-means cells probed per query, candidates "
+    "ranked by residual-PQ asymmetric distance (per-(query,cell) lookup "
+    "tables, only (id, cell, 8 codes) rows shuffle — raw vectors stay "
+    "out of the candidate join), top k*refine re-ranked by exact L2 "
+    "(operators/pq.py:ivfpq_topk).",
+    headline=True,
+    tags=("similarity", "approx", "iterative"),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.pq import ivfpq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(queries, emb, k=5, n_clusters=8, n_probe=2, refine=10)
+
+
+@QS.add(
+    "ann_ivfpq_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    doc="[EXT] recall gate for ann_ivfpq_topk against exact l2_topk: "
+    "recall@5 over the 10-query set must hold ≥ 0.7 (measured 0.86 at "
+    "sf0.001/0.01 — exactly the n_probe=2/8 cell-probe ceiling, i.e. "
+    "the deep-refine shortlist loses nothing on top of IVF's own "
+    "approximation).",
+    tags=("similarity", "approx", "gate"),
+)
+def ann_ivfpq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.pq import ivfpq_topk, l2_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = l2_topk(queries, emb, k=5).select("query_id", "neighbor_id")
+    appr = ivfpq_topk(
+        queries, emb, k=5, n_clusters=8, n_probe=2, refine=10
+    ).select("query_id", "neighbor_id")
+    hits = appr.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    n_q = queries.count()
+    return hits.agg(F.count(F.lit(1)).alias("_n_hits")).select(
+        F.lit(n_q).cast("long").alias("n_queries"),
+        (F.col("_n_hits") >= 0.7 * 5 * n_q).alias("recall_ok"),
+    )

@@ -581,3 +581,50 @@ class TestProductQuantization:
         rb = sorted((r["id"], tuple(r["codes"])) for r in b.collect())
         assert ra == rb
         assert len(ra) == emb.count()
+
+
+class TestIvfPq:
+    def test_full_probe_full_refine_equals_exact(self, emb):
+        from pyspark.sql import functions as F
+
+        from clinical_api_etl_spark.operators.pq import ivfpq_topk, l2_topk
+
+        q = emb.filter(F.col("vec_id") < 5)
+        exact = {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["l2_sq"])
+            for r in l2_topk(q, emb, k=3).collect()
+        }
+        got = {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["l2_sq"])
+            for r in ivfpq_topk(
+                q, emb, k=3, n_clusters=4, n_probe=4, refine=10**6,
+                kmeans_iterations=2,
+            ).collect()
+        }
+        # identical (query, rank) -> neighbor; distances agree to fp noise
+        # (l2_topk uses |q|²+|c|²-2⟨q,c⟩, refine folds Σ(a-b)² directly).
+        assert set(got) == set(exact)
+        for key, (nid, d) in got.items():
+            enid, ed = exact[key]
+            assert nid == enid
+            assert abs(d - ed) < 1e-9
+
+    def test_recall_floor_and_ranked(self, emb):
+        from pyspark.sql import functions as F
+
+        from clinical_api_etl_spark.operators.pq import ivfpq_topk, l2_topk
+
+        q = emb.filter(F.col("vec_id") < 10)
+        exact = {
+            (r["query_id"], r["neighbor_id"]) for r in l2_topk(q, emb, k=5).collect()
+        }
+        rows = ivfpq_topk(q, emb, k=5, n_clusters=8, n_probe=2, refine=10).collect()
+        appr = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        assert len(exact & appr) / len(exact) >= 0.7
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for rs in by_q.values():
+            assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
+            d = [r["l2_sq"] for r in sorted(rs, key=lambda r: r["rank"])]
+            assert d == sorted(d)
