@@ -450,3 +450,55 @@ def simhash_pairs(
         .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def canonical_docs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Dedup RESOLUTION: collapse near-dup pairs into groups and pick one
+    canonical survivor per group — the step that turns pair detection into
+    an actionable keep/drop list for a training corpus.
+
+    Group = connected component over the pairs (A~B~C is one group even if
+    A~C never paired); survivor = the group's highest-``score_col`` doc
+    (keep-the-longest is the common rule), ties to the LOWEST id —
+    deterministic. Docs in no pair survive as their own singleton group.
+
+    Output: (id, group, canonical_id, is_canonical) for every input doc —
+    the full resolution map (filter ``is_canonical`` for the kept corpus,
+    join ``canonical_id`` to re-point references at survivors).
+
+    Scale: components over EDGES only (pair output is tiny next to the
+    corpus), one broadcast-sized join back to docs, one window on the
+    group key. Near-dup groups are small and dense, so the window never
+    sees a hot key.
+    """
+    from pyspark.sql.window import Window as W
+
+    from clinical_api_etl_spark.operators.graph import connected_components
+
+    comp = connected_components(pairs)
+    base = docs.select(
+        F.col(id_col).alias("id"), F.col(score_col).alias("_score")
+    ).join(comp, "id", "left")
+    grouped = base.withColumn("group", F.coalesce("component", "id"))
+    w = W.partitionBy("group").orderBy(F.desc("_score"), F.asc("id"))
+    return (
+        grouped.withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "canonical_id",
+            F.min(F.when(F.col("_rk") == 1, F.col("id"))).over(
+                W.partitionBy("group")
+            ),
+        )
+        .select(
+            "id",
+            "group",
+            "canonical_id",
+            (F.col("_rk") == 1).alias("is_canonical"),
+        )
+    )

@@ -75,6 +75,74 @@ def hash_sample(df: DataFrame, id_col: str, *, fraction: float = 0.1) -> DataFra
     return df.filter(_hex_bucket(F.col(id_col)) < threshold)
 
 
+def mixture_upsample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    *,
+    weights: dict[str, float],
+    budget: int,
+) -> DataFrame:
+    """Domain-mixture resampling WITH repetition — the training-mixture
+    assembly step (the Pile / LLaMA data-recipe pattern: each domain gets
+    a target share of the token/doc budget, and small high-quality domains
+    repeat for multiple epochs to reach theirs).
+
+    Deterministic and engine-portable: per domain ``target = floor(budget
+    · w/Σw)`` (driver-side integer, weights are parameters), then each doc
+    appears ``target div n`` times, and the ``target mod n`` docs ranked
+    first by (md5-of-id, id) appear once more — EXACT per-domain output
+    counts, the same docs chosen under any partitioning or engine, no RNG.
+    Domains not in ``weights`` are dropped (they're not in the recipe).
+
+    Output: one row per (doc, epoch) with ``epoch`` in 1..n_copies —
+    downstream shuffling/packing treats epochs as independent rows.
+
+    Scale: one window shuffle on the domain key (same posture as
+    :func:`stratified_sample` — a hot domain serializes its rank; at 100 TB
+    run the rank over doc METADATA (id, domain — a few bytes/row), join
+    text back by id after the explode). The explode multiplies rows only
+    by each domain's true epoch count — no cross join anywhere.
+    """
+    total_w = sum(weights.values())
+    targets = {d: int(budget * w / total_w) for d, w in weights.items()}
+    target = None
+    for d, t in targets.items():
+        cond = F.when(F.col(domain_col) == d, F.lit(t).cast("long"))
+        target = cond if target is None else target.when(
+            F.col(domain_col) == d, F.lit(t).cast("long")
+        )
+
+    w_rank = W.partitionBy(domain_col).orderBy(
+        _hex_bucket(F.col(id_col)), F.col(id_col)
+    )
+    n = F.count(F.lit(1)).over(W.partitionBy(domain_col))
+    return (
+        df.filter(F.col(domain_col).isin(*weights))
+        .select(
+            id_col,
+            domain_col,
+            F.row_number().over(w_rank).alias("_rn"),
+            n.alias("_n"),
+            target.alias("_target"),
+        )
+        .withColumn(
+            "_copies",
+            (F.expr("_target div _n")
+             + F.when(F.col("_rn") <= F.expr("_target % _n"), 1).otherwise(0)
+             ).cast("long"),
+        )
+        .filter(F.col("_copies") > 0)
+        .select(
+            id_col,
+            domain_col,
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("_copies"))
+            ).alias("epoch"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata: list[str],

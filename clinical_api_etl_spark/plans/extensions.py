@@ -1398,3 +1398,156 @@ def ann_ivfpq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_q).cast("long").alias("n_queries"),
         (F.col("_n_hits") >= 0.7 * 5 * n_q).alias("recall_ok"),
     )
+
+
+_MIXTURE_WEIGHTS = {"src0": 0.5, "src1": 0.25, "src2": 0.15, "src3": 0.1}
+_MIXTURE_BUDGET = 200
+
+
+@QS.add(
+    "mixture_upsample_epochs",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n,
+             CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+                         WHEN 'src2' THEN 30 WHEN 'src3' THEN 20 END AS target
+      FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+    )
+    SELECT doc_id, source,
+           CAST(unnest(generate_series(1, target // n
+                + CASE WHEN rn <= target % n THEN 1 ELSE 0 END)) AS BIGINT)
+             AS epoch
+    FROM ranked
+    """,
+    doc="[EXT] domain-mixture resampling WITH repetition (the Pile/LLaMA "
+    "data-recipe step): each domain gets floor(budget*w) docs; docs repeat "
+    "for multiple epochs when the domain is smaller than its target, the "
+    "md5-first-ranked docs taking the fractional extra epoch — exact "
+    "per-domain counts, hash-deterministic across engines "
+    "(operators/sampling.py:mixture_upsample).",
+    tags=("sampling",),
+)
+def mixture_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.sampling import mixture_upsample
+
+    docs = load(spark, sf_dir, "documents")
+    return mixture_upsample(
+        docs, "source", "doc_id",
+        weights=_MIXTURE_WEIGHTS, budget=_MIXTURE_BUDGET,
+    )
+
+
+@QS.add(
+    "dedup_resolve_canonical",
+    f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_06_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS id FROM edges),
+    walk(id, label) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.a, w.label FROM walk w JOIN edges e ON w.id = e.b
+      WHERE w.label < e.a
+    ),
+    comp AS (SELECT id, MIN(label) AS component FROM walk GROUP BY id),
+    grouped AS (
+      SELECT d.doc_id AS id, COALESCE(c.component, d.doc_id) AS grp, d.n_chars
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    ),
+    rk AS (
+      SELECT id, grp,
+             ROW_NUMBER() OVER (PARTITION BY grp
+                                ORDER BY n_chars DESC, id ASC) AS rk
+      FROM grouped
+    )
+    SELECT id, CAST(grp AS BIGINT) AS "group",
+           MIN(CASE WHEN rk = 1 THEN id END) OVER (PARTITION BY grp)
+             AS canonical_id,
+           rk = 1 AS is_canonical
+    FROM rk
+    """,
+    doc="[EXT] dedup RESOLUTION: near-dup pairs (0.6 Jaccard) -> connected "
+    "components -> one canonical survivor per group (longest n_chars, ties "
+    "to lowest id); singletons survive as their own group. The full "
+    "keep/drop map for corpus cleaning "
+    "(operators/dedup.py:canonical_docs); oracle re-derives it with a "
+    "DuckDB recursive CTE.",
+    tags=("dedup", "graph"),
+)
+def dedup_resolve_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.dedup import (
+        canonical_docs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+    return canonical_docs(docs, pairs, id_col="doc_id", score_col="n_chars")
+
+
+@QS.add(
+    "text_vocab_coverage",
+    f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    freq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+             FROM tok GROUP BY term),
+    tot AS (SELECT SUM(freq) AS total FROM freq),
+    ranked AS (
+      SELECT term, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rank,
+             SUM(freq) OVER (ORDER BY freq DESC, term ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM freq
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, term, freq,
+           ROUND(CAST(cum AS DOUBLE) / CAST((SELECT total FROM tot) AS DOUBLE),
+                 6) AS cum_coverage
+    FROM ranked WHERE rank <= 50
+    """,
+    doc="[EXT] vocabulary coverage: top-50 corpus terms by frequency with "
+    "cumulative token-mass coverage — the tokenizer-training precursor "
+    "(what fraction of the corpus a V-term vocab explains). Integer "
+    "cumsum, one double division rounded to 6 places; ranking by the "
+    "(freq, term) pair is float-free. The global rank window runs over "
+    "the VOCAB (post-aggregation), which is orders smaller than the "
+    "corpus.",
+    tags=("text",),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from clinical_api_etl_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    total = freq.agg(F.sum("freq").alias("_total"))
+    w = W.orderBy(F.desc("freq"), F.asc("term"))
+    ranked = freq.select(
+        "term",
+        "freq",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("freq")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("_cum"),
+    )
+    return (
+        ranked.filter(F.col("rank") <= 50)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "term",
+            "freq",
+            F.round(
+                F.col("_cum").cast("double") / F.col("_total").cast("double"), 6
+            ).alias("cum_coverage"),
+        )
+    )

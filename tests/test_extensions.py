@@ -628,3 +628,111 @@ class TestIvfPq:
             assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
             d = [r["l2_sq"] for r in sorted(rs, key=lambda r: r["rank"])]
             assert d == sorted(d)
+
+
+class TestMixtureUpsample:
+    def test_exact_counts_and_python_replica(self, docs):
+        """Per-domain output counts equal the integer targets and the
+        chosen extra-epoch docs match an independent Python replica of the
+        md5 ranking."""
+        import hashlib
+
+        from clinical_api_etl_spark.operators.sampling import mixture_upsample
+
+        weights = {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+        budget = 60
+        rows = mixture_upsample(
+            docs, "source", "doc_id", weights=weights, budget=budget
+        ).collect()
+
+        by_domain = {}
+        for r in rows:
+            by_domain.setdefault(r["source"], []).append(r)
+
+        base = {
+            r["source"]: r["ids"]
+            for r in docs.groupBy("source")
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .collect()
+        }
+        for d, w in weights.items():
+            if d not in base:
+                continue
+            target = int(budget * w / sum(weights.values()))
+            got = by_domain.get(d, [])
+            assert len(got) == target  # exact budget share
+            n = len(base[d])
+            full, extra = divmod(target, n)
+            ranked = sorted(
+                base[d],
+                key=lambda i: (hashlib.md5(str(i).encode()).hexdigest()[:4], i),
+            )
+            expect = {}
+            for pos, i in enumerate(ranked):
+                c = full + (1 if pos < extra else 0)
+                if c:
+                    expect[i] = c
+            got_counts = {}
+            for r in got:
+                got_counts[r["doc_id"]] = got_counts.get(r["doc_id"], 0) + 1
+                assert 1 <= r["epoch"] <= expect[r["doc_id"]]
+            assert got_counts == expect
+
+    def test_deterministic_rerun(self, docs):
+        from clinical_api_etl_spark.operators.sampling import mixture_upsample
+
+        kw = dict(weights={"src0": 1.0, "src1": 1.0}, budget=20)
+        a = sorted(
+            map(tuple, mixture_upsample(docs, "source", "doc_id", **kw).collect())
+        )
+        b = sorted(
+            map(tuple, mixture_upsample(docs, "source", "doc_id", **kw).collect())
+        )
+        assert a == b and len(a) > 0
+
+
+class TestCanonicalDocs:
+    def test_one_canonical_per_group_with_max_score(self, spark):
+        from clinical_api_etl_spark.operators.dedup import canonical_docs
+
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 30), (3, 20), (4, 5), (5, 50)],
+            "doc_id long, n_chars long",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a long, id_b long"
+        )  # {1,2,3} one group; 4, 5 singletons
+        rows = {r["id"]: r for r in canonical_docs(docs, pairs).collect()}
+        assert len(rows) == 5
+        assert rows[1]["group"] == rows[2]["group"] == rows[3]["group"] == 1
+        for i in (1, 2, 3):
+            assert rows[i]["canonical_id"] == 2  # n_chars 30 wins
+        assert rows[2]["is_canonical"] and not rows[1]["is_canonical"]
+        for i in (4, 5):
+            assert rows[i]["group"] == i and rows[i]["is_canonical"]
+            assert rows[i]["canonical_id"] == i
+
+    def test_tie_breaks_to_lowest_id(self, spark):
+        from clinical_api_etl_spark.operators.dedup import canonical_docs
+
+        docs = spark.createDataFrame(
+            [(7, 10), (8, 10)], "doc_id long, n_chars long"
+        )
+        pairs = spark.createDataFrame([(7, 8)], "id_a long, id_b long")
+        rows = {r["id"]: r for r in canonical_docs(docs, pairs).collect()}
+        assert rows[7]["is_canonical"] and rows[7]["canonical_id"] == 7
+        assert not rows[8]["is_canonical"] and rows[8]["canonical_id"] == 7
+
+
+class TestVocabCoverage:
+    def test_monotone_coverage_and_contiguous_ranks(self, spark):
+        from clinical_api_etl_spark.plans.registry import all_queries
+
+        df = all_queries()["text_vocab_coverage"].builder(spark, SF)
+        rows = sorted(df.collect(), key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        cov = [r["cum_coverage"] for r in rows]
+        assert all(a <= b for a, b in zip(cov, cov[1:]))
+        assert 0 < cov[-1] <= 1.0
+        freqs = [r["freq"] for r in rows]
+        assert freqs == sorted(freqs, reverse=True)
