@@ -1,0 +1,388 @@
+"""Event-analytics query family. [EXT]
+
+Product-analytics shapes every events-style deployment of the reference
+would ask next (the reference's query surface stops at filtered slices —
+``database.service.ts:94-150``): ordered funnels, cohort retention, native
+session windows, hopping windows, and gap-filled (densified) time series,
+plus a VARIANT-typed semi-structured path and a table-profiling operator.
+
+All are pure DataFrame compositions — no UDFs, no driver-side loops — and
+each carries a DuckDB oracle. Scale posture per query in its docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clinical_api_etl_spark.plans.base import DSUM, QuerySet
+from clinical_api_etl_spark.sources.catalog import load
+from clinical_api_etl_spark.functions.numeric import dsum
+
+QS = QuerySet()
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: view -> click -> purchase, strictly increasing timestamps.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS vt FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS ct
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.vt
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS pt
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.ct
+        GROUP BY e.user_id
+    )
+    SELECT stage, users FROM (
+        SELECT 'view' AS stage, COUNT(*) AS users FROM v
+        UNION ALL SELECT 'view>click', COUNT(*) FROM c
+        UNION ALL SELECT 'view>click>purchase', COUNT(*) FROM p
+    )
+    """,
+    doc="Ordered conversion funnel: earliest view, then earliest click "
+    "strictly after it, then earliest purchase strictly after that; one "
+    "user count per stage. Each stage is a per-user min-aggregate (one "
+    "shuffle on user_id) joined to the previous stage on user_id — AQE "
+    "picks broadcast once a stage's survivor set shrinks below threshold. "
+    "No window over raw events, so no per-user sort of the full stream.",
+    tags=("analytics", "funnel"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+
+    def stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(label).alias("stage"), "users"
+        )
+
+    return (
+        stage(v, "view")
+        .unionAll(stage(c, "view>click"))
+        .unionAll(stage(p, "view>click>purchase"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-seen week, counted per week offset.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "cohort_weekly_retention",
+    """
+    WITH f AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+        FROM events GROUP BY user_id
+    )
+    SELECT
+        f.cw AS cohort_week,
+        CAST(date_diff('day', f.cw, date_trunc('week', e.ts)) / 7 AS BIGINT)
+            AS week_offset,
+        COUNT(DISTINCT e.user_id) AS users
+    FROM events e JOIN f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Weekly cohort retention: cohort = ISO week of a user's first "
+    "event; one row per (cohort_week, week_offset) with distinct users "
+    "still active. Two shuffles (first-event agg on user_id, final agg on "
+    "cohort key); the events⋈first-seen join is on user_id, co-partitioned "
+    "with the agg that produced f, so AQE reuses the exchange. Week "
+    "offsets are exact day-diffs/7 of Monday-truncated dates — identical "
+    "in Spark and DuckDB (no engine-specific week-diff semantics).",
+    tags=("analytics", "cohort"),
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    return (
+        ev.join(first, "user_id")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            (F.datediff(F.date_trunc("week", F.col("ts")), F.col("cw")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native session windows (F.session_window) — the built-in twin of w5.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "w8_session_window_native",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            >= 21600000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 6 HOUR AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+    doc="Gap-based sessions via Spark's native session_window aggregation "
+    "(the same expression runs under readStream with a watermark — "
+    "merging session state is handled by the engine, not a custom "
+    "stateful UDF). Semantics: events merge while the gap is < 6h; the "
+    "window end is last event + gap. The oracle replays that exactly with "
+    "a lag/cumsum rewrite (new session when diff >= gap — note >=, not >, "
+    "matching session_window's half-open [ts, ts+gap) windows). One "
+    "shuffle on user_id.",
+    tags=("analytics", "window", "session"),
+)
+def w8_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        ev.groupBy(F.session_window("ts", "6 hours"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) windows: 4h windows advancing every hour.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "w9_hopping_window_rates",
+    f"""
+    SELECT
+        date_trunc('hour', ts) - k.k * INTERVAL 1 HOUR AS window_start,
+        event_type,
+        COUNT(*) AS cnt,
+        {DSUM('value', 'total_value')}
+    FROM events
+    CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+    GROUP BY 1, 2
+    """,
+    doc="Hopping event-time windows (4h long, 1h slide) per event type — "
+    "the smoothed-rate shape behind alerting dashboards. Spark's "
+    "window(ts, '4 hours', '1 hour') expands each row into its 4 "
+    "containing windows inside the aggregate's Expand node (no join); the "
+    "oracle mirrors with an explicit 4-row cross join. Map-side partial "
+    "aggregation tames the 4x expansion before the single shuffle; the "
+    "same expression streams under a watermark.",
+    tags=("analytics", "window", "hopping"),
+)
+def w9_hopping_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    return (
+        ev.groupBy(F.window("ts", "4 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-filled (densified) hourly series — zero rows for silent hours.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "w10_gapfill_hourly_series",
+    """
+    WITH b AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    h AS (
+        SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+        FROM b
+    ),
+    t AS (SELECT DISTINCT event_type FROM events),
+    c AS (
+        SELECT date_trunc('hour', ts) AS hs, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT h.hour_start, t.event_type, COALESCE(c.n, 0) AS cnt
+    FROM h CROSS JOIN t
+    LEFT JOIN c ON c.hs = h.hour_start AND c.event_type = t.event_type
+    """,
+    doc="Dense hourly series per event type: every hour between the "
+    "corpus min/max appears, zero-filled when silent — the densification "
+    "step time-series models need before lag features. The hour spine is "
+    "sequence() over a 1-row global bound (broadcast nested-loop against "
+    "5 distinct types — trivially small build side by construction: "
+    "#hours x #types, data-size independent); observed counts then LEFT "
+    "join the spine on (hour, type). Three small shuffles; the spine "
+    "never touches the fact table's row count.",
+    tags=("analytics", "timeseries", "gapfill"),
+)
+def w10_gapfill_hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("ts", "event_type")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour_start"
+        )
+    )
+    types = ev.select(F.col("event_type").alias("etype")).distinct()
+    counts = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hs"),
+        F.col("event_type").alias("cet"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        hours.crossJoin(types)
+        .join(
+            counts,
+            (F.col("hs") == F.col("hour_start")) & (F.col("cet") == F.col("etype")),
+            "left",
+        )
+        .select(
+            "hour_start",
+            F.col("etype").alias("event_type"),
+            F.coalesce("n", F.lit(0)).alias("cnt"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured path (Spark 4 VariantType over the props JSON).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "v1_variant_props_stats",
+    """
+    SELECT event_type,
+           COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured props via Spark 4's VARIANT type: parse_json once "
+    "per row, variant_get typed extraction, then plain integer aggregates "
+    "(exact — no float discipline needed). VARIANT's binary encoding "
+    "makes repeated path extraction O(paths) per row without re-parsing "
+    "text, the right posture when props widens to hundreds of keys; the "
+    "oracle uses DuckDB's JSON extraction over the same strings.",
+    tags=("analytics", "variant", "json"),
+)
+def v1_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "props")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("k").alias("n_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").alias("sum_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling: per-column stats in ONE scan (ANALYZE-style).
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus")
+
+
+@QS.add(
+    "profile_lineitem_columns",
+    " UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_val,
+           CAST(MAX({c}) AS VARCHAR) AS max_val
+    FROM lineitem
+    """
+        for c in _PROFILE_COLS
+    ),
+    doc="Data-profiling operator (ANALYZE-style): row count, null count, "
+    "exact NDV, and min/max per profiled column — computed in ONE scan as "
+    "a single multi-count-distinct aggregate (Catalyst's Expand handles "
+    "the distinct streams) and unpivoted to a (column, stats) row per "
+    "column. The profile feeds CBO-style size estimation and data-quality "
+    "gates; at 100 TB swap exact NDV for approx_count_distinct (the "
+    "a11 family shows the HLL error gate).",
+    tags=("analytics", "profiling"),
+)
+def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__ndv, {c}__min, {c}__max" for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (col_name, n_nulls, n_distinct, min_val, max_val)"
+        ),
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")

@@ -15,6 +15,7 @@ def all_queries() -> dict[str, Query]:
     # Imports are local so a syntax error in one family surfaces at call
     # time with a clean traceback, and to avoid import cycles.
     from clinical_api_etl_spark.plans import (
+        analytics,
         clinical_parity,
         extensions,
         relational,
@@ -22,7 +23,7 @@ def all_queries() -> dict[str, Query]:
     )
 
     merged: dict[str, Query] = {}
-    for mod in (relational, tpch_deep, clinical_parity, extensions):
+    for mod in (relational, tpch_deep, clinical_parity, extensions, analytics):
         for name, q in mod.QS.queries.items():
             if name in merged:
                 raise ValueError(f"duplicate query {name!r} across plan modules")

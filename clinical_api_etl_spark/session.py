@@ -57,6 +57,13 @@ def get_spark(
         # numeric-looking study_id/job_id partition to int on read and break
         # schema stability of the warehouse tables.
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+        # Naive (isAdjustedToUTC=false) parquet timestamps read as TIMESTAMP,
+        # not TIMESTAMP_NTZ: with the session pinned to UTC the values are
+        # identical, every downstream temporal expression (unix_millis,
+        # watermarks, windows) expects TIMESTAMP, and scan-level pushdown of
+        # ts predicates survives (an NTZ→LTZ cast on top of the scan would
+        # block it). Spark-written (UTC-adjusted) timestamps are unaffected.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -73,15 +73,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which the vectorized
-        # parquet reader rejects; read nanos as INT64 and convert to a
-        # microsecond timestamp JVM-side (truncation matches DuckDB's
-        # ns→us narrowing). Stays fully distributed — no driver round-trip.
+        # events.parquet has shipped with two physical encodings for ``ts``:
+        # TIMESTAMP(NANOS), which the vectorized reader rejects (read nanos
+        # as INT64 and truncate to µs JVM-side — matches DuckDB's ns→µs
+        # narrowing), and plain naive µs timestamps, which the NTZ-inferring
+        # reader surfaces as TIMESTAMP_NTZ. Normalize both to the session
+        # TIMESTAMP type so downstream expressions (unix_millis, windows,
+        # watermarks) see one type; the session timezone is pinned to UTC
+        # (session.py), so the NTZ cast is value-preserving.
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Prefer reading naive µs timestamps as TIMESTAMP at the scan (not
+        # NTZ + cast): the filter `ts >= lit` then pushes into parquet.
+        if spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false":
+            spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return _spread(spark, df, path, name)
     return _spread(spark, spark.read.parquet(path), path, name)
 

@@ -1,0 +1,131 @@
+"""Semantic invariants for the event-analytics family (plans/analytics.py).
+
+The DuckDB oracle gate proves Spark==SQL; these tests pin the *meaning*:
+funnel monotonicity, session-window disjointness, gap-fill density, hopping
+multiplicity — properties a hash match alone wouldn't explain to a reader.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_api_etl_spark.plans.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    return all_queries()[name].builder(spark, SF)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from clinical_api_etl_spark.sources.catalog import load
+
+    return load(spark, SF, "events")
+
+
+class TestFunnel:
+    def test_stages_monotone_nonincreasing(self, spark):
+        rows = {r["stage"]: r["users"] for r in _run(spark, "funnel_view_click_purchase").collect()}
+        assert set(rows) == {"view", "view>click", "view>click>purchase"}
+        assert rows["view"] >= rows["view>click"] >= rows["view>click>purchase"]
+        assert rows["view"] > 0
+
+
+class TestCohort:
+    def test_offsets_nonnegative_and_cohort0_complete(self, spark, events):
+        pdf = _run(spark, "cohort_weekly_retention").toPandas()
+        assert (pdf["week_offset"] >= 0).all()
+        # every user appears in their own cohort at offset 0
+        per_cohort0 = pdf[pdf["week_offset"] == 0].set_index("cohort_week")["users"]
+        n_users = events.select("user_id").distinct().count()
+        assert per_cohort0.sum() == n_users
+
+
+class TestSessionWindowNative:
+    def test_sessions_disjoint_and_conserve_events(self, spark, events):
+        pdf = (
+            _run(spark, "w8_session_window_native")
+            .orderBy("user_id", "session_start")
+            .toPandas()
+        )
+        assert pdf["n_events"].sum() == events.count()
+        for _, g in pdf.groupby("user_id"):
+            starts = g["session_start"].tolist()
+            ends = g["session_end"].tolist()
+            # end = last event + gap; next session starts at or after the
+            # previous window closed (otherwise they would have merged)
+            for i in range(1, len(starts)):
+                assert starts[i] >= ends[i - 1]
+
+    def test_matches_lag_based_rewrite(self, spark, events):
+        """session_window == lag/cumsum with new-session-at diff >= gap."""
+        from pyspark.sql.window import Window as W
+
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        gap_us = 6 * 3600 * 1_000_000
+        flag = F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                >= gap_us
+            ),
+            1,
+        ).otherwise(0)
+        manual = (
+            events.withColumn("f", flag)
+            .withColumn(
+                "sid",
+                F.sum("f").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+            )
+            .groupBy("user_id", "sid")
+            .agg(
+                F.min("ts").alias("session_start"),
+                (F.max("ts") + F.expr("INTERVAL 6 HOURS")).alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .drop("sid")
+        )
+        native = _run(spark, "w8_session_window_native").select(
+            "user_id", "session_start", "session_end", "n_events"
+        )
+        assert native.exceptAll(manual).count() == 0
+        assert manual.exceptAll(native).count() == 0
+
+
+class TestHopping:
+    def test_each_event_in_four_windows(self, spark, events):
+        pdf = _run(spark, "w9_hopping_window_rates").toPandas()
+        assert pdf["cnt"].sum() == 4 * events.count()
+
+
+class TestGapfill:
+    def test_dense_grid_and_count_conservation(self, spark, events):
+        pdf = _run(spark, "w10_gapfill_hourly_series").toPandas()
+        n_types = events.select("event_type").distinct().count()
+        hours = sorted(pdf["hour_start"].unique())
+        # contiguous hourly spine: every hour between min and max present
+        assert len(pdf) == len(hours) * n_types
+        for a, b in zip(hours, hours[1:]):
+            assert (b - a).total_seconds() == 3600
+        assert pdf["cnt"].sum() == events.count()
+
+
+class TestVariant:
+    def test_counts_cover_all_rows(self, spark, events):
+        pdf = _run(spark, "v1_variant_props_stats").toPandas()
+        assert pdf["n_k"].sum() == events.filter(F.col("props").isNotNull()).count()
+        assert (pdf["min_k"] <= pdf["max_k"]).all()
+
+
+class TestProfile:
+    def test_profile_matches_direct_aggregates(self, spark):
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        pdf = _run(spark, "profile_lineitem_columns").toPandas().set_index("col_name")
+        assert (pdf["n_rows"] == li.count()).all()
+        flag = pdf.loc["l_returnflag"]
+        assert flag["n_distinct"] == li.select("l_returnflag").distinct().count()
+        assert flag["n_nulls"] == li.filter(F.col("l_returnflag").isNull()).count()
+        assert flag["min_val"] == li.agg(F.min("l_returnflag")).first()[0]
