@@ -177,6 +177,53 @@ def embedding_near_duplicates(
     )
 
 
+def semantic_near_duplicates(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    kmeans_iterations: int = 3,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: pairwise cosine restricted to
+    k-means cells (Abbas et al. 2023, "SemDeDup" — cluster, then compare
+    only within clusters).
+
+    Same predicate as :func:`embedding_near_duplicates` but the pair scan
+    is an equi-join on the cluster id — O(Σ|cell|²) instead of O(N²). By
+    construction the result is a SUBSET of the exact pairs (the similarity
+    expression is identical; only cross-cell pairs can be missed — and
+    near-dups land in the same cell, which is the premise of the method).
+    At 100 TB: ``n_clusters`` scales with corpus size so cells stay
+    bounded (√N cells keeps the per-cell quadratic term ≈ corpus-linear);
+    the cell id is the shuffle key, so no all-pairs stage ever exists.
+    """
+    from clinical_api_etl_spark.operators.clustering import kmeans_fit
+
+    assign, _ = kmeans_fit(
+        df, id_col=id_col, vec_col=vec_col, k=n_clusters,
+        iterations=kmeans_iterations,
+    )
+    a = (
+        _parallel(_prep(df, id_col, vec_col, "id_a", "v_a"))
+        .join(assign.select(F.col("id").alias("id_a"), "cluster"), "id_a")
+    )
+    b = a.select(
+        F.col("id_a").alias("id_b"),
+        F.col("v_a").alias("v_b"),
+        F.col("v_a_norm").alias("v_b_norm"),
+        "cluster",
+    )
+    sim = dot(F.col("v_a"), F.col("v_b")) / (F.col("v_a_norm") * F.col("v_b_norm"))
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

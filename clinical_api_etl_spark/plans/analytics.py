@@ -337,6 +337,46 @@ def v1_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Histogram / binning over a measure column.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "hist_event_value",
+    """
+    SELECT
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 200 AS bucket,
+        CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 200 * 2
+             AS DOUBLE) AS bucket_lo,
+        COUNT(*) AS cnt
+    FROM events
+    WHERE value >= 0
+    GROUP BY 1, 2
+    """,
+    doc="Equi-width histogram of events.value (bucket width 2.0): the "
+    "binning runs on exact integer cents (DECIMAL(18,2) x 100 -> BIGINT "
+    "floor-div), so bucket edges are engine-portable — a double "
+    "floor(value/width) would disagree between engines exactly at the "
+    "edges fp can't represent. One scan, one shuffle on the bucket key; "
+    "this is the width_bucket shape with the edge arithmetic made exact.",
+    tags=("analytics", "histogram"),
+)
+def hist_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("value")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    bucket = F.floor(cents / 200)
+    return (
+        ev.filter(F.col("value") >= 0)
+        .select(
+            bucket.alias("bucket"),
+            (bucket * 2).cast("double").alias("bucket_lo"),
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Table profiling: per-column stats in ONE scan (ANALYZE-style).
 # ---------------------------------------------------------------------------
 

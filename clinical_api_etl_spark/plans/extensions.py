@@ -309,6 +309,67 @@ def ann_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @QS.add(
+    "dedup_semantic_pairs",
+    None,
+    doc="[EXT] SemDeDup (Abbas et al. 2023): near-dup pairs restricted to "
+    "k-means cells — the cell id turns the O(N²) pair scan into an "
+    "equi-join. Approximate by construction (cross-cell pairs missed), "
+    "hence rows-only here; dedup_semantic_gate hash-checks subset + "
+    "recall against the exact scan.",
+    tags=("dedup", "similarity", "approx"),
+)
+def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.similarity import semantic_near_duplicates
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_near_duplicates(emb, threshold=0.4, n_clusters=4)
+
+
+@QS.add(
+    "dedup_semantic_gate",
+    "SELECT TRUE AS subset_ok, 0.4 AS recall_floor, TRUE AS met",
+    doc="[EXT] hash-checked invariants for dedup_semantic_pairs: every "
+    "reported pair must appear in the exact pair scan at the same "
+    "threshold (subset — holds by construction, the gate proves the "
+    "implementation), and recall vs exact must stay ≥ 0.4 (measured "
+    "0.475 at sf0.01, k=4; deterministic k-means makes it stable). The "
+    "corpus's similarity mass sits at cos≈0.4, so the gate runs at the "
+    "calibrated threshold rather than the 0.95 production default.",
+    tags=("dedup", "similarity", "gate"),
+)
+def dedup_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.similarity import (
+        embedding_near_duplicates,
+        semantic_near_duplicates,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    sem = (
+        semantic_near_duplicates(emb, threshold=0.4, n_clusters=4)
+        .select("id_a", "id_b")
+        .withColumn("in_sem", F.lit(1))
+    )
+    exact = (
+        embedding_near_duplicates(emb, threshold=0.4)
+        .select("id_a", "id_b")
+        .withColumn("in_exact", F.lit(1))
+    )
+    both = sem.join(exact, ["id_a", "id_b"], "full_outer")
+    return both.agg(
+        (
+            F.sum(F.when(F.col("in_exact").isNull(), 1).otherwise(0)) == 0
+        ).alias("subset_ok"),
+        (
+            F.sum(F.coalesce("in_sem", F.lit(0))) / F.sum(F.coalesce("in_exact", F.lit(0)))
+        ).alias("_r"),
+    ).select(
+        "subset_ok",
+        F.lit(0.4).alias("recall_floor"),
+        (F.col("_r") >= 0.4).alias("met"),
+    )
+
+
+@QS.add(
     "ann_ivf_recall_gate",
     "SELECT CAST(50 AS BIGINT) AS n_exact, 0.75 AS recall_floor, TRUE AS met",
     doc="[EXT] hash-checked recall floor for ann_ivf_topk: recall vs the "

@@ -92,6 +92,50 @@ class TestSimilarity:
             assert all(r["neighbor_id"] != q for r in rows)
 
 
+class TestSemanticDedup:
+    def test_identical_vectors_always_found(self, spark):
+        """Planted exact duplicates share a cell by construction (same
+        vector → same nearest centroid), so SemDeDup must report them."""
+        import random
+
+        from clinical_api_etl_spark.operators.similarity import (
+            semantic_near_duplicates,
+        )
+
+        rng = random.Random(7)
+        base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(30)]
+        rows = [(i, v) for i, v in enumerate(base)]
+        rows += [(100 + i, base[i]) for i in range(5)]  # 5 planted dups
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_near_duplicates(
+                df, threshold=0.999, n_clusters=3
+            ).collect()
+        }
+        for i in range(5):
+            assert (i, 100 + i) in pairs
+
+    def test_subset_of_exact(self, emb):
+        from clinical_api_etl_spark.operators.similarity import (
+            embedding_near_duplicates,
+            semantic_near_duplicates,
+        )
+
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_duplicates(emb, threshold=0.4).collect()
+        }
+        sem = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_near_duplicates(
+                emb, threshold=0.4, n_clusters=4
+            ).collect()
+        }
+        assert sem, "semantic dedup found nothing at the calibrated threshold"
+        assert sem <= exact
+
+
 def _pil_missing() -> bool:
     from clinical_api_etl_spark.operators.multimodal import _pil_available
 
