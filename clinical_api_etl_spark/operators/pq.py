@@ -17,13 +17,17 @@ rows per subspace), fixed iteration count, low-index argmin tie-break,
 sequential float folds driver-side, ``repr(float)`` round-trip exactness
 in the generated SQL.
 
-Encode-expression shape (the no-HOF-CSE rule, CLAUDE.md): per subspace
-the k distance scores are ONE named array column ``_d{s}``; the code
-(``array_position``/``array_min``) and the reconstruction error both
-reference that alias, never re-inline the k×dsub multiply-add chain.
-The result is persisted — (id, m codes, err) rows — so downstream
-consumers never re-fuse the generated expression (fresh janino compile
-per distinct plan shape otherwise).
+ENCODE is a declared Arrow operator (``mapInPandas``): per Arrow batch,
+numpy computes the (n × k × dsub) distance tensor per subspace and takes
+the argmin — the same vectorized batch kernel faiss uses. An earlier
+revision generated m×k literal multiply-add SQL chains instead (one
+scalar column per centroid, see ``clustering.assign_cells`` for the
+janino 64 KB history); it was correct but paid ~3s of janino compilation
+per distinct plan shape for work numpy does in milliseconds — the
+lesson generalizes: large LITERAL MODELS (codebooks) belong in an Arrow
+kernel, small ones (k coarse centroids) in codegen'd expressions.
+Determinism is unchanged: float64 ops, fixed shapes, ``argmin`` lowest-
+index ties (== the old ``array_position`` first-match).
 """
 
 from __future__ import annotations
@@ -34,38 +38,60 @@ from pyspark.sql import functions as F
 from clinical_api_etl_spark.operators.clustering import _lloyd
 
 
-def _score_col_names(m: int, k: int) -> list[list[str]]:
-    return [[f"_s{s}_{c}" for c in range(k)] for s in range(m)]
+def _encode(
+    frame: DataFrame,
+    books: list[list[list[float]]],
+    *,
+    coarse: list[list[float]] | None = None,
+    with_err: bool = False,
+) -> DataFrame:
+    """Arrow-vectorized PQ encode.
 
-
-def _score_cols(
-    books: list[list[list[float]]], vec: str, dsub: int
-) -> list[F.Column]:
-    """Per-(subspace, centroid) scalar score columns ``_s{s}_{c}`` =
-    |vec_sub − c|² minus the shared |vec_sub|² term (argmin unchanged).
-
-    ONE SCALAR COLUMN PER CENTROID is a codegen shape constraint, not
-    style: packing a subspace's k scores into a single array expression
-    (×m subspaces) built a >64 KB codegen node — janino's method limit
-    killed the stage and Spark silently fell back to interpreted Volcano
-    after paying the failed compile (ERROR CodeGenerator in the logs was
-    the only symptom; results stayed correct). Small top-level scalar
-    expressions let codegen split them across methods; the argmin then
-    reads the named columns in a later projection.
+    ``frame`` is ``(id, v)`` — or ``(id, cluster, v)`` when ``coarse`` is
+    given, in which case the encoded value is the RESIDUAL ``v −
+    coarse[cluster]`` (the faiss IVFPQ layout). Output: ``(id[, cluster],
+    codes array<int>[, recon_err double])``. One narrow distributed pass;
+    only numpy batch kernels per Arrow batch, no per-row Python.
     """
-    cols = []
-    for s, book in enumerate(books):
-        lo = s * dsub
-        for ci, cent in enumerate(book):
-            dot_terms = " + ".join(
-                f"({c!r})*element_at({vec},{lo + d + 1})"
-                for d, c in enumerate(cent)
-            )
-            cols.append(
-                F.expr(f"({sum(c * c for c in cent)!r} - 2.0*({dot_terms}))")
-                .alias(f"_s{s}_{ci}")
-            )
-    return cols
+    import numpy as np
+    import pandas as pd
+
+    B = [np.asarray(b, dtype=np.float64) for b in books]
+    m = len(B)
+    dsub = B[0].shape[1]
+    C = np.asarray(coarse, dtype=np.float64) if coarse is not None else None
+    schema = "id long" + (", cluster long" if coarse is not None else "")
+    schema += ", codes array<int>"
+    if with_err:
+        schema += ", recon_err double"
+
+    def fn(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            if C is not None:
+                R = V - C[pdf["cluster"].to_numpy()]
+            else:
+                R = V
+            codes = np.empty((n, m), dtype=np.int32)
+            err = np.zeros(n, dtype=np.float64) if with_err else None
+            for s in range(m):
+                sub = R[:, s * dsub : (s + 1) * dsub]
+                d = ((sub[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d.argmin(axis=1)
+                if err is not None:
+                    err += d.min(axis=1)
+            out = {"id": pdf["id"].to_numpy()}
+            if C is not None:
+                out["cluster"] = pdf["cluster"].to_numpy()
+            out["codes"] = list(codes)
+            if with_err:
+                out["recon_err"] = err
+            yield pd.DataFrame(out)
+
+    return frame.mapInPandas(fn, schema)
 
 
 def pq_fit(
@@ -107,38 +133,7 @@ def pq_fit(
         for s in range(m)
     ]
 
-    # Distance scores per subspace as literal multiply-add chains:
-    # |v_sub - c|² == |c|² - 2⟨v_sub,c⟩ + |v_sub|².  The |v_sub|² term is
-    # shared by all k scores of the subspace, so scores drop it (argmin
-    # unchanged) and the error adds it back once per subspace. One scalar
-    # column per centroid (see _score_cols — janino 64 KB constraint).
-    vsub_sq = [
-        F.expr(
-            " + ".join(
-                f"element_at(v,{s * dsub + d + 1})*element_at(v,{s * dsub + d + 1})"
-                for d in range(dsub)
-            )
-        )
-        for s in range(m)
-    ]
-    staged = pts.select(
-        "id",
-        *_score_cols(codebooks, "v", dsub),
-        sum(vsub_sq[1:], vsub_sq[0]).alias("_vsq"),
-    )
-    names = _score_col_names(m, k)
-    subs = [F.array(*names[s]) for s in range(m)]
-    codes = F.array(
-        *[
-            (F.array_position(subs[s], F.array_min(subs[s])) - 1).cast("int")
-            for s in range(m)
-        ]
-    )
-    err_terms = [F.array_min(subs[s]) for s in range(m)]
-    recon_err = sum(err_terms[1:], err_terms[0]) + F.col("_vsq")
-    out = staged.select(
-        "id", codes.alias("codes"), recon_err.alias("recon_err")
-    ).persist()
+    out = _encode(pts, codebooks, with_err=True).persist()
     return out, codebooks
 
 
@@ -204,9 +199,9 @@ def ivfpq_topk(
        equi-join on the cell id, never a full scan.
     2. encode: one shared pq_k-centroid codebook per subspace, trained
        driver-side on the sample's RESIDUALS (numpy); corpus codes come
-       from one narrow projection over a briefly-persisted residual
-       table, one scalar score column per centroid (see _score_cols —
-       both are janino 64 KB codegen constraints, measured not guessed).
+       from ONE distributed Arrow pass (see _encode — residual subtraction
+       and argmin in the numpy batch kernel; nothing wider than
+       (id, cluster, codes) ever persists).
     3. PQ scan: per probed (query, cell) row an m×pq_k asymmetric-
        distance table over the QUERY residual for that cell (named
        columns), summed via ``element_at`` per candidate code —
@@ -270,40 +265,19 @@ def ivfpq_topk(
         for s in range(m)
     ]
 
-    # --- encode the corpus: residual as a PERSISTED table, then the same
-    # literal-chain argmin as pq_fit (scores drop the shared |r_sub|²).
-    # The persist is a codegen requirement, not a cache nicety: fused with
-    # the join+zip_with, the m×pq_k score arrays blow janino's 64 KB
-    # method limit and the whole encode stage fell back to interpreted
-    # Volcano; scored over the materialized scan every expression
-    # compiles. (Unpersisted right after `cand` materializes below.)
-    with_cell = (
-        pts.join(assign.select(F.col("id"), "cluster"), "id")
-        .withColumn(
-            "r",
-            F.zip_with(
-                "v",
-                F.element_at(F.lit(coarse), F.col("cluster").cast("int") + 1),
-                lambda a, b: a - b,
-            ),
-        )
-        .select("id", "cluster", "r")
+    # --- encode the corpus: one distributed Arrow pass — the residual
+    # subtraction AND the per-subspace argmin happen inside the numpy
+    # batch kernel (see _encode), so no intermediate residual table ever
+    # materializes. Only the narrow (id, cluster, m codes) rows persist.
+    with_cell = pts.join(assign.select(F.col("id"), "cluster"), "id")
+    cand = (
+        _encode(with_cell, books, coarse=coarse)
+        .withColumnRenamed("id", "neighbor_id")
         .persist()
     )
-    staged = with_cell.select("id", "cluster", *_score_cols(books, "r", dsub))
-    names = _score_col_names(m, pq_k)
-    subs = [F.array(*names[s]) for s in range(m)]
-    codes = F.array(
-        *[
-            (F.array_position(subs[s], F.array_min(subs[s])) - 1).cast("int")
-            for s in range(m)
-        ]
-    )
-    cand = staged.select(
-        F.col("id").alias("neighbor_id"), "cluster", codes.alias("codes")
-    ).persist()
-    cand.count()  # materialize codes now so the residual table can go
-    with_cell.unpersist()
+    # Materialize now: downstream joins (PQ scan, refine) then plan against
+    # known (tiny) statistics instead of an unestimated Arrow stage.
+    cand.count()
 
     q = _prep(queries, id_col, vec_col, "query_id", "q_vec")
     coarse_d = F.transform(

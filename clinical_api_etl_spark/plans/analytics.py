@@ -303,6 +303,94 @@ def w10_gapfill_hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-entity resample + forward fill (LOCF).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "w11_locf_hourly_state",
+    """
+    WITH hourly AS (
+        SELECT user_id, hour_start, value AS hv FROM (
+            SELECT user_id, date_trunc('hour', ts) AS hour_start, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ),
+    bounds AS (
+        SELECT user_id, MIN(hour_start) AS lo, MAX(hour_start) AS hi
+        FROM hourly GROUP BY user_id
+    ),
+    spine AS (
+        SELECT user_id,
+               UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+        FROM bounds
+    )
+    SELECT s.user_id, s.hour_start,
+           last_value(h.hv IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.hour_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_locf
+    FROM spine s
+    LEFT JOIN hourly h
+      ON h.user_id = s.user_id AND h.hour_start = s.hour_start
+    """,
+    doc="Resample-and-forward-fill (LOCF): each user's event stream becomes "
+    "a dense hourly state series — the latest observed value in an hour, "
+    "carried forward through silent hours — the feature-engineering step "
+    "before any time-series model. Last-per-hour is a row_number window "
+    "(unique (ts, event_id) tie-break, engine-portable); the per-user "
+    "spine is sequence()+explode between that user's own bounds (output "
+    "grows with user-hours, not corpus rows); the fill is last(..., "
+    "ignorenulls) over the hour order — one window, no self-join chain. "
+    "Values are copied doubles, never aggregated, so no fp discipline "
+    "needed. Shuffles: by (user,hour) for last-per-hour, by user for "
+    "bounds + fill — all on the natural keys.",
+    tags=("analytics", "timeseries", "locf"),
+)
+def w11_locf_hourly_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    rn = F.row_number().over(
+        W.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+    )
+    hourly = (
+        ev.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            F.col("value").alias("hv"),
+        )
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour_start").alias("lo"), F.max("hour_start").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+                "hour_start"
+            ),
+        )
+    )
+    fill = W.partitionBy("user_id").orderBy("hour_start").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour_start"], "left")
+        .select(
+            "user_id",
+            "hour_start",
+            F.last("hv", ignorenulls=True).over(fill).alias("value_locf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # VARIANT semi-structured path (Spark 4 VariantType over the props JSON).
 # ---------------------------------------------------------------------------
 

@@ -1339,7 +1339,7 @@ def text_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "→ 8 B, the faiss-IVFPQ compression layout. Codebooks train "
     "driver-side on the deterministic lowest-id sample (model-on-sample "
     "convention, operators/pq.py); encode is one narrow shuffle-free "
-    "projection with per-subspace argmin over literal centroid chains.",
+    "Arrow pass (numpy per-subspace argmin — declared Arrow operator).",
     tags=("similarity", "approx", "iterative"),
 )
 def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -113,6 +113,45 @@ class TestGapfill:
         assert pdf["cnt"].sum() == events.count()
 
 
+class TestLocf:
+    def test_dense_per_user_and_fill_matches_pandas(self, spark, events):
+        pdf = (
+            _run(spark, "w11_locf_hourly_state")
+            .orderBy("user_id", "hour_start")
+            .toPandas()
+        )
+        # dense spine: per user, every hour between bounds exactly once
+        for uid, g in pdf.groupby("user_id"):
+            hrs = g["hour_start"].tolist()
+            assert len(set(hrs)) == len(hrs)
+            for a, b in zip(hrs, hrs[1:]):
+                assert (b - a).total_seconds() == 3600
+        # never null: spine starts at the user's first OBSERVED hour
+        assert pdf["value_locf"].notna().all()
+        # fill semantics vs a pandas replay for the busiest user
+        import pandas as pd
+
+        uid = pdf["user_id"].value_counts().idxmax()
+        ev = (
+            events.filter(F.col("user_id") == int(uid))
+            .orderBy("ts", "event_id")
+            .toPandas()
+        )
+        ev["hour"] = ev["ts"].dt.floor("h")
+        last_per_hour = ev.groupby("hour")["value"].last()
+        expected = (
+            last_per_hour.reindex(
+                pd.date_range(
+                    last_per_hour.index.min(), last_per_hour.index.max(), freq="h"
+                )
+            )
+            .ffill()
+            .tolist()
+        )
+        got = pdf[pdf["user_id"] == uid]["value_locf"].tolist()
+        assert got == expected
+
+
 class TestVariant:
     def test_counts_cover_all_rows(self, spark, events):
         pdf = _run(spark, "v1_variant_props_stats").toPandas()

@@ -38,8 +38,17 @@ JOIN_RE = re.compile(
 #: brute-force baselines; their scale paths are the LSH variants).
 CARTESIAN_OK = {"dedup_embedding_cosine", "ann_cosine_topk"}
 #: Queries declared as pandas-UDF operators (multimodal decode, stateful
-#: sessionization) — ArrowEvalPython expected.
-ARROW_OK = {"mm_decode_features", "mm_resize_images", "w5_sessionization"}
+#: sessionization, PQ encode — large literal codebooks score in a numpy
+#: Arrow kernel, see operators/pq.py:_encode) — Arrow nodes expected.
+ARROW_OK = {
+    "mm_decode_features",
+    "mm_resize_images",
+    "w5_sessionization",
+    "emb_pq_codes",
+    "emb_pq_gate",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_gate",
+}
 #: Tables with fixed, tiny cardinality (TPC-H region=5, nation=25 rows at
 #: every SF) — a sort-merge join whose whole side derives from only these
 #: is always wrong; it should be a broadcast join.
