@@ -58,6 +58,7 @@ QS = QuerySet()
     "shuffle on user_id) joined to the previous stage on user_id — AQE "
     "picks broadcast once a stage's survivor set shrinks below threshold. "
     "No window over raw events, so no per-user sort of the full stream.",
+    headline=True,
     tags=("analytics", "funnel"),
 )
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,6 +122,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with the agg that produced f, so AQE reuses the exchange. Week "
     "offsets are exact day-diffs/7 of Monday-truncated dates — identical "
     "in Spark and DuckDB (no engine-specific week-diff semantics).",
+    headline=True,
     tags=("analytics", "cohort"),
 )
 def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,6 +181,7 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a lag/cumsum rewrite (new session when diff >= gap — note >=, not >, "
     "matching session_window's half-open [ts, ts+gap) windows). One "
     "shuffle on user_id.",
+    headline=True,
     tags=("analytics", "window", "session"),
 )
 def w8_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,6 +222,7 @@ def w8_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle mirrors with an explicit 4-row cross join. Map-side partial "
     "aggregation tames the 4x expansion before the single shuffle; the "
     "same expression streams under a watermark.",
+    headline=True,
     tags=("analytics", "window", "hopping"),
 )
 def w9_hopping_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,6 +273,7 @@ def w9_hopping_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "#hours x #types, data-size independent); observed counts then LEFT "
     "join the spine on (hour, type). Three small shuffles; the spine "
     "never touches the fact table's row count.",
+    headline=True,
     tags=("analytics", "timeseries", "gapfill"),
 )
 def w10_gapfill_hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -347,6 +352,7 @@ def w10_gapfill_hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Values are copied doubles, never aggregated, so no fp discipline "
     "needed. Shuffles: by (user,hour) for last-per-hour, by user for "
     "bounds + fill — all on the natural keys.",
+    headline=True,
     tags=("analytics", "timeseries", "locf"),
 )
 def w11_locf_hourly_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,6 +417,7 @@ def w11_locf_hourly_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "makes repeated path extraction O(paths) per row without re-parsing "
     "text, the right posture when props widens to hundreds of keys; the "
     "oracle uses DuckDB's JSON extraction over the same strings.",
+    headline=True,
     tags=("analytics", "variant", "json"),
 )
 def v1_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,6 +428,118 @@ def v1_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
         F.sum("k").alias("sum_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-score outliers in exact integer arithmetic.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "anomaly_zscore_outliers",
+    """
+    WITH c AS (
+        SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, COUNT(*) AS n, SUM(xc) AS s1, SUM(xc * xc) AS s2
+        FROM c GROUP BY event_type
+    )
+    SELECT c.event_type,
+           COUNT(*) AS n_outliers,
+           CAST(MIN(c.xc) AS DOUBLE) / 100.0 AS min_outlier,
+           CAST(MAX(c.xc) AS DOUBLE) / 100.0 AS max_outlier
+    FROM c JOIN s ON c.event_type = s.event_type
+    WHERE (s.n * c.xc - s.s1) * (s.n * c.xc - s.s1)
+          > 4 * (s.n * s.s2 - s.s1 * s.s1)
+    GROUP BY c.event_type
+    """,
+    doc="Per-group z-score anomaly flags (|x − μ| > 2σ) computed ENTIRELY "
+    "in exact integer arithmetic: on 2-decimal values, (n·x − Σx)² > "
+    "4·(n·Σx² − (Σx)²) over integer cents is algebraically |x−μ| > 2σ "
+    "with zero floating point — engine-portable where a naive "
+    "stddev-based filter would diverge between engines at the boundary. "
+    "Two passes over events (moments, then flags) joined on the group "
+    "key; the moments side is group-cardinality rows, always broadcast. "
+    "At larger magnitudes the same identity runs in DECIMAL(38,0).",
+    headline=True,
+    tags=("analytics", "anomaly"),
+)
+def anomaly_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    c = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("xc"),
+    )
+    s = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xc").alias("s1"),
+        F.sum(F.col("xc") * F.col("xc")).alias("s2"),
+    )
+    dev = F.col("n") * F.col("xc") - F.col("s1")
+    return (
+        c.join(F.broadcast(s), "event_type")
+        .filter(dev * dev > 4 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            (F.min("xc").cast("double") / 100.0).alias("min_outlier"),
+            (F.max("xc").cast("double") / 100.0).alias("max_outlier"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users (sliding COUNT DISTINCT via contribution
+# explode — window functions cannot express DISTINCT over a moving frame).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "w12_rolling_7d_distinct_users",
+    """
+    WITH du AS (
+        SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ),
+    contrib AS (
+        SELECT du.d + k.k * INTERVAL 1 DAY AS window_day, du.user_id
+        FROM du CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6)) AS k(k)
+    ),
+    days AS (SELECT DISTINCT date_trunc('day', ts) AS window_day FROM events)
+    SELECT c.window_day, COUNT(DISTINCT c.user_id) AS users_7d
+    FROM contrib c JOIN days USING (window_day)
+    GROUP BY c.window_day
+    """,
+    doc="Trailing-7-day distinct active users per day — the DAU/WAU shape. "
+    "A moving-frame COUNT(DISTINCT) is inexpressible as a window "
+    "function; the scalable rewrite explodes each (user, active-day) "
+    "pair into the 7 window-days it contributes to, then a plain "
+    "distinct-count per window-day. Cost is 7x the DEDUPLICATED "
+    "(user, day) pairs — bounded by users x days, independent of raw "
+    "event volume; both shuffles are on the natural keys. Days with no "
+    "events in the trailing week (none in this corpus) are simply absent; "
+    "the spine join keeps only observed days, matching the oracle.",
+    headline=True,
+    tags=("analytics", "window", "distinct"),
+)
+def w12_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    )
+    du = ev.distinct()
+    contrib = du.select(
+        F.explode(
+            F.array(*[F.col("d") + F.expr(f"INTERVAL {k} DAYS") for k in range(7)])
+        ).alias("window_day"),
+        "user_id",
+    )
+    days = ev.select(F.col("d").alias("window_day")).distinct()
+    return (
+        contrib.join(days, "window_day")
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
     )
 
 
@@ -447,6 +566,7 @@ def v1_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "floor(value/width) would disagree between engines exactly at the "
     "edges fp can't represent. One scan, one shuffle on the bucket key; "
     "this is the width_bucket shape with the edge arithmetic made exact.",
+    headline=True,
     tags=("analytics", "histogram"),
 )
 def hist_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -461,6 +581,59 @@ def hist_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bucket", "bucket_lo")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ORC source interop (write parquet-sourced dims to ORC, query them back).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "src_orc_nation_summary",
+    """
+    SELECT r.r_name AS region_name,
+           COUNT(*) AS n_nations,
+           MIN(n.n_name) AS first_nation,
+           MAX(n.n_name) AS last_nation
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="ORC source interop: nation and region are round-tripped through "
+    "ORC files (sources/formats.py) and the summary join runs over the "
+    "ORC scans — hash-matching the oracle on the original parquet proves "
+    "schema and values survive the format seam. The ORC reader gets the "
+    "same Catalyst pushdown/pruning treatment as parquet.",
+    tags=("source", "orc"),
+)
+def src_orc_nation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from clinical_api_etl_spark.sources.formats import orc_roundtrip
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "clinical_api_etl_spark_orc",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    nation = orc_roundtrip(
+        spark, load(spark, sf_dir, "nation"), os.path.join(base, "nation")
+    )
+    region = orc_roundtrip(
+        spark, load(spark, sf_dir, "region"), os.path.join(base, "region")
+    )
+    return (
+        nation.join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+            F.max("n_name").alias("last_nation"),
+        )
     )
 
 
@@ -491,6 +664,7 @@ _PROFILE_COLS = ("l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus")
     "column. The profile feeds CBO-style size estimation and data-quality "
     "gates; at 100 TB swap exact NDV for approx_count_distinct (the "
     "a11 family shows the HLL error gate).",
+    headline=True,
     tags=("analytics", "profiling"),
 )
 def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:

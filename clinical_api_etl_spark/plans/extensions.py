@@ -316,6 +316,7 @@ def ann_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "equi-join. Approximate by construction (cross-cell pairs missed), "
     "hence rows-only here; dedup_semantic_gate hash-checks subset + "
     "recall against the exact scan.",
+    headline=True,
     tags=("dedup", "similarity", "approx"),
 )
 def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

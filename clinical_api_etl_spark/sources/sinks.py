@@ -129,7 +129,15 @@ class ParquetWarehouse:
         for _ in range(4):
             if self.exists(table):
                 try:
-                    df = self.spark.read.parquet(str(self._path(table)))
+                    # mergeSchema: appended/upserted batches may carry NEW
+                    # columns (schema evolution — upsert unions with
+                    # allowMissingColumns); without footer merging the read
+                    # schema would be whichever file Spark sampled. At
+                    # warehouse scale a real catalog (Delta/Iceberg) owns
+                    # the schema; footer merge is the plain-parquet analogue.
+                    df = self.spark.read.option("mergeSchema", "true").parquet(
+                        str(self._path(table))
+                    )
                     df.schema  # force file-listing/analysis now, inside the retry
                     return df
                 except Exception as e:  # noqa: BLE001 — transient listing race

@@ -159,6 +159,33 @@ class TestVariant:
         assert (pdf["min_k"] <= pdf["max_k"]).all()
 
 
+class TestAnomaly:
+    def test_outliers_match_float_zscore_off_boundary(self, spark, events):
+        """Integer-exact flags == float z-score flags away from the exact
+        boundary (the boundary is where float would be engine-dependent)."""
+        pdf = _run(spark, "anomaly_zscore_outliers").toPandas().set_index("event_type")
+        ev = events.select("event_type", "value").toPandas()
+        for et, g in ev.groupby("event_type"):
+            mu, sd = g["value"].mean(), g["value"].std(ddof=0)
+            n_float = int((abs(g["value"] - mu) > 2 * sd).sum())
+            n_exact = int(pdf.loc[et, "n_outliers"]) if et in pdf.index else 0
+            assert abs(n_exact - n_float) <= 2  # only boundary rows may differ
+
+
+class TestRollingDistinct:
+    def test_window_equals_bruteforce(self, spark, events):
+        import pandas as pd
+
+        pdf = _run(spark, "w12_rolling_7d_distinct_users").toPandas()
+        ev = events.select("ts", "user_id").toPandas()
+        ev["d"] = ev["ts"].dt.floor("D")
+        for _, row in pdf.sample(n=min(8, len(pdf)), random_state=0).iterrows():
+            day = row["window_day"]
+            lo = day - pd.Timedelta(days=6)
+            expect = ev[(ev["d"] >= lo) & (ev["d"] <= day)]["user_id"].nunique()
+            assert row["users_7d"] == expect
+
+
 class TestProfile:
     def test_profile_matches_direct_aggregates(self, spark):
         li = spark.read.parquet(f"{SF}/lineitem.parquet")

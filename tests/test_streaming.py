@@ -197,6 +197,53 @@ class TestSessionization:
             assert g[0] == start and g[1] == end
 
 
+class TestNativeSessionWindowStream:
+    def test_stream_session_window_equals_batch(self, spark, tmp_path):
+        """The w8 native session_window aggregation is batch/stream-unified:
+        the same expression under readStream (availableNow, watermarked)
+        produces exactly the batch sessions."""
+        from clinical_api_etl_spark.sources.catalog import load
+
+        sf = "/root/testdata/sf0.001"
+        events = load(spark, sf, "events").select("user_id", "ts")
+        src_dir = str(tmp_path / "sw_parquet")
+        events.write.parquet(src_dir)
+
+        def sessions(df):
+            return (
+                df.groupBy(F.session_window("ts", "6 hours"), "user_id")
+                .agg(F.count(F.lit(1)).alias("n_events"))
+                .select(
+                    "user_id",
+                    F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "n_events",
+                )
+            )
+
+        expected = {
+            (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+            for r in sessions(events).collect()
+        }
+
+        stream = spark.readStream.schema(events.schema).parquet(src_dir)
+        out_rows = []
+        q = (
+            sessions(stream.withWatermark("ts", "1 hour"))
+            .writeStream.outputMode("complete")
+            .foreachBatch(lambda df, bid: out_rows.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "swckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+            for r in out_rows
+        }
+        assert got == expected
+
+
 class TestLateData:
     def test_watermark_drops_late_rows_in_append_mode(self, spark, tmp_path):
         """Append-mode windowed agg with a 1h watermark: a row arriving in a

@@ -156,3 +156,40 @@ class TestReadDuringSwap:
         monkeypatch.setattr(pwh, "exists", flaky_exists)
         got = pwh.read("gold")
         assert got is not None and got.count() == 1
+
+
+class TestSchemaEvolution:
+    def test_upsert_with_new_column_evolves_schema(self, spark, pwh):
+        v1 = spark.createDataFrame(
+            [("s1", 1, 10.0), ("s2", 2, 20.0)], "study_id string, k int, v double"
+        )
+        pwh.upsert("gold", v1, ["study_id", "k"])
+        v2 = spark.createDataFrame(
+            [("s1", 1, 11.0, "unitA"), ("s3", 3, 30.0, "unitB")],
+            "study_id string, k int, v double, unit string",
+        )
+        pwh.upsert("gold", v2, ["study_id", "k"])
+        got = {
+            (r["study_id"], r["k"]): (r["v"], r["unit"])
+            for r in pwh.read("gold").collect()
+        }
+        assert got[("s1", 1)] == (11.0, "unitA")     # replaced, new col set
+        assert got[("s2", 2)] == (20.0, None)        # untouched, evolved to NULL
+        assert got[("s3", 3)] == (30.0, "unitB")     # inserted
+        assert set(pwh.read("gold").columns) == {"study_id", "k", "v", "unit"}
+
+    def test_append_with_new_column_surfaces_via_merge_schema(self, spark, pwh):
+        pwh.append(
+            "quality",
+            spark.createDataFrame([("j1", 5)], "job_id string, n int"),
+        )
+        pwh.append(
+            "quality",
+            spark.createDataFrame(
+                [("j2", 7, "range")], "job_id string, n int, rule string"
+            ),
+        )
+        df = pwh.read("quality")
+        assert set(df.columns) == {"job_id", "n", "rule"}
+        rows = {r["job_id"]: r["rule"] for r in df.collect()}
+        assert rows == {"j1": None, "j2": "range"}

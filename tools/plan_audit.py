@@ -58,20 +58,26 @@ BROADCAST_DIMS = {"region", "nation"}
 DIM_SMJ_OK = {"j2_nation_balance_full_outer"}
 #: Queries allowed a filtered scan with empty PushedFilters (predicates
 #: that parquet cannot evaluate, e.g. on expressions of base columns).
-#: Both current entries filter on events.ts, which catalog.load derives
-#: from the TIMESTAMP(NANOS) long (`timestamp_micros(ts div 1000)`) — the
-#: predicate is substituted through the project onto an *expression* of
-#: the base column, which parquet cannot evaluate. Any new events query
-#: filtering on ts will (correctly) surface here for review.
+#: f9/range_join entries date from the TIMESTAMP(NANOS) era, when
+#: events.ts was derived (`timestamp_micros(ts div 1000)`) and ts
+#: predicates were unpushable by construction; current testdata ships ts
+#: as a native timestamp (catalog.load reads it TIMESTAMP-typed), so
+#: these filters now push and the entries are dormant — kept because the
+#: legacy nanos read path still exists.
 #: text_repetition_scores: explode()'s implicit `size(arr) > 0 AND
 #: isnotnull(arr)` guard, where arr is the token-split expression —
 #: Catalyst pushes it below the Project so it lands directly on the scan,
 #: but it is a predicate over a regex split of `text`, unpushable by
 #: construction (same category as the events.ts entries above).
+#: w12_rolling_7d_distinct_users: the day-spine equi-join infers
+#: `isnotnull(date_trunc('day', ts))` on the days side — a predicate over
+#: a derived expression, which parquet cannot evaluate (ts itself carries
+#: no filter in that query).
 NO_PUSHDOWN_OK = {
     "f9_recent_window_counts",
     "range_join_global_burst",
     "text_repetition_scores",
+    "w12_rolling_7d_distinct_users",
 }
 
 
