@@ -311,3 +311,71 @@ class ParquetWarehouse:
             self._swap_partitions(table, merged, pcol)
         else:
             self._rewrite(table, merged)
+
+    def scd2_merge(
+        self,
+        table: str,
+        df: DataFrame,
+        key: list[str],
+        *,
+        ts_col: str,
+    ) -> None:
+        """Type-2 slowly-changing-dimension merge: full version history.
+
+        Where :meth:`upsert` keeps only latest state, SCD2 keeps every
+        version: incoming rows open new versions (``valid_from = ts_col``,
+        ``valid_to = NULL``, ``is_current = true``); the previously-current
+        row of each touched key closes (``valid_to`` = the new version's
+        ``valid_from``, ``is_current = false``). Untouched keys are
+        untouched rows. Several versions of one key inside a batch chain
+        via a ``lead`` window (earliest closes against the next, only the
+        latest stays open).
+
+        Scale posture: one window over the batch (small), one join of the
+        EXISTING table against the batch's distinct keys (broadcast — a
+        batch touches few keys relative to history), then the same
+        partition-scoped or whole-table swap as every other merge. As-of
+        reads are then plain range predicates (``valid_from <= t <
+        coalesce(valid_to, inf)``) — the ``operators/temporal.asof_join``
+        companion shape.
+        """
+        from pyspark.sql.window import Window as W
+
+        with self._write_lock:
+            w = W.partitionBy(*key).orderBy(ts_col)
+            incoming = (
+                df.withColumn("valid_from", F.col(ts_col))
+                .withColumn("valid_to", F.lead("valid_from").over(w))
+                .withColumn("is_current", F.col("valid_to").isNull())
+                .drop(ts_col)
+            )
+            existing = self.read(table)
+            if existing is None:
+                self._rewrite(table, incoming)
+                return
+            pcol = self._scoped_pcol(table, key)
+            if pcol is not None:
+                existing = existing.filter(self._touched_filter(pcol, df))
+            first_new = (
+                df.groupBy(*key).agg(F.min(ts_col).alias("_new_from"))
+            )
+            closed = (
+                existing.join(F.broadcast(first_new), on=key, how="left")
+                .withColumn(
+                    "valid_to",
+                    F.when(
+                        F.col("is_current") & F.col("_new_from").isNotNull(),
+                        F.col("_new_from"),
+                    ).otherwise(F.col("valid_to")),
+                )
+                .withColumn(
+                    "is_current",
+                    F.col("is_current") & F.col("_new_from").isNull(),
+                )
+                .drop("_new_from")
+            )
+            merged = closed.unionByName(incoming, allowMissingColumns=True)
+            if pcol is not None:
+                self._swap_partitions(table, merged, pcol)
+            else:
+                self._rewrite(table, merged)

@@ -193,3 +193,57 @@ class TestSchemaEvolution:
         assert set(df.columns) == {"job_id", "n", "rule"}
         rows = {r["job_id"]: r["rule"] for r in df.collect()}
         assert rows == {"j1": None, "j2": "range"}
+
+
+class TestScd2Merge:
+    def _history(self, pwh):
+        return {
+            (r["study_id"], r["valid_from"].isoformat()): (
+                r["status"],
+                r["valid_to"].isoformat() if r["valid_to"] else None,
+                r["is_current"],
+            )
+            for r in pwh.read("dim_study").collect()
+        }
+
+    def test_versions_chain_and_close(self, spark, pwh):
+        from datetime import datetime as dt
+
+        b1 = spark.createDataFrame(
+            [("s1", "recruiting", dt(2024, 1, 1)), ("s2", "active", dt(2024, 1, 1))],
+            "study_id string, status string, ts timestamp",
+        )
+        pwh.scd2_merge("dim_study", b1, ["study_id"], ts_col="ts")
+        # batch 2: s1 changes twice IN ONE BATCH, s2 untouched, s3 new
+        b2 = spark.createDataFrame(
+            [
+                ("s1", "paused", dt(2024, 2, 1)),
+                ("s1", "completed", dt(2024, 3, 1)),
+                ("s3", "recruiting", dt(2024, 2, 15)),
+            ],
+            "study_id string, status string, ts timestamp",
+        )
+        pwh.scd2_merge("dim_study", b2, ["study_id"], ts_col="ts")
+
+        h = self._history(pwh)
+        assert h[("s1", "2024-01-01T00:00:00")] == ("recruiting", "2024-02-01T00:00:00", False)
+        assert h[("s1", "2024-02-01T00:00:00")] == ("paused", "2024-03-01T00:00:00", False)
+        assert h[("s1", "2024-03-01T00:00:00")] == ("completed", None, True)
+        assert h[("s2", "2024-01-01T00:00:00")] == ("active", None, True)
+        assert h[("s3", "2024-02-15T00:00:00")] == ("recruiting", None, True)
+        # exactly one current row per key
+        cur = [k for k, v in h.items() if v[2]]
+        assert sorted(k[0] for k in cur) == ["s1", "s2", "s3"]
+
+    def test_asof_read_reconstructs_state(self, spark, pwh):
+        from datetime import datetime as dt
+
+        self.test_versions_chain_and_close(spark, pwh)
+        dim = pwh.read("dim_study")
+        t = F.lit(dt(2024, 2, 20))
+        asof = dim.filter(
+            (F.col("valid_from") <= t)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+        )
+        state = {r["study_id"]: r["status"] for r in asof.collect()}
+        assert state == {"s1": "paused", "s2": "active", "s3": "recruiting"}
