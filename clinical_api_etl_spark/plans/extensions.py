@@ -1613,3 +1613,108 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_coverage"),
         )
     )
+
+
+@QS.add(
+    "pipeline_training_corpus",
+    f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_06_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS id FROM edges),
+    walk(id, label) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.a, w.label FROM walk w JOIN edges e ON w.id = e.b
+      WHERE w.label < e.a
+    ),
+    comp AS (SELECT id, MIN(label) AS component FROM walk GROUP BY id),
+    grouped AS (
+      SELECT d.doc_id AS id, COALESCE(c.component, d.doc_id) AS grp, d.n_chars
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    ),
+    rk AS (
+      SELECT id, ROW_NUMBER() OVER (PARTITION BY grp
+                                    ORDER BY n_chars DESC, id ASC) AS rk
+      FROM grouped
+    ),
+    canon AS (SELECT id AS doc_id FROM rk WHERE rk = 1),
+    tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest({_shingles_sql(5)}) AS shingle FROM tok),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id
+      FROM sh t JOIN sh b ON t.shingle = b.shingle
+      WHERE t.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
+    ),
+    clean AS (
+      SELECT c.doc_id, CAST(len(tok.t) AS BIGINT) AS n_tokens
+      FROM canon c JOIN tok ON tok.doc_id = c.doc_id
+      WHERE c.doc_id % 97 <> 0
+        AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        AND len(tok.t) >= 20
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM (
+      SELECT doc_id, n_tokens,
+             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4) < 'cccc' THEN 'train'
+                  WHEN substr(md5(doc_id::VARCHAR), 1, 4) < 'e666' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM clean
+    ) GROUP BY split
+    """,
+    doc="[EXT] the END-TO-END training-corpus pipeline as ONE hash-gated "
+    "query — what a reference user actually runs nightly: near-dup "
+    "resolution (0.6-Jaccard pairs -> connected components -> longest "
+    "survivor), benchmark split-off, 5-gram decontamination anti-join, "
+    "token-length floor, deterministic md5 train/val/test assignment, "
+    "and per-split document/token accounting. Every stage is the "
+    "already-audited operator (canonical_docs, ngram_overlap, "
+    "split_assign); the oracle replays the whole chain in one DuckDB "
+    "statement (recursive CTE + shingle joins + md5 thresholds). All "
+    "counts integer-exact.",
+    headline=True,
+    tags=("pipeline", "dedup", "decontamination", "sampling", "text"),
+)
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.functions.text import token_count
+    from clinical_api_etl_spark.operators.dedup import (
+        canonical_docs,
+        ngram_jaccard_pairs,
+        ngram_overlap,
+    )
+    from clinical_api_etl_spark.operators.sampling import split_assign
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+    resolved = canonical_docs(docs, pairs, id_col="doc_id", score_col="n_chars")
+    canon = resolved.filter(F.col("is_canonical")).select(
+        F.col("id").alias("doc_id")
+    )
+    survivors = docs.join(canon, "doc_id").filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    flagged = ngram_overlap(survivors, bench, "doc_id", "text", n=5).select(
+        F.col("train_id").alias("doc_id")
+    )
+    clean = (
+        survivors.join(F.broadcast(flagged), "doc_id", "left_anti")
+        .select(
+            "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+        )
+        .filter(F.col("n_tokens") >= 20)
+    )
+    return (
+        split_assign(clean, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )

@@ -439,3 +439,53 @@ class TestStreamStreamJoin:
         q.awaitTermination()
         got = sorted((r["p_id"], r["c_id"]) for r in out)
         assert got == expected
+
+
+class TestStreamingScd2:
+    def test_foreachbatch_scd2_builds_history(self, spark, tmp_path):
+        """Streaming dimension updates land as SCD2 history: each
+        micro-batch runs ParquetWarehouse.scd2_merge in foreachBatch, so
+        the warehouse accumulates versioned rows with exactly one current
+        version per key — the streaming-CDC-to-dimension pattern."""
+        from datetime import datetime as dt
+
+        from clinical_api_etl_spark.sources.sinks import ParquetWarehouse
+
+        pwh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+        src = tmp_path / "updates"
+        src.mkdir()
+        schema = "study_id string, status string, ts timestamp"
+        spark.createDataFrame(
+            [("s1", "recruiting", dt(2024, 1, 1)), ("s2", "active", dt(2024, 1, 2))],
+            schema,
+        ).write.parquet(str(src / "b1"))
+        spark.createDataFrame(
+            [("s1", "completed", dt(2024, 3, 1))], schema
+        ).write.parquet(str(src / "b2"))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: pwh.scd2_merge(
+                    "dim_study", df, ["study_id"], ts_col="ts"
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        rows = {
+            (r["study_id"], r["valid_from"]): (r["is_current"], r["valid_to"])
+            for r in pwh.read("dim_study").collect()
+        }
+        cur = [k for k, v in rows.items() if v[0]]
+        assert sorted(k[0] for k in cur) == ["s1", "s2"]
+        # s1's first version closed at its replacement's valid_from
+        closed = [v for k, v in rows.items() if k[0] == "s1" and not v[0]]
+        assert len(closed) == 1 and closed[0][1] == dt(2024, 3, 1)
