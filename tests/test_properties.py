@@ -368,3 +368,60 @@ def test_events_ns_to_us_conversion_matches_duckdb(spark, tmp_path_factory, ns_v
     assert sorted(got) == sorted(want)
     # and both equal int64 truncation-toward-zero
     assert sorted(got) == sorted(int(v / 1000) if v >= 0 else -((-v) // 1000) for v in ns_vals)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 merge invariants: random batch sequences must always yield a valid
+# type-2 history (exactly one current row per key, intervals chain without
+# overlap, and the current row reflects each key's latest update).
+# ---------------------------------------------------------------------------
+
+_scd_key = st.sampled_from(["k1", "k2", "k3"])
+_scd_batch = st.lists(
+    st.tuples(_scd_key, st.sampled_from(["a", "b", "c", "d"])),
+    min_size=1,
+    max_size=4,
+)
+_scd_batches = st.lists(_scd_batch, min_size=1, max_size=4)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=_scd_batches)
+def test_scd2_invariants(spark, tmp_path_factory, batches):
+    from datetime import datetime, timedelta
+
+    tmp = tmp_path_factory.mktemp("scd2")
+    wh = ParquetWarehouse(spark, str(tmp / "wh"))
+    t0 = datetime(2024, 1, 1)
+    latest: dict[str, str] = {}
+    tick = 0
+    for batch in batches:
+        rows = []
+        for key, val in batch:
+            rows.append((key, val, t0 + timedelta(hours=tick)))
+            tick += 1
+        for key, val, _ in sorted(rows, key=lambda r: r[2]):
+            latest[key] = val
+        df = spark.createDataFrame(rows, "k string, v string, ts timestamp")
+        wh.scd2_merge("dim", df, ["k"], ts_col="ts")
+
+    hist = wh.read("dim").collect()
+    by_key: dict[str, list] = {}
+    for r in hist:
+        by_key.setdefault(r["k"], []).append(r)
+    assert set(by_key) == set(latest)
+    for key, rows in by_key.items():
+        rows.sort(key=lambda r: r["valid_from"])
+        currents = [r for r in rows if r["is_current"]]
+        assert len(currents) == 1, f"{key}: {len(currents)} current rows"
+        assert currents[0] is rows[-1]
+        assert currents[0]["valid_to"] is None
+        assert currents[0]["v"] == latest[key]
+        # intervals chain: each version closes exactly at its successor
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"], (key, a, b)
