@@ -1690,6 +1690,12 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from clinical_api_etl_spark.operators.sampling import split_assign
 
+    # NB: do NOT persist docs here even though five stages branch off it —
+    # measured 13-17s vs ~10s unpersisted at sf0.1: the InMemoryRelation
+    # boundary replaces per-branch pruned parquet scans (each reading only
+    # its columns, with pushed filters and known stats for broadcast
+    # decisions) with full-width cache scans. The ≥2-branch persist rule
+    # applies to COMPUTED intermediates, not to cheap pruned base scans.
     docs = load(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
     resolved = canonical_docs(docs, pairs, id_col="doc_id", score_col="n_chars")

@@ -94,6 +94,71 @@ _SESSION_STATE = T.StructType(
 )
 
 
+_FUNNEL_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("stage", T.LongType()),
+    ]
+)
+
+_FUNNEL_STATE = T.StructType(
+    [
+        T.StructField("vt_us", T.LongType()),
+        T.StructField("ct_us", T.LongType()),
+        T.StructField("pt_us", T.LongType()),
+    ]
+)
+
+
+def funnel_stream(
+    events: DataFrame,
+    *,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Streaming ordered-funnel stage per user (``applyInPandasWithState``).
+
+    The incremental twin of ``plans/analytics.funnel_view_click_purchase``:
+    per-user GroupState carries (earliest stage-1 ts, earliest stage-2 ts
+    strictly after it, earliest stage-3 ts strictly after that); each
+    micro-batch advances the machine and emits the user's current stage
+    (0..3). Equals the batch funnel when each user's events arrive in
+    event-time order across batches (the file-stream / kafka-per-key
+    ordering contract); out-of-order arrivals inside ONE batch are handled
+    by the per-batch sort.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s1, s2, s3 = stages
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        vt, ct, pt = state.get if state.exists else (None, None, None)
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for ts, et in zip(rows["ts"], rows["event_type"]):
+            t = ts.value // 1_000
+            if et == s1 and vt is None:
+                vt = t
+            elif et == s2 and vt is not None and ct is None and t > vt:
+                ct = t
+            elif et == s3 and ct is not None and pt is None and t > ct:
+                pt = t
+        state.update((vt, ct, pt))
+        stage = 3 if pt is not None else 2 if ct is not None else 1 if vt is not None else 0
+        yield pd.DataFrame({"user_id": [user_id], "stage": [stage]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_FUNNEL_OUT,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize_stream(events: DataFrame, *, gap_minutes: int = 30) -> DataFrame:
     """Streaming sessionization via ``applyInPandasWithState``.
 

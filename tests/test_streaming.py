@@ -489,3 +489,113 @@ class TestStreamingScd2:
         # s1's first version closed at its replacement's valid_from
         closed = [v for k, v in rows.items() if k[0] == "s1" and not v[0]]
         assert len(closed) == 1 and closed[0][1] == dt(2024, 3, 1)
+
+
+class TestStreamingFunnel:
+    def test_stream_funnel_equals_batch(self, spark, tmp_path):
+        """funnel_stream's per-user stage machine reproduces the batch
+        funnel query's stage populations over an availableNow stream."""
+        from clinical_api_etl_spark.sources.catalog import load
+        from clinical_api_etl_spark.streaming.windows import funnel_stream
+
+        sf = "/root/testdata/sf0.001"
+        events = load(spark, sf, "events").select(
+            "user_id", "event_id", "ts", "event_type"
+        )
+        src_dir = str(tmp_path / "funnel_parquet")
+        events.write.parquet(src_dir)
+
+        # batch truth: earliest view; earliest click > it; earliest purchase
+        v = (
+            events.filter(F.col("event_type") == "view")
+            .groupBy("user_id").agg(F.min("ts").alias("vt"))
+        )
+        c = (
+            events.filter(F.col("event_type") == "click")
+            .join(v, "user_id").filter(F.col("ts") > F.col("vt"))
+            .groupBy("user_id").agg(F.min("ts").alias("ct"))
+        )
+        p = (
+            events.filter(F.col("event_type") == "purchase")
+            .join(c, "user_id").filter(F.col("ts") > F.col("ct"))
+            .groupBy("user_id").agg(F.min("ts").alias("pt"))
+        )
+        expected: dict[int, int] = {}
+        for r in v.collect():
+            expected[r["user_id"]] = 1
+        for r in c.collect():
+            expected[r["user_id"]] = 2
+        for r in p.collect():
+            expected[r["user_id"]] = 3
+
+        stream = spark.readStream.schema(events.schema).parquet(src_dir)
+        out_rows = []
+        q = (
+            funnel_stream(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: out_rows.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "fckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {r["user_id"]: r["stage"] for r in out_rows}
+        for uid, stage in expected.items():
+            assert got[uid] == stage, (uid, got[uid], stage)
+        # users with events but no view at all must be stage 0
+        for uid, stage in got.items():
+            assert stage == expected.get(uid, 0)
+
+
+class TestIncrementalRollupMV:
+    def test_foreachbatch_upsert_maintains_rollup(self, spark, tmp_path):
+        """Incremental materialized view: update-mode emits the NEW
+        CUMULATIVE total for every (window, type) a micro-batch touched;
+        replacing those keys in the warehouse (upsert) reproduces the
+        batch roll-up exactly, and the replace-merge is idempotent under
+        micro-batch retries."""
+        from clinical_api_etl_spark.sources.catalog import load
+        from clinical_api_etl_spark.sources.sinks import ParquetWarehouse
+        from clinical_api_etl_spark.streaming.windows import hourly_rollup
+
+        sf = "/root/testdata/sf0.001"
+        events = load(spark, sf, "events")
+        src = tmp_path / "mv_src"
+        src.mkdir()
+        # two files -> two micro-batches (maxFilesPerTrigger=1)
+        half = events.filter(F.col("event_id") % 2 == 0)
+        rest = events.filter(F.col("event_id") % 2 == 1)
+        half.write.parquet(str(src / "a"))
+        rest.write.parquet(str(src / "b"))
+
+        pwh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+
+        def merge(df, bid):
+            # update mode delivers the new cumulative value per touched
+            # key — last write wins, so the merge is a plain replace-upsert
+            pwh.upsert("hourly_mv", df, ["window_start", "event_type"])
+
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            hourly_rollup(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(merge)
+            .option("checkpointLocation", str(tmp_path / "mvckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        batch = {
+            (r["window_start"], r["event_type"]): (r["cnt"], round(r["total_value"], 2))
+            for r in hourly_rollup(events).collect()
+        }
+        got = {
+            (r["window_start"], r["event_type"]): (r["cnt"], round(r["total_value"], 2))
+            for r in pwh.read("hourly_mv").collect()
+        }
+        assert got == batch
