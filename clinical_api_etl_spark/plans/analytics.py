@@ -432,6 +432,59 @@ def v1_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Event-sequence transition matrix (first-order Markov).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "seq_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    )
+    SELECT prev, event_type AS next, COUNT(*) AS cnt,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER (PARTITION BY prev) AS DOUBLE) AS p
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY prev, event_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lag window pairs each event with its predecessor "
+    "(deterministic (ts, event_id) order), grouped counts, and row-"
+    "normalized probabilities via a window over the aggregate. One "
+    "shuffle on user_id for the lag, one on the transition key; the "
+    "probability is a single integer/integer division — identical in "
+    "both engines. The behavioral-model shape behind next-event "
+    "prediction baselines and anomaly scoring.",
+    headline=True,
+    tags=("analytics", "sequence", "markov"),
+)
+def seq_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    counts = seq.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wp = W.partitionBy("prev")
+    return counts.select(
+        "prev",
+        "next",
+        "cnt",
+        (F.col("cnt").cast("double") / F.sum("cnt").over(wp).cast("double")).alias(
+            "p"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Z-score outliers in exact integer arithmetic.
 # ---------------------------------------------------------------------------
 

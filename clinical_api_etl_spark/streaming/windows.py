@@ -159,6 +159,69 @@ def funnel_stream(
     )
 
 
+def funnel_stream_tws(
+    events: DataFrame,
+    *,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """The funnel stage machine on Spark 4's ``transformWithStateInPandas``.
+
+    Same semantics as :func:`funnel_stream`, expressed in the new
+    arbitrary-state API: a ``StatefulProcessor`` with one ``ValueState``
+    per user instead of the legacy ``GroupState`` tuple. The two coexist
+    deliberately — transformWithState is where Structured Streaming's
+    custom-state surface is headed (typed state cells, timers, TTL,
+    initial state), while applyInPandasWithState remains the stable
+    workhorse; parity between both implementations is tested.
+    Requires the RocksDB state store provider (set in the test harness)
+    and the ``protobuf`` package (transformWithState's state-server
+    protocol) — absent from this container, so the parity test is
+    environment-gated exactly like the Pillow-gated multimodal decodes.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    s1, s2, s3 = stages
+
+    class FunnelProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "funnel", "vt_us long, ct_us long, pt_us long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            got = self._state.get() if self._state.exists() else None
+            vt, ct, pt = got if got is not None else (None, None, None)
+            pdf = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                t = ts.value // 1_000
+                if et == s1 and vt is None:
+                    vt = t
+                elif et == s2 and vt is not None and ct is None and t > vt:
+                    ct = t
+                elif et == s3 and ct is not None and pt is None and t > ct:
+                    pt = t
+            self._state.update((vt, ct, pt))
+            stage = (
+                3 if pt is not None else 2 if ct is not None
+                else 1 if vt is not None else 0
+            )
+            yield pd.DataFrame({"user_id": [user_id], "stage": [stage]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        FunnelProcessor(),
+        outputStructType=_FUNNEL_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def sessionize_stream(events: DataFrame, *, gap_minutes: int = 30) -> DataFrame:
     """Streaming sessionization via ``applyInPandasWithState``.
 

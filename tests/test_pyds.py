@@ -1,0 +1,46 @@
+"""Custom Python DataSource invariants (sources/pyds.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clinical_api_etl_spark.sources.pyds import SyntheticEventsDataSource
+
+
+def _read(spark, **opts):
+    spark.dataSource.register(SyntheticEventsDataSource)
+    r = spark.read.format("synthetic_events")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+class TestSyntheticEventsSource:
+    def test_row_count_and_partitioning(self, spark):
+        df = _read(spark, rows=10_000, partitions=16)
+        assert df.count() == 10_000
+        assert df.rdd.getNumPartitions() == 16
+        # disjoint ranges: ids are exactly 0..N-1, once each
+        agg = df.agg(
+            F.countDistinct("event_id").alias("d"),
+            F.min("event_id").alias("lo"),
+            F.max("event_id").alias("hi"),
+        ).first()
+        assert (agg["d"], agg["lo"], agg["hi"]) == (10_000, 0, 9_999)
+
+    def test_deterministic_across_reads_and_partitionings(self, spark):
+        a = _read(spark, rows=2_000, partitions=4)
+        b = _read(spark, rows=2_000, partitions=13)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+    def test_field_domains_support_downstream_operators(self, spark):
+        df = _read(spark, rows=5_000, partitions=8, users=50)
+        assert df.filter(F.col("user_id") >= 50).count() == 0
+        assert df.filter((F.col("value") < 0) | (F.col("value") >= 50)).count() == 0
+        types = {r["event_type"] for r in df.select("event_type").distinct().collect()}
+        assert types <= {"view", "click", "purchase", "signup", "error"}
+        # the generated stream feeds the real operators: hourly roll-up runs
+        from clinical_api_etl_spark.streaming.windows import hourly_rollup
+
+        assert hourly_rollup(df).count() > 0

@@ -599,3 +599,66 @@ class TestIncrementalRollupMV:
             for r in pwh.read("hourly_mv").collect()
         }
         assert got == batch
+
+
+def _protobuf_missing() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return False
+    except ImportError:
+        return True
+
+
+class TestTransformWithState:
+    @pytest.mark.skipif(
+        _protobuf_missing(),
+        reason="transformWithState's state-server protocol needs the "
+        "protobuf package (absent from this container, installs forbidden)",
+    )
+    def test_tws_funnel_matches_applyinpandas_funnel(self, spark, tmp_path):
+        """Spark 4 transformWithStateInPandas and the legacy GroupState
+        implementation produce identical per-user funnel stages."""
+        from clinical_api_etl_spark.sources.catalog import load
+        from clinical_api_etl_spark.streaming.windows import (
+            funnel_stream,
+            funnel_stream_tws,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        events = load(spark, sf, "events").select(
+            "user_id", "event_id", "ts", "event_type"
+        )
+        src_dir = str(tmp_path / "tws_parquet")
+        events.write.parquet(src_dir)
+
+        prev_provider = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            results = {}
+            for name, op in (("gs", funnel_stream), ("tws", funnel_stream_tws)):
+                stream = spark.readStream.schema(events.schema).parquet(src_dir)
+                out_rows = []
+                q = (
+                    op(stream)
+                    .writeStream.outputMode("update")
+                    .foreachBatch(lambda df, bid: out_rows.extend(df.collect()))
+                    .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                results[name] = {r["user_id"]: r["stage"] for r in out_rows}
+        finally:
+            if prev_provider is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev_provider
+                )
+        assert results["gs"] == results["tws"]
+        assert results["tws"], "empty funnel output"
