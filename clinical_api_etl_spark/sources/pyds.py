@@ -23,7 +23,12 @@ from __future__ import annotations
 import hashlib
 from datetime import datetime, timedelta
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
 _START = datetime(2024, 1, 1)
@@ -65,6 +70,48 @@ class _Reader(DataSourceReader):
             )
 
 
+class _StreamReader(SimpleDataSourceStreamReader):
+    """Offset-based streaming face of the same generator.
+
+    The offset is just the next row index (``{"index": n}``): every
+    micro-batch emits the next ``rowsPerBatch`` rows, and
+    ``readBetweenOffsets`` replays any committed range deterministically
+    (the md5 derivation makes replay free — no source-side buffering),
+    which is exactly the exactly-once replay contract a real
+    offset-tracking source (Kafka, log tail) must honor.
+    """
+
+    def __init__(self, options) -> None:
+        self.rows_per_batch = int(options.get("rowsPerBatch", 100))
+        self.users = int(options.get("users", 500))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def _rows(self, lo: int, hi: int):
+        users, types = self.users, _EVENT_TYPES
+        for i in range(lo, hi):
+            h = _h(i)
+            yield (
+                i,
+                _START + timedelta(microseconds=i * _STEP_US),
+                h % users,
+                types[(h >> 16) % len(types)],
+                ((h >> 24) % 5000) / 100.0,
+            )
+
+    def read(self, start: dict):
+        lo = start["index"]
+        hi = lo + self.rows_per_batch
+        # materialized list, not a generator: the runner's prefetch cache
+        # copies the returned iterator (copy.copy), which generators
+        # cannot survive
+        return list(self._rows(lo, hi)), {"index": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(self._rows(start["index"], end["index"]))
+
+
 class SyntheticEventsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -78,3 +125,6 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> _Reader:
         return _Reader(self.options)
+
+    def simpleStreamReader(self, schema) -> _StreamReader:
+        return _StreamReader(self.options)
