@@ -780,3 +780,33 @@ class TestVocabCoverage:
         assert 0 < cov[-1] <= 1.0
         freqs = [r["freq"] for r in rows]
         assert freqs == sorted(freqs, reverse=True)
+
+
+class TestComponentsFastPath:
+    def test_driver_union_find_equals_distributed(self, spark):
+        from clinical_api_etl_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 1)],
+            "id_a long, id_b long",
+        )
+        fast = {
+            (r["id"], r["component"])
+            for r in connected_components(edges).collect()
+        }
+        dist = {
+            (r["id"], r["component"])
+            for r in connected_components(edges, driver_max_edges=0).collect()
+        }
+        assert fast == dist
+        assert fast == {
+            (1, 1), (2, 1), (3, 1),
+            (10, 10), (11, 10),
+            (20, 20), (21, 20), (22, 20),
+        }
+
+    def test_empty_edges(self, spark):
+        from clinical_api_etl_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame([], "id_a long, id_b long")
+        assert connected_components(edges).count() == 0

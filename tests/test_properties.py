@@ -367,7 +367,11 @@ def test_events_ns_to_us_conversion_matches_duckdb(spark, tmp_path_factory, ns_v
     ]
     assert sorted(got) == sorted(want)
     # and both equal int64 truncation-toward-zero
-    assert sorted(got) == sorted(int(v / 1000) if v >= 0 else -((-v) // 1000) for v in ns_vals)
+    # integer division only: int(v / 1000) goes through a float and loses
+    # precision above 2^53 ns (hypothesis found 1_152_921_504_606_846_875)
+    assert sorted(got) == sorted(
+        v // 1000 if v >= 0 else -((-v) // 1000) for v in ns_vals
+    )
 
 
 # ---------------------------------------------------------------------------
