@@ -306,3 +306,32 @@ class TestQualityScoreCheckParity:
         )
         process_job(spark, warehouse, csv)
         assert warehouse.read(BRONZE_TABLE).count() == 5
+
+
+class TestObservedQualityMetrics:
+    def test_observe_rides_the_write_action(self, spark, tmp_path):
+        """observe() counters equal a separate quality aggregation, but are
+        collected by the SAME action that writes silver — no extra scan."""
+        from clinical_api_etl_spark.operators.clinical import (
+            build_silver,
+            stage_bronze,
+        )
+        from clinical_api_etl_spark.operators.observe import observe_silver_quality
+        from clinical_api_etl_spark.sources.clinical_csv import read_clinical_csv
+
+        csv = tmp_path / "obs.csv"
+        csv.write_text(
+            "study_id,participant_id,measurement_type,value,unit,timestamp,site_id,quality_score\n"
+            "S1,P1,glucose,95.5,mg/dL,2024-01-15T09:30:00Z,SITE_A,0.98\n"
+            "S1,P2,glucose,abc,mg/dL,2024-01-15T09:31:00Z,SITE_A,0.5\n"
+            "S1,P3,weight,70.1,,2024-01-15T09:32:00Z,SITE_A,0.9\n"
+        )
+        raw = read_clinical_csv(spark, str(csv))
+        silver = build_silver(stage_bronze(raw, job_id="obs-1", source_filename="obs.csv"))
+        observed, obs = observe_silver_quality(silver)
+        observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+        m = obs.get
+        assert m["n_rows"] == 3
+        assert m["n_non_numeric"] == 1   # 'abc'
+        assert m["n_missing_unit"] == 1  # blank unit -> NULL
+        assert m["n_low_quality"] == 1   # 0.5 < 0.8
