@@ -84,3 +84,64 @@ class TestSyntheticEventsStream:
                 assert batch[r["event_id"]] == (
                     r["user_id"], r["event_type"], r["value"]
                 )
+
+
+class TestManifestJsonlSink:
+    def _register(self, spark):
+        from clinical_api_etl_spark.sources.manifest_jsonl import (
+            ManifestJsonlDataSource,
+        )
+
+        spark.dataSource.register(ManifestJsonlDataSource)
+
+    def test_write_read_roundtrip_via_manifest(self, spark, tmp_path):
+        import json
+
+        self._register(spark)
+        path = str(tmp_path / "sink")
+        src = spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", 2.5), (3, None, None)],
+            "id long, s string, v double",
+        )
+        src.write.format("manifest_jsonl").mode("overwrite").save(path)
+        manifest = json.load(open(f"{path}/_manifest.json"))
+        assert manifest["rows"] == 3
+        back = (
+            spark.read.format("manifest_jsonl")
+            .schema("id long, s string, v double")
+            .load(path)
+        )
+        assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+
+    def test_unmanifested_files_are_invisible(self, spark, tmp_path):
+        self._register(spark)
+        path = str(tmp_path / "sink2")
+        spark.createDataFrame([(1, "a", 0.1)], "id long, s string, v double") \
+            .write.format("manifest_jsonl").mode("overwrite").save(path)
+        # a torn write: a part file that never reached the manifest
+        with open(f"{path}/part-torn.jsonl", "w") as f:
+            f.write('{"id": 99, "s": "ghost", "v": 9.9}\n')
+        back = (
+            spark.read.format("manifest_jsonl")
+            .schema("id long, s string, v double")
+            .load(path)
+        )
+        assert [r["id"] for r in back.collect()] == [1]
+
+    def test_append_merges_manifest(self, spark, tmp_path):
+        import json
+
+        self._register(spark)
+        path = str(tmp_path / "sink3")
+        df = spark.createDataFrame([(1, "a", 0.1)], "id long, s string, v double")
+        df.write.format("manifest_jsonl").mode("overwrite").save(path)
+        spark.createDataFrame([(2, "b", 0.2)], "id long, s string, v double") \
+            .write.format("manifest_jsonl").mode("append").save(path)
+        manifest = json.load(open(f"{path}/_manifest.json"))
+        assert manifest["rows"] == 2
+        back = (
+            spark.read.format("manifest_jsonl")
+            .schema("id long, s string, v double")
+            .load(path)
+        )
+        assert sorted(r["id"] for r in back.collect()) == [1, 2]
