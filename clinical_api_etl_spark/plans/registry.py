@@ -18,12 +18,13 @@ def all_queries() -> dict[str, Query]:
         analytics,
         clinical_parity,
         extensions,
+        mlprep,
         relational,
         tpch_deep,
     )
 
     merged: dict[str, Query] = {}
-    for mod in (relational, tpch_deep, clinical_parity, extensions, analytics):
+    for mod in (relational, tpch_deep, clinical_parity, extensions, analytics, mlprep):
         for name, q in mod.QS.queries.items():
             if name in merged:
                 raise ValueError(f"duplicate query {name!r} across plan modules")

@@ -1,0 +1,124 @@
+"""Tests for plans/mlprep.py: argmax determinism, JL projection linearity,
+chunk-dedup passage removal, bloom-gate zero-false-negative guarantee."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_api_etl_spark.plans.mlprep import (
+    _JL_SIGNS,
+    agg_argmax_per_type,
+    decontaminate_bloom_gate,
+    emb_random_projection,
+    text_chunk_dedup,
+)
+from clinical_api_etl_spark.sources.catalog import load
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestArgmax:
+    def test_tie_breaks_deterministic(self, spark):
+        # Two users tied on the max total, two tied on the min: struct
+        # ordering must pick the higher user for max_by, lower for min_by.
+        df = spark.createDataFrame(
+            [("a", 1, 5.0), ("a", 2, 5.0), ("a", 3, 1.0), ("a", 4, 1.0)],
+            "event_type string, user_id long, value double",
+        )
+        per_user = df.groupBy("event_type", "user_id").agg(
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        row = (
+            per_user.groupBy("event_type")
+            .agg(
+                F.max_by("user_id", F.struct("cents", "user_id")).alias("top"),
+                F.min_by("user_id", F.struct("cents", "user_id")).alias("bot"),
+            )
+            .collect()[0]
+        )
+        assert row["top"] == 2 and row["bot"] == 3
+
+    def test_extrema_match_brute_force(self, spark):
+        rows = agg_argmax_per_type(spark, SF).collect()
+        ev = load(spark, SF, "events").filter(F.col("value").isNotNull())
+        cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        totals = (
+            ev.groupBy("event_type", "user_id")
+            .agg(F.sum(cents).alias("c"))
+            .collect()
+        )
+        by_type: dict[str, list] = {}
+        for r in totals:
+            by_type.setdefault(r["event_type"], []).append((r["c"], r["user_id"]))
+        for r in rows:
+            pairs = by_type[r["event_type"]]
+            assert (r["top_cents"], r["top_user"]) == max(pairs)
+            assert (r["bottom_cents"], r["bottom_user"]) == min(pairs)
+
+
+class TestRandomProjection:
+    def test_matches_numpy_projection(self, spark):
+        emb = load(spark, SF, "embeddings").orderBy("vec_id").limit(5).collect()
+        got = {
+            r["vec_id"]: [r[f"q{j}"] for j in range(8)]
+            for r in emb_random_projection(spark, SF)
+            .filter(F.col("vec_id").isin([r["vec_id"] for r in emb]))
+            .collect()
+        }
+        S = np.array(_JL_SIGNS, dtype=np.float64)  # 8 x 64
+        for r in emb:
+            v = np.array(r["embedding"], dtype=np.float64)
+            # replicate the exact left-to-right fold (numpy dot may differ
+            # in the last ulp, so fold explicitly)
+            want = []
+            for j in range(8):
+                acc = 0.0
+                for i in range(64):
+                    acc += v[i] * S[j, i]
+                want.append(int(np.floor(acc * 1e6 + 0.5)))
+            assert got[r["vec_id"]] == want
+
+    def test_signs_are_stable_constants(self):
+        # regenerating from md5 must reproduce the module table (model
+        # determinism across sessions/engines)
+        for j in range(8):
+            for i in range(64):
+                h = int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:2], 16)
+                assert _JL_SIGNS[j][i] == (1 if h < 128 else -1)
+
+
+class TestChunkDedup:
+    def test_planted_duplicate_chunk_removed(self, spark, tmp_path):
+        # doc 1 and doc 2 share an identical 16-token passage; doc 2 keeps
+        # its unique tail only.
+        passage = " ".join(f"tok{i}" for i in range(16))
+        tail = " ".join(f"uniq{i}" for i in range(16))
+        spark.createDataFrame(
+            [(1, passage), (2, passage + " " + tail)],
+            "doc_id long, text string",
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in text_chunk_dedup(spark, str(tmp_path)).collect()
+        }
+        assert out[1]["n_kept"] == 1 and out[1]["n_dropped"] == 0
+        assert out[2]["n_kept"] == 1 and out[2]["n_dropped"] == 1
+        assert out[2]["clean_fp"] == hashlib.md5(tail.encode()).hexdigest()
+
+    def test_chunk_accounting_conserves(self, spark):
+        pdf = text_chunk_dedup(spark, SF).toPandas()
+        assert (pdf["n_kept"] + pdf["n_dropped"] == pdf["n_chunks"]).all()
+        assert (pdf["n_kept"] >= 0).all()
+
+
+class TestBloomGate:
+    def test_no_false_negatives(self, spark):
+        row = decontaminate_bloom_gate(spark, SF).collect()[0]
+        assert row["n_missed"] == 0
+        assert row["n_candidates"] >= row["n_exact"]
