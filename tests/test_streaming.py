@@ -701,3 +701,53 @@ class TestStreamingObservedMetrics:
         assert metrics, "no observed metrics in progress"
         assert sum(m["n_rows"] for m in metrics) == events.count()
         assert all(m["n_null_value"] == 0 for m in metrics)
+
+
+class TestStreamStaticJoin:
+    def test_stream_enriched_by_broadcast_dim_equals_batch(self, spark, tmp_path):
+        """Stream-static enrichment: a file-source event stream joined to a
+        small static dimension (broadcast — re-read per micro-batch, never
+        shuffled) aggregates to exactly the batch result. The canonical
+        100 TB shape for enriching a fact stream with slowly-changing dims."""
+        from clinical_api_etl_spark.sources.catalog import load
+
+        sf = "/root/testdata/sf0.001"
+        events = load(spark, sf, "events")
+        src_dir = str(tmp_path / "events_parquet")
+        events.write.parquet(src_dir)
+
+        dim = spark.range(0, 10000).select(
+            F.col("id").alias("user_id"),
+            F.concat(F.lit("seg"), (F.col("id") % 7).cast("string")).alias("segment"),
+        )
+        cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+
+        def enrich(ev):
+            return (
+                ev.join(F.broadcast(dim), "user_id")
+                .groupBy("segment")
+                .agg(
+                    F.count("*").alias("cnt"),
+                    F.sum(cents).alias("total_cents"),
+                )
+            )
+
+        batch = {
+            r["segment"]: (r["cnt"], r["total_cents"])
+            for r in enrich(events).collect()
+        }
+
+        stream = spark.readStream.schema(events.schema).parquet(src_dir)
+        out_rows = []
+        q = (
+            enrich(stream)
+            .writeStream.outputMode("complete")
+            .foreachBatch(lambda df, bid: out_rows.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {r["segment"]: (r["cnt"], r["total_cents"]) for r in out_rows}
+        assert got == batch
+        assert len(got) == 7
