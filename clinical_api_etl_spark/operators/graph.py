@@ -110,3 +110,48 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def pagerank_int(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    total_units: int = 1_000_000_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank in exact integer arithmetic: rank mass is ``total_units``
+    integer units, every step is BIGINT floor-division (Spark ``div`` ==
+    DuckDB ``//`` for non-negative operands), so the result is
+    bit-reproducible on ANY engine — no float association order, no
+    logarithms. The floor truncation loses < |V|·iters units of mass
+    (≈ 1e-6 of total here): an explicitly-bounded, deterministic
+    approximation of float PageRank.
+
+    Each iteration: contributions = one broadcast join of the (small)
+    rank vector onto the edge list + one shuffle on dst with map-side
+    partial sums. Node count rides a 1-row cross join so the plan stays
+    fully declarative. Nodes are taken from the edge list (call with a
+    symmetrized edge list; isolated vertices would hold static rank and
+    can be unioned in afterwards).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    ncount = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    base = F.expr(f"{total_units * (100 - damping_pct)} div 100 div n")
+    ranks = nodes.crossJoin(F.broadcast(ncount)).select(
+        "node", F.expr(f"{total_units} div n").alias("r")
+    )
+    edeg = e.join(deg, "src")
+    for _ in range(iters):
+        contrib = edeg.join(
+            F.broadcast(ranks), edeg["src"] == ranks["node"]
+        ).select("dst", F.expr("r div deg").alias("c"))
+        summed = contrib.groupBy("dst").agg(F.sum("c").cast("long").alias("s"))
+        ranks = summed.crossJoin(F.broadcast(ncount)).select(
+            F.col("dst").alias("node"),
+            (base + F.expr(f"{damping_pct} * s div 100")).cast("long").alias("r"),
+        )
+    return ranks.select("node", F.col("r").alias("rank_units"))

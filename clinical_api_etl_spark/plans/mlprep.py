@@ -124,16 +124,19 @@ def _jl_oracle() -> str:
 )
 def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
+    # Build each projection as ONE SQL string parsed JVM-side: composing
+    # 8 x 64 Column objects through py4j costs ~2.5s of driver chatter
+    # per build (measured), which dominated this query's bench time. The
+    # parsed expressions are identical to the Column-composed ones (same
+    # left-to-right fold, double literals via the D suffix).
     cols = []
     for j in range(_JL_OUT):
-        expr = None
-        for i, s in enumerate(_JL_SIGNS[j]):
-            term = F.element_at("embedding", i + 1).cast("double") * F.lit(s)
-            expr = term if expr is None else expr + term
-        cols.append(
-            F.floor(expr * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias(f"q{j}")
+        terms = " + ".join(
+            f"CAST(element_at(embedding, {i + 1}) AS DOUBLE) * CAST({s} AS DOUBLE)"
+            for i, s in enumerate(_JL_SIGNS[j])
         )
-    return emb.select("vec_id", *cols)
+        cols.append(f"CAST(FLOOR(({terms}) * 1000000.0D + 0.5D) AS BIGINT) AS q{j}")
+    return emb.selectExpr("vec_id", *cols)
 
 
 # ---------------------------------------------------------------------------
@@ -232,6 +235,219 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.coalesce("rebuilt", F.lit(""))).alias("clean_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "text_inverted_index",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    g AS (SELECT tok, doc_id, COUNT(*) AS c FROM t GROUP BY tok, doc_id)
+    SELECT tok,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(c) AS BIGINT) AS cf,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS postings_fp
+    FROM g GROUP BY tok
+    """,
+    doc="[EXT] inverted-index build (the search/retrieval side of a corpus "
+    "pipeline): token → document frequency, collection frequency, and a "
+    "byte-exact fingerprint of the doc_id-sorted posting list. Two-stage "
+    "hash aggregate — explode shuffles once on (token, doc) with map-side "
+    "partials, then once on token; postings order is imposed by an "
+    "explicit array_sort, never by shuffle arrival. At 100 TB: partition "
+    "terms by hash, delta-encode postings at the sink.",
+    headline=True,
+    tags=("text",),
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per_doc = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_doc.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("cf"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("postings_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram PMI / lift (collocation statistics).
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+
+
+@QS.add(
+    "text_pmi_bigrams",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+    ),
+    bi AS (
+      SELECT p.x AS x, p.y AS y, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                 i -> {{'x': toks[i], 'y': toks[i + 1]}})) AS p
+        FROM t
+      )
+      GROUP BY p.x, p.y
+    ),
+    tot AS (
+      SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n_tokens,
+             (SELECT CAST(SUM(c_xy) AS BIGINT) FROM bi) AS n_bigrams
+    )
+    SELECT bi.x || ' ' || bi.y AS bigram,
+           bi.c_xy, ux.c AS c_x, uy.c AS c_y,
+           CAST(bi.c_xy * tot.n_tokens * tot.n_tokens AS DOUBLE)
+             / CAST(tot.n_bigrams * ux.c * uy.c AS DOUBLE) AS lift
+    FROM bi
+    JOIN uni ux ON bi.x = ux.tok
+    JOIN uni uy ON bi.y = uy.tok
+    CROSS JOIN tot
+    WHERE bi.c_xy >= {_PMI_MIN_COUNT}
+    """,
+    doc="[EXT] collocation statistics (word2vec/phrase-mining precursor): "
+    "per adjacent bigram with count ≥ 5, the PMI lift "
+    "p(x,y)/(p(x)p(y)) = c_xy·N² / (B·c_x·c_y). Numerator and denominator "
+    "are exact BIGINT products; the only float op is ONE division of two "
+    "exactly-representable integers — bit-identical across engines, no "
+    "logarithms. Bigram counts broadcast-join the (small) vocabulary "
+    "table; scalar totals ride a 1-row cross join.",
+    tags=("text",),
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks_df = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    uni = (
+        toks_df.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    pairs = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at("toks", i).alias("x"),
+                F.element_at("toks", i + 1).alias("y"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    bi = (
+        toks_df.select(F.explode(pairs).alias("p"))
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+    )
+    totals = (
+        uni.agg(F.sum("c").cast("long").alias("n_tokens"))
+        .crossJoin(bi.agg(F.sum("c_xy").cast("long").alias("n_bigrams")))
+    )
+    ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
+    return (
+        bi.filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.concat_ws(" ", "x", "y").alias("bigram"),
+            "c_xy",
+            "c_x",
+            "c_y",
+            (
+                (F.col("c_xy") * F.col("n_tokens") * F.col("n_tokens")).cast("double")
+                / (F.col("n_bigrams") * F.col("c_x") * F.col("c_y")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-integer PageRank over the customer↔supplier interaction graph.
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-iteration DuckDB twin of operators/graph.py:pagerank_int
+    (fixed iteration count ⇒ plain chained CTEs, no recursion). All
+    arithmetic is BIGINT floor-division — `//` == Spark `div` for
+    non-negative operands."""
+    it = """
+    it{k} AS (
+      SELECT e.dst AS node,
+             CAST(150000000000 // n.n + (85 * SUM(r.r // e.deg)) // 100
+                  AS BIGINT) AS r
+      FROM edeg e JOIN it{p} r ON e.src = r.node, n
+      GROUP BY e.dst, n.n
+    )"""
+    its = ",".join(it.format(k=k, p=k - 1) for k in range(1, _PR_ITERS + 1))
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    edeg AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    it0 AS (SELECT node, CAST(1000000000000 // n.n AS BIGINT) AS r FROM nodes, n),
+    {its}
+    SELECT node, r AS rank_units FROM it{_PR_ITERS}
+    """
+
+
+@QS.add(
+    "graph_pagerank_interactions",
+    _pagerank_oracle(),
+    doc="[EXT] PageRank over the symmetrized customer↔supplier interaction "
+    "graph (edge = any lineitem between them), 3 iterations, damping "
+    "0.85, in EXACT integer arithmetic: rank mass is 1e12 units and every "
+    "step is BIGINT floor-division, so Spark and DuckDB agree "
+    "bit-for-bit — an iterative algorithm under a full value-hash gate, "
+    "not a rows-only check. Per iteration: rank vector (|V| rows) "
+    "broadcast onto the edge list, contributions shuffle once on dst "
+    "with map-side partials. operators/graph.py:pagerank_int.",
+    headline=True,
+    tags=("graph",),
+)
+def graph_pagerank_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.graph import pagerank_int
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank_int(edges, iters=_PR_ITERS)
 
 
 # ---------------------------------------------------------------------------

@@ -122,3 +122,37 @@ class TestBloomGate:
         row = decontaminate_bloom_gate(spark, SF).collect()[0]
         assert row["n_missed"] == 0
         assert row["n_candidates"] >= row["n_exact"]
+
+
+class TestPagerank:
+    def test_mass_conservation_and_numpy_parity(self, spark):
+        from clinical_api_etl_spark.plans.mlprep import graph_pagerank_interactions
+
+        rows = graph_pagerank_interactions(spark, SF).collect()
+        total = sum(r["rank_units"] for r in rows)
+        # floor-division truncation loses < |V| * (iters + 1) units
+        assert 1_000_000_000_000 - total < len(rows) * 8 * 200
+        assert total <= 1_000_000_000_000
+        # integer pagerank should track float pagerank: replay in python
+        from clinical_api_etl_spark.sources.catalog import load
+
+        li = load(spark, SF, "lineitem").select("l_orderkey", "l_suppkey")
+        o = load(spark, SF, "orders").select("o_orderkey", "o_custkey")
+        e0 = {
+            (f"c{r['o_custkey']}", f"s{r['l_suppkey']}")
+            for r in li.join(o, li["l_orderkey"] == o["o_orderkey"]).collect()
+        }
+        edges = list(e0) + [(b, a) for a, b in e0]
+        nodes = sorted({s for s, _ in edges})
+        deg = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        n = len(nodes)
+        r = {v: 1_000_000_000_000 // n for v in nodes}
+        for _ in range(3):
+            acc = {v: 0 for v in nodes}
+            for s, d in edges:
+                acc[d] += r[s] // deg[s]
+            r = {v: 150_000_000_000 // n + 85 * acc[v] // 100 for v in nodes}
+        got = {row["node"]: row["rank_units"] for row in rows}
+        assert got == r
