@@ -336,8 +336,12 @@ _PMI_MIN_COUNT = 5
 def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks_df = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    # explode_outer throughout: inner explode plants an unpushable
+    # size()>0 Filter directly on the scan AND re-evaluates the lambda
+    # expression a second time per row (no-HOF-CSE). tokens() is never
+    # empty, and the pairs branch drops its null rows explicitly.
     uni = (
-        toks_df.select(F.explode("toks").alias("tok"))
+        toks_df.select(F.explode_outer("toks").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
@@ -352,7 +356,8 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
     bi = (
-        toks_df.select(F.explode(pairs).alias("p"))
+        toks_df.select(F.explode_outer(pairs).alias("p"))
+        .filter(F.col("p").isNotNull())
         .select("p.x", "p.y")
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
@@ -378,6 +383,65 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n_bigrams") * F.col("c_x") * F.col("c_y")).cast("double")
             ).alias("lift"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-gated corpus curation: per-source top-half by score.
+# ---------------------------------------------------------------------------
+
+def _quality_sql() -> str:
+    from clinical_api_etl_spark.functions.text import EN_STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    stop_ratio = (
+        f"len(list_filter({_TOKS}, x -> x IN ({stops})))::DOUBLE"
+        f" / len({_TOKS})::DOUBLE"
+    )
+    return (
+        f"0.5 * ({stop_ratio})"
+        " + 0.3 * least(length(text)::DOUBLE / 400.0, 1.0)"
+        f" + 0.2 * (len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS})::DOUBLE)"
+    )
+
+
+@QS.add(
+    "corpus_quality_topp",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source, {_quality_sql()} AS quality FROM documents
+    ),
+    r AS (
+      SELECT *,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY quality DESC, doc_id) AS BIGINT) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM scored
+    )
+    SELECT doc_id, source, quality, rk FROM r WHERE rk <= (n + 1) // 2
+    """,
+    doc="[EXT] quality-percentile curation (FineWeb-style keep-the-best): "
+    "per source, keep the top half of documents by composite quality "
+    "score, ties broken by doc_id so the cut is deterministic. One window "
+    "over (source) — a single shuffle; the score reuses "
+    "functions/text.py:quality_score whose fixed evaluation order makes "
+    "the doubles bit-identical across engines.",
+    tags=("text", "pipeline"),
+)
+def corpus_quality_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.functions.text import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    wc = Window.partitionBy("source")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rk") <= F.expr("(n + 1) div 2"))
+        .select("doc_id", "source", "quality", "rk")
     )
 
 

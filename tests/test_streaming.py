@@ -751,3 +751,38 @@ class TestStreamStaticJoin:
         got = {r["segment"]: (r["cnt"], r["total_cents"]) for r in out_rows}
         assert got == batch
         assert len(got) == 7
+
+
+class TestBoundedMicroBatches:
+    def test_max_files_per_trigger_preserves_results(self, spark, tmp_path):
+        """Backpressure: maxFilesPerTrigger=1 splits an N-file backlog into
+        N micro-batches (bounded memory per trigger — the knob that keeps a
+        100 TB backlog from landing in one giant batch) and the final
+        aggregate is unchanged from the single-batch run."""
+        from clinical_api_etl_spark.sources.catalog import load
+
+        sf = "/root/testdata/sf0.001"
+        events = load(spark, sf, "events")
+        src_dir = str(tmp_path / "ev")
+        events.repartition(4).write.parquet(src_dir)
+
+        agg = lambda df: df.groupBy("event_type").agg(F.count("*").alias("cnt"))
+        batch = {r["event_type"]: r["cnt"] for r in agg(events).collect()}
+
+        batches = []
+        q = (
+            agg(
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+            .writeStream.outputMode("complete")
+            .foreachBatch(lambda df, bid: batches.append(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert len(batches) == 4  # one per file
+        final = {r["event_type"]: r["cnt"] for r in batches[-1]}
+        assert final == batch
