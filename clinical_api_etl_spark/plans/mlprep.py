@@ -1,6 +1,6 @@
 """[EXT] Round-5 training-data-prep and aggregate surfaces.
 
-Four oracle-gated families:
+All oracle-gated (full DuckDB value-hash — no rows-only entries here):
 
 - argmax aggregates (``max_by``/``min_by`` over struct ordering — the
   deterministic-tie-break form of SQL ``arg_max``);
@@ -9,6 +9,14 @@ Four oracle-gated families:
   shuffle, model = ±1 signs derived from md5 so both engines replay it);
 - chunk-level exact dedup with document rebuild (RefinedWeb-style
   repeated-passage removal at sub-document granularity);
+- inverted-index build and bigram-PMI collocations (exact-integer lift,
+  one final float division);
+- exact-integer PageRank (BIGINT floor-div throughout — an iterative
+  algorithm under a full value hash) plus its Spark 4 WITH RECURSIVE
+  BFS sibling;
+- mergeable distinct structures: exact bitmap aggregates and a
+  DataSketches HLL union gate (the incremental-MV forms of distinct);
+- quality-percentile curation (per-source keep-top-half);
 - Bloom-filter decontamination prefilter with a zero-false-negative
   containment gate (broadcast a KB-scale bitmap instead of the benchmark
   shingle set — the 100 TB posture for eval-set leakage scans).
@@ -383,6 +391,140 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n_bigrams") * F.col("c_x") * F.col("c_y")).cast("double")
             ).alias("lift"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-structure distinct counts: exact bitmaps + HLL sketch gate.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "a14_bitmap_distinct_users",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    doc="[EXT] EXACT distinct via mergeable bitmaps (Spark 3.5 bitmap_* "
+    "aggregates): users bucket by bitmap_bucket_number, each (type, "
+    "bucket) folds to a 4 KB bitmap map-side, buckets OR-merge and their "
+    "counts sum. Same answer as COUNT(DISTINCT) — the oracle — but the "
+    "intermediate state is a mergeable bitmap, i.e. the incremental-MV / "
+    "rollup-friendly form: daily partition bitmaps OR together into "
+    "any-window exact distincts without re-scanning facts. At 100 TB "
+    "that's the difference between a per-query distinct scan and a "
+    "bitmap union over precomputed partials.",
+    tags=("agg", "sketch"),
+)
+def a14_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select("event_type", "user_id")
+        .groupBy("event_type", F.expr("bitmap_bucket_number(user_id)").alias("b"))
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
+        )
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.expr("CAST(SUM(bitmap_count(bm)) AS BIGINT)").alias("n_users")
+    )
+
+
+@QS.add(
+    "a15_hll_union_gate",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+    doc="[EXT] Apache DataSketches HLL surface (Spark 3.5 hll_sketch_agg/"
+    "hll_union_agg): per-(type, day) sketches union across days into a "
+    "per-type estimate — the persistable, re-aggregatable form of "
+    "approx_count_distinct (a sketch column in a daily MV answers any "
+    "date-range distinct without touching facts). Gate: the merged "
+    "estimate must land within 5% of exact (HLL lgK=12 standard error "
+    "≈ 1.6%), hash-checked alongside the exact count.",
+    tags=("agg", "sketch"),
+)
+def a15_hll_union_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= F.lit(0.05) * F.col("n_exact")
+        ).alias("within_bound"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4): bounded BFS over the interaction graph.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "sql_recursive_reach",
+    """
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM e0
+              UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    reach(node, d) AS (
+      SELECT 'c1' AS node, 0 AS d
+      UNION ALL
+      SELECT e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.d < 2
+    )
+    SELECT node, CAST(MIN(d) AS BIGINT) AS min_hops
+    FROM reach GROUP BY node
+    """,
+    doc="[EXT] recursive CTE (Spark 4 WITH RECURSIVE): 2-hop BFS from "
+    "customer c1 over the symmetrized interaction graph, min-hop distance "
+    "per reached node. Identical SQL text runs on both engines — the "
+    "recursion is depth-bounded in the recursive term (UNION ALL "
+    "path-enumeration semantics) and collapsed by the outer MIN. The "
+    "DataFrame twin of this shape is operators/graph.py (iterative "
+    "min-label propagation with checkpointing) — the CTE form is for "
+    "SQL-surface parity.",
+    tags=("graph", "sql"),
+)
+def sql_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li.createOrReplaceTempView("rcte_lineitem")
+    orders.createOrReplaceTempView("rcte_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE e0 AS (
+          SELECT DISTINCT concat('c', CAST(o_custkey AS STRING)) AS src,
+                          concat('s', CAST(l_suppkey AS STRING)) AS dst
+          FROM rcte_lineitem JOIN rcte_orders ON l_orderkey = o_orderkey
+        ),
+        edges AS (SELECT src, dst FROM e0
+                  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        reach(node, d) AS (
+          SELECT 'c1' AS node, 0 AS d
+          UNION ALL
+          SELECT e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.node
+          WHERE r.d < 2
+        )
+        SELECT node, CAST(MIN(d) AS BIGINT) AS min_hops
+        FROM reach GROUP BY node
+        """
     )
 
 

@@ -156,3 +156,39 @@ class TestPagerank:
             r = {v: 150_000_000_000 // n + 85 * acc[v] // 100 for v in nodes}
         got = {row["node"]: row["rank_units"] for row in rows}
         assert got == r
+
+
+class TestSketchSurfaces:
+    def test_bitmap_equals_count_distinct(self, spark):
+        from clinical_api_etl_spark.plans.mlprep import a14_bitmap_distinct_users
+
+        got = {
+            r["event_type"]: r["n_users"]
+            for r in a14_bitmap_distinct_users(spark, SF).collect()
+        }
+        want = {
+            r["event_type"]: r["n"]
+            for r in load(spark, SF, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        assert got == want
+
+    def test_hll_union_within_bound(self, spark):
+        from clinical_api_etl_spark.plans.mlprep import a15_hll_union_gate
+
+        rows = a15_hll_union_gate(spark, SF).collect()
+        assert rows and all(r["within_bound"] for r in rows)
+
+
+class TestRecursiveReach:
+    def test_min_hops_structure(self, spark):
+        from clinical_api_etl_spark.plans.mlprep import sql_recursive_reach
+
+        rows = {r["node"]: r["min_hops"] for r in sql_recursive_reach(spark, SF).collect()}
+        assert rows.get("c1") == 0
+        # odd hops land on suppliers, even on customers (bipartite graph)
+        for node, d in rows.items():
+            assert (node[0] == "s") == (d % 2 == 1)
+        assert max(rows.values()) <= 2
