@@ -786,3 +786,60 @@ class TestBoundedMicroBatches:
         assert len(batches) == 4  # one per file
         final = {r["event_type"]: r["cnt"] for r in batches[-1]}
         assert final == batch
+
+
+class TestRocksDBStateStore:
+    def test_stateful_agg_under_rocksdb_provider(self, spark, tmp_path):
+        """The RocksDB state-store provider (the production backend when
+        state outgrows executor heap — spill-to-disk, incremental
+        checkpoints) produces the same windowed aggregate as the default
+        HDFS-backed provider. Provider is a per-query option via the
+        checkpoint's sql conf, so the swap is config-only at any scale."""
+        from clinical_api_etl_spark.sources.catalog import load
+
+        sf = "/root/testdata/sf0.001"
+        events = load(spark, sf, "events").select("user_id", "ts", "event_type")
+        src_dir = str(tmp_path / "ev")
+        events.write.parquet(src_dir)
+
+        def rollup(df):
+            return df.groupBy(
+                F.window("ts", "1 day"), "event_type"
+            ).agg(F.count(F.lit(1)).alias("cnt"))
+
+        expected = {
+            (r["window"]["start"], r["event_type"]): r["cnt"]
+            for r in rollup(events).collect()
+        }
+
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            out_rows = []
+            q = (
+                rollup(
+                    spark.readStream.schema(events.schema)
+                    .parquet(src_dir)
+                    .withWatermark("ts", "1 hour")
+                )
+                .writeStream.outputMode("complete")
+                .foreachBatch(lambda df, bid: out_rows.extend(df.collect()))
+                .option("checkpointLocation", str(tmp_path / "rdb_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+        got = {
+            (r["window"]["start"], r["event_type"]): r["cnt"] for r in out_rows
+        }
+        assert got == expected
