@@ -47,7 +47,8 @@ import uuid
 from functools import reduce
 from pathlib import Path
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 from clinical_api_etl_spark.sources.sinks import ParquetWarehouse
 
@@ -108,9 +109,17 @@ class SnapshotWarehouse(ParquetWarehouse):
             )
         return out
 
-    def _commit(self, table: str, files: list[str], operation: str) -> None:
+    def _commit(
+        self,
+        table: str,
+        files: list[str],
+        operation: str,
+        deletes: list[dict] | None = None,
+    ) -> None:
         """Atomically publish the next snapshot. Files are relpaths under
-        the table's data root; the rename is the commit point."""
+        the table's data root; the rename is the commit point. ``deletes``
+        are deletion-vector entries (see :meth:`delete_where`) carried in
+        the manifest; rewrites publish with none."""
         mdir = self._manifest_dir(table)
         mdir.mkdir(parents=True, exist_ok=True)
         vs = self.versions(table)
@@ -120,6 +129,7 @@ class SnapshotWarehouse(ParquetWarehouse):
             "operation": operation,
             "partitioned": table in self.partitioning,
             "files": sorted(files),
+            "deletes": deletes or [],
         }
         tmp = mdir / f".tmp-{uuid.uuid4().hex}"
         tmp.write_text(json.dumps(manifest, indent=1))
@@ -166,7 +176,18 @@ class SnapshotWarehouse(ParquetWarehouse):
             r = self.spark.read
             if m["partitioned"]:
                 r = r.option("basePath", str(root / cid))
-            parts.append(r.parquet(*paths))
+            part = r.parquet(*paths)
+            # Deletion vectors: each entry targets the commit dirs that
+            # were live when the delete committed, so rows appended LATER
+            # under the same key are untouched (Delta/Iceberg DV
+            # semantics). Tombstone key sets are small — broadcast.
+            for entry in m.get("deletes") or []:
+                if cid in entry["cids"]:
+                    keys = self.spark.read.parquet(
+                        *[str(root / f) for f in entry["files"]]
+                    )
+                    part = part.join(F.broadcast(keys), entry["key"], "left_anti")
+            parts.append(part)
         return reduce(lambda a, b: a.unionByName(b), parts)
 
     def append(self, table: str, df: DataFrame) -> None:
@@ -174,7 +195,50 @@ class SnapshotWarehouse(ParquetWarehouse):
             prev = self._load_manifest(table)
             new = self._write_commit_files(table, df)
             carried = prev["files"] if prev else []
-            self._commit(table, carried + new, "append")
+            self._commit(
+                table,
+                carried + new,
+                "append",
+                deletes=(prev.get("deletes") if prev else None),
+            )
+
+    def delete_where(
+        self, table: str, condition: Column | str, key_col: str
+    ) -> int:
+        """Row-level delete WITHOUT rewriting data files (deletion-vector
+        pattern, the GDPR-delete posture at 100 TB: removing 3 rows from a
+        1 GB file costs a KB tombstone, not a 1 GB rewrite).
+
+        Keys matching ``condition`` in the CURRENT snapshot are written as
+        a tombstone parquet; the new manifest carries the data files
+        unchanged plus a delete entry scoped to the commit dirs live right
+        now. Reads anti-join the tombstones; ``compact`` materializes the
+        deletes and clears the vectors. Returns the number of deleted keys.
+        """
+        with self._write_lock:
+            prev = self._load_manifest(table)
+            if prev is None or not prev["files"]:
+                return 0
+            cur = self.read(table)
+            cond = F.expr(condition) if isinstance(condition, str) else condition
+            keys = cur.filter(cond).select(key_col).distinct()
+            n = keys.count()
+            if n == 0:
+                return 0
+            cid = uuid.uuid4().hex
+            dest = self._data_root(table) / cid
+            keys.coalesce(1).write.mode("overwrite").parquet(str(dest))
+            root = self._data_root(table)
+            dfiles = [str(p.relative_to(root)) for p in dest.rglob("*.parquet")]
+            applies = sorted({rel.split("/", 1)[0] for rel in prev["files"]})
+            entry = {"key": key_col, "files": dfiles, "cids": applies}
+            self._commit(
+                table,
+                prev["files"],
+                f"delete[{key_col}]",
+                deletes=(prev.get("deletes") or []) + [entry],
+            )
+            return n
 
     def _rewrite(self, table: str, df: DataFrame) -> None:
         with self._write_lock:
@@ -194,7 +258,14 @@ class SnapshotWarehouse(ParquetWarehouse):
                 for rel in (prev["files"] if prev else [])
                 if len(rel.split("/")) < 2 or rel.split("/")[1] not in touched
             ]
-            self._commit(table, carried + new, f"merge[{pcol}]")
+            # Delete entries stay: they still apply to carried files (an
+            # entry whose commit dirs all dropped out is a harmless no-op).
+            self._commit(
+                table,
+                carried + new,
+                f"merge[{pcol}]",
+                deletes=(prev.get("deletes") if prev else None),
+            )
 
     # -- maintenance ------------------------------------------------------
 
@@ -222,7 +293,10 @@ class SnapshotWarehouse(ParquetWarehouse):
             retained = vs[-keep_last:] if keep_last > 0 else []
             live: set[str] = set()
             for v in retained:
-                live.update(self._load_manifest(table, v)["files"])
+                m = self._load_manifest(table, v)
+                live.update(m["files"])
+                for entry in m.get("deletes") or []:
+                    live.update(entry["files"])
             for v in vs:
                 if v not in retained:
                     (self._manifest_dir(table) / f"v{v:08d}.json").unlink()

@@ -179,3 +179,125 @@ class TestWriterSerialization:
             t.join()
         assert errors == []
         assert swh.read("jobs").count() == 8
+
+
+class TestIncrementalCorpusDedup:
+    def test_append_only_novel_documents(self, spark, tmp_path):
+        """Incremental corpus building: each batch appends only documents
+        whose content digest is NOT already in the warehouse (anti-join on
+        md5 — at 100 TB the digest column is a narrow scan of the corpus
+        table, or a bucketed digest index; never a text comparison). The
+        corpus stays exactly-once under re-delivered and overlapping
+        batches, and history shows one commit per effective append."""
+        from pyspark.sql import functions as F
+
+        from clinical_api_etl_spark.sources.snapshots import SnapshotWarehouse
+
+        wh = SnapshotWarehouse(spark, str(tmp_path / "wh"))
+
+        def batch(rows):
+            return spark.createDataFrame(rows, "doc_id long, text string")
+
+        def ingest(df):
+            with_digest = df.withColumn("digest", F.md5("text"))
+            existing = wh.read("corpus")
+            novel = (
+                with_digest
+                if existing is None
+                else with_digest.join(
+                    F.broadcast(existing.select("digest").distinct()),
+                    "digest",
+                    "left_anti",
+                )
+            )
+            # within-batch dedup too: first doc_id wins per digest
+            novel = (
+                novel.withColumn(
+                    "rn",
+                    F.row_number().over(
+                        __import__("pyspark").sql.Window.partitionBy(
+                            "digest"
+                        ).orderBy("doc_id")
+                    ),
+                )
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+            if novel.take(1):
+                wh.append("corpus", novel)
+
+        ingest(batch([(1, "alpha"), (2, "beta"), (3, "beta")]))  # 3 -> dup of 2
+        ingest(batch([(4, "beta"), (5, "gamma")]))  # 4 known, 5 novel
+        ingest(batch([(6, "beta"), (7, "alpha")]))  # nothing novel
+
+        got = {
+            r["text"]: r["doc_id"] for r in wh.read("corpus").collect()
+        }
+        assert got == {"alpha": 1, "beta": 2, "gamma": 5}
+        # third ingest appended nothing: only 2 commits in history
+        assert len(wh.history("corpus")) == 2
+
+
+class TestDeletionVectors:
+    def _mkdocs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_delete_without_rewrite_and_time_travel(self, spark, swh, tmp_path):
+        import hashlib
+
+        swh.append("docs", self._mkdocs(spark, [(1, "a"), (2, "b"), (3, "c")]))
+        root = swh._data_root("docs")
+        before = {
+            str(p): hashlib.md5(p.read_bytes()).hexdigest()
+            for p in root.rglob("*.parquet")
+        }
+        n = swh.delete_where("docs", "doc_id = 2", "doc_id")
+        assert n == 1
+        # data files untouched byte-for-byte (only a tombstone was added)
+        after = {
+            str(p): hashlib.md5(p.read_bytes()).hexdigest()
+            for p in root.rglob("*.parquet")
+            if str(p) in before
+        }
+        assert after == before
+        assert {r["doc_id"] for r in swh.read("docs").collect()} == {1, 3}
+        # time travel to the pre-delete snapshot still sees the row
+        assert {
+            r["doc_id"] for r in swh.read("docs", version=1).collect()
+        } == {1, 2, 3}
+        assert swh.history("docs")[-1]["operation"] == "delete[doc_id]"
+
+    def test_delete_does_not_leak_onto_later_appends(self, spark, swh):
+        swh.append("docs", self._mkdocs(spark, [(1, "a"), (2, "b")]))
+        swh.delete_where("docs", "doc_id = 2", "doc_id")
+        # re-append the same key AFTER the delete: must be visible
+        swh.append("docs", self._mkdocs(spark, [(2, "b-v2")]))
+        got = {r["doc_id"]: r["text"] for r in swh.read("docs").collect()}
+        assert got == {1: "a", 2: "b-v2"}
+
+    def test_compact_materializes_and_clears_vectors(self, spark, swh):
+        swh.append("docs", self._mkdocs(spark, [(i, f"t{i}") for i in range(10)]))
+        swh.delete_where("docs", "doc_id >= 7", "doc_id")
+        swh.compact("docs")
+        m = swh._load_manifest("docs")
+        assert m["deletes"] == [] and m["operation"] == "rewrite"
+        assert {r["doc_id"] for r in swh.read("docs").collect()} == set(range(7))
+
+    def test_vacuum_retains_referenced_tombstones(self, spark, swh):
+        swh.append("docs", self._mkdocs(spark, [(1, "a"), (2, "b")]))
+        swh.delete_where("docs", "doc_id = 1", "doc_id")
+        removed = swh.vacuum("docs", keep_last=1)
+        assert removed == 0  # live snapshot references data AND tombstones
+        assert {r["doc_id"] for r in swh.read("docs").collect()} == {2}
+        # after compaction the tombstone is unreferenced and vacuumable
+        swh.compact("docs")
+        assert swh.vacuum("docs", keep_last=1) > 0
+        assert {r["doc_id"] for r in swh.read("docs").collect()} == {2}
+
+    def test_stacked_deletes(self, spark, swh):
+        swh.append("docs", self._mkdocs(spark, [(i, f"t{i}") for i in range(6)]))
+        assert swh.delete_where("docs", "doc_id IN (0, 1)", "doc_id") == 2
+        assert swh.delete_where("docs", "doc_id = 5", "doc_id") == 1
+        # deleting an already-deleted key is a no-op commit
+        assert swh.delete_where("docs", "doc_id = 0", "doc_id") == 0
+        assert {r["doc_id"] for r in swh.read("docs").collect()} == {2, 3, 4}
