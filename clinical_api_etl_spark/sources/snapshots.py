@@ -267,6 +267,83 @@ class SnapshotWarehouse(ParquetWarehouse):
                 deletes=(prev.get("deletes") if prev else None),
             )
 
+    def read_changes(
+        self, table: str, from_version: int, to_version: int | None = None
+    ) -> DataFrame | None:
+        """Change data feed between snapshots (Delta CDF analogue): what a
+        downstream incremental consumer must apply to move its copy from
+        ``from_version`` to ``to_version`` (default: latest).
+
+        Inserts are exactly the data files present in ``to`` but not in
+        ``from`` — reading them costs O(changed files), never a diff of
+        table contents. Deletes are the tombstone entries added between
+        the versions, emitted as the key rows they removed. Output is the
+        table schema plus ``_change_type`` ('insert' | 'delete'); delete
+        rows carry the key column and NULL elsewhere. Files rewritten by
+        ``compact``/``rewrite`` are NOT emitted as changes (same logical
+        rows); consumers resync on a 'rewrite' in ``history`` between the
+        versions — the standard CDF contract.
+        """
+        m_from = self._load_manifest(table, from_version)
+        m_to = self._load_manifest(table, to_version)
+        if m_from is None or m_to is None:
+            return None
+        ops = [
+            h["operation"]
+            for h in self.history(table)
+            if from_version < h["version"] <= m_to["version"]
+        ]
+        if any(op == "rewrite" for op in ops):
+            raise ValueError(
+                f"{table}: rewrite between v{from_version} and "
+                f"v{m_to['version']} — CDF cannot express it; resync"
+            )
+        root = self._data_root(table)
+        new_files = sorted(set(m_to["files"]) - set(m_from["files"]))
+        cur = self.read(table, m_to["version"])
+        parts: list[DataFrame] = []
+        if new_files:
+            by_commit: dict[str, list[str]] = {}
+            for rel in new_files:
+                by_commit.setdefault(rel.split("/", 1)[0], []).append(
+                    str(root / rel)
+                )
+            for cid, paths in sorted(by_commit.items()):
+                r = self.spark.read
+                if m_to["partitioned"]:
+                    r = r.option("basePath", str(root / cid))
+                part = r.parquet(*paths)
+                for entry in m_to.get("deletes") or []:
+                    if cid in entry["cids"]:
+                        keys = self.spark.read.parquet(
+                            *[str(root / f) for f in entry["files"]]
+                        )
+                        part = part.join(
+                            F.broadcast(keys), entry["key"], "left_anti"
+                        )
+                parts.append(part.withColumn("_change_type", F.lit("insert")))
+        prev_entries = {
+            json.dumps(e, sort_keys=True) for e in m_from.get("deletes") or []
+        }
+        for entry in m_to.get("deletes") or []:
+            if json.dumps(entry, sort_keys=True) in prev_entries:
+                continue
+            keys = self.spark.read.parquet(
+                *[str(root / f) for f in entry["files"]]
+            )
+            row = keys
+            for c in cur.columns:
+                if c != entry["key"]:
+                    row = row.withColumn(c, F.lit(None).cast(cur.schema[c].dataType))
+            parts.append(
+                row.select(*cur.columns).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            )
+        if not parts:
+            return cur.limit(0).withColumn("_change_type", F.lit(""))
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
     # -- maintenance ------------------------------------------------------
 
     def compact(self, table: str) -> None:

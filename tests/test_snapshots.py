@@ -301,3 +301,53 @@ class TestDeletionVectors:
         # deleting an already-deleted key is a no-op commit
         assert swh.delete_where("docs", "doc_id = 0", "doc_id") == 0
         assert {r["doc_id"] for r in swh.read("docs").collect()} == {2, 3, 4}
+
+
+class TestChangeDataFeed:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_inserts_and_deletes_between_versions(self, spark, swh):
+        swh.append("docs", self._docs(spark, [(1, "a"), (2, "b")]))  # v1
+        swh.append("docs", self._docs(spark, [(3, "c")]))  # v2
+        swh.delete_where("docs", "doc_id = 1", "doc_id")  # v3
+        ch = swh.read_changes("docs", 1).collect()
+        inserts = {r["doc_id"] for r in ch if r["_change_type"] == "insert"}
+        deletes = {r["doc_id"] for r in ch if r["_change_type"] == "delete"}
+        assert inserts == {3} and deletes == {1}
+
+    def test_insert_then_delete_within_window_suppressed(self, spark, swh):
+        swh.append("docs", self._docs(spark, [(1, "a")]))  # v1
+        swh.append("docs", self._docs(spark, [(2, "b")]))  # v2
+        swh.delete_where("docs", "doc_id = 2", "doc_id")  # v3
+        ch = swh.read_changes("docs", 1).collect()
+        # row 2 never survives to the target snapshot: no insert for it
+        assert {r["doc_id"] for r in ch if r["_change_type"] == "insert"} == set()
+        assert {r["doc_id"] for r in ch if r["_change_type"] == "delete"} == {2}
+
+    def test_applying_feed_reproduces_snapshot(self, spark, swh):
+        from pyspark.sql import functions as F
+
+        swh.append("docs", self._docs(spark, [(1, "a"), (2, "b")]))  # v1
+        base = swh.read("docs", 1).collect()
+        swh.append("docs", self._docs(spark, [(3, "c"), (4, "d")]))  # v2
+        swh.delete_where("docs", "doc_id IN (2, 3)", "doc_id")  # v3
+        ch = swh.read_changes("docs", 1)
+        copy = {r["doc_id"]: r["text"] for r in base}
+        for r in ch.collect():
+            if r["_change_type"] == "insert":
+                copy[r["doc_id"]] = r["text"]
+            else:
+                copy.pop(r["doc_id"], None)
+        want = {r["doc_id"]: r["text"] for r in swh.read("docs").collect()}
+        assert copy == want
+
+    def test_rewrite_between_versions_raises(self, spark, swh):
+        swh.append("docs", self._docs(spark, [(1, "a")]))
+        swh.compact("docs")
+        with pytest.raises(ValueError, match="resync"):
+            swh.read_changes("docs", 1)
+
+    def test_no_changes_yields_empty_feed(self, spark, swh):
+        swh.append("docs", self._docs(spark, [(1, "a")]))
+        assert swh.read_changes("docs", 1).count() == 0
