@@ -395,6 +395,56 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multiplicity-preserving set ops (ALL variants of §2.6's set-op family).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "setop_nations_intersect_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="[EXT] INTERSECT ALL: bag semantics — each nationkey appears "
+    "min(customer multiplicity, supplier multiplicity) times. "
+    "DataFrame.intersectAll; executes as a count-compare aggregate, "
+    "one shuffle per side.",
+    tags=("setop",),
+)
+def setop_nations_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersectAll(supp)
+
+
+@QS.add(
+    "setop_nations_except_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="[EXT] EXCEPT ALL: bag difference — customer multiplicity minus "
+    "supplier multiplicity per nationkey, floored at zero. "
+    "DataFrame.exceptAll.",
+    tags=("setop",),
+)
+def setop_nations_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.exceptAll(supp)
+
+
+# ---------------------------------------------------------------------------
 # Mergeable-structure distinct counts: exact bitmaps + HLL sketch gate.
 # ---------------------------------------------------------------------------
 
