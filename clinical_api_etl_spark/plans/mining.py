@@ -1,0 +1,260 @@
+"""[EXT] Round-6 data-mining surfaces: fuzzy matching, graph analytics,
+mergeable sketches, multi-dim layout, weighted/grouped sampling, pooled
+embeddings, audio features.
+
+The reference has no analogue for any of these (its string handling is
+exact normalization, ``etl.py:109-150``; no graph/sketch/layout surface) —
+they are the [EXT] operations a large-scale training-data pipeline needs.
+Everything here is DuckDB-hash-gated except where noted; the recurring
+portability tricks:
+
+- numeric hash slots via ``conv(substr(md5(x),1,4),16,10)`` on the Spark
+  side and ``CAST('0x' || substr(md5(x),1,4) AS INTEGER)`` on DuckDB —
+  identical 16-bit integers from the same md5 hex;
+- exact integer arithmetic everywhere a float boundary could diverge
+  (counts, cents, micro-units, floor-div).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clinical_api_etl_spark.plans.base import QuerySet
+from clinical_api_etl_spark.sources.catalog import load
+
+QS = QuerySet()
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) self-join on customer names — Ed-Join.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "fuzzy_name_matches",
+    """
+    SELECT l.c_custkey AS id_l, r.c_custkey AS id_r,
+           CAST(levenshtein(l.c_name, r.c_name) AS INT) AS dist
+    FROM customer l JOIN customer r ON l.c_custkey < r.c_custkey
+    WHERE levenshtein(l.c_name, r.c_name) <= 1
+    """,
+    doc="[EXT] edit-distance similarity self-join (entity resolution): all "
+    "customer-name pairs within levenshtein distance 1, found via Ed-Join "
+    "prefix filtering (rarest-q-gram candidate join + exact verify) "
+    "instead of the oracle's O(N^2) all-pairs scan. The prefix filter is "
+    "LOSSLESS (count-filter bound), so the output hash-matches the naive "
+    "oracle exactly. operators/fuzzy.py:edit_distance_self_join.",
+    headline=True,
+    tags=("fuzzy",),
+)
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.fuzzy import edit_distance_self_join
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return edit_distance_self_join(cust, "c_custkey", "c_name", max_dist=1).select(
+        F.col("id_l"), F.col("id_r"), F.col("dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the part co-purchase graph.
+# ---------------------------------------------------------------------------
+
+_TRI_SUPPORT = 2
+
+_TRI_ORACLE = f"""
+WITH e0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_TRI_SUPPORT}
+),
+sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+o AS (
+  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS x,
+         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS y,
+         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN dv.deg ELSE du.deg END AS ydeg
+  FROM e0 e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+),
+tri AS (
+  SELECT COUNT(*) AS n
+  FROM o e1
+  JOIN o e2 ON e1.x = e2.x AND (e1.ydeg, e1.y) < (e2.ydeg, e2.y)
+  JOIN o e3 ON e3.x = e1.y AND e3.y = e2.y
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg)      AS n_vertices,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e0)       AS n_edges,
+       (SELECT CAST(n AS BIGINT) FROM tri)             AS n_triangles
+"""
+
+
+@QS.add(
+    "graph_triangle_count",
+    _TRI_ORACLE,
+    doc="[EXT] exact triangle count over the part co-purchase graph (edge = "
+    "two parts co-ordered in >= 2 distinct orders — the frequent-pair "
+    "support threshold that keeps the graph sparse as the corpus grows; "
+    "pair generation is a self-equi-join on l_orderkey feeding ONE "
+    "map-side-combinable count). Degree-ordered edge orientation "
+    "(Schank-Wagner node-iterator): every triangle is generated exactly "
+    "once from its lowest-degree vertex, so wedge fan-out is bounded by "
+    "the graph's degeneracy, not its max degree — the standard "
+    "shuffle-optimal MapReduce formulation. Edges build from one "
+    "self-equi-join on l_orderkey (never a cartesian); the degree table "
+    "broadcasts. Exact BIGINT counts hash-match DuckDB's identical "
+    "3-way-join twin.",
+    headline=True,
+    tags=("graph",),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    # persist: five plan branches (deg, e1..e3, the edge count) would each
+    # re-run the pair-generation join + count otherwise. coalesce(8): the
+    # support filter bounds the edge list to a few k rows; 64 cached
+    # partitions would pay 64 task launches in every downstream stage.
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _TRI_SUPPORT)
+        .select("u", "v")
+        .coalesce(8)
+        .persist()
+    )
+    sym = e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").cast("long").alias("deg"))
+
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    keyed = e0.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    u_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    o = keyed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("y"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ydeg"),
+    ).persist()
+
+    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.x") == F.col("e2.x"))
+        & (
+            F.struct(F.col("e1.ydeg"), F.col("e1.y"))
+            < F.struct(F.col("e2.ydeg"), F.col("e2.y"))
+        ),
+    ).select(F.col("e1.y").alias("w1"), F.col("e2.y").alias("w2"))
+    tri = wedges.join(
+        e3, (F.col("w1") == F.col("e3.x")) & (F.col("w2") == F.col("e3.y"))
+    ).agg(F.count("*").cast("long").alias("n"))
+
+    return (
+        deg.agg(F.count("*").cast("long").alias("n_vertices"))
+        .crossJoin(e0.agg(F.count("*").cast("long").alias("n_edges")))
+        .crossJoin(tri.select(F.col("n").alias("n_triangles")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable frequency estimates with a one-sided guarantee.
+# ---------------------------------------------------------------------------
+
+_CM_D = 3
+_CM_W = 512
+
+
+def _cm_slot_sql(d: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5('cm{d}:' || CAST(user_id AS VARCHAR)), 1, 4)"
+        f" AS INTEGER) % {_CM_W}"
+    )
+
+
+_CM_ORACLE = f"""
+WITH rows_d AS (
+  SELECT d.d AS d,
+         CASE d.d WHEN 0 THEN {_cm_slot_sql(0)}
+                  WHEN 1 THEN {_cm_slot_sql(1)}
+                  ELSE {_cm_slot_sql(2)} END AS slot
+  FROM events, (SELECT UNNEST(range(0, {_CM_D})) AS d) d
+),
+sketch AS (
+  SELECT d, slot, CAST(COUNT(*) AS BIGINT) AS c FROM rows_d GROUP BY d, slot
+),
+truth AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM events GROUP BY user_id
+),
+est AS (
+  SELECT t.user_id, t.true_cnt,
+         LEAST(s0.c, s1.c, s2.c) AS cm_est
+  FROM truth t
+  JOIN sketch s0 ON s0.d = 0 AND s0.slot = {_cm_slot_sql(0)}
+  JOIN sketch s1 ON s1.d = 1 AND s1.slot = {_cm_slot_sql(1)}
+  JOIN sketch s2 ON s2.d = 2 AND s2.slot = {_cm_slot_sql(2)}
+)
+SELECT user_id, true_cnt, cm_est,
+       CAST(cm_est - true_cnt AS BIGINT) AS overcount,
+       cm_est >= true_cnt AS never_under
+FROM est
+"""
+
+
+@QS.add(
+    "sketch_cm_user_counts",
+    _CM_ORACLE,
+    doc="[EXT] count-min sketch (Cormode-Muthukrishnan): depth 3 x width "
+    f"{_CM_W} frequency sketch over event user_ids, slots derived from "
+    "md5 so both engines replay the identical sketch. The sketch is the "
+    "mergeable form of a frequency table — partial sketches from any "
+    "partitioning SUM cell-wise (it is built here as a groupBy over "
+    "(depth, slot), i.e. map-side combinable; ~1.5k rows of state "
+    "regardless of corpus size). Estimate = min over depths; the "
+    "one-sided guarantee (never an undercount) is exported as a column "
+    "the hash gate pins to TRUE for every key.",
+    tags=("sketch",),
+)
+def sketch_cm_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id")
+
+    def slot(d: int, col: str = "user_id") -> F.Column:
+        h = F.md5(F.concat(F.lit(f"cm{d}:"), F.col(col).cast("string")))
+        return (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % _CM_W).alias(
+            f"slot{d}"
+        )
+
+    rows_d = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), slot(d).alias("slot"))
+                    for d in range(_CM_D)
+                ]
+            )
+        ).alias("e")
+    ).select("e.d", "e.slot")
+    sketch = rows_d.groupBy("d", "slot").agg(F.count("*").cast("long").alias("c"))
+
+    truth = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("true_cnt"))
+    with_slots = truth.select("user_id", "true_cnt", *[slot(d) for d in range(_CM_D)])
+    est = with_slots
+    for d in range(_CM_D):
+        s = sketch.filter(F.col("d") == d).select(
+            F.col("slot").alias(f"slot{d}"), F.col("c").alias(f"c{d}")
+        )
+        est = est.join(F.broadcast(s), f"slot{d}")
+    return est.select(
+        "user_id",
+        "true_cnt",
+        F.least("c0", "c1", "c2").alias("cm_est"),
+        (F.least("c0", "c1", "c2") - F.col("true_cnt")).cast("long").alias("overcount"),
+        (F.least("c0", "c1", "c2") >= F.col("true_cnt")).alias("never_under"),
+    )

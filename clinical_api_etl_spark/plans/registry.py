@@ -18,13 +18,14 @@ def all_queries() -> dict[str, Query]:
         analytics,
         clinical_parity,
         extensions,
+        mining,
         mlprep,
         relational,
         tpch_deep,
     )
 
     merged: dict[str, Query] = {}
-    for mod in (relational, tpch_deep, clinical_parity, extensions, analytics, mlprep):
+    for mod in (relational, tpch_deep, clinical_parity, extensions, analytics, mlprep, mining):
         for name, q in mod.QS.queries.items():
             if name in merged:
                 raise ValueError(f"duplicate query {name!r} across plan modules")

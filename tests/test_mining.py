@@ -1,0 +1,137 @@
+"""Round-6 mining operators: fuzzy join, triangle count, count-min sketch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clinical_api_etl_spark.operators.fuzzy import edit_distance_self_join
+
+
+class TestFuzzyJoin:
+    def test_planted_typos_found(self, spark):
+        rows = [
+            (1, "jonathan smith"),
+            (2, "jonathan smyth"),  # 1 substitution from 1
+            (3, "jonathon smith"),  # 1 substitution from 1
+            (4, "completely different"),
+            (5, "jon smith"),  # far from all (distance > 1)
+        ]
+        df = spark.createDataFrame(rows, ["id", "name"])
+        got = {
+            (r.id_l, r.id_r, r.dist)
+            for r in edit_distance_self_join(df, "id", "name", max_dist=1).collect()
+        }
+        assert got == {(1, 2, 1), (1, 3, 1)}
+
+    def test_exact_duplicates_distance_zero(self, spark):
+        df = spark.createDataFrame([(1, "same text"), (2, "same text")], ["id", "s"])
+        got = edit_distance_self_join(df, "id", "s", max_dist=1).collect()
+        assert [(r.id_l, r.id_r, r.dist) for r in got] == [(1, 2, 0)]
+
+    def test_matches_naive_all_pairs(self, spark):
+        # Lossless pruning: prefix-filter output == brute force on a corpus
+        # with heavy gram overlap (the adversarial case for prefix filters).
+        rows = [(i, f"item-{i:04d}") for i in range(60)]
+        df = spark.createDataFrame(rows, ["id", "s"])
+        fast = {
+            (r.id_l, r.id_r)
+            for r in edit_distance_self_join(df, "id", "s", max_dist=1).collect()
+        }
+        a, b = df.alias("a"), df.alias("b")
+        naive = {
+            (r[0], r[1])
+            for r in a.join(b, F.col("a.id") < F.col("b.id"))
+            .filter(F.levenshtein(F.col("a.s"), F.col("b.s")) <= 1)
+            .select(F.col("a.id"), F.col("b.id"))
+            .collect()
+        }
+        assert fast == naive
+
+
+class TestTriangleCount:
+    def test_known_graph(self, spark):
+        # K4 on {1,2,3,4} has 4 triangles; pendant vertex 5 adds none.
+        # Edges fed through the same oriented-wedge pipeline used by the
+        # registry query, via a direct mini-replica.
+        edges = [(u, v) for u in range(1, 5) for v in range(u + 1, 5)] + [(4, 5)]
+        e0 = spark.createDataFrame(edges, ["u", "v"])
+        sym = e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        deg = sym.groupBy(F.col("u").alias("node")).agg(
+            F.count("*").cast("long").alias("deg")
+        )
+        du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+        dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+        keyed = e0.join(du, "u").join(dv, "v")
+        u_first = F.struct("du", "u") < F.struct("dv", "v")
+        o = keyed.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("x"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("y"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ydeg"),
+        )
+        e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+        tri = (
+            e1.join(
+                e2,
+                (F.col("e1.x") == F.col("e2.x"))
+                & (F.struct("e1.ydeg", "e1.y") < F.struct("e2.ydeg", "e2.y")),
+            )
+            .select(F.col("e1.y").alias("w1"), F.col("e2.y").alias("w2"))
+            .join(e3, (F.col("w1") == F.col("e3.x")) & (F.col("w2") == F.col("e3.y")))
+            .count()
+        )
+        assert tri == 4
+
+    def test_registry_query_consistent(self, spark):
+        from clinical_api_etl_spark.plans.mining import graph_triangle_count
+
+        row = graph_triangle_count(spark, "/root/testdata/sf0.001").collect()[0]
+        spark.catalog.clearCache()
+        assert row.n_vertices >= 0 and row.n_edges >= 0 and row.n_triangles >= 0
+
+
+class TestCountMin:
+    def test_never_undercounts(self, spark):
+        from clinical_api_etl_spark.plans.mining import sketch_cm_user_counts
+
+        rows = sketch_cm_user_counts(spark, "/root/testdata/sf0.001").collect()
+        assert rows, "expected at least one user"
+        assert all(r.never_under for r in rows)
+        assert all(r.cm_est >= r.true_cnt for r in rows)
+        assert all(r.overcount == r.cm_est - r.true_cnt for r in rows)
+
+    def test_sketch_is_mergeable(self, spark):
+        # Sketch(all) == cellwise sum of Sketch(half1) + Sketch(half2):
+        # the defining property that lets partial sketches combine
+        # map-side / across files at 100 TB.
+        from clinical_api_etl_spark.plans.mining import _CM_D, _CM_W
+
+        ev = spark.range(0, 500).select(
+            (F.col("id") % 37).cast("string").alias("key")
+        )
+
+        def sketch(df):
+            cols = []
+            for d in range(_CM_D):
+                h = F.md5(F.concat(F.lit(f"cm{d}:"), F.col("key")))
+                cols.append(
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % _CM_W).alias(
+                            "slot"
+                        ),
+                    )
+                )
+            return (
+                df.select(F.explode(F.array(*cols)).alias("e"))
+                .groupBy("e.d", "e.slot")
+                .agg(F.count("*").alias("c"))
+            )
+
+        whole = {(r.d, r.slot): r.c for r in sketch(ev).collect()}
+        h1 = {(r.d, r.slot): r.c for r in sketch(ev.filter(F.col("id") < 250)).collect()}
+        h2 = {(r.d, r.slot): r.c for r in sketch(ev.filter(F.col("id") >= 250)).collect()}
+        merged: dict = {}
+        for part in (h1, h2):
+            for k, v in part.items():
+                merged[k] = merged.get(k, 0) + v
+        assert merged == whole
