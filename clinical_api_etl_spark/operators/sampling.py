@@ -75,6 +75,47 @@ def hash_sample(df: DataFrame, id_col: str, *, fraction: float = 0.1) -> DataFra
     return df.filter(_hex_bucket(F.col(id_col)) < threshold)
 
 
+def _hex_bucket_int(id_col: Column) -> Column:
+    """The same 16-bit md5 bucket as :func:`_hex_bucket`, as an INTEGER
+    (for per-row arithmetic thresholds; DuckDB twin:
+    ``CAST('0x' || substr(md5(x), 1, 4) AS INTEGER)``)."""
+    return F.conv(F.substring(F.md5(id_col.cast("string")), 1, 4), 16, 10).cast("int")
+
+
+def weighted_hash_sample(
+    df: DataFrame, id_col: str, weight_col: str, *, scale: int
+) -> DataFrame:
+    """Deterministic WEIGHTED Bernoulli sample: keep each row with
+    probability ``min(1, weight/scale)`` — importance sampling by any
+    integer weight (doc length, quality score, dup-cluster size) with the
+    same no-RNG discipline as :func:`hash_sample`.
+
+    Keep test is pure integer arithmetic — ``bucket16 · scale <
+    weight · 65536`` — so Spark and DuckDB agree exactly; a NARROW filter
+    (no shuffle), the 100 TB posture. Rows with ``weight >= scale`` always
+    survive; weight <= 0 never does.
+    """
+    b = _hex_bucket_int(F.col(id_col)).cast("long")
+    w = F.col(weight_col).cast("long")
+    return df.filter(b * F.lit(int(scale)).cast("long") < w * F.lit(65536).cast("long"))
+
+
+def group_holdout_split(
+    df: DataFrame,
+    group_col: str,
+    *,
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """Leakage-safe split: assignment is keyed on the GROUP hash (author,
+    user, source domain...), so every row of a group lands in the same
+    split — the contamination guard for grouped data (near-duplicate docs
+    by one author must not straddle train/test). Same narrow md5-threshold
+    discipline as :func:`split_assign`; split shares are group-weighted,
+    not row-weighted (a heavy group moves its whole mass with it)."""
+    return split_assign(df, group_col, train=train, val=val)
+
+
 def mixture_upsample(
     df: DataFrame,
     domain_col: str,

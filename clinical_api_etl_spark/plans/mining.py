@@ -165,6 +165,50 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Morton (Z-order) codes — the multi-dimensional clustering key.
+# ---------------------------------------------------------------------------
+
+
+def _morton_oracle() -> str:
+    from clinical_api_etl_spark.sources.layout import morton_interleave_sql
+
+    u = "((CAST(user_id AS BIGINT) % 65536) + 65536) % 65536"
+    c = (
+        "((CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS BIGINT)"
+        " % 65536) + 65536) % 65536"
+    )
+    z = morton_interleave_sql([f"({u})", f"({c})"], bits=16)
+    return f"""
+    SELECT event_id, CAST({z} AS BIGINT) AS z
+    FROM events WHERE value IS NOT NULL
+    """
+
+
+@QS.add(
+    "layout_morton_codes",
+    _morton_oracle(),
+    doc="[EXT] Morton / Z-order interleave of (user_id, exact cents) — the "
+    "clustering key behind sources/layout.py:write_zordered (OPTIMIZE "
+    "ZORDER analogue: range-cluster on the code and row-group min/max "
+    "stats prune on BOTH dimensions). The interleave is a branch-free "
+    "sum of 32 shift-mask BIGINT terms — whole-stage codegen, no UDF — "
+    "and the byte-identical expression text runs as the DuckDB oracle.",
+    tags=("layout",),
+)
+def layout_morton_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.sources.layout import morton_interleave
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    u16 = ((F.col("user_id").cast("long") % 65536) + 65536) % 65536
+    c16 = ((cents % 65536) + 65536) % 65536
+    return ev.select(
+        "event_id",
+        morton_interleave([u16, c16], bits=16).cast("long").alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Count-min sketch: mergeable frequency estimates with a one-sided guarantee.
 # ---------------------------------------------------------------------------
 
@@ -258,3 +302,110 @@ def sketch_cm_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.least("c0", "c1", "c2") - F.col("true_cnt")).cast("long").alias("overcount"),
         (F.least("c0", "c1", "c2") >= F.col("true_cnt")).alias("never_under"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling, leakage-safe splits, pooled embedding centroids.
+# ---------------------------------------------------------------------------
+
+_W_SCALE = 400  # docs are 48..~550 chars: short docs downsampled, long kept
+
+
+@QS.add(
+    "sample_weighted_bernoulli",
+    f"""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+               AS BIGINT) * {_W_SCALE}
+          < CAST(n_chars AS BIGINT) * 65536
+    """,
+    doc="[EXT] deterministic length-weighted Bernoulli sample: each doc "
+    f"kept with probability min(1, n_chars/{_W_SCALE}) via the integer "
+    "compare bucket16·scale < weight·65536 — importance sampling with no "
+    "RNG, identical keeps in any engine/partitioning, and a NARROW "
+    "filter (zero shuffle — the 100 TB scan shape). "
+    "operators/sampling.py:weighted_hash_sample.",
+    tags=("sampling",),
+)
+def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.sampling import weighted_hash_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_hash_sample(docs, "doc_id", "n_chars", scale=_W_SCALE)
+
+
+@QS.add(
+    "split_group_holdout",
+    """
+    WITH assigned AS (
+      SELECT user_id, event_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 4) < 'cccc'
+                  THEN 'train'
+                  WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 4) < 'e666'
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM events
+    )
+    SELECT split,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM assigned GROUP BY split
+    """,
+    doc="[EXT] leakage-safe (group-holdout) split: assignment hashes the "
+    "USER, not the event, so a user's whole history lands in one split — "
+    "the contamination guard for grouped/near-duplicate data. Narrow "
+    "projection + one count agg; per-split user and event totals are "
+    "hash-gated. operators/sampling.py:group_holdout_split.",
+    tags=("sampling",),
+)
+def split_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.sampling import group_holdout_split
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id")
+    return group_holdout_split(ev, "user_id").groupBy("split").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+_CENT_DIM = 64
+
+
+def _centroid_oracle() -> str:
+    sums = ",\n           ".join(
+        f"CAST(SUM(CAST(floor(CAST(embedding[{j + 1}] AS DOUBLE) * 1000000.0 + 0.5)"
+        f" AS BIGINT)) AS BIGINT) AS s{j}"
+        for j in range(_CENT_DIM)
+    )
+    return f"""
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           {sums}
+    FROM embeddings GROUP BY label
+    """
+
+
+@QS.add(
+    "emb_label_centroids",
+    _centroid_oracle(),
+    doc="[EXT] grouped mean-pooling of embeddings (class centroids / "
+    "prototype vectors): per label, exact-integer micro-unit sums of all "
+    "64 dims in ONE map-side-combinable aggregate — the one-shuffle "
+    "per-dimension pattern (64 scalar sums, never posexplode: exploding "
+    "shuffles rows x dim). Downstream mean = s_j / (1e6 * n) to float at "
+    "the edge; the BIGINT sums hash-match DuckDB exactly.",
+    tags=("embedding",),
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    sums = [
+        F.sum(
+            F.floor(
+                F.element_at("embedding", j + 1).cast("double") * 1000000.0 + 0.5
+            ).cast("long")
+        )
+        .cast("long")
+        .alias(f"s{j}")
+        for j in range(_CENT_DIM)
+    ]
+    return emb.groupBy("label").agg(F.count("*").cast("long").alias("n"), *sums)

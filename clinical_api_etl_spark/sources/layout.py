@@ -17,15 +17,23 @@ selective query reading gigabytes and reading the table; the same
 property feeds Spark's own parquet filter pushdown (PushedFilters prune
 row groups via exactly these stats).
 
-For multi-column clustering the columns are concatenated
-lexicographically (leading column dominates — the ZORDER interleaving
-trade-off is documented, not implemented: lexicographic clustering is
-strictly better for the leading column and worse for trailing ones).
+Two multi-column strategies ship:
+
+- lexicographic (``write_clustered``): leading column dominates —
+  strictly best for predicates on it, useless for trailing columns;
+- Z-order (``write_zordered``): interleave the bits of all cluster
+  columns into one Morton code and range-cluster on THAT. Each row group
+  then covers a small hyper-rectangle of the key space, so min/max stats
+  prune on EVERY clustered column (Delta/Iceberg ``OPTIMIZE ZORDER``
+  semantics). The interleave is a branch-free sum of shift-and-mask
+  terms — whole-stage-codegen'd, and the identical expression runs on
+  DuckDB (`<<`/`>>`/`&` are common SQL), so the codes are oracle-gated.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def write_clustered(
@@ -48,6 +56,77 @@ def write_clustered(
         else df.repartitionByRange(*cluster_by)
     )
     parted.sortWithinPartitions(*cluster_by).write.mode("overwrite").parquet(path)
+
+
+def morton_interleave(cols: list[Column], bits: int = 16) -> Column:
+    """Morton (Z-order) code: interleave the low ``bits`` bits of each
+    column (all must be non-negative integers < 2**bits). Branch-free sum
+    of shift-mask terms — one codegen'd BIGINT expression, no UDF."""
+    n = len(cols)
+    terms = []
+    for j, c in enumerate(cols):
+        c = c.cast("long")
+        for i in range(bits):
+            terms.append(F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def morton_interleave_sql(cols: list[str], bits: int = 16) -> str:
+    """The identical interleave as engine-portable SQL text (DuckDB oracle
+    twin of :func:`morton_interleave`)."""
+    n = len(cols)
+    terms = [
+        f"(((CAST({c} AS BIGINT) >> {i}) & 1) << {i * n + j})"
+        for j, c in enumerate(cols)
+        for i in range(bits)
+    ]
+    return " + ".join(terms)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    *,
+    bits: int = 16,
+    num_files: int | None = None,
+) -> None:
+    """Write ``df`` Z-ordered on ``zorder_by`` (numeric columns).
+
+    Each column is affinely bucketed to ``[0, 2**bits)`` from its global
+    min/max (one 1-row aggregate — metadata-scale at any corpus size),
+    codes are interleaved, and the frame is range-clustered on the code.
+    The helper column never reaches the files.
+    """
+    if len(zorder_by) < 2:
+        raise ValueError("zorder_by needs >= 2 columns (use write_clustered for 1)")
+    aggs = []
+    for c in zorder_by:
+        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    stats = df.agg(*aggs).collect()[0]
+    nb = 1 << bits
+    buckets = []
+    for c in zorder_by:
+        mn, mx = float(stats[f"mn_{c}"]), float(stats[f"mx_{c}"])
+        span = (mx - mn) or 1.0
+        b = F.least(
+            F.lit(nb - 1),
+            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * nb).cast(
+                "long"
+            ),
+        )
+        buckets.append(F.greatest(F.lit(0), b))
+    code = morton_interleave(buckets, bits=bits)
+    tagged = df.withColumn("__z", code)
+    parted = (
+        tagged.repartitionByRange(num_files, "__z")
+        if num_files is not None
+        else tagged.repartitionByRange("__z")
+    )
+    parted.sortWithinPartitions("__z").drop("__z").write.mode("overwrite").parquet(path)
 
 
 def row_group_ranges(path: str, column: str) -> list[tuple]:

@@ -59,3 +59,62 @@ class TestClusteredLayout:
             a.agg(F.sum("event_id")).collect()[0][0]
             == b.agg(F.sum("event_id")).collect()[0][0]
         )
+
+
+class TestZOrderLayout:
+    """Z-order: row groups cover hyper-rectangles, so min/max stats prune
+    on BOTH clustered columns; lexicographic prunes only the leading one."""
+
+    @pytest.fixture(scope="class")
+    def zlayouts(self, spark, tmp_path_factory):
+        from clinical_api_etl_spark.sources.layout import write_zordered
+
+        tmp = tmp_path_factory.mktemp("zorder")
+        events = (
+            load(spark, SF_DIR, "events")
+            .filter(F.col("value").isNotNull())
+            .select("event_id", "user_id", "value")
+        )
+        lex = str(tmp / "lex")
+        zord = str(tmp / "zord")
+        write_clustered(events, lex, ["user_id", "value"], num_files=8)
+        write_zordered(events, zord, ["user_id", "value"], num_files=8)
+        return lex, zord
+
+    def test_zorder_prunes_on_both_columns(self, spark, zlayouts):
+        lex, zord = zlayouts
+        ev = spark.read.parquet(zord)
+        lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
+        mid_value = (lo + hi) / 2
+        # leading column: both layouts prune
+        assert skipping_ratio(lex, "user_id", 75) > 0.0
+        assert skipping_ratio(zord, "user_id", 75) > 0.0
+        # trailing column: lexicographic prunes ~nothing, Z-order does
+        lex_trailing = skipping_ratio(lex, "value", mid_value)
+        z_trailing = skipping_ratio(zord, "value", mid_value)
+        assert z_trailing > lex_trailing
+        assert z_trailing >= 0.25
+
+    def test_zorder_preserves_rows(self, spark, zlayouts):
+        _, zord = zlayouts
+        orig = load(spark, SF_DIR, "events").filter(F.col("value").isNotNull())
+        back = spark.read.parquet(zord)
+        assert back.count() == orig.count()
+        assert (
+            back.agg(F.sum("event_id")).collect()[0][0]
+            == orig.agg(F.sum("event_id")).collect()[0][0]
+        )
+
+    def test_morton_interleave_known_values(self, spark):
+        from clinical_api_etl_spark.sources.layout import morton_interleave
+
+        df = spark.createDataFrame([(3, 5)], ["x", "y"])
+        # x=0b011, y=0b101 -> interleave (y<<1 | x per bit): z = 0b100111 = 39
+        got = df.select(
+            morton_interleave([F.col("x"), F.col("y")], bits=3).alias("z")
+        ).collect()[0].z
+        expect = sum(
+            (((3 >> i) & 1) << (2 * i)) | (((5 >> i) & 1) << (2 * i + 1))
+            for i in range(3)
+        )
+        assert got == expect == 39

@@ -135,3 +135,77 @@ class TestCountMin:
             for k, v in part.items():
                 merged[k] = merged.get(k, 0) + v
         assert merged == whole
+
+
+class TestWeightedSampling:
+    def test_extreme_weights(self, spark):
+        from clinical_api_etl_spark.operators.sampling import weighted_hash_sample
+
+        df = spark.range(0, 200).select(
+            F.col("id"),
+            F.when(F.col("id") < 100, 0).otherwise(10_000).alias("w"),
+        )
+        kept = weighted_hash_sample(df, "id", "w", scale=1000)
+        ids = [r.id for r in kept.collect()]
+        # weight 0 never survives; weight >= scale always does
+        assert all(i >= 100 for i in ids)
+        assert len(ids) == 100
+
+    def test_keep_rate_tracks_weight(self, spark):
+        from clinical_api_etl_spark.operators.sampling import weighted_hash_sample
+
+        df = spark.range(0, 4000).select(
+            F.col("id"), F.when(F.col("id") % 2 == 0, 250).otherwise(750).alias("w")
+        )
+        kept = weighted_hash_sample(df, "id", "w", scale=1000).groupBy("w").count()
+        rates = {r.w: r["count"] / 2000 for r in kept.collect()}
+        assert abs(rates[250] - 0.25) < 0.05
+        assert abs(rates[750] - 0.75) < 0.05
+
+    def test_deterministic_under_repartition(self, spark):
+        from clinical_api_etl_spark.operators.sampling import weighted_hash_sample
+
+        df = spark.range(0, 1000).select(F.col("id"), (F.col("id") % 500).alias("w"))
+        a = {r.id for r in weighted_hash_sample(df, "id", "w", scale=400).collect()}
+        b = {
+            r.id
+            for r in weighted_hash_sample(
+                df.repartition(17), "id", "w", scale=400
+            ).collect()
+        }
+        assert a == b
+
+
+class TestGroupHoldout:
+    def test_no_group_straddles_splits(self, spark):
+        from clinical_api_etl_spark.operators.sampling import group_holdout_split
+
+        from clinical_api_etl_spark.sources.catalog import load
+
+        ev = load(spark, "/root/testdata/sf0.001", "events")
+        per_user = (
+            group_holdout_split(ev, "user_id")
+            .groupBy("user_id")
+            .agg(F.count_distinct("split").alias("n_splits"))
+        )
+        assert per_user.filter(F.col("n_splits") > 1).count() == 0
+
+
+class TestLabelCentroids:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from clinical_api_etl_spark.plans.mining import emb_label_centroids
+
+        got = {r.label: r for r in emb_label_centroids(spark, "/root/testdata/sf0.001").collect()}
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table("/root/testdata/sf0.001/embeddings.parquet").to_pandas()
+        for label, grp in tbl.groupby("label"):
+            mat = np.stack(grp["embedding"].to_numpy())
+            units = np.floor(mat.astype(np.float64) * 1_000_000.0 + 0.5).astype(np.int64)
+            sums = units.sum(axis=0)
+            row = got[label]
+            assert row.n == len(grp)
+            for j in (0, 1, 31, 63):
+                assert row[f"s{j}"] == sums[j]
