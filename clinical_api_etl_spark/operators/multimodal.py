@@ -255,3 +255,72 @@ def resize_images(
     return df.select("doc_id", "payload", "media").mapInPandas(
         _resize_batch, schema=RESIZED_SCHEMA
     )
+
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("sum_sq", T.LongType(), False),
+        T.StructField("zero_crossings", T.LongType(), False),
+    ]
+)
+
+
+def synth_pcm(df: DataFrame, id_col: str = "doc_id", *, chunks: int = 4) -> DataFrame:
+    """Deterministic little-endian int16 PCM payload: ``chunks`` md5 blocks
+    of the id (16 bytes = 8 samples each), un-hexed JVM-side. Stands in for
+    a decoded audio column while staying byte-reproducible in ANY engine —
+    which is what lets the downstream Arrow kernel be value-hash-gated
+    against a SQL oracle instead of rows-only."""
+    hexes = [
+        F.md5(F.concat(F.lit(f"au{c}:"), F.col(id_col).cast("string")))
+        for c in range(chunks)
+    ]
+    return df.select(F.col(id_col), F.unhex(F.concat(*hexes)).alias("pcm"))
+
+
+def audio_frame_features(
+    df: DataFrame,
+    *,
+    pcm_col: str = "pcm",
+    id_col: str = "doc_id",
+    frame_len: int = 16,
+) -> DataFrame:
+    """Per-frame audio features over a little-endian int16 PCM binary
+    column: frame energy (exact integer sum of squares) and zero-crossing
+    count — the classic VAD/segmentation primitives.
+
+    Arrow-batched ``mapInPandas`` + numpy (``frombuffer`` is zero-copy;
+    all arithmetic vectorized int64) — the declared-Arrow pattern for
+    byte-level media kernels (cf. operators/pq.py:_encode). Output is
+    EXACT integers, so the whole decode->feature path is hash-gated
+    cross-engine (mm_audio_features), unlike codec-dependent paths
+    (decode_media) that stay rows-only without PIL.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "n_samples": [],
+                "sum_sq": [],
+                "zero_crossings": [],
+            }
+            for doc_id, buf in zip(pdf[id_col], pdf[pcm_col]):
+                samples = np.frombuffer(bytes(buf), dtype="<i2").astype(np.int64)
+                for f in range(0, len(samples), frame_len):
+                    fr = samples[f : f + frame_len]
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(f // frame_len)
+                    out["n_samples"].append(int(len(fr)))
+                    out["sum_sq"].append(int((fr * fr).sum()))
+                    out["zero_crossings"].append(int(((fr[:-1] * fr[1:]) < 0).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(pcm_col)).mapInPandas(
+        batches, schema=AUDIO_FRAME_SCHEMA
+    )

@@ -288,19 +288,32 @@ def sketch_cm_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = rows_d.groupBy("d", "slot").agg(F.count("*").cast("long").alias("c"))
 
     truth = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("true_cnt"))
-    with_slots = truth.select("user_id", "true_cnt", *[slot(d) for d in range(_CM_D)])
-    est = with_slots
-    for d in range(_CM_D):
-        s = sketch.filter(F.col("d") == d).select(
-            F.col("slot").alias(f"slot{d}"), F.col("c").alias(f"c{d}")
-        )
-        est = est.join(F.broadcast(s), f"slot{d}")
+    # One (d, slot) equi-join against the whole sketch (broadcast — its size
+    # is fixed at depth x width), then min over the d matched cells: no
+    # per-depth filtered branches, works for any depth.
+    probes = truth.select(
+        "user_id",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), slot(d).alias("slot"))
+                    for d in range(_CM_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("user_id", "true_cnt", "p.d", "p.slot")
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "slot"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("c").alias("cm_est"))
+    )
     return est.select(
         "user_id",
         "true_cnt",
-        F.least("c0", "c1", "c2").alias("cm_est"),
-        (F.least("c0", "c1", "c2") - F.col("true_cnt")).cast("long").alias("overcount"),
-        (F.least("c0", "c1", "c2") >= F.col("true_cnt")).alias("never_under"),
+        "cm_est",
+        (F.col("cm_est") - F.col("true_cnt")).cast("long").alias("overcount"),
+        (F.col("cm_est") >= F.col("true_cnt")).alias("never_under"),
     )
 
 
@@ -409,3 +422,65 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(_CENT_DIM)
     ]
     return emb.groupBy("label").agg(F.count("*").cast("long").alias("n"), *sums)
+
+
+# ---------------------------------------------------------------------------
+# Audio PCM frame features — an Arrow byte-kernel under a full value hash.
+# ---------------------------------------------------------------------------
+
+_AU_ORACLE = """
+WITH samp AS (
+  SELECT d.doc_id, g.i,
+         CAST(g.i // 16 AS INT) AS frame_idx,
+         CASE WHEN us >= 32768 THEN us - 65536 ELSE us END AS s
+  FROM documents d,
+       (SELECT UNNEST(range(0, 32)) AS i) g,
+       LATERAL (
+         SELECT md5('au' || CAST(g.i // 8 AS VARCHAR) || ':'
+                    || CAST(d.doc_id AS VARCHAR)) AS h
+       ) hh,
+       LATERAL (
+         SELECT CAST('0x' || substr(hh.h, CAST((g.i % 8) * 4 + 1 AS INT), 2)
+                     AS INTEGER)
+                + 256 * CAST('0x' || substr(hh.h, CAST((g.i % 8) * 4 + 3 AS INT), 2)
+                             AS INTEGER) AS us
+       ) uu
+),
+nextd AS (
+  SELECT doc_id, frame_idx, s,
+         lead(s) OVER (PARTITION BY doc_id, frame_idx ORDER BY i) AS s_next
+  FROM samp
+)
+SELECT doc_id, frame_idx,
+       CAST(COUNT(*) AS INT) AS n_samples,
+       CAST(SUM(CAST(s AS BIGINT) * CAST(s AS BIGINT)) AS BIGINT) AS sum_sq,
+       CAST(SUM(CASE WHEN CAST(s AS BIGINT) * CAST(s_next AS BIGINT) < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM nextd GROUP BY doc_id, frame_idx
+"""
+
+
+@QS.add(
+    "mm_audio_features",
+    _AU_ORACLE,
+    doc="[EXT] audio frame features (energy + zero-crossing rate — the VAD "
+    "/ segmentation primitives) over a little-endian int16 PCM binary "
+    "column, computed by a zero-copy numpy Arrow kernel "
+    "(operators/multimodal.py:audio_frame_features). The PCM is "
+    "synthesized deterministically from md5 (container ships no codecs), "
+    "so unlike codec-gated decode paths this media kernel is FULLY "
+    "value-hash-gated: DuckDB re-derives every int16 sample from the "
+    "same hex and must match the kernel's exact integer features. "
+    "Declared Arrow op (plan_audit ARROW_OK).",
+    tags=("multimodal",),
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.multimodal import (
+        audio_frame_features,
+        synth_pcm,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return audio_frame_features(synth_pcm(docs)).select(
+        "doc_id", "frame_idx", "n_samples", "sum_sq", "zero_crossings"
+    )

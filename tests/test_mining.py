@@ -209,3 +209,50 @@ class TestLabelCentroids:
             assert row.n == len(grp)
             for j in (0, 1, 31, 63):
                 assert row[f"s{j}"] == sums[j]
+
+
+class TestAudioFeatures:
+    def test_matches_pure_python_replay(self, spark):
+        import hashlib
+
+        import numpy as np
+
+        from clinical_api_etl_spark.operators.multimodal import (
+            audio_frame_features,
+            synth_pcm,
+        )
+
+        ids = spark.range(0, 7).select(F.col("id").alias("doc_id"))
+        got = {
+            (r.doc_id, r.frame_idx): (r.n_samples, r.sum_sq, r.zero_crossings)
+            for r in audio_frame_features(synth_pcm(ids)).collect()
+        }
+        for doc in range(7):
+            raw = b"".join(
+                bytes.fromhex(hashlib.md5(f"au{c}:{doc}".encode()).hexdigest())
+                for c in range(4)
+            )
+            samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+            for f in range(2):
+                fr = samples[f * 16 : (f + 1) * 16]
+                expect = (
+                    16,
+                    int((fr * fr).sum()),
+                    int(((fr[:-1] * fr[1:]) < 0).sum()),
+                )
+                assert got[(doc, f)] == expect
+
+    def test_ragged_tail_frame(self, spark):
+        from clinical_api_etl_spark.operators.multimodal import audio_frame_features
+
+        # 3 samples with frame_len=2: one full frame + one 1-sample tail
+        pcm = bytes([1, 0, 255, 255, 2, 0])  # LE int16: [1, -1, 2]
+        df = spark.createDataFrame([(1, bytearray(pcm))], ["doc_id", "pcm"])
+        rows = {
+            r.frame_idx: r
+            for r in audio_frame_features(df, frame_len=2).collect()
+        }
+        assert rows[0].n_samples == 2 and rows[0].sum_sq == 2
+        assert rows[0].zero_crossings == 1  # 1 -> -1
+        assert rows[1].n_samples == 1 and rows[1].sum_sq == 4
+        assert rows[1].zero_crossings == 0

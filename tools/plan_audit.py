@@ -42,6 +42,7 @@ CARTESIAN_OK = {"dedup_embedding_cosine", "ann_cosine_topk"}
 #: Arrow kernel, see operators/pq.py:_encode) — Arrow nodes expected.
 ARROW_OK = {
     "mm_decode_features",
+    "mm_audio_features",
     "mm_resize_images",
     "w5_sessionization",
     "emb_pq_codes",
