@@ -484,3 +484,183 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_features(synth_pcm(docs)).select(
         "doc_id", "frame_idx", "n_samples", "sum_sq", "zero_crossings"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-arithmetic correlation statistics (Pearson + Spearman).
+# ---------------------------------------------------------------------------
+
+_DAY_MS = 86400000
+
+
+@QS.add(
+    "stat_pearson_value_time",
+    f"""
+    WITH t AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+             epoch_ms(ts) // {_DAY_MS} AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    c AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM t GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS den_x,
+           CAST(n * syy - sy * sy AS BIGINT) AS den_y,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+    FROM c
+    """,
+    doc="[EXT] per-type Pearson correlation between exact cents and "
+    "day-index, in EXACT integer components (n·Σxy−ΣxΣy etc. — one "
+    "map-side-combinable agg, BIGINT throughout, magnitudes bounded by "
+    "the day-grain time axis); the final r is two correctly-rounded IEEE "
+    "sqrts and one division applied in the same order by both engines, "
+    "so even the float hash-matches. The integer num/den columns are the "
+    "mergeable form (partial sums combine across partitions/files).",
+    tags=("stats",),
+)
+def stat_pearson_value_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    y = F.expr(f"unix_millis(ts) div {_DAY_MS}")
+    t = ev.select("event_type", x.alias("x"), y.alias("y"))
+    c = t.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return c.select(
+        "event_type",
+        "n",
+        num.cast("long").alias("num"),
+        den_x.cast("long").alias("den_x"),
+        den_y.cast("long").alias("den_y"),
+        (
+            num.cast("double")
+            / (F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double")))
+        ).alias("r"),
+    )
+
+
+@QS.add(
+    "stat_spearman_value_time",
+    """
+    WITH t AS (
+      SELECT event_type, event_id, value, ts FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_type,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS BIGINT) AS rx,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id) AS BIGINT) AS ry
+      FROM t
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+           1.0 - CAST(6 * SUM((rx - ry) * (rx - ry)) AS DOUBLE)
+                 / CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE) AS rho
+    FROM ranked GROUP BY event_type
+    """,
+    doc="[EXT] per-type Spearman rank correlation (value vs arrival time), "
+    "ties broken deterministically by event_id so ranks are distinct "
+    "integers and rho = 1 - 6·Σd²/(n(n²-1)) is EXACT BIGINT up to one "
+    "final float division both engines perform identically. Two window "
+    "sorts over the same per-type partition (one shuffle), then one agg.",
+    tags=("stats",),
+)
+def stat_spearman_value_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wx = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wy = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "event_type",
+        F.row_number().over(wx).cast("long").alias("rx"),
+        F.row_number().over(wy).cast("long").alias("ry"),
+    )
+    d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+    n = F.count("*").cast("long")
+    sum_d2 = F.sum(d2).cast("long")
+    return ranked.groupBy("event_type").agg(
+        n.alias("n"),
+        sum_d2.alias("sum_d2"),
+        (
+            F.lit(1.0)
+            - (F.lit(6) * sum_d2).cast("double")
+            / (n * (n * n - F.lit(1))).cast("double")
+        ).alias("rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine table digest — merkle-style reconciliation fingerprint.
+# ---------------------------------------------------------------------------
+
+_DIGEST_BUCKETS = 256
+
+
+@QS.add(
+    "audit_table_digest",
+    f"""
+    WITH h AS (
+      SELECT md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+                 || '|' || CAST(l_partkey AS VARCHAR) || '|'
+                 || CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                         AS VARCHAR)) AS hx
+      FROM lineitem
+    )
+    SELECT CAST('0x' || substr(hx, 1, 2) AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST('0x' || substr(hx, 3, 8) AS BIGINT)) AS BIGINT) AS digest
+    FROM h GROUP BY 1
+    """,
+    doc="[EXT] content-addressed table fingerprint for cross-system "
+    "reconciliation (anti-entropy / merkle-bucket sync): md5 each row's "
+    "canonical key string, bucket by the first hash byte, SUM a 32-bit "
+    f"hash slice per bucket — {_DIGEST_BUCKETS} (bucket, count, digest) "
+    "rows summarize the table in one map-side-combinable agg at ANY "
+    "size. Two replicas compare digests and re-sync only differing "
+    "buckets; the oracle run IS such a cross-engine comparison "
+    "(DuckDB recomputes the digests from the same parquet and must "
+    "match bit-for-bit). Addition-based digest = order/partitioning "
+    "independent.",
+    tags=("audit",),
+)
+def audit_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    hx = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("l_partkey").cast("string"),
+            cents.cast("string"),
+        )
+    )
+    h = li.select(hx.alias("hx"))
+    return h.groupBy(
+        F.conv(F.substring("hx", 1, 2), 16, 10).cast("int").alias("bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.conv(F.substring("hx", 3, 8), 16, 10).cast("long"))
+        .cast("long")
+        .alias("digest"),
+    )

@@ -256,3 +256,44 @@ class TestAudioFeatures:
         assert rows[0].zero_crossings == 1  # 1 -> -1
         assert rows[1].n_samples == 1 and rows[1].sum_sq == 4
         assert rows[1].zero_crossings == 0
+
+
+class TestDeletionVariants:
+    def test_expression_matches_python_enumeration(self, spark):
+        from clinical_api_etl_spark.operators.fuzzy import (
+            _deletion_variants,
+            deletion_variants_py,
+        )
+
+        for s in ["abc", "abcd", "aab", "x"]:
+            for k in (1, 2):
+                df = spark.createDataFrame([(s,)], ["s"])
+                got = set(
+                    df.select(
+                        F.explode(
+                            F.array_distinct(_deletion_variants("s", k))
+                        ).alias("v")
+                    )
+                    .toPandas()["v"]
+                    .tolist()
+                )
+                assert got == deletion_variants_py(s, k), (s, k)
+
+    def test_max_dist_2_join(self, spark):
+        from clinical_api_etl_spark.operators.fuzzy import edit_distance_self_join
+
+        rows = [(1, "kitten"), (2, "sitten"), (3, "sittin"), (4, "mitten")]
+        got = {
+            (r.id_l, r.id_r, r.dist)
+            for r in edit_distance_self_join(
+                spark.createDataFrame(rows, ["id", "s"]), "id", "s", max_dist=2
+            ).collect()
+        }
+        assert got == {
+            (1, 2, 1),
+            (1, 3, 2),
+            (1, 4, 1),
+            (2, 3, 1),
+            (2, 4, 1),
+            (3, 4, 2),
+        }
