@@ -117,3 +117,45 @@ def pack_chunks(
         F.col("c.n").alias(len_col),
         F.col("c.bin").cast("long").alias("bin"),
     )
+
+
+def compression_ratios(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document zlib compression ratio — the classic low-information /
+    degenerate-text quality signal (CCNet / Gopher family: near-constant or
+    highly repetitive text compresses far below natural prose).
+
+    Arrow-batched ``mapInPandas`` with stdlib ``zlib`` (level pinned for
+    determinism) — a declared-Arrow op like the media kernels: compression
+    is inherently byte-imperative, and the batch form costs one pass with
+    zero shuffle. ``ratio_bp`` = compressed/raw in basis points (exact
+    integers; no float boundary). Rows-only in the oracle gate (no SQL
+    engine exposes deflate), invariants pinned by tests instead.
+    """
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_bytes", T.LongType(), False),
+            T.StructField("n_compressed", T.LongType(), False),
+            T.StructField("ratio_bp", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "n_bytes": [], "n_compressed": [], "ratio_bp": []}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                raw = (text or "").encode("utf-8")
+                comp = zlib.compress(raw, 6)
+                out["doc_id"].append(int(doc_id))
+                out["n_bytes"].append(len(raw))
+                out["n_compressed"].append(len(comp))
+                out["ratio_bp"].append(len(comp) * 10000 // max(1, len(raw)))
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(batches, schema=schema)

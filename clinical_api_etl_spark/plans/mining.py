@@ -664,3 +664,105 @@ def audit_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta sketches: mergeable distinct SET ALGEBRA (intersection/difference).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "a16_theta_set_ops",
+    f"""
+    WITH a AS (
+      SELECT DISTINCT user_id, epoch_ms(ts) // {_DAY_MS} AS day
+      FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT DISTINCT user_id, epoch_ms(ts) // {_DAY_MS} AS day
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS exact_a,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS exact_b,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS exact_inter,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM (SELECT * FROM a UNION SELECT * FROM b)) AS exact_union,
+           TRUE AS inter_within_bound,
+           TRUE AS union_within_bound
+    """,
+    doc="[EXT] Apache DataSketches THETA sketch surface (Spark 4 "
+    "theta_sketch_agg / theta_union / theta_intersection): estimates of "
+    "|A∩B| and |A∪B| over active (user, day) pairs for click vs "
+    "purchase — the set-ALGEBRA capability HLL lacks (HLL unions only; "
+    "theta sketches close under union/intersection/difference, so "
+    "per-segment sketches in an MV answer arbitrary audience-overlap "
+    "queries without rescanning facts). Gate: both estimates within 15% "
+    "of exact (lgK=12 error ~2-3%; intersection error scales with "
+    "Jaccard), hash-checked alongside the exact BIGINTs.",
+    tags=("agg", "sketch"),
+)
+def a16_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    key = F.concat_ws(
+        ":",
+        F.col("user_id").cast("string"),
+        F.expr(f"unix_millis(ts) div {_DAY_MS}").cast("string"),
+    )
+    pairs = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_type", key.alias("k")
+    )
+    sk = pairs.groupBy("event_type").agg(F.expr("theta_sketch_agg(k)").alias("sk"))
+    both = (
+        sk.groupBy()
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.first("sk"))
+        .select(
+            F.expr("theta_sketch_estimate(theta_intersection(click, purchase))").alias(
+                "est_inter"
+            ),
+            F.expr("theta_sketch_estimate(theta_union(click, purchase))").alias(
+                "est_union"
+            ),
+        )
+    )
+    a = pairs.filter(F.col("event_type") == "click").select("k").distinct()
+    b = pairs.filter(F.col("event_type") == "purchase").select("k").distinct()
+    exact = (
+        a.agg(F.count("*").cast("long").alias("exact_a"))
+        .crossJoin(b.agg(F.count("*").cast("long").alias("exact_b")))
+        .crossJoin(a.intersect(b).agg(F.count("*").cast("long").alias("exact_inter")))
+        .crossJoin(a.union(b).distinct().agg(F.count("*").cast("long").alias("exact_union")))
+    )
+    return exact.crossJoin(both).select(
+        "exact_a",
+        "exact_b",
+        "exact_inter",
+        "exact_union",
+        (
+            F.abs(F.col("est_inter") - F.col("exact_inter"))
+            <= F.lit(0.15) * F.col("exact_inter")
+        ).alias("inter_within_bound"),
+        (
+            F.abs(F.col("est_union") - F.col("exact_union"))
+            <= F.lit(0.15) * F.col("exact_union")
+        ).alias("union_within_bound"),
+    )
+
+
+@QS.add(
+    "text_compression_ratio",
+    None,  # no SQL engine exposes deflate; invariants pinned by tests
+    doc="[EXT] zlib compression ratio per document (CCNet/Gopher "
+    "low-information signal: repetitive/degenerate text compresses far "
+    "below natural prose). Arrow zlib kernel, exact basis-point "
+    "integers; one pass, zero shuffle. "
+    "operators/textstats.py:compression_ratios. Rows-only by necessity; "
+    "ordering + byte-accounting invariants are test-gated.",
+    tags=("text",),
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.textstats import compression_ratios
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return compression_ratios(docs)

@@ -297,3 +297,40 @@ class TestDeletionVariants:
             (2, 4, 1),
             (3, 4, 2),
         }
+
+
+class TestCompressionRatio:
+    def test_repetitive_compresses_below_diverse(self, spark):
+        import random
+
+        from clinical_api_etl_spark.operators.textstats import compression_ratios
+
+        rng = random.Random(7)
+        diverse = " ".join(
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(8))
+            for _ in range(100)
+        )
+        rows = [(1, "spam " * 180), (2, diverse)]
+        got = {
+            r.doc_id: r
+            for r in compression_ratios(
+                spark.createDataFrame(rows, ["doc_id", "text"])
+            ).collect()
+        }
+        assert got[1].ratio_bp < got[2].ratio_bp
+        assert got[1].ratio_bp < 1000  # "spam spam ..." is >10x compressible
+        for r in got.values():
+            assert r.n_bytes > 0 and 0 < r.n_compressed
+            assert r.ratio_bp == r.n_compressed * 10000 // r.n_bytes
+
+    def test_empty_and_null_text(self, spark):
+        from clinical_api_etl_spark.operators.textstats import compression_ratios
+
+        rows = [(1, ""), (2, None)]
+        got = {
+            r.doc_id: r
+            for r in compression_ratios(
+                spark.createDataFrame(rows, "doc_id long, text string")
+            ).collect()
+        }
+        assert got[1].n_bytes == 0 and got[2].n_bytes == 0

@@ -843,3 +843,120 @@ class TestRocksDBStateStore:
             (r["window"]["start"], r["event_type"]): r["cnt"] for r in out_rows
         }
         assert got == expected
+
+
+class TestChainedStatefulOps:
+    def test_stream_dedup_then_windowed_agg(self, spark, tmp_path):
+        """TWO stateful operators chained in ONE streaming query
+        (dropDuplicatesWithinWatermark -> event-time windowed count):
+        Spark 3.4+ multi-stateful-operator support. Duplicate event_ids
+        delivered twice across micro-batches are counted once."""
+        from datetime import datetime
+
+        t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+        src = tmp_path / "chain_src"
+        src.mkdir()
+        ckpt = str(tmp_path / "chain_ckpt")
+        schema = "event_id long, ts timestamp, event_type string"
+
+        def write(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+
+        write([
+            (1, t("2024-01-01T10:05:00"), "click"),
+            (2, t("2024-01-01T10:10:00"), "click"),
+            (1, t("2024-01-01T10:05:00"), "click"),  # same-batch dup
+        ])
+        write([
+            (2, t("2024-01-01T10:10:00"), "click"),  # cross-batch dup
+            (3, t("2024-01-01T10:20:00"), "click"),
+            (4, t("2024-01-01T14:00:00"), "click"),  # advances watermark
+        ])
+
+        out: list = []
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        agg = deduped.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(F.count("*").alias("n"))
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: out.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        finalized = {
+            (r["w"].start.isoformat(), r["n"]) for r in out
+        }
+        # the 10:00 window closed (watermark 13:00) with exactly 3 distinct events
+        assert ("2024-01-01T10:00:00", 3) in finalized
+
+
+class TestStreamStreamOuterJoin:
+    def test_left_outer_emits_unmatched_after_watermark(self, spark, tmp_path):
+        """Watermarked stream-stream LEFT OUTER interval join: matched pairs
+        emit immediately; an unmatched left row is held in state and emitted
+        with NULL right columns only once the watermark passes its join
+        window (here: in the second availableNow run, after later data
+        advances the watermark)."""
+        from datetime import datetime
+
+        t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+        pdir, cdir = tmp_path / "po", tmp_path / "co"
+        pdir.mkdir(); cdir.mkdir()
+        ckpt = str(tmp_path / "so_ckpt")
+        pschema = "p_id long, user_id long, p_ts timestamp"
+        cschema = "c_id long, c_user long, c_ts timestamp"
+
+        def wp(rows):
+            spark.createDataFrame(rows, pschema).coalesce(1).write.mode("append").parquet(str(pdir))
+
+        def wc(rows):
+            spark.createDataFrame(rows, cschema).coalesce(1).write.mode("append").parquet(str(cdir))
+
+        # run 1: p1 matched by c1; p2 unmatched
+        wp([(1, 7, t("2024-01-01T10:00:00")), (2, 8, t("2024-01-01T10:10:00"))])
+        wc([(100, 7, t("2024-01-01T09:30:00"))])
+
+        def run():
+            sp = (
+                spark.readStream.schema(pschema).parquet(str(pdir))
+                .withWatermark("p_ts", "1 hour")
+            )
+            sc = (
+                spark.readStream.schema(cschema).parquet(str(cdir))
+                .withWatermark("c_ts", "1 hour")
+            )
+            joined = sp.join(
+                sc,
+                (sp.user_id == sc.c_user)
+                & (sc.c_ts >= sp.p_ts - F.expr("INTERVAL 1 HOUR"))
+                & (sc.c_ts < sp.p_ts),
+                "leftOuter",
+            )
+            out: list = []
+            q = (
+                joined.writeStream.outputMode("append")
+                .foreachBatch(lambda df, bid: out.extend(df.collect()))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return out
+
+        got1 = {(r["p_id"], r["c_id"]) for r in run()}
+        assert (1, 100) in got1
+        assert all(p != 2 for p, _ in got1), "unmatched row must be held, not dropped"
+
+        # run 2: push both watermarks past p2's window -> p2 emits with NULL
+        wp([(3, 9, t("2024-01-01T14:00:00"))])
+        wc([(101, 9, t("2024-01-01T13:30:00"))])
+        got2 = {(r["p_id"], r["c_id"]) for r in run()}
+        assert (2, None) in got2

@@ -43,6 +43,7 @@ CARTESIAN_OK = {"dedup_embedding_cosine", "ann_cosine_topk"}
 ARROW_OK = {
     "mm_decode_features",
     "mm_audio_features",
+    "text_compression_ratio",
     "mm_resize_images",
     "w5_sessionization",
     "emb_pq_codes",
