@@ -766,3 +766,226 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return compression_ratios(docs)
+
+
+# ---------------------------------------------------------------------------
+# Association rules (support / confidence / lift) over co-purchase pairs.
+# ---------------------------------------------------------------------------
+
+_AR_MIN_SUPPORT = 2
+
+
+@QS.add(
+    "mine_association_rules",
+    f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT oid) AS BIGINT) AS n_baskets FROM baskets),
+    item_cnt AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM baskets GROUP BY item
+    ),
+    pair_cnt AS (
+      SELECT a.item AS x, b.item AS y, CAST(COUNT(*) AS BIGINT) AS cxy
+      FROM baskets a JOIN baskets b ON a.oid = b.oid AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING COUNT(*) >= {_AR_MIN_SUPPORT}
+    ),
+    rules AS (
+      SELECT x AS antecedent, y AS consequent, cxy, cx.c AS cx, cy.c AS cy
+      FROM pair_cnt JOIN item_cnt cx ON cx.item = x
+                    JOIN item_cnt cy ON cy.item = y
+      UNION ALL
+      SELECT y AS antecedent, x AS consequent, cxy, cy.c AS cx, cx.c AS cy
+      FROM pair_cnt JOIN item_cnt cx ON cx.item = x
+                    JOIN item_cnt cy ON cy.item = y
+    )
+    SELECT antecedent, consequent, cxy AS support_cnt,
+           CAST(cxy AS DOUBLE) / CAST(cx AS DOUBLE) AS confidence,
+           CAST(cxy * n.n_baskets AS DOUBLE) / CAST(cx * cy AS DOUBLE) AS lift
+    FROM rules, n
+    """,
+    doc="[EXT] association-rule mining (Apriori at pair depth): frequent "
+    "co-purchased part pairs -> directed rules with support, confidence "
+    "= c_xy/c_x and lift = c_xy·N/(c_x·c_y). All counting is exact "
+    "BIGINT (two map-side-combinable aggs + the same self-equi-join "
+    "pair generation as the triangle query); the two ratios are single "
+    "IEEE divisions of exact integers — identical both engines, so even "
+    "the floats hash-match. Min-support pruning bounds the rule set "
+    "independent of corpus size.",
+    tags=("mining",),
+)
+def mine_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("item")
+    )
+    baskets = li.distinct().persist()
+    n_baskets = baskets.select("oid").distinct().count()
+
+    item_cnt = baskets.groupBy("item").agg(F.count("*").cast("long").alias("c"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair_cnt = (
+        a.join(
+            b,
+            (F.col("a.oid") == F.col("b.oid")) & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("x"), F.col("b.item").alias("y"))
+        .agg(F.count("*").cast("long").alias("cxy"))
+        .filter(F.col("cxy") >= _AR_MIN_SUPPORT)
+    )
+    cx = item_cnt.select(F.col("item").alias("x"), F.col("c").alias("cx"))
+    cy = item_cnt.select(F.col("item").alias("y"), F.col("c").alias("cy"))
+    joined = pair_cnt.join(F.broadcast(cx), "x").join(F.broadcast(cy), "y")
+    fwd = joined.select(
+        F.col("x").alias("antecedent"),
+        F.col("y").alias("consequent"),
+        F.col("cxy"),
+        F.col("cx").alias("ca"),
+        F.col("cy").alias("cc"),
+    )
+    rev = joined.select(
+        F.col("y").alias("antecedent"),
+        F.col("x").alias("consequent"),
+        F.col("cxy"),
+        F.col("cy").alias("ca"),
+        F.col("cx").alias("cc"),
+    )
+    rules = fwd.unionByName(rev)
+    return rules.select(
+        "antecedent",
+        "consequent",
+        F.col("cxy").alias("support_cnt"),
+        (F.col("cxy").cast("double") / F.col("ca").cast("double")).alias("confidence"),
+        (
+            (F.col("cxy") * F.lit(n_baskets).cast("long")).cast("double")
+            / (F.col("ca") * F.col("cc")).cast("double")
+        ).alias("lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection in exact integer arithmetic.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_cusum_changepoint",
+    """
+    WITH t AS (
+      SELECT event_type, event_id, ts,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+      FROM t GROUP BY event_type
+    ),
+    c AS (
+      SELECT t.event_type, t.event_id,
+             CAST(row_number() OVER w AS BIGINT) AS k,
+             CAST(g.n * SUM(t.x) OVER w - CAST(row_number() OVER w AS BIGINT) * g.sx
+                  AS BIGINT) AS cusum_scaled
+      FROM t JOIN g USING (event_type)
+      WINDOW w AS (PARTITION BY t.event_type ORDER BY t.ts, t.event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           (max({'a': abs(cusum_scaled), 'k': k, 'e': event_id})).e AS change_event,
+           (max({'a': abs(cusum_scaled), 'k': k, 'e': event_id})).k AS change_rank,
+           MAX(abs(cusum_scaled)) AS peak_dev_scaled
+    FROM c GROUP BY event_type
+    """,
+    doc="[EXT] CUSUM change-point detection per event type, EXACT: the "
+    "classic cumulative-deviation statistic C_k = Σ_{i<=k}(x_i - μ) "
+    "scaled by n (n·Σ_{i<=k}x_i − k·Σx — the anomaly_zscore integer "
+    "trick applied to a running sum) so every value is BIGINT and the "
+    "argmax event hash-matches across engines (max_by over "
+    "(|cusum|, k, event_id) — deterministic ties). One window cumsum "
+    "shuffle + one agg; the global (n, Σx) broadcast-joins.",
+    tags=("stats",),
+)
+def stat_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("x"),
+    )
+    g = t.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("sx")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.join(F.broadcast(g), "event_type").select(
+        "event_type",
+        "event_id",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("ts", "event_id"))
+        .cast("long")
+        .alias("k"),
+        (F.col("n") * F.sum("x").over(w)).alias("nsum"),
+        F.col("sx"),
+    )
+    c = c.withColumn("cusum_scaled", (F.col("nsum") - F.col("k") * F.col("sx")).cast("long"))
+    key = F.struct(F.abs("cusum_scaled").alias("a"), F.col("k"), F.col("event_id"))
+    return c.groupBy("event_type").agg(
+        F.max_by("event_id", key).alias("change_event"),
+        F.max_by("k", key).alias("change_rank"),
+        F.max(F.abs("cusum_scaled")).alias("peak_dev_scaled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth (quantile-bucketed) histogram via exact ranks.
+# ---------------------------------------------------------------------------
+
+_EQD_BUCKETS = 10
+
+
+@QS.add(
+    "hist_equidepth_value",
+    f"""
+    WITH t AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             event_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, cents,
+             ntile({_EQD_BUCKETS}) OVER (PARTITION BY event_type
+                                         ORDER BY cents, event_id) AS bucket
+      FROM t
+    )
+    SELECT event_type, CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents
+    FROM r GROUP BY event_type, bucket
+    """,
+    doc="[EXT] equi-DEPTH histogram (quantile buckets — the CBO statistics "
+    f"form): ntile({_EQD_BUCKETS}) over exact cents with deterministic "
+    "event_id tie-break, then per-bucket count + boundary values. "
+    "Complements the equi-WIDTH hist_event_value; one window shuffle + "
+    "one agg, everything BIGINT.",
+    tags=("stats",),
+)
+def hist_equidepth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    r = t.select("event_type", "cents", F.ntile(_EQD_BUCKETS).over(w).alias("bucket"))
+    return r.groupBy("event_type", F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("cents").cast("long").alias("lo_cents"),
+        F.max("cents").cast("long").alias("hi_cents"),
+    )

@@ -334,3 +334,89 @@ class TestCompressionRatio:
             ).collect()
         }
         assert got[1].n_bytes == 0 and got[2].n_bytes == 0
+
+
+class TestAssociationRules:
+    def test_known_baskets(self, spark):
+        from clinical_api_etl_spark.plans.mining import mine_association_rules  # noqa: F401
+        # mini-replica of the rule math on known baskets:
+        # {1:AB, 2:AB, 3:AC, 4:A} -> pair (A,B) support 2
+        rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (3, "C"), (4, "A")]
+        baskets = spark.createDataFrame(rows, ["oid", "item"]).distinct()
+        a, b = baskets.alias("a"), baskets.alias("b")
+        pair = (
+            a.join(b, (F.col("a.oid") == F.col("b.oid")) & (F.col("a.item") < F.col("b.item")))
+            .groupBy(F.col("a.item").alias("x"), F.col("b.item").alias("y"))
+            .agg(F.count("*").alias("cxy"))
+            .filter(F.col("cxy") >= 2)
+        )
+        got = {(r.x, r.y): r.cxy for r in pair.collect()}
+        assert got == {("A", "B"): 2}
+        # confidence(B->A) = 2/2 = 1.0, lift = 2*4/(4*2) = 1.0
+        # confidence(A->B) = 2/4 = 0.5, lift same
+        n, ca, cb, cab = 4, 4, 2, 2
+        assert cab / cb == 1.0 and cab * n / (ca * cb) == 1.0
+
+    def test_registry_rules_sane(self, spark):
+        from clinical_api_etl_spark.plans.mining import mine_association_rules
+
+        rows = mine_association_rules(spark, "/root/testdata/sf0.001").collect()
+        spark.catalog.clearCache()
+        for r in rows:
+            assert 0 < r.confidence <= 1.0
+            assert r.lift > 0
+            assert r.support_cnt >= 2
+
+
+class TestCusum:
+    def test_planted_mean_shift(self, spark):
+        from datetime import datetime, timedelta
+
+        from clinical_api_etl_spark.plans.mining import stat_cusum_changepoint  # noqa: F401
+
+        # mini-replica: 20 points at 10.0 then 20 at 50.0 -> CUSUM peaks at
+        # the boundary (rank 20)
+        t0 = datetime(2024, 1, 1)
+        rows = [
+            (i, t0 + timedelta(minutes=i), "a", 10.0 if i < 20 else 50.0)
+            for i in range(40)
+        ]
+        ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+        from pyspark.sql import Window as W
+
+        t = ev.select(
+            "event_type", "event_id", "ts",
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("x"),
+        )
+        g = t.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("sx")
+        )
+        w = W.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        c = (
+            t.join(g, "event_type")
+            .select(
+                "event_id",
+                F.row_number().over(W.partitionBy("event_type").orderBy("ts", "event_id")).cast("long").alias("k"),
+                ((F.col("n") * F.sum("x").over(w)) - F.row_number().over(W.partitionBy("event_type").orderBy("ts", "event_id")).cast("long") * F.col("sx")).alias("cs"),
+            )
+        )
+        peak = c.orderBy(F.abs("cs").desc(), "k").first()
+        assert peak.k == 20 and peak.event_id == 19
+
+
+class TestEquiDepth:
+    def test_bucket_sizes_differ_by_at_most_one(self, spark):
+        from clinical_api_etl_spark.plans.mining import hist_equidepth_value
+
+        rows = hist_equidepth_value(spark, "/root/testdata/sf0.001").collect()
+        by_type: dict = {}
+        for r in rows:
+            by_type.setdefault(r.event_type, []).append(r)
+        for et, bs in by_type.items():
+            sizes = [b.n for b in bs]
+            assert max(sizes) - min(sizes) <= 1, (et, sizes)
+            ordered = sorted(bs, key=lambda b: b.bucket)
+            for p, q in zip(ordered, ordered[1:]):
+                assert p.hi_cents <= q.lo_cents
