@@ -989,3 +989,71 @@ def hist_equidepth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").cast("long").alias("lo_cents"),
         F.max("cents").cast("long").alias("hi_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: median absolute deviation outliers.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_mad_robust",
+    """
+    WITH t AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 200 AS BIGINT) AS c2
+      FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(c2, 0.5) AS med2 FROM t GROUP BY event_type
+    ),
+    dev AS (
+      SELECT t.event_type, abs(CAST(t.c2 AS DOUBLE) - m.med2) AS d, t.c2, m.med2
+      FROM t JOIN med m USING (event_type)
+    )
+    SELECT event_type,
+           CAST(ANY_VALUE(med2) AS DOUBLE) AS median_2cents,
+           CAST(quantile_cont(d, 0.5) AS DOUBLE) AS mad_2cents,
+           CAST(COUNT(*) FILTER (WHERE d > 3.0 * 1.4826
+                                       * (SELECT quantile_cont(d2.d, 0.5)
+                                          FROM dev d2
+                                          WHERE d2.event_type = dev.event_type))
+                AS BIGINT) AS n_outliers
+    FROM dev GROUP BY event_type
+    """,
+    doc="[EXT] robust outlier statistics: median + MAD (median absolute "
+    "deviation) per type over DOUBLED exact cents — doubling makes every "
+    "interpolated median exactly representable (average of two even "
+    "integers), so the medians, deviations and the 3-sigma-equivalent "
+    "MAD fence (x1.4826) are bit-identical IEEE in both engines. Two "
+    "exact-percentile aggs + one broadcast join; the robust alternative "
+    "to anomaly_zscore_outliers (immune to the outliers it hunts).",
+    tags=("stats",),
+)
+def stat_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 200).cast("long").alias("c2"),
+    )
+    med = t.groupBy("event_type").agg(F.expr("percentile(c2, 0.5)").alias("med2"))
+    dev = t.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med2",
+        F.abs(F.col("c2").cast("double") - F.col("med2")).alias("d"),
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(d, 0.5)").alias("mad2"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med2").cast("double").alias("median_2cents"),
+            F.any_value("mad2").cast("double").alias("mad_2cents"),
+            F.sum(
+                F.when(F.col("d") > F.lit(3.0) * F.lit(1.4826) * F.col("mad2"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

@@ -960,3 +960,60 @@ class TestStreamStreamOuterJoin:
         wc([(101, 9, t("2024-01-01T13:30:00"))])
         got2 = {(r["p_id"], r["c_id"]) for r in run()}
         assert (2, None) in got2
+
+
+class TestStreamingCountMin:
+    def test_streamed_sketch_equals_batch(self, spark, tmp_path):
+        """The count-min sketch is a plain groupBy over (depth, slot), so it
+        streams as an update-mode aggregate: the final per-cell counts after
+        N micro-batches equal the batch sketch — sketches ARE the
+        incremental-MV form of frequency state."""
+        from clinical_api_etl_spark.plans.mining import _CM_D, _CM_W
+
+        src = tmp_path / "cm_src"
+        src.mkdir()
+
+        def slots(df):
+            cols = []
+            for d in range(_CM_D):
+                h = F.md5(F.concat(F.lit(f"cm{d}:"), F.col("user_id").cast("string")))
+                cols.append(
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % _CM_W).alias("slot"),
+                    )
+                )
+            return df.select(F.explode(F.array(*cols)).alias("e")).select("e.d", "e.slot")
+
+        rows1 = [(i % 13,) for i in range(200)]
+        rows2 = [(i % 7,) for i in range(150)]
+        spark.createDataFrame(rows1, "user_id long").coalesce(1).write.mode("append").parquet(str(src))
+        spark.createDataFrame(rows2, "user_id long").coalesce(1).write.mode("append").parquet(str(src))
+
+        batch_sketch = {
+            (r.d, r.slot): r.c
+            for r in slots(spark.read.parquet(str(src)))
+            .groupBy("d", "slot").agg(F.count("*").alias("c")).collect()
+        }
+
+        state: dict = {}
+
+        def upsert(df, bid):
+            for r in df.collect():
+                state[(r.d, r.slot)] = r.c
+
+        stream = spark.readStream.schema("user_id long").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(src))
+        q = (
+            slots(stream)
+            .groupBy("d", "slot")
+            .agg(F.count("*").alias("c"))
+            .writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .option("checkpointLocation", str(tmp_path / "cm_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert state == batch_sketch
