@@ -1,0 +1,141 @@
+"""Incremental materialized-view maintenance from the change data feed. [EXT]
+
+The lakehouse pattern the reference's gold layer gestures at
+(``etl.py:206-263`` recomputes aggregates per job): keep an additive
+aggregate (COUNT + SUMs grouped by keys) continuously consistent with a
+``SnapshotWarehouse`` table by applying only the CHANGES between the last
+refresh and the current snapshot — never rescanning the base table.
+
+Additive aggregates form an abelian group, so delta maintenance is exact:
+an insert contributes (+1, +x), a pre-image delete (-1, -x); the merged
+state equals the full recompute at the target snapshot (test-pinned).
+Groups whose count reaches zero leave the view. This is the same algebra
+that makes partial aggregation / map-side combine work inside one Spark
+job, applied ACROSS snapshots — and why the CDF's ``pre_image=True`` mode
+exists: without removed-row VALUES a sum cannot be decremented.
+
+Refresh cost: O(changed files) to read the feed + O(|delta groups| +
+|view|) for the merge. A 'rewrite'/compact in the window raises in
+``read_changes``; callers resync with ``rebuild()`` — the standard CDF
+contract. State lives as plain parquet + a version sidecar, swapped
+atomically (temp + rename), so readers never see a half-applied refresh.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clinical_api_etl_spark.sources.snapshots import SnapshotWarehouse
+
+
+class IncrementalMV:
+    """COUNT + SUM materialized view over a SnapshotWarehouse table."""
+
+    def __init__(
+        self,
+        warehouse: SnapshotWarehouse,
+        table: str,
+        path: str,
+        *,
+        group_cols: list[str],
+        sum_cols: list[str] | None = None,
+    ) -> None:
+        self.wh = warehouse
+        self.table = table
+        self.path = Path(path)
+        self.group_cols = list(group_cols)
+        self.sum_cols = list(sum_cols or [])
+        self.spark: SparkSession = warehouse.spark
+
+    # -- state ------------------------------------------------------------
+
+    @property
+    def _meta_path(self) -> Path:
+        return self.path / "_mv_meta.json"
+
+    def applied_version(self) -> int | None:
+        if not self._meta_path.exists():
+            return None
+        return json.loads(self._meta_path.read_text())["version"]
+
+    def read(self) -> DataFrame | None:
+        if not (self.path / "data").exists():
+            return None
+        return self.spark.read.parquet(str(self.path / "data"))
+
+    def _write_state(self, df: DataFrame, version: int) -> None:
+        tmp = self.path / f"_tmp_{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(str(tmp))
+        dest = self.path / "data"
+        old = self.path / f"_old_{uuid.uuid4().hex}"
+        self.path.mkdir(parents=True, exist_ok=True)
+        if dest.exists():
+            os.rename(dest, old)
+        os.rename(tmp, dest)
+        if old.exists():
+            shutil.rmtree(old)
+        self._meta_path.write_text(json.dumps({"version": version}))
+
+    # -- aggregation algebra ----------------------------------------------
+
+    def _aggregate(self, df: DataFrame, sign: F.Column) -> DataFrame:
+        aggs = [F.sum(sign).cast("long").alias("n_rows")]
+        for c in self.sum_cols:
+            aggs.append(F.sum(sign * F.col(c)).alias(f"sum_{c}"))
+        return df.groupBy(*self.group_cols).agg(*aggs)
+
+    def rebuild(self) -> None:
+        """Full recompute at the current snapshot (initial build / resync
+        after a rewrite)."""
+        version = self.wh.versions(self.table)[-1]
+        base = self.wh.read(self.table, version)
+        self._write_state(self._aggregate(base, F.lit(1)), version)
+
+    def refresh(self) -> int:
+        """Apply the change feed since the last refresh; returns the number
+        of snapshot versions advanced (0 if already current)."""
+        last = self.applied_version()
+        if last is None:
+            self.rebuild()
+            return self.wh.versions(self.table)[-1]
+        current = self.wh.versions(self.table)[-1]
+        if current == last:
+            return 0
+        ch = self.wh.read_changes(self.table, last, current, pre_image=True)
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        delta = self._aggregate(ch, sign)
+
+        state = self.read()
+        s = state.alias("s")
+        d = delta.alias("d")
+        # USING-join on the group cols: Spark already coalesces the key
+        # columns of a full outer into single unqualified outputs.
+        merged = s.join(d, self.group_cols, "full_outer")
+        cols = [F.col(k) for k in self.group_cols]
+        vals = [
+            (
+                F.coalesce(F.col("s.n_rows"), F.lit(0))
+                + F.coalesce(F.col("d.n_rows"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_rows")
+        ]
+        for c in self.sum_cols:
+            vals.append(
+                (
+                    F.coalesce(F.col(f"s.sum_{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"d.sum_{c}"), F.lit(0))
+                ).alias(f"sum_{c}")
+            )
+        new_state = merged.select(*cols, *vals).filter(F.col("n_rows") > 0)
+        self._write_state(new_state, current)
+        return current - last

@@ -268,7 +268,12 @@ class SnapshotWarehouse(ParquetWarehouse):
             )
 
     def read_changes(
-        self, table: str, from_version: int, to_version: int | None = None
+        self,
+        table: str,
+        from_version: int,
+        to_version: int | None = None,
+        *,
+        pre_image: bool = False,
     ) -> DataFrame | None:
         """Change data feed between snapshots (Delta CDF analogue): what a
         downstream incremental consumer must apply to move its copy from
@@ -277,12 +282,26 @@ class SnapshotWarehouse(ParquetWarehouse):
         Inserts are exactly the data files present in ``to`` but not in
         ``from`` — reading them costs O(changed files), never a diff of
         table contents. Deletes are the tombstone entries added between
-        the versions, emitted as the key rows they removed. Output is the
-        table schema plus ``_change_type`` ('insert' | 'delete'); delete
-        rows carry the key column and NULL elsewhere. Files rewritten by
-        ``compact``/``rewrite`` are NOT emitted as changes (same logical
-        rows); consumers resync on a 'rewrite' in ``history`` between the
-        versions — the standard CDF contract.
+        the versions. Output is the table schema plus ``_change_type``
+        ('insert' | 'delete'). Files rewritten by ``compact``/``rewrite``
+        are NOT emitted as changes (same logical rows); consumers resync
+        on a 'rewrite' in ``history`` between the versions — the standard
+        CDF contract.
+
+        Delete emission modes:
+
+        - ``pre_image=False`` (default): delete rows carry the tombstone
+          KEY and NULL elsewhere — one row per deleted key, including keys
+          whose rows were both inserted and deleted inside the window
+          (key-level consumers just drop the key).
+        - ``pre_image=True``: delete rows carry the FULL removed row as of
+          ``from_version`` (Delta "change data" parity) — exactly the rows
+          the consumer materialized, so additive aggregates can be
+          DECREMENTED (see operators/mv.py). Rows that never existed at
+          ``from_version`` (inserted+deleted within the window, already
+          suppressed on the insert side) emit nothing. Cost stays
+          O(files in the touched commits): pre-images read only the
+          from-version files of the commits each tombstone targets.
         """
         m_from = self._load_manifest(table, from_version)
         m_to = self._load_manifest(table, to_version)
@@ -322,24 +341,61 @@ class SnapshotWarehouse(ParquetWarehouse):
                             F.broadcast(keys), entry["key"], "left_anti"
                         )
                 parts.append(part.withColumn("_change_type", F.lit("insert")))
-        prev_entries = {
-            json.dumps(e, sort_keys=True) for e in m_from.get("deletes") or []
-        }
-        for entry in m_to.get("deletes") or []:
-            if json.dumps(entry, sort_keys=True) in prev_entries:
-                continue
-            keys = self.spark.read.parquet(
-                *[str(root / f) for f in entry["files"]]
-            )
-            row = keys
-            for c in cur.columns:
-                if c != entry["key"]:
-                    row = row.withColumn(c, F.lit(None).cast(cur.schema[c].dataType))
-            parts.append(
-                row.select(*cur.columns).withColumn(
-                    "_change_type", F.lit("delete")
+        from_entries = m_from.get("deletes") or []
+        to_entries = m_to.get("deletes") or []
+        n_prev = len(from_entries)  # append-only log: from is a prefix of to
+        if pre_image:
+            # Walk each from-version commit dir, replaying the tombstone log
+            # in order: entries already applied at from_version only filter;
+            # NEW entries first emit the surviving rows they remove (the
+            # pre-image), then filter — so a key deleted twice with a
+            # re-insert in between never double-emits.
+            from_by_commit: dict[str, list[str]] = {}
+            for rel in m_from["files"]:
+                from_by_commit.setdefault(rel.split("/", 1)[0], []).append(
+                    str(root / rel)
                 )
-            )
+            for cid, paths in sorted(from_by_commit.items()):
+                if not any(cid in e["cids"] for e in to_entries[n_prev:]):
+                    continue
+                r = self.spark.read
+                if m_from["partitioned"]:
+                    r = r.option("basePath", str(root / cid))
+                df_cid = r.parquet(*paths)
+                for idx, entry in enumerate(to_entries):
+                    if cid not in entry["cids"]:
+                        continue
+                    keys = self.spark.read.parquet(
+                        *[str(root / f) for f in entry["files"]]
+                    )
+                    if idx >= n_prev:
+                        pre = df_cid.join(
+                            F.broadcast(keys), entry["key"], "left_semi"
+                        )
+                        parts.append(
+                            pre.select(*cur.columns).withColumn(
+                                "_change_type", F.lit("delete")
+                            )
+                        )
+                    df_cid = df_cid.join(
+                        F.broadcast(keys), entry["key"], "left_anti"
+                    )
+        else:
+            for entry in to_entries[n_prev:]:
+                keys = self.spark.read.parquet(
+                    *[str(root / f) for f in entry["files"]]
+                )
+                row = keys
+                for c in cur.columns:
+                    if c != entry["key"]:
+                        row = row.withColumn(
+                            c, F.lit(None).cast(cur.schema[c].dataType)
+                        )
+                parts.append(
+                    row.select(*cur.columns).withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                )
         if not parts:
             return cur.limit(0).withColumn("_change_type", F.lit(""))
         return reduce(lambda a, b: a.unionByName(b), parts)

@@ -1,0 +1,137 @@
+"""Incremental MV maintenance: delta-applied aggregates == full recompute."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_api_etl_spark.operators.mv import IncrementalMV
+from clinical_api_etl_spark.sources.snapshots import SnapshotWarehouse
+
+
+@pytest.fixture()
+def swh(spark, tmp_path):
+    return SnapshotWarehouse(spark, str(tmp_path / "wh"))
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, "k string, doc_id long, cents long")
+
+
+def _recompute(swh, table):
+    base = swh.read(table)
+    return {
+        (r.k): (r.n_rows, r.sum_cents)
+        for r in base.groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .collect()
+    }
+
+
+def _mv_state(mv):
+    return {(r.k): (r.n_rows, r.sum_cents) for r in mv.read().collect()}
+
+
+class TestIncrementalMV:
+    def _mk(self, swh, tmp_path):
+        return IncrementalMV(
+            swh, "docs", str(tmp_path / "mv"), group_cols=["k"], sum_cols=["cents"]
+        )
+
+    def test_initial_build_and_incremental_appends(self, spark, swh, tmp_path):
+        swh.append("docs", _rows(spark, [("a", 1, 10), ("a", 2, 20), ("b", 3, 5)]))
+        mv = self._mk(swh, tmp_path)
+        mv.refresh()
+        assert _mv_state(mv) == _recompute(swh, "docs")
+
+        swh.append("docs", _rows(spark, [("a", 4, 40), ("c", 5, 7)]))
+        advanced = mv.refresh()
+        assert advanced == 1
+        assert _mv_state(mv) == _recompute(swh, "docs")
+
+    def test_deletes_decrement_sums(self, spark, swh, tmp_path):
+        swh.append("docs", _rows(spark, [("a", 1, 10), ("a", 2, 20), ("b", 3, 5)]))
+        mv = self._mk(swh, tmp_path)
+        mv.refresh()
+        swh.delete_where("docs", "doc_id = 2", "doc_id")
+        mv.refresh()
+        got = _mv_state(mv)
+        assert got == _recompute(swh, "docs")
+        assert got["a"] == (1, 10)
+
+    def test_group_leaves_view_at_zero(self, spark, swh, tmp_path):
+        swh.append("docs", _rows(spark, [("a", 1, 10), ("b", 2, 20)]))
+        mv = self._mk(swh, tmp_path)
+        mv.refresh()
+        swh.delete_where("docs", "k = 'b'", "doc_id")
+        mv.refresh()
+        got = _mv_state(mv)
+        assert "b" not in got and got == _recompute(swh, "docs")
+
+    def test_insert_then_delete_in_one_window_is_noop(self, spark, swh, tmp_path):
+        swh.append("docs", _rows(spark, [("a", 1, 10)]))
+        mv = self._mk(swh, tmp_path)
+        mv.refresh()
+        # both happen between refreshes: the MV must not double-apply
+        swh.append("docs", _rows(spark, [("z", 9, 100)]))
+        swh.delete_where("docs", "doc_id = 9", "doc_id")
+        mv.refresh()
+        got = _mv_state(mv)
+        assert "z" not in got and got == _recompute(swh, "docs")
+
+    def test_delete_reinsert_delete_sequence(self, spark, swh, tmp_path):
+        swh.append("docs", _rows(spark, [("a", 1, 10), ("a", 2, 20)]))
+        mv = self._mk(swh, tmp_path)
+        mv.refresh()
+        swh.delete_where("docs", "doc_id = 1", "doc_id")
+        swh.append("docs", _rows(spark, [("a", 1, 11)]))  # re-insert same key
+        swh.delete_where("docs", "doc_id = 1", "doc_id")  # delete again
+        mv.refresh()
+        assert _mv_state(mv) == _recompute(swh, "docs")
+
+    def test_multiple_refresh_cycles_stay_consistent(self, spark, swh, tmp_path):
+        swh.append("docs", _rows(spark, [("a", 1, 1)]))
+        mv = self._mk(swh, tmp_path)
+        mv.refresh()
+        for i in range(2, 6):
+            swh.append("docs", _rows(spark, [("a", i, i), ("b", 100 + i, 2 * i)]))
+            if i % 2 == 0:
+                swh.delete_where("docs", f"doc_id = {i - 1}", "doc_id")
+            mv.refresh()
+            assert _mv_state(mv) == _recompute(swh, "docs"), f"cycle {i}"
+
+    def test_rewrite_requires_rebuild(self, spark, swh, tmp_path):
+        swh.append("docs", _rows(spark, [("a", 1, 10)]))
+        mv = self._mk(swh, tmp_path)
+        mv.refresh()
+        swh.append("docs", _rows(spark, [("b", 2, 20)]))
+        swh.compact("docs")
+        with pytest.raises(ValueError, match="resync"):
+            mv.refresh()
+        mv.rebuild()
+        assert _mv_state(mv) == _recompute(swh, "docs")
+
+    def test_refresh_noop_when_current(self, spark, swh, tmp_path):
+        swh.append("docs", _rows(spark, [("a", 1, 10)]))
+        mv = self._mk(swh, tmp_path)
+        mv.refresh()
+        assert mv.refresh() == 0
+
+
+class TestPreImageFeed:
+    def test_delete_rows_carry_values(self, spark, swh, tmp_path):
+        swh.append("docs", _rows(spark, [("a", 1, 10), ("b", 2, 20)]))
+        swh.delete_where("docs", "doc_id = 2", "doc_id")
+        ch = swh.read_changes("docs", 1, pre_image=True).collect()
+        dels = [r for r in ch if r["_change_type"] == "delete"]
+        assert [(r.k, r.doc_id, r.cents) for r in dels] == [("b", 2, 20)]
+
+    def test_default_mode_unchanged(self, spark, swh, tmp_path):
+        swh.append("docs", _rows(spark, [("a", 1, 10)]))
+        swh.delete_where("docs", "doc_id = 1", "doc_id")
+        ch = swh.read_changes("docs", 1).collect()
+        dels = [r for r in ch if r["_change_type"] == "delete"]
+        assert len(dels) == 1 and dels[0].k is None and dels[0].doc_id == 1
