@@ -1057,3 +1057,181 @@ def stat_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini diversity, winsorized aggregates, deterministic negative sampling.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_gini_user_diversity",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c * c) AS BIGINT) AS ssq
+      FROM c GROUP BY user_id
+    )
+    SELECT user_id, n, ssq,
+           CAST(n * n - ssq AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
+    FROM u
+    """,
+    doc="[EXT] behavioral diversity via Gini impurity: per user, 1 − "
+    "Σ(c_i/n)² over the event-type distribution, computed as "
+    "(n²−Σc²)/n² — exact BIGINTs up to ONE shared IEEE division, so the "
+    "float hash-matches (the log-free alternative to Shannon entropy, "
+    "which is NOT portable: ln is not correctly rounded across libms). "
+    "Two cascaded map-side-combinable aggs.",
+    tags=("stats",),
+)
+def stat_gini_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").cast("long").alias("c"))
+    u = c.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ssq"),
+    )
+    return u.select(
+        "user_id",
+        "n",
+        "ssq",
+        (
+            (F.col("n") * F.col("n") - F.col("ssq")).cast("double")
+            / (F.col("n") * F.col("n")).cast("double")
+        ).alias("gini"),
+    )
+
+
+@QS.add(
+    "clean_winsorized_totals",
+    """
+    WITH t AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 200 AS BIGINT) AS c2
+      FROM events WHERE value IS NOT NULL
+    ),
+    fence AS (
+      SELECT event_type,
+             quantile_cont(c2, 0.05) AS lo, quantile_cont(c2, 0.95) AS hi
+      FROM t GROUP BY event_type
+    )
+    SELECT t.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(LEAST(GREATEST(CAST(t.c2 AS DOUBLE), f.lo), f.hi))
+                         AS BIGINT)) AS BIGINT) AS winsorized_sum_2cents,
+           CAST(SUM(CASE WHEN CAST(t.c2 AS DOUBLE) < f.lo
+                           OR CAST(t.c2 AS DOUBLE) > f.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM t JOIN fence f USING (event_type)
+    GROUP BY t.event_type
+    """,
+    doc="[EXT] winsorization (robust data cleaning): clip each value to its "
+    "type's [p5, p95] fence and report clipped totals. DOUBLED cents make "
+    "the interpolated fences exactly representable halves, so the clip "
+    "boundary — and the BIGINT cast of the clipped value — is identical "
+    "in both engines. One exact-percentile agg broadcast back onto the "
+    "stream; everything else integer.",
+    tags=("stats",),
+)
+def clean_winsorized_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 200).cast("long").alias("c2"),
+    )
+    fence = t.groupBy("event_type").agg(
+        F.expr("percentile(c2, 0.05)").alias("lo"),
+        F.expr("percentile(c2, 0.95)").alias("hi"),
+    )
+    j = t.join(F.broadcast(fence), "event_type")
+    clipped = F.least(F.greatest(F.col("c2").cast("double"), F.col("lo")), F.col("hi"))
+    out_of = (F.col("c2").cast("double") < F.col("lo")) | (
+        F.col("c2").cast("double") > F.col("hi")
+    )
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.floor(clipped).cast("long")).cast("long").alias("winsorized_sum_2cents"),
+        F.sum(F.when(out_of, 1).otherwise(0)).cast("long").alias("n_clipped"),
+    )
+
+
+_NEG_K = 3
+
+
+@QS.add(
+    "sample_negative_pairs",
+    f"""
+    WITH pos AS (
+      SELECT DISTINCT o_custkey AS user_id, l_partkey AS item
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    n_items AS (SELECT CAST(MAX(p_partkey) + 1 AS BIGINT) AS m FROM part),
+    users AS (SELECT DISTINCT user_id FROM pos),
+    cand AS (
+      SELECT u.user_id, g.i AS neg_idx,
+             CAST('0x' || substr(md5('neg' || CAST(g.i AS VARCHAR) || ':'
+                                  || CAST(u.user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % n_items.m AS item
+      FROM users u, (SELECT UNNEST(range(0, {_NEG_K})) AS i) g, n_items
+    )
+    SELECT c.user_id, c.neg_idx, c.item
+    FROM cand c
+    LEFT JOIN pos p ON p.user_id = c.user_id AND p.item = c.item
+    WHERE p.item IS NULL
+    """,
+    doc="[EXT] deterministic negative sampling (contrastive / recsys "
+    f"training prep): per user, {_NEG_K} pseudo-random candidate items "
+    "derived from md5 (no RNG — same negatives in any engine, "
+    "partitioning or rerun), anti-joined against the user's true "
+    "interaction set so a drawn positive is dropped rather than "
+    "mislabeled. One distinct-pair build + one anti-join, both plain "
+    "shuffles; candidate count is k·|users|, independent of item-catalog "
+    "size.",
+    tags=("sampling",),
+)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pos = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    m = load(spark, sf_dir, "part").agg(
+        (F.max("p_partkey") + 1).cast("long")
+    ).collect()[0][0]
+    users = pos.select("user_id").distinct()
+    cand = users.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("neg_idx"),
+    ).select(
+        "user_id",
+        "neg_idx",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("neg"),
+                            F.col("neg_idx").cast("string"),
+                            F.lit(":"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(m)
+        ).alias("item"),
+    )
+    return cand.join(pos, ["user_id", "item"], "left_anti").select(
+        "user_id", "neg_idx", "item"
+    )
