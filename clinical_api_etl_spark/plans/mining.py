@@ -407,6 +407,7 @@ def _centroid_oracle() -> str:
     "per-dimension pattern (64 scalar sums, never posexplode: exploding "
     "shuffles rows x dim). Downstream mean = s_j / (1e6 * n) to float at "
     "the edge; the BIGINT sums hash-match DuckDB exactly.",
+    headline=True,
     tags=("embedding",),
 )
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,6 +473,7 @@ FROM nextd GROUP BY doc_id, frame_idx
     "value-hash-gated: DuckDB re-derives every int16 sample from the "
     "same hex and must match the kernel's exact integer features. "
     "Declared Arrow op (plan_audit ARROW_OK).",
+    headline=True,
     tags=("multimodal",),
 )
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -641,6 +643,7 @@ _DIGEST_BUCKETS = 256
     "(DuckDB recomputes the digests from the same parquet and must "
     "match bit-for-bit). Addition-based digest = order/partitioning "
     "independent.",
+    headline=True,
     tags=("audit",),
 )
 def audit_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -813,6 +816,7 @@ _AR_MIN_SUPPORT = 2
     "IEEE divisions of exact integers — identical both engines, so even "
     "the floats hash-match. Min-support pruning bounds the rule set "
     "independent of corpus size.",
+    headline=True,
     tags=("mining",),
 )
 def mine_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1234,4 +1238,148 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cand.join(pos, ["user_id", "item"], "left_anti").select(
         "user_id", "neg_idx", "item"
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded peeling) + inter-label centroid affinity.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 5
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev = "e0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(f"""
+    d{r} AS MATERIALIZED (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev}
+      ) t GROUP BY node
+    ),
+    keep{r} AS (SELECT node FROM d{r} WHERE deg >= {_KCORE_K}),
+    e{r} AS MATERIALIZED (
+      SELECT e.u, e.v FROM {prev} e
+      JOIN keep{r} ku ON ku.node = e.u
+      JOIN keep{r} kv ON kv.node = e.v
+    )""")
+        prev = f"e{r}"
+    its = ",".join(rounds)
+    return f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= {_TRI_SUPPORT}
+    ),{its}
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+      SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev}
+    ) t GROUP BY node
+    """
+
+
+@QS.add(
+    "graph_kcore_members",
+    _kcore_oracle(),
+    doc=f"[EXT] k-core decomposition (k={_KCORE_K}) of the co-purchase "
+    f"graph via {_KCORE_ROUNDS} bounded peel rounds — the dense-cohesion "
+    "community primitive (a node survives iff it keeps >= k surviving "
+    "neighbors). Iterative-algorithm-under-full-value-hash pattern "
+    "(cf. graph_pagerank): the Spark loop and the oracle's unrolled CTE "
+    "chain compute the identical round-bounded fixpoint; a test pins "
+    "that the rounds suffice to CONVERGE on this graph, so the output "
+    "IS the true k-core. Per round: one degree agg + one broadcast "
+    "semi-join (the kept-node set only shrinks).",
+    tags=("graph",),
+)
+def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= _TRI_SUPPORT)
+        .select("u", "v")
+        .coalesce(8)
+        .persist()
+    )
+    # Iterative peeling truncates lineage EVERY round (eager
+    # localCheckpoint, cf. operators/graph.py CC): without it each round's
+    # two broadcast builds re-derive the whole unmaterialized chain and
+    # the 5-round plan took 320s at sf0.01; checkpointed it is ~1s/round.
+    edges = edges.localCheckpoint(eager=True)
+    for _ in range(_KCORE_ROUNDS):
+        nodes = edges.select(F.col("u").alias("node")).unionByName(
+            edges.select(F.col("v").alias("node"))
+        )
+        deg = nodes.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+        edges = (
+            edges.join(
+                F.broadcast(keep.select(F.col("node").alias("u"))), "u", "left_semi"
+            )
+            .join(F.broadcast(keep.select(F.col("node").alias("v"))), "v", "left_semi")
+            .select("u", "v")
+            .coalesce(8)
+            .localCheckpoint(eager=True)
+        )
+    nodes = edges.select(F.col("u").alias("node")).unionByName(
+        edges.select(F.col("v").alias("node"))
+    )
+    return nodes.groupBy("node").agg(F.count("*").cast("long").alias("core_deg"))
+
+
+def _affinity_oracle() -> str:
+    dot = " + ".join(
+        f"a.s{j} * b.s{j}" for j in range(_CENT_DIM)
+    )
+    sums = ", ".join(
+        f"CAST(SUM(CAST(floor(CAST(embedding[{j + 1}] AS DOUBLE) * 1000000.0 + 0.5)"
+        f" AS BIGINT)) AS BIGINT) AS s{j}"
+        for j in range(_CENT_DIM)
+    )
+    return f"""
+    WITH c AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n, {sums}
+      FROM embeddings GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           a.n AS n_a, b.n AS n_b,
+           CAST({dot} AS BIGINT) AS dot_units
+    FROM c a JOIN c b ON a.label < b.label
+    """
+
+
+@QS.add(
+    "emb_label_affinity",
+    _affinity_oracle(),
+    doc="[EXT] inter-class affinity matrix: exact BIGINT dot products "
+    "between per-label centroid SUM vectors (micro-units; cosine follows "
+    "driver-side as dot/(|a||b|·n_a·n_b) when needed). The pairwise join "
+    "runs over k aggregated rows — k², never N² — the standard "
+    "aggregate-then-pair shape for class-similarity audits "
+    "(label-collision detection, coarse cluster merging).",
+    tags=("embedding",),
+)
+def emb_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = emb_label_centroids(spark, sf_dir)
+    a, b = c.alias("a"), c.alias("b")
+    dot = None
+    for j in range(_CENT_DIM):
+        term = F.col(f"a.s{j}") * F.col(f"b.s{j}")
+        dot = term if dot is None else dot + term
+    return a.join(b, F.col("a.label") < F.col("b.label")).select(
+        F.col("a.label").alias("label_a"),
+        F.col("b.label").alias("label_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        dot.cast("long").alias("dot_units"),
     )

@@ -420,3 +420,51 @@ class TestEquiDepth:
             ordered = sorted(bs, key=lambda b: b.bucket)
             for p, q in zip(ordered, ordered[1:]):
                 assert p.hi_cents <= q.lo_cents
+
+
+class TestKCore:
+    def test_registry_kcore_converged(self, spark):
+        """The round-bounded peel must reach its fixpoint on the test graph
+        (so the output IS the true k-core): every surviving node has
+        core_deg >= k."""
+        from clinical_api_etl_spark.plans.mining import (
+            _KCORE_K,
+            graph_kcore_members,
+        )
+
+        rows = graph_kcore_members(spark, "/root/testdata/sf0.001").collect()
+        spark.catalog.clearCache()
+        assert all(r.core_deg >= _KCORE_K for r in rows)
+
+    def test_hand_graph_peels_tail(self, spark):
+        # K4 (3-core) + a pendant chain that must peel away entirely
+        from clinical_api_etl_spark.plans.mining import _KCORE_K
+
+        assert _KCORE_K == 3
+        edges = [(u, v) for u in range(1, 5) for v in range(u + 1, 5)]
+        edges += [(4, 5), (5, 6)]
+        df = spark.createDataFrame(edges, ["u", "v"]).localCheckpoint(eager=True)
+        for _ in range(5):
+            nodes = df.select(F.col("u").alias("node")).unionByName(
+                df.select(F.col("v").alias("node"))
+            )
+            deg = nodes.groupBy("node").agg(F.count("*").alias("deg"))
+            keep = deg.filter(F.col("deg") >= 3).select("node")
+            df = (
+                df.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
+                .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+        surv = {r.u for r in df.collect()} | {r.v for r in df.collect()}
+        assert surv == {1, 2, 3, 4}
+
+
+class TestLabelAffinity:
+    def test_self_pairs_excluded_and_symmetric_coverage(self, spark):
+        from clinical_api_etl_spark.plans.mining import emb_label_affinity
+
+        rows = emb_label_affinity(spark, "/root/testdata/sf0.001").collect()
+        pairs = {(r.label_a, r.label_b) for r in rows}
+        assert all(a < b for a, b in pairs)
+        labels = {a for a, _ in pairs} | {b for _, b in pairs}
+        assert len(pairs) == len(labels) * (len(labels) - 1) // 2

@@ -135,3 +135,42 @@ class TestPreImageFeed:
         ch = swh.read_changes("docs", 1).collect()
         dels = [r for r in ch if r["_change_type"] == "delete"]
         assert len(dels) == 1 and dels[0].k is None and dels[0].doc_id == 1
+
+
+class TestStreamingMV:
+    def test_stream_feeds_warehouse_feeds_mv(self, spark, swh, tmp_path):
+        """End-to-end incremental path: a file stream lands micro-batches in
+        the SnapshotWarehouse via foreachBatch; after each batch the MV
+        refreshes from the change feed. Final view == full recompute —
+        stream -> snapshot log -> CDF -> delta-maintained aggregate, with
+        no full rescans after the initial build."""
+        src = tmp_path / "smv_src"
+        src.mkdir()
+        schema = "k string, doc_id long, cents long"
+        spark.createDataFrame(
+            [("a", 1, 10), ("b", 2, 20)], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        spark.createDataFrame(
+            [("a", 3, 30), ("c", 4, 5)], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+        mv = IncrementalMV(
+            swh, "docs", str(tmp_path / "smv"), group_cols=["k"], sum_cols=["cents"]
+        )
+
+        def land(df, bid):
+            swh.append("docs", df)
+            mv.refresh()
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", str(tmp_path / "smv_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert _mv_state(mv) == _recompute(swh, "docs")
+        assert mv.applied_version() == swh.versions("docs")[-1]
