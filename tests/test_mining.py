@@ -468,3 +468,76 @@ class TestLabelAffinity:
         assert all(a < b for a, b in pairs)
         labels = {a for a, _ in pairs} | {b for _, b in pairs}
         assert len(pairs) == len(labels) * (len(labels) - 1) // 2
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_words = st.lists(
+    st.text(alphabet="abcx", min_size=1, max_size=6),
+    min_size=2,
+    max_size=12,
+    unique=True,
+)
+
+
+class TestFuzzyProperty:
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(words=_words, k=st.integers(min_value=1, max_value=2))
+    def test_fuzzy_join_equals_brute_force(self, spark, words, k):
+        df = spark.createDataFrame(list(enumerate(words)), ["id", "s"])
+        fast = {
+            (r.id_l, r.id_r, r.dist)
+            for r in edit_distance_self_join(df, "id", "s", max_dist=k).collect()
+        }
+        a, b = df.alias("a"), df.alias("b")
+        naive = {
+            (r[0], r[1], r[2])
+            for r in a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id"),
+                F.col("b.id"),
+                F.levenshtein(F.col("a.s"), F.col("b.s")).alias("d"),
+            )
+            .filter(F.col("d") <= k)
+            .collect()
+        }
+        assert fast == naive
+
+
+class TestMortonProperty:
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        xs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=65535),
+                st.integers(min_value=0, max_value=65535),
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_interleave_matches_python(self, spark, xs):
+        from clinical_api_etl_spark.sources.layout import morton_interleave
+
+        df = spark.createDataFrame([(i, x, y) for i, (x, y) in enumerate(xs)], ["i", "x", "y"])
+        got = {
+            r.i: r.z
+            for r in df.select(
+                "i", morton_interleave([F.col("x"), F.col("y")], bits=16).alias("z")
+            ).collect()
+        }
+        for i, (x, y) in enumerate(xs):
+            want = sum(
+                (((x >> b) & 1) << (2 * b)) | (((y >> b) & 1) << (2 * b + 1))
+                for b in range(16)
+            )
+            assert got[i] == want
