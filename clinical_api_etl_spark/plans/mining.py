@@ -1383,3 +1383,66 @@ def emb_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.n").alias("n_b"),
         dot.cast("long").alias("dot_units"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast evaluation (exact integer error metrics).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "ts_seasonal_naive_eval",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             epoch_ms(ts) // 3600000 AS hour_idx,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, epoch_ms(ts) // 3600000
+    ),
+    j AS (
+      SELECT cur.event_type,
+             abs(cur.cents - prev.cents) AS abs_err
+      FROM h cur JOIN h prev
+        ON prev.event_type = cur.event_type
+       AND prev.hour_idx = cur.hour_idx - 24
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+           CAST(SUM(abs_err) AS BIGINT) AS total_abs_err_cents,
+           CAST(SUM(abs_err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mae_cents
+    FROM j GROUP BY event_type
+    """,
+    doc="[EXT] forecast-evaluation primitive: seasonal-naive baseline "
+    "(predict this hour's per-type revenue = same hour yesterday) scored "
+    "by MAE over exact integer cents — the benchmark every real "
+    "forecasting model must beat, and the standard backtest join shape "
+    "(self-join on the lagged seasonal key; one hourly pre-aggregate "
+    "keeps the join on |hours|, not |events|). MAE = one shared IEEE "
+    "division of exact BIGINTs.",
+    tags=("timeseries",),
+)
+def ts_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    h = ev.groupBy(
+        "event_type", F.expr("unix_millis(ts) div 3600000").alias("hour_idx")
+    ).agg(F.sum(cents).cast("long").alias("cents"))
+    cur, prev = h.alias("cur"), h.alias("prev")
+    j = cur.join(
+        prev,
+        (F.col("prev.event_type") == F.col("cur.event_type"))
+        & (F.col("prev.hour_idx") == F.col("cur.hour_idx") - 24),
+    ).select(
+        F.col("cur.event_type").alias("event_type"),
+        F.abs(F.col("cur.cents") - F.col("prev.cents")).alias("abs_err"),
+    )
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_forecasts"),
+        F.sum("abs_err").cast("long").alias("total_abs_err_cents"),
+        (F.sum("abs_err").cast("double") / F.count("*").cast("double")).alias(
+            "mae_cents"
+        ),
+    )

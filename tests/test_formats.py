@@ -26,3 +26,37 @@ class TestOrcRoundtrip:
         # partition pruning: the scan must not enumerate other priorities
         assert one.count() == src.filter(src["o_orderpriority"] == "1-URGENT").count()
         assert "PartitionFilters" in plan
+
+
+class TestFederatedUnion:
+    def test_union_across_formats_aggregates_once(self, spark, tmp_path):
+        """Federation shape: the same logical table served from parquet, ORC
+        and JSONL unioned into ONE plan — per-format scan nodes, one shared
+        aggregate. Totals equal 3x the single-source result (format
+        transparency: the DataFrame layer doesn't care where rows come
+        from)."""
+        from pyspark.sql import functions as F
+
+        from clinical_api_etl_spark.sources.catalog import load
+
+        nat = load(spark, "/root/testdata/sf0.001", "nation")
+        pq_dir = str(tmp_path / "n_pq")
+        orc_dir = str(tmp_path / "n_orc")
+        jl_dir = str(tmp_path / "n_jl")
+        nat.write.parquet(pq_dir)
+        nat.write.orc(orc_dir)
+        nat.write.json(jl_dir)
+
+        a = spark.read.parquet(pq_dir)
+        b = spark.read.orc(orc_dir)
+        c = spark.read.schema(nat.schema).json(jl_dir)
+        fed = a.unionByName(b).unionByName(c)
+        got = fed.groupBy("n_regionkey").agg(
+            F.count("*").alias("n"), F.sum("n_nationkey").alias("s")
+        )
+        single = nat.groupBy("n_regionkey").agg(
+            F.count("*").alias("n"), F.sum("n_nationkey").alias("s")
+        )
+        g = {r.n_regionkey: (r.n, r.s) for r in got.collect()}
+        s = {r.n_regionkey: (r.n, r.s) for r in single.collect()}
+        assert g == {k: (3 * n, 3 * t) for k, (n, t) in s.items()}
