@@ -1446,3 +1446,205 @@ def ts_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mae_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence fingerprints, chi-square contingency, Gram matrix.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "seq_user_fingerprint",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           md5(string_agg(event_type, '>' ORDER BY ts, event_id)) AS seq_md5
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="[EXT] per-user event-sequence fingerprint: md5 of the event-type "
+    "sequence in deterministic (ts, event_id) order — the training-"
+    "sequence materialization primitive (behavior cloning / session "
+    "models) reduced to a hashable scalar so ORDERED collection is "
+    "value-gated cross-engine (array outputs do not hash portably; the "
+    "digest does). Spark: sort_array over (ts, event_id, type) structs "
+    "inside one agg — no window shuffle, map-side partials.",
+    tags=("sequence",),
+)
+def seq_user_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    seq = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+        ),
+        lambda s: s["event_type"],
+    )
+    return ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.md5(F.array_join(seq, ">")).alias("seq_md5"),
+    )
+
+
+@QS.add(
+    "stat_chisq_contingency",
+    """
+    WITH t AS (
+      SELECT event_type, (epoch_ms(ts) // 86400000) % 7 AS dow FROM events
+    ),
+    o AS (
+      SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS obs
+      FROM t GROUP BY event_type, dow
+    ),
+    r AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS r_total FROM o GROUP BY event_type),
+    c AS (SELECT dow, CAST(SUM(obs) AS BIGINT) AS c_total FROM o GROUP BY dow),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o)
+    SELECT o.event_type, o.dow, o.obs, r.r_total, c.c_total,
+           CAST((n.n * o.obs - r.r_total * c.c_total)
+                * (n.n * o.obs - r.r_total * c.c_total) AS BIGINT) AS num,
+           CAST(n.n * r.r_total * c.c_total AS BIGINT) AS den,
+           CAST((n.n * o.obs - r.r_total * c.c_total)
+                * (n.n * o.obs - r.r_total * c.c_total) AS DOUBLE)
+             / CAST(n.n * r.r_total * c.c_total AS DOUBLE) AS cell_term
+    FROM o JOIN r USING (event_type) JOIN c USING (dow), n
+    """,
+    doc="[EXT] chi-square contingency components for event_type x "
+    "day-of-week independence: per cell the EXACT integers "
+    "(N·O−r·c)² and N·r·c (cell_term = their single IEEE division; "
+    "chi²·N = Σ terms is left to the consumer so no cross-cell float "
+    "fold enters the hash). Day-of-week as epoch-day mod 7 — pure "
+    "integer, no calendar/locale divergence. One count agg + two "
+    "broadcast margins.",
+    tags=("stats",),
+)
+def stat_chisq_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type", (F.expr("unix_millis(ts) div 86400000") % 7).alias("dow")
+    )
+    o = t.groupBy("event_type", "dow").agg(F.count("*").cast("long").alias("obs"))
+    o = o.persist()
+    r = o.groupBy("event_type").agg(F.sum("obs").cast("long").alias("r_total"))
+    c = o.groupBy("dow").agg(F.sum("obs").cast("long").alias("c_total"))
+    n = o.agg(F.sum("obs").cast("long").alias("n"))
+    j = (
+        o.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(n))
+    )
+    diff = F.col("n") * F.col("obs") - F.col("r_total") * F.col("c_total")
+    den = F.col("n") * F.col("r_total") * F.col("c_total")
+    return j.select(
+        "event_type",
+        "dow",
+        "obs",
+        "r_total",
+        "c_total",
+        (diff * diff).cast("long").alias("num"),
+        den.cast("long").alias("den"),
+        ((diff * diff).cast("double") / den.cast("double")).alias("cell_term"),
+    )
+
+
+@QS.add(
+    "emb_gram_matrix",
+    """
+    WITH u AS (
+      SELECT vec_id, g.i AS i,
+             CAST(floor(CAST(embedding[g.i + 1] AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS x
+      FROM embeddings, (SELECT UNNEST(range(0, 64)) AS i) g
+    )
+    SELECT a.i AS dim_i, b.i AS dim_j,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(a.x * b.x) AS BIGINT) AS sum_units
+    FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+    doc="[EXT] Gram / scatter matrix of the embedding corpus (X^T X upper "
+    "triangle, 2080 cells) in exact micro-unit BIGINTs — the covariance/"
+    "PCA-prep primitive. Shape: ONE posexplode to (row, dim, x) then a "
+    "self-equi-join on row bounded to i<=j — shuffles rows×dim, never "
+    "rows×dim² — and one map-side-combinable agg; the 64-wide explode is "
+    "the distributed outer-product accumulation pattern (each partition "
+    "contributes partial sums; cells merge associatively at any scale).",
+    tags=("embedding",),
+)
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    u = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5).cast("long"),
+            )
+        ).alias("i", "x"),
+    )
+    a, b = u.alias("a"), u.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.i") <= F.col("b.i")),
+        )
+        .groupBy(F.col("a.i").alias("dim_i"), F.col("b.i").alias("dim_j"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("a.x") * F.col("b.x")).cast("long").alias("sum_units"),
+        )
+    )
+
+
+_TS_CAP = 1500
+
+
+@QS.add(
+    "trend_theil_sen",
+    f"""
+    WITH s0 AS (
+      SELECT event_type, event_id,
+             epoch_ms(ts) // 86400000 AS x,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+               AS rn
+      FROM events WHERE value IS NOT NULL
+    ),
+    samp AS MATERIALIZED (SELECT * FROM s0 WHERE rn <= {_TS_CAP}),
+    sl AS (
+      SELECT a.event_type,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      FROM samp a
+      JOIN samp b ON a.event_type = b.event_type AND a.rn < b.rn AND a.x != b.x
+    ),
+    m AS (
+      SELECT event_type, quantile_cont(slope, 0.5) AS slope
+      FROM sl GROUP BY event_type
+    )
+    SELECT s.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           ANY_VALUE(m.slope) AS slope_cents_per_day,
+           quantile_cont(CAST(s.y AS DOUBLE) - m.slope * CAST(s.x AS DOUBLE), 0.5)
+             AS intercept_cents
+    FROM samp s JOIN m USING (event_type)
+    GROUP BY s.event_type
+    """,
+    doc="[EXT] Theil-Sen robust trend per event type — the repo's plain "
+    "grouped-map applyInPandas surface (operators/trend.py): median of "
+    "O(cap²) pairwise slopes on a deterministic md5-capped sample, an "
+    "imperative per-group kernel that still FULL value-hash-matches a "
+    "DuckDB pairwise-join twin (float64 slope divisions + interpolated "
+    "medians are correctly-rounded IEEE in both engines). Declared "
+    "Arrow op (plan_audit ARROW_OK).",
+    tags=("stats", "arrow"),
+)
+def trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.trend import theil_sen_trend
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("unix_millis(ts) div 86400000").alias("x"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("y"),
+    )
+    return theil_sen_trend(t, cap=_TS_CAP)

@@ -541,3 +541,32 @@ class TestMortonProperty:
                 for b in range(16)
             )
             assert got[i] == want
+
+
+class TestTheilSen:
+    def test_robust_to_planted_outliers(self, spark):
+        from clinical_api_etl_spark.operators.trend import theil_sen_trend
+
+        # y = 5x + 100 with 20% wild outliers: Theil-Sen recovers the slope
+        rows = []
+        for i in range(100):
+            y = 5 * i + 100
+            if i % 5 == 0:
+                y += 100_000
+            rows.append(("a", i, i, y))
+        df = spark.createDataFrame(rows, "event_type string, event_id long, x long, y long")
+        got = theil_sen_trend(df, cap=100).collect()[0]
+        assert got.n_sampled == 100
+        assert abs(got.slope_cents_per_day - 5.0) < 0.5
+        assert abs(got.intercept_cents - 100.0) < 200
+
+    def test_degenerate_single_x(self, spark):
+        from clinical_api_etl_spark.operators.trend import theil_sen_trend
+
+        df = spark.createDataFrame(
+            [("a", 1, 7, 10), ("a", 2, 7, 20)],
+            "event_type string, event_id long, x long, y long",
+        )
+        got = theil_sen_trend(df).collect()[0]
+        # kernel NaN surfaces as NULL through Arrow — no defined slope
+        assert got.slope_cents_per_day is None

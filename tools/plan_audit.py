@@ -44,6 +44,7 @@ ARROW_OK = {
     "mm_decode_features",
     "mm_audio_features",
     "text_compression_ratio",
+    "trend_theil_sen",
     "mm_resize_images",
     "w5_sessionization",
     "emb_pq_codes",
