@@ -1648,3 +1648,58 @@ def trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("y"),
     )
     return theil_sen_trend(t, cap=_TS_CAP)
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectations over events — whole vocabulary, one scan.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "dq_expectations_events",
+    """
+    SELECT rule, n_violations, n_rows FROM (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_notnull,
+             CAST(SUM(CASE WHEN event_type IS NOT NULL
+                            AND event_type NOT IN
+                                ('click','view','purchase','signup','error')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_inset,
+             CAST(SUM(CASE WHEN value IS NOT NULL
+                            AND (value < -1000.0 OR value > 1000.0)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+             CAST(SUM(CASE WHEN props IS NOT NULL
+                            AND NOT regexp_matches(props, '^\\{.*\\}$')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_json
+      FROM events
+    ) w,
+    LATERAL (VALUES ('value__not_null', w.v_notnull),
+                    ('event_type__in_set', w.v_inset),
+                    ('value__in_range', w.v_range),
+                    ('props__matches', w.v_json)) AS t(rule, n_violations)
+    """,
+    doc="[EXT] declarative data-quality expectations "
+    "(operators/expectations.py — the reference's hardcoded rules "
+    "etl.py:163-194 generalized to a rule vocabulary): not_null / "
+    "in_set / in_range / regex-matches compiled to flag columns and "
+    "counted in ONE scan + ONE aggregate (sum-when partials), unpivoted "
+    "to (rule, n_violations, n_rows). Pure column expressions — the "
+    "whole vocabulary is oracle-expressible and hash-gated.",
+    tags=("quality",),
+)
+def dq_expectations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators import expectations as X
+
+    ev = load(spark, sf_dir, "events")
+    rules = [
+        X.not_null("value"),
+        X.in_set("event_type", ["click", "view", "purchase", "signup", "error"]),
+        X.in_range("value", -1000.0, 1000.0),
+        X.matches("props", r"^\{.*\}$"),
+    ]
+    out = X.violation_counts(ev, rules)
+    # stable rule order for both engines
+    return out.select(
+        F.col("rule"), F.col("n_violations"), F.col("n_rows")
+    )

@@ -570,3 +570,36 @@ class TestTheilSen:
         got = theil_sen_trend(df).collect()[0]
         # kernel NaN surfaces as NULL through Arrow — no defined slope
         assert got.slope_cents_per_day is None
+
+
+class TestExpectations:
+    def test_counts_and_split_agree(self, spark):
+        from clinical_api_etl_spark.operators import expectations as X
+
+        rows = [
+            (1, "ok", 5.0),
+            (2, "ok", None),       # not_null violation
+            (3, "bad", 5.0),       # in_set violation
+            (4, "ok", 99.0),       # in_range violation
+            (5, None, 5.0),        # none (in_set ignores NULL)
+        ]
+        df = spark.createDataFrame(rows, "id long, kind string, v double")
+        rules = [
+            X.not_null("v"),
+            X.in_set("kind", ["ok"]),
+            X.in_range("v", 0.0, 10.0),
+        ]
+        counts = {r.rule: r.n_violations for r in X.violation_counts(df, rules).collect()}
+        assert counts == {"v__not_null": 1, "kind__in_set": 1, "v__in_range": 1}
+        clean, bad = X.quarantine_split(df, rules)
+        assert {r.id for r in clean.collect()} == {1, 5}
+        assert {r.id for r in bad.collect()} == {2, 3, 4}
+        assert "__viol_v__not_null" not in clean.columns
+
+    def test_no_rules_violated_keeps_everything(self, spark):
+        from clinical_api_etl_spark.operators import expectations as X
+
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+        rules = [X.non_blank("s")]
+        clean, bad = X.quarantine_split(df, rules)
+        assert clean.count() == 2 and bad.count() == 0
