@@ -1703,3 +1703,45 @@ def dq_expectations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("rule"), F.col("n_violations"), F.col("n_rows")
     )
+
+
+# ---------------------------------------------------------------------------
+# Window value-function family: first/last/nth/lag-default in one pass.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "w13_value_function_family",
+    """
+    SELECT event_id, event_type,
+           first_value(event_id) OVER w AS first_id,
+           last_value(event_id) OVER w_full AS last_id,
+           nth_value(event_id, 3) OVER w_full AS third_id,
+           lag(event_id, 1, -1) OVER w AS prev_id,
+           lead(event_id, 2, -1) OVER w AS next2_id
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id),
+           w_full AS (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="[EXT] the window VALUE-function family in one pass: first_value, "
+    "whole-partition last_value / nth_value (explicit unbounded frame — "
+    "the default running frame silently yields CURRENT ROW for "
+    "last_value, the classic trap), and lag/lead with non-NULL defaults. "
+    "Deterministic (ts, event_id) ordering; one shuffle, both frames "
+    "share the sort.",
+    tags=("window",),
+)
+def w13_value_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.first("event_id").over(w).alias("first_id"),
+        F.last("event_id").over(w_full).alias("last_id"),
+        F.nth_value("event_id", 3).over(w_full).alias("third_id"),
+        F.lag("event_id", 1, -1).over(w).alias("prev_id"),
+        F.lead("event_id", 2, -1).over(w).alias("next2_id"),
+    )

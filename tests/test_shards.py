@@ -36,3 +36,21 @@ class TestShardPublisher:
         df.write.parquet(path)  # no card written
         with pytest.raises(FileNotFoundError, match="incomplete"):
             read_published(spark, path)
+
+
+class TestPipelinePublish:
+    def test_corpus_pipeline_publishes_and_reads_back(self, spark, tmp_path):
+        """The whole training-data story end-to-end: curated-corpus query ->
+        shard publish -> card totals == query output -> read-back equality."""
+        from clinical_api_etl_spark.plans.registry import all_queries
+
+        q = all_queries()["pipeline_training_corpus"]
+        out = q.builder(spark, "/root/testdata/sf0.001")
+        n = out.count()
+        path = str(tmp_path / "published")
+        card = publish_shards(out, path, rows_per_shard=50, partitions=2)
+        spark.catalog.clearCache()
+        assert card["n_rows"] == n
+        back, card2 = read_published(spark, path)
+        assert back.count() == n
+        assert sorted(back.columns) == sorted(out.columns)
