@@ -1017,3 +1017,68 @@ class TestStreamingCountMin:
         )
         q.awaitTermination()
         assert state == batch_sketch
+
+
+class TestStreamingScd2AsOfEnrichment:
+    def test_stream_facts_join_dimension_as_of_event_time(self, spark, tmp_path):
+        """Streaming facts enriched against an SCD2 dimension AS OF each
+        fact's event time (foreachBatch + range predicate over the version
+        intervals): a fact timestamped before a dimension change picks up
+        the OLD attribute version, one after picks up the NEW — and the
+        streamed result equals the batch temporal join."""
+        from datetime import datetime
+
+        from clinical_api_etl_spark.sources.sinks import ParquetWarehouse
+
+        t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+        wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+
+        # dimension: tier changes for user 7 at noon
+        v1 = spark.createDataFrame(
+            [(7, "bronze", t("2024-01-01T00:00:00"))], "user_id long, tier string, ts timestamp"
+        )
+        v2 = spark.createDataFrame(
+            [(7, "gold", t("2024-01-01T12:00:00"))], "user_id long, tier string, ts timestamp"
+        )
+        wh.scd2_merge("dim_users", v1, ["user_id"], ts_col="ts")
+        wh.scd2_merge("dim_users", v2, ["user_id"], ts_col="ts")
+        dim = wh.read("dim_users")
+
+        src = tmp_path / "facts"
+        src.mkdir()
+        fschema = "fact_id long, user_id long, ts timestamp"
+        facts = [
+            (1, 7, t("2024-01-01T08:00:00")),  # before the change -> bronze
+            (2, 7, t("2024-01-01T15:00:00")),  # after -> gold
+        ]
+        spark.createDataFrame(facts, fschema).coalesce(1).write.parquet(str(src), mode="append")
+
+        def enrich(f, d):
+            cond = (
+                (f["user_id"] == d["user_id"])
+                & (d["valid_from"] <= f["ts"])
+                & (f["ts"] < F.coalesce(d["valid_to"], F.lit(t("9999-01-01T00:00:00"))))
+            )
+            return f.join(F.broadcast(d), cond).select(
+                f["fact_id"], f["ts"], d["tier"]
+            )
+
+        batch_expect = {
+            (r.fact_id, r.tier)
+            for r in enrich(spark.createDataFrame(facts, fschema), dim).collect()
+        }
+        assert batch_expect == {(1, "bronze"), (2, "gold")}
+
+        out: list = []
+        q = (
+            spark.readStream.schema(fschema)
+            .parquet(str(src))
+            .writeStream.foreachBatch(
+                lambda df, bid: out.extend(enrich(df, wh.read("dim_users")).collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "scd2e_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert {(r.fact_id, r.tier) for r in out} == batch_expect
