@@ -55,6 +55,37 @@ def main() -> int:
         "distributed passes, the posture that amortizes at 100 TB.",
         "",
     ]
+
+    try:
+        with open(os.path.join(ROOT, "scale_probe.json")) as f:
+            probe = json.load(f)
+    except FileNotFoundError:
+        probe = None
+    if probe:
+        factor = probe["factor"]
+        lines += [
+            f"## Scaling check: sf0.1 vs synthetic {factor}x "
+            "(tools/scale_probe.py)",
+            "",
+            f"Wall-time ratio at {factor}x the data (disjoint id ranges, "
+            "regenerated keys, perturbed documents). Ratio << data ratio "
+            "= fixed overheads still dominate (headroom on 32 cores); "
+            "ratio tracking OUTPUT growth (dedup: planted variant cliques "
+            "multiply true pairs) is output-bound, not super-linear.",
+            "",
+            "| query | sf0.1 s | x%d s | time ratio | rows sf0.1 | rows x%d |"
+            % (factor, factor),
+            "|---|---:|---:|---:|---:|---:|",
+        ]
+        key = f"x{factor}"
+        for name, v in sorted(
+            probe["queries"].items(), key=lambda kv: -kv[1]["time_ratio"]
+        ):
+            lines.append(
+                f"| {name} | {v['base']['sec']:.2f} | {v[key]['sec']:.2f} | "
+                f"x{v['time_ratio']} | {v['base']['rows']} | {v[key]['rows']} |"
+            )
+        lines.append("")
     out = os.path.join(ROOT, "PERF.md")
     with open(out, "w") as f:
         f.write("\n".join(lines))

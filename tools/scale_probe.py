@@ -1,0 +1,184 @@
+"""Scaling probe: measure selected operators at sf0.1 vs a synthetic 10x.
+
+The bench gate runs at sf0.1; this tool answers the next question — "what
+happens at 10x?" — by synthesizing a faithful 10x dataset (disjoint id
+ranges per copy, regenerated names so key-derived operators see real new
+keys, suffix-perturbed documents) and timing a representative operator
+slice at both scales. Ratios near the data ratio (10) mean the operator is
+compute-bound and scaling linearly; ratios well BELOW it mean fixed
+overheads still dominate at sf0.1 (headroom); ratios far ABOVE it flag
+super-linear blowup (the thing to fix).
+
+Usage: python tools/scale_probe.py [factor] [out_json]
+Writes scale_probe.json at the repo root by default.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+
+QUERIES = [
+    "sketch_cm_user_counts",
+    "audit_table_digest",
+    "hist_equidepth_value",
+    "stat_pearson_value_time",
+    "split_group_holdout",
+    "layout_morton_codes",
+    "fuzzy_name_matches",
+    "mine_association_rules",
+    "graph_triangle_count",
+    "dedup_ngram_jaccard",
+    "seq_user_fingerprint",
+    "emb_gram_matrix",
+]
+
+
+def synthesize(spark, factor: int, dest: str) -> None:
+    from pyspark.sql import functions as F
+
+    from clinical_api_etl_spark.sources.catalog import load
+
+    os.makedirs(dest, exist_ok=True)
+
+    ev = load(spark, BASE, "events")
+    n_ev = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    n_user = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    copies = []
+    for k in range(factor):
+        copies.append(
+            ev.select(
+                (F.col("event_id") + k * n_ev).alias("event_id"),
+                (F.col("ts") + F.expr(f"INTERVAL {k} SECONDS")).alias("ts"),
+                (F.col("user_id") + k * n_user).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(f"{dest}/events.parquet")
+
+    cust = load(spark, BASE, "customer")
+    n_c = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+    ccopies = []
+    for k in range(factor):
+        key = F.col("c_custkey") + k * n_c
+        ccopies.append(
+            cust.select(
+                key.alias("c_custkey"),
+                F.concat(F.lit("Customer#"), F.lpad(key.cast("string"), 9, "0")).alias(
+                    "c_name"
+                ),
+                "c_nationkey",
+                "c_acctbal",
+                "c_mktsegment",
+            )
+        )
+    out = ccopies[0]
+    for c in ccopies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(f"{dest}/customer.parquet")
+
+    li = load(spark, BASE, "lineitem")
+    n_o = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    n_p = li.agg(F.max("l_partkey")).collect()[0][0] + 1
+    lcopies = []
+    for k in range(factor):
+        lcopies.append(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + k * n_o).withColumn(
+                "l_partkey", F.col("l_partkey") + k * n_p
+            )
+        )
+    out = lcopies[0]
+    for c in lcopies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(f"{dest}/lineitem.parquet")
+
+    docs = load(spark, BASE, "documents")
+    n_d = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    dcopies = []
+    for k in range(factor):
+        dcopies.append(
+            docs.select(
+                (F.col("doc_id") + k * n_d).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" variant{k}")).alias("text"),
+                "lang",
+                "source",
+                (F.col("n_chars") + F.lit(len(f" variant{k}"))).alias("n_chars"),
+            )
+        )
+    out = dcopies[0]
+    for c in dcopies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(f"{dest}/documents.parquet")
+
+    emb = load(spark, BASE, "embeddings")
+    n_v = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    ecopies = [
+        emb.withColumn("vec_id", F.col("vec_id") + k * n_v) for k in range(factor)
+    ]
+    out = ecopies[0]
+    for c in ecopies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(f"{dest}/embeddings.parquet")
+
+
+def main() -> int:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_path = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scale_probe.json")
+    )
+    from clinical_api_etl_spark.plans.registry import all_queries
+    from clinical_api_etl_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    qs = all_queries()
+    dest = tempfile.mkdtemp(prefix="scale_probe_")
+    try:
+        t0 = time.time()
+        synthesize(spark, factor, dest)
+        gen_s = round(time.time() - t0, 1)
+        print(f"# synthesized {factor}x under {dest} in {gen_s}s", file=sys.stderr)
+
+        results = {}
+        for name in QUERIES:
+            q = qs[name]
+            times = {}
+            for label, d in (("base", BASE), (f"x{factor}", dest)):
+                best = None
+                rows = None
+                for _ in range(2):
+                    t0 = time.time()
+                    rows = q.builder(spark, d).count()
+                    dt = time.time() - t0
+                    spark.catalog.clearCache()
+                    best = dt if best is None else min(best, dt)
+                times[label] = {"sec": round(best, 3), "rows": rows}
+            ratio = round(times[f"x{factor}"]["sec"] / max(times["base"]["sec"], 1e-9), 2)
+            results[name] = {**times, "time_ratio": ratio}
+            print(f"# {name}: {times['base']['sec']}s -> "
+                  f"{times[f'x{factor}']['sec']}s (x{ratio})", file=sys.stderr)
+        payload = {"factor": factor, "base": BASE, "queries": results}
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=2, sort_keys=True)
+        print(json.dumps({"wrote": out_path, "factor": factor}))
+        return 0
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
