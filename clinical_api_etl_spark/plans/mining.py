@@ -1745,3 +1745,83 @@ def w13_value_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_id", 1, -1).over(w).alias("prev_id"),
         F.lead("event_id", 2, -1).over(w).alias("next2_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Text cleaning: consecutive-token stutter removal + canonical normalization.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "text_dedup_consecutive_tokens",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, toks,
+             [toks[i] FOR i IN range(1, len(toks) + 1)
+              IF i = 1 OR toks[i] != toks[i - 1]] AS clean
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(toks) - len(clean) AS BIGINT) AS n_removed,
+           md5(array_to_string(clean, ' ')) AS clean_md5
+    FROM kept
+    """,
+    doc="[EXT] within-document stutter removal (the cleaning pass for "
+    "token/line repeats: 'the the', duplicated boilerplate lines): keep "
+    "token i iff it differs from token i-1 — an index-aware filter "
+    "expressed entirely in array expressions (no UDF, no explode), "
+    "rebuilt text pinned byte-exact via md5. DuckDB twin is a list "
+    "comprehension over the same split.",
+    tags=("text",),
+)
+def text_dedup_consecutive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    clean = F.filter(
+        F.col("toks"),
+        lambda tok, i: (i == 0) | (tok != F.element_at(F.col("toks"), i)),
+    )
+    out = t.withColumn("clean", clean)
+    return out.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size("clean")).cast("long").alias("n_removed"),
+        F.md5(F.array_join("clean", " ")).alias("clean_md5"),
+    )
+
+
+@QS.add(
+    "text_normalize_canonical",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(
+                 regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                 ' +', ' ', 'g'))) AS canon_md5,
+           CAST(length(trim(regexp_replace(
+                 regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                 ' +', ' ', 'g'))) AS BIGINT) AS canon_len
+    FROM documents
+    """,
+    doc="[EXT] canonical text normalization (the pre-dedup/pre-fingerprint "
+    "pass: lowercase, strip non-alphanumerics, collapse whitespace) with "
+    "the output pinned byte-exact via md5. Regex kept inside the "
+    "Java-regex ∩ RE2 common subset (simple character classes — the "
+    "text.redact_pii discipline) so both engines transform identically.",
+    tags=("text",),
+)
+def text_normalize_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(canon).alias("canon_md5"),
+        F.length(canon).cast("long").alias("canon_len"),
+    )
