@@ -1825,3 +1825,59 @@ def text_normalize_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(canon).alias("canon_md5"),
         F.length(canon).cast("long").alias("canon_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global enumeration without a global single-task sort.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "seq_global_event_index",
+    """
+    WITH d AS (
+      SELECT *, epoch_ms(ts) // 86400000 AS day FROM events
+    ),
+    counts AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY day
+    ),
+    offs AS (
+      SELECT day,
+             CAST(COALESCE(SUM(c) OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS off
+      FROM counts
+    )
+    SELECT d.event_id,
+           CAST(o.off + row_number() OVER (PARTITION BY d.day
+                                           ORDER BY d.ts, d.event_id) - 1
+                AS BIGINT) AS global_idx
+    FROM d JOIN offs o USING (day)
+    """,
+    doc="[EXT] deterministic GLOBAL row enumeration (training-order "
+    "assignment, exact global ranks) without the single-task global "
+    "window: per-day counts (one agg over a tiny key set) -> cumulative "
+    "offsets (window over |days| rows, driver-scale) -> within-day "
+    "row_number + offset. Every step is keyed on the natural time "
+    "partition, so at 100 TB the heavy window runs per day-partition in "
+    "parallel while the offset table stays metadata-sized. Gap-free and "
+    "collision-free by construction; hash-gated against DuckDB's "
+    "straight global row_number (same (ts, event_id) total order).",
+    tags=("sequence",),
+)
+def seq_global_event_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    d = ev.withColumn("day", F.expr("unix_millis(ts) div 86400000"))
+    counts = d.groupBy("day").agg(F.count("*").cast("long").alias("c"))
+    w_off = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "day", F.coalesce(F.sum("c").over(w_off), F.lit(0)).cast("long").alias("off")
+    )
+    w_day = Window.partitionBy("day").orderBy("ts", "event_id")
+    return d.join(F.broadcast(offs), "day").select(
+        "event_id",
+        (F.col("off") + F.row_number().over(w_day) - 1).cast("long").alias("global_idx"),
+    )

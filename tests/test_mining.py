@@ -639,3 +639,12 @@ class TestTextCleaning:
         again = {r.doc_id: r.canon_md5 for r in text_normalize_canonical(
             spark, "/root/testdata/sf0.001").collect()}
         assert {r.doc_id: r.canon_md5 for r in rows} == again
+
+
+class TestGlobalIndex:
+    def test_gap_free_and_order_preserving(self, spark):
+        from clinical_api_etl_spark.plans.mining import seq_global_event_index
+
+        rows = seq_global_event_index(spark, "/root/testdata/sf0.001").collect()
+        idxs = sorted(r.global_idx for r in rows)
+        assert idxs == list(range(len(rows)))  # gap-free, collision-free
