@@ -76,11 +76,16 @@ DIM_SMJ_OK = {"j2_nation_balance_full_outer"}
 #: `isnotnull(date_trunc('day', ts))` on the days side — a predicate over
 #: a derived expression, which parquet cannot evaluate (ts itself carries
 #: no filter in that query).
+#: seq_global_event_index: the USING-join on `day` infers
+#: `isnotnull(unix_millis(ts) div 86400000)` — a predicate over a derived
+#: expression (same category as w12's date_trunc entry); no base-column
+#: filter exists in that query.
 NO_PUSHDOWN_OK = {
     "f9_recent_window_counts",
     "range_join_global_burst",
     "text_repetition_scores",
     "w12_rolling_7d_distinct_users",
+    "seq_global_event_index",
 }
 
 
