@@ -1881,3 +1881,135 @@ def seq_global_event_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (F.col("off") + F.row_number().over(w_day) - 1).cast("long").alias("global_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random walks over the co-purchase graph (node2vec prep).
+# ---------------------------------------------------------------------------
+
+_WALK_STEPS = 4
+_WALK_STARTS = 50
+
+
+def _walks_oracle() -> str:
+    steps = []
+    prev = "w0"
+    for t in range(1, _WALK_STEPS + 1):
+        steps.append(f"""
+    w{t} AS MATERIALIZED (
+      SELECT w.walker, a.dst AS node,
+             w.path || '>' || CAST(a.dst AS VARCHAR) AS path
+      FROM {prev} w
+      JOIN deg d ON d.src = w.node
+      JOIN adj a ON a.src = w.node
+       AND a.idx = CAST('0x' || substr(md5('w{t}:' || CAST(w.walker AS VARCHAR)), 1, 4)
+                        AS INTEGER) % d.deg + 1
+    )""")
+        prev = f"w{t}"
+    its = ",".join(steps)
+    return f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= {_TRI_SUPPORT}
+    ),
+    sym AS (SELECT u AS src, v AS dst FROM e0
+            UNION ALL SELECT v AS src, u AS dst FROM e0),
+    adj AS MATERIALIZED (
+      SELECT src, dst,
+             CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS INTEGER)
+               AS idx
+      FROM sym
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS INTEGER) AS deg FROM sym GROUP BY src),
+    starts AS (
+      SELECT src AS walker FROM deg ORDER BY src LIMIT {_WALK_STARTS}
+    ),
+    w0 AS (SELECT walker, walker AS node, CAST(walker AS VARCHAR) AS path
+           FROM starts)
+    ,{its}
+    SELECT walker, path, node AS end_node FROM {prev}
+    """
+
+
+@QS.add(
+    "graph_random_walks",
+    _walks_oracle(),
+    doc=f"[EXT] deterministic random-walk generation ({_WALK_STARTS} "
+    f"walkers x {_WALK_STEPS} steps) over the co-purchase graph — the "
+    "node2vec/DeepWalk training-corpus prep, RNG-free: each step picks "
+    "neighbor index md5(step:walker) mod degree over a row_number-"
+    "indexed adjacency, so walks are identical in any engine/run/"
+    "partitioning. Third iterative algorithm under a full value hash "
+    "(unrolled MATERIALIZED CTE twin); per step ONE broadcast join of "
+    "the walker frontier onto the indexed adjacency. Walker state stays "
+    "|walkers| rows; the adjacency builds once.",
+    tags=("graph",),
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= _TRI_SUPPORT)
+        .select("u", "v")
+    )
+    sym = e0.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        e0.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    adj = sym.select(
+        "src",
+        "dst",
+        F.row_number()
+        .over(Window.partitionBy("src").orderBy("dst"))
+        .cast("int")
+        .alias("idx"),
+    ).localCheckpoint(eager=True)
+    deg = adj.groupBy("src").agg(F.max("idx").cast("int").alias("deg"))
+    adj_deg = adj.join(F.broadcast(deg), "src").localCheckpoint(eager=True)
+
+    starts = (
+        deg.select(F.col("src").alias("walker"))
+        .orderBy("walker")
+        .limit(_WALK_STARTS)
+    )
+    w = starts.select(
+        "walker",
+        F.col("walker").alias("node"),
+        F.col("walker").cast("string").alias("path"),
+    ).localCheckpoint(eager=True)
+    for t in range(1, _WALK_STEPS + 1):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"w{t}:"), F.col("walker").cast("string"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % F.col("deg")
+            + 1
+        )
+        w = (
+            w.join(F.broadcast(adj_deg), w["node"] == adj_deg["src"])
+            .filter(F.col("idx") == pick)
+            .select(
+                "walker",
+                F.col("dst").alias("node"),
+                F.concat(F.col("path"), F.lit(">"), F.col("dst").cast("string")).alias(
+                    "path"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return w.select("walker", "path", F.col("node").alias("end_node"))

@@ -648,3 +648,21 @@ class TestGlobalIndex:
         rows = seq_global_event_index(spark, "/root/testdata/sf0.001").collect()
         idxs = sorted(r.global_idx for r in rows)
         assert idxs == list(range(len(rows)))  # gap-free, collision-free
+
+
+class TestRandomWalks:
+    def test_walks_follow_edges_and_are_deterministic(self, spark):
+        from clinical_api_etl_spark.plans.mining import (
+            _WALK_STEPS,
+            graph_random_walks,
+        )
+
+        rows1 = {r.walker: r.path for r in graph_random_walks(spark, "/root/testdata/sf0.001").collect()}
+        spark.catalog.clearCache()
+        rows2 = {r.walker: r.path for r in graph_random_walks(spark, "/root/testdata/sf0.001").collect()}
+        spark.catalog.clearCache()
+        assert rows1 == rows2  # RNG-free: identical across runs
+        for walker, path in rows1.items():
+            nodes = path.split(">")
+            assert len(nodes) == _WALK_STEPS + 1
+            assert int(nodes[0]) == walker
