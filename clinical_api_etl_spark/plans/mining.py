@@ -2013,3 +2013,51 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return w.select("walker", "path", F.col("node").alias("end_node"))
+
+
+_SG_WINDOW = 2
+
+
+@QS.add(
+    "graph_walk_skipgrams",
+    f"""
+    WITH walks AS MATERIALIZED ({_walks_oracle()}),
+    toks AS (
+      SELECT walker, string_split(path, '>') AS l FROM walks
+    ),
+    pos AS (
+      SELECT walker, g.i AS i, CAST(l[g.i] AS BIGINT) AS node
+      FROM toks, (SELECT UNNEST(range(1, {_WALK_STEPS + 2})) AS i) g
+    )
+    SELECT a.node AS center, b.node AS context,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pos a JOIN pos b
+      ON a.walker = b.walker AND a.i != b.i
+     AND abs(a.i - b.i) <= {_SG_WINDOW}
+    GROUP BY a.node, b.node
+    """,
+    doc="[EXT] skip-gram co-occurrence pairs from the deterministic walks "
+    f"(window {_SG_WINDOW}) — the (center, context, count) table word2vec/"
+    "node2vec trains on. Walk corpus -> posexplode -> windowed self-join "
+    "per walker -> one count agg; composes the walk generator, so the "
+    "whole graph-embedding data path (graph -> walks -> training pairs) "
+    "is value-hash-gated end to end.",
+    tags=("graph",),
+)
+def graph_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    walks = graph_random_walks(spark, sf_dir)
+    toks = walks.select("walker", F.split("path", ">").alias("l"))
+    pos = toks.select(
+        "walker", F.posexplode("l").alias("i", "node_s")
+    ).select("walker", (F.col("i") + 1).alias("i"), F.col("node_s").cast("long").alias("node"))
+    a, b = pos.alias("a"), pos.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.walker") == F.col("b.walker"))
+            & (F.col("a.i") != F.col("b.i"))
+            & (F.abs(F.col("a.i") - F.col("b.i")) <= _SG_WINDOW),
+        )
+        .groupBy(F.col("a.node").alias("center"), F.col("b.node").alias("context"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )

@@ -666,3 +666,15 @@ class TestRandomWalks:
             nodes = path.split(">")
             assert len(nodes) == _WALK_STEPS + 1
             assert int(nodes[0]) == walker
+
+
+class TestSkipgrams:
+    def test_symmetric_counts(self, spark):
+        from clinical_api_etl_spark.plans.mining import graph_walk_skipgrams
+
+        rows = graph_walk_skipgrams(spark, "/root/testdata/sf0.001").collect()
+        spark.catalog.clearCache()
+        got = {(r.center, r.context): r.cnt for r in rows}
+        # the window relation is symmetric: (a,b) and (b,a) counts match
+        for (c, x), n in got.items():
+            assert got.get((x, c)) == n
