@@ -1,18 +1,35 @@
-"""[EXT] Round-6 data-mining surfaces: fuzzy matching, graph analytics,
-mergeable sketches, multi-dim layout, weighted/grouped sampling, pooled
-embeddings, audio features.
+"""[EXT] Round-6 data-mining surfaces.
 
 The reference has no analogue for any of these (its string handling is
-exact normalization, ``etl.py:109-150``; no graph/sketch/layout surface) —
-they are the [EXT] operations a large-scale training-data pipeline needs.
-Everything here is DuckDB-hash-gated except where noted; the recurring
-portability tricks:
+exact normalization, ``etl.py:109-150``; no graph/sketch/stats surface) —
+they are the [EXT] operations a large-scale training-data pipeline needs:
+
+- fuzzy matching (symmetric-delete edit-distance join);
+- graph analytics (frequent-pair triangles, k-core peeling, deterministic
+  random walks + skip-gram pairs — three iterative algorithms under full
+  value hashes via unrolled MATERIALIZED CTE oracles);
+- mergeable sketches (count-min; theta set algebra);
+- multi-dimensional layout (Morton/Z-order codes);
+- sampling (weighted Bernoulli, group-holdout splits, negative sampling);
+- embedding algebra (label centroids, inter-label affinity, Gram matrix);
+- media kernels (hash-gated audio PCM features; zlib quality signal);
+- exact-arithmetic statistics (Pearson, Spearman, CUSUM change-points,
+  MAD, Gini, chi-square components, winsorization, equi-depth histograms,
+  seasonal-naive forecast MAE, Theil-Sen grouped-map);
+- association rules; cross-engine table digests; declarative expectations;
+- sequence surfaces (ordered fingerprints, no-global-sort enumeration);
+- text cleaning (stutter removal, canonical normalization).
+
+Everything is DuckDB-hash-gated except ``text_compression_ratio`` (no SQL
+deflate); the recurring portability tricks:
 
 - numeric hash slots via ``conv(substr(md5(x),1,4),16,10)`` on the Spark
   side and ``CAST('0x' || substr(md5(x),1,4) AS INTEGER)`` on DuckDB —
   identical 16-bit integers from the same md5 hex;
 - exact integer arithmetic everywhere a float boundary could diverge
-  (counts, cents, micro-units, floor-div).
+  (counts, cents, micro-units, floor-div), with floats admitted to the
+  hash only as single correctly-rounded IEEE ops over exact integers;
+- deterministic ties everywhere ranks/argmax appear (unique-id tiebreak).
 """
 
 from __future__ import annotations
