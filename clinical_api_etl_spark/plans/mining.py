@@ -2078,3 +2078,79 @@ def graph_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.node").alias("center"), F.col("b.node").alias("context"))
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Share-of-total window + boolean/conditional aggregate family.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "w14_share_of_total",
+    """
+    WITH t AS (
+      SELECT event_type, user_id,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, user_id
+    )
+    SELECT event_type, user_id, cents,
+           CAST((cents * 1000000) // SUM(cents) OVER (PARTITION BY event_type)
+                AS BIGINT) AS share_ppm
+    FROM t
+    """,
+    doc="[EXT] ratio-to-report: each user's share of their event type's "
+    "total as exact parts-per-million (BIGINT scale-then-floor-div — no "
+    "float division in the hash). One pre-aggregate + one unordered "
+    "partition window (no sort: the frame is the whole partition).",
+    tags=("window",),
+)
+def w14_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    t = ev.groupBy("event_type", "user_id").agg(F.sum(cents).cast("long").alias("cents"))
+    w = Window.partitionBy("event_type")
+    return t.select(
+        "event_type",
+        "user_id",
+        "cents",
+        F.expr("cents * 1000000").cast("long").alias("_scaled"),
+    ).select(
+        "event_type",
+        "user_id",
+        "cents",
+        F.expr("_scaled div sum(cents) over (partition by event_type)")
+        .cast("long")
+        .alias("share_ppm"),
+    )
+
+
+@QS.add(
+    "a17_boolean_agg_family",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE value > 50.0) AS BIGINT) AS n_big,
+           bool_and(value IS NOT NULL) AS all_valued,
+           bool_or(value > 99.0) AS any_near_max,
+           CAST(MAX(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS INT)
+             AS has_nulls
+    FROM events GROUP BY event_type
+    """,
+    doc="[EXT] the boolean/conditional aggregate family: count_if, "
+    "every/bool_and, some/bool_or, and a null-presence flag — one "
+    "map-side-combinable agg. Completes the aggregate-function surface "
+    "alongside argmax (agg_argmax_per_type), bitmap/HLL distinct and the "
+    "numeric families.",
+    tags=("agg",),
+)
+def a17_boolean_agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 50.0).cast("long").alias("n_big"),
+        F.bool_and(F.col("value").isNotNull()).alias("all_valued"),
+        F.bool_or(F.col("value") > 99.0).alias("any_near_max"),
+        F.max(F.when(F.col("value").isNull(), 1).otherwise(0)).cast("int").alias(
+            "has_nulls"
+        ),
+    )
