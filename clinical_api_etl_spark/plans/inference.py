@@ -1,0 +1,507 @@
+"""Statistical inference + sequence-LM prep + SQL-surface extensions. [EXT]
+
+Round-7 family: hypothesis-test statistics under the exact-arithmetic
+discipline (every component that CAN be an integer is a BIGINT; the final
+test statistic is a fixed IEEE expression tree both engines evaluate
+identically), an autocorrelation diagnostic, a dyadic-weight EWMA window,
+a correlated LATERAL top-N, and trigram language-model counts.
+
+Scale posture notes per query; shared rules:
+
+- Rank statistics are computed from VALUE HISTOGRAMS, never per-row
+  windows — the Mann-Whitney scan aggregates to (group, value) counts
+  first, so the windowed cumulative walk touches |distinct values| rows,
+  not |events|.
+- Magnitude bound: cents ≤ ~5·10^4, so n·Σx² stays under 2^63 through
+  sf≈0.3 per group; beyond that the components need a per-group mean
+  offset (subtract a pivot before squaring) — documented, not needed at
+  driver scales.
+
+Reference parity: the reference has no inference surface (pandas means
+only, ``etl.py:201-210``); this family is [EXT] toward the
+training-data-pipeline mandate (corpus A/B comparisons, drift tests,
+decay-weighted features, LM count tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clinical_api_etl_spark.functions.text import tokens
+from clinical_api_etl_spark.plans.base import QuerySet
+from clinical_api_etl_spark.sources.catalog import load
+
+QS = QuerySet()
+
+_HOUR_MS = 3600000
+
+#: Exact cents view of ``events.value`` (both engines; value has 2 decimals).
+_CENTS = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def _cents() -> F.Column:
+    return (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) over all event-type pairs.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_mannwhitney_pairs",
+    f"""
+    WITH t AS (
+      SELECT event_type AS g, {_CENTS} AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    hist AS (
+      SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY g, x
+    ),
+    types AS (SELECT DISTINCT g AS o FROM t),
+    sides AS (
+      SELECT least(h.g, ty.o) AS ga, greatest(h.g, ty.o) AS gb,
+             h.g AS side, h.x AS x, h.c AS c
+      FROM hist h JOIN types ty ON ty.o <> h.g
+    ),
+    merged AS (
+      SELECT ga, gb, x,
+             CAST(COALESCE(SUM(c) FILTER (WHERE side = ga), 0) AS BIGINT) AS ca,
+             CAST(COALESCE(SUM(c) FILTER (WHERE side = gb), 0) AS BIGINT) AS cb
+      FROM sides GROUP BY ga, gb, x
+    ),
+    walked AS (
+      SELECT ga, gb, ca, cb, (ca + cb) AS tc,
+             SUM(ca + cb) OVER (PARTITION BY ga, gb ORDER BY x
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - (ca + cb) AS cum_before
+      FROM merged
+    )
+    SELECT ga, gb,
+           CAST(SUM(ca) AS BIGINT) AS n_a,
+           CAST(SUM(cb) AS BIGINT) AS n_b,
+           CAST(SUM(ca * (2 * cum_before + tc + 1))
+                - SUM(ca) * (SUM(ca) + 1) AS BIGINT) AS u_a_x2,
+           CAST(2 * SUM(ca) * SUM(cb)
+                - (SUM(ca * (2 * cum_before + tc + 1))
+                   - SUM(ca) * (SUM(ca) + 1)) AS BIGINT) AS u_b_x2,
+           CAST(SUM(tc * tc * tc - tc) AS BIGINT) AS tie_adj
+    FROM walked GROUP BY ga, gb
+    """,
+    doc="[EXT] Mann-Whitney U rank-sum test between every pair of event "
+    "types over exact value cents — the nonparametric corpus-drift / A-B "
+    "test. Tie handling is midrank, kept integer by DOUBLING: the doubled "
+    "average rank of a tied block is 2·cum_before + t + 1 exactly, so "
+    "U×2 and the tie-correction term Σ(t³−t) are exact BIGINTs (z-scores "
+    "are one sqrt + division away and omitted to keep the output pure "
+    "integer). Scale shape: ranks come from a (group, value) HISTOGRAM — "
+    "the per-pair cumulative walk is a window over distinct values only, "
+    "and the pair fan-out multiplies the histogram (×k−1), never the "
+    "fact table. Sanity invariant u_a_x2 + u_b_x2 = 2·n_a·n_b is "
+    "enforced by construction of u_b.",
+    tags=("stats",),
+)
+def stat_mannwhitney_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = ev.select(F.col("event_type").alias("g"), _cents().alias("x"))
+    hist = t.groupBy("g", "x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    types = t.select(F.col("g").alias("o")).distinct()
+    sides = hist.join(F.broadcast(types), F.col("o") != F.col("g")).select(
+        F.least("g", "o").alias("ga"),
+        F.greatest("g", "o").alias("gb"),
+        F.col("g").alias("side"),
+        "x",
+        "c",
+    )
+    merged = sides.groupBy("ga", "gb", "x").agg(
+        F.coalesce(F.sum(F.when(F.col("side") == F.col("ga"), F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("ca"),
+        F.coalesce(F.sum(F.when(F.col("side") == F.col("gb"), F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    w = (
+        Window.partitionBy("ga", "gb")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tc = F.col("ca") + F.col("cb")
+    walked = merged.select(
+        "ga",
+        "gb",
+        "ca",
+        "cb",
+        tc.alias("tc"),
+        (F.sum(tc).over(w) - tc).alias("cum_before"),
+    )
+    agg = walked.groupBy("ga", "gb").agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.col("ca") * (2 * F.col("cum_before") + F.col("tc") + 1)).alias("ra2"),
+        F.sum(F.col("tc") * F.col("tc") * F.col("tc") - F.col("tc"))
+        .cast("long")
+        .alias("tie_adj"),
+    )
+    u_a = F.col("ra2") - F.col("n_a") * (F.col("n_a") + 1)
+    return agg.select(
+        "ga",
+        "gb",
+        "n_a",
+        "n_b",
+        u_a.cast("long").alias("u_a_x2"),
+        (2 * F.col("n_a") * F.col("n_b") - u_a).cast("long").alias("u_b_x2"),
+        "tie_adj",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test over all event-type pairs.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_welch_ttest_pairs",
+    f"""
+    WITH t AS (
+      SELECT event_type AS g, {_CENTS} AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    c AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM t GROUP BY g
+    )
+    SELECT a.g AS ga, b.g AS gb, a.n AS n_a, b.n AS n_b,
+           CAST(a.n * a.sxx - a.sx * a.sx AS BIGINT) AS ssq_a,
+           CAST(b.n * b.sxx - b.sx * b.sx AS BIGINT) AS ssq_b,
+           (CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE)
+            - CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE))
+             / sqrt(CAST(a.n * a.sxx - a.sx * a.sx AS DOUBLE)
+                      / CAST(a.n * a.n * (a.n - 1) AS DOUBLE)
+                    + CAST(b.n * b.sxx - b.sx * b.sx AS DOUBLE)
+                      / CAST(b.n * b.n * (b.n - 1) AS DOUBLE)) AS t_welch
+    FROM c a JOIN c b ON a.g < b.g
+    """,
+    doc="[EXT] Welch's unequal-variance t statistic between every pair of "
+    "event types on exact cents. The sufficient statistics (n, Σx, Σx²) "
+    "are ONE map-side-combinable aggregate — the mergeable form a 100 TB "
+    "scan ships per partition; the pair join runs on the k-row aggregate "
+    "(k² never N²). The float t is a FIXED expression tree — two "
+    "divisions of exact BIGINTs per side, one add, one correctly-rounded "
+    "sqrt, one subtract, one divide — applied in the same order by both "
+    "engines, so it hash-matches bit-identically (same discipline as "
+    "stat_pearson_value_time). ssq components stay integer for "
+    "downstream exact use.",
+    tags=("stats",),
+)
+def stat_welch_ttest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = ev.select(F.col("event_type").alias("g"), _cents().alias("x"))
+    c = t.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    a = c.select(*[F.col(x).alias(f"{x}_a") for x in ("g", "n", "sx", "sxx")])
+    b = c.select(*[F.col(x).alias(f"{x}_b") for x in ("g", "n", "sx", "sxx")])
+    j = a.join(F.broadcast(b), F.col("g_a") < F.col("g_b"))
+
+    def ssq(s: str) -> F.Column:
+        return F.col(f"n_{s}") * F.col(f"sxx_{s}") - F.col(f"sx_{s}") * F.col(
+            f"sx_{s}"
+        )
+
+    def s2n(s: str) -> F.Column:
+        den = F.col(f"n_{s}") * F.col(f"n_{s}") * (F.col(f"n_{s}") - 1)
+        return ssq(s).cast("double") / den.cast("double")
+
+    mean_diff = F.col("sx_a").cast("double") / F.col("n_a").cast(
+        "double"
+    ) - F.col("sx_b").cast("double") / F.col("n_b").cast("double")
+    return j.select(
+        F.col("g_a").alias("ga"),
+        F.col("g_b").alias("gb"),
+        F.col("n_a"),
+        F.col("n_b"),
+        ssq("a").cast("long").alias("ssq_a"),
+        ssq("b").cast("long").alias("ssq_b"),
+        (mean_diff / F.sqrt(s2n("a") + s2n("b"))).alias("t_welch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation of the hourly revenue series.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_autocorr_lag1",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, epoch_ms(ts) // {_HOUR_MS} AS h,
+             CAST(SUM({_CENTS}) AS BIGINT) AS s
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, h
+    ),
+    lagged AS (
+      SELECT event_type, s AS y,
+             lag(s) OVER (PARTITION BY event_type ORDER BY h) AS x,
+             h - lag(h) OVER (PARTITION BY event_type ORDER BY h) AS dh
+      FROM hourly
+    ),
+    pairs AS (SELECT event_type, x, y FROM lagged WHERE dh = 1),
+    c AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS den_x,
+           CAST(n * syy - sy * sy AS BIGINT) AS den_y,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+    FROM c
+    """,
+    doc="[EXT] lag-1 autocorrelation of each event type's hourly revenue "
+    "series (exact cents): the time-series persistence diagnostic that "
+    "decides whether seasonal-naive (ts_seasonal_naive_eval) or "
+    "last-value forecasting is defensible. Shape: the fact table "
+    "collapses to an |hours|-sized pre-aggregate FIRST, the lag window "
+    "walks that pre-aggregate (same cost law as ts_seasonal_naive_eval), "
+    "gap hours pair with nothing (dh = 1 guard) rather than faking "
+    "adjacency, and the Pearson machinery on the pairs is the exact "
+    "integer component form with the one fixed-order float finish.",
+    tags=("stats", "timeseries"),
+)
+def stat_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_millis(ts) div {_HOUR_MS}").alias("h"),
+            _cents().alias("cents"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("cents").cast("long").alias("s"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = hourly.select(
+        "event_type",
+        F.col("s").alias("y"),
+        F.lag("s").over(w).alias("x"),
+        (F.col("h") - F.lag("h").over(w)).alias("dh"),
+    )
+    pairs = lagged.filter(F.col("dh") == 1)
+    c = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return c.select(
+        "event_type",
+        "n",
+        num.cast("long").alias("num"),
+        den_x.cast("long").alias("den_x"),
+        den_y.cast("long").alias("den_y"),
+        (
+            num.cast("double")
+            / (F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double")))
+        ).alias("r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dyadic-weight EWMA window (exact decay-weighted feature).
+# ---------------------------------------------------------------------------
+
+_EWMA_DEPTH = 8
+
+
+def _ewma_sql() -> tuple[str, str]:
+    """(num_expr, den_expr) over lag(x, i) with weights 2^(depth-1-i)."""
+    num, den = [], []
+    for i in range(_EWMA_DEPTH):
+        w = 1 << (_EWMA_DEPTH - 1 - i)
+        x = "x" if i == 0 else f"lag(x, {i}) OVER uw"
+        num.append(f"COALESCE({x} * {w}, 0)")
+        den.append(f"CASE WHEN {x} IS NOT NULL THEN {w} ELSE 0 END")
+    return " + ".join(num), " + ".join(den)
+
+
+@QS.add(
+    "w15_ewma_dyadic",
+    f"""
+    WITH t AS (
+      SELECT user_id, event_id, {_CENTS} AS x, ts
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id, event_id,
+           CAST({_ewma_sql()[0]} AS BIGINT) AS num,
+           CAST({_ewma_sql()[1]} AS BIGINT) AS den,
+           CAST({_ewma_sql()[0]} AS DOUBLE)
+             / CAST({_ewma_sql()[1]} AS DOUBLE) AS ewma
+    FROM t
+    WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="[EXT] exponentially-decay-weighted moving average as an EXACT "
+    "window: weights are the dyadic ladder 2^7..2^0 over the current + 7 "
+    "preceding events per user, so numerator and normalizer are BIGINTs "
+    "(no float powers, no fp accumulation drift) and the emitted ewma is "
+    "ONE IEEE division — hash-matches across engines. Partial windows "
+    "renormalize over the weights actually present (den tracks "
+    "presence), matching pandas ewm(adjust=True) semantics restricted "
+    "to a depth-8 horizon (weight below 2^-8 is under float ulp of the "
+    "head anyway). One shuffle: all 8 lags share one window spec. The "
+    "decayed-revenue feature for recsys/feature-store pipelines.",
+    tags=("window", "timeseries"),
+)
+def w15_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = ev.select("user_id", "event_id", _cents().alias("x"), "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for i in range(_EWMA_DEPTH):
+        wt = 1 << (_EWMA_DEPTH - 1 - i)
+        x = F.col("x") if i == 0 else F.lag("x", i).over(w)
+        num = num + F.coalesce(x * wt, F.lit(0))
+        den = den + F.when(x.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+    return t.select(
+        "user_id",
+        "event_id",
+        num.cast("long").alias("num"),
+        den.cast("long").alias("den"),
+        (num.cast("double") / den.cast("double")).alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL top-N (SQL surface).
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+    SELECT n_name, c_custkey AS custkey, c_name, c_acctbal
+    FROM {nation}, LATERAL (
+      SELECT c_custkey, c_name, c_acctbal
+      FROM {customer}
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    )
+"""
+
+
+@QS.add(
+    "sql_lateral_topn",
+    _LATERAL_SQL.format(nation="nation", customer="customer"),
+    doc="[EXT] correlated LATERAL subquery with ORDER BY + LIMIT: the "
+    "top-2 customers by account balance per nation, written as the "
+    "for-each-row join the SQL surface owes power users — identical "
+    "query text runs on DuckDB as the oracle. Catalyst decorrelates the "
+    "lateral into a rank window over ONE customer shuffle (no per-nation "
+    "re-scan), applies WindowGroupLimit so each map task keeps only its "
+    "local top-2 per nation BEFORE the exchange, and broadcast-joins "
+    "nation back — strictly better than the naive per-group window "
+    "rewrite, and free at 100 TB. LIMIT ties broken by c_custkey for a "
+    "deterministic boundary.",
+    tags=("join", "sql", "window"),
+)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    return spark.sql(_LATERAL_SQL.format(nation="lat_nation", customer="lat_customer"))
+
+
+# ---------------------------------------------------------------------------
+# Trigram language-model counts with exact conditional probabilities.
+# ---------------------------------------------------------------------------
+
+_TRI_MIN_COUNT = 2
+_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+
+@QS.add(
+    "text_trigram_lm",
+    f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    tri AS (
+      SELECT g['w1'] AS w1, g['w2'] AS w2, g['w3'] AS w3,
+             CAST(COUNT(*) AS BIGINT) AS c3
+      FROM (
+        SELECT unnest(list_transform(range(1, len(toks) - 1),
+                 i -> {{'w1': toks[i], 'w2': toks[i + 1],
+                        'w3': toks[i + 2]}})) AS g
+        FROM t WHERE len(toks) >= 3
+      )
+      GROUP BY w1, w2, w3
+    ),
+    ctx AS (
+      SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c2
+      FROM tri GROUP BY w1, w2
+    )
+    SELECT tri.w1, tri.w2, tri.w3, tri.c3, ctx.c2,
+           tri.c3 * 1000000 // ctx.c2 AS cond_ppm
+    FROM tri JOIN ctx ON tri.w1 = ctx.w1 AND tri.w2 = ctx.w2
+    WHERE tri.c3 >= {_TRI_MIN_COUNT}
+    """,
+    doc="[EXT] trigram language-model count table (the KenLM/Kneser-Ney "
+    "ingestion precursor and the classic perplexity-filter backbone): "
+    "per trigram with count ≥ 2, its count, its context-bigram count, "
+    "and the MLE conditional p(w3|w1,w2) in exact parts-per-million "
+    "(scale-then-floor-div — Spark `div` == DuckDB `//` on "
+    "non-negatives, zero fp risk). Context counts derive from the "
+    "trigram aggregate itself (Σ_w3 c3 — an aggregate OF the aggregate), "
+    "so the corpus is tokenized and exploded exactly ONCE; the "
+    "ctx re-join is an equi-join on the reduced table. The min-count "
+    "filter applies after context counting, so cond_ppm denominators "
+    "are the true totals.",
+    tags=("text",),
+)
+def text_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks_df = docs.select(tokens(F.col("text")).alias("toks"))
+    grams = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.struct(
+                F.element_at("toks", i).alias("w1"),
+                F.element_at("toks", i + 1).alias("w2"),
+                F.element_at("toks", i + 2).alias("w3"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+    tri = (
+        toks_df.select(F.explode_outer(grams).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select("g.w1", "g.w2", "g.w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("c3"))
+    )
+    ctx = tri.groupBy("w1", "w2").agg(F.sum("c3").cast("long").alias("c2"))
+    return (
+        tri.filter(F.col("c3") >= _TRI_MIN_COUNT)
+        .join(ctx, ["w1", "w2"])
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            "c3",
+            "c2",
+            F.expr("c3 * 1000000 div c2").alias("cond_ppm"),
+        )
+    )

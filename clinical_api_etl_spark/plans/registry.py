@@ -18,6 +18,7 @@ def all_queries() -> dict[str, Query]:
         analytics,
         clinical_parity,
         extensions,
+        inference,
         mining,
         mlprep,
         relational,
@@ -25,7 +26,16 @@ def all_queries() -> dict[str, Query]:
     )
 
     merged: dict[str, Query] = {}
-    for mod in (relational, tpch_deep, clinical_parity, extensions, analytics, mlprep, mining):
+    for mod in (
+        relational,
+        tpch_deep,
+        clinical_parity,
+        extensions,
+        analytics,
+        mlprep,
+        mining,
+        inference,
+    ):
         for name, q in mod.QS.queries.items():
             if name in merged:
                 raise ValueError(f"duplicate query {name!r} across plan modules")

@@ -1,0 +1,220 @@
+"""Inference family: python replays of the exact-arithmetic statistics.
+
+Every test recomputes the statistic from the raw sf0.001 parquet with
+plain python/pandas (independent of both engines) and compares exactly —
+the integer components must match to the bit, the float finishes to IEEE
+equality.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_pdf():
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    pdf = pdf[pdf["value"].notna()].copy()
+    # Exact cents: value ships with 2 decimals.
+    pdf["cents"] = (pdf["value"] * 100).round().astype("int64")
+    return pdf
+
+
+def _doubled_rank_sums(xs_a: list[int], xs_b: list[int]) -> tuple[int, int]:
+    """(2*R_a, tie_adj) with midranks over the merged sample, exactly."""
+    merged = sorted([(x, 0) for x in xs_a] + [(x, 1) for x in xs_b])
+    r_a2 = 0
+    tie = 0
+    i = 0
+    while i < len(merged):
+        j = i
+        while j < len(merged) and merged[j][0] == merged[i][0]:
+            j += 1
+        t = j - i
+        dar = (i + 1) + (j)  # 2 * avg of ranks i+1..j
+        r_a2 += dar * sum(1 for k in range(i, j) if merged[k][1] == 0)
+        tie += t * t * t - t
+        i = j
+    return r_a2, tie
+
+
+class TestMannWhitney:
+    def test_matches_python_replay(self, spark, events_pdf):
+        from clinical_api_etl_spark.plans.inference import stat_mannwhitney_pairs
+
+        got = {
+            (r.ga, r.gb): r for r in stat_mannwhitney_pairs(spark, SF).collect()
+        }
+        groups = {
+            g: sorted(sub["cents"]) for g, sub in events_pdf.groupby("event_type")
+        }
+        names = sorted(groups)
+        assert set(got) == {(a, b) for a in names for b in names if a < b}
+        for (a, b), row in got.items():
+            xa, xb = groups[a], groups[b]
+            r_a2, tie = _doubled_rank_sums(xa, xb)
+            u_a2 = r_a2 - len(xa) * (len(xa) + 1)
+            assert row.n_a == len(xa) and row.n_b == len(xb)
+            assert row.u_a_x2 == u_a2, (a, b)
+            assert row.u_b_x2 == 2 * len(xa) * len(xb) - u_a2
+            assert row.tie_adj == tie
+
+    def test_u_sum_invariant(self, spark):
+        from clinical_api_etl_spark.plans.inference import stat_mannwhitney_pairs
+
+        for r in stat_mannwhitney_pairs(spark, SF).collect():
+            assert r.u_a_x2 + r.u_b_x2 == 2 * r.n_a * r.n_b
+            assert 0 <= r.u_a_x2 <= 2 * r.n_a * r.n_b
+
+
+class TestWelch:
+    def test_matches_python_replay(self, spark, events_pdf):
+        from clinical_api_etl_spark.plans.inference import stat_welch_ttest_pairs
+
+        got = {(r.ga, r.gb): r for r in stat_welch_ttest_pairs(spark, SF).collect()}
+        stats = {
+            g: (len(s), int(s["cents"].sum()), int((s["cents"] ** 2).sum()))
+            for g, s in events_pdf.groupby("event_type")
+        }
+        for (a, b), row in got.items():
+            na, sxa, sxxa = stats[a]
+            nb, sxb, sxxb = stats[b]
+            ssq_a = na * sxxa - sxa * sxa
+            ssq_b = nb * sxxb - sxb * sxb
+            assert (row.ssq_a, row.ssq_b) == (ssq_a, ssq_b)
+            t = (sxa / na - sxb / nb) / math.sqrt(
+                ssq_a / (na * na * (na - 1)) + ssq_b / (nb * nb * (nb - 1))
+            )
+            # Same IEEE op sequence -> exact equality expected.
+            assert row.t_welch == pytest.approx(t, rel=1e-12)
+
+
+class TestAutocorr:
+    def test_matches_python_replay(self, spark, events_pdf):
+        from clinical_api_etl_spark.plans.inference import stat_autocorr_lag1
+
+        got = {r.event_type: r for r in stat_autocorr_lag1(spark, SF).collect()}
+        pdf = events_pdf.copy()
+        pdf["h"] = pdf["ts"].astype("datetime64[us]").astype("int64") // (
+            3600 * 10**6
+        )
+        for g, sub in pdf.groupby("event_type"):
+            hourly = sub.groupby("h")["cents"].sum().sort_index()
+            hs = hourly.index.tolist()
+            pairs = [
+                (int(hourly.iloc[i]), int(hourly.iloc[i + 1]))
+                for i in range(len(hs) - 1)
+                if hs[i + 1] - hs[i] == 1
+            ]
+            n = len(pairs)
+            sx = sum(x for x, _ in pairs)
+            sy = sum(y for _, y in pairs)
+            sxy = sum(x * y for x, y in pairs)
+            sxx = sum(x * x for x, _ in pairs)
+            syy = sum(y * y for _, y in pairs)
+            row = got[g]
+            assert row.n == n
+            assert row.num == n * sxy - sx * sy
+            assert row.den_x == n * sxx - sx * sx
+            assert row.den_y == n * syy - sy * sy
+            assert -1.0 <= row.r <= 1.0
+
+
+class TestEwma:
+    def test_matches_python_replay(self, spark, events_pdf):
+        from clinical_api_etl_spark.plans.inference import w15_ewma_dyadic
+
+        out = w15_ewma_dyadic(spark, SF).toPandas().set_index("event_id")
+        assert len(out) == len(events_pdf)
+        for uid, sub in list(events_pdf.groupby("user_id"))[:20]:
+            seq = sub.sort_values(["ts", "event_id"])
+            xs = seq["cents"].tolist()
+            ids = seq["event_id"].tolist()
+            for pos, eid in enumerate(ids):
+                num = den = 0
+                for i in range(8):
+                    if pos - i >= 0:
+                        w = 1 << (7 - i)
+                        num += xs[pos - i] * w
+                        den += w
+                row = out.loc[eid]
+                assert (row["num"], row["den"]) == (num, den)
+                assert row["ewma"] == num / den
+
+    def test_full_window_den_is_255(self, spark):
+        from clinical_api_etl_spark.plans.inference import w15_ewma_dyadic
+
+        pdf = w15_ewma_dyadic(spark, SF).toPandas()
+        assert set(pdf["den"]).issubset(
+            {sum(1 << (7 - i) for i in range(k)) for k in range(1, 9)}
+        )
+        assert (pdf["den"] == 255).any()
+
+
+class TestLateral:
+    def test_equals_window_rewrite(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from clinical_api_etl_spark.plans.inference import sql_lateral_topn
+        from clinical_api_etl_spark.sources.catalog import load
+
+        got = {
+            (r.n_name, r.custkey, r.c_name, r.c_acctbal)
+            for r in sql_lateral_topn(spark, SF).collect()
+        }
+        cust = load(spark, SF, "customer")
+        nation = load(spark, SF, "nation")
+        w = Window.partitionBy("c_nationkey").orderBy(
+            F.col("c_acctbal").desc(), F.col("c_custkey")
+        )
+        manual = {
+            (r.n_name, r.custkey, r.c_name, r.c_acctbal)
+            for r in cust.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+            .select(
+                "n_name", F.col("c_custkey").alias("custkey"), "c_name", "c_acctbal"
+            )
+            .collect()
+        }
+        assert got == manual and len(got) > 0
+
+
+class TestTrigramLM:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.inference import text_trigram_lm
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet")
+        tri: dict[tuple[str, str, str], int] = {}
+        for text in docs["text"]:
+            toks = re.split(r"\s+", str(text).strip().lower())
+            for i in range(len(toks) - 2):
+                k = (toks[i], toks[i + 1], toks[i + 2])
+                tri[k] = tri.get(k, 0) + 1
+        ctx: dict[tuple[str, str], int] = {}
+        for (w1, w2, _), c in tri.items():
+            ctx[(w1, w2)] = ctx.get((w1, w2), 0) + c
+        expect = {
+            k: (c, ctx[k[:2]], c * 1000000 // ctx[k[:2]])
+            for k, c in tri.items()
+            if c >= 2
+        }
+        got = {
+            (r.w1, r.w2, r.w3): (r.c3, r.c2, r.cond_ppm)
+            for r in text_trigram_lm(spark, SF).collect()
+        }
+        assert got == expect
+
+    def test_conditional_probability_bounds(self, spark):
+        from clinical_api_etl_spark.plans.inference import text_trigram_lm
+
+        for r in text_trigram_lm(spark, SF).collect():
+            assert 0 < r.cond_ppm <= 1000000
+            assert r.c3 <= r.c2
