@@ -157,6 +157,122 @@ def stat_mannwhitney_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample statistic over all event-type pairs.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_ks_pairs",
+    f"""
+    WITH t AS (
+      SELECT event_type AS g, {_CENTS} AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    hist AS (
+      SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY g, x
+    ),
+    types AS (SELECT DISTINCT g AS o FROM t),
+    sides AS (
+      SELECT least(h.g, ty.o) AS ga, greatest(h.g, ty.o) AS gb,
+             h.g AS side, h.x AS x, h.c AS c
+      FROM hist h JOIN types ty ON ty.o <> h.g
+    ),
+    merged AS (
+      SELECT ga, gb, x,
+             CAST(COALESCE(SUM(c) FILTER (WHERE side = ga), 0) AS BIGINT) AS ca,
+             CAST(COALESCE(SUM(c) FILTER (WHERE side = gb), 0) AS BIGINT) AS cb
+      FROM sides GROUP BY ga, gb, x
+    ),
+    walked AS (
+      SELECT ga, gb,
+             SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b
+      FROM merged
+      WINDOW w AS (PARTITION BY ga, gb ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    totals AS (
+      SELECT ga, gb, MAX(cum_a) AS n_a, MAX(cum_b) AS n_b
+      FROM walked GROUP BY ga, gb
+    )
+    SELECT w.ga, w.gb,
+           CAST(MAX(t.n_a) AS BIGINT) AS n_a,
+           CAST(MAX(t.n_b) AS BIGINT) AS n_b,
+           CAST(MAX(abs(w.cum_a * t.n_b - w.cum_b * t.n_a)) AS BIGINT) AS d_num,
+           CAST(MAX(abs(w.cum_a * t.n_b - w.cum_b * t.n_a)) AS DOUBLE)
+             / CAST(MAX(t.n_a) * MAX(t.n_b) AS DOUBLE) AS d
+    FROM walked w JOIN totals t ON w.ga = t.ga AND w.gb = t.gb
+    GROUP BY w.ga, w.gb
+    """,
+    doc="[EXT] two-sample Kolmogorov-Smirnov statistic between every pair "
+    "of event types: D = max_x |F_a(x) − F_b(x)|, computed EXACTLY as "
+    "max |cum_a·n_b − cum_b·n_a| over the merged value histogram (the "
+    "empirical CDFs only step at observed values, so the histogram walk "
+    "sees every candidate maximum). Same scale shape as "
+    "stat_mannwhitney_pairs — the windowed walk runs over (pair, "
+    "distinct-value) rows, never events; d_num is a BIGINT and the "
+    "reported D one IEEE division. The distribution-drift gate for "
+    "corpus re-balancing (detects shape changes mean-based tests miss).",
+    tags=("stats",),
+)
+def stat_ks_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = ev.select(F.col("event_type").alias("g"), _cents().alias("x"))
+    hist = t.groupBy("g", "x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    types = t.select(F.col("g").alias("o")).distinct()
+    sides = hist.join(F.broadcast(types), F.col("o") != F.col("g")).select(
+        F.least("g", "o").alias("ga"),
+        F.greatest("g", "o").alias("gb"),
+        F.col("g").alias("side"),
+        "x",
+        "c",
+    )
+    merged = sides.groupBy("ga", "gb", "x").agg(
+        F.coalesce(F.sum(F.when(F.col("side") == F.col("ga"), F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("ca"),
+        F.coalesce(F.sum(F.when(F.col("side") == F.col("gb"), F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    w = (
+        Window.partitionBy("ga", "gb")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walked = merged.select(
+        "ga",
+        "gb",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    # n_a/n_b are the final cumulative totals; D's numerator needs them per
+    # row, so aggregate twice on the tiny walked table (still one shuffle
+    # tree — the second agg groups the first's output).
+    totals = walked.groupBy("ga", "gb").agg(
+        F.max("cum_a").alias("n_a"), F.max("cum_b").alias("n_b")
+    )
+    joined = walked.join(F.broadcast(totals), ["ga", "gb"])
+    agg = joined.groupBy("ga", "gb").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max(
+            F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+        ).alias("d_num"),
+    )
+    return agg.select(
+        "ga",
+        "gb",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("d_num").cast("long").alias("d_num"),
+        (
+            F.col("d_num").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("d"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Welch's t-test over all event-type pairs.
 # ---------------------------------------------------------------------------
 
@@ -390,6 +506,94 @@ def w15_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mann-Kendall monotonic-trend test on the hourly series.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_mannkendall_trend",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, epoch_ms(ts) // {_HOUR_MS} AS h,
+             CAST(SUM({_CENTS}) AS BIGINT) AS s
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, h
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CASE WHEN b.s > a.s THEN 1 WHEN b.s < a.s THEN -1 ELSE 0 END AS sg
+      FROM hourly a JOIN hourly b
+        ON a.event_type = b.event_type AND a.h < b.h
+    ),
+    counts AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM hourly GROUP BY event_type
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(sg) AS BIGINT) AS s_stat,
+             CAST(SUM(CASE WHEN sg > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS concordant,
+             CAST(SUM(CASE WHEN sg < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS discordant
+      FROM pairs GROUP BY event_type
+    )
+    SELECT agg.event_type, counts.n, agg.s_stat, agg.concordant, agg.discordant
+    FROM agg JOIN counts ON agg.event_type = counts.event_type
+    """,
+    doc="[EXT] Mann-Kendall monotonic-trend statistic per event type: "
+    "S = Σ_{{i<j}} sign(s_j − s_i) over the HOURLY pre-aggregate, plus "
+    "the concordant/discordant pair counts (Kendall tau's numerator "
+    "pieces) — all exact BIGINTs. The pairwise self-join is quadratic in "
+    "the SERIES length, which is calendar-bounded (hours in the window), "
+    "not data-bounded — the same cost law as trend_theil_sen's slope "
+    "pairs, and the reason both run on the time-bucketed aggregate, "
+    "never raw events. The nonparametric is-revenue-drifting gate that "
+    "needs no distributional assumptions.",
+    tags=("stats", "timeseries"),
+)
+def stat_mannkendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_millis(ts) div {_HOUR_MS}").alias("h"),
+            _cents().alias("cents"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("cents").cast("long").alias("s"))
+    )
+    a = hourly.select(
+        F.col("event_type"), F.col("h").alias("ha"), F.col("s").alias("sa")
+    )
+    b = hourly.select(
+        F.col("event_type").alias("et_b"), F.col("h").alias("hb"), F.col("s").alias("sb")
+    )
+    pairs = a.join(
+        b, (F.col("event_type") == F.col("et_b")) & (F.col("ha") < F.col("hb"))
+    ).select(
+        "event_type",
+        F.when(F.col("sb") > F.col("sa"), 1)
+        .when(F.col("sb") < F.col("sa"), -1)
+        .otherwise(0)
+        .alias("sg"),
+    )
+    counts = hourly.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    agg = pairs.groupBy("event_type").agg(
+        F.sum("sg").cast("long").alias("s_stat"),
+        F.sum(F.when(F.col("sg") > 0, 1).otherwise(0)).cast("long").alias("concordant"),
+        F.sum(F.when(F.col("sg") < 0, 1).otherwise(0)).cast("long").alias("discordant"),
+    )
+    return agg.join(F.broadcast(counts), "event_type").select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "s_stat",
+        "concordant",
+        "discordant",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Correlated LATERAL top-N (SQL surface).
 # ---------------------------------------------------------------------------
 
@@ -505,3 +709,94 @@ def text_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("c3 * 1000000 div c2").alias("cond_ppm"),
         )
     )
+
+
+def _doc_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, w2, w3) — one row per trigram occurrence."""
+    docs = load(spark, sf_dir, "documents")
+    toks_df = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    grams = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.struct(
+                F.element_at("toks", i).alias("w1"),
+                F.element_at("toks", i + 1).alias("w2"),
+                F.element_at("toks", i + 2).alias("w3"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+    return (
+        toks_df.select("doc_id", F.explode_outer(grams).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select("doc_id", "g.w1", "g.w2", "g.w3")
+    )
+
+
+@QS.add(
+    "text_lm_familiarity",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    occ AS (
+      SELECT doc_id, g['w1'] AS w1, g['w2'] AS w2, g['w3'] AS w3
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - 1),
+                 i -> {{'w1': toks[i], 'w2': toks[i + 1],
+                        'w3': toks[i + 2]}})) AS g
+        FROM t WHERE len(toks) >= 3
+      )
+    ),
+    tri AS (
+      SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3
+      FROM occ GROUP BY w1, w2, w3
+    ),
+    ctx AS (
+      SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c2 FROM tri GROUP BY w1, w2
+    ),
+    scored AS (
+      SELECT occ.doc_id, tri.c3 * 1000000 // ctx.c2 AS ppm
+      FROM occ
+      JOIN tri ON occ.w1 = tri.w1 AND occ.w2 = tri.w2 AND occ.w3 = tri.w3
+      JOIN ctx ON occ.w1 = ctx.w1 AND occ.w2 = ctx.w2
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(ppm) AS BIGINT) AS sum_ppm,
+           SUM(ppm) // COUNT(*) AS mean_ppm
+    FROM scored GROUP BY doc_id
+    """,
+    doc="[EXT] per-document language-model familiarity — the "
+    "perplexity-filter proxy (CCNet/Gopher keep-well-modeled-text "
+    "signal) with zero logarithms: every trigram occurrence is scored "
+    "by its corpus MLE conditional probability in exact ppm "
+    "(text_trigram_lm's table, self-trained on the same corpus), and "
+    "each doc reports the exact integer mean. Low mean_ppm = the "
+    "doc's word sequences are rare given their contexts = surprising "
+    "text. Shape: ONE tokenize/explode pass feeds both the count "
+    "tables and the per-doc re-join; the equi-joins run on hashed "
+    "trigram keys. Arithmetic-mean-of-ppm replaces "
+    "geometric-mean-perplexity so the score stays engine-portable "
+    "(floor-div, no floats at all).",
+    tags=("text",),
+)
+def text_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    occ = _doc_trigrams(spark, sf_dir)
+    # Two aggregates + a re-join read `occ` three times; materialize the
+    # narrow occurrence table once (it is the tokenization's only output).
+    occ = occ.persist()
+    tri = occ.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("c3")
+    )
+    ctx = tri.groupBy("w1", "w2").agg(F.sum("c3").cast("long").alias("c2"))
+    scored = (
+        occ.join(tri, ["w1", "w2", "w3"])
+        .join(ctx, ["w1", "w2"])
+        .select("doc_id", F.expr("c3 * 1000000 div c2").alias("ppm"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.sum("ppm").cast("long").alias("sum_ppm"),
+        F.expr("sum(ppm) div count(*)").alias("mean_ppm"),
+    )
+
+

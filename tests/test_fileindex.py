@@ -1,0 +1,105 @@
+"""File-level skipping index: pruning correctness + equivalence to full scan."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from clinical_api_etl_spark.sources.catalog import load
+from clinical_api_etl_spark.sources.fileindex import (
+    build_file_index,
+    load_file_index,
+    prune,
+    read_pruned,
+)
+from clinical_api_etl_spark.sources.layout import write_clustered
+
+SF = "/root/testdata/sf0.001"
+
+
+def _clustered_orders(spark, tmp_path) -> str:
+    path = str(tmp_path / "orders_clustered")
+    orders = load(spark, SF, "orders")
+    write_clustered(orders, path, ["o_custkey"], num_files=8)
+    return path
+
+
+class TestPruning:
+    def test_point_range_prunes_files(self, spark, tmp_path):
+        path = _clustered_orders(spark, tmp_path)
+        build_file_index(path, ["o_custkey"])
+        idx = load_file_index(path)
+        total = len(idx["files"])
+        assert total >= 4
+        surviving = prune(idx, {"o_custkey": (10, 20)})
+        # Range-clustered layout => a narrow key range lives in O(1) files.
+        assert 0 < len(surviving) < total / 2
+
+    def test_pruned_read_equals_full_scan(self, spark, tmp_path):
+        path = _clustered_orders(spark, tmp_path)
+        build_file_index(path, ["o_custkey"])
+        got = read_pruned(spark, path, {"o_custkey": (10, 20)})
+        full = spark.read.parquet(path).filter(
+            (F.col("o_custkey") >= 10) & (F.col("o_custkey") <= 20)
+        )
+        assert sorted(r.o_orderkey for r in got.collect()) == sorted(
+            r.o_orderkey for r in full.collect()
+        )
+        assert got.count() > 0
+
+    def test_open_ended_ranges(self, spark, tmp_path):
+        path = _clustered_orders(spark, tmp_path)
+        build_file_index(path, ["o_custkey"])
+        hi = read_pruned(spark, path, {"o_custkey": (140, None)})
+        full = spark.read.parquet(path).filter(F.col("o_custkey") >= 140)
+        assert hi.count() == full.count()
+
+    def test_empty_result_keeps_schema(self, spark, tmp_path):
+        path = _clustered_orders(spark, tmp_path)
+        build_file_index(path, ["o_custkey"])
+        idx = load_file_index(path)
+        assert prune(idx, {"o_custkey": (10**9, None)}) == []
+        out = read_pruned(spark, path, {"o_custkey": (10**9, None)})
+        assert out.count() == 0
+        assert "o_orderkey" in out.columns
+
+    def test_distributed_build_matches_driver_build(self, spark, tmp_path):
+        path = _clustered_orders(spark, tmp_path)
+        driver_idx = build_file_index(path, ["o_custkey"])
+        dist_idx = build_file_index(path, ["o_custkey"], spark=spark)
+        assert driver_idx == dist_idx
+
+    def test_unindexed_column_is_conservative(self, spark, tmp_path):
+        path = _clustered_orders(spark, tmp_path)
+        build_file_index(path, ["o_custkey"])
+        idx = load_file_index(path)
+        # Predicate on a column the index never saw: nothing pruned.
+        assert len(prune(idx, {"nonexistent": (0, 1)})) == len(idx["files"])
+
+    def test_all_null_file_pruned_for_range(self, spark, tmp_path):
+        path = str(tmp_path / "mixed")
+        spark.createDataFrame([(1, 5), (2, 6)], ["id", "k"]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        spark.createDataFrame(
+            [(3, None), (4, None)], "id INT, k INT"
+        ).coalesce(1).write.mode("append").parquet(path)
+        build_file_index(path, ["k"])
+        idx = load_file_index(path)
+        assert len(idx["files"]) == 2
+        surviving = prune(idx, {"k": (5, 6)})
+        assert len(surviving) == 1  # the all-null file can never match
+        got = read_pruned(spark, path, {"k": (5, 6)})
+        assert sorted(r.id for r in got.collect()) == [1, 2]
+
+    def test_index_stats_match_footers(self, spark, tmp_path):
+        path = _clustered_orders(spark, tmp_path)
+        idx = build_file_index(path, ["o_custkey"])
+        assert sum(e["rows"] for e in idx["files"]) == spark.read.parquet(path).count()
+        assert sorted(e["path"] for e in idx["files"]) == sorted(
+            glob.glob(f"{path}/*.parquet")
+        )
+        for e in idx["files"]:
+            st = e["columns"]["o_custkey"]
+            assert st["min"] <= st["max"] and st["nulls"] == 0

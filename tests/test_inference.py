@@ -73,6 +73,105 @@ class TestMannWhitney:
             assert 0 <= r.u_a_x2 <= 2 * r.n_a * r.n_b
 
 
+class TestKolmogorovSmirnov:
+    def test_matches_python_replay(self, spark, events_pdf):
+        from clinical_api_etl_spark.plans.inference import stat_ks_pairs
+
+        got = {(r.ga, r.gb): r for r in stat_ks_pairs(spark, SF).collect()}
+        groups = {
+            g: sorted(sub["cents"]) for g, sub in events_pdf.groupby("event_type")
+        }
+        for (a, b), row in got.items():
+            xa, xb = groups[a], groups[b]
+            na, nb = len(xa), len(xb)
+            values = sorted(set(xa) | set(xb))
+            d_num = 0
+            ca = cb = 0
+            ia = ib = 0
+            for v in values:
+                while ia < na and xa[ia] <= v:
+                    ia += 1
+                while ib < nb and xb[ib] <= v:
+                    ib += 1
+                ca, cb = ia, ib
+                d_num = max(d_num, abs(ca * nb - cb * na))
+            assert (row.n_a, row.n_b) == (na, nb)
+            assert row.d_num == d_num
+            assert row.d == d_num / (na * nb)
+
+    def test_d_bounds(self, spark):
+        from clinical_api_etl_spark.plans.inference import stat_ks_pairs
+
+        for r in stat_ks_pairs(spark, SF).collect():
+            assert 0.0 <= r.d <= 1.0
+
+
+class TestMannKendall:
+    def test_matches_python_replay(self, spark, events_pdf):
+        from clinical_api_etl_spark.plans.inference import stat_mannkendall_trend
+
+        got = {
+            r.event_type: r for r in stat_mannkendall_trend(spark, SF).collect()
+        }
+        pdf = events_pdf.copy()
+        pdf["h"] = pdf["ts"].astype("datetime64[us]").astype("int64") // (
+            3600 * 10**6
+        )
+        for g, sub in pdf.groupby("event_type"):
+            series = sub.groupby("h")["cents"].sum().sort_index().tolist()
+            n = len(series)
+            conc = sum(
+                1
+                for i in range(n)
+                for j in range(i + 1, n)
+                if series[j] > series[i]
+            )
+            disc = sum(
+                1
+                for i in range(n)
+                for j in range(i + 1, n)
+                if series[j] < series[i]
+            )
+            row = got[g]
+            assert row.n == n
+            assert (row.concordant, row.discordant) == (conc, disc)
+            assert row.s_stat == conc - disc
+
+
+class TestLMFamiliarity:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.inference import text_lm_familiarity
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet")
+        tri: dict[tuple[str, str, str], int] = {}
+        occ: dict[int, list[tuple[str, str, str]]] = {}
+        for doc_id, text in zip(docs["doc_id"], docs["text"]):
+            toks = re.split(r"\s+", str(text).strip().lower())
+            ks = [
+                (toks[i], toks[i + 1], toks[i + 2]) for i in range(len(toks) - 2)
+            ]
+            occ[int(doc_id)] = ks
+            for k in ks:
+                tri[k] = tri.get(k, 0) + 1
+        ctx: dict[tuple[str, str], int] = {}
+        for (w1, w2, _), c in tri.items():
+            ctx[(w1, w2)] = ctx.get((w1, w2), 0) + c
+        got = {
+            r.doc_id: (r.n_trigrams, r.sum_ppm, r.mean_ppm)
+            for r in text_lm_familiarity(spark, SF).collect()
+        }
+        for doc_id, ks in occ.items():
+            if not ks:
+                assert doc_id not in got
+                continue
+            ppms = [tri[k] * 1000000 // ctx[k[:2]] for k in ks]
+            assert got[doc_id] == (
+                len(ppms),
+                sum(ppms),
+                sum(ppms) // len(ppms),
+            )
+
+
 class TestWelch:
     def test_matches_python_replay(self, spark, events_pdf):
         from clinical_api_etl_spark.plans.inference import stat_welch_ttest_pairs
