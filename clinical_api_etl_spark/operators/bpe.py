@@ -154,3 +154,113 @@ def merge_table_df(spark, merges: list[tuple[str, str]]) -> DataFrame:
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank long, left string, right string",
     )
+
+
+# ---------------------------------------------------------------------------
+# Full-corpus distributed merge learning (hash-gated twin of the
+# sample-trained learner above; registry query `bpe_learn_merges`).
+# ---------------------------------------------------------------------------
+#
+# Where ``learn_bpe_merges`` trains driver-side on a bounded sample (the
+# faiss posture — right for hundreds of merges), ``learn_bpe_distributed``
+# runs each iteration corpus-wide: pair counting is a map-side-combinable
+# explode/groupBy over the (word, freq) aggregate, the argmax collects ONE
+# row per iteration, and merge application is a regex-free narrow string
+# rewrite. The space-doubling trick makes plain ``replace`` (left-to-right
+# non-overlapping in the JVM, DuckDB, and python alike) token-boundary
+# safe, so the learned table is value-hash-gated against an unrolled
+# DuckDB oracle (plans/inference.py:_bpe_oracle). Tie-break here is
+# (count DESC, lexicographically SMALLEST pair) — the convention the
+# oracle's ORDER BY mirrors; the sample-trained learner above predates it
+# and keeps (count, lexicographically largest) for compatibility with its
+# pinned tests.
+
+
+def initial_symbols(word) -> "F.Column":
+    """'abc' -> 'a b c </w>' (space-separated symbol string)."""
+    return F.concat(F.regexp_replace(word, "(.)", "$1 "), F.lit(EOW))
+
+
+def _apply_merge(sym, left: str, right: str):
+    """Leftmost non-overlapping merge of the (left, right) symbol pair."""
+    doubled = F.concat(F.lit(" "), F.replace(sym, F.lit(" "), F.lit("  ")), F.lit(" "))
+    merged = F.replace(
+        doubled, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
+    )
+    return F.trim(F.replace(merged, F.lit("  "), F.lit(" ")))
+
+
+def _pair_counts(symtab: DataFrame) -> DataFrame:
+    toks = F.split(F.col("sym"), " ")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("lhs"),
+                F.element_at(toks, i + 1).alias("rhs"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+    return (
+        symtab.select("freq", F.explode_outer(pairs).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .groupBy("p.lhs", "p.rhs")
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+    )
+
+
+def learn_bpe_distributed(words: DataFrame, n_merges: int) -> list:
+    """Learn ``n_merges`` BPE merges from a ``(word, freq)`` DataFrame,
+    corpus-wide. Returns one Row per iteration:
+    (it, lhs, rhs, merged, pair_count). Stops early if no pair remains;
+    only ``n_merges`` single-row argmax collects ever reach the driver.
+    Lineage growth per iteration is linear (one reference), so persists
+    rotate without eager checkpoints (see the pagerank finding)."""
+    from pyspark.sql import Row
+
+    # coalesce(8) before persist: the word table is tiny relative to the
+    # corpus, and 32 cached partitions would pay 32 task launches in every
+    # one of the ~2 downstream stages per iteration (triangle-count
+    # finding). Narrow rewrites inherit the 8 partitions.
+    symtab = (
+        words.select(
+            F.col("freq").cast("long").alias("freq"),
+            initial_symbols(F.col("word")).alias("sym"),
+        )
+        .coalesce(8)
+        .persist()
+    )
+    out: list = []
+    try:
+        for it in range(1, n_merges + 1):
+            top = (
+                _pair_counts(symtab)
+                .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            lhs, rhs, cnt = top[0].lhs, top[0].rhs, top[0].pair_count
+            out.append(
+                Row(it=it, lhs=lhs, rhs=rhs, merged=lhs + rhs, pair_count=cnt)
+            )
+            nxt = symtab.select(
+                "freq", _apply_merge(F.col("sym"), lhs, rhs).alias("sym")
+            ).persist()
+            symtab.unpersist()
+            symtab = nxt
+    finally:
+        symtab.unpersist()
+    return out
+
+
+def apply_merges_py(word: str, merges: list[tuple[str, str]]) -> str:
+    """Python replay of the exact merge semantics (tests/oracles)."""
+    sym = " ".join(word) + " " + EOW if word else EOW
+    for lhs, rhs in merges:
+        doubled = " " + sym.replace(" ", "  ") + " "
+        merged = doubled.replace(f" {lhs}  {rhs} ", f" {lhs}{rhs} ")
+        sym = merged.replace("  ", " ").strip()
+    return sym

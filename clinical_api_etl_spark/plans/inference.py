@@ -800,3 +800,85 @@ def text_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer merge learning (iterative, hash-gated end to end).
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 6
+
+
+def _bpe_oracle(n: int) -> str:
+    """Unrolled DuckDB twin of operators/bpe.py:learn_bpe — every chained
+    CTE MATERIALIZED (DuckDB inlines multiply-referenced CTEs otherwise
+    and the iteration chain re-expands exponentially; see the k-core
+    oracle)."""
+    ctes = [
+        f"toks AS (SELECT {_TOKS} AS t FROM documents)",
+        "w AS MATERIALIZED (SELECT tok AS word, CAST(COUNT(*) AS BIGINT)"
+        " AS freq FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok)",
+        "s0 AS MATERIALIZED (SELECT freq,"
+        " regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS sym FROM w)",
+    ]
+    for i in range(1, n + 1):
+        ctes.append(
+            f"p{i} AS ("
+            " SELECT p['lhs'] AS lhs, p['rhs'] AS rhs,"
+            " CAST(SUM(freq) AS BIGINT) AS pair_count"
+            " FROM (SELECT freq, unnest(list_transform(range(1, len(tk)),"
+            " j -> {'lhs': tk[j], 'rhs': tk[j + 1]})) AS p"
+            f" FROM (SELECT freq, string_split(sym, ' ') AS tk FROM s{i - 1}))"
+            " GROUP BY lhs, rhs)"
+        )
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT lhs, rhs, pair_count FROM p{i}"
+            " ORDER BY pair_count DESC, lhs, rhs LIMIT 1)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT freq,"
+            " trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',"
+            f" ' ' || (SELECT lhs FROM m{i}) || '  ' || (SELECT rhs FROM m{i}) || ' ',"
+            f" ' ' || (SELECT lhs FROM m{i}) || (SELECT rhs FROM m{i}) || ' '),"
+            f" '  ', ' ')) AS sym FROM s{i - 1})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS it, lhs, rhs, lhs || rhs AS merged,"
+        f" pair_count FROM m{i}"
+        for i in range(1, n + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+@QS.add(
+    "bpe_learn_merges",
+    _bpe_oracle(_BPE_MERGES),
+    doc="[EXT] BPE tokenizer training (Sennrich'16; the GPT-2/LLaMA "
+    "tokenizer family): learn the first 6 merge rules from the corpus "
+    "word-frequency table. Iterative model training under a FULL "
+    "cross-engine value hash — pair counting is a map-side-combinable "
+    "explode/groupBy over the (word, freq) aggregate (millions of rows "
+    "at 100 TB, never the corpus), the per-iteration argmax collects "
+    "ONE row (freq DESC then lexicographic — deterministic ties), and "
+    "merge application is a regex-free space-doubling replace chain "
+    "with identical left-to-right non-overlapping semantics in the JVM, "
+    "DuckDB, and python str.replace (operators/bpe.py). Oracle = "
+    "unrolled MATERIALIZED CTE chain, one (pairs, argmax, rewrite) "
+    "triple per iteration.",
+    tags=("text", "iterative"),
+    headline=True,
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.bpe import learn_bpe_distributed
+
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode_outer(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word").isNotNull())
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    rows = learn_bpe_distributed(words, _BPE_MERGES)
+    return spark.createDataFrame(
+        rows, schema="it BIGINT, lhs STRING, rhs STRING, merged STRING, pair_count BIGINT"
+    )

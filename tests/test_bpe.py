@@ -75,3 +75,90 @@ class TestEncode:
         )
         full = sum(r["n_bpe_tokens"] for r in bpe_encode(docs, m40).collect())
         assert full <= short
+
+
+# ---------------------------------------------------------------------------
+# Full-corpus distributed learner (hash-gated registry twin).
+# ---------------------------------------------------------------------------
+
+import re
+
+import pandas as pd
+
+from clinical_api_etl_spark.operators.bpe import (  # noqa: E402
+    apply_merges_py,
+    learn_bpe_distributed,
+)
+
+
+def _learn_py(word_freq: dict[str, int], n: int) -> list[tuple]:
+    """Reference replay: same counts, same (count DESC, lex MIN) ties,
+    same leftmost-nonoverlapping merges as learn_bpe_distributed."""
+    syms = {w: apply_merges_py(w, []) for w in word_freq}
+    out = []
+    for it in range(1, n + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in word_freq.items():
+            toks = syms[w].split(" ")
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (lhs, rhs), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((it, lhs, rhs, lhs + rhs, cnt))
+        for w in syms:
+            doubled = " " + syms[w].replace(" ", "  ") + " "
+            merged = doubled.replace(f" {lhs}  {rhs} ", f" {lhs}{rhs} ")
+            syms[w] = merged.replace("  ", " ").strip()
+    return out
+
+
+class TestDistributedLearner:
+    def test_known_merges(self, spark):
+        # 'low' x5, 'lower' x2: (l,o) and (o,w) tie at 7; lex-min tie
+        # break picks (l,o) first (the sample-trained learner above picks
+        # (o,w) -- conventions documented in the module).
+        words = spark.createDataFrame([("low", 5), ("lower", 2)], ["word", "freq"])
+        rows = learn_bpe_distributed(words, 3)
+        assert (rows[0].lhs, rows[0].rhs, rows[0].pair_count) == ("l", "o", 7)
+        assert rows[0].merged == "lo"
+        got = [(r.it, r.lhs, r.rhs, r.merged, r.pair_count) for r in rows]
+        assert got == _learn_py({"low": 5, "lower": 2}, 3)
+
+    def test_overlapping_pairs_leftmost(self, spark):
+        # 'aaa' -> a a a </w>: pair (a,a) counts both overlaps (2), merge
+        # rewrites leftmost-nonoverlapping: 'aa a </w>'.
+        words = spark.createDataFrame([("aaa", 1)], ["word", "freq"])
+        rows = learn_bpe_distributed(words, 1)
+        assert (rows[0].lhs, rows[0].rhs, rows[0].pair_count) == ("a", "a", 2)
+        assert apply_merges_py("aaa", [("a", "a")]) == "aa a </w>"
+
+    def test_multichar_symbol_boundary_safety(self, spark):
+        words = spark.createDataFrame([("ab", 3), ("cab", 2)], ["word", "freq"])
+        rows = learn_bpe_distributed(words, 2)
+        got = [(r.it, r.lhs, r.rhs, r.merged, r.pair_count) for r in rows]
+        assert got == _learn_py({"ab": 3, "cab": 2}, 2)
+
+    def test_early_stop_when_fully_merged(self, spark):
+        # 'x' -> 'x </w>' -> one merge leaves a single symbol -> stop.
+        words = spark.createDataFrame([("x", 1)], ["word", "freq"])
+        rows = learn_bpe_distributed(words, 5)
+        assert len(rows) == 1
+        assert rows[0].merged == "x</w>"
+
+    def test_matches_python_replay_sf0001(self, spark):
+        from clinical_api_etl_spark.plans.inference import bpe_learn_merges
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet")
+        freq: dict[str, int] = {}
+        for text in docs["text"]:
+            for tok in re.split(r"\s+", str(text).strip().lower()):
+                freq[tok] = freq.get(tok, 0) + 1
+        expect = _learn_py(freq, 6)
+        got = [
+            (r.it, r.lhs, r.rhs, r.merged, r.pair_count)
+            for r in bpe_learn_merges(spark, SF).collect()
+        ]
+        assert got == expect
