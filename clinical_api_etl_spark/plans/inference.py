@@ -882,3 +882,261 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="it BIGINT, lhs STRING, rhs STRING, merged STRING, pair_count BIGINT"
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b between time and the hourly series (exact components).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_kendall_tau_hourly",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, epoch_ms(ts) // {_HOUR_MS} AS h,
+             CAST(SUM({_CENTS}) AS BIGINT) AS s
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, h
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CASE WHEN b.s > a.s THEN 1 WHEN b.s < a.s THEN -1 ELSE 0 END AS sg
+      FROM hourly a JOIN hourly b
+        ON a.event_type = b.event_type AND a.h < b.h
+    ),
+    sagg AS (
+      SELECT event_type, CAST(SUM(sg) AS BIGINT) AS s_stat
+      FROM pairs GROUP BY event_type
+    ),
+    counts AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM hourly GROUP BY event_type
+    ),
+    yties AS (
+      SELECT event_type,
+             CAST(COALESCE(SUM(t * (t - 1) // 2), 0) AS BIGINT) AS n2
+      FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+            FROM hourly GROUP BY event_type, s)
+      GROUP BY event_type
+    )
+    SELECT c.event_type, c.n, sagg.s_stat,
+           CAST(c.n * (c.n - 1) // 2 AS BIGINT) AS n0,
+           yties.n2 AS n2,
+           CAST(sagg.s_stat AS DOUBLE)
+             / sqrt(CAST((c.n * (c.n - 1) // 2)
+                         * (c.n * (c.n - 1) // 2 - yties.n2) AS DOUBLE))
+             AS tau_b
+    FROM counts c
+    JOIN sagg ON c.event_type = sagg.event_type
+    JOIN yties ON c.event_type = yties.event_type
+    """,
+    doc="[EXT] Kendall tau-b between time and hourly revenue per event "
+    "type — completes the correlation family (Pearson: linear, Spearman: "
+    "monotone-by-rank, Kendall: concordance). S reuses the Mann-Kendall "
+    "pair machinery on the calendar-bounded hourly pre-aggregate; hours "
+    "are strictly increasing so x-ties vanish and the y-tie correction "
+    "n2 = Σt(t−1)/2 comes from the value histogram — S, n0, n2 all exact "
+    "BIGINTs, tau = one division by one correctly-rounded sqrt of an "
+    "exactly-representable product (n0·(n0−n2) < 2^53 through any "
+    "calendar span worth testing), bit-identical across engines.",
+    tags=("stats", "timeseries"),
+)
+def stat_kendall_tau_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_millis(ts) div {_HOUR_MS}").alias("h"),
+            _cents().alias("cents"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("cents").cast("long").alias("s"))
+        .persist()
+    )
+    a = hourly.select("event_type", F.col("h").alias("ha"), F.col("s").alias("sa"))
+    b = hourly.select(
+        F.col("event_type").alias("et_b"), F.col("h").alias("hb"), F.col("s").alias("sb")
+    )
+    sagg = (
+        a.join(b, (F.col("event_type") == F.col("et_b")) & (F.col("ha") < F.col("hb")))
+        .select(
+            "event_type",
+            F.when(F.col("sb") > F.col("sa"), 1)
+            .when(F.col("sb") < F.col("sa"), -1)
+            .otherwise(0)
+            .alias("sg"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("sg").cast("long").alias("s_stat"))
+    )
+    counts = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    yties = (
+        hourly.groupBy("event_type", "s")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("t * (t - 1) div 2")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n2")
+        )
+    )
+    n0 = F.expr("n * (n - 1) div 2")
+    out = (
+        counts.join(sagg, "event_type")
+        .join(yties, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "s_stat",
+            n0.cast("long").alias("n0"),
+            "n2",
+            (
+                F.col("s_stat").cast("double")
+                / F.sqrt(
+                    (n0 * (n0 - F.col("n2"))).cast("double")
+                )
+            ).alias("tau_b"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL (SQL surface parity).
+# ---------------------------------------------------------------------------
+
+_GBALL_SQL = """
+    SELECT event_type, CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day_idx,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events WHERE value IS NOT NULL
+    GROUP BY ALL
+"""
+
+
+@QS.add(
+    "sql_group_by_all",
+    _GBALL_SQL,
+    doc="[EXT] GROUP BY ALL (the 2023 SQL-surface convenience both Spark 4 "
+    "and DuckDB implement): grouping keys inferred as every non-aggregate "
+    "select item. Near-identical query text runs on both engines (only "
+    "the epoch-ms spelling differs); the Spark side proves the inference "
+    "resolves to the same (event_type, day_idx) grouping by hash-matching "
+    "the DuckDB result, exact cents discipline as everywhere.",
+    tags=("agg", "sql"),
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("gball_events")
+    return spark.sql(
+        """
+        SELECT event_type, CAST(unix_millis(ts) div 86400000 AS BIGINT) AS day_idx,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM gball_events WHERE value IS NOT NULL
+        GROUP BY ALL
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCA top-component gate (exact axis variances + Rayleigh dominance).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "emb_pca_gate",
+    """
+    WITH u AS (
+      SELECT vec_id, g.i AS i,
+             CAST(floor(CAST(embedding[g.i + 1] AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS x
+      FROM embeddings, (SELECT UNNEST(range(0, 64)) AS i) g
+    ),
+    d AS (
+      SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM u GROUP BY i
+    ),
+    v AS (SELECT i, n, CAST(n * sxx - sx * sx AS BIGINT) AS var_units FROM d)
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN var_units = (SELECT MAX(var_units) FROM v)
+                         THEN i END) AS BIGINT) AS best_axis,
+           CAST(MAX(var_units) AS BIGINT) AS axis_var_units,
+           TRUE AS pc1_ge_axis
+    FROM v
+    """,
+    doc="[EXT] PCA readiness gate for the embedding corpus: per-axis "
+    "variances n·Σx²−(Σx)² in exact micro-unit BIGINTs (hash-matched "
+    "cross-engine, ties to the lowest axis index), plus the boolean "
+    "pinned TRUE that the top principal component captures at least the "
+    "best single axis's variance — guaranteed by the Rayleigh quotient "
+    "(λ1 ≥ max_i C_ii for symmetric PSD C), so any FALSE flags a broken "
+    "covariance assembly, the HLL/theta gate pattern for "
+    "non-SQL-expressible math. Spark side: the exact Gram cells and dim "
+    "sums reduce distributed (map-side-combinable aggs over the "
+    "posexploded table), the 64x64 eigensolve runs driver-side on "
+    "python ints -> numpy (covariance n·G−ssᵀ assembled in arbitrary "
+    "precision, immune to the BIGINT n·G overflow past sf~0.03).",
+    tags=("embedding", "stats"),
+)
+def emb_pca_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    u = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5).cast("long"),
+            )
+        ).alias("i", "x"),
+    ).persist()
+    gram = {
+        (r.dim_i, r.dim_j): (r.n, r.sum_units)
+        for r in (
+            u.alias("a")
+            .join(
+                u.alias("b"),
+                (F.col("a.vec_id") == F.col("b.vec_id"))
+                & (F.col("a.i") <= F.col("b.i")),
+            )
+            .groupBy(F.col("a.i").alias("dim_i"), F.col("b.i").alias("dim_j"))
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(F.col("a.x") * F.col("b.x")).cast("long").alias("sum_units"),
+            )
+            .collect()
+        )
+    }
+    sums = {
+        r.i: r.sx
+        for r in u.groupBy("i").agg(F.sum("x").cast("long").alias("sx")).collect()
+    }
+    u.unpersist()
+    dim = 64
+    n = gram[(0, 0)][0]
+    # Covariance in python ints (exact, overflow-free), then float eigh.
+    cov = [
+        [
+            n * gram[(min(i, j), max(i, j))][1] - sums[i] * sums[j]
+            for j in range(dim)
+        ]
+        for i in range(dim)
+    ]
+    axis_vars = [cov[i][i] for i in range(dim)]
+    best_axis = min(range(dim), key=lambda i: (-axis_vars[i], i))
+    lam1 = float(np.linalg.eigvalsh(np.array(cov, dtype=np.float64))[-1])
+    ok = lam1 >= max(axis_vars) * (1.0 - 1e-9)
+    return spark.createDataFrame(
+        [(n, best_axis, axis_vars[best_axis], bool(ok))],
+        schema="n BIGINT, best_axis BIGINT, axis_var_units BIGINT, "
+        "pc1_ge_axis BOOLEAN",
+    )

@@ -317,3 +317,84 @@ class TestTrigramLM:
         for r in text_trigram_lm(spark, SF).collect():
             assert 0 < r.cond_ppm <= 1000000
             assert r.c3 <= r.c2
+
+
+class TestKendallTau:
+    def test_matches_python_replay(self, spark, events_pdf):
+        from clinical_api_etl_spark.plans.inference import stat_kendall_tau_hourly
+
+        got = {
+            r.event_type: r for r in stat_kendall_tau_hourly(spark, SF).collect()
+        }
+        pdf = events_pdf.copy()
+        pdf["h"] = pdf["ts"].astype("datetime64[us]").astype("int64") // (
+            3600 * 10**6
+        )
+        for g, sub in pdf.groupby("event_type"):
+            series = sub.groupby("h")["cents"].sum().sort_index().tolist()
+            n = len(series)
+            s = sum(
+                (1 if series[j] > series[i] else -1 if series[j] < series[i] else 0)
+                for i in range(n)
+                for j in range(i + 1, n)
+            )
+            n0 = n * (n - 1) // 2
+            ties: dict[int, int] = {}
+            for v in series:
+                ties[v] = ties.get(v, 0) + 1
+            n2 = sum(t * (t - 1) // 2 for t in ties.values())
+            row = got[g]
+            assert (row.n, row.s_stat, row.n0, row.n2) == (n, s, n0, n2)
+            assert row.tau_b == s / math.sqrt(n0 * (n0 - n2))
+            assert -1.0 <= row.tau_b <= 1.0
+
+
+class TestGroupByAll:
+    def test_inferred_keys_match_explicit(self, spark):
+        from pyspark.sql import functions as F
+
+        from clinical_api_etl_spark.plans.inference import sql_group_by_all
+        from clinical_api_etl_spark.sources.catalog import load
+
+        got = {
+            (r.event_type, r.day_idx): (r.n, r.cents)
+            for r in sql_group_by_all(spark, SF).collect()
+        }
+        ev = load(spark, SF, "events").filter(F.col("value").isNotNull())
+        manual = {
+            (r.event_type, r.day_idx): (r.n, r.cents)
+            for r in ev.groupBy(
+                "event_type",
+                F.expr("CAST(unix_millis(ts) div 86400000 AS BIGINT)").alias(
+                    "day_idx"
+                ),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+                .cast("long")
+                .alias("cents"),
+            )
+            .collect()
+        }
+        assert got == manual
+
+
+class TestPcaGate:
+    def test_matches_numpy_replay(self, spark):
+        import numpy as np
+
+        from clinical_api_etl_spark.plans.inference import emb_pca_gate
+
+        row = emb_pca_gate(spark, SF).collect()[0]
+        emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+        x = np.floor(
+            np.stack(emb["embedding"].to_numpy()).astype(np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        n = x.shape[0]
+        sx = x.sum(axis=0)
+        var_units = n * (x * x).sum(axis=0) - sx * sx
+        assert row.n == n
+        assert row.axis_var_units == int(var_units.max())
+        assert row.best_axis == int(var_units.argmax())
+        assert row.pc1_ge_axis is True
