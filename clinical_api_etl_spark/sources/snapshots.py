@@ -402,6 +402,169 @@ class SnapshotWarehouse(ParquetWarehouse):
 
     # -- maintenance ------------------------------------------------------
 
+    def purge(self, table: str, condition: Column | str, key_col: str) -> int:
+        """Right-to-be-forgotten: physically remove every row whose
+        ``key_col`` matches ``condition`` from ALL retained snapshots —
+        including rows currently hidden by deletion vectors — while
+        preserving time travel for everything else.
+
+        ``delete_where`` hides rows (tombstones); ``vacuum`` drops
+        unreferenced files; neither removes a subject's BYTES from files
+        still referenced by retained manifests. ``purge`` does:
+
+        1. One pass over the union of every retained snapshot's raw files
+           (``input_file_name`` tagged) finds the purge keys and the
+           exact files containing them — cost O(table), dirty-file
+           discovery is a single job.
+        2. Each dirty file is rewritten without the keys into a fresh
+           commit dir, at FILE granularity (manifests may carry partial
+           commit-dir contents after partition-scoped merges, so dir-level
+           rewrites would be wrong). Partition subpaths are preserved;
+           hive-derived columns never existed in the file bytes.
+        3. Tombstone files are cleaned of the purged keys too (a
+           tombstone IS a list of key values — personal data); entries
+           left empty are dropped (the rows they hid no longer exist).
+        4. Every retained manifest is repointed in place — old versions
+           keep their exact contents minus the subject — and a new
+           ``purge`` snapshot records the operation in ``history``.
+        5. The replaced files are unlinked. This is the one operation
+           that mutates history; like ``vacuum``, run it with a retention
+           window matching reader lifetimes.
+
+        ``key_col`` must be a physical data column (not a hive partition
+        column). Returns the number of purged keys.
+        """
+        with self._write_lock:
+            vs = self.versions(table)
+            if not vs:
+                return 0
+            root = self._data_root(table)
+            manifests = {v: self._load_manifest(table, v) for v in vs}
+            all_files: set[str] = set()
+            partitioned = False
+            for m in manifests.values():
+                all_files.update(m["files"])
+                partitioned = partitioned or m["partitioned"]
+            if not all_files:
+                return 0
+            by_commit: dict[str, list[str]] = {}
+            for rel in sorted(all_files):
+                by_commit.setdefault(rel.split("/", 1)[0], []).append(rel)
+            parts = []
+            for cid, rels in sorted(by_commit.items()):
+                r = self.spark.read
+                if partitioned:
+                    r = r.option("basePath", str(root / cid))
+                parts.append(
+                    r.parquet(*[str(root / rel) for rel in rels]).withColumn(
+                        "_purge_file", F.input_file_name()
+                    )
+                )
+            union = reduce(lambda a, b: a.unionByName(b), parts)
+            cond = F.expr(condition) if isinstance(condition, str) else condition
+            keys = union.filter(cond).select(key_col).distinct().persist()
+            n = keys.count()
+            if n == 0:
+                keys.unpersist()
+                return 0
+            dirty_uris = {
+                r[0]
+                for r in union.join(F.broadcast(keys), key_col, "left_semi")
+                .select("_purge_file")
+                .distinct()
+                .collect()
+            }
+
+            def _to_rel(uri: str) -> str:
+                p = uri.split("://", 1)[-1]
+                return str(Path(p).relative_to(root.resolve()))
+
+            dirty = {_to_rel(u) for u in dirty_uris}
+            new_cid = uuid.uuid4().hex
+            mapping: dict[str, str] = {}
+            for rel in sorted(dirty):
+                src = root / rel
+                df = self.spark.read.parquet(str(src))
+                if key_col not in df.columns:
+                    raise ValueError(
+                        f"{table}: purge key {key_col!r} must be a physical "
+                        f"column (absent from {rel})"
+                    )
+                cleaned = df.join(F.broadcast(keys), key_col, "left_anti")
+                subparts = rel.split("/")
+                subdir = "/".join(subparts[1:-1])
+                dest_dir = root / new_cid / subdir if subdir else root / new_cid
+                tmp = root / f".purge-{uuid.uuid4().hex}"
+                cleaned.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+                dest_dir.mkdir(parents=True, exist_ok=True)
+                out_name = f"{subparts[0]}-{subparts[-1]}"
+                written = sorted(tmp.glob("*.parquet"))
+                os.replace(written[0], dest_dir / out_name)
+                shutil.rmtree(tmp)
+                mapping[rel] = str((dest_dir / out_name).relative_to(root))
+            # Clean tombstone key files of the purged keys.
+            entry_file_map: dict[tuple[str, ...], list[str] | None] = {}
+            for m in manifests.values():
+                for entry in m.get("deletes") or []:
+                    sig = tuple(entry["files"])
+                    if sig in entry_file_map:
+                        continue
+                    tdf = self.spark.read.parquet(
+                        *[str(root / f) for f in sig]
+                    )
+                    if entry["key"] == key_col:
+                        kept = tdf.join(F.broadcast(keys), key_col, "left_anti")
+                        if kept.limit(1).count() == 0:
+                            entry_file_map[sig] = None  # drop the entry
+                            continue
+                        tmp = root / f".purge-{uuid.uuid4().hex}"
+                        kept.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+                        dest_dir = root / new_cid
+                        dest_dir.mkdir(parents=True, exist_ok=True)
+                        out_name = f"ts-{uuid.uuid4().hex}.parquet"
+                        written = sorted(tmp.glob("*.parquet"))
+                        os.replace(written[0], dest_dir / out_name)
+                        shutil.rmtree(tmp)
+                        entry_file_map[sig] = [
+                            str((dest_dir / out_name).relative_to(root))
+                        ]
+                    else:
+                        entry_file_map[sig] = list(sig)
+            keys.unpersist()
+            # Repoint every retained manifest in place (atomic per file).
+            mdir = self._manifest_dir(table)
+            for v, m in manifests.items():
+                m["files"] = sorted(mapping.get(rel, rel) for rel in m["files"])
+                new_entries = []
+                for entry in m.get("deletes") or []:
+                    mapped = entry_file_map.get(tuple(entry["files"]))
+                    if mapped is None:
+                        continue
+                    new_entries.append({**entry, "files": mapped})
+                m["deletes"] = new_entries
+                tmp_m = mdir / f".tmp-{uuid.uuid4().hex}"
+                tmp_m.write_text(json.dumps(m, indent=1))
+                os.rename(tmp_m, mdir / f"v{v:08d}.json")
+            # Record the purge as a snapshot of its own.
+            latest = manifests[max(vs)]
+            self._commit(
+                table,
+                latest["files"],
+                f"purge[{key_col}]",
+                deletes=latest.get("deletes"),
+            )
+            # Only now unlink the dirty originals (and replaced tombstones).
+            for rel in dirty:
+                (root / rel).unlink(missing_ok=True)
+            for sig, mapped in entry_file_map.items():
+                if mapped is None or list(sig) != mapped:
+                    for f in sig:
+                        (root / f).unlink(missing_ok=True)
+            for d in sorted(root.iterdir()):
+                if d.is_dir() and not any(d.rglob("*.parquet")):
+                    shutil.rmtree(d)
+            return n
+
     def compact(self, table: str) -> None:
         """OPTIMIZE-analogue: rewrite the live snapshot into one commit
         dir so reads plan a single parquet relation. Safe against its own

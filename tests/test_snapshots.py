@@ -351,3 +351,116 @@ class TestChangeDataFeed:
     def test_no_changes_yields_empty_feed(self, spark, swh):
         swh.append("docs", self._docs(spark, [(1, "a")]))
         assert swh.read_changes("docs", 1).count() == 0
+
+
+class TestPurge:
+    """Right-to-be-forgotten: bytes gone from ALL retained history,
+    everything else's time travel intact."""
+
+    def _scan_all_values(self, root: Path, col: str) -> set:
+        import pyarrow.parquet as pq
+
+        vals: set = set()
+        for p in root.rglob("*.parquet"):
+            t = pq.read_table(p)
+            if col in t.column_names:
+                vals.update(t.column(col).to_pylist())
+        return vals
+
+    def test_purged_key_gone_from_every_version_and_from_disk(
+        self, spark, tmp_path
+    ):
+        wh = SnapshotWarehouse(spark, str(tmp_path / "wh"))
+        s = "user string, v long"
+        wh.append("t", spark.createDataFrame([("alice", 1), ("bob", 2)], s))
+        wh.append("t", spark.createDataFrame([("alice", 3), ("carol", 4)], s))
+        assert len(wh.versions("t")) == 2
+        n = wh.purge("t", "user = 'alice'", "user")
+        assert n == 1
+        # Every historical version readable, alice absent, others intact.
+        assert {(r.user, r.v) for r in wh.read("t", 1).collect()} == {("bob", 2)}
+        assert {(r.user, r.v) for r in wh.read("t", 2).collect()} == {
+            ("bob", 2),
+            ("carol", 4),
+        }
+        assert {(r.user, r.v) for r in wh.read("t").collect()} == {
+            ("bob", 2),
+            ("carol", 4),
+        }
+        # No trace in any parquet byte on disk.
+        root = Path(str(tmp_path / "wh")) / "t" / "data"
+        assert "alice" not in self._scan_all_values(root, "user")
+        # The operation is recorded.
+        assert wh.history("t")[-1]["operation"] == "purge[user]"
+
+    def test_purge_cleans_tombstones_and_respects_other_dvs(self, spark, tmp_path):
+        wh = SnapshotWarehouse(spark, str(tmp_path / "wh"))
+        s = "user string, v long"
+        wh.append(
+            "t",
+            spark.createDataFrame(
+                [("alice", 1), ("bob", 2), ("carol", 3)], s
+            ),
+        )
+        # DV-delete alice AND bob: tombstone file holds both keys.
+        wh.delete_where("t", "user IN ('alice', 'bob')", "user")
+        assert {r.user for r in wh.read("t").collect()} == {"carol"}
+        n = wh.purge("t", "user = 'alice'", "user")
+        assert n == 1  # alice existed in raw files even though DV-hidden
+        # bob's tombstone must still hide bob at the latest version.
+        assert {r.user for r in wh.read("t").collect()} == {"carol"}
+        # Version 1 (pre-delete) shows bob and carol but never alice.
+        assert {r.user for r in wh.read("t", 1).collect()} == {"bob", "carol"}
+        root = Path(str(tmp_path / "wh")) / "t" / "data"
+        vals = self._scan_all_values(root, "user")
+        assert "alice" not in vals and "bob" in vals
+
+    def test_purge_partitioned_table_preserves_other_partitions(
+        self, spark, swh, tmp_path
+    ):
+        a = spark.createDataFrame(
+            [("s1", "alice", 1.0), ("s1", "bob", 2.0), ("s2", "alice", 3.0)],
+            GOLD_SCHEMA,
+        )
+        b = spark.createDataFrame([("s2", "dora", 9.0)], GOLD_SCHEMA)
+        swh.upsert("gold", a, ["study_id", "participant_id"])
+        swh.upsert("gold", b, ["study_id", "participant_id"])
+        before_v1 = {
+            (r.study_id, r.participant_id, r.v)
+            for r in swh.read("gold", 1).collect()
+        }
+        n = swh.purge("gold", "participant_id = 'alice'", "participant_id")
+        assert n == 1
+        assert {
+            (r.study_id, r.participant_id, r.v)
+            for r in swh.read("gold").collect()
+        } == {("s1", "bob", 2.0), ("s2", "dora", 9.0)}
+        # v1 minus alice, partition columns still derived correctly.
+        assert {
+            (r.study_id, r.participant_id, r.v)
+            for r in swh.read("gold", 1).collect()
+        } == {t for t in before_v1 if t[1] != "alice"}
+
+    def test_purge_missing_key_is_noop(self, spark, tmp_path):
+        wh = SnapshotWarehouse(spark, str(tmp_path / "wh"))
+        s = "user string, v long"
+        wh.append("t", spark.createDataFrame([("bob", 2)], s))
+        files_before = sorted(
+            p.name for p in (Path(str(tmp_path / "wh")) / "t").rglob("*.parquet")
+        )
+        assert wh.purge("t", "user = 'nobody'", "user") == 0
+        files_after = sorted(
+            p.name for p in (Path(str(tmp_path / "wh")) / "t").rglob("*.parquet")
+        )
+        assert files_before == files_after
+        assert wh.history("t")[-1]["operation"] == "append"
+
+    def test_vacuum_after_purge_leaves_consistent_table(self, spark, tmp_path):
+        wh = SnapshotWarehouse(spark, str(tmp_path / "wh"))
+        s = "user string, v long"
+        wh.append("t", spark.createDataFrame([("alice", 1), ("bob", 2)], s))
+        wh.append("t", spark.createDataFrame([("alice", 3)], s))
+        wh.purge("t", "user = 'alice'", "user")
+        wh.compact("t")
+        wh.vacuum("t", keep_last=1)
+        assert {(r.user, r.v) for r in wh.read("t").collect()} == {("bob", 2)}
