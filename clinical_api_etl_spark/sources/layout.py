@@ -86,20 +86,19 @@ def morton_interleave_sql(cols: list[str], bits: int = 16) -> str:
     return " + ".join(terms)
 
 
-def write_zordered(
+def zorder_frame(
     df: DataFrame,
-    path: str,
     zorder_by: list[str],
     *,
     bits: int = 16,
     num_files: int | None = None,
-) -> None:
-    """Write ``df`` Z-ordered on ``zorder_by`` (numeric columns).
-
-    Each column is affinely bucketed to ``[0, 2**bits)`` from its global
-    min/max (one 1-row aggregate — metadata-scale at any corpus size),
-    codes are interleaved, and the frame is range-clustered on the code.
-    The helper column never reaches the files.
+) -> DataFrame:
+    """``df`` range-clustered + sorted on the Morton code of ``zorder_by``
+    (numeric columns) — ready for any writer (plain parquet, warehouse
+    commit dirs). Each column is affinely bucketed to ``[0, 2**bits)``
+    from its global min/max (one 1-row aggregate — metadata-scale at any
+    corpus size), codes are interleaved, and the helper column is dropped
+    after the sort so it never reaches the files.
     """
     if len(zorder_by) < 2:
         raise ValueError("zorder_by needs >= 2 columns (use write_clustered for 1)")
@@ -126,7 +125,21 @@ def write_zordered(
         if num_files is not None
         else tagged.repartitionByRange("__z")
     )
-    parted.sortWithinPartitions("__z").drop("__z").write.mode("overwrite").parquet(path)
+    return parted.sortWithinPartitions("__z").drop("__z")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    *,
+    bits: int = 16,
+    num_files: int | None = None,
+) -> None:
+    """Write ``df`` Z-ordered on ``zorder_by`` (see :func:`zorder_frame`)."""
+    zorder_frame(df, zorder_by, bits=bits, num_files=num_files).write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def row_group_ranges(path: str, column: str) -> list[tuple]:

@@ -576,6 +576,30 @@ class SnapshotWarehouse(ParquetWarehouse):
             if df is not None:
                 self._rewrite(table, df)
 
+    def optimize_zorder(
+        self,
+        table: str,
+        zorder_by: list[str],
+        *,
+        bits: int = 16,
+        num_files: int | None = None,
+    ) -> None:
+        """Delta ``OPTIMIZE ... ZORDER BY`` analogue: rewrite the live
+        snapshot Z-ordered on ``zorder_by`` so row-group min/max stats
+        prune point/range predicates on EVERY clustered column (see
+        ``sources/layout.py``). Same safety contract as ``compact`` —
+        fresh commit dir, older snapshots readable until ``vacuum``; the
+        rewrite also materializes any deletion vectors."""
+        from clinical_api_etl_spark.sources.layout import zorder_frame
+
+        with self._write_lock:
+            df = self.read(table)
+            if df is not None:
+                self._rewrite(
+                    table,
+                    zorder_frame(df, zorder_by, bits=bits, num_files=num_files),
+                )
+
     def vacuum(self, table: str, keep_last: int = 1) -> int:
         """Drop manifests older than the newest ``keep_last`` and delete
         data files no retained manifest references. Returns the number of

@@ -464,3 +464,36 @@ class TestPurge:
         wh.compact("t")
         wh.vacuum("t", keep_last=1)
         assert {(r.user, r.v) for r in wh.read("t").collect()} == {("bob", 2)}
+
+
+class TestOptimizeZorder:
+    def test_zorder_rewrite_enables_two_column_pruning(self, spark, tmp_path):
+        from clinical_api_etl_spark.sources.layout import skipping_ratio
+
+        wh = SnapshotWarehouse(spark, str(tmp_path / "wh"))
+        # Arrival-order data: both keys span the full domain in every file.
+        rows = [(i, (i * 7919) % 1000, (i * 104729) % 1000) for i in range(4000)]
+        wh.append(
+            "t", spark.createDataFrame(rows, "id long, a long, b long")
+        )
+        root = Path(str(tmp_path / "wh")) / "t" / "data"
+        before_a = skipping_ratio(str(root), "a", 17)
+        wh.optimize_zorder("t", ["a", "b"], num_files=8)
+        wh.vacuum("t", keep_last=1)
+        after_a = skipping_ratio(str(root), "a", 17)
+        after_b = skipping_ratio(str(root), "b", 17)
+        # Z-order layout prunes on BOTH columns; arrival order pruned ~0.
+        assert after_a > before_a and after_a >= 0.5
+        assert after_b >= 0.5
+        got = {r.id for r in wh.read("t").collect()}
+        assert got == {i for i in range(4000)}
+
+    def test_zorder_materializes_deletion_vectors(self, spark, tmp_path):
+        wh = SnapshotWarehouse(spark, str(tmp_path / "wh"))
+        rows = [(i, i % 50, i % 97) for i in range(500)]
+        wh.append("t", spark.createDataFrame(rows, "id long, a long, b long"))
+        wh.delete_where("t", "id < 100", "id")
+        wh.optimize_zorder("t", ["a", "b"], num_files=4)
+        m = wh._load_manifest("t")
+        assert m["operation"] == "rewrite" and not m["deletes"]
+        assert {r.id for r in wh.read("t").collect()} == set(range(100, 500))
