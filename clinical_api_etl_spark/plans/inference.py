@@ -1140,3 +1140,81 @@ def emb_pca_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="n BIGINT, best_axis BIGINT, axis_var_units BIGINT, "
         "pc1_ge_axis BOOLEAN",
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test over all event-type pairs.
+# ---------------------------------------------------------------------------
+
+_DAY_MS_I = 86400000
+
+
+@QS.add(
+    "stat_proportion_ztest_pairs",
+    f"""
+    WITH t AS (
+      SELECT event_type AS g,
+             CASE WHEN (epoch_ms(ts) // {_DAY_MS_I}) % 7 IN (5, 6)
+                  THEN 1 ELSE 0 END AS hit
+      FROM events
+    ),
+    c AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(hit) AS BIGINT) AS k
+      FROM t GROUP BY g
+    )
+    SELECT a.g AS ga, b.g AS gb, a.n AS n_a, a.k AS k_a, b.n AS n_b,
+           b.k AS k_b,
+           (CAST(a.k AS DOUBLE) / CAST(a.n AS DOUBLE)
+            - CAST(b.k AS DOUBLE) / CAST(b.n AS DOUBLE))
+             / sqrt(CAST((a.k + b.k) * (a.n + b.n - a.k - b.k) AS DOUBLE)
+                    / CAST((a.n + b.n) * a.n * b.n AS DOUBLE)) AS z
+    FROM c a JOIN c b ON a.g < b.g
+    """,
+    doc="[EXT] two-proportion z-test between every pair of event types on "
+    "the weekend-share of events (epoch-day mod 7 — calendar-free on "
+    "both engines): z = (p_a − p_b) / sqrt(p(1−p)(1/n_a + 1/n_b)) with "
+    "the pooled term algebraically cleared to ONE ratio of exact BIGINT "
+    "products — (k)(N−k)N / (n_a·n_b·N²) — so the float z is a fixed "
+    "two-division + sqrt + divide tree, bit-identical across engines. "
+    "Counts are a single map-side-combinable aggregate; the pair join "
+    "runs on k rows. The conversion-rate A/B primitive next to the "
+    "mean-shift (Welch) and shape-shift (KS) tests.",
+    tags=("stats",),
+)
+def stat_proportion_ztest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    t = ev.select(
+        F.col("event_type").alias("g"),
+        F.when(
+            F.expr(f"(unix_millis(ts) div {_DAY_MS_I}) % 7").isin(5, 6), 1
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    c = t.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("hit").cast("long").alias("k"),
+    )
+    a = c.select(*[F.col(x).alias(f"{x}_a") for x in ("g", "n", "k")])
+    b = c.select(*[F.col(x).alias(f"{x}_b") for x in ("g", "n", "k")])
+    j = a.join(F.broadcast(b), F.col("g_a") < F.col("g_b"))
+    na, ka = F.col("n_a"), F.col("k_a")
+    nb, kb = F.col("n_b"), F.col("k_b")
+    big_n = na + nb
+    big_k = ka + kb
+    diff = ka.cast("double") / na.cast("double") - kb.cast("double") / nb.cast(
+        "double"
+    )
+    num = (big_k * (big_n - big_k)).cast("double")
+    den = (big_n * na * nb).cast("double")
+    z = diff / F.sqrt(num / den)
+    return j.select(
+        F.col("g_a").alias("ga"),
+        F.col("g_b").alias("gb"),
+        "n_a",
+        "k_a",
+        "n_b",
+        "k_b",
+        z.alias("z"),
+    )

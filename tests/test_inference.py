@@ -398,3 +398,33 @@ class TestPcaGate:
         assert row.axis_var_units == int(var_units.max())
         assert row.best_axis == int(var_units.argmax())
         assert row.pc1_ge_axis is True
+
+
+class TestProportionZ:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.inference import (
+            stat_proportion_ztest_pairs,
+        )
+
+        pdf = pd.read_parquet(f"{SF}/events.parquet")
+        pdf["day"] = pdf["ts"].astype("datetime64[us]").astype("int64") // (
+            86400 * 10**6
+        )
+        pdf["hit"] = (pdf["day"] % 7).isin([5, 6]).astype(int)
+        stats = {
+            g: (len(s), int(s["hit"].sum()))
+            for g, s in pdf.groupby("event_type")
+        }
+        got = {
+            (r.ga, r.gb): r
+            for r in stat_proportion_ztest_pairs(spark, SF).collect()
+        }
+        for (a, b), row in got.items():
+            na, ka = stats[a]
+            nb, kb = stats[b]
+            assert (row.n_a, row.k_a, row.n_b, row.k_b) == (na, ka, nb, kb)
+            big_n, big_k = na + nb, ka + kb
+            z = (ka / na - kb / nb) / math.sqrt(
+                (big_k * (big_n - big_k)) / (big_n * na * nb)
+            )
+            assert row.z == pytest.approx(z, rel=1e-12)

@@ -39,6 +39,13 @@ QUERIES = [
     "dedup_ngram_jaccard",
     "seq_user_fingerprint",
     "emb_gram_matrix",
+    # round-7 additions: rank-statistic histogram walk, per-user lag
+    # window, corpus trigram explode + self-derived context join, and the
+    # iterative BPE trainer (driver-sequenced argmax rounds).
+    "stat_mannwhitney_pairs",
+    "w15_ewma_dyadic",
+    "text_trigram_lm",
+    "bpe_learn_merges",
 ]
 
 
