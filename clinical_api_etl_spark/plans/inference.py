@@ -1218,3 +1218,83 @@ def stat_proportion_ztest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k_b",
         z.alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance (data-quality forensics).
+# ---------------------------------------------------------------------------
+
+#: floor(log10(1 + 1/d) * 1e6) for d = 1..9 — shared integer literals, so
+#: neither engine ever evaluates a logarithm.
+_BENFORD_PPM = {
+    1: 301029,
+    2: 176091,
+    3: 124938,
+    4: 96910,
+    5: 79181,
+    6: 66946,
+    7: 57991,
+    8: 51152,
+    9: 45757,
+}
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+)
+
+
+@QS.add(
+    "stat_benford_first_digit",
+    f"""
+    WITH t AS (
+      SELECT CAST(substr(CAST({_CENTS} AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM events WHERE value IS NOT NULL AND value > 0
+    ),
+    c AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY d
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT c.d, c.n,
+           c.n * 1000000 // tot.total AS observed_ppm,
+           CAST(CASE c.d {_BENFORD_CASE} END AS BIGINT) AS benford_ppm,
+           abs(c.n * 1000000 // tot.total
+               - CASE c.d {_BENFORD_CASE} END) AS abs_dev_ppm
+    FROM c CROSS JOIN tot
+    """,
+    doc="[EXT] Benford first-digit conformance over positive value cents — "
+    "the fraud/data-fabrication forensic screen. First digits come from "
+    "the decimal string of the exact integer cents (no float log10 "
+    "anywhere: the Benford expectation is a shared table of "
+    "floor(log10(1+1/d)·1e6) INTEGER literals, observed shares are "
+    "floor-div ppm), so every output column is an exact BIGINT and the "
+    "whole screen hash-matches. One map-side-combinable aggregate; the "
+    "1-row total rides a cross join. Uniform synthetic data is EXPECTED "
+    "to deviate — the query reports deviations, it does not assert "
+    "conformance.",
+    tags=("stats", "quality"),
+)
+def stat_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    t = ev.select(
+        F.substring(_cents().cast("string"), 1, 1).cast("long").alias("d")
+    )
+    c = t.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = c.agg(F.sum("n").cast("long").alias("total"))
+    benford = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "n",
+            F.expr("n * 1000000 div total").alias("observed_ppm"),
+            benford[F.col("d")].cast("long").alias("benford_ppm"),
+            F.abs(
+                F.expr("n * 1000000 div total")
+                - benford[F.col("d")].cast("long")
+            ).alias("abs_dev_ppm"),
+        )
+    )

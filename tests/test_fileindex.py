@@ -103,3 +103,57 @@ class TestPruning:
         for e in idx["files"]:
             st = e["columns"]["o_custkey"]
             assert st["min"] <= st["max"] and st["nulls"] == 0
+
+
+class TestStreamingMaintenance:
+    def test_foreachbatch_keeps_index_current(self, spark, tmp_path):
+        """A streaming sink that appends parquet and rebuilds the sidecar
+        per micro-batch: pruned reads stay exactly equal to full scans
+        after every batch — the index is maintainable from foreachBatch
+        the same way Delta keeps stats current on write."""
+        from clinical_api_etl_spark.sources.catalog import load
+
+        src_dir = str(tmp_path / "src")
+        out_dir = tmp_path / "indexed"
+        out_dir.mkdir()
+        orders = load(spark, SF, "orders").select("o_orderkey", "o_custkey")
+        half1 = orders.filter(F.col("o_custkey") < 75)
+        half2 = orders.filter(F.col("o_custkey") >= 75)
+        half1.write.parquet(f"{src_dir}/b1")
+
+        def sink(df, batch_id):
+            # Range-cluster each batch before appending so per-file stats
+            # stay tight, then refresh the sidecar (footer-only).
+            write_clustered(
+                df, str(out_dir / f"batch{batch_id}"), ["o_custkey"], num_files=2
+            )
+            build_file_index(str(out_dir), ["o_custkey"])
+
+        schema = half1.schema
+
+        def run_stream(checkpoint_suffix):
+            q = (
+                spark.readStream.schema(schema)
+                .parquet(f"{src_dir}/*")
+                .writeStream.foreachBatch(sink)
+                .option(
+                    "checkpointLocation", str(tmp_path / "ck")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_stream("a")
+        got1 = read_pruned(spark, str(out_dir), {"o_custkey": (10, 20)})
+        want1 = half1.filter(F.col("o_custkey").between(10, 20))
+        assert got1.count() == want1.count() > 0
+
+        half2.write.parquet(f"{src_dir}/b2")
+        run_stream("b")
+        got2 = read_pruned(spark, str(out_dir), {"o_custkey": (70, 80)})
+        want2 = orders.filter(F.col("o_custkey").between(70, 80))
+        assert got2.count() == want2.count() > 0
+        # Pruning still effective: narrow range reads a strict file subset.
+        idx = load_file_index(str(out_dir))
+        assert 0 < len(prune(idx, {"o_custkey": (10, 20)})) < len(idx["files"])

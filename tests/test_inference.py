@@ -428,3 +428,37 @@ class TestProportionZ:
                 (big_k * (big_n - big_k)) / (big_n * na * nb)
             )
             assert row.z == pytest.approx(z, rel=1e-12)
+
+
+class TestBenford:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.inference import (
+            _BENFORD_PPM,
+            stat_benford_first_digit,
+        )
+
+        pdf = pd.read_parquet(f"{SF}/events.parquet")
+        pdf = pdf[pdf["value"] > 0]
+        cents = (pdf["value"] * 100).round().astype("int64")
+        counts: dict[int, int] = {}
+        for c in cents:
+            d = int(str(c)[0])
+            counts[d] = counts.get(d, 0) + 1
+        total = sum(counts.values())
+        got = {r.d: r for r in stat_benford_first_digit(spark, SF).collect()}
+        assert set(got) == set(counts)
+        for d, n in counts.items():
+            row = got[d]
+            obs = n * 1000000 // total
+            assert (row.n, row.observed_ppm) == (n, obs)
+            assert row.benford_ppm == _BENFORD_PPM[d]
+            assert row.abs_dev_ppm == abs(obs - _BENFORD_PPM[d])
+
+    def test_benford_table_is_log_table(self):
+        import math
+
+        from clinical_api_etl_spark.plans.inference import _BENFORD_PPM
+
+        for d, p in _BENFORD_PPM.items():
+            assert p == math.floor(math.log10(1 + 1 / d) * 1e6)
+        assert abs(sum(_BENFORD_PPM.values()) - 1000000) < 10
