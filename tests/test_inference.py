@@ -462,3 +462,71 @@ class TestBenford:
         for d, p in _BENFORD_PPM.items():
             assert p == math.floor(math.log10(1 + 1 / d) * 1e6)
         assert abs(sum(_BENFORD_PPM.values()) - 1000000) < 10
+
+
+class TestEntityResolution:
+    def test_matches_python_union_find(self, spark):
+        from clinical_api_etl_spark.plans.inference import er_resolve_customers
+
+        cust = pd.read_parquet(f"{SF}/customer.parquet")
+        names = dict(zip(cust["c_custkey"], cust["c_name"]))
+
+        def lev1(a: str, b: str) -> bool:
+            if a == b:
+                return True
+            la, lb = len(a), len(b)
+            if abs(la - lb) > 1:
+                return False
+            if la == lb:
+                return sum(x != y for x, y in zip(a, b)) <= 1
+            if la > lb:
+                a, b, la, lb = b, a, lb, la
+            i = j = diff = 0
+            while i < la and j < lb:
+                if a[i] == b[j]:
+                    i += 1
+                    j += 1
+                else:
+                    diff += 1
+                    if diff > 1:
+                        return False
+                    j += 1
+            return True
+
+        parent = {k: k for k in names}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        keys = sorted(names)
+        for i, a in enumerate(keys):
+            for b in keys[i + 1 :]:
+                if lev1(names[a], names[b]):
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        expect_cluster = {k: find(k) for k in keys}
+        sizes: dict[int, int] = {}
+        for c in expect_cluster.values():
+            sizes[c] = sizes.get(c, 0) + 1
+        got = {
+            r.custkey: (r.canonical, r.cluster_size)
+            for r in er_resolve_customers(spark, SF).collect()
+        }
+        assert got == {
+            k: (c, sizes[c]) for k, c in expect_cluster.items()
+        }
+
+    def test_invariants(self, spark):
+        from clinical_api_etl_spark.plans.inference import er_resolve_customers
+
+        rows = er_resolve_customers(spark, SF).collect()
+        by_cluster: dict[int, list[int]] = {}
+        for r in rows:
+            by_cluster.setdefault(r.canonical, []).append(r.custkey)
+        for canon, members in by_cluster.items():
+            assert canon == min(members)  # canonical = min member
+        assert len(rows) == len({r.custkey for r in rows})  # total function
