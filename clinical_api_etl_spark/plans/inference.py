@@ -1372,3 +1372,73 @@ def er_resolve_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical",
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent behavioral trigrams (sequential pattern mining, depth 3).
+# ---------------------------------------------------------------------------
+
+_SEQ_MIN_SUPPORT = 5
+
+
+@QS.add(
+    "seq_frequent_trigrams",
+    f"""
+    WITH seqs AS (
+      SELECT user_id,
+             list(event_type ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    ),
+    tri AS (
+      SELECT g['e1'] AS e1, g['e2'] AS e2, g['e3'] AS e3
+      FROM (
+        SELECT unnest(list_transform(range(1, len(seq) - 1),
+                 i -> {{'e1': seq[i], 'e2': seq[i + 1],
+                        'e3': seq[i + 2]}})) AS g
+        FROM seqs WHERE len(seq) >= 3
+      )
+    )
+    SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tri GROUP BY e1, e2, e3
+    HAVING COUNT(*) >= {_SEQ_MIN_SUPPORT}
+    """,
+    doc="[EXT] sequential pattern mining at depth 3: every consecutive "
+    "event-type trigram in each user's (ts, event_id)-ordered behavior "
+    "stream, counted corpus-wide with a min-support floor — the "
+    "clickstream/funnel-discovery primitive (SPADE/PrefixSpan's "
+    "contiguous-trigram slice) next to the first-order Markov matrix "
+    "(seq_transition_matrix). Shape: ONE groupBy builds the ordered "
+    "per-user sequence (sort inside the aggregate, event_id tie-break — "
+    "deterministic), trigrams expand via an index transform (no window, "
+    "no self-join), and the count is a map-side-combinable aggregate "
+    "over at most |event-types|³ groups.",
+    tags=("sequence", "mining"),
+)
+def seq_frequent_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ).alias("seq")
+    )
+    grams = F.when(
+        F.size("seq") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("seq") - 2),
+            lambda i: F.struct(
+                F.element_at("seq", i).alias("e1"),
+                F.element_at("seq", i + 1).alias("e2"),
+                F.element_at("seq", i + 2).alias("e3"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<e1:string,e2:string,e3:string>>"))
+    return (
+        seqs.select(F.explode_outer(grams).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .groupBy("g.e1", "g.e2", "g.e3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= _SEQ_MIN_SUPPORT)
+    )

@@ -115,6 +115,53 @@ def build_file_index(
     return index
 
 
+def update_file_index(
+    data_path: str,
+    *,
+    spark: SparkSession | None = None,
+) -> tuple[dict[str, Any], int]:
+    """Incremental sidecar refresh: reuse the existing entry for every
+    file whose byte size is unchanged, footer-read only new/changed
+    files, drop entries for deleted files. Parquet files are immutable
+    in practice (appends add files), so an unchanged (path, bytes) pair
+    means unchanged stats — the same contract Iceberg manifests rely on.
+    Returns ``(index, n_newly_indexed)``. Cost is O(new files), which is
+    what makes per-micro-batch maintenance viable at millions of files.
+    """
+    old = load_file_index(data_path)
+    columns = old["columns"]
+    old_by_path = {e["path"]: e for e in old["files"]}
+    files = sorted(str(p) for p in Path(data_path).rglob("*.parquet"))
+    entries: list[dict[str, Any]] = []
+    fresh: list[str] = []
+    for f in files:
+        e = old_by_path.get(f)
+        if e is not None and e["bytes"] == os.path.getsize(f):
+            entries.append(e)
+        else:
+            fresh.append(f)
+    if fresh:
+        if spark is not None:
+            rdd = spark.sparkContext.parallelize(
+                fresh, max(1, min(len(fresh), 64))
+            )
+            entries.extend(rdd.map(lambda f: _footer_stats(f, columns)).collect())
+        else:
+            entries.extend(_footer_stats(f, columns) for f in fresh)
+    entries.sort(key=lambda e: e["path"])
+    index = {
+        "version": 1,
+        "root": str(data_path),
+        "columns": columns,
+        "files": entries,
+    }
+    tmp = os.path.join(data_path, INDEX_NAME + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(index, fh)
+    os.replace(tmp, os.path.join(data_path, INDEX_NAME))
+    return index, len(fresh)
+
+
 def load_file_index(data_path: str) -> dict[str, Any]:
     with open(os.path.join(data_path, INDEX_NAME)) as fh:
         return json.load(fh)

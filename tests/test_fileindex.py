@@ -157,3 +157,41 @@ class TestStreamingMaintenance:
         # Pruning still effective: narrow range reads a strict file subset.
         idx = load_file_index(str(out_dir))
         assert 0 < len(prune(idx, {"o_custkey": (10, 20)})) < len(idx["files"])
+
+
+class TestIncrementalUpdate:
+    def test_update_indexes_only_new_files(self, spark, tmp_path):
+        from clinical_api_etl_spark.sources.fileindex import update_file_index
+
+        path = _clustered_orders(spark, tmp_path)
+        first = build_file_index(path, ["o_custkey"])
+        n_before = len(first["files"])
+        # No changes: zero fresh reads, identical index.
+        idx, fresh = update_file_index(path)
+        assert fresh == 0 and idx == first
+        # Append a new file: exactly one fresh read; old entries reused
+        # verbatim (same dict content incl. stats).
+        extra = spark.createDataFrame([(10**7, 1)], "o_orderkey long, o_custkey long")
+        extra.coalesce(1).write.mode("append").parquet(path)
+        idx2, fresh2 = update_file_index(path)
+        assert fresh2 == len(idx2["files"]) - n_before > 0
+        old_paths = {e["path"] for e in first["files"]}
+        carried = [e for e in idx2["files"] if e["path"] in old_paths]
+        assert carried == first["files"]
+        # Pruned reads see the new row.
+        got = read_pruned(spark, path, {"o_custkey": (1, 1)})
+        assert 10**7 in {r.o_orderkey for r in got.collect()}
+
+    def test_update_drops_deleted_files(self, spark, tmp_path):
+        import os
+
+        from clinical_api_etl_spark.sources.fileindex import update_file_index
+
+        path = _clustered_orders(spark, tmp_path)
+        first = build_file_index(path, ["o_custkey"])
+        victim = first["files"][0]["path"]
+        os.unlink(victim)
+        idx, fresh = update_file_index(path)
+        assert fresh == 0
+        assert victim not in {e["path"] for e in idx["files"]}
+        assert len(idx["files"]) == len(first["files"]) - 1

@@ -530,3 +530,22 @@ class TestEntityResolution:
         for canon, members in by_cluster.items():
             assert canon == min(members)  # canonical = min member
         assert len(rows) == len({r.custkey for r in rows})  # total function
+
+
+class TestFrequentTrigrams:
+    def test_matches_python_replay(self, spark, events_pdf):
+        from clinical_api_etl_spark.plans.inference import seq_frequent_trigrams
+
+        pdf = pd.read_parquet(f"{SF}/events.parquet")
+        counts: dict[tuple[str, str, str], int] = {}
+        for _, sub in pdf.groupby("user_id"):
+            seq = sub.sort_values(["ts", "event_id"])["event_type"].tolist()
+            for i in range(len(seq) - 2):
+                k = (seq[i], seq[i + 1], seq[i + 2])
+                counts[k] = counts.get(k, 0) + 1
+        expect = {k: n for k, n in counts.items() if n >= 5}
+        got = {
+            (r.e1, r.e2, r.e3): r.n
+            for r in seq_frequent_trigrams(spark, SF).collect()
+        }
+        assert got == expect
