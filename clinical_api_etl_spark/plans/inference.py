@@ -105,6 +105,13 @@ def _cents() -> F.Column:
 def stat_mannwhitney_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     t = ev.select(F.col("event_type").alias("g"), _cents().alias("x"))
+    return mannwhitney_from_samples(t)
+
+
+def mannwhitney_from_samples(t: DataFrame) -> DataFrame:
+    """Pairwise Mann-Whitney over any (g: string, x: long) sample frame —
+    the histogram machinery the registry query and the hypothesis
+    property gate share."""
     hist = t.groupBy("g", "x").agg(F.count(F.lit(1)).cast("long").alias("c"))
     types = t.select(F.col("g").alias("o")).distinct()
     sides = hist.join(F.broadcast(types), F.col("o") != F.col("g")).select(
@@ -217,6 +224,12 @@ def stat_mannwhitney_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stat_ks_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     t = ev.select(F.col("event_type").alias("g"), _cents().alias("x"))
+    return ks_from_samples(t)
+
+
+def ks_from_samples(t: DataFrame) -> DataFrame:
+    """Pairwise two-sample KS over any (g: string, x: long) sample frame
+    (shared by the registry query and the property gate)."""
     hist = t.groupBy("g", "x").agg(F.count(F.lit(1)).cast("long").alias("c"))
     types = t.select(F.col("g").alias("o")).distinct()
     sides = hist.join(F.broadcast(types), F.col("o") != F.col("g")).select(

@@ -549,3 +549,77 @@ class TestFrequentTrigrams:
             for r in seq_frequent_trigrams(spark, SF).collect()
         }
         assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis property gates: the histogram rank machinery equals the
+# direct python definitions on arbitrary small samples (ties, skewed
+# group sizes, negative values — shapes the fixed corpus can't cover).
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_samples = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=-50, max_value=50),
+    ),
+    min_size=4,
+    max_size=60,
+).filter(lambda xs: len({g for g, _ in xs}) >= 2)
+
+
+class TestRankStatProperties:
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(xs=_samples)
+    def test_mannwhitney_equals_definition(self, spark, xs):
+        from clinical_api_etl_spark.plans.inference import (
+            mannwhitney_from_samples,
+        )
+
+        t = spark.createDataFrame(xs, "g string, x long")
+        got = {(r.ga, r.gb): r for r in mannwhitney_from_samples(t).collect()}
+        groups: dict[str, list[int]] = {}
+        for g, x in xs:
+            groups.setdefault(g, []).append(x)
+        names = sorted(groups)
+        assert set(got) == {
+            (a, b) for a in names for b in names if a < b
+        }
+        for (a, b), row in got.items():
+            xa, xb = sorted(groups[a]), sorted(groups[b])
+            r_a2, tie = _doubled_rank_sums(xa, xb)
+            u_a2 = r_a2 - len(xa) * (len(xa) + 1)
+            assert (row.n_a, row.n_b) == (len(xa), len(xb))
+            assert row.u_a_x2 == u_a2
+            assert row.u_b_x2 == 2 * len(xa) * len(xb) - u_a2
+            assert row.tie_adj == tie
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(xs=_samples)
+    def test_ks_equals_definition(self, spark, xs):
+        from clinical_api_etl_spark.plans.inference import ks_from_samples
+
+        t = spark.createDataFrame(xs, "g string, x long")
+        got = {(r.ga, r.gb): r for r in ks_from_samples(t).collect()}
+        groups: dict[str, list[int]] = {}
+        for g, x in xs:
+            groups.setdefault(g, []).append(x)
+        for (a, b), row in got.items():
+            xa, xb = sorted(groups[a]), sorted(groups[b])
+            na, nb = len(xa), len(xb)
+            d_num = 0
+            for v in sorted(set(xa) | set(xb)):
+                ca = sum(1 for x in xa if x <= v)
+                cb = sum(1 for x in xb if x <= v)
+                d_num = max(d_num, abs(ca * nb - cb * na))
+            assert (row.n_a, row.n_b, row.d_num) == (na, nb, d_num)
