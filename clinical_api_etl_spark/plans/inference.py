@@ -1455,3 +1455,110 @@ def seq_frequent_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .filter(F.col("n") >= _SEQ_MIN_SUPPORT)
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on the hourly direction sequence.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_runs_test_hourly",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, epoch_ms(ts) // {_HOUR_MS} AS h,
+             CAST(SUM({_CENTS}) AS BIGINT) AS s
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, h
+    ),
+    diffs AS (
+      SELECT event_type, h,
+             CASE WHEN s > lag(s) OVER w THEN 1
+                  WHEN s < lag(s) OVER w THEN -1 END AS sg
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    ),
+    signs AS (SELECT event_type, h, sg FROM diffs WHERE sg IS NOT NULL),
+    runs AS (
+      SELECT event_type, sg,
+             CASE WHEN lag(sg) OVER w2 IS NULL
+                       OR sg <> lag(sg) OVER w2 THEN 1 ELSE 0 END AS new_run
+      FROM signs
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY h)
+    ),
+    c AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+             CAST(SUM(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_down,
+             CAST(SUM(new_run) AS BIGINT) AS n_runs
+      FROM runs GROUP BY event_type
+    )
+    SELECT event_type, n_up, n_down, n_runs,
+           (CAST(n_runs AS DOUBLE)
+            - (1.0 + CAST(2 * n_up * n_down AS DOUBLE)
+                     / CAST(n_up + n_down AS DOUBLE)))
+             / sqrt(CAST(2 * n_up * n_down
+                         * (2 * n_up * n_down - n_up - n_down) AS DOUBLE)
+                    / CAST((n_up + n_down) * (n_up + n_down)
+                           * (n_up + n_down - 1) AS DOUBLE)) AS z
+    FROM c
+    """,
+    doc="[EXT] Wald-Wolfowitz runs test per event type: is the hourly "
+    "revenue direction sequence (up/down, ties dropped — the standard "
+    "treatment) random, trending (too few runs), or oscillating (too "
+    "many)? Counts n_up / n_down / n_runs are exact BIGINTs from two lag "
+    "windows over the calendar-bounded hourly pre-aggregate (runs = "
+    "Σ[sign ≠ previous sign]); z is the fixed IEEE tree over the exact "
+    "moments 1+2·n1·n2/N and 2n1n2(2n1n2−N)/(N²(N−1)) — hash-matches "
+    "including the float. Completes the time-series test bench: "
+    "Mann-Kendall detects monotone trend, CUSUM locates a level shift, "
+    "the runs test rejects serial randomness itself.",
+    tags=("stats", "timeseries"),
+)
+def stat_runs_test_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_millis(ts) div {_HOUR_MS}").alias("h"),
+            _cents().alias("cents"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("cents").cast("long").alias("s"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    diffs = hourly.select(
+        "event_type",
+        "h",
+        F.when(F.col("s") > F.lag("s").over(w), 1)
+        .when(F.col("s") < F.lag("s").over(w), -1)
+        .alias("sg"),
+    )
+    signs = diffs.filter(F.col("sg").isNotNull())
+    prev = F.lag("sg").over(w)
+    runs = signs.select(
+        "event_type",
+        "sg",
+        F.when(prev.isNull() | (F.col("sg") != prev), 1).otherwise(0).alias("new_run"),
+    )
+    c = runs.groupBy("event_type").agg(
+        F.sum(F.when(F.col("sg") == 1, 1).otherwise(0)).cast("long").alias("n_up"),
+        F.sum(F.when(F.col("sg") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+        F.sum("new_run").cast("long").alias("n_runs"),
+    )
+    n1, n2, r = F.col("n_up"), F.col("n_down"), F.col("n_runs")
+    big_n = n1 + n2
+    mean = F.lit(1.0) + (2 * n1 * n2).cast("double") / big_n.cast("double")
+    var = (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)).cast("double") / (
+        big_n * big_n * (big_n - 1)
+    ).cast("double")
+    return c.select(
+        "event_type",
+        "n_up",
+        "n_down",
+        "n_runs",
+        ((r.cast("double") - mean) / F.sqrt(var)).alias("z"),
+    )

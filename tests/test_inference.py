@@ -623,3 +623,41 @@ class TestRankStatProperties:
                 cb = sum(1 for x in xb if x <= v)
                 d_num = max(d_num, abs(ca * nb - cb * na))
             assert (row.n_a, row.n_b, row.d_num) == (na, nb, d_num)
+
+
+class TestRunsTest:
+    def test_matches_python_replay(self, spark, events_pdf):
+        from clinical_api_etl_spark.plans.inference import stat_runs_test_hourly
+
+        got = {
+            r.event_type: r for r in stat_runs_test_hourly(spark, SF).collect()
+        }
+        pdf = events_pdf.copy()
+        pdf["h"] = pdf["ts"].astype("datetime64[us]").astype("int64") // (
+            3600 * 10**6
+        )
+        for g, sub in pdf.groupby("event_type"):
+            series = sub.groupby("h")["cents"].sum().sort_index().tolist()
+            signs = []
+            for a, b in zip(series, series[1:]):
+                if b > a:
+                    signs.append(1)
+                elif b < a:
+                    signs.append(-1)
+            n_up = signs.count(1)
+            n_down = signs.count(-1)
+            n_runs = sum(
+                1
+                for i, sgn in enumerate(signs)
+                if i == 0 or sgn != signs[i - 1]
+            )
+            row = got[g]
+            assert (row.n_up, row.n_down, row.n_runs) == (n_up, n_down, n_runs)
+            big_n = n_up + n_down
+            mean = 1.0 + (2 * n_up * n_down) / big_n
+            var = (2 * n_up * n_down * (2 * n_up * n_down - big_n)) / (
+                big_n * big_n * (big_n - 1)
+            )
+            assert row.z == pytest.approx(
+                (n_runs - mean) / math.sqrt(var), rel=1e-12
+            )

@@ -962,6 +962,70 @@ class TestStreamStreamOuterJoin:
         assert (2, None) in got2
 
 
+class TestStreamStreamFullOuterJoin:
+    def test_full_outer_emits_both_sides_after_watermark(self, spark, tmp_path):
+        """FULL OUTER stream-stream interval join: matches emit immediately;
+        an unmatched row on EITHER side is held in state and emitted with
+        NULLs for the other side once the watermark passes its window."""
+        from datetime import datetime
+
+        t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+        pdir, cdir = tmp_path / "po", tmp_path / "co"
+        pdir.mkdir(); cdir.mkdir()
+        ckpt = str(tmp_path / "fo_ckpt")
+        pschema = "p_id long, user_id long, p_ts timestamp"
+        cschema = "c_id long, c_user long, c_ts timestamp"
+
+        def wp(rows):
+            spark.createDataFrame(rows, pschema).coalesce(1).write.mode("append").parquet(str(pdir))
+
+        def wc(rows):
+            spark.createDataFrame(rows, cschema).coalesce(1).write.mode("append").parquet(str(cdir))
+
+        # run 1: p1<-c100 matched; p2 unmatched left; c102 unmatched right.
+        wp([(1, 7, t("2024-01-01T10:00:00")), (2, 8, t("2024-01-01T10:10:00"))])
+        wc([(100, 7, t("2024-01-01T09:30:00")), (102, 5, t("2024-01-01T09:40:00"))])
+
+        def run():
+            sp = (
+                spark.readStream.schema(pschema).parquet(str(pdir))
+                .withWatermark("p_ts", "1 hour")
+            )
+            sc = (
+                spark.readStream.schema(cschema).parquet(str(cdir))
+                .withWatermark("c_ts", "1 hour")
+            )
+            joined = sp.join(
+                sc,
+                (sp.user_id == sc.c_user)
+                & (sc.c_ts >= sp.p_ts - F.expr("INTERVAL 1 HOUR"))
+                & (sc.c_ts < sp.p_ts),
+                "fullOuter",
+            )
+            out: list = []
+            q = (
+                joined.writeStream.outputMode("append")
+                .foreachBatch(lambda df, bid: out.extend(df.collect()))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return out
+
+        got1 = {(r["p_id"], r["c_id"]) for r in run()}
+        assert (1, 100) in got1
+        assert all(p != 2 for p, _ in got1)
+        assert all(c != 102 for _, c in got1)
+
+        # run 2: advance BOTH watermarks past the held rows' windows.
+        wp([(3, 9, t("2024-01-01T14:00:00"))])
+        wc([(101, 9, t("2024-01-01T13:30:00"))])
+        got2 = {(r["p_id"], r["c_id"]) for r in run()}
+        assert (2, None) in got2, "unmatched LEFT row emits with NULL right"
+        assert (None, 102) in got2, "unmatched RIGHT row emits with NULL left"
+
+
 class TestStreamingCountMin:
     def test_streamed_sketch_equals_batch(self, spark, tmp_path):
         """The count-min sketch is a plain groupBy over (depth, slot), so it
