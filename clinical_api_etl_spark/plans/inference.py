@@ -1562,3 +1562,88 @@ def stat_runs_test_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_runs",
         ((r.cast("double") - mean) / F.sqrt(var)).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney discounted trigram probabilities (exact quarter/ppm integers).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "text_trigram_kn",
+    f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    tri AS (
+      SELECT g['w1'] AS w1, g['w2'] AS w2, g['w3'] AS w3,
+             CAST(COUNT(*) AS BIGINT) AS c3
+      FROM (
+        SELECT unnest(list_transform(range(1, len(toks) - 1),
+                 i -> {{'w1': toks[i], 'w2': toks[i + 1],
+                        'w3': toks[i + 2]}})) AS g
+        FROM t WHERE len(toks) >= 3
+      )
+      GROUP BY w1, w2, w3
+    ),
+    ctx AS (
+      SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c2,
+             CAST(COUNT(*) AS BIGINT) AS n1plus
+      FROM tri GROUP BY w1, w2
+    ),
+    cont AS (
+      SELECT w3, CAST(COUNT(*) AS BIGINT) AS cont_w3 FROM tri GROUP BY w3
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM tri)
+    SELECT tri.w1, tri.w2, tri.w3, tri.c3, ctx.c2, ctx.n1plus, cont.cont_w3,
+           (4 * tri.c3 - 3) * 1000000 // (4 * ctx.c2)
+             + 3 * ctx.n1plus * (cont.cont_w3 * 1000000 // tot.n_types)
+               // (4 * ctx.c2) AS p_kn_ppm
+    FROM tri
+    JOIN ctx ON tri.w1 = ctx.w1 AND tri.w2 = ctx.w2
+    JOIN cont ON tri.w3 = cont.w3
+    CROSS JOIN tot
+    WHERE tri.c3 >= 2
+    """,
+    doc="[EXT] Kneser-Ney absolute discounting over the trigram table — "
+    "the smoothing real n-gram LMs (KenLM) ship, in EXACT integers: "
+    "discount D = 3/4 lives in quarter-scaled numerators ((4c3−3)/4c2), "
+    "the back-off weight λ = D·n1plus/c2 multiplies the CONTINUATION "
+    "probability cont(w3)/|trigram types| (how many contexts a word "
+    "completes — KN's insight — not its raw frequency), and the two "
+    "terms compose by documented floor-divs, so p_kn_ppm is a BIGINT "
+    "both engines replay bit-for-bit. Every input (c3, c2, successor "
+    "types n1plus, continuation counts, type total) is an aggregate of "
+    "the ONE trigram table — four map-side-combinable aggs, equi-joins "
+    "back, corpus tokenized once.",
+    tags=("text",),
+)
+def text_trigram_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    occ = _doc_trigrams(spark, sf_dir)
+    tri = occ.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("c3")
+    ).persist()
+    ctx = tri.groupBy("w1", "w2").agg(
+        F.sum("c3").cast("long").alias("c2"),
+        F.count(F.lit(1)).cast("long").alias("n1plus"),
+    )
+    cont = tri.groupBy("w3").agg(F.count(F.lit(1)).cast("long").alias("cont_w3"))
+    tot = tri.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    return (
+        tri.filter(F.col("c3") >= 2)
+        .join(ctx, ["w1", "w2"])
+        .join(cont, ["w3"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            "c3",
+            "c2",
+            "n1plus",
+            "cont_w3",
+            F.expr(
+                "(4 * c3 - 3) * 1000000 div (4 * c2)"
+                " + 3 * n1plus * (cont_w3 * 1000000 div n_types)"
+                " div (4 * c2)"
+            ).alias("p_kn_ppm"),
+        )
+    )

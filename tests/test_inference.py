@@ -661,3 +661,57 @@ class TestRunsTest:
             assert row.z == pytest.approx(
                 (n_runs - mean) / math.sqrt(var), rel=1e-12
             )
+
+
+class TestKneserNey:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.inference import text_trigram_kn
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet")
+        tri: dict[tuple[str, str, str], int] = {}
+        for text in docs["text"]:
+            toks = re.split(r"\s+", str(text).strip().lower())
+            for i in range(len(toks) - 2):
+                k = (toks[i], toks[i + 1], toks[i + 2])
+                tri[k] = tri.get(k, 0) + 1
+        ctx_c2: dict[tuple[str, str], int] = {}
+        ctx_n1: dict[tuple[str, str], int] = {}
+        cont: dict[str, int] = {}
+        for (w1, w2, w3), c in tri.items():
+            ctx_c2[(w1, w2)] = ctx_c2.get((w1, w2), 0) + c
+            ctx_n1[(w1, w2)] = ctx_n1.get((w1, w2), 0) + 1
+            cont[w3] = cont.get(w3, 0) + 1
+        n_types = len(tri)
+        got = {
+            (r.w1, r.w2, r.w3): (
+                r.c3,
+                r.c2,
+                r.n1plus,
+                r.cont_w3,
+                r.p_kn_ppm,
+            )
+            for r in text_trigram_kn(spark, SF).collect()
+        }
+        expect = {}
+        for k, c3 in tri.items():
+            if c3 < 2:
+                continue
+            c2 = ctx_c2[k[:2]]
+            n1 = ctx_n1[k[:2]]
+            cw = cont[k[2]]
+            p = (4 * c3 - 3) * 1000000 // (4 * c2) + 3 * n1 * (
+                cw * 1000000 // n_types
+            ) // (4 * c2)
+            expect[k] = (c3, c2, n1, cw, p)
+        assert got == expect
+
+    def test_probability_mass_sane(self, spark):
+        from clinical_api_etl_spark.plans.inference import text_trigram_kn
+
+        pdf = text_trigram_kn(spark, SF).toPandas()
+        assert (pdf["p_kn_ppm"] > 0).all()
+        assert (pdf["p_kn_ppm"] <= 1000000).all()
+        # Discounting shifts mass to the back-off: a c3==c2 singleton
+        # context would get < 1.0; per-context sums stay <= 1e6.
+        sums = pdf.groupby(["w1", "w2"])["p_kn_ppm"].sum()
+        assert (sums <= 1000000).all()
