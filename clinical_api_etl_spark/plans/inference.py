@@ -1647,3 +1647,60 @@ def text_trigram_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_kn_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Running COUNT(DISTINCT) as a first-occurrence cumsum.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "w16_cumulative_distinct_types",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(first_seen) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS distinct_types_so_far
+    FROM flagged
+    """,
+    doc="[EXT] running COUNT(DISTINCT) per user — how many distinct event "
+    "types each user has touched as of each event (the engagement-breadth "
+    "feature). COUNT(DISTINCT) is not a window function in any engine; "
+    "the standard rewrite flags each (user, type)'s FIRST occurrence "
+    "(row_number = 1) and takes a running sum of the flags — two window "
+    "passes over |events|, exact, deterministic via the event_id "
+    "tie-break. Cost law: an explicit repartition on user_id up front "
+    "satisfies BOTH windows' clustering requirements (HashPartitioning "
+    "on a subset of the window keys), so the plan carries exactly ONE "
+    "exchange — left to EnsureRequirements, each window would shuffle "
+    "separately ((user, type) then (user)).",
+    tags=("window",),
+)
+def w16_cumulative_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").repartition("user_id")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
+    )

@@ -715,3 +715,34 @@ class TestKneserNey:
         # context would get < 1.0; per-context sums stay <= 1e6.
         sums = pdf.groupby(["w1", "w2"])["p_kn_ppm"].sum()
         assert (sums <= 1000000).all()
+
+
+class TestCumulativeDistinct:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.inference import (
+            w16_cumulative_distinct_types,
+        )
+
+        pdf = pd.read_parquet(f"{SF}/events.parquet")
+        out = {
+            r.event_id: r.distinct_types_so_far
+            for r in w16_cumulative_distinct_types(spark, SF).collect()
+        }
+        for _, sub in pdf.groupby("user_id"):
+            seen: set = set()
+            for _, row in sub.sort_values(["ts", "event_id"]).iterrows():
+                seen.add(row["event_type"])
+                assert out[row["event_id"]] == len(seen)
+
+    def test_single_exchange_plan(self, spark):
+        from clinical_api_etl_spark.plans.inference import (
+            w16_cumulative_distinct_types,
+        )
+
+        plan = (
+            w16_cumulative_distinct_types(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 1

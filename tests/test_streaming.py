@@ -1026,6 +1026,78 @@ class TestStreamStreamFullOuterJoin:
         assert (None, 102) in got2, "unmatched RIGHT row emits with NULL left"
 
 
+class TestStreamingABMonitor:
+    def test_streamed_welch_stats_equal_batch(self, spark, tmp_path):
+        """The inference family's sufficient statistics (n, sum x, sum x^2
+        per group) are a plain map-side-combinable aggregate, so they
+        stream as an update-mode query: after N micro-batches the
+        streamed statistics — and the Welch t derived from them — equal
+        the batch computation exactly. An A/B significance monitor is an
+        incremental MV over three integers per arm."""
+        import math
+
+        from clinical_api_etl_spark.sources.catalog import load
+
+        sf = "/root/testdata/sf0.001"
+        ev = load(spark, sf, "events").filter(F.col("value").isNotNull())
+        cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        src = tmp_path / "ab_src"
+        src.mkdir()
+        # three micro-batches split by event_id range
+        base = ev.select("event_id", "event_type", cents.alias("x"))
+        for i, cond in enumerate(
+            [F.col("event_id") % 3 == k for k in range(3)]
+        ):
+            base.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+                str(src / f"b{i}")
+            )
+
+        stream = spark.readStream.schema(
+            "event_id long, event_type string, x long"
+        ).parquet(str(src / "*"))
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+        state: dict = {}
+
+        def sink(df, bid):
+            for r in df.collect():
+                state[r["event_type"]] = (r["n"], r["sx"], r["sxx"])
+
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ab_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        batch = {
+            r["event_type"]: (r["n"], r["sx"], r["sxx"])
+            for r in base.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("x").cast("long").alias("sx"),
+                F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            )
+            .collect()
+        }
+        assert state == batch
+
+        # Deriving the test statistic from streamed state matches the
+        # registry query's replay formula for one pair.
+        (na, sxa, sxxa), (nb, sxb, sxxb) = state["click"], state["view"]
+        ssq_a = na * sxxa - sxa * sxa
+        ssq_b = nb * sxxb - sxb * sxb
+        t = (sxa / na - sxb / nb) / math.sqrt(
+            ssq_a / (na * na * (na - 1)) + ssq_b / (nb * nb * (nb - 1))
+        )
+        assert math.isfinite(t)
+
+
 class TestStreamingCountMin:
     def test_streamed_sketch_equals_batch(self, spark, tmp_path):
         """The count-min sketch is a plain groupBy over (depth, slot), so it
