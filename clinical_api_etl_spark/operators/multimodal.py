@@ -324,3 +324,82 @@ def audio_frame_features(
     return df.select(F.col(id_col), F.col(pcm_col)).mapInPandas(
         batches, schema=AUDIO_FRAME_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Video scene cuts — second Arrow byte-kernel under a full value hash.
+# ---------------------------------------------------------------------------
+
+#: L1 threshold for a scene cut over 16-byte frames: uniform random bytes
+#: average ~85 per-byte distance (~1360 per frame pair), so 2000 flags the
+#: upper tail — real cuts with genuinely different content.
+SCENE_CUT_L1 = 2000
+
+
+def synth_frames(
+    df: DataFrame, id_col: str = "doc_id", *, frame_bytes: int = 16
+) -> DataFrame:
+    """Deterministic fake video: 4 + id%3 frames of ``frame_bytes`` md5
+    bytes each, concatenated into one binary column — byte-reproducible in
+    any engine (cf. synth_pcm), which is what lets the scene-cut kernel be
+    value-hash-gated instead of rows-only."""
+    nf = F.lit(4) + F.pmod(F.col(id_col), F.lit(3)).cast("int")
+    hexes = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), nf - 1),
+            lambda f: F.md5(
+                F.concat(
+                    F.lit("vf"),
+                    f.cast("string"),
+                    F.lit(":"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+        ),
+    )
+    return df.select(F.col(id_col), F.unhex(hexes).alias("video"))
+
+
+def video_scene_cuts(
+    df: DataFrame,
+    *,
+    video_col: str = "video",
+    id_col: str = "doc_id",
+    frame_bytes: int = 16,
+    threshold: int = SCENE_CUT_L1,
+) -> DataFrame:
+    """Scene-cut detection over a packed-frames binary column: per
+    consecutive frame pair, the exact integer L1 pixel distance and a cut
+    flag — the shot-segmentation primitive of every video curation
+    pipeline. Zero-copy numpy Arrow kernel (declared Arrow op, like
+    audio_frame_features); output is exact integers + a threshold
+    boolean, so the whole path hash-gates cross-engine
+    (mm_video_scene_cuts)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "l1_dist": [],
+                "is_cut": [],
+            }
+            for doc_id, buf in zip(pdf[id_col], pdf[video_col]):
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.int64)
+                frames = arr.reshape(-1, frame_bytes)
+                if len(frames) < 2:
+                    continue
+                dists = np.abs(frames[1:] - frames[:-1]).sum(axis=1)
+                for i, d in enumerate(dists):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(int(i))
+                    out["l1_dist"].append(int(d))
+                    out["is_cut"].append(bool(d > threshold))
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(video_col)).mapInPandas(
+        batches,
+        "doc_id long, frame_idx long, l1_dist long, is_cut boolean",
+    )

@@ -1704,3 +1704,57 @@ def w16_cumulative_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_id",
         F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Video scene cuts — second media byte-kernel under a full value hash.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "mm_video_scene_cuts",
+    """
+    WITH docs2 AS (SELECT doc_id, 4 + doc_id % 3 AS nf FROM documents),
+    fb AS (
+      SELECT d.doc_id, f.f, k.k,
+             CAST('0x' || substr(
+                    md5('vf' || CAST(f.f AS VARCHAR) || ':'
+                        || CAST(d.doc_id AS VARCHAR)),
+                    CAST(k.k * 2 + 1 AS INT), 2) AS INTEGER) AS b
+      FROM docs2 d
+      JOIN (SELECT UNNEST(range(0, 16)) AS f) f ON f.f < d.nf
+      CROSS JOIN (SELECT UNNEST(range(0, 16)) AS k) k
+    ),
+    pairs AS (
+      SELECT a.doc_id, a.f AS frame_idx,
+             CAST(SUM(abs(b2.b - a.b)) AS BIGINT) AS l1_dist
+      FROM fb a JOIN fb b2
+        ON a.doc_id = b2.doc_id AND b2.f = a.f + 1 AND a.k = b2.k
+      GROUP BY a.doc_id, a.f
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, l1_dist,
+           l1_dist > 2000 AS is_cut
+    FROM pairs
+    """,
+    doc="[EXT] video shot segmentation: per consecutive frame pair, the "
+    "exact integer L1 pixel distance and a scene-cut flag, computed by a "
+    "zero-copy numpy Arrow kernel over a packed-frames binary column "
+    "(operators/multimodal.py:video_scene_cuts). Frames are synthesized "
+    "deterministically from md5 (no codecs in the container), so like "
+    "mm_audio_features — and unlike codec-gated decode paths — this "
+    "media kernel is FULLY value-hash-gated: DuckDB re-derives every "
+    "frame byte from the same hex and must reproduce the kernel's "
+    "distances and cut flags exactly, ragged per-doc frame counts "
+    "included. Declared Arrow op (plan_audit ARROW_OK).",
+    tags=("multimodal",),
+)
+def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.multimodal import (
+        synth_frames,
+        video_scene_cuts,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return video_scene_cuts(synth_frames(docs)).select(
+        "doc_id", "frame_idx", "l1_dist", "is_cut"
+    )

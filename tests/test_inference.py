@@ -746,3 +746,38 @@ class TestCumulativeDistinct:
             .toString()
         )
         assert plan.count("Exchange") == 1
+
+
+class TestVideoSceneCuts:
+    def test_matches_python_replay(self, spark):
+        import hashlib
+
+        from clinical_api_etl_spark.plans.inference import mm_video_scene_cuts
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet")
+        got = {
+            (r.doc_id, r.frame_idx): (r.l1_dist, r.is_cut)
+            for r in mm_video_scene_cuts(spark, SF).collect()
+        }
+        expect = {}
+        for doc_id in docs["doc_id"]:
+            nf = 4 + int(doc_id) % 3
+            frames = [
+                hashlib.md5(f"vf{f}:{int(doc_id)}".encode()).digest()
+                for f in range(nf)
+            ]
+            for i in range(nf - 1):
+                d = sum(
+                    abs(frames[i + 1][k] - frames[i][k]) for k in range(16)
+                )
+                expect[(int(doc_id), i)] = (d, d > 2000)
+        assert got == expect
+
+    def test_ragged_frame_counts(self, spark):
+        from clinical_api_etl_spark.plans.inference import mm_video_scene_cuts
+
+        pdf = mm_video_scene_cuts(spark, SF).toPandas()
+        per_doc = pdf.groupby("doc_id")["frame_idx"].count()
+        # 4 + doc_id % 3 frames -> 3..5 pairs per doc.
+        assert set(per_doc.unique()) == {3, 4, 5}
+        assert pdf["is_cut"].any() and (~pdf["is_cut"]).any()

@@ -43,6 +43,7 @@ CARTESIAN_OK = {"dedup_embedding_cosine", "ann_cosine_topk"}
 ARROW_OK = {
     "mm_decode_features",
     "mm_audio_features",
+    "mm_video_scene_cuts",
     "text_compression_ratio",
     "trend_theil_sen",
     "mm_resize_images",
