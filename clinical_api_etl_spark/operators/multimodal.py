@@ -403,3 +403,70 @@ def video_scene_cuts(
         batches,
         "doc_id long, frame_idx long, l1_dist long, is_cut boolean",
     )
+
+
+def synth_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake 8x8 grayscale image: 64 md5-derived bytes
+    (4 blocks), row-major — the byte-reproducible stand-in that lets
+    image_tile_stats hash-gate cross-engine (cf. synth_pcm/synth_frames)."""
+    hexes = [
+        F.md5(F.concat(F.lit(f"im{c}:"), F.col(id_col).cast("string")))
+        for c in range(4)
+    ]
+    return df.select(F.col(id_col), F.unhex(F.concat(*hexes)).alias("image"))
+
+
+def image_tile_stats(
+    df: DataFrame,
+    *,
+    image_col: str = "image",
+    id_col: str = "doc_id",
+    side: int = 8,
+    tile: int = 4,
+) -> DataFrame:
+    """Per-tile patch statistics over a row-major grayscale binary column:
+    pixel sum, sum of squares, and horizontal-edge count (|Δ| > 64 within
+    the tile's rows) — the patch-level preprocessing vision pipelines run
+    before embedding (ViT patch norm, blur/contrast screens). Zero-copy
+    numpy Arrow kernel; exact integer outputs hash-gate cross-engine
+    (mm_image_tile_stats)."""
+    import numpy as np
+
+    tiles_per_side = side // tile
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "tile_idx": [],
+                "n_px": [],
+                "sum_px": [],
+                "sum_sq": [],
+                "h_edges": [],
+            }
+            for doc_id, buf in zip(pdf[id_col], pdf[image_col]):
+                img = (
+                    np.frombuffer(bytes(buf), dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(side, side)
+                )
+                for tr in range(tiles_per_side):
+                    for tc in range(tiles_per_side):
+                        patch = img[
+                            tr * tile : (tr + 1) * tile,
+                            tc * tile : (tc + 1) * tile,
+                        ]
+                        grad = np.abs(patch[:, 1:] - patch[:, :-1])
+                        out["doc_id"].append(int(doc_id))
+                        out["tile_idx"].append(tr * tiles_per_side + tc)
+                        out["n_px"].append(int(patch.size))
+                        out["sum_px"].append(int(patch.sum()))
+                        out["sum_sq"].append(int((patch * patch).sum()))
+                        out["h_edges"].append(int((grad > 64).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(image_col)).mapInPandas(
+        batches,
+        "doc_id long, tile_idx long, n_px long, sum_px long, sum_sq long,"
+        " h_edges long",
+    )

@@ -1758,3 +1758,66 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_scene_cuts(synth_frames(docs)).select(
         "doc_id", "frame_idx", "l1_dist", "is_cut"
     )
+
+
+# ---------------------------------------------------------------------------
+# Image tile statistics — third media byte-kernel under a full value hash.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "mm_image_tile_stats",
+    """
+    WITH px AS (
+      SELECT d.doc_id, g.i,
+             CAST('0x' || substr(
+                    md5('im' || CAST(g.i // 16 AS VARCHAR) || ':'
+                        || CAST(d.doc_id AS VARCHAR)),
+                    CAST((g.i % 16) * 2 + 1 AS INT), 2) AS INTEGER) AS b
+      FROM documents d, (SELECT UNNEST(range(0, 64)) AS i) g
+    ),
+    pos AS (
+      SELECT doc_id, i, b, i % 8 AS c,
+             (i // 8) // 4 * 2 + (i % 8) // 4 AS tile_idx
+      FROM px
+    ),
+    edges AS (
+      SELECT a.doc_id, a.tile_idx,
+             CAST(SUM(CASE WHEN abs(b2.b - a.b) > 64 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS h_edges
+      FROM pos a JOIN pos b2 ON a.doc_id = b2.doc_id AND b2.i = a.i + 1
+      WHERE a.c % 4 < 3
+      GROUP BY a.doc_id, a.tile_idx
+    ),
+    stats AS (
+      SELECT doc_id, tile_idx, CAST(COUNT(*) AS BIGINT) AS n_px,
+             CAST(SUM(b) AS BIGINT) AS sum_px,
+             CAST(SUM(b * b) AS BIGINT) AS sum_sq
+      FROM pos GROUP BY doc_id, tile_idx
+    )
+    SELECT s.doc_id, CAST(s.tile_idx AS BIGINT) AS tile_idx, s.n_px,
+           s.sum_px, s.sum_sq, e.h_edges
+    FROM stats s
+    JOIN edges e ON s.doc_id = e.doc_id AND s.tile_idx = e.tile_idx
+    """,
+    doc="[EXT] image patch statistics — per 4x4 tile of an 8x8 grayscale "
+    "binary column: pixel sum, sum of squares, and horizontal-edge count "
+    "(|Δ| > 64), the patch-level screens (contrast, blur, flat-region) "
+    "vision curation runs before embedding. Third media byte-kernel "
+    "under a FULL value hash: images are md5-derived "
+    "(operators/multimodal.py:synth_image), the numpy Arrow kernel "
+    "computes exact integers, and DuckDB re-derives every pixel and "
+    "every within-tile gradient pair from the same hex. Declared Arrow "
+    "op (plan_audit ARROW_OK).",
+    tags=("multimodal",),
+)
+def mm_image_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.multimodal import (
+        image_tile_stats,
+        synth_image,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return image_tile_stats(synth_image(docs)).select(
+        "doc_id", "tile_idx", "n_px", "sum_px", "sum_sq", "h_edges"
+    )

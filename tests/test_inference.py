@@ -781,3 +781,43 @@ class TestVideoSceneCuts:
         # 4 + doc_id % 3 frames -> 3..5 pairs per doc.
         assert set(per_doc.unique()) == {3, 4, 5}
         assert pdf["is_cut"].any() and (~pdf["is_cut"]).any()
+
+
+class TestImageTileStats:
+    def test_matches_python_replay(self, spark):
+        import hashlib
+
+        from clinical_api_etl_spark.plans.inference import mm_image_tile_stats
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet")
+        got = {
+            (r.doc_id, r.tile_idx): (r.n_px, r.sum_px, r.sum_sq, r.h_edges)
+            for r in mm_image_tile_stats(spark, SF).collect()
+        }
+        expect = {}
+        for doc_id in docs["doc_id"]:
+            raw = b"".join(
+                hashlib.md5(f"im{c}:{int(doc_id)}".encode()).digest()
+                for c in range(4)
+            )
+            img = [[raw[r * 8 + c] for c in range(8)] for r in range(8)]
+            for tr in range(2):
+                for tc in range(2):
+                    px = [
+                        img[r][c]
+                        for r in range(tr * 4, tr * 4 + 4)
+                        for c in range(tc * 4, tc * 4 + 4)
+                    ]
+                    edges = sum(
+                        1
+                        for r in range(tr * 4, tr * 4 + 4)
+                        for c in range(tc * 4, tc * 4 + 3)
+                        if abs(img[r][c + 1] - img[r][c]) > 64
+                    )
+                    expect[(int(doc_id), tr * 2 + tc)] = (
+                        16,
+                        sum(px),
+                        sum(v * v for v in px),
+                        edges,
+                    )
+        assert got == expect

@@ -44,6 +44,7 @@ ARROW_OK = {
     "mm_decode_features",
     "mm_audio_features",
     "mm_video_scene_cuts",
+    "mm_image_tile_stats",
     "text_compression_ratio",
     "trend_theil_sen",
     "mm_resize_images",
