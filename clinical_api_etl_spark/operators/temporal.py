@@ -36,15 +36,23 @@ def asof_join(
     right_ts: str,
     right_payload: list[str],
     suffix: str = "_matched",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Point-in-time (backward) as-of join.
+    """Point-in-time as-of join.
 
-    Output: every ``left`` row + the payload columns of the latest
-    ``right`` row with ``right_ts <= left_ts`` on the same key (NULLs when
-    no prior right row exists — left-join semantics). Ties on equal
-    timestamps resolve to the right row (<= semantics); callers that need
-    full determinism should de-duplicate ``right`` per (key, ts) first.
+    ``direction='backward'`` (default): every ``left`` row + the payload
+    of the LATEST ``right`` row with ``right_ts <= left_ts`` on the same
+    key. ``direction='forward'``: the EARLIEST ``right`` row with
+    ``right_ts >= left_ts`` (time-to-next-event attribution). NULLs when
+    no qualifying right row exists — left-join semantics. Both directions
+    are the same union + keyed sort + running last_value log-merge; the
+    forward form just scans the merged log in reverse (``__t`` DESC), so
+    the cost law is identical. Ties on equal timestamps resolve to the
+    right row (inclusive semantics); callers needing full determinism
+    de-duplicate ``right`` per (key, ts) first.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     payload = F.struct(
         F.col(right_ts).alias("__ts"), *[F.col(c) for c in right_payload]
     )
@@ -55,9 +63,14 @@ def asof_join(
         "*", F.col(left_ts).alias("__t"), F.lit(1).alias("__side"),
         F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
     )
+    order = (
+        [F.col("__t").asc(), F.col("__side").asc()]
+        if direction == "backward"
+        else [F.col("__t").desc(), F.col("__side").asc()]
+    )
     w = (
         W.partitionBy(*on)
-        .orderBy("__t", "__side")
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = (

@@ -1821,3 +1821,69 @@ def mm_image_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_tile_stats(synth_image(docs)).select(
         "doc_id", "tile_idx", "n_px", "sum_px", "sum_sq", "h_edges"
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join: time-to-next-event attribution.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "asof_next_error_after_purchase",
+    """
+    WITH e AS (
+      SELECT user_id, ts, MAX(event_id) AS error_id
+      FROM events WHERE event_type = 'error'
+      GROUP BY user_id, ts
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, p.ts,
+           COALESCE(e.ts, TIMESTAMP '1970-01-01 00:00:00') AS ts_matched,
+           COALESCE(e.error_id, -1) AS error_id_matched
+    FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts <= e.ts
+    """,
+    doc="[EXT] FORWARD as-of join: each purchase matched to the user's "
+    "next error at-or-after it — the time-to-failure / "
+    "did-the-conversion-precede-a-problem attribution that the backward "
+    "as-of (asof_purchase_attribution) cannot express. Same union + "
+    "keyed sort + running last_value log-merge, scanning the merged log "
+    "in reverse (`__t` DESC) — identical one-shuffle cost law, "
+    "skew-robust, no nested loop. The DuckDB oracle uses native ASOF "
+    "LEFT JOIN with the <= inequality, so two independent formulations "
+    "of nearest-following must agree exactly; right side deduped per "
+    "(user, ts), NULLs coalesced to sentinels.",
+    tags=("join", "temporal", "window"),
+)
+def asof_next_error_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.temporal import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("error_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        errors,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["error_id"],
+        direction="forward",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "ts",
+        F.coalesce(
+            F.col("ts_matched"), F.lit("1970-01-01 00:00:00").cast("timestamp")
+        ).alias("ts_matched"),
+        F.coalesce(F.col("error_id_matched"), F.lit(-1)).alias("error_id_matched"),
+    )

@@ -103,3 +103,62 @@ class TestRangeJoin:
             left, right, left_ts="ts", right_ts="ts", window_seconds=3600
         )
         assert [r["tag_r"] for r in out.collect()] == ["edge_lo"]
+
+
+class TestForwardAsof:
+    def test_forward_hand_case(self, spark):
+        from datetime import datetime
+
+        from clinical_api_etl_spark.operators.temporal import asof_join
+
+        t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+        left = spark.createDataFrame(
+            [(1, 7, t("2024-01-01T10:00:00")), (2, 7, t("2024-01-01T12:00:00")),
+             (3, 8, t("2024-01-01T10:00:00"))],
+            "lid long, k long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(100, 7, t("2024-01-01T10:30:00")), (101, 7, t("2024-01-01T11:00:00")),
+             (102, 9, t("2024-01-01T09:00:00"))],
+            "rid long, k long, rts timestamp",
+        )
+        out = {
+            r.lid: r.rid_matched
+            for r in asof_join(
+                left, right, on=["k"], left_ts="ts", right_ts="rts",
+                right_payload=["rid"], direction="forward",
+            ).collect()
+        }
+        # lid 1: earliest right at-or-after 10:00 is 100 (10:30), not 101.
+        # lid 2: nothing after 12:00 -> NULL. lid 3: no key-8 rows -> NULL.
+        assert out == {1: 100, 2: None, 3: None}
+
+    def test_forward_inclusive_at_equal_ts(self, spark):
+        from datetime import datetime
+
+        from clinical_api_etl_spark.operators.temporal import asof_join
+
+        t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+        left = spark.createDataFrame(
+            [(1, 7, t("2024-01-01T10:00:00"))], "lid long, k long, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [(100, 7, t("2024-01-01T10:00:00"))], "rid long, k long, rts timestamp"
+        )
+        out = asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            right_payload=["rid"], direction="forward",
+        ).collect()
+        assert out[0].rid_matched == 100  # >= includes the equal timestamp
+
+    def test_bad_direction_rejected(self, spark):
+        import pytest as _pytest
+
+        from clinical_api_etl_spark.operators.temporal import asof_join
+
+        df = spark.range(1).selectExpr("id", "current_timestamp() AS ts")
+        with _pytest.raises(ValueError):
+            asof_join(
+                df, df, on=["id"], left_ts="ts", right_ts="ts",
+                right_payload=["id"], direction="sideways",
+            )
