@@ -1887,3 +1887,50 @@ def asof_next_error_after_purchase(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("ts_matched"),
         F.coalesce(F.col("error_id_matched"), F.lit(-1)).alias("error_id_matched"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic grouped mode (most frequent value, ties to smallest).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "agg_mode_per_type",
+    f"""
+    WITH t AS (
+      SELECT event_type AS g, {_CENTS} AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    c AS (
+      SELECT g, x, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY g, x
+    ),
+    ranked AS (
+      SELECT g, x, n,
+             row_number() OVER (PARTITION BY g ORDER BY n DESC, x) AS rk
+      FROM c
+    )
+    SELECT g AS event_type, x AS mode_cents, n AS mode_count
+    FROM ranked WHERE rk = 1
+    """,
+    doc="[EXT] grouped mode with DETERMINISTIC ties: the most frequent "
+    "value-cents per event type, ties resolved to the smallest value — "
+    "built-in mode() in both engines leaves tie order unspecified, so "
+    "the portable form is counts + a rank window with an explicit total "
+    "order. Cost: the window runs over the (group, value) histogram, "
+    "never events (the same collapse every rank statistic here uses).",
+    tags=("agg", "stats"),
+)
+def agg_mode_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = ev.select(F.col("event_type").alias("g"), _cents().alias("x"))
+    c = t.groupBy("g", "x").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("g").orderBy(F.col("n").desc(), "x")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("x").alias("mode_cents"),
+            F.col("n").alias("mode_count"),
+        )
+    )

@@ -821,3 +821,19 @@ class TestImageTileStats:
                         edges,
                     )
         assert got == expect
+
+
+class TestGroupedMode:
+    def test_matches_python_replay(self, spark, events_pdf):
+        from clinical_api_etl_spark.plans.inference import agg_mode_per_type
+
+        got = {
+            r.event_type: (r.mode_cents, r.mode_count)
+            for r in agg_mode_per_type(spark, SF).collect()
+        }
+        for g, sub in events_pdf.groupby("event_type"):
+            counts: dict[int, int] = {}
+            for c in sub["cents"]:
+                counts[int(c)] = counts.get(int(c), 0) + 1
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            assert got[g] == best
