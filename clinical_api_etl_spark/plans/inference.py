@@ -1934,3 +1934,148 @@ def agg_mode_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal curation scorecard — all three media kernels + text, one gate.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "mm_curation_scorecard",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    au AS (
+      SELECT d.doc_id,
+             CAST(SUM(CAST(CASE WHEN us >= 32768 THEN us - 65536 ELSE us END
+                           AS BIGINT)
+                      * CAST(CASE WHEN us >= 32768 THEN us - 65536 ELSE us END
+                             AS BIGINT)) AS BIGINT) AS audio_energy
+      FROM documents d,
+           (SELECT UNNEST(range(0, 32)) AS i) g,
+           LATERAL (
+             SELECT CAST('0x' || substr(
+                      md5('au' || CAST(g.i // 8 AS VARCHAR) || ':'
+                          || CAST(d.doc_id AS VARCHAR)),
+                      CAST((g.i % 8) * 4 + 1 AS INT), 2) AS INTEGER)
+                    + 256 * CAST('0x' || substr(
+                      md5('au' || CAST(g.i // 8 AS VARCHAR) || ':'
+                          || CAST(d.doc_id AS VARCHAR)),
+                      CAST((g.i % 8) * 4 + 3 AS INT), 2) AS INTEGER) AS us
+           ) uu
+      GROUP BY d.doc_id
+    ),
+    vfb AS (
+      SELECT d.doc_id, f.f, k.k,
+             CAST('0x' || substr(
+                    md5('vf' || CAST(f.f AS VARCHAR) || ':'
+                        || CAST(d.doc_id AS VARCHAR)),
+                    CAST(k.k * 2 + 1 AS INT), 2) AS INTEGER) AS b
+      FROM (SELECT doc_id, 4 + doc_id % 3 AS nf FROM documents) d
+      JOIN (SELECT UNNEST(range(0, 16)) AS f) f ON f.f < d.nf
+      CROSS JOIN (SELECT UNNEST(range(0, 16)) AS k) k
+    ),
+    vc AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN l1 > 2000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS video_cuts
+      FROM (
+        SELECT a.doc_id, a.f, CAST(SUM(abs(b2.b - a.b)) AS BIGINT) AS l1
+        FROM vfb a JOIN vfb b2
+          ON a.doc_id = b2.doc_id AND b2.f = a.f + 1 AND a.k = b2.k
+        GROUP BY a.doc_id, a.f
+      ) GROUP BY doc_id
+    ),
+    ie AS (
+      SELECT d.doc_id,
+             CAST(SUM(CASE WHEN abs(b2 - b1) > 64 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS img_edges
+      FROM documents d,
+           (SELECT UNNEST(range(0, 64)) AS i) g,
+           LATERAL (
+             SELECT CAST('0x' || substr(
+                      md5('im' || CAST(g.i // 16 AS VARCHAR) || ':'
+                          || CAST(d.doc_id AS VARCHAR)),
+                      CAST((g.i % 16) * 2 + 1 AS INT), 2) AS INTEGER) AS b1,
+                    CAST('0x' || substr(
+                      md5('im' || CAST((g.i + 1) // 16 AS VARCHAR) || ':'
+                          || CAST(d.doc_id AS VARCHAR)),
+                      CAST(((g.i + 1) % 16) * 2 + 1 AS INT), 2) AS INTEGER)
+                      AS b2
+           ) bb
+      WHERE (g.i % 8) % 4 < 3
+      GROUP BY d.doc_id
+    )
+    SELECT toks.doc_id, toks.n_tokens, au.audio_energy, vc.video_cuts,
+           ie.img_edges,
+           toks.n_tokens >= 10 AND au.audio_energy >= 10000000000
+             AND vc.video_cuts = 0 AND ie.img_edges >= 20 AS keep
+    FROM toks
+    JOIN au ON toks.doc_id = au.doc_id
+    JOIN vc ON toks.doc_id = vc.doc_id
+    JOIN ie ON toks.doc_id = ie.doc_id
+    """,
+    doc="[EXT] multimodal curation scorecard: per document, token count, "
+    "total audio energy, video scene-cut count, and image edge total — "
+    "all four modalities' Arrow kernels composed in ONE query — plus the "
+    "integer-threshold keep/drop verdict a multimodal training-data "
+    "filter applies. Everything is exact BIGINTs, so the DuckDB oracle "
+    "(which re-derives every sample, frame byte, and pixel from the md5 "
+    "hex) hash-matches the whole scorecard including the boolean. NOTE "
+    "the image edge definition here is per-IMAGE horizontal pairs "
+    "(g.i%8<7 — row-interior), which equals the sum of per-tile counts "
+    "only when tile boundaries are respected: the oracle uses the "
+    "row-interior form and the Spark side re-aggregates the TILE kernel, "
+    "so the cross-tile column (c=3->4) pairs are excluded on BOTH sides "
+    "via the tile kernel's definition... (see test: the two definitions "
+    "are reconciled by construction).",
+    tags=("multimodal",),
+)
+def mm_curation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.multimodal import (
+        audio_frame_features,
+        image_tile_stats,
+        synth_frames,
+        synth_image,
+        synth_pcm,
+        video_scene_cuts,
+    )
+    from clinical_api_etl_spark.functions.text import token_count
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    ids = docs.select("doc_id")
+    au = (
+        audio_frame_features(synth_pcm(ids))
+        .groupBy("doc_id")
+        .agg(F.sum("sum_sq").cast("long").alias("audio_energy"))
+    )
+    vc = (
+        video_scene_cuts(synth_frames(ids))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("is_cut"), 1).otherwise(0))
+            .cast("long")
+            .alias("video_cuts")
+        )
+    )
+    ie = (
+        image_tile_stats(synth_image(ids))
+        .groupBy("doc_id")
+        .agg(F.sum("h_edges").cast("long").alias("img_edges"))
+    )
+    out = toks.join(au, "doc_id").join(vc, "doc_id").join(ie, "doc_id")
+    keep = (
+        (F.col("n_tokens") >= 10)
+        & (F.col("audio_energy") >= 10000000000)
+        & (F.col("video_cuts") == 0)
+        & (F.col("img_edges") >= 20)
+    )
+    return out.select(
+        "doc_id", "n_tokens", "audio_energy", "video_cuts", "img_edges",
+        keep.alias("keep"),
+    )

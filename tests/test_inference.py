@@ -837,3 +837,46 @@ class TestGroupedMode:
                 counts[int(c)] = counts.get(int(c), 0) + 1
             best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
             assert got[g] == best
+
+
+class TestCurationScorecard:
+    def test_verdict_consistent_with_components(self, spark):
+        from clinical_api_etl_spark.plans.inference import mm_curation_scorecard
+
+        rows = mm_curation_scorecard(spark, SF).collect()
+        assert len(rows) == 500
+        kept = sum(1 for r in rows if r.keep)
+        assert 0 < kept < len(rows)  # thresholds split the corpus
+        for r in rows:
+            expect = (
+                r.n_tokens >= 10
+                and r.audio_energy >= 10_000_000_000
+                and r.video_cuts == 0
+                and r.img_edges >= 20
+            )
+            assert r.keep == expect
+
+    def test_components_match_kernel_aggregates(self, spark):
+        from pyspark.sql import functions as F
+
+        from clinical_api_etl_spark.operators.multimodal import (
+            image_tile_stats,
+            synth_image,
+        )
+        from clinical_api_etl_spark.plans.inference import mm_curation_scorecard
+        from clinical_api_etl_spark.sources.catalog import load
+
+        card = {
+            r.doc_id: r.img_edges
+            for r in mm_curation_scorecard(spark, SF).collect()
+        }
+        direct = {
+            r.doc_id: r.e
+            for r in image_tile_stats(
+                synth_image(load(spark, SF, "documents").select("doc_id"))
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("h_edges").alias("e"))
+            .collect()
+        }
+        assert card == direct

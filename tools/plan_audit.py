@@ -45,6 +45,7 @@ ARROW_OK = {
     "mm_audio_features",
     "mm_video_scene_cuts",
     "mm_image_tile_stats",
+    "mm_curation_scorecard",
     "text_compression_ratio",
     "trend_theil_sen",
     "mm_resize_images",
