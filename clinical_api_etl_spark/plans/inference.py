@@ -2079,3 +2079,132 @@ def mm_curation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "audio_energy", "video_cuts", "img_edges",
         keep.alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (hashing-trick bag of words).
+# ---------------------------------------------------------------------------
+
+_FH_BUCKETS = 256
+
+
+@QS.add(
+    "text_hashed_features",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER)
+                % {_FH_BUCKETS} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM tok
+    GROUP BY doc_id, bucket
+    """,
+    doc="[EXT] the hashing trick (HashingVectorizer / Vowpal Wabbit "
+    "feature hashing): sparse bag-of-words features with a FIXED "
+    "{_FH_BUCKETS}-dim space and no vocabulary pass — the stateless "
+    "featurizer streaming/online pipelines need (new tokens never "
+    "resize anything, buckets merge across shards). Bucket = first 16 "
+    "md5 bits mod buckets via the portable hex-to-int bridge "
+    "(conv == CAST('0x'||hex)), so the sparse feature table hash-matches "
+    "across engines. One explode + one map-side-combinable aggregate.",
+    tags=("text", "mlprep"),
+)
+def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode_outer(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
+        % _FH_BUCKETS
+    )
+    return (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session entry/exit paths (journey analysis over the sessionization).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "session_entry_exit_paths",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 21600000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             first_value(event_type) OVER ws AS entry_type,
+             last_value(event_type) OVER
+               (PARTITION BY user_id, session_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS exit_type,
+             row_number() OVER ws AS rn
+      FROM s
+      WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+    )
+    SELECT entry_type, exit_type, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths WHERE rn = 1 GROUP BY entry_type, exit_type
+    """,
+    doc="[EXT] session journey analysis: how do sessions BEGIN and END? "
+    "Reuses the 6h-gap sessionization (w5's lag + running-sum ids), then "
+    "one aggregate picks each session's entry and exit event types via "
+    "min_by/max_by over the (ts, event_id) total order (the oracle's "
+    "window first/last twin — DuckDB arg_min lacks struct keys) and a "
+    "k²-bounded count gives the entry→exit matrix (the landing/bounce "
+    "analysis next to the step-transition Markov matrix). Both engines' "
+    "argmin/argmax compare the same struct order, so the path matrix "
+    "hash-matches.",
+    tags=("window", "sequence"),
+)
+def session_entry_exit_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # w5's sessionize_batch returns per-session roll-ups; this needs
+    # per-event session ids, so the id assignment (same gap, same
+    # windows) is rebuilt inline.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+            > 21600000
+        ),
+        1,
+    ).otherwise(0)
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(new_session).over(run).alias("session_id"),
+    )
+    order = F.struct("ts", "event_id")
+    paths = s.groupBy("user_id", "session_id").agg(
+        F.min_by("event_type", order).alias("entry_type"),
+        F.max_by("event_type", order).alias("exit_type"),
+    )
+    return paths.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )

@@ -880,3 +880,65 @@ class TestCurationScorecard:
             .collect()
         }
         assert card == direct
+
+
+class TestHashedFeatures:
+    def test_matches_python_replay(self, spark):
+        import hashlib
+
+        from clinical_api_etl_spark.plans.inference import text_hashed_features
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet")
+        expect: dict[tuple[int, int], int] = {}
+        for doc_id, text in zip(docs["doc_id"], docs["text"]):
+            for tok in re.split(r"\s+", str(text).strip().lower()):
+                b = int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % 256
+                expect[(int(doc_id), b)] = expect.get((int(doc_id), b), 0) + 1
+        got = {
+            (r.doc_id, r.bucket): r.n
+            for r in text_hashed_features(spark, SF).collect()
+        }
+        assert got == expect
+
+    def test_merge_across_shards(self, spark):
+        # Stateless featurizer: features of a doc set == merged features of
+        # its shards (bucket counts are additive).
+        from pyspark.sql import functions as F
+
+        from clinical_api_etl_spark.plans.inference import text_hashed_features
+
+        full = text_hashed_features(spark, SF)
+        total = full.agg(F.sum("n")).collect()[0][0]
+        docs = pd.read_parquet(f"{SF}/documents.parquet")
+        n_tokens = sum(
+            len(re.split(r"\s+", str(t).strip().lower())) for t in docs["text"]
+        )
+        assert total == n_tokens
+
+
+class TestSessionPaths:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.inference import (
+            session_entry_exit_paths,
+        )
+
+        pdf = pd.read_parquet(f"{SF}/events.parquet")
+        counts: dict[tuple[str, str], int] = {}
+        for _, sub in pdf.groupby("user_id"):
+            sub = sub.sort_values(["ts", "event_id"])
+            ts_us = sub["ts"].astype("datetime64[us]").astype("int64").tolist()
+            types = sub["event_type"].tolist()
+            start = 0
+            for i in range(1, len(ts_us) + 1):
+                if (
+                    i == len(ts_us)
+                    or ts_us[i] - ts_us[i - 1] > 21600000 * 1000
+                ):
+                    key = (types[start], types[i - 1])
+                    counts[key] = counts.get(key, 0) + 1
+                    start = i
+        got = {
+            (r.entry_type, r.exit_type): r.n_sessions
+            for r in session_entry_exit_paths(spark, SF).collect()
+        }
+        assert got == counts
