@@ -2208,3 +2208,135 @@ def session_entry_exit_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paths.groupBy("entry_type", "exit_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tukey five-number summary + 1.5-IQR outlier fences (exact integers).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_tukey_summary",
+    f"""
+    WITH t AS (
+      SELECT event_type AS g, {_CENTS} AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM t
+    ),
+    pos AS (
+      SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MIN(x) AS BIGINT) AS min_c,
+             CAST(MAX(x) AS BIGINT) AS max_c,
+             CAST(SUM((CASE WHEN rn = ((n + 1) // 2 + 1) // 2
+                              OR rn = ((n + 1) // 2 + 2) // 2
+                            THEN x ELSE 0 END)
+                  * (CASE WHEN ((n + 1) // 2 + 1) // 2
+                               = ((n + 1) // 2 + 2) // 2 THEN 2 ELSE 1 END))
+                  AS BIGINT) AS q1_x2,
+             CAST(SUM((CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                            THEN x ELSE 0 END)
+                  * (CASE WHEN (n + 1) // 2 = (n + 2) // 2
+                          THEN 2 ELSE 1 END)) AS BIGINT) AS med_x2,
+             CAST(SUM((CASE WHEN rn = n - (n + 1) // 2
+                                      + ((n + 1) // 2 + 1) // 2
+                              OR rn = n - (n + 1) // 2
+                                      + ((n + 1) // 2 + 2) // 2
+                            THEN x ELSE 0 END)
+                  * (CASE WHEN ((n + 1) // 2 + 1) // 2
+                               = ((n + 1) // 2 + 2) // 2 THEN 2 ELSE 1 END))
+                  AS BIGINT) AS q3_x2
+      FROM ranked GROUP BY g
+    ),
+    fenced AS (
+      SELECT g, n, min_c, max_c, q1_x2, med_x2, q3_x2,
+             2 * q1_x2 - 3 * (q3_x2 - q1_x2) AS lo4,
+             2 * q3_x2 + 3 * (q3_x2 - q1_x2) AS hi4
+      FROM pos
+    )
+    SELECT f.g AS event_type, f.n, f.min_c, f.max_c, f.q1_x2, f.med_x2,
+           f.q3_x2,
+           CAST(SUM(CASE WHEN 4 * t.x < f.lo4 OR 4 * t.x > f.hi4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM fenced f JOIN t ON t.g = f.g
+    GROUP BY f.g, f.n, f.min_c, f.max_c, f.q1_x2, f.med_x2, f.q3_x2
+    """,
+    doc="[EXT] Tukey five-number summary + 1.5-IQR outlier counts, EXACT: "
+    "the boxplot/EDA primitive with zero fp boundary risk. Hinges "
+    "include the median in both halves (Tukey's convention); every "
+    "quantile is an average of at most two order statistics, kept "
+    "integer by DOUBLING, and the 1.5-IQR fences go to QUADRUPLED units "
+    "(2·q1_2 − 3·iqr_2) so the outlier comparison 4x < lo4 is pure "
+    "integer — the same scaled-units ladder as MAD/winsorize, one step "
+    "further. Shape: one rank window over the per-group sort, order "
+    "statistics picked by rank arithmetic (no percentile interpolation "
+    "anywhere), one broadcast-sized fence join back for the count.",
+    tags=("stats",),
+)
+def stat_tukey_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = ev.select(F.col("event_type").alias("g"), _cents().alias("x"))
+    wr = Window.partitionBy("g").orderBy("x")
+    wn = Window.partitionBy("g")
+    ranked = t.select(
+        "g",
+        "x",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    m = F.expr("(n + 1) div 2")
+    q1a, q1b = F.expr("((n + 1) div 2 + 1) div 2"), F.expr(
+        "((n + 1) div 2 + 2) div 2"
+    )
+    meda, medb = F.expr("(n + 1) div 2"), F.expr("(n + 2) div 2")
+    q3a, q3b = (F.col("n") - m + q1a), (F.col("n") - m + q1b)
+
+    def picked(a, b):
+        hit = F.when((F.col("rn") == a) | (F.col("rn") == b), F.col("x")).otherwise(
+            0
+        )
+        dbl = F.when(a == b, 2).otherwise(1)
+        return (F.sum(hit * dbl)).cast("long")
+
+    # a == b comparisons involve n (constant per group) — move the doubling
+    # factor inside the sum so it stays row-local.
+    pos = ranked.groupBy("g").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min("x").cast("long").alias("min_c"),
+        F.max("x").cast("long").alias("max_c"),
+        picked(q1a, q1b).alias("q1_x2"),
+        picked(meda, medb).alias("med_x2"),
+        picked(q3a, q3b).alias("q3_x2"),
+    )
+    fenced = pos.select(
+        "*",
+        (2 * F.col("q1_x2") - 3 * (F.col("q3_x2") - F.col("q1_x2"))).alias("lo4"),
+        (2 * F.col("q3_x2") + 3 * (F.col("q3_x2") - F.col("q1_x2"))).alias("hi4"),
+    )
+    fenced = fenced.withColumnRenamed("g", "fenced_g")
+    joined = t.join(F.broadcast(fenced), F.col("g") == F.col("fenced_g"))
+    out = joined.groupBy(
+        "fenced_g", "n", "min_c", "max_c", "q1_x2", "med_x2", "q3_x2"
+    ).agg(
+        F.sum(
+            F.when(
+                (4 * F.col("x") < F.col("lo4")) | (4 * F.col("x") > F.col("hi4")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers")
+    )
+    return out.select(
+        F.col("fenced_g").alias("event_type"),
+        "n",
+        "min_c",
+        "max_c",
+        "q1_x2",
+        "med_x2",
+        "q3_x2",
+        "n_outliers",
+    )

@@ -942,3 +942,36 @@ class TestSessionPaths:
             for r in session_entry_exit_paths(spark, SF).collect()
         }
         assert got == counts
+
+
+class TestTukeySummary:
+    def test_matches_python_replay(self, spark, events_pdf):
+        from clinical_api_etl_spark.plans.inference import stat_tukey_summary
+
+        got = {r.event_type: r for r in stat_tukey_summary(spark, SF).collect()}
+        for g, sub in events_pdf.groupby("event_type"):
+            xs = sorted(int(c) for c in sub["cents"])
+            n = len(xs)
+
+            def med2(vals):
+                k = len(vals)
+                return vals[(k + 1) // 2 - 1] + vals[(k + 2) // 2 - 1]
+
+            m = (n + 1) // 2
+            q1 = med2(xs[:m])
+            med = med2(xs)
+            q3 = med2(xs[n - m :])
+            lo4 = 2 * q1 - 3 * (q3 - q1)
+            hi4 = 2 * q3 + 3 * (q3 - q1)
+            outliers = sum(1 for x in xs if 4 * x < lo4 or 4 * x > hi4)
+            row = got[g]
+            assert (row.n, row.min_c, row.max_c) == (n, xs[0], xs[-1])
+            assert (row.q1_x2, row.med_x2, row.q3_x2) == (q1, med, q3)
+            assert row.n_outliers == outliers
+
+    def test_order_invariants(self, spark):
+        from clinical_api_etl_spark.plans.inference import stat_tukey_summary
+
+        for r in stat_tukey_summary(spark, SF).collect():
+            assert 2 * r.min_c <= r.q1_x2 <= r.med_x2 <= r.q3_x2 <= 2 * r.max_c
+            assert 0 <= r.n_outliers < r.n
