@@ -2340,3 +2340,98 @@ def stat_tukey_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q3_x2",
         "n_outliers",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation function: click vs purchase hourly series at lags.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_crosscorr_lags",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, epoch_ms(ts) // {_HOUR_MS} AS h,
+             CAST(SUM({_CENTS}) AS BIGINT) AS s
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, h
+    ),
+    a AS (SELECT h, s AS x FROM hourly WHERE event_type = 'click'),
+    b AS (SELECT h, s AS y FROM hourly WHERE event_type = 'purchase'),
+    lagged AS (
+      SELECT l.lag, a.x, b.y
+      FROM (SELECT UNNEST(range(-3, 4)) AS lag) l
+      JOIN a ON TRUE
+      JOIN b ON b.h = a.h + l.lag
+    ),
+    c AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM lagged GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS den_x,
+           CAST(n * syy - sy * sy AS BIGINT) AS den_y,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+    FROM c
+    """,
+    doc="[EXT] cross-correlation function: the click-hourly series against "
+    "the purchase-hourly series at lags −3..+3 — which direction leads, "
+    "and by how many hours (the lead-lag discovery step before any "
+    "causal/forecast modeling; a peak at positive lag means clicks lead "
+    "purchases). Per lag, the exact Pearson component form over the "
+    "aligned hour pairs; the 7-lag fan-out multiplies the calendar-"
+    "bounded HOURLY table, never events, and each lag's components are "
+    "one map-side-combinable aggregate. Floats finish with the fixed "
+    "sqrt·sqrt division tree — hash-matched.",
+    tags=("stats", "timeseries"),
+)
+def stat_crosscorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_millis(ts) div {_HOUR_MS}").alias("h"),
+            _cents().alias("cents"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("cents").cast("long").alias("s"))
+    )
+    a = hourly.filter(F.col("event_type") == "click").select(
+        "h", F.col("s").alias("x")
+    )
+    b = hourly.filter(F.col("event_type") == "purchase").select(
+        F.col("h").alias("hb"), F.col("s").alias("y")
+    )
+    lags = a.select(
+        "h", "x", F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("lag")
+    )
+    lagged = lags.join(b, F.col("hb") == F.col("h") + F.col("lag"))
+    c = lagged.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return c.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n",
+        num.cast("long").alias("num"),
+        den_x.cast("long").alias("den_x"),
+        den_y.cast("long").alias("den_y"),
+        (
+            num.cast("double")
+            / (F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double")))
+        ).alias("r"),
+    )

@@ -975,3 +975,39 @@ class TestTukeySummary:
         for r in stat_tukey_summary(spark, SF).collect():
             assert 2 * r.min_c <= r.q1_x2 <= r.med_x2 <= r.q3_x2 <= 2 * r.max_c
             assert 0 <= r.n_outliers < r.n
+
+
+class TestCrossCorrelation:
+    def test_matches_python_replay(self, spark, events_pdf):
+        from clinical_api_etl_spark.plans.inference import stat_crosscorr_lags
+
+        pdf = events_pdf.copy()
+        pdf["h"] = pdf["ts"].astype("datetime64[us]").astype("int64") // (
+            3600 * 10**6
+        )
+        series = {
+            g: dict(sub.groupby("h")["cents"].sum())
+            for g, sub in pdf.groupby("event_type")
+        }
+        got = {r.lag: r for r in stat_crosscorr_lags(spark, SF).collect()}
+        assert set(got) == set(range(-3, 4))
+        for lag in range(-3, 4):
+            pairs = [
+                (int(x), int(series["purchase"][h + lag]))
+                for h, x in series["click"].items()
+                if h + lag in series["purchase"]
+            ]
+            n = len(pairs)
+            sx = sum(x for x, _ in pairs)
+            sy = sum(y for _, y in pairs)
+            sxy = sum(x * y for x, y in pairs)
+            sxx = sum(x * x for x, _ in pairs)
+            syy = sum(y * y for _, y in pairs)
+            row = got[lag]
+            assert row.n == n
+            assert row.num == n * sxy - sx * sy
+            assert (row.den_x, row.den_y) == (
+                n * sxx - sx * sx,
+                n * syy - sy * sy,
+            )
+            assert -1.0 <= row.r <= 1.0
