@@ -1098,6 +1098,68 @@ class TestStreamingABMonitor:
         assert math.isfinite(t)
 
 
+class TestStreamingKSDriftMonitor:
+    def test_streamed_histogram_yields_batch_ks(self, spark, tmp_path):
+        """Rank statistics are maintainable incrementally: the (group,
+        value) histogram is a plain streaming aggregate, and the KS
+        statistic derived from the final streamed state equals the batch
+        query's — a distribution-drift monitor is an incremental MV over
+        the value histogram."""
+        from clinical_api_etl_spark.plans.inference import stat_ks_pairs
+        from clinical_api_etl_spark.sources.catalog import load
+
+        sf = "/root/testdata/sf0.001"
+        ev = load(spark, sf, "events").filter(F.col("value").isNotNull())
+        cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        base = ev.select("event_id", F.col("event_type").alias("g"), cents.alias("x"))
+        src = tmp_path / "ks_src"
+        src.mkdir()
+        for k in range(3):
+            base.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(src / f"b{k}"))
+
+        stream = spark.readStream.schema("event_id long, g string, x long").parquet(
+            str(src / "*")
+        )
+        hist = stream.groupBy("g", "x").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        state: dict = {}
+
+        def sink(df, bid):
+            for r in df.collect():
+                state[(r["g"], r["x"])] = r["c"]
+
+        q = (
+            hist.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ks_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        # Derive D for one pair from the streamed histogram state.
+        def ks_from_state(ga, gb):
+            xa = {x: c for (g, x), c in state.items() if g == ga}
+            xb = {x: c for (g, x), c in state.items() if g == gb}
+            na, nb = sum(xa.values()), sum(xb.values())
+            ca = cb = d = 0
+            for v in sorted(set(xa) | set(xb)):
+                ca += xa.get(v, 0)
+                cb += xb.get(v, 0)
+                d = max(d, abs(ca * nb - cb * na))
+            return na, nb, d
+
+        batch = {
+            (r.ga, r.gb): (r.n_a, r.n_b, r.d_num)
+            for r in stat_ks_pairs(spark, sf).collect()
+        }
+        for (ga, gb), want in batch.items():
+            assert ks_from_state(ga, gb) == want
+
+
 class TestStreamingCountMin:
     def test_streamed_sketch_equals_batch(self, spark, tmp_path):
         """The count-min sketch is a plain groupBy over (depth, slot), so it
