@@ -2435,3 +2435,50 @@ def stat_crosscorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double")))
         ).alias("r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data freshness lag (operational DQ).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "dq_freshness_lag",
+    """
+    WITH m AS (
+      SELECT event_type, MAX(ts) AS last_ts,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ),
+    gmax AS (SELECT MAX(ts) AS global_last FROM events)
+    SELECT m.event_type, m.n, m.last_ts,
+           CAST(epoch_ms(gmax.global_last) - epoch_ms(m.last_ts) AS BIGINT)
+             AS lag_ms
+    FROM m CROSS JOIN gmax
+    """,
+    doc="[EXT] per-stream freshness: how far each event type's latest "
+    "event trails the table's watermark (global max ts) — THE first "
+    "operational data-quality pager for multi-source ingestion (a stuck "
+    "upstream shows as a growing lag long before volumes look wrong). "
+    "Exact millisecond integers relative to the in-data watermark, so "
+    "the check is reproducible (no now() — wall-clock freshness is this "
+    "minus one constant). Two map-side-combinable MAX aggregates and a "
+    "1-row cross join.",
+    tags=("quality",),
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    gmax = ev.agg(F.max("ts").alias("global_last"))
+    return m.crossJoin(F.broadcast(gmax)).select(
+        "event_type",
+        "n",
+        "last_ts",
+        (
+            F.unix_millis(F.col("global_last")) - F.unix_millis(F.col("last_ts"))
+        )
+        .cast("long")
+        .alias("lag_ms"),
+    )

@@ -1011,3 +1011,22 @@ class TestCrossCorrelation:
                 n * syy - sy * sy,
             )
             assert -1.0 <= row.r <= 1.0
+
+
+class TestFreshnessLag:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.inference import dq_freshness_lag
+
+        pdf = pd.read_parquet(f"{SF}/events.parquet")
+        gmax = pdf["ts"].max()
+        got = {r.event_type: r for r in dq_freshness_lag(spark, SF).collect()}
+        for g, sub in pdf.groupby("event_type"):
+            last = sub["ts"].max()
+            lag_ms = (
+                gmax.to_datetime64().astype("datetime64[ms]").astype("int64")
+                - last.to_datetime64().astype("datetime64[ms]").astype("int64")
+            )
+            row = got[g]
+            assert row.n == len(sub)
+            assert row.lag_ms == int(lag_ms)
+        assert min(r.lag_ms for r in got.values()) == 0  # some type IS the watermark
