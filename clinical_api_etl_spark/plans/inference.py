@@ -2482,3 +2482,106 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lag_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-purchase graph (exact components).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "graph_assortativity",
+    """
+    WITH e0 AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= 2
+    ),
+    sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    deg AS (
+      SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
+    ),
+    xy AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM sym
+      JOIN deg du ON sym.u = du.node
+      JOIN deg dv ON sym.v = dv.node
+    ),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM xy
+    )
+    SELECT n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS den_x,
+           CAST(n * syy - sy * sy AS BIGINT) AS den_y,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+    FROM c
+    """,
+    doc="[EXT] degree assortativity of the part co-purchase graph "
+    "(support ≥ 2, same edge definition as graph_triangle_count): the "
+    "Pearson correlation of endpoint degrees over all directed edges — "
+    "Newman's do-hubs-connect-to-hubs diagnostic that decides whether "
+    "degree-based sampling or salting is needed before heavier graph "
+    "algorithms. Degrees come from one aggregate over the symmetrized "
+    "edge list, the (x, y) pairs from two broadcast-scale degree joins, "
+    "and the statistic is the exact BIGINT Pearson component form with "
+    "the fixed float finish — hash-matched end to end over a "
+    "graph-valued input.",
+    tags=("graph", "stats"),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("u", "v")
+    )
+    sym = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    du = deg.select(F.col("u").alias("nu"), F.col("d").alias("x"))
+    dv = deg.select(F.col("u").alias("nv"), F.col("d").alias("y"))
+    xy = (
+        sym.join(F.broadcast(du), F.col("u") == F.col("nu"))
+        .join(F.broadcast(dv), F.col("v") == F.col("nv"))
+        .select("x", "y")
+    )
+    c = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return c.select(
+        "n",
+        num.cast("long").alias("num"),
+        den_x.cast("long").alias("den_x"),
+        den_y.cast("long").alias("den_y"),
+        (
+            num.cast("double")
+            / (F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double")))
+        ).alias("r"),
+    )

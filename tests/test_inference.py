@@ -1030,3 +1030,41 @@ class TestFreshnessLag:
             assert row.n == len(sub)
             assert row.lag_ms == int(lag_ms)
         assert min(r.lag_ms for r in got.values()) == 0  # some type IS the watermark
+
+
+class TestAssortativity:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.inference import graph_assortativity
+
+        li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+            ["l_orderkey", "l_partkey"]
+        ]
+        pair_counts: dict[tuple[int, int], int] = {}
+        for _, sub in li.groupby("l_orderkey"):
+            # The query joins lineitem ROWS (u < v), so same-part repeats
+            # within an order contribute multiplicity; replicate exactly.
+            rows = sub["l_partkey"].tolist()
+            for i in range(len(rows)):
+                for j in range(len(rows)):
+                    u, v = rows[i], rows[j]
+                    if u < v:
+                        pair_counts[(u, v)] = pair_counts.get((u, v), 0) + 1
+        edges = [k for k, c in pair_counts.items() if c >= 2]
+        sym = edges + [(v, u) for u, v in edges]
+        deg: dict[int, int] = {}
+        for u, _ in sym:
+            deg[u] = deg.get(u, 0) + 1
+        xy = [(deg[u], deg[v]) for u, v in sym]
+        n = len(xy)
+        sx = sum(x for x, _ in xy)
+        sy = sum(y for _, y in xy)
+        sxy = sum(x * y for x, y in xy)
+        sxx = sum(x * x for x, _ in xy)
+        syy = sum(y * y for _, y in xy)
+        row = graph_assortativity(spark, SF).collect()[0]
+        assert row.n == n
+        assert row.num == n * sxy - sx * sy
+        assert (row.den_x, row.den_y) == (n * sxx - sx * sx, n * syy - sy * sy)
+        # Symmetrized edge list => x/y marginals identical.
+        assert row.den_x == row.den_y
+        assert -1.0 <= row.r <= 1.0
