@@ -1,0 +1,624 @@
+"""[EXT] Round-8 family: retrieval scoring, link prediction, trend
+regression, and declarative data-quality checks.
+
+All queries here are full DuckDB value-hash gated (no rows-only entries):
+
+- sparse dot-product retrieval over the inverted index (the exact
+  text-side MIPS baseline: candidate generation is a posting-list join,
+  never an all-pairs comparison);
+- quantized-impact retrieval (Anserini-style power-of-two impact scores:
+  the idf weight is the largest power of two <= N/df, computed exactly in
+  integer arithmetic on BOTH engines — no logarithms, because JVM
+  ``Math.log`` and libm ``ln`` disagree at 1 ulp on inputs as small as 3,
+  measured, so any log-based score would break the cross-engine hash);
+- common-neighbor / Jaccard link prediction over the co-purchase graph
+  (the feature pass behind "users also bought" candidate generation);
+- per-node local clustering coefficients from the degree-oriented
+  triangle enumeration (Schank-Wagner, each triangle counted once);
+- OLS trend regression over the hourly event series (exact BIGINT normal
+  equations, fixed-IEEE slope/intercept/R^2 finishes);
+- a dbt-tests-style declarative DQ suite (primary-key uniqueness +
+  referential orphans) folded into one summary table.
+
+Reference parity: the reference has no retrieval/graph surface (pandas
+means only, ``etl.py:201-210``); this family is [EXT] toward the
+training-data-pipeline mandate (retrieval for dedup/curation, graph
+features, drift trend lines, contract checks on ingested batches).
+
+Exactness discipline (plans/base.py): every component that can be an
+integer is a BIGINT; each float column is ONE fixed IEEE expression tree
+evaluated identically by Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clinical_api_etl_spark.functions.text import tokens
+from clinical_api_etl_spark.plans.base import QuerySet
+from clinical_api_etl_spark.sources.catalog import load
+
+QS = QuerySet()
+
+_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+#: Query set for the retrieval queries: a fixed, deterministic handful of
+#: documents. Small-Q is the honest shape — at 100 TB the query side is
+#: the broadcast side, the corpus side streams through the posting join.
+_N_QUERY_DOCS = 10
+_TOP_K = 5
+
+
+def _tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tok, c) term-frequency triples, one explode pass."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sparse dot-product retrieval (exact MIPS over the inverted index).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "text_sparse_topk",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM t GROUP BY doc_id, tok),
+    q AS (SELECT doc_id AS q_id, tok, c AS qc FROM tf
+          WHERE doc_id < {_N_QUERY_DOCS}),
+    s AS (SELECT q.q_id, tf.doc_id,
+                 CAST(SUM(tf.c * q.qc) AS BIGINT) AS score
+          FROM tf JOIN q USING (tok)
+          WHERE tf.doc_id <> q.q_id
+          GROUP BY q.q_id, tf.doc_id),
+    r AS (SELECT q_id, doc_id, score,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT)
+                   AS rnk
+          FROM s)
+    SELECT q_id, doc_id, rnk, score FROM r WHERE rnk <= {_TOP_K}
+    """,
+    doc="[EXT] exact sparse maximum-inner-product retrieval: top-5 corpus "
+    "documents per query document by integer term-frequency dot product, "
+    "computed document-at-a-time over the inverted index — candidates "
+    "come from a posting-list equi-join on token, NEVER an all-pairs "
+    "loop, so cost is sum of df^2 over shared terms, not |Q|x|D|. The "
+    "query side is a fixed small set and broadcasts; the corpus side "
+    "streams through one explode + two hash aggregates. Ties break on "
+    "doc_id so the ranking is a total order. At 100 TB: partition "
+    "postings by token, cap df with champion lists / impact ordering "
+    "(see text_impact_topk) — the join shape is unchanged. All-BIGINT "
+    "scores hash-match DuckDB exactly.",
+    headline=True,
+    tags=("text", "retrieval"),
+)
+def text_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persist: the query side and the corpus side are two plan branches of
+    # the same explode+aggregate; tf is vocabulary x docs sized (tiny).
+    tf = _tf(spark, sf_dir).coalesce(8).persist()
+    q = (
+        tf.filter(F.col("doc_id") < _N_QUERY_DOCS)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.col("tok"),
+            F.col("c").alias("qc"),
+        )
+    )
+    s = (
+        tf.join(F.broadcast(q), "tok")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum(F.col("c") * F.col("qc")).cast("long").alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        s.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "doc_id", "rnk", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantized-impact retrieval (power-of-two idf, zero logarithms).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "text_impact_topk",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM t GROUP BY doc_id, tok),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+    idf AS (SELECT tok,
+                   CAST(1 AS BIGINT) << (length(bin(n.n_docs // CAST(COUNT(*) AS BIGINT))) - 1)
+                     AS impact
+            FROM tf CROSS JOIN n GROUP BY tok, n.n_docs),
+    q AS (SELECT doc_id AS q_id, tok FROM tf
+          WHERE doc_id < {_N_QUERY_DOCS}),
+    s AS (SELECT q.q_id, tf.doc_id,
+                 CAST(SUM(tf.c * idf.impact) AS BIGINT) AS score
+          FROM tf JOIN q USING (tok) JOIN idf ON tf.tok = idf.tok
+          WHERE tf.doc_id <> q.q_id
+          GROUP BY q.q_id, tf.doc_id),
+    r AS (SELECT q_id, doc_id, score,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT)
+                   AS rnk
+          FROM s)
+    SELECT q_id, doc_id, rnk, score FROM r WHERE rnk <= {_TOP_K}
+    """,
+    doc="[EXT] impact-ordered retrieval: the idf weight per term is the "
+    "largest power of two <= N/df — exactly the quantized-impact trick "
+    "impact-ordered indexes (Anserini/JASS) use so scores become small "
+    "integers that sort/accumulate cheaply. The exponent is "
+    "floor(log2(N//df)) computed as binary-digit-count minus one "
+    "(Spark conv(,10,2), DuckDB bin()) — NO floating log anywhere: "
+    "JVM Math.log and libm disagree at 1 ulp (ln(3) already differs, "
+    "measured), so a float idf could never hash-gate. Query terms act "
+    "as a set; score = sum of tf_d x impact over shared terms. Same "
+    "posting-join shape as text_sparse_topk; the idf table is "
+    "vocabulary-sized and broadcasts. All-BIGINT, full hash.",
+    tags=("text", "retrieval"),
+)
+def text_impact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = _tf(spark, sf_dir).coalesce(8).persist()
+    n = tf.agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = (
+        df_t.crossJoin(F.broadcast(n))
+        .withColumn("m", F.expr("n_docs div df"))
+        .withColumn(
+            "e", F.length(F.conv(F.col("m").cast("string"), 10, 2)) - F.lit(1)
+        )
+        .select(
+            "tok",
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(e AS INT)) AS BIGINT)")
+            .alias("impact"),
+        )
+    )
+    q = tf.filter(F.col("doc_id") < _N_QUERY_DOCS).select(
+        F.col("doc_id").alias("q_id"), "tok"
+    )
+    s = (
+        tf.join(F.broadcast(q), "tok")
+        .join(F.broadcast(idf), "tok")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum(F.col("c") * F.col("impact")).cast("long").alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        s.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "doc_id", "rnk", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: common neighbors + Jaccard over the co-purchase graph.
+# ---------------------------------------------------------------------------
+
+_LP_SUPPORT = 2  # same edge definition as graph_triangle_count
+_LP_TOP = 20
+
+_LP_EDGES_SQL = f"""
+e0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_LP_SUPPORT}
+),
+sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u)
+"""
+
+
+@QS.add(
+    "graph_linkpred_topk",
+    f"""
+    WITH {_LP_EDGES_SQL},
+    cn AS (
+      SELECT s1.v AS a, s2.v AS b, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+      GROUP BY s1.v, s2.v
+    ),
+    cand AS (
+      SELECT cn.a AS u, cn.b AS v, cn.cn,
+             da.d AS deg_u, db.d AS deg_v,
+             CAST(da.d + db.d - cn.cn AS BIGINT) AS union_size
+      FROM cn
+      JOIN deg da ON da.node = cn.a
+      JOIN deg db ON db.node = cn.b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM e0 WHERE e0.u = cn.a AND e0.v = cn.b
+      )
+    )
+    SELECT u, v, cn, deg_u, deg_v, union_size,
+           CAST(cn AS DOUBLE) / CAST(union_size AS DOUBLE) AS jaccard
+    FROM cand
+    ORDER BY cn DESC, u, v
+    LIMIT {_LP_TOP}
+    """,
+    doc="[EXT] link prediction over the part co-purchase graph (edge = "
+    "co-ordered in >= 2 distinct orders, the graph_triangle_count "
+    "definition): top-20 NON-adjacent pairs by common-neighbor count, "
+    "with neighborhood-Jaccard as the normalized score — the classic "
+    "candidate-generation features for a 'users also bought' recommender. "
+    "Wedges come from ONE self-equi-join of the symmetric adjacency on "
+    "the shared center (cost = sum of deg^2, bounded by the support "
+    "threshold; at 100 TB cap per-node neighbor lists — top-k by edge "
+    "weight — before the wedge join, the standard degree-cap mitigation); "
+    "adjacent pairs are removed by an anti-join against the edge list; "
+    "degree lookups broadcast. |N(u) u N(v)| = d(u)+d(v)-cn exactly "
+    "because (u,v) is non-adjacent. Total order (cn DESC, u, v) makes "
+    "the LIMIT deterministic; jaccard is the one IEEE division.",
+    headline=True,
+    tags=("graph",),
+)
+def graph_linkpred_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= _LP_SUPPORT)
+        .select("u", "v")
+        .coalesce(8)
+        .persist()
+    )
+    sym = e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    s1 = sym.select(F.col("u").alias("w"), F.col("v").alias("a"))
+    s2 = sym.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    cn = (
+        s1.join(s2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+    # non-adjacent only: anti-join against the (u < v)-oriented edge list.
+    cand = cn.join(
+        e0,
+        (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("deg_u"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("deg_v"))
+    scored = (
+        cand.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            "cn",
+            "deg_u",
+            "deg_v",
+            (F.col("deg_u") + F.col("deg_v") - F.col("cn"))
+            .cast("long")
+            .alias("union_size"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("cn").cast("double") / F.col("union_size").cast("double"),
+        )
+    )
+    return scored.orderBy(F.desc("cn"), F.asc("u"), F.asc("v")).limit(_LP_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficients (per-node triangle density).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "graph_clustering_coeff",
+    f"""
+    WITH {_LP_EDGES_SQL},
+    o AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS x,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS y,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS ydeg
+      FROM e0 e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ),
+    tri AS (
+      SELECT e1.x AS n1, e1.y AS n2, e2.y AS n3
+      FROM o e1
+      JOIN o e2 ON e1.x = e2.x AND (e1.ydeg, e1.y) < (e2.ydeg, e2.y)
+      JOIN o e3 ON e3.x = e1.y AND e3.y = e2.y
+    ),
+    pernode AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        SELECT n1 AS node FROM tri
+        UNION ALL SELECT n2 FROM tri
+        UNION ALL SELECT n3 FROM tri
+      ) GROUP BY node
+    )
+    SELECT deg.node, deg.d AS degree,
+           COALESCE(pernode.n_tri, CAST(0 AS BIGINT)) AS n_tri,
+           CAST(2 * COALESCE(pernode.n_tri, 0) AS DOUBLE)
+             / CAST(deg.d * (deg.d - 1) AS DOUBLE) AS coeff
+    FROM deg LEFT JOIN pernode ON deg.node = pernode.node
+    WHERE deg.d >= 2
+    """,
+    doc="[EXT] per-node local clustering coefficient over the co-purchase "
+    "graph: 2*tri(v) / (d(v)*(d(v)-1)) for every node of degree >= 2 — "
+    "the how-clique-ish-is-this-neighborhood feature that separates "
+    "bridge hubs from community cores. Triangles are enumerated ONCE via "
+    "the same degree-oriented wedge join as graph_triangle_count "
+    "(Schank-Wagner: wedge fan-out bounded by degeneracy, not max "
+    "degree), then each triangle credits its three vertices through one "
+    "union+aggregate. Exact BIGINT counts; coeff is the one IEEE "
+    "division. Hash-matched against DuckDB's identical twin.",
+    tags=("graph",),
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= _LP_SUPPORT)
+        .select("u", "v")
+        .coalesce(8)
+        .persist()
+    )
+    sym = e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    keyed = e0.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    u_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    o = keyed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("y"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ydeg"),
+    ).persist()
+    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.x") == F.col("e2.x"))
+            & (
+                F.struct(F.col("e1.ydeg"), F.col("e1.y"))
+                < F.struct(F.col("e2.ydeg"), F.col("e2.y"))
+            ),
+        )
+        .join(
+            e3,
+            (F.col("e1.y") == F.col("e3.x")) & (F.col("e2.y") == F.col("e3.y")),
+        )
+        .select(
+            F.col("e1.x").alias("n1"),
+            F.col("e1.y").alias("n2"),
+            F.col("e2.y").alias("n3"),
+        )
+    )
+    pernode = (
+        tri.select(F.col("n1").alias("node"))
+        .unionByName(tri.select(F.col("n2").alias("node")))
+        .unionByName(tri.select(F.col("n3").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(pernode, "node", "left")
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            (
+                (F.lit(2) * F.coalesce("n_tri", F.lit(0))).cast("double")
+                / (F.col("d") * (F.col("d") - F.lit(1))).cast("double")
+            ).alias("coeff"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# OLS trend regression over the hourly event series.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_ols_trend_hourly",
+    """
+    WITH hourly AS (
+      SELECT epoch_ms(ts) // 3600000 AS eh, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY eh
+    ),
+    idx AS (
+      SELECT CAST(eh - MIN(eh) OVER () AS BIGINT) AS t, y FROM hourly
+    ),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(t * y) AS BIGINT) AS sty,
+             CAST(SUM(t * t) AS BIGINT) AS stt,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM idx
+    )
+    SELECT n, st, sy, sty, stt, syy,
+           CAST(n * sty - st * sy AS BIGINT) AS slope_num,
+           CAST(n * stt - st * st AS BIGINT) AS slope_den,
+           CASE WHEN n * stt - st * st = 0 THEN NULL
+                ELSE CAST(n * sty - st * sy AS DOUBLE)
+                     / CAST(n * stt - st * st AS DOUBLE) END AS slope,
+           CASE WHEN n * stt - st * st = 0 THEN NULL
+                ELSE CAST(sy * stt - st * sty AS DOUBLE)
+                     / CAST(n * stt - st * st AS DOUBLE) END AS intercept,
+           CASE WHEN (n * stt - st * st) = 0 OR (n * syy - sy * sy) = 0
+                THEN NULL
+                ELSE (CAST(n * sty - st * sy AS DOUBLE)
+                      * CAST(n * sty - st * sy AS DOUBLE))
+                     / (CAST(n * stt - st * st AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
+    FROM c
+    """,
+    doc="[EXT] ordinary-least-squares trend line over the hourly event "
+    "count series: exact BIGINT normal-equation components (hour index "
+    "t = epoch-hour minus the series minimum, so magnitudes are "
+    "calendar-bounded and n*sty stays far under 2^63), then slope, "
+    "intercept and R^2 as fixed IEEE trees over the exact components — "
+    "slope = one division, R^2 multiplies IN DOUBLE because slope_num^2 "
+    "would overflow BIGINT at larger calendars. Completes the trend "
+    "family (Theil-Sen is the robust twin, Mann-Kendall the "
+    "distribution-free test). One map-side-combinable aggregate over "
+    "the calendar-bounded hourly table; a 1-row global window supplies "
+    "the index offset.",
+    tags=("stats",),
+)
+def stat_ols_trend_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        # integer floor-div: Spark `div` == DuckDB `//` for nonnegative ms
+        F.expr("unix_millis(ts) div 3600000").alias("eh")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    w = Window.partitionBy()
+    idx = hourly.select(
+        (F.col("eh") - F.min("eh").over(w)).cast("long").alias("t"), "y"
+    )
+    c = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sty") - F.col("st") * F.col("sy")
+    den = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    dyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    inum = F.col("sy") * F.col("stt") - F.col("st") * F.col("sty")
+    return c.select(
+        "n",
+        "st",
+        "sy",
+        "sty",
+        "stt",
+        "syy",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("slope"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(inum.cast("double") / den.cast("double"))
+        .alias("intercept"),
+        F.when((den == 0) | (dyy == 0), F.lit(None).cast("double"))
+        .otherwise(
+            (num.cast("double") * num.cast("double"))
+            / (den.cast("double") * dyy.cast("double"))
+        )
+        .alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality suite (dbt-tests analogue).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "dq_contract_checks",
+    """
+    SELECT 'customer_pk_dup' AS check_name,
+           CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS n_violations
+    FROM (SELECT COUNT(*) AS cnt FROM customer GROUP BY c_custkey) WHERE cnt > 1
+    UNION ALL
+    SELECT 'orders_pk_dup',
+           CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey) WHERE cnt > 1
+    UNION ALL
+    SELECT 'events_pk_dup',
+           CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS cnt FROM events GROUP BY event_id) WHERE cnt > 1
+    UNION ALL
+    SELECT 'orders_cust_orphans', CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_order_orphans', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'events_user_orphans', CAST(COUNT(*) AS BIGINT)
+    FROM events e WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+    """,
+    doc="[EXT] declarative data-contract suite in one summary table — the "
+    "dbt-tests / Great-Expectations staple: primary-key uniqueness "
+    "(excess-row counts per duplicated key, 0 when clean) for customer/"
+    "orders/events, plus referential orphans (orders->customer, "
+    "lineitem->orders, events.user_id->customer) via anti-joins. Each "
+    "check is one aggregate or one broadcast/shuffled anti-join; the six "
+    "single-row results union into a (check_name, n_violations) table a "
+    "scheduler can alert on. Exact BIGINTs, full hash. At 100 TB every "
+    "check stays one pass; the union is of 1-row frames.",
+    tags=("quality",),
+)
+def dq_contract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    ev = load(spark, sf_dir, "events")
+
+    def pk_dup(df: DataFrame, key: str, name: str) -> DataFrame:
+        cnt = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt")).filter(
+            F.col("cnt") > 1
+        )
+        return cnt.agg(
+            F.lit(name).alias("check_name"),
+            F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0))
+            .cast("long")
+            .alias("n_violations"),
+        )
+
+    def orphans(child: DataFrame, ckey: str, parent: DataFrame, pkey: str,
+                name: str) -> DataFrame:
+        n = child.join(
+            parent.select(F.col(pkey).alias(ckey)).distinct(), ckey, "left_anti"
+        )
+        return n.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+        )
+
+    parts = [
+        pk_dup(cust, "c_custkey", "customer_pk_dup"),
+        pk_dup(orders, "o_orderkey", "orders_pk_dup"),
+        pk_dup(ev, "event_id", "events_pk_dup"),
+        orphans(orders, "o_custkey", cust, "c_custkey", "orders_cust_orphans"),
+        orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem_order_orphans"),
+        orphans(ev, "user_id", cust, "c_custkey", "events_user_orphans"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

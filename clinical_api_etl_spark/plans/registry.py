@@ -21,6 +21,7 @@ def all_queries() -> dict[str, Query]:
         inference,
         mining,
         mlprep,
+        ranking,
         relational,
         tpch_deep,
     )
@@ -35,6 +36,7 @@ def all_queries() -> dict[str, Query]:
         mlprep,
         mining,
         inference,
+        ranking,
     ):
         for name, q in mod.QS.queries.items():
             if name in merged:

@@ -1,0 +1,257 @@
+"""Round-8 ranking family: python replays + planted-violation fixtures.
+
+Replay tests recompute each result from the raw sf0.001 parquet with plain
+python (independent of Spark and DuckDB) and compare exactly; the DQ suite
+is additionally exercised against a tmp-dir corpus with planted key
+duplicates and orphans.
+"""
+
+from __future__ import annotations
+
+import collections
+import itertools
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    return pd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def tf_py(docs_pdf):
+    """{doc_id: Counter(token)} via the engine's whitespace tokenization."""
+    out = {}
+    for r in docs_pdf.itertuples():
+        toks = r.text.strip().lower().split()
+        out[r.doc_id] = collections.Counter(toks)
+    return out
+
+
+def _topk(scores, k=5):
+    """[(q, doc, rnk, score)] with (score DESC, doc ASC) tie order."""
+    rows = []
+    for q, per in scores.items():
+        ranked = sorted(per.items(), key=lambda t: (-t[1], t[0]))[:k]
+        rows.extend((q, d, i + 1, s) for i, (d, s) in enumerate(ranked))
+    return set(rows)
+
+
+class TestSparseTopk:
+    def test_matches_python_replay(self, spark, tf_py):
+        from clinical_api_etl_spark.plans.ranking import text_sparse_topk
+
+        got = {
+            (r.q_id, r.doc_id, r.rnk, r.score)
+            for r in text_sparse_topk(spark, SF).collect()
+        }
+        scores = {}
+        for q in range(10):
+            per = {}
+            for d, c in tf_py.items():
+                if d == q:
+                    continue
+                s = sum(n * tf_py[q][t] for t, n in c.items() if t in tf_py[q])
+                if s:
+                    per[d] = s
+            scores[q] = per
+        assert got == _topk(scores)
+
+
+class TestImpactTopk:
+    def test_matches_python_replay(self, spark, tf_py):
+        from clinical_api_etl_spark.plans.ranking import text_impact_topk
+
+        got = {
+            (r.q_id, r.doc_id, r.rnk, r.score)
+            for r in text_impact_topk(spark, SF).collect()
+        }
+        n_docs = len(tf_py)
+        df = collections.Counter(
+            t for c in tf_py.values() for t in c
+        )
+        impact = {t: 1 << ((n_docs // v).bit_length() - 1) for t, v in df.items()}
+        scores = {}
+        for q in range(10):
+            per = {}
+            qtoks = set(tf_py[q])
+            for d, c in tf_py.items():
+                if d == q:
+                    continue
+                s = sum(n * impact[t] for t, n in c.items() if t in qtoks)
+                if s:
+                    per[d] = s
+            scores[q] = per
+        assert got == _topk(scores)
+
+    def test_impacts_are_powers_of_two(self, tf_py):
+        n_docs = len(tf_py)
+        df = collections.Counter(t for c in tf_py.values() for t in c)
+        for t, v in df.items():
+            w = 1 << ((n_docs // v).bit_length() - 1)
+            assert w & (w - 1) == 0 and w <= n_docs // v and 2 * w > n_docs // v
+
+
+def _copurchase_graph(support=2):
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    pair_count = collections.Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        # NB: the engine counts lineitem ROW pairs, not distinct-part pairs
+        parts_rows = sorted(grp["l_partkey"])
+        for a, b in itertools.combinations(parts_rows, 2):
+            if a != b:
+                pair_count[(min(a, b), max(a, b))] += 1
+    edges = {p for p, n in pair_count.items() if n >= support}
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    return edges, adj
+
+
+@pytest.fixture(scope="module")
+def graph():
+    return _copurchase_graph()
+
+
+class TestLinkPred:
+    def test_matches_python_replay(self, spark, graph):
+        from clinical_api_etl_spark.plans.ranking import graph_linkpred_topk
+
+        edges, adj = graph
+        cn = collections.Counter()
+        for w, nbrs in adj.items():
+            for a, b in itertools.combinations(sorted(nbrs), 2):
+                cn[(a, b)] += 1
+        cand = []
+        for (a, b), c in cn.items():
+            if (a, b) in edges:
+                continue
+            du, dv = len(adj[a]), len(adj[b])
+            cand.append((a, b, c, du, dv, du + dv - c))
+        cand.sort(key=lambda t: (-t[2], t[0], t[1]))
+        expect = {
+            (a, b, c, du, dv, un, c / un) for a, b, c, du, dv, un in cand[:20]
+        }
+        got = {
+            (r.u, r.v, r.cn, r.deg_u, r.deg_v, r.union_size, r.jaccard)
+            for r in graph_linkpred_topk(spark, SF).collect()
+        }
+        assert got == expect
+
+    def test_pairs_are_nonadjacent(self, spark, graph):
+        from clinical_api_etl_spark.plans.ranking import graph_linkpred_topk
+
+        edges, _ = graph
+        for r in graph_linkpred_topk(spark, SF).collect():
+            assert (r.u, r.v) not in edges
+
+
+class TestClusteringCoeff:
+    def test_matches_python_replay(self, spark, graph):
+        from clinical_api_etl_spark.plans.ranking import graph_clustering_coeff
+
+        _, adj = graph
+        expect = set()
+        for v, nbrs in adj.items():
+            d = len(nbrs)
+            if d < 2:
+                continue
+            tri = sum(
+                1
+                for a, b in itertools.combinations(sorted(nbrs), 2)
+                if b in adj[a]
+            )
+            expect.add((v, d, tri, (2 * tri) / (d * (d - 1))))
+        got = {
+            (r.node, r.degree, r.n_tri, r.coeff)
+            for r in graph_clustering_coeff(spark, SF).collect()
+        }
+        assert got == expect
+
+
+class TestOlsTrend:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.ranking import stat_ols_trend_hourly
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        # ts may be ns or µs resolution; floor to epoch hours exactly.
+        ms = ev["ts"].astype("int64") // (
+            1_000_000 if ev["ts"].dtype.str.endswith("[ns]") else 1_000
+        )
+        eh = ms // 3_600_000
+        counts = collections.Counter(eh)
+        t0 = min(counts)
+        pts = [(int(h - t0), int(y)) for h, y in counts.items()]
+        n = len(pts)
+        st = sum(t for t, _ in pts)
+        sy = sum(y for _, y in pts)
+        sty = sum(t * y for t, y in pts)
+        stt = sum(t * t for t, _ in pts)
+        syy = sum(y * y for _, y in pts)
+        num, den = n * sty - st * sy, n * stt - st * st
+        dyy = n * syy - sy * sy
+        inum = sy * stt - st * sty
+        row = stat_ols_trend_hourly(spark, SF).collect()[0]
+        assert (row.n, row.st, row.sy, row.sty, row.stt, row.syy) == (
+            n, st, sy, sty, stt, syy,
+        )
+        assert (row.slope_num, row.slope_den) == (num, den)
+        assert row.slope == float(num) / float(den)
+        assert row.intercept == float(inum) / float(den)
+        assert row.r2 == (float(num) * float(num)) / (float(den) * float(dyy))
+
+    def test_r2_in_unit_interval(self, spark):
+        from clinical_api_etl_spark.plans.ranking import stat_ols_trend_hourly
+
+        row = stat_ols_trend_hourly(spark, SF).collect()[0]
+        assert 0.0 <= row.r2 <= 1.0
+
+
+class TestDqContractChecks:
+    def test_clean_testdata_has_known_violations(self, spark):
+        from clinical_api_etl_spark.plans.ranking import dq_contract_checks
+
+        got = {r.check_name: r.n_violations for r in
+               dq_contract_checks(spark, SF).collect()}
+        assert set(got) == {
+            "customer_pk_dup", "orders_pk_dup", "events_pk_dup",
+            "orders_cust_orphans", "lineitem_order_orphans",
+            "events_user_orphans",
+        }
+        # generator keys are unique and FKs intact except user_id=0
+        assert got["customer_pk_dup"] == 0
+        assert got["orders_pk_dup"] == 0
+        assert got["events_pk_dup"] == 0
+        assert got["lineitem_order_orphans"] == 0
+
+    def test_planted_violations_detected(self, spark, tmp_path):
+        from clinical_api_etl_spark.plans.ranking import dq_contract_checks
+
+        d = str(tmp_path)
+        pd.DataFrame({"c_custkey": [1, 2, 2]}).to_parquet(f"{d}/customer.parquet")
+        pd.DataFrame(
+            {"o_orderkey": [10, 11, 11, 11], "o_custkey": [1, 2, 2, 99]}
+        ).to_parquet(f"{d}/orders.parquet")
+        pd.DataFrame({"l_orderkey": [10, 11, 77]}).to_parquet(
+            f"{d}/lineitem.parquet"
+        )
+        pd.DataFrame(
+            {
+                "event_id": [1, 1, 2],
+                "ts": pd.to_datetime(["2024-01-01"] * 3),
+                "user_id": [1, 2, 55],
+            }
+        ).to_parquet(f"{d}/events.parquet")
+        got = {r.check_name: r.n_violations for r in
+               dq_contract_checks(spark, d).collect()}
+        assert got["customer_pk_dup"] == 1     # one excess row for key 2
+        assert got["orders_pk_dup"] == 2       # two excess rows for key 11
+        assert got["events_pk_dup"] == 1
+        assert got["orders_cust_orphans"] == 1  # o_custkey 99
+        assert got["lineitem_order_orphans"] == 1  # l_orderkey 77
+        assert got["events_user_orphans"] == 1  # user_id 55
