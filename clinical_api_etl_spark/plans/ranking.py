@@ -622,3 +622,320 @@ def dq_contract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence + Cramér's V (sorted-fold float summation).
+# ---------------------------------------------------------------------------
+
+_CHISQ_ORACLE = """
+    WITH e AS (
+      SELECT (epoch_ms(ts) // 86400000) % 7 AS dow, event_type FROM events
+    ),
+    cell AS (
+      SELECT dow, event_type, CAST(COUNT(*) AS BIGINT) AS o
+      FROM e GROUP BY dow, event_type
+    ),
+    rt AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS r_tot FROM cell GROUP BY dow),
+    ct AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS c_tot
+           FROM cell GROUP BY event_type),
+    terms AS (
+      SELECT cell.dow, cell.event_type,
+             CAST(cell.o * cell.o AS DOUBLE)
+               / CAST(rt.r_tot * ct.c_tot AS DOUBLE) AS term
+      FROM cell JOIN rt USING (dow) JOIN ct USING (event_type)
+    ),
+    folded AS (
+      SELECT list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                            list(term ORDER BY dow, event_type)),
+               (x, y) -> x + y) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_cells
+      FROM terms
+    ),
+    dims AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS r,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS c,
+             (SELECT CAST(SUM(o) AS BIGINT) FROM cell) AS n
+    )
+    SELECT dims.n, dims.r, dims.c, folded.n_cells,
+           CAST((dims.r - 1) * (dims.c - 1) AS BIGINT) AS dof,
+           CAST(dims.n AS DOUBLE) * folded.s - CAST(dims.n AS DOUBLE) AS chisq,
+           sqrt((CAST(dims.n AS DOUBLE) * folded.s - CAST(dims.n AS DOUBLE))
+                / (CAST(dims.n AS DOUBLE)
+                   * CAST(least(dims.r - 1, dims.c - 1) AS DOUBLE)))
+             AS cramers_v
+    FROM dims CROSS JOIN folded
+    """
+
+
+@QS.add(
+    "stat_chisq_independence",
+    _CHISQ_ORACLE,
+    doc="[EXT] chi-square test of independence between day-of-week "
+    "(epoch-day mod 7, calendar-free and engine-portable) and event type, "
+    "with Cramér's V as the effect size — the is-traffic-mix-shifting "
+    "screen over any two categorical columns. Uses the identity "
+    "chisq = N * sum(O^2 / (rowtot * coltot)) - N, so each cell "
+    "contributes ONE correctly-rounded IEEE division of exact BIGINTs; "
+    "the float terms are then summed by an explicitly ORDERED fold "
+    "(Spark aggregate over sort_array == DuckDB list_reduce over an "
+    "ORDER BY list) — bit-identical across engines because the addition "
+    "sequence is pinned, the technique that makes float SUMS hash-safe "
+    "when no integer form exists. Contingency cells aggregate map-side "
+    "(7 x |types| rows); the fold runs over that tiny table, never "
+    "events. Cramér's V = one division + one correctly-rounded sqrt.",
+    tags=("stats",),
+)
+def stat_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cell = (
+        ev.select(
+            F.expr("(unix_millis(ts) div 86400000) % 7").alias("dow"),
+            "event_type",
+        )
+        .groupBy("dow", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .coalesce(1)
+        .persist()
+    )
+    rt = cell.groupBy("dow").agg(F.sum("o").cast("long").alias("r_tot"))
+    ct = cell.groupBy("event_type").agg(F.sum("o").cast("long").alias("c_tot"))
+    terms = (
+        cell.join(F.broadcast(rt), "dow")
+        .join(F.broadcast(ct), "event_type")
+        .select(
+            "dow",
+            "event_type",
+            (
+                (F.col("o") * F.col("o")).cast("double")
+                / (F.col("r_tot") * F.col("c_tot")).cast("double")
+            ).alias("term"),
+        )
+    )
+    folded = terms.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("dow", "event_type", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    dims = cell.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count_distinct("dow").cast("long").alias("r"),
+        F.count_distinct("event_type").cast("long").alias("c"),
+    )
+    n_d = F.col("n").cast("double")
+    chisq = n_d * F.col("s") - n_d
+    return dims.crossJoin(F.broadcast(folded)).select(
+        "n",
+        "r",
+        "c",
+        "n_cells",
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        chisq.alias("chisq"),
+        F.sqrt(
+            chisq
+            / (n_d * F.least(F.col("r") - 1, F.col("c") - 1).cast("double"))
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F over value cents by event type.
+# ---------------------------------------------------------------------------
+
+_CENTS = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@QS.add(
+    "stat_anova_f_types",
+    f"""
+    WITH g AS (
+      SELECT event_type, {_CENTS} AS x FROM events WHERE value IS NOT NULL
+    ),
+    pg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(x) AS BIGINT) AS s_g,
+             CAST(SUM(x * x) AS BIGINT) AS q_g
+      FROM g GROUP BY event_type
+    ),
+    t AS (
+      SELECT event_type, n_g, s_g, q_g,
+             (CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE))
+               / CAST(n_g AS DOUBLE) AS term
+      FROM pg
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(s_g) AS BIGINT) AS s_all,
+             CAST(SUM(q_g) AS BIGINT) AS q_all,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY event_type)),
+               (x, y) -> x + y) AS fold
+      FROM t
+    )
+    SELECT k, n, s_all, q_all,
+           fold - (CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE))
+                    / CAST(n AS DOUBLE) AS ssb,
+           CAST(q_all AS DOUBLE) - fold AS ssw,
+           ((fold - (CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE))
+                      / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+             / ((CAST(q_all AS DOUBLE) - fold) / CAST(n - k AS DOUBLE))
+             AS f_stat
+    FROM agg
+    """,
+    doc="[EXT] one-way ANOVA F statistic for value cents across event "
+    "types — the k-group generalization of stat_welch_ttest_pairs "
+    "(equal-variance form). Per-group sufficient statistics (n, sum, "
+    "sum-of-squares) are exact BIGINTs and mergeable (map-side "
+    "combinable; the shuffle carries 3 integers per group). "
+    "SSB = sum(S_g^2/n_g) - S^2/N with each S_g^2 computed IN DOUBLE "
+    "(S_g^2 as BIGINT would overflow past sf~0.05); the per-group terms "
+    "sum via the pinned-order fold (see stat_chisq_independence), so "
+    "SSB/SSW/F are fixed IEEE trees over exact components and "
+    "hash-match across engines.",
+    tags=("stats",),
+)
+def stat_anova_f_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    pg = ev.select(F.col("event_type"), cents.alias("x")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("x").cast("long").alias("s_g"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q_g"),
+    )
+    t = pg.select(
+        "event_type",
+        "n_g",
+        "s_g",
+        "q_g",
+        (
+            (F.col("s_g").cast("double") * F.col("s_g").cast("double"))
+            / F.col("n_g").cast("double")
+        ).alias("term"),
+    )
+    agg = t.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s_all"),
+        F.sum("q_g").cast("long").alias("q_all"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("event_type", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("fold"),
+    )
+    s_d = F.col("s_all").cast("double")
+    n_d = F.col("n").cast("double")
+    ssb = F.col("fold") - (s_d * s_d) / n_d
+    ssw = F.col("q_all").cast("double") - F.col("fold")
+    return agg.select(
+        "k",
+        "n",
+        "s_all",
+        "q_all",
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        (
+            (ssb / (F.col("k") - 1).cast("double"))
+            / (ssw / (F.col("n") - F.col("k")).cast("double"))
+        ).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS trend: one regression per event type.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_ols_trend_by_type",
+    """
+    WITH hourly AS (
+      SELECT event_type, epoch_ms(ts) // 3600000 AS eh,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, eh
+    ),
+    idx AS (
+      SELECT event_type,
+             CAST(eh - MIN(eh) OVER (PARTITION BY event_type) AS BIGINT) AS t,
+             y
+      FROM hourly
+    ),
+    c AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(t * y) AS BIGINT) AS sty,
+             CAST(SUM(t * t) AS BIGINT) AS stt,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM idx GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sty - st * sy AS BIGINT) AS slope_num,
+           CAST(n * stt - st * st AS BIGINT) AS slope_den,
+           CASE WHEN n * stt - st * st = 0 THEN NULL
+                ELSE CAST(n * sty - st * sy AS DOUBLE)
+                     / CAST(n * stt - st * st AS DOUBLE) END AS slope,
+           CASE WHEN (n * stt - st * st) = 0 OR (n * syy - sy * sy) = 0
+                THEN NULL
+                ELSE (CAST(n * sty - st * sy AS DOUBLE)
+                      * CAST(n * sty - st * sy AS DOUBLE))
+                     / (CAST(n * stt - st * st AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
+    FROM c
+    """,
+    doc="[EXT] per-event-type OLS trend slopes over each type's hourly "
+    "count series — the which-streams-are-growing screen "
+    "(stat_ols_trend_hourly is the global twin). The hour index is "
+    "offset per group by a partitioned MIN window so magnitudes stay "
+    "calendar-bounded within every group; components are exact BIGINTs "
+    "from ONE grouped aggregate over the hourly pre-aggregate "
+    "(|types| x |hours| rows, never events); slope and R^2 are the "
+    "fixed IEEE finishes with zero-denominator guards.",
+    tags=("stats",),
+)
+def stat_ols_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.expr("unix_millis(ts) div 3600000").alias("eh")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    w = Window.partitionBy("event_type")
+    idx = hourly.select(
+        "event_type",
+        (F.col("eh") - F.min("eh").over(w)).cast("long").alias("t"),
+        "y",
+    )
+    c = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sty") - F.col("st") * F.col("sy")
+    den = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    dyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return c.select(
+        "event_type",
+        "n",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("slope"),
+        F.when((den == 0) | (dyy == 0), F.lit(None).cast("double"))
+        .otherwise(
+            (num.cast("double") * num.cast("double"))
+            / (den.cast("double") * dyy.cast("double"))
+        )
+        .alias("r2"),
+    )

@@ -255,3 +255,110 @@ class TestDqContractChecks:
         assert got["orders_cust_orphans"] == 1  # o_custkey 99
         assert got["lineitem_order_orphans"] == 1  # l_orderkey 77
         assert got["events_user_orphans"] == 1  # user_id 55
+
+
+class TestChisqIndependence:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.ranking import stat_chisq_independence
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        ms = ev["ts"].astype("int64") // (
+            1_000_000 if ev["ts"].dtype.str.endswith("[ns]") else 1_000
+        )
+        dow = (ms // 86_400_000) % 7
+        cells = collections.Counter(zip(dow, ev["event_type"]))
+        rt = collections.Counter()
+        ct = collections.Counter()
+        for (d, t), o in cells.items():
+            rt[d] += o
+            ct[t] += o
+        n = sum(cells.values())
+        s = 0.0
+        for (d, t) in sorted(cells):
+            o = cells[(d, t)]
+            s += float(o * o) / float(rt[d] * ct[t])
+        chisq = float(n) * s - float(n)
+        r, c = len(rt), len(ct)
+        import math
+        v = math.sqrt(chisq / (float(n) * float(min(r - 1, c - 1))))
+        row = stat_chisq_independence(spark, SF).collect()[0]
+        assert (row.n, row.r, row.c, row.n_cells, row.dof) == (
+            n, r, c, len(cells), (r - 1) * (c - 1),
+        )
+        assert row.chisq == chisq
+        assert row.cramers_v == v
+
+    def test_chisq_nonnegative(self, spark):
+        from clinical_api_etl_spark.plans.ranking import stat_chisq_independence
+
+        row = stat_chisq_independence(spark, SF).collect()[0]
+        assert row.chisq >= 0.0
+        assert 0.0 <= row.cramers_v <= 1.0
+
+
+class TestAnovaF:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.ranking import stat_anova_f_types
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        ev = ev[ev["value"].notna()]
+        cents = (ev["value"] * 100).round().astype("int64")
+        groups = collections.defaultdict(list)
+        for t, x in zip(ev["event_type"], cents):
+            groups[t].append(int(x))
+        k = len(groups)
+        n = sum(len(v) for v in groups.values())
+        s_all = sum(sum(v) for v in groups.values())
+        q_all = sum(x * x for v in groups.values() for x in v)
+        fold = 0.0
+        for t in sorted(groups):
+            sg = sum(groups[t])
+            fold += (float(sg) * float(sg)) / float(len(groups[t]))
+        ssb = fold - (float(s_all) * float(s_all)) / float(n)
+        ssw = float(q_all) - fold
+        f = (ssb / float(k - 1)) / (ssw / float(n - k))
+        row = stat_anova_f_types(spark, SF).collect()[0]
+        assert (row.k, row.n, row.s_all, row.q_all) == (k, n, s_all, q_all)
+        assert row.ssb == ssb and row.ssw == ssw and row.f_stat == f
+
+    def test_f_positive(self, spark):
+        from clinical_api_etl_spark.plans.ranking import stat_anova_f_types
+
+        row = stat_anova_f_types(spark, SF).collect()[0]
+        assert row.ssb >= 0.0 and row.ssw > 0.0 and row.f_stat >= 0.0
+
+
+class TestOlsByType:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.ranking import stat_ols_trend_by_type
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        ms = ev["ts"].astype("int64") // (
+            1_000_000 if ev["ts"].dtype.str.endswith("[ns]") else 1_000
+        )
+        eh = ms // 3_600_000
+        expect = {}
+        for t in ev["event_type"].unique():
+            counts = collections.Counter(eh[ev["event_type"] == t])
+            t0 = min(counts)
+            pts = [(int(h - t0), int(y)) for h, y in counts.items()]
+            n = len(pts)
+            st = sum(a for a, _ in pts)
+            sy = sum(b for _, b in pts)
+            sty = sum(a * b for a, b in pts)
+            stt = sum(a * a for a, _ in pts)
+            syy = sum(b * b for _, b in pts)
+            num, den = n * sty - st * sy, n * stt - st * st
+            dyy = n * syy - sy * sy
+            slope = None if den == 0 else float(num) / float(den)
+            r2 = (
+                None
+                if den == 0 or dyy == 0
+                else (float(num) * float(num)) / (float(den) * float(dyy))
+            )
+            expect[t] = (n, num, den, slope, r2)
+        got = {
+            r.event_type: (r.n, r.slope_num, r.slope_den, r.slope, r.r2)
+            for r in stat_ols_trend_by_type(spark, SF).collect()
+        }
+        assert got == expect
