@@ -16,10 +16,16 @@ This module is that manifest for plain parquet directories:
   of files the index build is itself a distributed job, exactly how
   Iceberg compiles manifests — and run driver-side otherwise.
 - :func:`prune` intersects conjunctive closed ranges ``{col: (lo, hi)}``
-  with the index and returns the surviving file list. Files with no
-  usable stats for a referenced column are KEPT (pruning must be
-  conservative); all-null files are skipped for range predicates (SQL
-  range semantics never match NULL).
+  — and, when the index carries Bloom bitmaps (``bloom_columns``),
+  equality predicates ``{col: value}`` — with the index and returns the
+  surviving file list. Files with no usable stats for a referenced
+  column are KEPT (pruning must be conservative); all-null files are
+  skipped for range predicates (SQL range semantics never match NULL).
+  Blooms are the equality complement to min/max: point lookups on
+  high-cardinality or unclustered columns rarely prune on ranges, but a
+  512 B distinct-value bitmap per file answers "definitely absent" with
+  zero false negatives — parquet's own column blooms, hoisted to file
+  granularity the way Iceberg puts them in manifests.
 - :func:`read_pruned` loads the surviving files and re-applies the
   predicate as a real Filter — file stats are necessary, not sufficient,
   so the residual filter stays (and pushes into the row-group stats of
@@ -46,6 +52,57 @@ INDEX_NAME = "_file_index.json"
 
 #: Parquet physical types whose min/max round-trip through JSON losslessly.
 _INDEXABLE = (int, float, str, bool)
+
+#: Default Bloom geometry: 4096 bits (512 B/column/file), 3 probes. At 500
+#: distinct values per file the false-positive rate is ~5% — a false
+#: positive only costs reading one extra file, never a wrong answer.
+_BLOOM_BITS = 4096
+_BLOOM_K = 3
+
+
+def _bloom_slots(value: Any, bits: int, k: int) -> list[int]:
+    """Deterministic md5-derived probe slots for one value.
+
+    Values hash through their string form prefixed with the JSON type tag
+    so ``1`` (int) and ``"1"`` (str) occupy different slots — the same
+    convention on build and probe.
+    """
+    import hashlib
+
+    tag = type(value).__name__
+    h = hashlib.md5(f"{tag}:{value}".encode()).hexdigest()
+    return [int(h[8 * i : 8 * i + 8], 16) % bits for i in range(k)]
+
+
+def _file_bloom(
+    file_path: str, bloom_columns: list[str], bits: int, k: int
+) -> dict[str, str]:
+    """Per-column Bloom bitmap (hex string) over a file's DISTINCT values.
+
+    Unlike the footer stats this reads the indexed columns' data pages —
+    the inherent cost of distinct-value indexes (parquet's own bloom
+    writers pay it at write time). Column pruning keeps it one column per
+    read; NULLs are excluded (equality never matches NULL).
+    """
+    import pyarrow.parquet as pq
+
+    out: dict[str, str] = {}
+    available = None
+    for c in bloom_columns:
+        if available is None:
+            available = set(pq.ParquetFile(file_path).schema_arrow.names)
+        if c not in available:
+            continue
+        tbl = pq.read_table(file_path, columns=[c])
+        bitmap = 0
+        for v in tbl.column(c).drop_null().unique().to_pylist():
+            if not isinstance(v, _INDEXABLE):
+                break
+            for s in _bloom_slots(v, bits, k):
+                bitmap |= 1 << s
+        else:
+            out[c] = f"{bitmap:x}"
+    return out
 
 
 def _footer_stats(file_path: str, columns: list[str]) -> dict[str, Any]:
@@ -88,26 +145,61 @@ def _footer_stats(file_path: str, columns: list[str]) -> dict[str, Any]:
     }
 
 
+def _entry(
+    file_path: str,
+    columns: list[str],
+    bloom_columns: list[str],
+    bits: int,
+    k: int,
+) -> dict[str, Any]:
+    e = _footer_stats(file_path, columns)
+    if bloom_columns:
+        e["bloom"] = _file_bloom(file_path, bloom_columns, bits, k)
+    return e
+
+
 def build_file_index(
     data_path: str,
     columns: list[str],
     *,
     spark: SparkSession | None = None,
+    bloom_columns: list[str] | None = None,
+    bloom_bits: int = _BLOOM_BITS,
+    bloom_k: int = _BLOOM_K,
 ) -> dict[str, Any]:
     """Index every ``*.parquet`` under ``data_path`` and write the sidecar.
 
     With ``spark`` the footer reads run as a distributed job (one task per
     slice of the file list); without, driver-side. Both produce the same
-    index — the executors only ever read footers.
+    index — without blooms the executors only ever read footers.
+
+    ``bloom_columns`` adds per-file Bloom bitmaps over each column's
+    distinct values — the equality-predicate complement to min/max ranges
+    (a point lookup on a high-cardinality column rarely prunes on ranges,
+    but a 512 B bitmap answers "definitely absent" with zero false
+    negatives). This reads the indexed columns' data once at build time,
+    which is why it rides the same distributed fan-out.
     """
+    bloom_columns = list(bloom_columns or [])
     files = sorted(str(p) for p in Path(data_path).rglob("*.parquet"))
+    bb, bk = bloom_bits, bloom_k
     if spark is not None and files:
         rdd = spark.sparkContext.parallelize(files, max(1, min(len(files), 64)))
-        entries = rdd.map(lambda f: _footer_stats(f, columns)).collect()
+        bc = list(bloom_columns)
+        cols = list(columns)
+        entries = rdd.map(lambda f: _entry(f, cols, bc, bb, bk)).collect()
         entries.sort(key=lambda e: e["path"])
     else:
-        entries = [_footer_stats(f, columns) for f in files]
-    index = {"version": 1, "root": str(data_path), "columns": columns, "files": entries}
+        entries = [_entry(f, columns, bloom_columns, bb, bk) for f in files]
+    index = {
+        "version": 2,
+        "root": str(data_path),
+        "columns": columns,
+        "bloom_columns": bloom_columns,
+        "bloom_bits": bloom_bits,
+        "bloom_k": bloom_k,
+        "files": entries,
+    }
     tmp = os.path.join(data_path, INDEX_NAME + ".tmp")
     with open(tmp, "w") as fh:
         json.dump(index, fh)
@@ -130,6 +222,9 @@ def update_file_index(
     """
     old = load_file_index(data_path)
     columns = old["columns"]
+    bloom_columns = list(old.get("bloom_columns") or [])
+    bb = old.get("bloom_bits", _BLOOM_BITS)
+    bk = old.get("bloom_k", _BLOOM_K)
     old_by_path = {e["path"]: e for e in old["files"]}
     files = sorted(str(p) for p in Path(data_path).rglob("*.parquet"))
     entries: list[dict[str, Any]] = []
@@ -141,18 +236,24 @@ def update_file_index(
         else:
             fresh.append(f)
     if fresh:
+        cols, bc = list(columns), list(bloom_columns)
         if spark is not None:
             rdd = spark.sparkContext.parallelize(
                 fresh, max(1, min(len(fresh), 64))
             )
-            entries.extend(rdd.map(lambda f: _footer_stats(f, columns)).collect())
+            entries.extend(
+                rdd.map(lambda f: _entry(f, cols, bc, bb, bk)).collect()
+            )
         else:
-            entries.extend(_footer_stats(f, columns) for f in fresh)
+            entries.extend(_entry(f, cols, bc, bb, bk) for f in fresh)
     entries.sort(key=lambda e: e["path"])
     index = {
-        "version": 1,
+        "version": 2,
         "root": str(data_path),
         "columns": columns,
+        "bloom_columns": bloom_columns,
+        "bloom_bits": bb,
+        "bloom_k": bk,
         "files": entries,
     }
     tmp = os.path.join(data_path, INDEX_NAME + ".tmp")
@@ -167,16 +268,26 @@ def load_file_index(data_path: str) -> dict[str, Any]:
         return json.load(fh)
 
 
-def prune(index: dict[str, Any], ranges: dict[str, tuple[Any, Any]]) -> list[str]:
-    """Files whose stats intersect every ``col: (lo, hi)`` closed range.
+def prune(
+    index: dict[str, Any],
+    ranges: dict[str, tuple[Any, Any]] | None = None,
+    equals: dict[str, Any] | None = None,
+) -> list[str]:
+    """Files whose stats intersect every ``col: (lo, hi)`` closed range
+    AND whose Bloom bitmap can contain every ``col: value`` equality.
 
     ``None`` as lo/hi means unbounded on that side. Conservative: a file
-    without usable stats for a referenced column always survives.
+    without usable stats (or without a bloom for an ``equals`` column)
+    always survives. Bloom pruning has zero false negatives — the bitmap
+    covers every distinct value the file holds — so a dropped file
+    definitely lacks the value; a surviving file is only *possible*.
     """
+    bits = index.get("bloom_bits", _BLOOM_BITS)
+    k = index.get("bloom_k", _BLOOM_K)
     out = []
     for e in index["files"]:
         keep = True
-        for col, (lo, hi) in ranges.items():
+        for col, (lo, hi) in (ranges or {}).items():
             st = e["columns"].get(col)
             if st is None:
                 continue  # no stats -> cannot prune
@@ -189,6 +300,21 @@ def prune(index: dict[str, Any], ranges: dict[str, tuple[Any, Any]]) -> list[str
                 keep = False
                 break
         if keep:
+            for col, v in (equals or {}).items():
+                # min/max still applies to a point predicate.
+                st = e["columns"].get(col)
+                if st is not None and st["min"] is not None:
+                    if st["min"] > v or st["max"] < v:
+                        keep = False
+                        break
+                hexmap = (e.get("bloom") or {}).get(col)
+                if hexmap is None:
+                    continue  # no bloom -> cannot prune further
+                bitmap = int(hexmap, 16)
+                if any(not (bitmap >> s) & 1 for s in _bloom_slots(v, bits, k)):
+                    keep = False
+                    break
+        if keep:
             out.append(e["path"])
     return out
 
@@ -196,12 +322,14 @@ def prune(index: dict[str, Any], ranges: dict[str, tuple[Any, Any]]) -> list[str
 def read_pruned(
     spark: SparkSession,
     data_path: str,
-    ranges: dict[str, tuple[Any, Any]],
+    ranges: dict[str, tuple[Any, Any]] | None = None,
+    equals: dict[str, Any] | None = None,
 ) -> DataFrame:
-    """Scan only the files that can satisfy ``ranges``, with the residual
-    predicate re-applied (file pruning is necessary, not sufficient)."""
+    """Scan only the files that can satisfy ``ranges`` + ``equals``, with
+    the residual predicate re-applied (file pruning is necessary, not
+    sufficient — bloom false positives and range gaps remain)."""
     index = load_file_index(data_path)
-    files = prune(index, ranges)
+    files = prune(index, ranges, equals)
     base = (
         spark.read.parquet(*files)
         if files
@@ -210,9 +338,11 @@ def read_pruned(
         else spark.read.parquet(data_path).where(F.lit(False))
     )
     cond = F.lit(True)
-    for col, (lo, hi) in ranges.items():
+    for col, (lo, hi) in (ranges or {}).items():
         if lo is not None:
             cond = cond & (F.col(col) >= F.lit(lo))
         if hi is not None:
             cond = cond & (F.col(col) <= F.lit(hi))
+    for col, v in (equals or {}).items():
+        cond = cond & (F.col(col) == F.lit(v))
     return base.where(cond)

@@ -195,3 +195,141 @@ class TestIncrementalUpdate:
         assert fresh == 0
         assert victim not in {e["path"] for e in idx["files"]}
         assert len(idx["files"]) == len(first["files"]) - 1
+
+
+class TestBloomPruning:
+    def _corpus(self, spark, tmp_path) -> str:
+        """8 files, each holding a disjoint set of string keys."""
+        path = str(tmp_path / "bloomed")
+        rows = [(i, f"user-{i:04d}", i % 7) for i in range(400)]
+        df = spark.createDataFrame(rows, ["id", "who", "grp"])
+        # cluster by id so each file holds a contiguous, disjoint id slice
+        # (and therefore a disjoint who-set)
+        from clinical_api_etl_spark.sources.layout import write_clustered
+
+        write_clustered(df, path, ["id"], num_files=8)
+        return path
+
+    def test_equality_prunes_to_one_file_region(self, spark, tmp_path):
+        from clinical_api_etl_spark.sources.fileindex import (
+            build_file_index,
+            load_file_index,
+            prune,
+        )
+
+        path = self._corpus(spark, tmp_path)
+        build_file_index(path, ["id"], bloom_columns=["who"])
+        idx = load_file_index(path)
+        total = len(idx["files"])
+        assert total >= 4
+        surviving = prune(idx, equals={"who": "user-0123"})
+        assert 0 < len(surviving) < total / 2
+
+    def test_no_false_negatives(self, spark, tmp_path):
+        from clinical_api_etl_spark.sources.fileindex import (
+            build_file_index,
+            load_file_index,
+            prune,
+        )
+        import pyarrow.parquet as pq
+
+        path = self._corpus(spark, tmp_path)
+        build_file_index(path, ["id"], bloom_columns=["who"])
+        idx = load_file_index(path)
+        for probe in ("user-0000", "user-0123", "user-0399"):
+            surviving = set(prune(idx, equals={"who": probe}))
+            # every file that truly contains the value must survive
+            for e in idx["files"]:
+                vals = set(
+                    pq.read_table(e["path"], columns=["who"])
+                    .column("who")
+                    .to_pylist()
+                )
+                if probe in vals:
+                    assert e["path"] in surviving
+
+    def test_pruned_read_equals_full_scan(self, spark, tmp_path):
+        from clinical_api_etl_spark.sources.fileindex import (
+            build_file_index,
+            read_pruned,
+        )
+        from pyspark.sql import functions as F
+
+        path = self._corpus(spark, tmp_path)
+        build_file_index(path, ["id"], bloom_columns=["who"])
+        got = read_pruned(spark, path, equals={"who": "user-0042"})
+        full = spark.read.parquet(path).filter(F.col("who") == "user-0042")
+        assert sorted(r.id for r in got.collect()) == sorted(
+            r.id for r in full.collect()
+        )
+        assert got.count() == 1
+
+    def test_absent_value_reads_nothing(self, spark, tmp_path):
+        from clinical_api_etl_spark.sources.fileindex import (
+            build_file_index,
+            load_file_index,
+            prune,
+            read_pruned,
+        )
+
+        path = self._corpus(spark, tmp_path)
+        build_file_index(path, ["id"], bloom_columns=["who"])
+        idx = load_file_index(path)
+        # high-probability prune of everything: value never written
+        surviving = prune(idx, equals={"who": "user-9999"})
+        assert len(surviving) <= 1  # allow one bloom false positive
+        assert read_pruned(spark, path, equals={"who": "user-9999"}).count() == 0
+
+    def test_unbloomed_column_is_conservative(self, spark, tmp_path):
+        from clinical_api_etl_spark.sources.fileindex import (
+            build_file_index,
+            load_file_index,
+            prune,
+        )
+
+        path = self._corpus(spark, tmp_path)
+        build_file_index(path, ["id"], bloom_columns=["who"])
+        idx = load_file_index(path)
+        # grp has neither footer stats requested nor a bloom: keep all
+        assert len(prune(idx, equals={"grp": 3})) == len(idx["files"])
+
+    def test_type_tagging_separates_int_and_str(self, spark, tmp_path):
+        from clinical_api_etl_spark.sources.fileindex import _bloom_slots
+
+        assert _bloom_slots(1, 4096, 3) != _bloom_slots("1", 4096, 3)
+
+    def test_ranges_and_equals_compose(self, spark, tmp_path):
+        from clinical_api_etl_spark.sources.fileindex import (
+            build_file_index,
+            load_file_index,
+            prune,
+        )
+
+        path = self._corpus(spark, tmp_path)
+        build_file_index(path, ["id"], bloom_columns=["who"])
+        idx = load_file_index(path)
+        # range keeps the low-id files; equals names a high-id user ->
+        # intersection prunes everything
+        surviving = prune(idx, {"id": (0, 40)}, {"who": "user-0399"})
+        assert surviving == []
+
+    def test_incremental_update_preserves_bloom_config(self, spark, tmp_path):
+        from clinical_api_etl_spark.sources.fileindex import (
+            build_file_index,
+            load_file_index,
+            prune,
+            update_file_index,
+        )
+
+        path = self._corpus(spark, tmp_path)
+        build_file_index(path, ["id"], bloom_columns=["who"])
+        # append one new file with a brand-new key
+        extra = spark.createDataFrame([(1000, "user-1000", 0)], ["id", "who", "grp"])
+        extra.coalesce(1).write.mode("append").parquet(path)
+        idx, n_new = update_file_index(path)
+        assert n_new >= 1
+        assert idx["bloom_columns"] == ["who"]
+        surviving = prune(idx, equals={"who": "user-1000"})
+        assert len(surviving) >= 1
+        # the new key lives only in fresh files, old files can prune
+        assert len(surviving) < len(idx["files"])
