@@ -312,7 +312,7 @@ class SnapshotWarehouse(ParquetWarehouse):
             for h in self.history(table)
             if from_version < h["version"] <= m_to["version"]
         ]
-        if any(op == "rewrite" for op in ops):
+        if any(op == "rewrite" or op.startswith("restore") for op in ops):
             raise ValueError(
                 f"{table}: rewrite between v{from_version} and "
                 f"v{m_to['version']} — CDF cannot express it; resync"
@@ -564,6 +564,79 @@ class SnapshotWarehouse(ParquetWarehouse):
                 if d.is_dir() and not any(d.rglob("*.parquet")):
                     shutil.rmtree(d)
             return n
+
+    def restore(self, table: str, version: int) -> None:
+        """Delta ``RESTORE TABLE ... TO VERSION`` analogue: publish a NEW
+        snapshot whose file list (and deletion vectors) are exactly those
+        of ``version`` — rollback as a forward commit, so the mistake
+        stays in history and time travel still reaches it. Zero data
+        movement: the manifest repoints at the old version's immutable
+        files. Fails if ``vacuum`` already dropped any of them (the same
+        retention horizon Delta imposes). Downstream CDF consumers must
+        resync across a restore (``read_changes`` refuses the window,
+        like a rewrite)."""
+        with self._write_lock:
+            m = self._load_manifest(table, version)
+            if m is None:
+                raise ValueError(f"{table}: nothing to restore")
+            root = self._data_root(table)
+            missing = [rel for rel in m["files"] if not (root / rel).is_file()]
+            if missing:
+                raise ValueError(
+                    f"{table}: v{version} not restorable — {len(missing)} "
+                    f"file(s) vacuumed (e.g. {missing[0]})"
+                )
+            self._commit(
+                table,
+                m["files"],
+                f"restore[v{version}]",
+                deletes=m.get("deletes"),
+            )
+
+    def clone(
+        self,
+        src_table: str,
+        dst_table: str,
+        *,
+        version: int | None = None,
+    ) -> None:
+        """Delta SHALLOW CLONE analogue: materialize ``src_table`` (at
+        ``version``, default latest) as a new table WITHOUT copying data.
+
+        Every referenced file (data + delete tombstones) is hard-linked
+        into the clone's own data root under the same commit-dir relpaths,
+        so the clone costs directory entries, not bytes — and stays fully
+        independent: purge/vacuum on either table unlink only their own
+        directory entries, never the other's bytes (POSIX hardlink
+        semantics), and subsequent writes land in fresh commit dirs.
+        Falls back to a copy where hard links can't cross devices."""
+        with self._write_lock:
+            if self.versions(dst_table):
+                raise ValueError(f"{dst_table}: already exists")
+            m = self._load_manifest(src_table, version)
+            if m is None:
+                raise ValueError(f"{src_table}: nothing to clone")
+            src_root = self._data_root(src_table)
+            dst_root = self._data_root(dst_table)
+            rels = list(m["files"])
+            for entry in m.get("deletes") or []:
+                rels.extend(entry.get("files") or [])
+            for rel in sorted(set(rels)):
+                src = src_root / rel
+                dst = dst_root / rel
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+            if src_table in self.partitioning:
+                self.partitioning[dst_table] = self.partitioning[src_table]
+            self._commit(
+                dst_table,
+                m["files"],
+                f"clone[{src_table}@v{m['version']}]",
+                deletes=m.get("deletes"),
+            )
 
     def compact(self, table: str) -> None:
         """OPTIMIZE-analogue: rewrite the live snapshot into one commit

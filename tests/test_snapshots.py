@@ -497,3 +497,129 @@ class TestOptimizeZorder:
         m = wh._load_manifest("t")
         assert m["operation"] == "rewrite" and not m["deletes"]
         assert {r.id for r in wh.read("t").collect()} == set(range(100, 500))
+
+
+class TestRestore:
+    def test_restore_is_a_forward_commit(self, spark, swh):
+        a = spark.createDataFrame([("s1", "p1", 1.0)], GOLD_SCHEMA)
+        b = spark.createDataFrame([("s1", "p1", 99.0), ("s2", "p1", 2.0)], GOLD_SCHEMA)
+        swh.upsert("gold", a, ["study_id", "participant_id"])
+        swh.upsert("gold", b, ["study_id", "participant_id"])
+        swh.restore("gold", 1)
+        got = {(r.study_id, r.participant_id, r.v) for r in swh.read("gold").collect()}
+        assert got == {("s1", "p1", 1.0)}
+        # the bad version stays reachable (rollback did not erase history)
+        assert swh.read("gold", 2).count() == 2
+        ops = [h["operation"] for h in swh.history("gold")]
+        assert ops[-1] == "restore[v1]"
+
+    def test_restore_carries_deletion_vectors(self, spark, swh):
+        df = spark.createDataFrame(
+            [("s1", "p1", 1.0), ("s1", "p2", 2.0)], GOLD_SCHEMA
+        )
+        swh.append("jobsless", df)
+        swh.delete_where("jobsless", "participant_id = 'p2'", "participant_id")
+        v_del = max(swh.versions("jobsless"))
+        extra = spark.createDataFrame([("s9", "p9", 9.0)], GOLD_SCHEMA)
+        swh.append("jobsless", extra)
+        swh.restore("jobsless", v_del)
+        got = {r.participant_id for r in swh.read("jobsless").collect()}
+        assert got == {"p1"}  # delete vector still applies, append undone
+
+    def test_restore_refuses_vacuumed_version(self, spark, swh):
+        a = spark.createDataFrame([("s1", "p1", 1.0)], GOLD_SCHEMA)
+        swh.append("t", a)
+        swh.compact("t")  # v2 rewrite
+        swh.vacuum("t", keep_last=1)
+        # vacuum dropped the v1 manifest entirely
+        with pytest.raises(ValueError, match="no snapshot"):
+            swh.restore("t", 1)
+
+    def test_restore_refuses_missing_files(self, spark, swh):
+        a = spark.createDataFrame([("s1", "p1", 1.0)], GOLD_SCHEMA)
+        b = spark.createDataFrame([("s2", "p1", 2.0)], GOLD_SCHEMA)
+        swh.append("t", a)
+        swh.append("t", b)
+        # simulate a partially-damaged retention: v1's data file gone but
+        # its manifest still present
+        m1 = swh._load_manifest("t", 1)
+        root = Path(swh.root) / "t" / "data"
+        (root / sorted(m1["files"])[0]).unlink()
+        with pytest.raises(ValueError, match="not restorable"):
+            swh.restore("t", 1)
+
+    def test_cdf_refuses_restore_window(self, spark, swh):
+        a = spark.createDataFrame([("s1", "p1", 1.0)], GOLD_SCHEMA)
+        b = spark.createDataFrame([("s2", "p1", 2.0)], GOLD_SCHEMA)
+        swh.append("t", a)
+        swh.append("t", b)
+        swh.restore("t", 1)
+        with pytest.raises(ValueError, match="resync"):
+            swh.read_changes("t", 1)
+
+
+class TestClone:
+    def test_clone_reads_identically_with_zero_data_copy(self, spark, swh):
+        df = spark.createDataFrame(
+            [("s1", "p1", 1.0), ("s2", "p1", 2.0)], GOLD_SCHEMA
+        )
+        swh.upsert("gold", df, ["study_id", "participant_id"])
+        swh.clone("gold", "gold_dev")
+        src = {(r.study_id, r.participant_id, r.v) for r in swh.read("gold").collect()}
+        dst = {(r.study_id, r.participant_id, r.v)
+               for r in swh.read("gold_dev").collect()}
+        assert src == dst
+        # zero-copy: every cloned file shares its inode with the source
+        root = Path(swh.root)
+        src_inodes = {p.name: p.stat().st_ino
+                      for p in (root / "gold" / "data").rglob("*.parquet")}
+        for p in (root / "gold_dev" / "data").rglob("*.parquet"):
+            assert p.stat().st_ino == src_inodes[p.name]
+
+    def test_clone_isolated_from_source_writes(self, spark, swh):
+        df = spark.createDataFrame([("s1", "p1", 1.0)], GOLD_SCHEMA)
+        swh.upsert("gold", df, ["study_id", "participant_id"])
+        swh.clone("gold", "gold_dev")
+        more = spark.createDataFrame([("s1", "p1", 77.0)], GOLD_SCHEMA)
+        swh.upsert("gold", more, ["study_id", "participant_id"])
+        assert [r.v for r in swh.read("gold_dev").collect()] == [1.0]
+        # and the clone can diverge without touching the source
+        dev = spark.createDataFrame([("s5", "p5", 5.0)], GOLD_SCHEMA)
+        swh.upsert("gold_dev", dev, ["study_id", "participant_id"])
+        assert swh.read("gold").count() == 1
+        assert swh.read("gold_dev").count() == 2
+
+    def test_clone_survives_source_purge_and_vacuum(self, spark, swh):
+        df = spark.createDataFrame(
+            [("s1", "p1", 1.0), ("s2", "p2", 2.0)], GOLD_SCHEMA
+        )
+        swh.append("t", df)
+        swh.clone("t", "t_dev")
+        swh.purge("t", "participant_id = 'p2'", "participant_id")
+        swh.vacuum("t", keep_last=1)
+        got = {r.participant_id for r in swh.read("t_dev").collect()}
+        assert got == {"p1", "p2"}  # clone kept the purged row's bytes
+
+    def test_clone_carries_deletion_vectors(self, spark, swh):
+        df = spark.createDataFrame(
+            [("s1", "p1", 1.0), ("s1", "p2", 2.0)], GOLD_SCHEMA
+        )
+        swh.append("t", df)
+        swh.delete_where("t", "participant_id = 'p2'", "participant_id")
+        swh.clone("t", "t_dev")
+        assert {r.participant_id for r in swh.read("t_dev").collect()} == {"p1"}
+
+    def test_clone_at_version(self, spark, swh):
+        a = spark.createDataFrame([("s1", "p1", 1.0)], GOLD_SCHEMA)
+        b = spark.createDataFrame([("s2", "p1", 2.0)], GOLD_SCHEMA)
+        swh.append("t", a)
+        swh.append("t", b)
+        swh.clone("t", "t_v1", version=1)
+        assert swh.read("t_v1").count() == 1
+
+    def test_clone_refuses_existing_target(self, spark, swh):
+        a = spark.createDataFrame([("s1", "p1", 1.0)], GOLD_SCHEMA)
+        swh.append("t", a)
+        swh.append("u", a)
+        with pytest.raises(ValueError, match="already exists"):
+            swh.clone("t", "u")
