@@ -2585,3 +2585,185 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double")))
         ).alias("r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE application: tokenize the whole corpus with the learned merges.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_apply_oracle(n: int) -> str:
+    """Unrolled learn-then-apply twin: the same MATERIALIZED merge chain
+    as ``_bpe_oracle`` but with the word carried through every rewrite, so
+    the final symbol table segments the vocabulary and a join against the
+    per-doc word counts tokenizes the corpus."""
+    ctes = [
+        f"toks AS MATERIALIZED (SELECT doc_id, {_TOKS} AS t FROM documents)",
+        "w AS MATERIALIZED (SELECT tok AS word, CAST(COUNT(*) AS BIGINT)"
+        " AS freq FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok)",
+        "s0 AS MATERIALIZED (SELECT word, freq,"
+        " regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS sym FROM w)",
+    ]
+    for i in range(1, n + 1):
+        ctes.append(
+            f"p{i} AS ("
+            " SELECT p['lhs'] AS lhs, p['rhs'] AS rhs,"
+            " CAST(SUM(freq) AS BIGINT) AS pair_count"
+            " FROM (SELECT freq, unnest(list_transform(range(1, len(tk)),"
+            " j -> {'lhs': tk[j], 'rhs': tk[j + 1]})) AS p"
+            f" FROM (SELECT freq, string_split(sym, ' ') AS tk FROM s{i - 1}))"
+            " GROUP BY lhs, rhs)"
+        )
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT lhs, rhs FROM p{i}"
+            " ORDER BY pair_count DESC, lhs, rhs LIMIT 1)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT word, freq,"
+            " trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',"
+            f" ' ' || (SELECT lhs FROM m{i}) || '  ' || (SELECT rhs FROM m{i}) || ' ',"
+            f" ' ' || (SELECT lhs FROM m{i}) || (SELECT rhs FROM m{i}) || ' '),"
+            f" '  ', ' ')) AS sym FROM s{i - 1})"
+        )
+    tail = f"""
+    seg AS (SELECT word, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_sub
+            FROM s{n}),
+    docw AS (SELECT doc_id, tok AS word, CAST(COUNT(*) AS BIGINT) AS c
+             FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+             GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           CAST(SUM(c * n_sub) AS BIGINT) AS n_bpe_tokens
+    FROM docw JOIN seg USING (word)
+    GROUP BY doc_id
+    """
+    return "WITH " + ",\n".join(ctes) + ",\n" + tail
+
+
+@QS.add(
+    "bpe_apply_corpus",
+    _bpe_apply_oracle(_BPE_MERGES),
+    doc="[EXT] corpus tokenization under the learned BPE table — the "
+    "apply half of bpe_learn_merges (train -> tokenize is THE "
+    "pretraining-corpus sizing pass: per-document token counts decide "
+    "packing, cost, and mixture budgets). The merge chain is applied "
+    "ONCE per distinct word via the same space-doubling replace "
+    "expressions (JVM-side, zero Python), so tokenization cost scales "
+    "with the VOCABULARY, not the corpus; documents tokenize through a "
+    "broadcast join of the (word, n_subtokens) segment table against "
+    "per-doc word counts. Exact BIGINT counts per doc hash-match "
+    "DuckDB's unrolled learn-then-apply twin end to end — the oracle "
+    "re-learns every merge before re-applying it.",
+    tags=("text", "iterative"),
+)
+def bpe_apply_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.bpe import (
+        _apply_merge,
+        initial_symbols,
+        learn_bpe_distributed,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+        .coalesce(8)
+        .persist()
+    )
+    words = tok.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    merges = learn_bpe_distributed(words, _BPE_MERGES)
+    sym = initial_symbols(F.col("word"))
+    for m in merges:
+        sym = _apply_merge(sym, F.lit(m.lhs), F.lit(m.rhs))
+    seg = words.select(
+        "word", F.size(F.split(sym, " ")).cast("long").alias("n_sub")
+    )
+    docw = tok.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        docw.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_sub")).cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic language rebalance (mixture downsampling by hash rank).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "corpus_lang_rebalance",
+    """
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ),
+    m AS (SELECT MIN(cnt) AS m FROM
+            (SELECT COUNT(*) AS cnt FROM documents GROUP BY lang)),
+    kept AS (
+      SELECT lang, doc_id FROM ranked CROSS JOIN m WHERE rk <= m.m
+    )
+    SELECT r.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_available,
+           CAST(COUNT(*) FILTER (k.doc_id IS NOT NULL) AS BIGINT) AS n_kept,
+           md5(string_agg(CAST(k.doc_id AS VARCHAR), ','
+                          ORDER BY k.doc_id)) AS kept_fp
+    FROM ranked r LEFT JOIN kept k
+      ON r.lang = k.lang AND r.doc_id = k.doc_id
+    GROUP BY r.lang
+    """,
+    doc="[EXT] deterministic multilingual rebalance — downsample every "
+    "language to the size of the smallest one (the balanced-mixture "
+    "step of multilingual pretraining-corpus assembly). Selection is by "
+    "HASH RANK: docs sort within each language by md5 of their id and "
+    "the lowest m survive — reproducible across engines and runs, "
+    "uniformly random w.r.t. content, and incrementally stable (a doc's "
+    "rank only moves if earlier-hashed docs arrive). One window over "
+    "(lang, doc) and one broadcast-scale min; the kept set is "
+    "fingerprinted (md5 of the ordered id list) so the GATE covers the "
+    "exact sample, not just its size.",
+    tags=("text", "sampling"),
+)
+def corpus_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("lang", "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.withColumn("rk", F.row_number().over(w)).coalesce(8).persist()
+    m = ranked.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).agg(
+        F.min("cnt").alias("m")
+    )
+    kept = ranked.crossJoin(F.broadcast(m)).filter(F.col("rk") <= F.col("m"))
+    return (
+        ranked.alias("r")
+        .join(
+            kept.select(
+                F.col("lang").alias("kl"), F.col("doc_id").alias("kd")
+            ),
+            (F.col("r.lang") == F.col("kl")) & (F.col("r.doc_id") == F.col("kd")),
+            "left",
+        )
+        .groupBy(F.col("r.lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_available"),
+            F.count("kd").cast("long").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list("kd")
+                        ),
+                        lambda d: d.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("kept_fp"),
+        )
+    )

@@ -362,3 +362,93 @@ class TestOlsByType:
             for r in stat_ols_trend_by_type(spark, SF).collect()
         }
         assert got == expect
+
+
+class TestBpeApplyCorpus:
+    def test_matches_python_replay(self, spark, docs_pdf):
+        from clinical_api_etl_spark.operators.bpe import apply_merges_py
+        from clinical_api_etl_spark.plans.inference import bpe_apply_corpus
+
+        # python learn replay: (count DESC, lex smallest pair) tie-break,
+        # identical to learn_bpe_distributed
+        freqs = collections.Counter()
+        doc_words = {}
+        for r in docs_pdf.itertuples():
+            ws = r.text.strip().lower().split()
+            doc_words[r.doc_id] = collections.Counter(ws)
+            freqs.update(ws)
+        syms = {w: " ".join(w) + " </w>" for w in freqs}
+        merges = []
+        for _ in range(6):
+            pc = collections.Counter()
+            for w, f in freqs.items():
+                tk = syms[w].split(" ")
+                for a, b in zip(tk, tk[1:]):
+                    pc[(a, b)] += f
+            if not pc:
+                break
+            (lhs, rhs), _n = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((lhs, rhs))
+            for w in syms:
+                doubled = " " + syms[w].replace(" ", "  ") + " "
+                m = doubled.replace(f" {lhs}  {rhs} ", f" {lhs}{rhs} ")
+                syms[w] = m.replace("  ", " ").strip()
+        n_sub = {w: len(s.split(" ")) for w, s in syms.items()}
+        expect = {}
+        for d, wc in doc_words.items():
+            expect[d] = (
+                sum(wc.values()),
+                sum(c * n_sub[w] for w, c in wc.items()),
+            )
+        got = {
+            r.doc_id: (r.n_words, r.n_bpe_tokens)
+            for r in bpe_apply_corpus(spark, SF).collect()
+        }
+        assert got == expect
+        # merges applied: at least one doc compresses below chars+eow count
+        # (sanity that the chain actually merged symbols)
+        assert merges and any(
+            s.count(" ") + 1 < len(w) + 1 for w, s in syms.items()
+        )
+
+    def test_apply_merges_py_agrees_with_replay_semantics(self):
+        from clinical_api_etl_spark.operators.bpe import apply_merges_py
+
+        # independent cross-check of the replace-chain semantics
+        out = apply_merges_py("aaab", [("a", "a"), ("aa", "a")])
+        assert out == "aaa b </w>"
+
+
+class TestLangRebalance:
+    def test_matches_python_replay(self, spark, docs_pdf):
+        import hashlib
+
+        from clinical_api_etl_spark.plans.inference import corpus_lang_rebalance
+
+        by_lang = collections.defaultdict(list)
+        for r in docs_pdf.itertuples():
+            by_lang[r.lang].append(r.doc_id)
+        m = min(len(v) for v in by_lang.values())
+        expect = {}
+        for lang, ids in by_lang.items():
+            ranked = sorted(
+                ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
+            )
+            kept = sorted(ranked[:m])
+            fp = hashlib.md5(",".join(str(d) for d in kept).encode()).hexdigest()
+            expect[lang] = (len(ids), m, fp)
+        got = {
+            r.lang: (r.n_available, r.n_kept, r.kept_fp)
+            for r in corpus_lang_rebalance(spark, SF).collect()
+        }
+        assert got == expect
+
+    def test_balanced_output(self, spark):
+        from clinical_api_etl_spark.plans.inference import corpus_lang_rebalance
+
+        rows = corpus_lang_rebalance(spark, SF).collect()
+        kept = {r.n_kept for r in rows}
+        assert len(kept) == 1  # every language contributes the same count
+        assert min(r.n_available for r in rows) == kept.pop()
