@@ -115,11 +115,13 @@ class SnapshotWarehouse(ParquetWarehouse):
         files: list[str],
         operation: str,
         deletes: list[dict] | None = None,
+        txn: str | None = None,
     ) -> None:
         """Atomically publish the next snapshot. Files are relpaths under
         the table's data root; the rename is the commit point. ``deletes``
         are deletion-vector entries (see :meth:`delete_where`) carried in
-        the manifest; rewrites publish with none."""
+        the manifest; rewrites publish with none. ``txn`` stamps the
+        manifest with an idempotence token (see :meth:`append_once`)."""
         mdir = self._manifest_dir(table)
         mdir.mkdir(parents=True, exist_ok=True)
         vs = self.versions(table)
@@ -131,6 +133,8 @@ class SnapshotWarehouse(ParquetWarehouse):
             "files": sorted(files),
             "deletes": deletes or [],
         }
+        if txn is not None:
+            manifest["txn"] = txn
         tmp = mdir / f".tmp-{uuid.uuid4().hex}"
         tmp.write_text(json.dumps(manifest, indent=1))
         os.rename(tmp, mdir / f"v{nxt:08d}.json")
@@ -201,6 +205,42 @@ class SnapshotWarehouse(ParquetWarehouse):
                 "append",
                 deletes=(prev.get("deletes") if prev else None),
             )
+
+    def committed_txns(self, table: str) -> set[str]:
+        """All idempotence tokens recorded in the table's retained
+        manifests (vacuum trims history, so tokens older than the
+        retention horizon are forgotten — match retention to the maximum
+        replay window, exactly Delta's ``txnAppId`` caveat)."""
+        out: set[str] = set()
+        for v in self.versions(table):
+            m = self._load_manifest(table, v)
+            if m and m.get("txn"):
+                out.add(m["txn"])
+        return out
+
+    def append_once(self, table: str, df: DataFrame, txn: str) -> bool:
+        """Exactly-once append: commit ``df`` stamped with ``txn`` unless
+        a retained manifest already carries that token — the idempotent
+        sink a Structured Streaming ``foreachBatch`` needs, because Spark
+        re-runs a batch (same ``batchId``) after any failure between the
+        sink call and the checkpoint commit. Returns True if the append
+        happened, False if it was a replay. The seen-check and the
+        manifest rename happen under the writer lock, so concurrent
+        replays cannot double-commit."""
+        with self._write_lock:
+            if txn in self.committed_txns(table):
+                return False
+            prev = self._load_manifest(table)
+            new = self._write_commit_files(table, df)
+            carried = prev["files"] if prev else []
+            self._commit(
+                table,
+                carried + new,
+                "append",
+                deletes=(prev.get("deletes") if prev else None),
+                txn=txn,
+            )
+            return True
 
     def delete_where(
         self, table: str, condition: Column | str, key_col: str

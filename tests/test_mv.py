@@ -174,3 +174,112 @@ class TestStreamingMV:
         q.awaitTermination()
         assert _mv_state(mv) == _recompute(swh, "docs")
         assert mv.applied_version() == swh.versions("docs")[-1]
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(rows, "cust string, oid long, cents long")
+
+
+def _custs(spark, rows):
+    return spark.createDataFrame(rows, "cust string, region string")
+
+
+def _join_recompute(swh):
+    j = swh.read("orders").join(swh.read("custs"), "cust")
+    return {
+        r.region: (r.n_rows, r.sum_cents)
+        for r in j.groupBy("region")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .collect()
+    }
+
+
+def _join_state(mv):
+    return {r.region: (r.n_rows, r.sum_cents) for r in mv.read().collect()}
+
+
+class TestIncrementalJoinMV:
+    def _mk(self, swh, tmp_path):
+        from clinical_api_etl_spark.operators.mv import IncrementalJoinMV
+
+        return IncrementalJoinMV(
+            swh,
+            "orders",
+            "custs",
+            str(tmp_path / "jmv"),
+            on=["cust"],
+            group_cols=["region"],
+            sum_cols=["cents"],
+        )
+
+    def test_build_then_fact_side_appends(self, spark, swh, tmp_path):
+        swh.append("custs", _custs(spark, [("c1", "EU"), ("c2", "US")]))
+        swh.append("orders", _orders(spark, [("c1", 1, 10), ("c2", 2, 20)]))
+        mv = self._mk(swh, tmp_path)
+        mv.refresh()
+        assert _join_state(mv) == _join_recompute(swh)
+
+        swh.append("orders", _orders(spark, [("c1", 3, 30), ("c2", 4, 4)]))
+        assert mv.refresh() == 1
+        assert _join_state(mv) == _join_recompute(swh)
+
+    def test_dim_side_append_joins_old_fact_rows(self, spark, swh, tmp_path):
+        swh.append("custs", _custs(spark, [("c1", "EU")]))
+        # c9's orders dangle until the dim row arrives
+        swh.append("orders", _orders(spark, [("c1", 1, 10), ("c9", 2, 99)]))
+        mv = self._mk(swh, tmp_path)
+        mv.refresh()
+        assert _join_state(mv) == {"EU": (1, 10)}
+
+        swh.append("custs", _custs(spark, [("c9", "AP")]))
+        mv.refresh()
+        assert _join_state(mv) == _join_recompute(swh)
+        assert _join_state(mv)["AP"] == (1, 99)
+
+    def test_both_sides_change_in_one_window(self, spark, swh, tmp_path):
+        # the ΔA⋈ΔB cross term: new orders for a customer added in the
+        # SAME window must count exactly once
+        swh.append("custs", _custs(spark, [("c1", "EU")]))
+        swh.append("orders", _orders(spark, [("c1", 1, 10)]))
+        mv = self._mk(swh, tmp_path)
+        mv.refresh()
+
+        swh.append("custs", _custs(spark, [("c2", "US")]))
+        swh.append("orders", _orders(spark, [("c2", 5, 50), ("c1", 6, 6)]))
+        mv.refresh()
+        assert _join_state(mv) == _join_recompute(swh)
+        assert _join_state(mv)["US"] == (1, 50)
+
+    def test_deletes_on_both_sides(self, spark, swh, tmp_path):
+        swh.append("custs", _custs(spark, [("c1", "EU"), ("c2", "US")]))
+        swh.append(
+            "orders", _orders(spark, [("c1", 1, 10), ("c1", 2, 20), ("c2", 3, 30)])
+        )
+        mv = self._mk(swh, tmp_path)
+        mv.refresh()
+
+        swh.delete_where("orders", "oid = 2", "oid")
+        mv.refresh()
+        assert _join_state(mv) == _join_recompute(swh)
+        assert _join_state(mv)["EU"] == (1, 10)
+
+        # deleting a dim row removes the whole group
+        swh.delete_where("custs", "cust = 'c2'", "cust")
+        mv.refresh()
+        assert _join_state(mv) == _join_recompute(swh)
+        assert "US" not in _join_state(mv)
+
+    def test_rewrite_in_window_requires_rebuild(self, spark, swh, tmp_path):
+        swh.append("custs", _custs(spark, [("c1", "EU")]))
+        swh.append("orders", _orders(spark, [("c1", 1, 10)]))
+        mv = self._mk(swh, tmp_path)
+        mv.refresh()
+        swh.append("orders", _orders(spark, [("c1", 2, 20)]))
+        swh.compact("orders")
+        with pytest.raises(ValueError, match="resync"):
+            mv.refresh()
+        mv.rebuild()
+        assert _join_state(mv) == _join_recompute(swh)

@@ -623,3 +623,43 @@ class TestClone:
         swh.append("u", a)
         with pytest.raises(ValueError, match="already exists"):
             swh.clone("t", "u")
+
+
+class TestExactlyOnceAppend:
+    def test_replayed_txn_is_a_noop(self, spark, swh):
+        df = spark.createDataFrame([("s1", "p1", 1.0)], GOLD_SCHEMA)
+        assert swh.append_once("t", df, "batch-0") is True
+        assert swh.append_once("t", df, "batch-0") is False
+        assert swh.read("t").count() == 1
+        assert swh.append_once("t", df, "batch-1") is True
+        assert swh.read("t").count() == 2
+        assert swh.committed_txns("t") == {"batch-0", "batch-1"}
+
+    def test_foreachbatch_replay_stays_exactly_once(self, spark, swh, tmp_path):
+        import shutil as _sh
+
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.createDataFrame(
+            [("s1", "p1", 1.0), ("s2", "p2", 2.0)], GOLD_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+
+        def run(checkpoint):
+            stream = (
+                spark.readStream.schema(GOLD_SCHEMA)
+                .parquet(str(src / "f1"))
+                .writeStream.foreachBatch(
+                    lambda df, bid: swh.append_once("t", df, f"ing-{bid}")
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", str(tmp_path / checkpoint))
+                .start()
+            )
+            stream.awaitTermination(120)
+
+        run("cp1")
+        # simulate a post-sink/pre-checkpoint crash: a fresh checkpoint
+        # replays batch 0 with the SAME batchId
+        run("cp2")
+        assert swh.read("t").count() == 2
+        assert len(swh.versions("t")) == 1
