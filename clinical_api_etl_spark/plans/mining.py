@@ -2154,3 +2154,114 @@ def a17_boolean_agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             "has_nulls"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Voice-activity segmentation over the PCM frame energies.
+# ---------------------------------------------------------------------------
+
+#: Frame-energy threshold for "voiced": uniform random int16 samples have
+#: E[s^2] = 32768^2/3 = 3.58e8 per sample, i.e. ~5.7e9 per 16-sample
+#: frame; 6e9 cuts slightly above the mean so both classes are populated.
+_VAD_T = 6_000_000_000
+
+
+@QS.add(
+    "mm_audio_vad_segments",
+    f"""
+    WITH frames AS ({_AU_ORACLE}),
+    v AS (
+      SELECT doc_id, frame_idx,
+             CASE WHEN sum_sq >= {_VAD_T} THEN 1 ELSE 0 END AS voiced
+      FROM frames
+    ),
+    marked AS (
+      SELECT doc_id, frame_idx, voiced,
+             CASE WHEN voiced = 1 AND COALESCE(lag(voiced) OVER (
+                    PARTITION BY doc_id ORDER BY frame_idx), 0) = 0
+                  THEN 1 ELSE 0 END AS seg_start
+      FROM v
+    ),
+    runs AS (
+      SELECT doc_id, frame_idx, voiced,
+             SUM(seg_start) OVER (
+               PARTITION BY doc_id ORDER BY frame_idx) AS run_id
+      FROM marked
+    ),
+    runlen AS (
+      SELECT doc_id, run_id, CAST(COUNT(*) AS BIGINT) AS len
+      FROM runs WHERE voiced = 1 GROUP BY doc_id, run_id
+    )
+    SELECT v.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(voiced) AS BIGINT) AS n_voiced,
+           CAST(COALESCE(rl.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(rl.longest, 0) AS BIGINT) AS longest_run
+    FROM v
+    LEFT JOIN (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+             CAST(MAX(len) AS BIGINT) AS longest
+      FROM runlen GROUP BY doc_id
+    ) rl ON v.doc_id = rl.doc_id
+    GROUP BY v.doc_id, rl.n_segments, rl.longest
+    """,
+    doc="[EXT] voice-activity segmentation — the speech-curation step "
+    "after mm_audio_features: threshold each frame's exact energy, then "
+    "contiguous voiced runs become segments via the classic "
+    "start-flag + running-sum run-id windows (per doc, 32 frames — the "
+    "window never sees raw samples). Per doc: frame/voiced counts, "
+    "segment count, longest run — the keep/chop features an audio "
+    "training pipeline filters on. Frames come from the same Arrow "
+    "numpy kernel as mm_audio_features over deterministic md5 PCM, so "
+    "the END-TO-END path (bytes -> int16 -> energies -> runs) is "
+    "value-hash-gated; DuckDB re-derives every sample and every run "
+    "boundary.",
+    tags=("multimodal",),
+)
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.multimodal import (
+        audio_frame_features,
+        synth_pcm,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    frames = audio_frame_features(synth_pcm(docs))
+    v = frames.select(
+        "doc_id",
+        "frame_idx",
+        F.when(F.col("sum_sq") >= _VAD_T, 1).otherwise(0).alias("voiced"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    marked = v.withColumn(
+        "seg_start",
+        F.when(
+            (F.col("voiced") == 1)
+            & (F.coalesce(F.lag("voiced").over(w), F.lit(0)) == 0),
+            1,
+        ).otherwise(0),
+    )
+    runs = marked.withColumn("run_id", F.sum("seg_start").over(w))
+    runlen = (
+        runs.filter(F.col("voiced") == 1)
+        .groupBy("doc_id", "run_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("len"))
+    )
+    rl = runlen.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.max("len").cast("long").alias("longest"),
+    )
+    return (
+        v.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.sum("voiced").cast("long").alias("n_voiced"),
+        )
+        .join(rl, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_frames",
+            "n_voiced",
+            F.coalesce("n_segments", F.lit(0)).cast("long").alias("n_segments"),
+            F.coalesce("longest", F.lit(0)).cast("long").alias("longest_run"),
+        )
+    )

@@ -939,3 +939,64 @@ def stat_ols_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy release audit: k-anonymity + l-diversity over quasi-identifiers.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "privacy_k_anonymity",
+    """
+    WITH q AS (
+      SELECT event_type, (epoch_ms(ts) // 86400000) % 7 AS dow,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l
+      FROM events GROUP BY event_type, dow
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           CAST(MIN(k) AS BIGINT) AS k_anonymity,
+           CAST(MIN(l) AS BIGINT) AS l_diversity,
+           CAST(COUNT(*) FILTER (k < 5) AS BIGINT) AS groups_below_k5,
+           CAST(COALESCE(SUM(k) FILTER (k < 5), 0) AS BIGINT)
+             AS rows_below_k5,
+           CAST(COUNT(*) FILTER (l < 2) AS BIGINT) AS groups_below_l2
+    FROM q
+    """,
+    doc="[EXT] release-readiness privacy audit over the quasi-identifier "
+    "pair (event_type, day-of-week): k-anonymity = the smallest "
+    "equivalence-class size (an attacker knowing a target's QI values "
+    "can narrow them to >= k rows), l-diversity = the smallest count of "
+    "distinct sensitive values (user_id) within any class — the two "
+    "numbers a data-release checklist gates on, plus the below-threshold "
+    "class/row tallies that size the suppression work. One "
+    "map-side-combinable aggregate to |QI-combinations| rows, one 1-row "
+    "summary; all exact BIGINTs. Epoch-day mod 7 keeps the derived QI "
+    "calendar-free and engine-portable.",
+    tags=("quality", "privacy"),
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    q = ev.groupBy(
+        "event_type", F.expr("(unix_millis(ts) div 86400000) % 7").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.count_distinct("user_id").cast("long").alias("l"),
+    )
+    return q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("k").cast("long").alias("n_rows"),
+        F.min("k").cast("long").alias("k_anonymity"),
+        F.min("l").cast("long").alias("l_diversity"),
+        F.sum(F.when(F.col("k") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("groups_below_k5"),
+        F.coalesce(F.sum(F.when(F.col("k") < 5, F.col("k"))), F.lit(0))
+        .cast("long")
+        .alias("rows_below_k5"),
+        F.sum(F.when(F.col("l") < 2, 1).otherwise(0))
+        .cast("long")
+        .alias("groups_below_l2"),
+    )

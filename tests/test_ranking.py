@@ -452,3 +452,68 @@ class TestLangRebalance:
         kept = {r.n_kept for r in rows}
         assert len(kept) == 1  # every language contributes the same count
         assert min(r.n_available for r in rows) == kept.pop()
+
+
+class TestPrivacyKAnonymity:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.ranking import privacy_k_anonymity
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        ms = ev["ts"].astype("int64") // (
+            1_000_000 if ev["ts"].dtype.str.endswith("[ns]") else 1_000
+        )
+        dow = (ms // 86_400_000) % 7
+        groups = collections.defaultdict(list)
+        for t, d, u in zip(ev["event_type"], dow, ev["user_id"]):
+            groups[(t, int(d))].append(u)
+        ks = {g: len(v) for g, v in groups.items()}
+        ls = {g: len(set(v)) for g, v in groups.items()}
+        row = privacy_k_anonymity(spark, SF).collect()[0]
+        assert row.n_groups == len(groups)
+        assert row.n_rows == sum(ks.values())
+        assert row.k_anonymity == min(ks.values())
+        assert row.l_diversity == min(ls.values())
+        assert row.groups_below_k5 == sum(1 for k in ks.values() if k < 5)
+        assert row.rows_below_k5 == sum(k for k in ks.values() if k < 5)
+        assert row.groups_below_l2 == sum(1 for l in ls.values() if l < 2)
+
+
+class TestAudioVad:
+    def test_matches_python_replay(self, spark):
+        import hashlib
+
+        import numpy as np
+
+        from clinical_api_etl_spark.plans.mining import mm_audio_vad_segments
+
+        T = 6_000_000_000
+        expect = {}
+        for doc_id in range(500):
+            pcm = b"".join(
+                bytes.fromhex(
+                    hashlib.md5(f"au{c}:{doc_id}".encode()).hexdigest()
+                )
+                for c in range(4)
+            )
+            s = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+            voiced = [
+                int((s[f : f + 16] ** 2).sum() >= T)
+                for f in range(0, len(s), 16)
+            ]
+            segs, longest, run = 0, 0, 0
+            prev = 0
+            for v in voiced:
+                if v and not prev:
+                    segs += 1
+                run = run + 1 if v else 0
+                longest = max(longest, run)
+                prev = v
+            expect[doc_id] = (len(voiced), sum(voiced), segs, longest)
+        got = {
+            r.doc_id: (r.n_frames, r.n_voiced, r.n_segments, r.longest_run)
+            for r in mm_audio_vad_segments(spark, SF).collect()
+        }
+        assert got == expect
+        # both classes populated somewhere in the corpus
+        assert any(v[1] > 0 for v in expect.values())
+        assert any(v[1] < v[0] for v in expect.values())

@@ -43,6 +43,7 @@ CARTESIAN_OK = {"dedup_embedding_cosine", "ann_cosine_topk"}
 ARROW_OK = {
     "mm_decode_features",
     "mm_audio_features",
+    "mm_audio_vad_segments",
     "mm_video_scene_cuts",
     "mm_image_tile_stats",
     "mm_curation_scorecard",
