@@ -1000,3 +1000,176 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("groups_below_l2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentile bands (type-1 quantiles by rank arithmetic).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_percentile_bands_by_type",
+    """
+    WITH t AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             event_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM t
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS BIGINT)
+             AS p50_cents,
+           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS BIGINT)
+             AS p90_cents,
+           CAST(MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END)
+                AS BIGINT) AS p95_cents,
+           CAST(MAX(CASE WHEN rn = n THEN cents END) AS BIGINT) AS max_cents
+    FROM r GROUP BY event_type
+    """,
+    doc="[EXT] exact p50/p90/p95 bands per event type — the SLO/latency "
+    "dashboard staple, as type-1 (lower) quantiles selected by RANK "
+    "ARITHMETIC: the p-quantile is the value at row ceil(p*n), computed "
+    "as an integer floor-div on both engines, so there is no "
+    "interpolation and every output is an exact BIGINT cent. One sort "
+    "window per type (ties broken by event_id for a total order — "
+    "irrelevant to the selected VALUE but it pins the plan), one "
+    "conditional aggregate. At 100 TB swap the per-row window for the "
+    "(type, value) histogram walk (stat_tukey_summary's shape); at "
+    "dashboard granularity this form is one shuffle.",
+    tags=("stats",),
+)
+def stat_percentile_bands_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = t.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda expr: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.expr(expr), F.col("cents"))
+    ).cast("long")
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        pick("(n + 1) div 2").alias("p50_cents"),
+        pick("(9 * n + 9) div 10").alias("p90_cents"),
+        pick("(19 * n + 19) div 20").alias("p95_cents"),
+        pick("n").alias("max_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (synchronous, deterministic, unrolled).
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Unrolled DuckDB twin: every round's label table MATERIALIZED (the
+    k-core finding — DuckDB re-inlines multiply-referenced CTEs and the
+    chain re-expands exponentially otherwise)."""
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey
+          HAVING COUNT(*) >= {_LP_SUPPORT}
+        )""",
+        "sym AS MATERIALIZED (SELECT u, v FROM e0"
+        " UNION ALL SELECT v AS u, u AS v FROM e0)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM sym)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+              SELECT node, CAST(lbl AS BIGINT) AS lbl FROM (
+                SELECT s.u AS node, p.lbl,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY s.u
+                         ORDER BY COUNT(*) DESC, p.lbl) AS rk
+                FROM sym s JOIN l{i - 1} p ON s.v = p.node
+                GROUP BY s.u, p.lbl
+              ) WHERE rk = 1
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, lbl AS community FROM l{rounds}"
+    )
+
+
+@QS.add(
+    "graph_lpa_communities",
+    _lpa_oracle(_LPA_ROUNDS),
+    doc="[EXT] community detection by synchronous label propagation over "
+    "the co-purchase graph (Raghavan'07, the near-linear-time community "
+    "baseline) — FIFTH iterative algorithm under a full cross-engine "
+    "value hash (cc, pagerank, k-core, BPE). Classic LPA breaks "
+    "frequency ties randomly and never converges deterministically; "
+    "here the argmax is pinned to (count DESC, label ASC) and rounds "
+    "are fixed at 3, so both engines replay the identical trajectory. "
+    "Per round: one edges-to-labels equi-join + one grouped argmax "
+    "(map-side combinable counts, rank window over the per-node label "
+    "histogram — never the raw wedges). Labels start as node ids; "
+    "min-ids win ties, so dense cores collapse onto their smallest "
+    "member. Oracle = unrolled MATERIALIZED round chain.",
+    tags=("graph", "iterative"),
+)
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= _LP_SUPPORT)
+        .select("u", "v")
+        .coalesce(8)
+        .persist()
+    )
+    sym = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").cast("long").alias("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        hist = (
+            sym.join(
+                labels.select(F.col("node").alias("v"), F.col("lbl")), "v"
+            )
+            .groupBy(F.col("u").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # deterministic argmax: (count DESC, label ASC)
+        labels = (
+            hist.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("lbl"))
+                ).alias("top")
+            )
+            .select("node", F.col("top.lbl").cast("long").alias("lbl"))
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -517,3 +517,58 @@ class TestAudioVad:
         # both classes populated somewhere in the corpus
         assert any(v[1] > 0 for v in expect.values())
         assert any(v[1] < v[0] for v in expect.values())
+
+
+class TestPercentileBands:
+    def test_matches_python_replay(self, spark):
+        import math
+
+        from clinical_api_etl_spark.plans.ranking import (
+            stat_percentile_bands_by_type,
+        )
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        ev = ev[ev["value"].notna()]
+        cents = (ev["value"] * 100).round().astype("int64")
+        per = collections.defaultdict(list)
+        for t, c in zip(ev["event_type"], cents):
+            per[t].append(int(c))
+        expect = {}
+        for t, xs in per.items():
+            xs.sort()
+            n = len(xs)
+            q = lambda p: xs[math.ceil(p * n) - 1]  # noqa: E731
+            expect[t] = (n, q(0.5), q(0.9), q(0.95), xs[-1])
+        got = {
+            r.event_type: (r.n, r.p50_cents, r.p90_cents, r.p95_cents, r.max_cents)
+            for r in stat_percentile_bands_by_type(spark, SF).collect()
+        }
+        assert got == expect
+
+
+class TestLpaCommunities:
+    def test_matches_python_replay(self, spark, graph):
+        from clinical_api_etl_spark.plans.ranking import graph_lpa_communities
+
+        _, adj = graph
+        labels = {v: v for v in adj}
+        for _ in range(3):
+            new = {}
+            for v, nbrs in adj.items():
+                cnt = collections.Counter(labels[n] for n in nbrs)
+                # argmax by (count DESC, label ASC)
+                new[v] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            labels = new
+        got = {
+            (r.node, r.community)
+            for r in graph_lpa_communities(spark, SF).collect()
+        }
+        assert got == set(labels.items())
+
+    def test_communities_coarser_than_nodes(self, spark):
+        from clinical_api_etl_spark.plans.ranking import graph_lpa_communities
+
+        rows = graph_lpa_communities(spark, SF).collect()
+        n_nodes = len(rows)
+        n_comm = len({r.community for r in rows})
+        assert 0 < n_comm < n_nodes  # propagation actually merged labels
