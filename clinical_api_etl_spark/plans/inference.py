@@ -2655,6 +2655,7 @@ def _bpe_apply_oracle(n: int) -> str:
     "DuckDB's unrolled learn-then-apply twin end to end — the oracle "
     "re-learns every merge before re-applying it.",
     tags=("text", "iterative"),
+    headline=True,
 )
 def bpe_apply_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clinical_api_etl_spark.operators.bpe import (

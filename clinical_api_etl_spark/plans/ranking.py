@@ -1131,6 +1131,7 @@ def _lpa_oracle(rounds: int) -> str:
     "min-ids win ties, so dense cores collapse onto their smallest "
     "member. Oracle = unrolled MATERIALIZED round chain.",
     tags=("graph", "iterative"),
+    headline=True,
 )
 def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
