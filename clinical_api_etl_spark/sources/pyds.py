@@ -26,8 +26,10 @@ from datetime import datetime, timedelta
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 _EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
@@ -128,3 +130,91 @@ class SyntheticEventsDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> _StreamReader:
         return _StreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource WRITER: a two-phase-commit JSONL sink.
+# ---------------------------------------------------------------------------
+#
+# ``df.write.format("jsonl_sink").option("path", ...).mode("append").save()``
+#
+# The writer half of the DataSource API — the template for pushing rows
+# into any Python-only client (REST POST, proprietary SDK, message bus)
+# with Spark's task-retry semantics intact. The contract demonstrated:
+#
+# - ``write(iterator)`` runs ON THE EXECUTORS, once per partition, and
+#   must stage its output somewhere invisible (here: ``_tmp-*`` files; for
+#   a REST client, an idempotency-keyed staging call). A retried task
+#   stages a SECOND copy; nothing is lost or doubled because only the
+#   winning attempt's commit message reaches the driver.
+# - ``commit(messages)`` runs on the driver exactly once, after every
+#   partition succeeded, and atomically publishes: temp files are renamed
+#   to ``part-*`` and a ``_SUCCESS`` manifest lists them (readers treat
+#   manifest-less directories as uncommitted).
+# - ``abort(messages)`` tears the staging down when any task ultimately
+#   fails — the directory is left with no published files.
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int) -> None:
+        self.path = path
+        self.rows = rows
+
+
+class _JsonlSinkWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires .option('path', ...)")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _JsonlCommit(path=tmp, rows=n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.startswith("part-"):
+                    os.unlink(os.path.join(self.path, name))
+        published = []
+        total = 0
+        for m in messages:
+            dest = os.path.join(
+                self.path, os.path.basename(m.path).replace("_tmp-", "part-")
+            )
+            os.replace(m.path, dest)
+            published.append(os.path.basename(dest))
+            total += m.rows
+        manifest = os.path.join(self.path, "_SUCCESS")
+        with open(manifest, "a") as f:
+            f.write(json.dumps({"files": sorted(published), "rows": total}) + "\n")
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.unlink(m.path)
+
+
+class JsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> _JsonlSinkWriter:
+        return _JsonlSinkWriter(self.options, overwrite)

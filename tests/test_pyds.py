@@ -145,3 +145,72 @@ class TestManifestJsonlSink:
             .load(path)
         )
         assert sorted(r["id"] for r in back.collect()) == [1, 2]
+
+
+class TestJsonlSinkWriter:
+    def test_roundtrip_and_manifest(self, spark, tmp_path):
+        import json
+        import os
+
+        from clinical_api_etl_spark.sources.pyds import JsonlSinkDataSource
+
+        spark.dataSource.register(JsonlSinkDataSource)
+        dest = str(tmp_path / "out")
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, s string"
+        ).repartition(3)
+        df.write.format("jsonl_sink").option("path", dest).mode("append").save()
+
+        names = sorted(os.listdir(dest))
+        assert "_SUCCESS" in names
+        parts = [n for n in names if n.startswith("part-")]
+        assert parts and not [n for n in names if n.startswith("_tmp-")]
+        manifest = json.loads(open(os.path.join(dest, "_SUCCESS")).readline())
+        assert manifest["rows"] == 3
+        assert sorted(manifest["files"]) == parts
+
+        back = spark.read.json(os.path.join(dest, "part-*"))
+        assert {(r.id, r.s) for r in back.collect()} == {
+            (1, "a"), (2, "b"), (3, "c"),
+        }
+
+    def test_overwrite_replaces_published_files(self, spark, tmp_path):
+        import os
+
+        from clinical_api_etl_spark.sources.pyds import JsonlSinkDataSource
+
+        spark.dataSource.register(JsonlSinkDataSource)
+        dest = str(tmp_path / "out")
+        a = spark.createDataFrame([(1, "a")], "id long, s string")
+        b = spark.createDataFrame([(9, "z")], "id long, s string")
+        a.write.format("jsonl_sink").option("path", dest).mode("append").save()
+        b.write.format("jsonl_sink").option("path", dest).mode(
+            "overwrite"
+        ).save()
+        back = spark.read.json(os.path.join(dest, "part-*"))
+        assert [(r.id, r.s) for r in back.collect()] == [(9, "z")]
+
+    def test_failed_job_publishes_nothing(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from clinical_api_etl_spark.sources.pyds import JsonlSinkDataSource
+
+        spark.dataSource.register(JsonlSinkDataSource)
+        dest = str(tmp_path / "out")
+        # a poison row: division by zero evaluated task-side mid-write
+        df = spark.range(10).select(
+            (F.lit(1) / (F.col("id") - 5)).alias("x")
+        )
+        try:
+            df.write.format("jsonl_sink").option("path", dest).mode(
+                "append"
+            ).save()
+        except Exception:
+            pass
+        if os.path.isdir(dest):
+            assert not [
+                n for n in os.listdir(dest) if n.startswith("part-")
+            ]
+            assert "_SUCCESS" not in os.listdir(dest)
