@@ -50,9 +50,20 @@ def asof_join(
     the cost law is identical. Ties on equal timestamps resolve to the
     right row (inclusive semantics); callers needing full determinism
     de-duplicate ``right`` per (key, ts) first.
+
+    ``direction='nearest'`` (timestamp keys only): the right row
+    minimizing ``|right_ts - left_ts|``; equidistant ties resolve to the
+    BACKWARD (earlier) match, and an equal-timestamp right row wins
+    outright (dt = 0 on the backward side). Still ONE shuffle and ONE
+    sort: both candidate matches come from two window frames over the
+    same ascending merged log (running last before current row, running
+    first after it), so Spark reuses a single Exchange + Sort for both
+    WindowExecs — never two joins.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     payload = F.struct(
         F.col(right_ts).alias("__ts"), *[F.col(c) for c in right_payload]
     )
@@ -63,22 +74,58 @@ def asof_join(
         "*", F.col(left_ts).alias("__t"), F.lit(1).alias("__side"),
         F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
     )
-    order = (
-        [F.col("__t").asc(), F.col("__side").asc()]
-        if direction == "backward"
-        else [F.col("__t").desc(), F.col("__side").asc()]
+    merged = l.select(
+        *on, *[c for c in left.columns if c not in on], "__t", "__side", "__p"
+    ).unionByName(
+        r.select(
+            *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
+            *on,
+            "__t",
+            "__side",
+            "__p",
+        ).select(
+            *on, *[c for c in left.columns if c not in on], "__t", "__side", "__p"
+        )
     )
-    w = (
-        W.partitionBy(*on)
-        .orderBy(*order)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    matched = (
-        l.select(*on, *[c for c in left.columns if c not in on], "__t", "__side", "__p")
-        .unionByName(r.select(*on, *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on], "__t", "__side", "__p"))
-        .withColumn("__m", F.last("__p", ignorenulls=True).over(w))
-        .filter(F.col("__side") == 1)
-    )
+    if direction == "nearest":
+        # ascending log; backward frame is <=-inclusive (right sorts
+        # before left at equal __t), forward frame is strictly > — an
+        # equal-ts right row still wins via dt=0 on the backward side.
+        base = W.partitionBy(*on).orderBy(F.col("__t").asc(), F.col("__side").asc())
+        back = F.last("__p", ignorenulls=True).over(
+            base.rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        fwd = F.first("__p", ignorenulls=True).over(
+            base.rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        with_both = (
+            merged.withColumn("__mb", back)
+            .withColumn("__mf", fwd)
+            .filter(F.col("__side") == 1)
+        )
+        dtb = F.unix_millis(F.col("__t")) - F.unix_millis(F.col("__mb.__ts"))
+        dtf = F.unix_millis(F.col("__mf.__ts")) - F.unix_millis(F.col("__t"))
+        matched = with_both.withColumn(
+            "__m",
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            .when(dtb <= dtf, F.col("__mb"))
+            .otherwise(F.col("__mf")),
+        )
+    else:
+        order = (
+            [F.col("__t").asc(), F.col("__side").asc()]
+            if direction == "backward"
+            else [F.col("__t").desc(), F.col("__side").asc()]
+        )
+        w = (
+            W.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        matched = merged.withColumn(
+            "__m", F.last("__p", ignorenulls=True).over(w)
+        ).filter(F.col("__side") == 1)
     out_cols = [*left.columns]
     sel = [F.col(c) for c in out_cols]
     sel.append(F.col("__m.__ts").alias(f"{left_ts}{suffix}"))

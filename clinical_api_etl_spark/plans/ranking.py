@@ -1174,3 +1174,99 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.col("top.lbl").cast("long").alias("lbl"))
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+# ---------------------------------------------------------------------------
+# Nearest-direction as-of join (argmin |dt| either side).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "asof_nearest_view_to_purchase",
+    """
+    WITH v AS (
+      SELECT user_id, ts, MAX(event_id) AS view_id
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+      SELECT p.purchase_id, p.user_id, p.ts,
+             v.ts AS bts, v.view_id AS bid
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND p.ts >= v.ts
+    ),
+    f AS (
+      SELECT p.purchase_id, v.ts AS fts, v.view_id AS fid
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND p.ts < v.ts
+    )
+    SELECT b.purchase_id, b.user_id, b.ts,
+           CASE WHEN b.bts IS NULL AND f.fts IS NULL THEN CAST(-1 AS BIGINT)
+                WHEN b.bts IS NULL THEN f.fid
+                WHEN f.fts IS NULL THEN b.bid
+                WHEN epoch_ms(b.ts) - epoch_ms(b.bts)
+                     <= epoch_ms(f.fts) - epoch_ms(b.ts) THEN b.bid
+                ELSE f.fid END AS view_id_matched,
+           CASE WHEN b.bts IS NULL AND f.fts IS NULL THEN CAST(0 AS BIGINT)
+                WHEN b.bts IS NULL
+                  THEN CAST(epoch_ms(f.fts) - epoch_ms(b.ts) AS BIGINT)
+                WHEN f.fts IS NULL
+                  THEN CAST(epoch_ms(b.bts) - epoch_ms(b.ts) AS BIGINT)
+                WHEN epoch_ms(b.ts) - epoch_ms(b.bts)
+                     <= epoch_ms(f.fts) - epoch_ms(b.ts)
+                  THEN CAST(epoch_ms(b.bts) - epoch_ms(b.ts) AS BIGINT)
+                ELSE CAST(epoch_ms(f.fts) - epoch_ms(b.ts) AS BIGINT)
+           END AS dt_ms
+    FROM b JOIN f ON b.purchase_id = f.purchase_id
+    """,
+    doc="[EXT] NEAREST-direction as-of join: each purchase matched to the "
+    "user's closest view in EITHER direction (argmin |dt|, equidistant "
+    "ties to the earlier row) — the dashboard-attribution variant "
+    "pandas merge_asof(direction='nearest') offers and plain "
+    "backward/forward as-ofs cannot express. Spark side stays ONE "
+    "shuffle + ONE sort: both candidates come from two window frames "
+    "(running last before, running first after) over the same ascending "
+    "merged log, so the single Exchange+Sort serves both WindowExecs. "
+    "The oracle triangulates with TWO native DuckDB ASOF joins (>= and "
+    "strict <) plus the same tie CASE — three independent formulations "
+    "agreeing exactly. dt_ms is the SIGNED millisecond gap (negative = "
+    "view preceded purchase); right side deduped per (user, ts).",
+    tags=("join", "temporal", "window"),
+)
+def asof_nearest_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.temporal import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["view_id"],
+        direction="nearest",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "ts",
+        F.coalesce(F.col("view_id_matched"), F.lit(-1)).alias("view_id_matched"),
+        F.coalesce(
+            F.unix_millis(F.col("ts_matched")) - F.unix_millis(F.col("ts")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("dt_ms"),
+    )

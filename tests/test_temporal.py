@@ -162,3 +162,101 @@ class TestForwardAsof:
                 df, df, on=["id"], left_ts="ts", right_ts="ts",
                 right_payload=["id"], direction="sideways",
             )
+
+
+class TestAsofNearest:
+    def test_hand_built_nearest_picks(self, spark):
+        from clinical_api_etl_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")],
+            "k long, lt string",
+        ).select("k", F.col("lt").cast("timestamp").alias("lt"))
+        right = spark.createDataFrame(
+            [
+                (1, "2024-01-01 09:00:00", "a"),   # 1h before L1
+                (1, "2024-01-01 10:30:00", "b"),   # 30m after L1 -> nearest
+                (2, "2024-01-01 09:00:00", "c"),   # 3h before L2 -> nearest
+            ],
+            "k long, rt string, tag string",
+        ).select("k", F.col("rt").cast("timestamp").alias("rt"), "tag")
+        out = {
+            r.k: r.tag_matched
+            for r in asof_join(
+                left, right, on=["k"], left_ts="lt", right_ts="rt",
+                right_payload=["tag"], direction="nearest",
+            ).collect()
+        }
+        assert out == {1: "b", 2: "c"}
+
+    def test_equidistant_tie_goes_backward(self, spark):
+        from clinical_api_etl_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00")], "k long, lt string"
+        ).select("k", F.col("lt").cast("timestamp").alias("lt"))
+        right = spark.createDataFrame(
+            [(1, "2024-01-01 09:00:00", "early"), (1, "2024-01-01 11:00:00", "late")],
+            "k long, rt string, tag string",
+        ).select("k", F.col("rt").cast("timestamp").alias("rt"), "tag")
+        out = asof_join(
+            left, right, on=["k"], left_ts="lt", right_ts="rt",
+            right_payload=["tag"], direction="nearest",
+        ).collect()
+        assert out[0].tag_matched == "early"
+
+    def test_equal_timestamp_wins(self, spark):
+        from clinical_api_etl_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00")], "k long, lt string"
+        ).select("k", F.col("lt").cast("timestamp").alias("lt"))
+        right = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00", "same"), (1, "2024-01-01 10:00:01", "next")],
+            "k long, rt string, tag string",
+        ).select("k", F.col("rt").cast("timestamp").alias("rt"), "tag")
+        out = asof_join(
+            left, right, on=["k"], left_ts="lt", right_ts="rt",
+            right_payload=["tag"], direction="nearest",
+        ).collect()
+        assert out[0].tag_matched == "same"
+
+    def test_no_match_yields_nulls(self, spark):
+        from clinical_api_etl_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame(
+            [(7, "2024-01-01 10:00:00")], "k long, lt string"
+        ).select("k", F.col("lt").cast("timestamp").alias("lt"))
+        right = spark.createDataFrame(
+            [(8, "2024-01-01 10:00:00", "x")], "k long, rt string, tag string"
+        ).select("k", F.col("rt").cast("timestamp").alias("rt"), "tag")
+        out = asof_join(
+            left, right, on=["k"], left_ts="lt", right_ts="rt",
+            right_payload=["tag"], direction="nearest",
+        ).collect()
+        assert out[0].tag_matched is None
+
+    def test_single_exchange_single_sort(self, spark):
+        from clinical_api_etl_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00")], "k long, lt string"
+        ).select("k", F.col("lt").cast("timestamp").alias("lt"))
+        right = spark.createDataFrame(
+            [(1, "2024-01-01 09:00:00", "a")], "k long, rt string, tag string"
+        ).select("k", F.col("rt").cast("timestamp").alias("rt"), "tag")
+        plan = (
+            asof_join(
+                left, right, on=["k"], left_ts="lt", right_ts="rt",
+                right_payload=["tag"], direction="nearest",
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # both window frames must ride one Window node over one
+        # exchange + one sort (verified plan shape: a single WindowExec
+        # computes __mb and __mf together)
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert plan.count("Window [") == 1
+        assert plan.count("Sort [") == 1
