@@ -1270,3 +1270,141 @@ def asof_nearest_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("dt_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline query) over the part catalog.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "pareto_frontier_parts",
+    """
+    WITH t AS (
+      SELECT p_partkey, p_size,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_cents
+      FROM part
+    ),
+    s AS (
+      SELECT p_partkey, p_size, price_cents,
+             MAX(p_size) OVER (
+               ORDER BY price_cents, p_size DESC, p_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS best_size_cheaper
+      FROM t
+    )
+    SELECT p_partkey, p_size, price_cents
+    FROM s
+    WHERE best_size_cheaper IS NULL OR p_size > best_size_cheaper
+    """,
+    doc="[EXT] skyline / Pareto-frontier query: the parts no other part "
+    "dominates on (cheaper price, bigger size) — the classic "
+    "multi-criteria shortlist (BNL skyline in database literature). 2-D "
+    "skyline reduces to ONE sort + ONE running-max window: sort by "
+    "(price ASC, size DESC, key) and keep rows whose size strictly "
+    "exceeds the best size seen at any cheaper-or-equal price before "
+    "them — the DESC size tie-break makes equal-price groups "
+    "self-dominating, so exactly one survivor per price point and NO "
+    "self-comparison loop. Exact integer cents; identical window SQL "
+    "both engines. At 100 TB: partition-local skylines then one "
+    "frontier-merge — the standard divide-and-conquer skyline.",
+    tags=("analytics",),
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    t = part.select(
+        "p_partkey",
+        "p_size",
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    w = (
+        Window.orderBy(
+            F.col("price_cents").asc(), F.col("p_size").desc(), F.col("p_partkey")
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = t.withColumn("best_size_cheaper", F.max("p_size").over(w))
+    return s.filter(
+        F.col("best_size_cheaper").isNull()
+        | (F.col("p_size") > F.col("best_size_cheaper"))
+    ).select("p_partkey", "p_size", "price_cents")
+
+
+# ---------------------------------------------------------------------------
+# Linear (multi-touch) attribution of purchases to preceding clicks.
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_S = 6 * 3600
+
+
+@QS.add(
+    "attr_linear_click_credit",
+    f"""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS cid, user_id, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    pairs AS (
+      SELECT p.pid, c.cid, c.cts
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.cts >= p.pts - INTERVAL 6 HOUR AND c.cts < p.pts
+    ),
+    credit AS (
+      SELECT pid, cid, cts,
+             CAST(1000000 AS BIGINT)
+               // COUNT(*) OVER (PARTITION BY pid) AS ppm
+      FROM pairs
+    )
+    SELECT (epoch_ms(cts) // 3600000) % 24 AS click_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_credited_clicks,
+           CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases,
+           CAST(SUM(ppm) AS BIGINT) AS credit_ppm
+    FROM credit GROUP BY click_hour
+    """,
+    doc="[EXT] linear multi-touch attribution — every click in the 6 h "
+    "before a purchase shares that purchase's credit equally (the "
+    "marketing-analytics staple between first-touch and last-touch, "
+    "both of which the as-of joins already express). Credit is an exact "
+    "integer: 1e6 ppm floor-divided by the touch count per purchase "
+    "(remainder deliberately dropped — documented, identical in both "
+    "engines), then rolled up by click hour-of-day to show WHEN "
+    "engagement converts. The purchase-click pairing is the "
+    "range_join_bucketed composition keyed on user_id, so the interval "
+    "condition rides an equi hash join, never a nested loop.",
+    tags=("analytics", "temporal"),
+)
+def attr_linear_click_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.temporal import range_join_bucketed
+
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("cts")
+    )
+    pairs = range_join_bucketed(
+        p,
+        c,
+        left_ts="pts",
+        right_ts="cts",
+        window_seconds=_ATTR_WINDOW_S,
+        on=["user_id"],
+    ).select("pid", F.col("cid_r").alias("cid"), F.col("cts_r").alias("cts"))
+    credit = pairs.withColumn(
+        "ppm", F.expr("CAST(1000000 AS BIGINT) div count(*) OVER (PARTITION BY pid)")
+    )
+    return credit.groupBy(
+        F.expr("(unix_millis(cts) div 3600000) % 24").alias("click_hour")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_credited_clicks"),
+        F.count_distinct("pid").cast("long").alias("n_purchases"),
+        F.sum("ppm").cast("long").alias("credit_ppm"),
+    )

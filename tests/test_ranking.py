@@ -572,3 +572,89 @@ class TestLpaCommunities:
         n_nodes = len(rows)
         n_comm = len({r.community for r in rows})
         assert 0 < n_comm < n_nodes  # propagation actually merged labels
+
+
+class TestParetoFrontier:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.ranking import pareto_frontier_parts
+
+        part = pd.read_parquet(f"{SF}/part.parquet")
+        pts = [
+            (int(r.p_partkey), int(r.p_size), int(round(r.p_retailprice * 100)))
+            for r in part.itertuples()
+        ]
+        pts.sort(key=lambda t: (t[2], -t[1], t[0]))
+        frontier = []
+        best = None
+        for key, size, price in pts:
+            if best is None or size > best:
+                frontier.append((key, size, price))
+                best = size if best is None else max(best, size)
+        got = {
+            (r.p_partkey, r.p_size, r.price_cents)
+            for r in pareto_frontier_parts(spark, SF).collect()
+        }
+        assert got == set(frontier)
+
+    def test_no_row_dominates_a_frontier_row(self, spark):
+        from clinical_api_etl_spark.plans.ranking import pareto_frontier_parts
+
+        part = pd.read_parquet(f"{SF}/part.parquet")
+        all_pts = [
+            (int(r.p_size), int(round(r.p_retailprice * 100)))
+            for r in part.itertuples()
+        ]
+        for r in pareto_frontier_parts(spark, SF).collect():
+            assert not any(
+                p < r.price_cents and s >= r.p_size for s, p in all_pts
+            )
+
+
+class TestLinearAttribution:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.ranking import attr_linear_click_credit
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        ms = ev["ts"].astype("int64") // (
+            1_000_000 if ev["ts"].dtype.str.endswith("[ns]") else 1_000
+        )
+        ev = ev.assign(ms=ms)
+        p = ev[ev["event_type"] == "purchase"]
+        c = ev[ev["event_type"] == "click"]
+        by_user = collections.defaultdict(list)
+        for r in c.itertuples():
+            by_user[r.user_id].append((r.ms, r.event_id))
+        agg = collections.defaultdict(lambda: [0, set(), 0])
+        W = 6 * 3600 * 1000
+        for r in p.itertuples():
+            touches = [
+                (cms, cid)
+                for cms, cid in by_user.get(r.user_id, [])
+                if r.ms - W <= cms < r.ms
+            ]
+            if not touches:
+                continue
+            ppm = 1_000_000 // len(touches)
+            for cms, cid in touches:
+                h = (cms // 3_600_000) % 24
+                agg[h][0] += 1
+                agg[h][1].add(r.event_id)
+                agg[h][2] += ppm
+        expect = {h: (v[0], len(v[1]), v[2]) for h, v in agg.items()}
+        got = {
+            r.click_hour: (r.n_credited_clicks, r.n_purchases, r.credit_ppm)
+            for r in attr_linear_click_credit(spark, SF).collect()
+        }
+        assert got == expect
+
+    def test_credit_conserved_up_to_floor_remainder(self, spark):
+        from clinical_api_etl_spark.plans.ranking import attr_linear_click_credit
+
+        rows = attr_linear_click_credit(spark, SF).collect()
+        total_ppm = sum(r.credit_ppm for r in rows)
+        # every attributed purchase distributes <= 1e6 ppm, losing only
+        # the floor-div remainder (< touch count per purchase)
+        n_touches = sum(r.n_credited_clicks for r in rows)
+        distinct_p = attr_linear_click_credit(spark, SF)
+        assert total_ppm <= 1_000_000 * sum(r.n_purchases for r in rows)
+        assert total_ppm > 0 and n_touches > 0
