@@ -1408,3 +1408,188 @@ def attr_linear_click_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("pid").cast("long").alias("n_purchases"),
         F.sum("ppm").cast("long").alias("credit_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN density clustering on the JL-projected embedding plane.
+# ---------------------------------------------------------------------------
+
+_DB_EPS = 120_000       # micro-units on the q0/q1 projection plane
+_DB_MINPTS = 4          # neighborhood size INCLUDING the point itself
+_DB_OFF = 1 << 23       # shifts coords positive so div == // (floor)
+
+
+def _db_proj_sql() -> str:
+    """q0/q1 of the JL projection — identical text to _jl_oracle's dims."""
+    from clinical_api_etl_spark.plans.mlprep import _JL_SIGNS
+
+    cols = []
+    for j in range(2):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {s}"
+            for i, s in enumerate(_JL_SIGNS[j])
+        )
+        cols.append(f"CAST(floor(({terms}) * 1000000.0 + 0.5) AS BIGINT) AS q{j}")
+    return f"SELECT vec_id, {', '.join(cols)} FROM embeddings"
+
+
+def _dbscan_oracle() -> str:
+    e2 = _DB_EPS * _DB_EPS
+    return f"""
+    WITH RECURSIVE p AS MATERIALIZED ({_db_proj_sql()}),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS i, b.vec_id AS j
+      FROM p a JOIN p b ON a.vec_id < b.vec_id
+       AND (a.q0 - b.q0) * (a.q0 - b.q0)
+           + (a.q1 - b.q1) * (a.q1 - b.q1) <= {e2}
+    ),
+    sym AS MATERIALIZED (
+      SELECT i, j FROM pairs UNION ALL SELECT j AS i, i AS j FROM pairs
+    ),
+    deg AS MATERIALIZED (
+      SELECT p.vec_id, COALESCE(n.nb, 0) AS nb
+      FROM p LEFT JOIN (SELECT i, COUNT(*) AS nb FROM sym GROUP BY i) n
+        ON p.vec_id = n.i
+    ),
+    core AS MATERIALIZED (
+      SELECT vec_id FROM deg WHERE nb + 1 >= {_DB_MINPTS}
+    ),
+    core_edges AS MATERIALIZED (
+      SELECT s.i, s.j FROM sym s
+      JOIN core ca ON s.i = ca.vec_id
+      JOIN core cb ON s.j = cb.vec_id
+    ),
+    walk(id, label) AS (
+      SELECT vec_id, vec_id FROM core
+      UNION
+      SELECT e.i, w.label FROM walk w JOIN core_edges e ON w.id = e.j
+      WHERE w.label < e.i
+    ),
+    comp AS MATERIALIZED (
+      SELECT id AS vec_id, MIN(label) AS cluster FROM walk GROUP BY id
+    ),
+    border AS MATERIALIZED (
+      SELECT s.i AS vec_id, MIN(c.cluster) AS cluster
+      FROM sym s
+      JOIN comp c ON s.j = c.vec_id
+      WHERE s.i NOT IN (SELECT vec_id FROM core)
+      GROUP BY s.i
+    )
+    SELECT p.vec_id,
+           CASE WHEN comp.vec_id IS NOT NULL THEN 'core'
+                WHEN border.vec_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(COALESCE(comp.cluster, border.cluster, -1) AS BIGINT)
+             AS cluster
+    FROM p
+    LEFT JOIN comp ON p.vec_id = comp.vec_id
+    LEFT JOIN border ON p.vec_id = border.vec_id
+    """
+
+
+@QS.add(
+    "emb_dbscan_clusters",
+    _dbscan_oracle(),
+    doc="[EXT] exact DBSCAN over the embedding corpus — density clustering "
+    "with core/border/noise roles, entirely in relational ops. The "
+    "metric space is the JL projection's first two micro-unit BIGINT "
+    "dims (emb_random_projection), so every squared distance is an "
+    "exact integer and the eps test is portable. Spark side: neighbor "
+    "candidates come from an eps-sized GRID equi-join (each point "
+    "probes its 9 adjacent cells — the standard spatial-hash rewrite; "
+    "cost per cell is bounded by local density, never O(N^2)); cores "
+    "have >= minPts-1 neighbors; clusters are connected components of "
+    "the core-core graph (operators/graph.py, min-id labels); borders "
+    "adopt the MINIMUM adjacent core cluster (deterministic); the rest "
+    "is noise. The oracle rebuilds it from first principles with an "
+    "O(N^2) join + recursive-CTE closure — two independent "
+    "formulations, one hash. Coordinates shift by 2^23 before the cell "
+    "floor-div (Spark div truncates toward zero, DuckDB // floors — "
+    "identical only for non-negative operands).",
+    tags=("embedding", "graph"),
+)
+def emb_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.graph import connected_components
+    from clinical_api_etl_spark.plans.mlprep import _JL_SIGNS
+
+    emb = load(spark, sf_dir, "embeddings")
+    cols = []
+    for j in range(2):
+        terms = " + ".join(
+            f"CAST(element_at(embedding, {i + 1}) AS DOUBLE) * CAST({s} AS DOUBLE)"
+            for i, s in enumerate(_JL_SIGNS[j])
+        )
+        cols.append(f"CAST(FLOOR(({terms}) * 1000000.0D + 0.5D) AS BIGINT) AS q{j}")
+    pts = (
+        emb.selectExpr("vec_id", *cols)
+        .selectExpr(
+            "vec_id",
+            "q0",
+            "q1",
+            f"(q0 + {_DB_OFF}) div {_DB_EPS} AS cx",
+            f"(q1 + {_DB_OFF}) div {_DB_EPS} AS cy",
+        )
+        .coalesce(8)
+        .persist()
+    )
+    e2 = _DB_EPS * _DB_EPS
+    b_exp = pts.selectExpr(
+        "vec_id AS j",
+        "q0 AS bq0",
+        "q1 AS bq1",
+        "explode(array(cx - 1, cx, cx + 1)) AS cx",
+        "cy AS bcy",
+    ).selectExpr("j", "bq0", "bq1", "cx", "explode(array(bcy - 1, bcy, bcy + 1)) AS cy")
+    pairs = (
+        pts.join(b_exp, ["cx", "cy"])
+        .filter(
+            (F.col("vec_id") < F.col("j"))
+            & (
+                (F.col("q0") - F.col("bq0")) * (F.col("q0") - F.col("bq0"))
+                + (F.col("q1") - F.col("bq1")) * (F.col("q1") - F.col("bq1"))
+                <= F.lit(e2)
+            )
+        )
+        .select(F.col("vec_id").alias("i"), "j")
+        .coalesce(8)
+        .persist()
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"))
+    ).persist()
+    deg = sym.groupBy("i").agg(F.count(F.lit(1)).alias("nb"))
+    core = deg.filter(F.col("nb") + 1 >= _DB_MINPTS).select(
+        F.col("i").alias("vec_id")
+    ).coalesce(8).persist()
+    ca = core.select(F.col("vec_id").alias("i"))
+    cb = core.select(F.col("vec_id").alias("j"))
+    core_edges = sym.join(ca, "i").join(cb, "j").filter(F.col("i") < F.col("j"))
+    comp = connected_components(
+        core_edges.select(F.col("i").alias("id_a"), F.col("j").alias("id_b"))
+    ).select(F.col("id").alias("vec_id"), F.col("component").alias("cluster"))
+    # isolated core points (no core neighbor) form singleton clusters
+    comp_all = core.join(comp, "vec_id", "left").select(
+        "vec_id", F.coalesce("cluster", "vec_id").cast("long").alias("cluster")
+    ).coalesce(8).persist()
+    border = (
+        sym.join(
+            comp_all.select(F.col("vec_id").alias("j"), F.col("cluster")), "j"
+        )
+        .join(core.select(F.col("vec_id").alias("i")), "i", "left_anti")
+        .groupBy("i")
+        .agg(F.min("cluster").alias("cluster"))
+        .select(F.col("i").alias("vec_id"), "cluster")
+    )
+    return (
+        pts.select("vec_id")
+        .join(comp_all.select("vec_id", F.col("cluster").alias("ccl")), "vec_id", "left")
+        .join(border.select("vec_id", F.col("cluster").alias("bcl")), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("ccl").isNotNull(), "core")
+            .when(F.col("bcl").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce("ccl", "bcl", F.lit(-1)).cast("long").alias("cluster"),
+        )
+    )

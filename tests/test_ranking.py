@@ -658,3 +658,86 @@ class TestLinearAttribution:
         distinct_p = attr_linear_click_credit(spark, SF)
         assert total_ppm <= 1_000_000 * sum(r.n_purchases for r in rows)
         assert total_ppm > 0 and n_touches > 0
+
+
+class TestDbscan:
+    def _replay(self):
+        import hashlib
+
+        import numpy as np
+
+        from clinical_api_etl_spark.plans.mlprep import _JL_SIGNS
+
+        emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+        pts = {}
+        for r in emb.itertuples():
+            v = np.asarray(r.embedding, dtype=np.float64)
+            q = []
+            for j in range(2):
+                s = 0.0
+                for i in range(64):
+                    s = s + float(v[i]) * _JL_SIGNS[j][i]
+                q.append(int(np.floor(s * 1000000.0 + 0.5)))
+            pts[r.vec_id] = tuple(q)
+        eps2 = 120_000 ** 2
+        ids = sorted(pts)
+        nbrs = {i: set() for i in ids}
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    dx = pts[a][0] - pts[b][0]
+                    dy = pts[a][1] - pts[b][1]
+                    if dx * dx + dy * dy <= eps2:
+                        nbrs[a].add(b)
+                        nbrs[b].add(a)
+        core = {i for i in ids if len(nbrs[i]) + 1 >= 4}
+        # components over core-core edges (union-find)
+        parent = {i: i for i in core}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a in core:
+            for b in nbrs[a]:
+                if b in core:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for c in core:
+            root = find(c)
+            comp.setdefault(root, []).append(c)
+        label = {}
+        for root, members in comp.items():
+            m = min(members)
+            for c in members:
+                label[c] = m
+        out = {}
+        for i in ids:
+            if i in core:
+                out[i] = ("core", label[i])
+            else:
+                adj = [label[j] for j in nbrs[i] if j in core]
+                out[i] = ("border", min(adj)) if adj else ("noise", -1)
+        return out
+
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.ranking import emb_dbscan_clusters
+
+        expect = self._replay()
+        got = {
+            r.vec_id: (r.role, r.cluster)
+            for r in emb_dbscan_clusters(spark, SF).collect()
+        }
+        assert got == expect
+
+    def test_role_mix_present(self, spark):
+        from clinical_api_etl_spark.plans.ranking import emb_dbscan_clusters
+
+        roles = collections.Counter(
+            r.role for r in emb_dbscan_clusters(spark, SF).collect()
+        )
+        assert roles["core"] > 0 and roles["noise"] > 0 and roles["border"] > 0
