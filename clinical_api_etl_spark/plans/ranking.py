@@ -1593,3 +1593,151 @@ def emb_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("ccl", "bcl", F.lit(-1)).cast("long").alias("cluster"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve: first view -> first purchase, censored.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_kaplan_meier_conversion",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+             MAX(ts) AS tend
+      FROM events GROUP BY user_id
+      HAVING MIN(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL
+    ),
+    conv AS (
+      SELECT u.user_id, u.t0, u.tend, MIN(e.ts) AS tp
+      FROM per_user u LEFT JOIN events e
+        ON e.user_id = u.user_id AND e.event_type = 'purchase'
+       AND e.ts >= u.t0
+      GROUP BY u.user_id, u.t0, u.tend
+    ),
+    durations AS (
+      SELECT user_id,
+             CASE WHEN tp IS NOT NULL
+                  THEN (epoch_ms(tp) - epoch_ms(t0)) // 86400000
+                  ELSE (epoch_ms(tend) - epoch_ms(t0)) // 86400000
+             END AS dur,
+             CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM conv
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects FROM durations),
+    km AS (
+      SELECT dur AS t,
+             CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c,
+             CAST(
+               (SELECT COUNT(*) FROM durations d2 WHERE d2.dur >= d1.dur)
+               AS BIGINT) AS n_risk
+      FROM durations d1
+      GROUP BY dur
+      HAVING SUM(ev) >= 1
+    ),
+    arr AS (
+      SELECT list({'d': d, 'n': n_risk} ORDER BY t) AS a FROM km
+    ),
+    idx AS (
+      SELECT t, d, c, n_risk,
+             CAST(ROW_NUMBER() OVER (ORDER BY t) AS INT) AS rn
+      FROM km
+    )
+    SELECT idx.t, idx.d, idx.c, idx.n_risk, tot.n_subjects,
+           list_reduce(
+             list_prepend(CAST(1 AS DOUBLE),
+               list_transform(arr.a[1:idx.rn],
+                 x -> 1 - CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE))),
+             (x, y) -> x * y) AS survival
+    FROM idx CROSS JOIN arr CROSS JOIN tot
+    """,
+    doc="[EXT] Kaplan-Meier survival curve for view->purchase conversion "
+    "with right-censoring (a user's clock starts at their first view; "
+    "no purchase by their last observed event = censored) — THE "
+    "estimator for time-to-event questions where naive conversion "
+    "rates are biased by observation windows. Every curve component is "
+    "exact: day-grain durations by floor-div, d_i / censored_i / "
+    "n_risk_i as BIGINTs (risk set counts subjects with duration >= t, "
+    "the censored-after-events convention). S(t) is the prefix product "
+    "of (1 - d_i/n_i) evaluated by the PINNED-ORDER fold (cf. "
+    "stat_chisq_independence — products pin the same way sums do), so "
+    "even the survival floats hash-match. The curve table is "
+    "|distinct event days| rows; the per-row prefix fold is quadratic "
+    "only in that tiny table.",
+    tags=("stats", "temporal"),
+)
+def stat_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t0"),
+            F.max("ts").alias("tend"),
+        )
+        .filter(F.col("t0").isNotNull())
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    conv = (
+        per_user.join(
+            purch,
+            (per_user.user_id == purch.user_id) & (F.col("pts") >= F.col("t0")),
+            "left",
+        )
+        .groupBy(per_user.user_id, "t0", "tend")
+        .agg(F.min("pts").alias("tp"))
+    )
+    durations = conv.select(
+        F.when(
+            F.col("tp").isNotNull(),
+            F.expr("(unix_millis(tp) - unix_millis(t0)) div 86400000"),
+        )
+        .otherwise(F.expr("(unix_millis(tend) - unix_millis(t0)) div 86400000"))
+        .alias("dur"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    ).coalesce(1).persist()
+    tot = durations.agg(F.count(F.lit(1)).cast("long").alias("n_subjects"))
+    by_t = durations.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("d"),
+        (F.count(F.lit(1)) - F.sum("ev")).cast("long").alias("c_all"),
+    )
+    # n_risk via a reverse running sum over ALL duration rows (incl.
+    # censored-only times), then keep event times
+    w = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = by_t.withColumn(
+        "n_risk", F.sum(F.col("d") + F.col("c_all")).over(w).cast("long")
+    )
+    km = risk.filter(F.col("d") >= 1).select(
+        F.col("dur").alias("t"), "d", F.col("c_all").alias("c"), "n_risk"
+    )
+    arr = km.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "n_risk"))).alias("a")
+    )
+    wrn = Window.orderBy("t")
+    idx = km.withColumn("rn", F.row_number().over(wrn))
+    return (
+        idx.crossJoin(F.broadcast(arr))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            "d",
+            "c",
+            "n_risk",
+            "n_subjects",
+            F.aggregate(
+                F.slice(F.col("a"), 1, F.col("rn")),
+                F.lit(1.0),
+                lambda acc, x: acc
+                * (
+                    F.lit(1.0)
+                    - x["d"].cast("double") / x["n_risk"].cast("double")
+                ),
+            ).alias("survival"),
+        )
+    )

@@ -741,3 +741,55 @@ class TestDbscan:
             r.role for r in emb_dbscan_clusters(spark, SF).collect()
         )
         assert roles["core"] > 0 and roles["noise"] > 0 and roles["border"] > 0
+
+
+class TestKaplanMeier:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.ranking import (
+            stat_kaplan_meier_conversion,
+        )
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        ms = ev["ts"].astype("int64") // (
+            1_000_000 if ev["ts"].dtype.str.endswith("[ns]") else 1_000
+        )
+        ev = ev.assign(ms=ms)
+        durs = []
+        for uid, g in ev.groupby("user_id"):
+            views = g[g["event_type"] == "view"]["ms"]
+            if views.empty:
+                continue
+            t0 = int(views.min())
+            purch = g[(g["event_type"] == "purchase") & (g["ms"] >= t0)]["ms"]
+            if not purch.empty:
+                durs.append(((int(purch.min()) - t0) // 86_400_000, 1))
+            else:
+                durs.append(((int(g["ms"].max()) - t0) // 86_400_000, 0))
+        n_subjects = len(durs)
+        times = sorted({t for t, e in durs if e == 1})
+        expect = {}
+        s = 1.0
+        for t in times:
+            d = sum(1 for x, e in durs if x == t and e == 1)
+            c = sum(1 for x, e in durs if x == t and e == 0)
+            n_risk = sum(1 for x, _ in durs if x >= t)
+            s = s * (1.0 - float(d) / float(n_risk))
+            expect[t] = (d, c, n_risk, n_subjects, s)
+        got = {
+            r.t: (r.d, r.c, r.n_risk, r.n_subjects, r.survival)
+            for r in stat_kaplan_meier_conversion(spark, SF).collect()
+        }
+        assert got == expect
+
+    def test_survival_monotone_nonincreasing(self, spark):
+        from clinical_api_etl_spark.plans.ranking import (
+            stat_kaplan_meier_conversion,
+        )
+
+        rows = sorted(
+            stat_kaplan_meier_conversion(spark, SF).collect(),
+            key=lambda r: r.t,
+        )
+        surv = [r.survival for r in rows]
+        assert all(a >= b for a, b in zip(surv, surv[1:]))
+        assert all(0.0 <= s <= 1.0 for s in surv)
