@@ -1741,3 +1741,281 @@ def stat_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("survival"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test: do two cohorts' conversion survival curves differ?
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_logrank_cohorts",
+    """
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS grp,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+             MAX(ts) AS tend
+      FROM events GROUP BY user_id
+      HAVING MIN(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL
+    ),
+    conv AS (
+      SELECT u.user_id, u.grp, u.t0, u.tend, MIN(e.ts) AS tp
+      FROM per_user u LEFT JOIN events e
+        ON e.user_id = u.user_id AND e.event_type = 'purchase'
+       AND e.ts >= u.t0
+      GROUP BY u.user_id, u.grp, u.t0, u.tend
+    ),
+    durations AS (
+      SELECT grp,
+             CASE WHEN tp IS NOT NULL
+                  THEN (epoch_ms(tp) - epoch_ms(t0)) // 86400000
+                  ELSE (epoch_ms(tend) - epoch_ms(t0)) // 86400000
+             END AS dur,
+             CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM conv
+    ),
+    km AS (
+      SELECT dur AS t,
+             CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+             CAST((SELECT COUNT(*) FROM durations x WHERE x.dur >= d0.dur)
+                  AS BIGINT) AS n,
+             CAST((SELECT COUNT(*) FROM durations x
+                   WHERE x.dur >= d0.dur AND x.grp = 1) AS BIGINT) AS n1
+      FROM durations d0
+      GROUP BY dur
+      HAVING SUM(ev) >= 1
+    ),
+    terms AS (
+      SELECT t, d, d1, n, n1,
+             CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE) AS e1,
+             CASE WHEN n <= 1 THEN CAST(0 AS DOUBLE)
+                  ELSE (CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (1 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * CAST(n - d AS DOUBLE)) / CAST(n - 1 AS DOUBLE)
+             END AS v
+      FROM km
+    ),
+    folded AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_times,
+             CAST(SUM(d1) AS BIGINT) AS o1,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(e1 ORDER BY t)), (x, y) -> x + y) AS e1_sum,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(v ORDER BY t)), (x, y) -> x + y) AS v_sum
+      FROM terms
+    )
+    SELECT n_times, o1, e1_sum, v_sum,
+           CASE WHEN v_sum = 0 THEN NULL
+                ELSE (CAST(o1 AS DOUBLE) - e1_sum) / sqrt(v_sum) END AS z
+    FROM folded
+    """,
+    doc="[EXT] log-rank (Mantel-Cox) test comparing conversion survival "
+    "between the even/odd user cohorts — the significance companion to "
+    "stat_kaplan_meier_conversion (do the two curves differ beyond "
+    "chance?). Per event time: observed group-1 events d1 (exact "
+    "BIGINT), expected e1 = d*n1/n under the null, and the "
+    "hypergeometric variance term — each ONE fixed IEEE expression over "
+    "exact risk-set integers; both series sum via the pinned-order fold "
+    "and z finishes with a correctly-rounded sqrt + division, so the "
+    "whole statistic hash-matches. Risk sets per group come from the "
+    "same reverse running-sum trick as the KM curve.",
+    tags=("stats", "temporal"),
+)
+def stat_logrank_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t0"),
+            F.max("ts").alias("tend"),
+        )
+        .filter(F.col("t0").isNotNull())
+        .withColumn("grp", F.col("user_id") % 2)
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    conv = (
+        per_user.join(
+            purch,
+            (per_user.user_id == purch.user_id) & (F.col("pts") >= F.col("t0")),
+            "left",
+        )
+        .groupBy(per_user.user_id, "grp", "t0", "tend")
+        .agg(F.min("pts").alias("tp"))
+    )
+    durations = conv.select(
+        "grp",
+        F.when(
+            F.col("tp").isNotNull(),
+            F.expr("(unix_millis(tp) - unix_millis(t0)) div 86400000"),
+        )
+        .otherwise(F.expr("(unix_millis(tend) - unix_millis(t0)) div 86400000"))
+        .alias("dur"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    ).coalesce(1).persist()
+    by_t = durations.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.when(F.col("grp") == 1, F.col("ev")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.count(F.lit(1)).cast("long").alias("all_t"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("all1_t"),
+    )
+    w = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = by_t.withColumn("n", F.sum("all_t").over(w).cast("long")).withColumn(
+        "n1", F.sum("all1_t").over(w).cast("long")
+    )
+    km = risk.filter(F.col("d") >= 1)
+    d_d = F.col("d").cast("double")
+    n_d = F.col("n").cast("double")
+    p1 = F.col("n1").cast("double") / n_d
+    terms = km.select(
+        F.col("dur").alias("t"),
+        "d",
+        "d1",
+        "n",
+        "n1",
+        (d_d * F.col("n1").cast("double") / n_d).alias("e1"),
+        F.when(F.col("n") <= 1, F.lit(0.0))
+        .otherwise(
+            (d_d * p1 * (F.lit(1.0) - p1) * (F.col("n") - F.col("d")).cast("double"))
+            / (F.col("n") - 1).cast("double")
+        )
+        .alias("v"),
+    )
+    folded = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_times"),
+        F.sum("d1").cast("long").alias("o1"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("t", "e1"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["e1"],
+        ).alias("e1_sum"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("t", "v"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("v_sum"),
+    )
+    return folded.select(
+        "n_times",
+        "o1",
+        "e1_sum",
+        "v_sum",
+        F.when(F.col("v_sum") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            (F.col("o1").cast("double") - F.col("e1_sum")) / F.sqrt(F.col("v_sum"))
+        )
+        .alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences over the calendar midpoint.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_diff_in_diff",
+    """
+    WITH bounds AS (
+      SELECT MIN(epoch_ms(ts) // 86400000) AS d0,
+             MAX(epoch_ms(ts) // 86400000) AS d1
+      FROM events
+    ),
+    t AS (
+      SELECT user_id % 2 AS grp,
+             CASE WHEN epoch_ms(ts) // 86400000
+                       >= (bounds.d0 + bounds.d1 + 1) // 2
+                  THEN 1 ELSE 0 END AS post,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events CROSS JOIN bounds
+      WHERE value IS NOT NULL
+    ),
+    cells AS (
+      SELECT grp, post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM t GROUP BY grp, post
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN grp = 1 AND post = 1 THEN s END) AS s11,
+        MAX(CASE WHEN grp = 1 AND post = 1 THEN n END) AS n11,
+        MAX(CASE WHEN grp = 1 AND post = 0 THEN s END) AS s10,
+        MAX(CASE WHEN grp = 1 AND post = 0 THEN n END) AS n10,
+        MAX(CASE WHEN grp = 0 AND post = 1 THEN s END) AS s01,
+        MAX(CASE WHEN grp = 0 AND post = 1 THEN n END) AS n01,
+        MAX(CASE WHEN grp = 0 AND post = 0 THEN s END) AS s00,
+        MAX(CASE WHEN grp = 0 AND post = 0 THEN n END) AS n00
+      FROM cells
+    )
+    SELECT CAST(s11 AS BIGINT) AS s11, CAST(n11 AS BIGINT) AS n11,
+           CAST(s10 AS BIGINT) AS s10, CAST(n10 AS BIGINT) AS n10,
+           CAST(s01 AS BIGINT) AS s01, CAST(n01 AS BIGINT) AS n01,
+           CAST(s00 AS BIGINT) AS s00, CAST(n00 AS BIGINT) AS n00,
+           (CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+            - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE))
+           - (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+              - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)) AS did_cents
+    FROM wide
+    """,
+    doc="[EXT] difference-in-differences estimator: the treatment cohort's "
+    "pre/post mean-value change minus the control cohort's — the "
+    "causal-inference workhorse that removes shared time trends from "
+    "an uncontrolled rollout comparison. Cohorts = user parity; the "
+    "pre/post split is the calendar midpoint DERIVED FROM DATA (exact "
+    "integer day arithmetic, no wall clock). All four cells are exact "
+    "(count, cents-sum) BIGINT pairs — one map-side-combinable "
+    "aggregate — and the estimate is a fixed IEEE tree of four "
+    "divisions and three subtractions, so the float hash-matches.",
+    tags=("stats",),
+)
+def stat_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bounds = ev.agg(
+        F.expr("MIN(unix_millis(ts) div 86400000)").alias("d0"),
+        F.expr("MAX(unix_millis(ts) div 86400000)").alias("d1"),
+    )
+    t = ev.crossJoin(F.broadcast(bounds)).select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.when(
+            F.expr("unix_millis(ts) div 86400000") >= F.expr("(d0 + d1 + 1) div 2"),
+            1,
+        )
+        .otherwise(0)
+        .alias("post"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    cells = t.groupBy("grp", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+
+    def cell(g: int, p: int, col: str):
+        return F.max(
+            F.when((F.col("grp") == g) & (F.col("post") == p), F.col(col))
+        )
+
+    wide = cells.agg(
+        cell(1, 1, "s").cast("long").alias("s11"),
+        cell(1, 1, "n").cast("long").alias("n11"),
+        cell(1, 0, "s").cast("long").alias("s10"),
+        cell(1, 0, "n").cast("long").alias("n10"),
+        cell(0, 1, "s").cast("long").alias("s01"),
+        cell(0, 1, "n").cast("long").alias("n01"),
+        cell(0, 0, "s").cast("long").alias("s00"),
+        cell(0, 0, "n").cast("long").alias("n00"),
+    )
+    m = lambda s, n: F.col(s).cast("double") / F.col(n).cast("double")  # noqa: E731
+    return wide.select(
+        "s11", "n11", "s10", "n10", "s01", "n01", "s00", "n00",
+        ((m("s11", "n11") - m("s10", "n10")) - (m("s01", "n01") - m("s00", "n00")))
+        .alias("did_cents"),
+    )

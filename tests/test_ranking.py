@@ -793,3 +793,75 @@ class TestKaplanMeier:
         surv = [r.survival for r in rows]
         assert all(a >= b for a, b in zip(surv, surv[1:]))
         assert all(0.0 <= s <= 1.0 for s in surv)
+
+
+class TestLogRank:
+    def test_matches_python_replay(self, spark):
+        import math
+
+        from clinical_api_etl_spark.plans.ranking import stat_logrank_cohorts
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        ms = ev["ts"].astype("int64") // (
+            1_000_000 if ev["ts"].dtype.str.endswith("[ns]") else 1_000
+        )
+        ev = ev.assign(ms=ms)
+        durs = []
+        for uid, g in ev.groupby("user_id"):
+            views = g[g["event_type"] == "view"]["ms"]
+            if views.empty:
+                continue
+            t0 = int(views.min())
+            purch = g[(g["event_type"] == "purchase") & (g["ms"] >= t0)]["ms"]
+            grp = int(uid) % 2
+            if not purch.empty:
+                durs.append((grp, (int(purch.min()) - t0) // 86_400_000, 1))
+            else:
+                durs.append((grp, (int(g["ms"].max()) - t0) // 86_400_000, 0))
+        times = sorted({t for _, t, e in durs if e == 1})
+        o1 = sum(e for g, t, e in durs if g == 1)
+        e1_sum, v_sum, n_times = 0.0, 0.0, 0
+        for t in times:
+            d = sum(1 for _, x, e in durs if x == t and e == 1)
+            d_grp1 = sum(1 for g, x, e in durs if g == 1 and x == t and e == 1)
+            n = sum(1 for _, x, _e in durs if x >= t)
+            n1 = sum(1 for g, x, _e in durs if g == 1 and x >= t)
+            n_times += 1
+            e1_sum = e1_sum + float(d) * float(n1) / float(n)
+            p1 = float(n1) / float(n)
+            v = (
+                0.0
+                if n <= 1
+                else (float(d) * p1 * (1 - p1) * float(n - d)) / float(n - 1)
+            )
+            v_sum = v_sum + v
+        z = (float(o1) - e1_sum) / math.sqrt(v_sum)
+        row = stat_logrank_cohorts(spark, SF).collect()[0]
+        assert (row.n_times, row.o1) == (n_times, o1)
+        assert row.e1_sum == e1_sum and row.v_sum == v_sum and row.z == z
+
+
+class TestDiffInDiff:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.ranking import stat_diff_in_diff
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        ev = ev[ev["value"].notna()]
+        ms = ev["ts"].astype("int64") // (
+            1_000_000 if ev["ts"].dtype.str.endswith("[ns]") else 1_000
+        )
+        day = ms // 86_400_000
+        mid = (int(day.min()) + int(day.max()) + 1) // 2
+        cents = (ev["value"] * 100).round().astype("int64")
+        cells = collections.defaultdict(lambda: [0, 0])
+        for u, d, c in zip(ev["user_id"], day, cents):
+            key = (int(u) % 2, 1 if d >= mid else 0)
+            cells[key][0] += 1
+            cells[key][1] += int(c)
+        m = {k: v[1] / v[0] for k, v in cells.items()}
+        did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+        row = stat_diff_in_diff(spark, SF).collect()[0]
+        for (g, p), (n, s) in cells.items():
+            assert getattr(row, f"n{g}{p}") == n
+            assert getattr(row, f"s{g}{p}") == s
+        assert row.did_cents == did
