@@ -2019,3 +2019,235 @@ def stat_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((m("s11", "n11") - m("s10", "n10")) - (m("s01", "n01") - m("s00", "n00")))
         .alias("did_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B comparison.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_cuped_adjusted_lift",
+    """
+    WITH bounds AS (
+      SELECT MIN(epoch_ms(ts) // 86400000) AS d0,
+             MAX(epoch_ms(ts) // 86400000) AS d1
+      FROM events
+    ),
+    t AS (
+      SELECT user_id, user_id % 2 AS grp,
+             CASE WHEN epoch_ms(ts) // 86400000
+                       >= (bounds.d0 + bounds.d1 + 1) // 2
+                  THEN 1 ELSE 0 END AS post,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events CROSS JOIN bounds
+      WHERE value IS NOT NULL
+    ),
+    per_user AS (
+      SELECT user_id, MAX(grp) AS grp,
+             CAST(SUM(CASE WHEN post = 0 THEN cents END) AS BIGINT) AS pre_s,
+             CAST(COUNT(*) FILTER (post = 0) AS BIGINT) AS pre_n,
+             CAST(SUM(CASE WHEN post = 1 THEN cents END) AS BIGINT) AS post_s,
+             CAST(COUNT(*) FILTER (post = 1) AS BIGINT) AS post_n
+      FROM t GROUP BY user_id
+      HAVING COUNT(*) FILTER (post = 0) > 0 AND COUNT(*) FILTER (post = 1) > 0
+    ),
+    xy AS (
+      SELECT user_id, grp,
+             CAST(pre_s AS DOUBLE) / CAST(pre_n AS DOUBLE) AS x,
+             CAST(post_s AS DOUBLE) / CAST(post_n AS DOUBLE) AS y
+      FROM per_user
+    ),
+    folds AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(x ORDER BY user_id)), (a, b) -> a + b) AS sx,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(y ORDER BY user_id)), (a, b) -> a + b) AS sy,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(x * y ORDER BY user_id)), (a, b) -> a + b) AS sxy,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(x * x ORDER BY user_id)), (a, b) -> a + b) AS sxx,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(CASE WHEN grp = 1 THEN y END ORDER BY user_id)
+                 FILTER (grp = 1)), (a, b) -> a + b) AS sy1,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(CASE WHEN grp = 1 THEN x END ORDER BY user_id)
+                 FILTER (grp = 1)), (a, b) -> a + b) AS sx1,
+             CAST(COUNT(*) FILTER (grp = 1) AS BIGINT) AS n1,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(CASE WHEN grp = 0 THEN y END ORDER BY user_id)
+                 FILTER (grp = 0)), (a, b) -> a + b) AS sy0,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(CASE WHEN grp = 0 THEN x END ORDER BY user_id)
+                 FILTER (grp = 0)), (a, b) -> a + b) AS sx0,
+             CAST(COUNT(*) FILTER (grp = 0) AS BIGINT) AS n0
+      FROM xy
+    )
+    SELECT n, n1, n0,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx) AS theta,
+           (sy1 / CAST(n1 AS DOUBLE) - sy0 / CAST(n0 AS DOUBLE))
+           - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+              / (CAST(n AS DOUBLE) * sxx - sx * sx))
+             * (sx1 / CAST(n1 AS DOUBLE) - sx0 / CAST(n0 AS DOUBLE))
+             AS adj_lift_cents,
+           (sy1 / CAST(n1 AS DOUBLE) - sy0 / CAST(n0 AS DOUBLE))
+             AS raw_lift_cents
+    FROM folds
+    """,
+    doc="[EXT] CUPED variance reduction for the even/odd cohort "
+    "comparison: each user's PRE-period mean value is the covariate, "
+    "theta = cov(x,y)/var(x) fitted on all users, and the adjusted lift "
+    "subtracts theta times the cohorts' pre-period imbalance from the "
+    "raw post-period lift — the industry-standard way to shrink A/B "
+    "confidence intervals with historical data. Per-user x/y means are "
+    "single divisions of exact BIGINTs; every cross-user sum (Σx, Σxy, "
+    "per-arm Σ) runs through the pinned-order fold keyed by user_id, so "
+    "theta and both lifts hash-match bit-for-bit. Only users observed "
+    "in BOTH periods enter (the CUPED requirement).",
+    tags=("stats",),
+)
+def stat_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bounds = ev.agg(
+        F.expr("MIN(unix_millis(ts) div 86400000)").alias("d0"),
+        F.expr("MAX(unix_millis(ts) div 86400000)").alias("d1"),
+    )
+    t = ev.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        (F.col("user_id") % 2).alias("grp"),
+        F.when(
+            F.expr("unix_millis(ts) div 86400000") >= F.expr("(d0 + d1 + 1) div 2"),
+            1,
+        )
+        .otherwise(0)
+        .alias("post"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    per_user = (
+        t.groupBy("user_id")
+        .agg(
+            F.max("grp").alias("grp"),
+            F.sum(F.when(F.col("post") == 0, F.col("cents")))
+            .cast("long")
+            .alias("pre_s"),
+            F.sum(F.when(F.col("post") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("pre_n"),
+            F.sum(F.when(F.col("post") == 1, F.col("cents")))
+            .cast("long")
+            .alias("post_s"),
+            F.sum(F.when(F.col("post") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("post_n"),
+        )
+        .filter((F.col("pre_n") > 0) & (F.col("post_n") > 0))
+    )
+    xy = per_user.select(
+        "user_id",
+        "grp",
+        (F.col("pre_s").cast("double") / F.col("pre_n").cast("double")).alias("x"),
+        (F.col("post_s").cast("double") / F.col("post_n").cast("double")).alias(
+            "y"
+        ),
+    )
+
+    def fold(term: F.Column, flt: F.Column | None = None) -> F.Column:
+        struct = F.struct(F.col("user_id"), term.alias("term"))
+        collected = (
+            F.collect_list(F.when(flt, struct)) if flt is not None
+            else F.collect_list(struct)
+        )
+        return F.aggregate(
+            F.sort_array(collected), F.lit(0.0), lambda acc, s: acc + s["term"]
+        )
+
+    folds = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        fold(F.col("x")).alias("sx"),
+        fold(F.col("y")).alias("sy"),
+        fold(F.col("x") * F.col("y")).alias("sxy"),
+        fold(F.col("x") * F.col("x")).alias("sxx"),
+        fold(F.col("y"), F.col("grp") == 1).alias("sy1"),
+        fold(F.col("x"), F.col("grp") == 1).alias("sx1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        fold(F.col("y"), F.col("grp") == 0).alias("sy0"),
+        fold(F.col("x"), F.col("grp") == 0).alias("sx0"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+    )
+    n_d = F.col("n").cast("double")
+    theta = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    raw = F.col("sy1") / F.col("n1").cast("double") - F.col("sy0") / F.col(
+        "n0"
+    ).cast("double")
+    xdiff = F.col("sx1") / F.col("n1").cast("double") - F.col("sx0") / F.col(
+        "n0"
+    ).cast("double")
+    return folds.select(
+        "n",
+        "n1",
+        "n0",
+        theta.alias("theta"),
+        (raw - theta * xdiff).alias("adj_lift_cents"),
+        raw.alias("raw_lift_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NTILE decile assignment (window-surface parity).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "w17_ntile_value_deciles",
+    """
+    WITH t AS (
+      SELECT event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    d AS (
+      SELECT event_id, cents,
+             CAST(NTILE(10) OVER (ORDER BY cents, event_id) AS BIGINT)
+               AS decile
+      FROM t
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM d GROUP BY decile
+    """,
+    doc="[EXT] NTILE(10) decile assignment over exact value cents with a "
+    "total order (ties broken by event_id, so both engines assign "
+    "identical tiles even at duplicated values — NTILE under a partial "
+    "order is nondeterministic and could never hash-gate). Summarized "
+    "per decile (count, bounds, exact sum): the spend-decile / "
+    "RFM-binning staple, and the §2.6 window-surface parity row for "
+    "the one ranking function the registry lacked. At 100 TB swap the "
+    "global sort for rank arithmetic over the value histogram "
+    "(stat_percentile_bands_by_type's documented shape).",
+    tags=("window",),
+)
+def w17_ntile_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = ev.select(
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    w = Window.orderBy("cents", "event_id")
+    d = t.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("cents").cast("long").alias("lo_cents"),
+        F.max("cents").cast("long").alias("hi_cents"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )

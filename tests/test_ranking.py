@@ -865,3 +865,81 @@ class TestDiffInDiff:
             assert getattr(row, f"n{g}{p}") == n
             assert getattr(row, f"s{g}{p}") == s
         assert row.did_cents == did
+
+
+class TestCuped:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.ranking import stat_cuped_adjusted_lift
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        ev = ev[ev["value"].notna()]
+        ms = ev["ts"].astype("int64") // (
+            1_000_000 if ev["ts"].dtype.str.endswith("[ns]") else 1_000
+        )
+        day = ms // 86_400_000
+        mid = (int(day.min()) + int(day.max()) + 1) // 2
+        cents = (ev["value"] * 100).round().astype("int64")
+        per = collections.defaultdict(lambda: [0, 0, 0, 0])
+        for u, d, c in zip(ev["user_id"], day, cents):
+            s = per[int(u)]
+            if d >= mid:
+                s[2] += int(c)
+                s[3] += 1
+            else:
+                s[0] += int(c)
+                s[1] += 1
+        users = sorted(u for u, s in per.items() if s[1] > 0 and s[3] > 0)
+        x = {u: per[u][0] / per[u][1] for u in users}
+        y = {u: per[u][2] / per[u][3] for u in users}
+        n = len(users)
+        sx = sy = sxy = sxx = 0.0
+        for u in users:
+            sx += x[u]
+            sy += y[u]
+            sxy += x[u] * y[u]
+            sxx += x[u] * x[u]
+        arms = {1: [u for u in users if u % 2 == 1],
+                0: [u for u in users if u % 2 == 0]}
+        def fold(vals):
+            s = 0.0
+            for v in vals:
+                s += v
+            return s
+        sy1 = fold([y[u] for u in arms[1]])
+        sx1 = fold([x[u] for u in arms[1]])
+        sy0 = fold([y[u] for u in arms[0]])
+        sx0 = fold([x[u] for u in arms[0]])
+        theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        raw = sy1 / len(arms[1]) - sy0 / len(arms[0])
+        xdiff = sx1 / len(arms[1]) - sx0 / len(arms[0])
+        row = stat_cuped_adjusted_lift(spark, SF).collect()[0]
+        assert (row.n, row.n1, row.n0) == (n, len(arms[1]), len(arms[0]))
+        assert row.theta == theta
+        assert row.raw_lift_cents == raw
+        assert row.adj_lift_cents == raw - theta * xdiff
+
+
+class TestNtileDeciles:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.ranking import w17_ntile_value_deciles
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        ev = ev[ev["value"].notna()]
+        rows = sorted(
+            zip((ev["value"] * 100).round().astype("int64"), ev["event_id"])
+        , key=lambda t: (t[0], t[1]))
+        n = len(rows)
+        base, extra = divmod(n, 10)
+        expect = {}
+        idx = 0
+        for dec in range(1, 11):
+            size = base + (1 if dec <= extra else 0)
+            chunk = rows[idx : idx + size]
+            idx += size
+            cs = [int(c) for c, _ in chunk]
+            expect[dec] = (size, min(cs), max(cs), sum(cs))
+        got = {
+            r.decile: (r.n, r.lo_cents, r.hi_cents, r.sum_cents)
+            for r in w17_ntile_value_deciles(spark, SF).collect()
+        }
+        assert got == expect
