@@ -2251,3 +2251,165 @@ def w17_ntile_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cents").cast("long").alias("hi_cents"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation: NDCG@5 / MRR / recall@5 of impact vs exact ranking.
+# ---------------------------------------------------------------------------
+
+#: 1/log2(pos+1) for pos 1..5 — literal doubles, identical decimal text on
+#: both engines, so the discounts are bit-identical without evaluating any
+#: logarithm at query time. The DuckDB side MUST carry an exponent suffix
+#: (``e0``): a plain 17-digit decimal literal parses as DECIMAL first and
+#: silently truncates the final digit before the DOUBLE cast (found when
+#: 164 * 0.38685280723454163 came back 1 ulp low).
+_DCG_W = ("1.0", "0.6309297535714575", "0.5",
+          "0.43067655807339306", "0.38685280723454163")
+
+
+def _eval_dcg_sql(rel: str, rnk: str) -> str:
+    terms = " + ".join(
+        f"COALESCE(MAX(CASE WHEN {rnk} = {i + 1} THEN CAST({rel} AS DOUBLE)"
+        f" END), 0) * {w}e0"
+        for i, w in enumerate(_DCG_W)
+    )
+    return f"({terms})"
+
+
+@QS.add(
+    "eval_retrieval_ndcg",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM t GROUP BY doc_id, tok),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+    idf AS (SELECT tok,
+                   CAST(1 AS BIGINT) << (length(bin(n.n_docs // CAST(COUNT(*) AS BIGINT))) - 1)
+                     AS impact
+            FROM tf CROSS JOIN n GROUP BY tok, n.n_docs),
+    q AS (SELECT doc_id AS q_id, tok, c AS qc FROM tf
+          WHERE doc_id < {_N_QUERY_DOCS}),
+    s AS (SELECT q.q_id, tf.doc_id,
+                 CAST(SUM(tf.c * q.qc) AS BIGINT) AS rel,
+                 CAST(SUM(tf.c * idf.impact) AS BIGINT) AS iscore
+          FROM tf JOIN q USING (tok) JOIN idf ON tf.tok = idf.tok
+          WHERE tf.doc_id <> q.q_id
+          GROUP BY q.q_id, tf.doc_id),
+    ranked AS (
+      SELECT q_id, doc_id, rel,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY iscore DESC, doc_id) AS sys_rnk,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY rel DESC, doc_id) AS ideal_rnk
+      FROM s
+    ),
+    per_q AS (
+      SELECT q_id,
+             {_eval_dcg_sql('CASE WHEN sys_rnk <= 5 THEN rel END', 'sys_rnk')}
+               AS dcg,
+             {_eval_dcg_sql('CASE WHEN ideal_rnk <= 5 THEN rel END', 'ideal_rnk')}
+               AS idcg,
+             CAST(COUNT(*) FILTER (sys_rnk <= 5 AND ideal_rnk <= 5) AS BIGINT)
+               AS hits,
+             MIN(CASE WHEN sys_rnk <= 5 AND ideal_rnk <= 5
+                      THEN sys_rnk END) AS first_hit
+      FROM ranked GROUP BY q_id
+    )
+    SELECT q_id, hits,
+           CAST(hits AS DOUBLE) / 5 AS recall5,
+           CASE WHEN first_hit IS NULL THEN CAST(0 AS DOUBLE)
+                ELSE CAST(1 AS DOUBLE) / CAST(first_hit AS DOUBLE) END AS mrr,
+           CASE WHEN idcg = 0 THEN CAST(0 AS DOUBLE)
+                ELSE dcg / idcg END AS ndcg5
+    FROM per_q
+    """,
+    doc="[EXT] retrieval-quality evaluation of the quantized-impact "
+    "ranking against exact dot-product relevance — NDCG@5, MRR and "
+    "recall@5 per query, the metrics an IR/RAG stack reports before "
+    "swapping ranking functions. Zero logs at query time: the DCG "
+    "discounts 1/log2(pos+1) are literal decimal doubles (identical "
+    "text parses to identical bits on both engines); DCG/IDCG are "
+    "fixed 5-term weighted sums of exact BIGINT gains, and "
+    "recall/MRR/NDCG are single divisions. Both rankings derive from "
+    "ONE posting-join pass (rel and iscore aggregate together); ties "
+    "pinned by doc_id throughout.",
+    tags=("text", "retrieval"),
+)
+def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = _tf(spark, sf_dir).coalesce(8).persist()
+    n = tf.agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = (
+        df_t.crossJoin(F.broadcast(n))
+        .withColumn("m", F.expr("n_docs div df"))
+        .withColumn(
+            "e", F.length(F.conv(F.col("m").cast("string"), 10, 2)) - F.lit(1)
+        )
+        .select(
+            "tok",
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(e AS INT)) AS BIGINT)")
+            .alias("impact"),
+        )
+    )
+    q = tf.filter(F.col("doc_id") < _N_QUERY_DOCS).select(
+        F.col("doc_id").alias("q_id"), "tok", F.col("c").alias("qc")
+    )
+    s = (
+        tf.join(F.broadcast(q), "tok")
+        .join(F.broadcast(idf), "tok")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("qc")).cast("long").alias("rel"),
+            F.sum(F.col("c") * F.col("impact")).cast("long").alias("iscore"),
+        )
+    )
+    w_sys = Window.partitionBy("q_id").orderBy(F.desc("iscore"), F.asc("doc_id"))
+    w_ideal = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("doc_id"))
+    ranked = s.select(
+        "q_id",
+        "doc_id",
+        "rel",
+        F.row_number().over(w_sys).alias("sys_rnk"),
+        F.row_number().over(w_ideal).alias("ideal_rnk"),
+    )
+
+    def dcg(rnk: str) -> F.Column:
+        out = F.lit(0.0)
+        for i, w in enumerate(_DCG_W):
+            gain = F.coalesce(
+                F.max(
+                    F.when(F.col(rnk) == i + 1, F.col("rel").cast("double"))
+                ),
+                F.lit(0.0),
+            )
+            out = out + gain * F.lit(float(w))
+        return out
+
+    per_q = ranked.groupBy("q_id").agg(
+        dcg("sys_rnk").alias("dcg"),
+        dcg("ideal_rnk").alias("idcg"),
+        F.sum(
+            F.when((F.col("sys_rnk") <= 5) & (F.col("ideal_rnk") <= 5), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("hits"),
+        F.min(
+            F.when(
+                (F.col("sys_rnk") <= 5) & (F.col("ideal_rnk") <= 5),
+                F.col("sys_rnk"),
+            )
+        ).alias("first_hit"),
+    )
+    return per_q.select(
+        "q_id",
+        "hits",
+        (F.col("hits").cast("double") / F.lit(5.0)).alias("recall5"),
+        F.when(F.col("first_hit").isNull(), F.lit(0.0))
+        .otherwise(F.lit(1.0) / F.col("first_hit").cast("double"))
+        .alias("mrr"),
+        F.when(F.col("idcg") == 0, F.lit(0.0))
+        .otherwise(F.col("dcg") / F.col("idcg"))
+        .alias("ndcg5"),
+    )

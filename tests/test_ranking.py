@@ -943,3 +943,58 @@ class TestNtileDeciles:
             for r in w17_ntile_value_deciles(spark, SF).collect()
         }
         assert got == expect
+
+
+class TestRetrievalEval:
+    def test_matches_python_replay(self, spark, tf_py):
+        from clinical_api_etl_spark.plans.ranking import eval_retrieval_ndcg
+
+        n_docs = len(tf_py)
+        dfc = collections.Counter(t for c in tf_py.values() for t in c)
+        impact = {t: 1 << ((n_docs // v).bit_length() - 1) for t, v in dfc.items()}
+        W = [1.0, 0.6309297535714575, 0.5, 0.43067655807339306,
+             0.38685280723454163]
+        expect = {}
+        for q in range(10):
+            rel, isc = {}, {}
+            qt = tf_py[q]
+            for d, c in tf_py.items():
+                if d == q:
+                    continue
+                r = sum(nn * qt[t] for t, nn in c.items() if t in qt)
+                s = sum(nn * impact[t] for t, nn in c.items() if t in qt)
+                if r or s:
+                    rel[d], isc[d] = r, s
+            sys_rank = sorted(rel, key=lambda d: (-isc[d], d))
+            ideal_rank = sorted(rel, key=lambda d: (-rel[d], d))
+            sys5, ideal5 = sys_rank[:5], set(ideal_rank[:5])
+            dcg = 0.0
+            for i, d in enumerate(sys5):
+                dcg = dcg + float(rel[d]) * W[i]
+            idcg = 0.0
+            for i, d in enumerate(ideal_rank[:5]):
+                idcg = idcg + float(rel[d]) * W[i]
+            hits = sum(1 for d in sys5 if d in ideal5)
+            first = next(
+                (i + 1 for i, d in enumerate(sys5) if d in ideal5), None
+            )
+            expect[q] = (
+                hits,
+                hits / 5,
+                0.0 if first is None else 1.0 / first,
+                0.0 if idcg == 0 else dcg / idcg,
+            )
+        got = {
+            r.q_id: (r.hits, r.recall5, r.mrr, r.ndcg5)
+            for r in eval_retrieval_ndcg(spark, SF).collect()
+        }
+        assert got == expect
+
+    def test_metric_ranges(self, spark):
+        from clinical_api_etl_spark.plans.ranking import eval_retrieval_ndcg
+
+        for r in eval_retrieval_ndcg(spark, SF).collect():
+            assert 0 <= r.hits <= 5
+            assert 0.0 <= r.recall5 <= 1.0
+            assert 0.0 <= r.mrr <= 1.0
+            assert 0.0 <= r.ndcg5 <= 1.0 + 1e-12
