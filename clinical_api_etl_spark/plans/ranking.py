@@ -2413,3 +2413,83 @@ def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("dcg") / F.col("idcg"))
         .alias("ndcg5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event model evaluation (train == test corpus, exact).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "eval_markov_next_event",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    trans AS (
+      SELECT prev, event_type AS next, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+    ),
+    pred AS (
+      SELECT prev, next AS predicted FROM (
+        SELECT prev, next,
+               ROW_NUMBER() OVER (PARTITION BY prev
+                                  ORDER BY cnt DESC, next) AS rk
+        FROM trans
+      ) WHERE rk = 1
+    )
+    SELECT t.prev,
+           p.predicted,
+           CAST(SUM(t.cnt) AS BIGINT) AS n_transitions,
+           CAST(SUM(CASE WHEN t.next = p.predicted THEN t.cnt ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN t.next = p.predicted THEN t.cnt ELSE 0 END)
+                AS DOUBLE) / CAST(SUM(t.cnt) AS DOUBLE) AS accuracy
+    FROM trans t JOIN pred p ON t.prev = p.prev
+    GROUP BY t.prev, p.predicted
+    """,
+    doc="[EXT] next-event prediction accuracy of the first-order Markov "
+    "model (seq_transition_matrix's argmax row as the predictor): per "
+    "source state, the majority-class baseline accuracy — the sanity "
+    "bar any sequence model must beat, and the replay-evaluation shape "
+    "(train on the corpus, score every transition) used before "
+    "shipping behavioral models. Deterministic argmax (count DESC, "
+    "label ASC); counts exact BIGINTs; accuracy one division. The "
+    "evaluation aggregates the TRANSITION table (k^2 rows), never "
+    "rescans events.",
+    tags=("analytics", "sequence", "markov"),
+)
+def eval_markov_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    trans = seq.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).coalesce(1).persist()
+    rk = Window.partitionBy("prev").orderBy(F.desc("cnt"), F.asc("next"))
+    pred = (
+        trans.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("prev", F.col("next").alias("predicted"))
+    )
+    correct = F.sum(
+        F.when(F.col("next") == F.col("predicted"), F.col("cnt")).otherwise(0)
+    )
+    return (
+        trans.join(F.broadcast(pred), "prev")
+        .groupBy("prev", "predicted")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_transitions"),
+            correct.cast("long").alias("n_correct"),
+            (correct.cast("double") / F.sum("cnt").cast("double")).alias(
+                "accuracy"
+            ),
+        )
+    )
