@@ -43,6 +43,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from functools import reduce
 from pathlib import Path
@@ -105,9 +106,57 @@ class SnapshotWarehouse(ParquetWarehouse):
                     "version": m["version"],
                     "operation": m["operation"],
                     "n_files": len(m["files"]),
+                    "committed_at_ms": m.get("committed_at_ms"),
+                    "txn": m.get("txn"),
                 }
             )
         return out
+
+    def version_as_of(self, table: str, ts_ms: int) -> int:
+        """Latest version committed at or before ``ts_ms`` (epoch ms) —
+        Delta's ``TIMESTAMP AS OF`` resolution. Raises if the earliest
+        retained snapshot is already newer (vacuumed past the asked
+        time). Manifests written before commit timestamps existed count
+        as arbitrarily old."""
+        best = None
+        for h in self.history(table):
+            c = h["committed_at_ms"] or 0
+            if c <= ts_ms:
+                best = h["version"]
+        if best is None:
+            raise ValueError(
+                f"{table}: no snapshot at or before ts {ts_ms} "
+                "(beyond retention?)"
+            )
+        return best
+
+    def read_as_of(self, table: str, ts_ms: int) -> DataFrame | None:
+        """Snapshot read pinned by wall-clock commit time."""
+        return self.read(table, self.version_as_of(table, ts_ms))
+
+    def files(self, table: str, version: int | None = None) -> DataFrame:
+        """Metadata table (Delta ``DESCRIBE DETAIL`` / Iceberg ``.files``
+        analogue): one row per live data file of the chosen snapshot with
+        commit dir, size, and mtime — what ops tooling joins against for
+        small-file analysis and compaction planning. Metadata-only (stat
+        calls), never opens a data file."""
+        m = self._load_manifest(table, version)
+        root = self._data_root(table)
+        rows = []
+        for rel in (m["files"] if m else []):
+            p = root / rel
+            st = p.stat() if p.exists() else None
+            rows.append(
+                (
+                    rel,
+                    rel.split("/", 1)[0] if "/" in rel else "",
+                    int(st.st_size) if st else None,
+                    int(st.st_mtime * 1000) if st else None,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows, "path string, commit_dir string, bytes long, mtime_ms long"
+        )
 
     def _commit(
         self,
@@ -132,6 +181,9 @@ class SnapshotWarehouse(ParquetWarehouse):
             "partitioned": table in self.partitioning,
             "files": sorted(files),
             "deletes": deletes or [],
+            # wall-clock commit time (epoch ms) for AS OF-timestamp reads;
+            # never part of any oracle-gated result.
+            "committed_at_ms": int(time.time() * 1000),
         }
         if txn is not None:
             manifest["txn"] = txn

@@ -663,3 +663,72 @@ class TestExactlyOnceAppend:
         run("cp2")
         assert swh.read("t").count() == 2
         assert len(swh.versions("t")) == 1
+
+
+class TestTimestampTimeTravel:
+    def test_read_as_of_resolves_commit_times(self, spark, swh):
+        import time as _time
+
+        a = spark.createDataFrame([("s1", "p1", 1.0)], GOLD_SCHEMA)
+        b = spark.createDataFrame([("s2", "p1", 2.0)], GOLD_SCHEMA)
+        swh.append("t", a)
+        t_after_v1 = int(_time.time() * 1000)
+        _time.sleep(0.05)
+        swh.append("t", b)
+        assert swh.version_as_of("t", t_after_v1) == 1
+        assert swh.read_as_of("t", t_after_v1).count() == 1
+        now = int(_time.time() * 1000)
+        assert swh.version_as_of("t", now) == 2
+        assert swh.read_as_of("t", now).count() == 2
+
+    def test_before_first_commit_raises(self, spark, swh):
+        a = spark.createDataFrame([("s1", "p1", 1.0)], GOLD_SCHEMA)
+        swh.append("t", a)
+        first = swh.history("t")[0]["committed_at_ms"]
+        with pytest.raises(ValueError, match="no snapshot"):
+            swh.version_as_of("t", first - 10_000)
+
+    def test_history_carries_commit_time_and_txn(self, spark, swh):
+        a = spark.createDataFrame([("s1", "p1", 1.0)], GOLD_SCHEMA)
+        swh.append_once("t", a, "job-42")
+        h = swh.history("t")[-1]
+        assert h["txn"] == "job-42"
+        assert isinstance(h["committed_at_ms"], int)
+
+
+class TestFilesMetadataTable:
+    def test_files_lists_live_snapshot(self, spark, swh):
+        df = spark.createDataFrame(
+            [("s1", "p1", 1.0), ("s2", "p1", 2.0)], GOLD_SCHEMA
+        )
+        swh.append("t", df)
+        swh.append("t", spark.createDataFrame([("s3", "p3", 3.0)], GOLD_SCHEMA))
+        files = swh.files("t").collect()
+        m = swh._load_manifest("t")
+        assert sorted(r.path for r in files) == sorted(m["files"])
+        assert all(r.bytes > 0 for r in files)
+        assert len({r.commit_dir for r in files}) == 2  # two commits live
+
+    def test_files_at_version(self, spark, swh):
+        swh.append("t", spark.createDataFrame([("s1", "p1", 1.0)], GOLD_SCHEMA))
+        swh.append("t", spark.createDataFrame([("s2", "p2", 2.0)], GOLD_SCHEMA))
+        v1 = swh.files("t", version=1).count()
+        v2 = swh.files("t", version=2).count()
+        assert v1 < v2
+
+    def test_small_file_planning_join(self, spark, swh):
+        # the ops use-case: find commits whose files are all tiny ->
+        # compaction candidates
+        from pyspark.sql import functions as F
+
+        for i in range(3):
+            swh.append(
+                "t", spark.createDataFrame([(f"s{i}", "p", float(i))], GOLD_SCHEMA)
+            )
+        plan = (
+            swh.files("t")
+            .groupBy("commit_dir")
+            .agg(F.count("*").alias("n"), F.max("bytes").alias("max_b"))
+            .filter(F.col("max_b") < 1024 * 1024)
+        )
+        assert plan.count() == 3  # all three commits are small-file candidates
