@@ -2493,3 +2493,74 @@ def eval_markov_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day OLS slope over the daily event series.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "w18_rolling_ols_slope",
+    """
+    WITH daily AS (
+      SELECT epoch_ms(ts) // 86400000 AS day, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY day
+    ),
+    w AS (
+      SELECT day, y,
+             CAST(COUNT(*) OVER fr AS BIGINT) AS n,
+             CAST(SUM(day) OVER fr AS BIGINT) AS sd,
+             CAST(SUM(y) OVER fr AS BIGINT) AS sy,
+             CAST(SUM(day * y) OVER fr AS BIGINT) AS sdy,
+             CAST(SUM(day * day) OVER fr AS BIGINT) AS sdd
+      FROM daily
+      WINDOW fr AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, y, n,
+           CAST(n * sdy - sd * sy AS BIGINT) AS slope_num,
+           CAST(n * sdd - sd * sd AS BIGINT) AS slope_den,
+           CASE WHEN n * sdd - sd * sd = 0 THEN NULL
+                ELSE CAST(n * sdy - sd * sy AS DOUBLE)
+                     / CAST(n * sdd - sd * sd AS DOUBLE) END AS slope
+    FROM w
+    """,
+    doc="[EXT] rolling regression: the trailing-7-day OLS slope of daily "
+    "event volume, one value per day — the is-growth-accelerating "
+    "sparkline behind capacity dashboards (a moving AVERAGE lags level "
+    "shifts; a moving SLOPE sees them immediately). The normal-equation "
+    "components are RANGE-framed window sums over the daily "
+    "pre-aggregate (missing days shrink n naturally — RANGE frames are "
+    "calendar-true, ROWS frames are not), the slope is shift-invariant "
+    "so absolute epoch-day indices work directly, and single-day "
+    "windows yield NULL via the zero-denominator guard. Exact BIGINTs "
+    "+ one guarded division; |days| rows, never events.",
+    tags=("stats", "window"),
+)
+def w18_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("unix_millis(ts) div 86400000").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    fr = Window.orderBy("day").rangeBetween(-6, 0)
+    w = daily.select(
+        "day",
+        "y",
+        F.count(F.lit(1)).over(fr).cast("long").alias("n"),
+        F.sum("day").over(fr).cast("long").alias("sd"),
+        F.sum("y").over(fr).cast("long").alias("sy"),
+        F.sum(F.col("day") * F.col("y")).over(fr).cast("long").alias("sdy"),
+        F.sum(F.col("day") * F.col("day")).over(fr).cast("long").alias("sdd"),
+    )
+    num = F.col("n") * F.col("sdy") - F.col("sd") * F.col("sy")
+    den = F.col("n") * F.col("sdd") - F.col("sd") * F.col("sd")
+    return w.select(
+        "day",
+        "y",
+        "n",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("slope"),
+    )

@@ -998,3 +998,33 @@ class TestRetrievalEval:
             assert 0.0 <= r.recall5 <= 1.0
             assert 0.0 <= r.mrr <= 1.0
             assert 0.0 <= r.ndcg5 <= 1.0 + 1e-12
+
+
+class TestRollingOlsSlope:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.ranking import w18_rolling_ols_slope
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        ms = ev["ts"].astype("int64") // (
+            1_000_000 if ev["ts"].dtype.str.endswith("[ns]") else 1_000
+        )
+        daily = collections.Counter(ms // 86_400_000)
+        days = sorted(daily)
+        expect = {}
+        for d in days:
+            win = [(int(x), int(daily[x])) for x in days if d - 6 <= x <= d]
+            n = len(win)
+            sd = sum(x for x, _ in win)
+            sy = sum(y for _, y in win)
+            sdy = sum(x * y for x, y in win)
+            sdd = sum(x * x for x, _ in win)
+            num, den = n * sdy - sd * sy, n * sdd - sd * sd
+            expect[int(d)] = (
+                int(daily[d]), n, num, den,
+                None if den == 0 else float(num) / float(den),
+            )
+        got = {
+            r.day: (r.y, r.n, r.slope_num, r.slope_den, r.slope)
+            for r in w18_rolling_ols_slope(spark, SF).collect()
+        }
+        assert got == expect
