@@ -2564,3 +2564,50 @@ def w18_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(num.cast("double") / den.cast("double"))
         .alias("slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4 |> operator chains).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "sql_pipe_daily_rollup",
+    """
+    SELECT event_type,
+           epoch_ms(ts) // 86400000 AS day_idx,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type, day_idx
+    HAVING COUNT(*) >= 3
+    """,
+    doc="[EXT] Spark 4 SQL pipe syntax (`|>`): the daily rollup written as "
+    "a linear FROM -> WHERE -> EXTEND -> AGGREGATE -> WHERE chain — the "
+    "ZetaSQL/GoogleSQL pipe surface Spark 4.0 adopted, where each stage "
+    "reads top-to-bottom and post-aggregation filters need no HAVING "
+    "special case. Catalyst lowers pipes to exactly the classic plan, "
+    "proven by hash-matching DuckDB running the traditional formulation "
+    "— same rows, same exact BIGINTs. API-surface parity row: a "
+    "reference user migrating pipe-syntax queries keeps them verbatim.",
+    tags=("sql",),
+)
+def sql_pipe_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("pipe_events")
+    return spark.sql(
+        """
+        FROM pipe_events
+        |> WHERE value IS NOT NULL
+        |> EXTEND unix_millis(ts) div 86400000 AS day_idx
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                              AS BIGINT)) AS BIGINT) AS cents,
+                     CAST(MAX(user_id) AS BIGINT) AS max_user
+           GROUP BY event_type, day_idx
+        |> WHERE n >= 3
+        |> SELECT event_type, CAST(day_idx AS BIGINT) AS day_idx, n, cents,
+                  max_user
+        """
+    )

@@ -1028,3 +1028,26 @@ class TestRollingOlsSlope:
             for r in w18_rolling_ols_slope(spark, SF).collect()
         }
         assert got == expect
+
+
+class TestPipeSyntax:
+    def test_pipe_equals_classic_formulation(self, spark):
+        from clinical_api_etl_spark.plans.ranking import sql_pipe_daily_rollup
+        from clinical_api_etl_spark.sources.catalog import load
+
+        load(spark, SF, "events").createOrReplaceTempView("pipe_events")
+        classic = spark.sql(
+            """
+            SELECT event_type,
+                   CAST(unix_millis(ts) div 86400000 AS BIGINT) AS day_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                            AS BIGINT)) AS BIGINT) AS cents,
+                   CAST(MAX(user_id) AS BIGINT) AS max_user
+            FROM pipe_events WHERE value IS NOT NULL
+            GROUP BY event_type, day_idx HAVING COUNT(*) >= 3
+            """
+        )
+        got = {tuple(r) for r in sql_pipe_daily_rollup(spark, SF).collect()}
+        assert got == {tuple(r) for r in classic.collect()}
+        assert got  # non-empty
