@@ -19,6 +19,8 @@ side tables, wrong for 100 TB facts — use expressions or Arrow-batched
 from __future__ import annotations
 
 from pyspark.sql.functions import lit, udtf
+from pyspark.sql.types import IntegerType, StringType, StructType
+from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
 
 
 @udtf(returnType="chunk_idx int, chunk string")
@@ -35,9 +37,40 @@ class ChunkDocUDTF:
             yield c, " ".join(toks[c * chunk_size : (c + 1) * chunk_size])
 
 
+@udtf
+class TokenColumnsUDTF:
+    """POLYMORPHIC table function (Spark 4 ``analyze`` API): emit the
+    first N tokens of a text as N separate columns ``tok0..tok{N-1}`` —
+    the output SCHEMA depends on the constant argument, which a plain
+    ``returnType`` cannot express. ``analyze`` runs at plan time on the
+    driver with the literal argument value and returns the concrete
+    schema; ``eval`` then produces matching tuples. The fixed-width
+    token-prefix shape is the feature-column layout tabular trainers
+    expect (pad with NULLs, never ragged rows)."""
+
+    @staticmethod
+    def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+        if not isinstance(n.value, int) or n.value < 1:
+            raise ValueError("n must be a positive integer literal")
+        schema = StructType().add("n_tokens", IntegerType())
+        for i in range(n.value):
+            schema = schema.add(f"tok{i}", StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text: str, n: int):  # noqa: D102
+        toks = (text or "").lower().strip().split()
+        yield (len(toks), *[toks[i] if i < len(toks) else None for i in range(n)])
+
+
 def register_table_functions(spark) -> None:
     """Register all table functions on a session (SQL name → class)."""
     spark.udtf.register("chunk_doc", ChunkDocUDTF)
+    spark.udtf.register("token_columns", TokenColumnsUDTF)
 
 
-__all__ = ["ChunkDocUDTF", "register_table_functions", "lit"]
+__all__ = [
+    "ChunkDocUDTF",
+    "TokenColumnsUDTF",
+    "register_table_functions",
+    "lit",
+]

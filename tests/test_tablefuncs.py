@@ -3,6 +3,8 @@ path (functions/tablefuncs.py is an escape-hatch demo, not a hot path)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from clinical_api_etl_spark.functions.tablefuncs import register_table_functions
@@ -45,3 +47,52 @@ class TestChunkUDTF:
             "SELECT * FROM chunk_doc('  Tiny DOC  ', 16)"
         ).collect()
         assert [(r["chunk_idx"], r["chunk"]) for r in df] == [(0, "tiny doc")]
+
+
+class TestPolymorphicUdtf:
+    def test_schema_follows_literal_argument(self, spark):
+        from clinical_api_etl_spark.functions.tablefuncs import (
+            register_table_functions,
+        )
+
+        register_table_functions(spark)
+        three = spark.sql(
+            "SELECT * FROM token_columns('Alpha beta GAMMA delta', 3)"
+        )
+        assert three.columns == ["n_tokens", "tok0", "tok1", "tok2"]
+        assert three.collect()[0].asDict() == {
+            "n_tokens": 4, "tok0": "alpha", "tok1": "beta", "tok2": "gamma",
+        }
+        five = spark.sql("SELECT * FROM token_columns('one two', 5)")
+        assert five.columns == ["n_tokens"] + [f"tok{i}" for i in range(5)]
+        row = five.collect()[0]
+        assert (row.tok0, row.tok1, row.tok2) == ("one", "two", None)
+
+    def test_lateral_join_over_documents(self, spark):
+        from clinical_api_etl_spark.functions.tablefuncs import (
+            register_table_functions,
+        )
+        from clinical_api_etl_spark.sources.catalog import load
+
+        register_table_functions(spark)
+        load(spark, "/root/testdata/sf0.001", "documents").limit(
+            20
+        ).createOrReplaceTempView("udtf_docs")
+        out = spark.sql(
+            """
+            SELECT d.doc_id, t.n_tokens, t.tok0, t.tok1
+            FROM udtf_docs d, LATERAL token_columns(d.text, 2) t
+            """
+        )
+        rows = out.collect()
+        assert len(rows) == 20
+        assert all(r.n_tokens > 0 and r.tok0 is not None for r in rows)
+
+    def test_invalid_literal_rejected(self, spark):
+        from clinical_api_etl_spark.functions.tablefuncs import (
+            register_table_functions,
+        )
+
+        register_table_functions(spark)
+        with pytest.raises(Exception, match="positive integer"):
+            spark.sql("SELECT * FROM token_columns('x', 0)").collect()
