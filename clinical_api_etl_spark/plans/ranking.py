@@ -2611,3 +2611,187 @@ def sql_pipe_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                   max_user
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified reranking (greedy, exact, unrolled).
+# ---------------------------------------------------------------------------
+
+_MMR_QUERIES = 3     # queries (doc_id < 3) — bounds the unrolled oracle
+_MMR_POOL = 10       # candidate pool per query (top-N by relevance)
+_MMR_K = 5           # selections per query
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR: one (remaining, max-sim, argmax) CTE triple
+    per step, every step MATERIALIZED (k-core rule)."""
+    ctes = [
+        f"t AS MATERIALIZED (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)",
+        "tf AS MATERIALIZED (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c"
+        " FROM t GROUP BY doc_id, tok)",
+        f"""q AS MATERIALIZED (SELECT doc_id AS q_id, tok, c AS qc FROM tf
+          WHERE doc_id < {_MMR_QUERIES})""",
+        f"""cand AS MATERIALIZED (
+          SELECT q_id, doc_id, rel FROM (
+            SELECT q.q_id, tf.doc_id,
+                   CAST(SUM(tf.c * q.qc) AS BIGINT) AS rel,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.q_id
+                     ORDER BY SUM(tf.c * q.qc) DESC, tf.doc_id) AS rk
+            FROM tf JOIN q USING (tok)
+            WHERE tf.doc_id <> q.q_id
+            GROUP BY q.q_id, tf.doc_id)
+          WHERE rk <= {_MMR_POOL})""",
+        """cd AS MATERIALIZED (
+          SELECT c.q_id, tf.doc_id, tf.tok, tf.c
+          FROM cand c JOIN tf ON c.doc_id = tf.doc_id)""",
+        """sims AS MATERIALIZED (
+          SELECT a.q_id, a.doc_id AS d1, b.doc_id AS d2,
+                 CAST(SUM(a.c * b.c) AS BIGINT) AS sim
+          FROM cd a JOIN cd b
+            ON a.q_id = b.q_id AND a.tok = b.tok AND a.doc_id <> b.doc_id
+          GROUP BY a.q_id, a.doc_id, b.doc_id)""",
+        """p1 AS MATERIALIZED (
+          SELECT q_id, 1 AS step, doc_id, rel, rel AS score FROM (
+            SELECT q_id, doc_id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY rel DESC, doc_id) AS rk
+            FROM cand) WHERE rk = 1)""",
+        "s1 AS MATERIALIZED (SELECT * FROM p1)",
+    ]
+    for i in range(2, _MMR_K + 1):
+        prev = f"s{i - 1}"
+        ctes.append(
+            f"""ms{i} AS MATERIALIZED (
+              SELECT r.q_id, r.doc_id, r.rel,
+                     MAX(COALESCE(s.sim, 0)) AS msim
+              FROM cand r
+              JOIN {prev} p ON r.q_id = p.q_id
+              LEFT JOIN sims s ON s.q_id = r.q_id AND s.d1 = r.doc_id
+                               AND s.d2 = p.doc_id
+              WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                                WHERE x.q_id = r.q_id
+                                  AND x.doc_id = r.doc_id)
+              GROUP BY r.q_id, r.doc_id, r.rel)"""
+        )
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+              SELECT q_id, {i} AS step, doc_id, rel,
+                     CAST(rel - msim AS BIGINT) AS score FROM (
+                SELECT q_id, doc_id, rel, msim,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q_id
+                         ORDER BY rel - msim DESC, doc_id) AS rk
+                FROM ms{i}) WHERE rk = 1)"""
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED"
+            f" (SELECT * FROM {prev} UNION ALL SELECT * FROM p{i})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT q_id, CAST(step AS BIGINT) AS step, doc_id, rel, score"
+        f" FROM s{_MMR_K}"
+    )
+
+
+@QS.add(
+    "retrieval_mmr_rerank",
+    _mmr_oracle(),
+    doc="[EXT] maximal-marginal-relevance reranking: from each query's "
+    "top-10 relevance pool, greedily pick 5 documents maximizing "
+    "2*MMR(lambda=1/2) = relevance - max similarity to anything already "
+    "picked — the diversity rerank search/RAG stacks apply so five "
+    "near-duplicates don't fill the context window. With integer "
+    "dot-product relevance AND inter-candidate similarity, every greedy "
+    "score is an exact BIGINT and ties pin on doc_id, so the whole "
+    "5-step greedy trajectory hash-matches an unrolled MATERIALIZED "
+    "oracle (SIXTH iterative algorithm under a full value hash). "
+    "Pairwise similarities only ever span the 10-candidate pools "
+    "(<= 45 pairs/query), computed once via a posting self-join.",
+    tags=("text", "retrieval", "iterative"),
+)
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = _tf(spark, sf_dir).coalesce(8).persist()
+    q = tf.filter(F.col("doc_id") < _MMR_QUERIES).select(
+        F.col("doc_id").alias("q_id"), "tok", F.col("c").alias("qc")
+    )
+    rel_all = (
+        tf.join(F.broadcast(q), "tok")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum(F.col("c") * F.col("qc")).cast("long").alias("rel"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("doc_id"))
+    cand = (
+        rel_all.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _MMR_POOL)
+        .drop("rk")
+        .coalesce(1)
+        .persist()
+    )
+    cd = cand.select("q_id", "doc_id").join(tf, "doc_id")
+    a = cd.select(
+        "q_id", F.col("doc_id").alias("d1"), "tok", F.col("c").alias("c1")
+    )
+    b = cd.select(
+        "q_id", F.col("doc_id").alias("d2"), "tok", F.col("c").alias("c2")
+    )
+    sims = (
+        a.join(b, ["q_id", "tok"])
+        .filter(F.col("d1") != F.col("d2"))
+        .groupBy("q_id", "d1", "d2")
+        .agg(F.sum(F.col("c1") * F.col("c2")).cast("long").alias("sim"))
+        .coalesce(1)
+        .persist()
+    )
+    picked = (
+        cand.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") == 1)
+        .select(
+            "q_id",
+            F.lit(1).alias("step"),
+            "doc_id",
+            "rel",
+            F.col("rel").alias("score"),
+        )
+    )
+    selected = picked
+    for i in range(2, _MMR_K + 1):
+        rem = cand.join(
+            selected.select("q_id", "doc_id"), ["q_id", "doc_id"], "left_anti"
+        )
+        pairs = rem.join(
+            selected.select("q_id", F.col("doc_id").alias("sel_doc")), "q_id"
+        ).join(
+            sims.select(
+                "q_id",
+                F.col("d1").alias("doc_id"),
+                F.col("d2").alias("sel_doc"),
+                "sim",
+            ),
+            ["q_id", "doc_id", "sel_doc"],
+            "left",
+        )
+        ms = pairs.groupBy("q_id", "doc_id", "rel").agg(
+            F.max(F.coalesce("sim", F.lit(0))).cast("long").alias("msim")
+        )
+        ws = Window.partitionBy("q_id").orderBy(
+            F.desc(F.col("rel") - F.col("msim")), F.asc("doc_id")
+        )
+        pick = (
+            ms.withColumn("rk", F.row_number().over(ws))
+            .filter(F.col("rk") == 1)
+            .select(
+                "q_id",
+                F.lit(i).alias("step"),
+                "doc_id",
+                "rel",
+                (F.col("rel") - F.col("msim")).cast("long").alias("score"),
+            )
+        )
+        selected = selected.unionByName(pick).coalesce(1).persist()
+    return selected.select(
+        "q_id", F.col("step").cast("long").alias("step"), "doc_id", "rel", "score"
+    )

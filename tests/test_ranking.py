@@ -1051,3 +1051,57 @@ class TestPipeSyntax:
         got = {tuple(r) for r in sql_pipe_daily_rollup(spark, SF).collect()}
         assert got == {tuple(r) for r in classic.collect()}
         assert got  # non-empty
+
+
+class TestMmrRerank:
+    def test_matches_python_replay(self, spark, tf_py):
+        from clinical_api_etl_spark.plans.ranking import retrieval_mmr_rerank
+
+        def dot(a, b):
+            return sum(n * b[t] for t, n in a.items() if t in b)
+
+        expect = set()
+        for q in range(3):
+            rel = {}
+            for d, c in tf_py.items():
+                if d != q:
+                    r = dot(c, tf_py[q])
+                    if r:
+                        rel[d] = r
+            pool = sorted(rel, key=lambda d: (-rel[d], d))[:10]
+            selected = []
+            first = min(pool, key=lambda d: (-rel[d], d))
+            selected.append(first)
+            expect.add((q, 1, first, rel[first], rel[first]))
+            for step in range(2, 6):
+                best = None
+                for d in pool:
+                    if d in selected:
+                        continue
+                    msim = max(dot(tf_py[d], tf_py[s]) for s in selected)
+                    sc = rel[d] - msim
+                    key = (-sc, d)
+                    if best is None or key < best[0]:
+                        best = (key, d, sc)
+                expect.add((q, step, best[1], rel[best[1]], best[2]))
+                selected.append(best[1])
+        got = {
+            (r.q_id, r.step, r.doc_id, r.rel, r.score)
+            for r in retrieval_mmr_rerank(spark, SF).collect()
+        }
+        assert got == expect
+
+    def test_no_repeats_and_diversity_tradeoff(self, spark):
+        from clinical_api_etl_spark.plans.ranking import retrieval_mmr_rerank
+
+        rows = retrieval_mmr_rerank(spark, SF).collect()
+        per_q = collections.defaultdict(list)
+        for r in rows:
+            per_q[r.q_id].append(r)
+        for q, rs in per_q.items():
+            assert len({r.doc_id for r in rs}) == 5
+            rs.sort(key=lambda r: r.step)
+            # step-1 pick is the pure-relevance argmax
+            assert rs[0].score == rs[0].rel
+            # later scores are penalized by similarity (<= relevance)
+            assert all(r.score <= r.rel for r in rs[1:])
