@@ -2795,3 +2795,160 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selected.select(
         "q_id", F.col("step").cast("long").alias("step"), "doc_id", "rel", "score"
     )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes: train + predict + confusion, all hash-gated.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "ml_naive_bayes_lang",
+    f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents
+    ),
+    classes AS MATERIALIZED (
+      SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM t GROUP BY lang
+    ),
+    corpus AS MATERIALIZED (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+             (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) FROM t) AS v
+      FROM classes
+    ),
+    cls_tok AS MATERIALIZED (
+      SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM t GROUP BY lang, tok
+    ),
+    cls_tot AS MATERIALIZED (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM cls_tok GROUP BY lang
+    ),
+    vocab AS MATERIALIZED (SELECT DISTINCT tok FROM t),
+    p AS MATERIALIZED (
+      -- add-one smoothed p(tok | class) as ONE correctly-rounded division
+      SELECT cl.lang, vb.tok,
+             CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE)
+               / CAST(tt.tot + corpus.v AS DOUBLE) AS pr
+      FROM classes cl
+      CROSS JOIN vocab vb
+      CROSS JOIN corpus
+      JOIN cls_tot tt ON tt.lang = cl.lang
+      LEFT JOIN cls_tok ct ON ct.lang = cl.lang AND ct.tok = vb.tok
+    ),
+    scored AS MATERIALIZED (
+      SELECT d.doc_id, d.lang AS actual, p.lang AS cls,
+             (CAST(cl.n_docs AS DOUBLE) / CAST(corpus.total_docs AS DOUBLE))
+             * list_reduce(
+                 list_prepend(CAST(1 AS DOUBLE),
+                              list(p.pr ORDER BY d.tok, d.occ)),
+                 (a, b) -> a * b) AS score
+      FROM (SELECT doc_id, lang, tok,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id, tok) AS occ
+            FROM t) d
+      JOIN p ON p.tok = d.tok
+      JOIN classes cl ON cl.lang = p.lang
+      CROSS JOIN corpus
+      GROUP BY d.doc_id, d.lang, p.lang, cl.n_docs, corpus.total_docs
+    ),
+    pred AS MATERIALIZED (
+      SELECT doc_id, actual, cls AS predicted FROM (
+        SELECT doc_id, actual, cls,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cls) AS rk
+        FROM scored) WHERE rk = 1
+    )
+    SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY actual, predicted
+    """,
+    doc="[EXT] multinomial Naive Bayes language classifier — trained on "
+    "the corpus (lang labels), every document scored against every "
+    "class, confusion matrix out; the classic supervised text baseline, "
+    "end-to-end in relational ops. NO logarithms (JVM/libm ln diverge): "
+    "the posterior is the RAW probability product — each add-one "
+    "smoothed p(tok|class) is one correctly-rounded division, and the "
+    "per-document product folds in pinned (token, occurrence) order, so "
+    "scores are bit-identical across engines (54-token docs bottom out "
+    "around 1e-90, far above double underflow; at longer docs switch to "
+    "per-128-token rescaling, documented). Argmax ties pin on class "
+    "label. Train tables are (class x vocab)-sized aggregates; scoring "
+    "joins the exploded corpus once.",
+    tags=("text", "ml"),
+)
+def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = (
+        docs.select(
+            "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .coalesce(8)
+        .persist()
+    )
+    classes = t.groupBy("lang").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs")
+    )
+    corpus = classes.agg(
+        F.sum("n_docs").cast("long").alias("total_docs")
+    ).crossJoin(
+        t.agg(F.count_distinct("tok").cast("long").alias("v"))
+    )
+    cls_tok = t.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cls_tot = cls_tok.groupBy("lang").agg(F.sum("c").cast("long").alias("tot"))
+    vocab = t.select("tok").distinct()
+    p = (
+        classes.crossJoin(vocab)
+        .crossJoin(F.broadcast(corpus))
+        .join(cls_tot, "lang")
+        .join(cls_tok, ["lang", "tok"], "left")
+        .select(
+            "lang",
+            "tok",
+            (
+                (F.coalesce("c", F.lit(0)) + 1).cast("double")
+                / (F.col("tot") + F.col("v")).cast("double")
+            ).alias("pr"),
+        )
+        .coalesce(8)
+        .persist()
+    )
+    wocc = Window.partitionBy("doc_id", "tok").orderBy(F.lit(1))
+    d = t.withColumn("occ", F.row_number().over(wocc))
+    scored = (
+        d.join(
+            p.select(F.col("lang").alias("cls"), "tok", "pr"), "tok"
+        )
+        .groupBy("doc_id", F.col("lang").alias("actual"), "cls")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("tok", "occ", "pr"))),
+                F.lit(1.0),
+                lambda acc, x: acc * x["pr"],
+            ).alias("fold")
+        )
+        .join(
+            F.broadcast(
+                classes.crossJoin(corpus).select(
+                    F.col("lang").alias("cls"),
+                    (
+                        F.col("n_docs").cast("double")
+                        / F.col("total_docs").cast("double")
+                    ).alias("prior"),
+                )
+            ),
+            "cls",
+        )
+        .select(
+            "doc_id", "actual", "cls", (F.col("prior") * F.col("fold")).alias("score")
+        )
+    )
+    wp = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cls"))
+    pred = (
+        scored.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select("actual", F.col("cls").alias("predicted"))
+    )
+    return pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

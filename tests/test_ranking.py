@@ -1105,3 +1105,58 @@ class TestMmrRerank:
             assert rs[0].score == rs[0].rel
             # later scores are penalized by similarity (<= relevance)
             assert all(r.score <= r.rel for r in rs[1:])
+
+
+class TestNaiveBayes:
+    def test_matches_python_replay(self, spark, docs_pdf, tf_py):
+        from clinical_api_etl_spark.plans.ranking import ml_naive_bayes_lang
+
+        labels = dict(zip(docs_pdf["doc_id"], docs_pdf["lang"]))
+        classes = sorted(set(labels.values()))
+        n_docs_c = collections.Counter(labels.values())
+        total_docs = len(labels)
+        cls_tok = collections.defaultdict(collections.Counter)
+        for d, c in tf_py.items():
+            cls_tok[labels[d]].update(c)
+        vocab = sorted({t for c in tf_py.values() for t in c})
+        v = len(vocab)
+        tot_c = {cl: sum(cls_tok[cl].values()) for cl in classes}
+        pr = {
+            (cl, t): (cls_tok[cl][t] + 1) / (tot_c[cl] + v)
+            for cl in classes
+            for t in vocab
+        }
+        confusion = collections.Counter()
+        for d, cnt in tf_py.items():
+            toks = sorted(
+                t for t, k in cnt.items() for _ in range(k)
+            )
+            best = None
+            for cl in classes:
+                s = 1.0
+                for t in toks:
+                    s = s * pr[(cl, t)]
+                s = (n_docs_c[cl] / total_docs) * s
+                key = (-s, cl)
+                if best is None or key < best[0]:
+                    best = (key, cl)
+            confusion[(labels[d], best[1])] += 1
+        got = {
+            (r.actual, r.predicted): r.n
+            for r in ml_naive_bayes_lang(spark, SF).collect()
+        }
+        assert got == dict(confusion)
+
+    def test_diagonal_dominates_majority_class(self, spark):
+        from clinical_api_etl_spark.plans.ranking import ml_naive_bayes_lang
+
+        rows = ml_naive_bayes_lang(spark, SF).collect()
+        total = sum(r.n for r in rows)
+        correct = sum(r.n for r in rows if r.actual == r.predicted)
+        # better than predicting the majority class for everything
+        majority = max(
+            sum(r.n for r in rows if r.actual == lang)
+            for lang in {r.actual for r in rows}
+        )
+        assert total == 500
+        assert correct > majority
