@@ -2952,3 +2952,237 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("actual", "predicted").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes with a held-out split: per-class precision/recall/F1.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "ml_naive_bayes_holdout",
+    f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, lang, unnest({_TOKS}) AS tok,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000' AS is_train
+      FROM documents
+    ),
+    classes AS MATERIALIZED (
+      SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM t WHERE is_train GROUP BY lang
+    ),
+    corpus AS MATERIALIZED (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+             (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT)
+              FROM t WHERE is_train) AS v
+      FROM classes
+    ),
+    cls_tok AS MATERIALIZED (
+      SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM t WHERE is_train GROUP BY lang, tok
+    ),
+    cls_tot AS MATERIALIZED (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM cls_tok GROUP BY lang
+    ),
+    scored AS MATERIALIZED (
+      SELECT d.doc_id, d.lang AS actual, cl.lang AS cls,
+             (CAST(cl.n_docs AS DOUBLE) / CAST(corpus.total_docs AS DOUBLE))
+             * list_reduce(
+                 list_prepend(CAST(1 AS DOUBLE),
+                   list(CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE)
+                        / CAST(tt.tot + corpus.v AS DOUBLE)
+                        ORDER BY d.tok, d.occ)),
+                 (a, b) -> a * b) AS score
+      FROM (SELECT doc_id, lang, tok,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id, tok) AS occ
+            FROM t WHERE NOT is_train) d
+      CROSS JOIN classes cl
+      CROSS JOIN corpus
+      JOIN cls_tot tt ON tt.lang = cl.lang
+      LEFT JOIN cls_tok ct ON ct.lang = cl.lang AND ct.tok = d.tok
+      GROUP BY d.doc_id, d.lang, cl.lang, cl.n_docs, corpus.total_docs
+    ),
+    pred AS MATERIALIZED (
+      SELECT doc_id, actual, cls AS predicted FROM (
+        SELECT doc_id, actual, cls,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cls) AS rk
+        FROM scored) WHERE rk = 1
+    ),
+    per_class AS (
+      SELECT c.lang,
+             CAST(COALESCE(SUM(CASE WHEN p.actual = c.lang
+                        AND p.predicted = c.lang THEN 1 END), 0) AS BIGINT) AS tp,
+             CAST(COALESCE(SUM(CASE WHEN p.actual <> c.lang
+                        AND p.predicted = c.lang THEN 1 END), 0) AS BIGINT) AS fp,
+             CAST(COALESCE(SUM(CASE WHEN p.actual = c.lang
+                        AND p.predicted <> c.lang THEN 1 END), 0) AS BIGINT) AS fn
+      FROM classes c CROSS JOIN pred p
+      GROUP BY c.lang
+    )
+    SELECT lang, tp, fp, fn,
+           CASE WHEN tp + fp = 0 THEN NULL
+                ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+             AS precision_,
+           CASE WHEN tp + fn = 0 THEN NULL
+                ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END
+             AS recall_,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                ELSE CAST(2 * tp AS DOUBLE)
+                     / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
+    FROM per_class
+    """,
+    doc="[EXT] Naive Bayes under a PROPER held-out evaluation: a "
+    "deterministic md5 split (hex-prefix < '8000', the engine's "
+    "portable-sampling convention) trains on ~half the corpus and "
+    "scores the unseen half — tokens absent from training smooth to "
+    "1/(tot_c+V) through the same add-one path, so out-of-vocabulary "
+    "mass is handled, not dropped. Output is the per-class "
+    "precision/recall/F1 table (exact TP/FP/FN BIGINTs; F1 computed as "
+    "2TP/(2TP+FP+FN) — ONE division, algebraically identical to the "
+    "harmonic mean but with no intermediate rounding). Scores fold in "
+    "pinned order as in ml_naive_bayes_lang.",
+    tags=("text", "ml"),
+)
+def ml_naive_bayes_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(tokens(F.col("text"))).alias("tok"),
+            (
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+                < "8000"
+            ).alias("is_train"),
+        )
+        .coalesce(8)
+        .persist()
+    )
+    train = t.filter(F.col("is_train"))
+    classes = train.groupBy("lang").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs")
+    )
+    corpus = classes.agg(
+        F.sum("n_docs").cast("long").alias("total_docs")
+    ).crossJoin(train.agg(F.count_distinct("tok").cast("long").alias("v")))
+    cls_tok = train.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cls_tot = cls_tok.groupBy("lang").agg(F.sum("c").cast("long").alias("tot"))
+    wocc = Window.partitionBy("doc_id", "tok").orderBy(F.lit(1))
+    d = (
+        t.filter(~F.col("is_train"))
+        .withColumn("occ", F.row_number().over(wocc))
+        .select("doc_id", F.col("lang").alias("actual"), "tok", "occ")
+    )
+    scored = (
+        d.crossJoin(F.broadcast(classes.select(F.col("lang").alias("cls"), "n_docs")))
+        .crossJoin(F.broadcast(corpus))
+        .join(
+            F.broadcast(cls_tot.select(F.col("lang").alias("cls"), "tot")), "cls"
+        )
+        .join(
+            F.broadcast(
+                cls_tok.select(F.col("lang").alias("cls"), "tok", "c")
+            ),
+            ["cls", "tok"],
+            "left",
+        )
+        .withColumn(
+            "pr",
+            (F.coalesce("c", F.lit(0)) + 1).cast("double")
+            / (F.col("tot") + F.col("v")).cast("double"),
+        )
+        .groupBy("doc_id", "actual", "cls", "n_docs", "total_docs")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("tok", "occ", "pr"))),
+                F.lit(1.0),
+                lambda acc, x: acc * x["pr"],
+            ).alias("fold")
+        )
+        .select(
+            "doc_id",
+            "actual",
+            "cls",
+            (
+                (F.col("n_docs").cast("double") / F.col("total_docs").cast("double"))
+                * F.col("fold")
+            ).alias("score"),
+        )
+    )
+    wp = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cls"))
+    pred = (
+        scored.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select("actual", F.col("cls").alias("predicted"))
+    ).coalesce(1).persist()
+    per_class = (
+        classes.select("lang")
+        .crossJoin(pred)
+        .groupBy("lang")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("actual") == F.col("lang"))
+                        & (F.col("predicted") == F.col("lang")),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tp"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("actual") != F.col("lang"))
+                        & (F.col("predicted") == F.col("lang")),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("fp"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("actual") == F.col("lang"))
+                        & (F.col("predicted") != F.col("lang")),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    return per_class.select(
+        "lang",
+        "tp",
+        "fp",
+        "fn",
+        F.when(F.col("tp") + F.col("fp") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double")
+        )
+        .alias("precision_"),
+        F.when(F.col("tp") + F.col("fn") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double")
+        )
+        .alias("recall_"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") == 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            (2 * F.col("tp")).cast("double")
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double")
+        )
+        .alias("f1"),
+    )

@@ -1160,3 +1160,66 @@ class TestNaiveBayes:
         )
         assert total == 500
         assert correct > majority
+
+
+class TestNaiveBayesHoldout:
+    def test_matches_python_replay(self, spark, docs_pdf, tf_py):
+        import hashlib
+
+        from clinical_api_etl_spark.plans.ranking import ml_naive_bayes_holdout
+
+        labels = dict(zip(docs_pdf["doc_id"], docs_pdf["lang"]))
+        is_train = {
+            d: hashlib.md5(str(d).encode()).hexdigest()[:4] < "8000"
+            for d in labels
+        }
+        train = [d for d in labels if is_train[d]]
+        test = [d for d in labels if not is_train[d]]
+        classes = sorted({labels[d] for d in train})
+        n_docs_c = collections.Counter(labels[d] for d in train)
+        total_docs = len(train)
+        cls_tok = collections.defaultdict(collections.Counter)
+        for d in train:
+            cls_tok[labels[d]].update(tf_py[d])
+        vocab = {t for d in train for t in tf_py[d]}
+        v = len(vocab)
+        tot_c = {cl: sum(cls_tok[cl].values()) for cl in classes}
+        preds = {}
+        for d in test:
+            toks = sorted(t for t, k in tf_py[d].items() for _ in range(k))
+            best = None
+            for cl in classes:
+                s = 1.0
+                for t in toks:
+                    s = s * ((cls_tok[cl][t] + 1) / (tot_c[cl] + v))
+                s = (n_docs_c[cl] / total_docs) * s
+                key = (-s, cl)
+                if best is None or key < best[0]:
+                    best = (key, cl)
+            preds[d] = best[1]
+        expect = {}
+        for cl in classes:
+            tp = sum(1 for d in test if labels[d] == cl and preds[d] == cl)
+            fp = sum(1 for d in test if labels[d] != cl and preds[d] == cl)
+            fn = sum(1 for d in test if labels[d] == cl and preds[d] != cl)
+            expect[cl] = (
+                tp, fp, fn,
+                None if tp + fp == 0 else tp / (tp + fp),
+                None if tp + fn == 0 else tp / (tp + fn),
+                None if 2 * tp + fp + fn == 0 else 2 * tp / (2 * tp + fp + fn),
+            )
+        got = {
+            r.lang: (r.tp, r.fp, r.fn, r.precision_, r.recall_, r.f1)
+            for r in ml_naive_bayes_holdout(spark, SF).collect()
+        }
+        assert got == expect
+
+    def test_split_is_roughly_half(self, docs_pdf):
+        import hashlib
+
+        tr = sum(
+            1
+            for d in docs_pdf["doc_id"]
+            if hashlib.md5(str(d).encode()).hexdigest()[:4] < "8000"
+        )
+        assert 0.35 < tr / len(docs_pdf) < 0.65
