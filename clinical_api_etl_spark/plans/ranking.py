@@ -2724,12 +2724,17 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("c") * F.col("qc")).cast("long").alias("rel"))
     )
     wq = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("doc_id"))
+    # localCheckpoint (EAGER), not lazy persist: every greedy round joins
+    # cand/sims against the growing `selected` union and Spark rebuilds
+    # BROADCAST inputs from unmaterialized lineage — by round 5 the plan
+    # tree is deep enough to OOM a 1 GB vanilla driver (k-core finding:
+    # lazy persists do not protect broadcast subtrees).
     cand = (
         rel_all.withColumn("rk", F.row_number().over(wq))
         .filter(F.col("rk") <= _MMR_POOL)
         .drop("rk")
         .coalesce(1)
-        .persist()
+        .localCheckpoint(eager=True)
     )
     cd = cand.select("q_id", "doc_id").join(tf, "doc_id")
     a = cd.select(
@@ -2744,7 +2749,7 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_id", "d1", "d2")
         .agg(F.sum(F.col("c1") * F.col("c2")).cast("long").alias("sim"))
         .coalesce(1)
-        .persist()
+        .localCheckpoint(eager=True)
     )
     picked = (
         cand.withColumn("rk", F.row_number().over(wq))
@@ -2791,7 +2796,9 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("rel") - F.col("msim")).cast("long").alias("score"),
             )
         )
-        selected = selected.unionByName(pick).coalesce(1).persist()
+        selected = selected.unionByName(pick).coalesce(1).localCheckpoint(
+            eager=True
+        )
     return selected.select(
         "q_id", F.col("step").cast("long").alias("step"), "doc_id", "rel", "score"
     )
