@@ -46,6 +46,16 @@ QUERIES = [
     "w15_ewma_dyadic",
     "text_trigram_lm",
     "bpe_learn_merges",
+    # round-8 additions: posting-list retrieval + greedy MMR rounds, LPA
+    # label-histogram rounds, grid-join DBSCAN, wedge-join link
+    # prediction, pinned-fold NB scoring, survival risk-set windows.
+    "text_sparse_topk",
+    "retrieval_mmr_rerank",
+    "graph_lpa_communities",
+    "graph_linkpred_topk",
+    "emb_dbscan_clusters",
+    "ml_naive_bayes_lang",
+    "stat_kaplan_meier_conversion",
 ]
 
 
@@ -132,8 +142,19 @@ def synthesize(spark, factor: int, dest: str) -> None:
 
     emb = load(spark, BASE, "embeddings")
     n_v = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    # shift each copy's vectors deterministically (±0.05·k per element):
+    # exact duplicates would make density/near-dup operators look
+    # quadratic at 10x purely because every point gains 9 clones at
+    # distance zero — an artifact, not a scaling law.
     ecopies = [
-        emb.withColumn("vec_id", F.col("vec_id") + k * n_v) for k in range(factor)
+        emb.withColumn("vec_id", F.col("vec_id") + k * n_v).withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda x, k=k: (x + F.lit(0.05 * k)).cast("float"),
+            ),
+        )
+        for k in range(factor)
     ]
     out = ecopies[0]
     for c in ecopies[1:]:
