@@ -657,6 +657,87 @@ class SnapshotWarehouse(ParquetWarehouse):
                     shutil.rmtree(d)
             return n
 
+    # -- write-audit-publish (Iceberg WAP analogue) -------------------------
+
+    def stage_append(self, table: str, df: DataFrame) -> str:
+        """WRITE step of write-audit-publish: materialize ``df`` into a
+        fresh commit dir and record it in a STAGED manifest that no read
+        path resolves (``versions()`` only parses ``v*.json``). Returns
+        the staging id. The audit step reads :meth:`read_staged` (the
+        candidate future table) and runs its checks
+        (operators/expectations.py); :meth:`publish_staged` then promotes
+        atomically, or :meth:`discard_staged` drops the bytes. Caveat
+        (same as Iceberg's orphan cleanup): ``vacuum`` during an open WAP
+        window deletes the staged files — match retention to audit
+        duration."""
+        with self._write_lock:
+            new = self._write_commit_files(table, df)
+            sid = uuid.uuid4().hex
+            mdir = self._manifest_dir(table)
+            mdir.mkdir(parents=True, exist_ok=True)
+            staged = {
+                "staging_id": sid,
+                "new_files": sorted(new),
+                "committed_at_ms": int(time.time() * 1000),
+            }
+            tmp = mdir / f".tmp-{sid}"
+            tmp.write_text(json.dumps(staged, indent=1))
+            os.rename(tmp, mdir / f"staged-{sid}.json")
+            return sid
+
+    def _load_staged(self, table: str, staging_id: str) -> dict:
+        p = self._manifest_dir(table) / f"staged-{staging_id}.json"
+        if not p.is_file():
+            raise ValueError(f"{table}: no staged snapshot {staging_id}")
+        return json.loads(p.read_text())
+
+    def read_staged(self, table: str, staging_id: str) -> DataFrame:
+        """The table AS IT WOULD BE after publishing: current head plus
+        the staged files — what the audit step validates."""
+        staged = self._load_staged(table, staging_id)
+        root = self._data_root(table)
+        paths = [str(root / rel) for rel in staged["new_files"]]
+        new_df = self.spark.read.parquet(*paths)
+        cur = self.read(table)
+        return new_df if cur is None else cur.unionByName(new_df)
+
+    def publish_staged(self, table: str, staging_id: str) -> int:
+        """PUBLISH step: promote the staged files into the next snapshot.
+        The carried file list is re-derived from the head AT PUBLISH TIME
+        (under the writer lock), so commits that landed during the audit
+        window are preserved, not clobbered. Returns the new version; the
+        staged manifest is consumed."""
+        with self._write_lock:
+            staged = self._load_staged(table, staging_id)
+            prev = self._load_manifest(table)
+            carried = prev["files"] if prev else []
+            self._commit(
+                table,
+                carried + staged["new_files"],
+                "append[wap]",
+                deletes=(prev.get("deletes") if prev else None),
+            )
+            (self._manifest_dir(table) / f"staged-{staging_id}.json").unlink()
+            return self.versions(table)[-1]
+
+    def discard_staged(self, table: str, staging_id: str) -> None:
+        """Audit failed: drop the staged manifest and its data files
+        (safe — no published manifest references them)."""
+        with self._write_lock:
+            staged = self._load_staged(table, staging_id)
+            root = self._data_root(table)
+            dirs = set()
+            for rel in staged["new_files"]:
+                p = root / rel
+                if p.is_file():
+                    p.unlink()
+                dirs.add(rel.split("/", 1)[0])
+            for d in dirs:
+                dd = root / d
+                if dd.is_dir() and not any(dd.rglob("*.parquet")):
+                    shutil.rmtree(dd)
+            (self._manifest_dir(table) / f"staged-{staging_id}.json").unlink()
+
     def restore(self, table: str, version: int) -> None:
         """Delta ``RESTORE TABLE ... TO VERSION`` analogue: publish a NEW
         snapshot whose file list (and deletion vectors) are exactly those

@@ -732,3 +732,57 @@ class TestFilesMetadataTable:
             .filter(F.col("max_b") < 1024 * 1024)
         )
         assert plan.count() == 3  # all three commits are small-file candidates
+
+
+class TestWriteAuditPublish:
+    def test_staged_invisible_until_published(self, spark, swh):
+        a = spark.createDataFrame([("s1", "p1", 1.0)], GOLD_SCHEMA)
+        swh.append("t", a)
+        sid = swh.stage_append(
+            "t", spark.createDataFrame([("s2", "p2", 2.0)], GOLD_SCHEMA)
+        )
+        assert swh.read("t").count() == 1          # not visible
+        assert swh.read_staged("t", sid).count() == 2  # audit view
+        v = swh.publish_staged("t", sid)
+        assert swh.read("t").count() == 2
+        assert swh.read("t", v).count() == 2
+        ops = [h["operation"] for h in swh.history("t")]
+        assert ops[-1] == "append[wap]"
+        with pytest.raises(ValueError, match="no staged"):
+            swh.read_staged("t", sid)  # consumed
+
+    def test_failed_audit_discards_bytes(self, spark, swh):
+        from pyspark.sql import functions as F
+
+        from clinical_api_etl_spark.operators.expectations import (
+            in_range,
+            violation_counts,
+        )
+
+        swh.append("t", spark.createDataFrame([("s1", "p1", 1.0)], GOLD_SCHEMA))
+        bad = spark.createDataFrame([("s9", "p9", -5.0)], GOLD_SCHEMA)
+        sid = swh.stage_append("t", bad)
+        audit = violation_counts(
+            swh.read_staged("t", sid), [in_range("v", 0.0, 100.0)]
+        )
+        n_bad = sum(r.n_violations for r in audit.collect())
+        assert n_bad == 1
+        swh.discard_staged("t", sid)
+        assert swh.read("t").count() == 1
+        data_root = Path(swh.root) / "t" / "data"
+        live = set(swh._load_manifest("t")["files"])
+        on_disk = {
+            str(p.relative_to(data_root)) for p in data_root.rglob("*.parquet")
+        }
+        assert on_disk == live  # staged bytes gone
+
+    def test_publish_preserves_concurrent_commits(self, spark, swh):
+        swh.append("t", spark.createDataFrame([("s1", "p1", 1.0)], GOLD_SCHEMA))
+        sid = swh.stage_append(
+            "t", spark.createDataFrame([("s2", "p2", 2.0)], GOLD_SCHEMA)
+        )
+        # another writer lands while the audit runs
+        swh.append("t", spark.createDataFrame([("s3", "p3", 3.0)], GOLD_SCHEMA))
+        swh.publish_staged("t", sid)
+        got = {r.participant_id for r in swh.read("t").collect()}
+        assert got == {"p1", "p2", "p3"}
