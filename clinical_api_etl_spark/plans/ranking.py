@@ -3193,3 +3193,142 @@ def ml_naive_bayes_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Financial reconciliation: order headers vs line-item rollup.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "dq_order_reconciliation",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)
+                      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                               AS BIGINT))) AS BIGINT) AS line_e4
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderstatus,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * 100 AS head_e4,
+             li.line_e4
+      FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (head_e4 = line_e4) AS BIGINT) AS n_exact,
+           CAST(SUM(ABS(head_e4 - line_e4)) AS BIGINT) AS abs_diff_e4,
+           CAST(MAX(ABS(head_e4 - line_e4)) AS BIGINT) AS max_diff_e4
+    FROM j GROUP BY o_orderstatus
+    """,
+    doc="[EXT] header-vs-detail reconciliation — the finance-closing "
+    "staple: every order's header total compared against the discounted "
+    "line-item rollup, reported per status as exact-match counts and "
+    "absolute drift. All arithmetic in ten-thousandth units (cents x "
+    "(100 - discount-hundredths)) so the comparison is EXACT integers — "
+    "a float recon would flag fp dust as drift. One grouped rollup + "
+    "one key join; the report aggregates to |statuses| rows. (This "
+    "synthetic generator draws headers independently of lines, so the "
+    "report correctly shows ~zero exact matches — the shape, not the "
+    "verdict, is the deliverable.)",
+    tags=("quality",),
+)
+def dq_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    ext_c = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    disc_h = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long")
+    rolled = li.groupBy("l_orderkey").agg(
+        F.sum(ext_c * (F.lit(100) - disc_h)).cast("long").alias("line_e4")
+    )
+    head_e4 = (
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long") * 100
+    )
+    j = orders.join(rolled, orders.o_orderkey == rolled.l_orderkey).select(
+        "o_orderstatus", head_e4.alias("head_e4"), "line_e4"
+    )
+    diff = F.abs(F.col("head_e4") - F.col("line_e4"))
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("head_e4") == F.col("line_e4"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.sum(diff).cast("long").alias("abs_diff_e4"),
+        F.max(diff).cast("long").alias("max_diff_e4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder (Hamilton) budget allocation.
+# ---------------------------------------------------------------------------
+
+_ALLOC_BUDGET = 1_000_000
+
+
+@QS.add(
+    "alloc_largest_remainder",
+    f"""
+    WITH c AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM events
+      GROUP BY event_type
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
+    base AS (
+      SELECT c.event_type, c.cnt,
+             (c.cnt * {_ALLOC_BUDGET}) // tot.n AS floor_alloc,
+             (c.cnt * {_ALLOC_BUDGET}) % tot.n AS rem
+      FROM c CROSS JOIN tot
+    ),
+    leftover AS (
+      SELECT CAST({_ALLOC_BUDGET} - SUM(floor_alloc) AS BIGINT) AS k FROM base
+    ),
+    ranked AS (
+      SELECT event_type, cnt, floor_alloc, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, event_type) AS rk
+      FROM base
+    )
+    SELECT event_type, cnt,
+           CAST(floor_alloc + CASE WHEN rk <= leftover.k THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked CROSS JOIN leftover
+    """,
+    doc="[EXT] largest-remainder (Hamilton) apportionment: split a fixed "
+    "integer budget across event types proportionally to their counts "
+    "with NO fractional units lost — floor shares first, then the "
+    "leftover units go to the largest remainders (ties to the smaller "
+    "type name, so the allocation is a function of the data alone). "
+    "The billing/quota/seat-apportionment primitive where naive "
+    "rounding either over- or under-spends; sum(alloc) == budget "
+    "EXACTLY, asserted in tests. Pure integer floor-div/mod arithmetic "
+    "on both engines.",
+    tags=("analytics",),
+)
+def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = c.agg(F.sum("cnt").cast("long").alias("n"))
+    base = c.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "cnt",
+        F.expr(f"(cnt * {_ALLOC_BUDGET}) div n").alias("floor_alloc"),
+        F.expr(f"(cnt * {_ALLOC_BUDGET}) % n").alias("rem"),
+    )
+    leftover = base.agg(
+        (F.lit(_ALLOC_BUDGET) - F.sum("floor_alloc")).cast("long").alias("k")
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("event_type"))
+    ranked = base.withColumn("rk", F.row_number().over(w))
+    return ranked.crossJoin(F.broadcast(leftover)).select(
+        "event_type",
+        "cnt",
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )

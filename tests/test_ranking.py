@@ -1223,3 +1223,71 @@ class TestNaiveBayesHoldout:
             if hashlib.md5(str(d).encode()).hexdigest()[:4] < "8000"
         )
         assert 0.35 < tr / len(docs_pdf) < 0.65
+
+
+class TestOrderReconciliation:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.ranking import dq_order_reconciliation
+
+        orders = pd.read_parquet(f"{SF}/orders.parquet")
+        li = pd.read_parquet(f"{SF}/lineitem.parquet")
+        ext_c = (li["l_extendedprice"] * 100).round().astype("int64")
+        disc_h = (li["l_discount"] * 100).round().astype("int64")
+        li = li.assign(e4=ext_c * (100 - disc_h))
+        rolled = li.groupby("l_orderkey")["e4"].sum()
+        agg = collections.defaultdict(lambda: [0, 0, 0, 0])
+        for r in orders.itertuples():
+            if r.o_orderkey not in rolled.index:
+                continue
+            head = int(round(r.o_totalprice * 100)) * 100
+            line = int(rolled[r.o_orderkey])
+            d = abs(head - line)
+            s = agg[r.o_orderstatus]
+            s[0] += 1
+            s[1] += 1 if d == 0 else 0
+            s[2] += d
+            s[3] = max(s[3], d)
+        expect = {k: tuple(v) for k, v in agg.items()}
+        got = {
+            r.o_orderstatus: (r.n_orders, r.n_exact, r.abs_diff_e4, r.max_diff_e4)
+            for r in dq_order_reconciliation(spark, SF).collect()
+        }
+        assert got == expect
+
+
+class TestLargestRemainder:
+    def test_allocation_sums_to_budget_exactly(self, spark):
+        from clinical_api_etl_spark.plans.ranking import alloc_largest_remainder
+
+        rows = alloc_largest_remainder(spark, SF).collect()
+        assert sum(r.alloc for r in rows) == 1_000_000
+
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.ranking import alloc_largest_remainder
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        cnt = collections.Counter(ev["event_type"])
+        n = sum(cnt.values())
+        B = 1_000_000
+        base = {t: (c * B) // n for t, c in cnt.items()}
+        rem = {t: (c * B) % n for t, c in cnt.items()}
+        k = B - sum(base.values())
+        order = sorted(cnt, key=lambda t: (-rem[t], t))
+        expect = {
+            t: (cnt[t], base[t] + (1 if i < k else 0))
+            for i, t in enumerate(order)
+        }
+        got = {
+            r.event_type: (r.cnt, r.alloc)
+            for r in alloc_largest_remainder(spark, SF).collect()
+        }
+        assert got == expect
+
+    def test_proportionality_bound(self, spark):
+        from clinical_api_etl_spark.plans.ranking import alloc_largest_remainder
+
+        rows = alloc_largest_remainder(spark, SF).collect()
+        n = sum(r.cnt for r in rows)
+        for r in rows:
+            exact = r.cnt * 1_000_000 / n
+            assert exact - 1 < r.alloc < exact + 1  # Hamilton stays within 1
