@@ -1348,3 +1348,83 @@ class TestStreamingDeadLetterQueue:
             F.from_json("raw", schema).alias("j")
         )
         assert fixed.count() == 2
+
+
+class TestStreamingPercentileMonitor:
+    def test_streamed_histogram_yields_batch_bands(self, spark, tmp_path):
+        """Exact percentile bands are maintainable incrementally: the
+        (type, value) histogram is a plain update-mode streaming
+        aggregate, and the type-1 quantiles derived from the final
+        streamed state equal stat_percentile_bands_by_type — an SLO-band
+        monitor is an incremental MV over the value histogram (the same
+        argument as the KS drift monitor, applied to rank selection)."""
+        import math
+
+        from clinical_api_etl_spark.plans.ranking import (
+            stat_percentile_bands_by_type,
+        )
+        from clinical_api_etl_spark.sources.catalog import load
+
+        sf = "/root/testdata/sf0.001"
+        ev = load(spark, sf, "events").filter(F.col("value").isNotNull())
+        cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        base = ev.select(
+            "event_id", F.col("event_type").alias("g"), cents.alias("x")
+        )
+        src = tmp_path / "pb_src"
+        src.mkdir()
+        for k in range(3):
+            base.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(src / f"b{k}"))
+
+        stream = spark.readStream.schema(
+            "event_id long, g string, x long"
+        ).parquet(str(src / "*"))
+        hist = stream.groupBy("g", "x").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        state: dict = {}
+
+        def sink(df, bid):
+            for r in df.collect():
+                state[(r["g"], r["x"])] = r["c"]
+
+        q = (
+            hist.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "pb_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        def bands_from_state(g):
+            xs = sorted(
+                (x, c) for (gg, x), c in state.items() if gg == g
+            )
+            n = sum(c for _, c in xs)
+
+            def pick(rank):
+                cum = 0
+                for x, c in xs:
+                    cum += c
+                    if cum >= rank:
+                        return x
+                return xs[-1][0]
+
+            return (
+                n,
+                pick(math.ceil(0.5 * n)),
+                pick(math.ceil(0.9 * n)),
+                pick(math.ceil(0.95 * n)),
+                xs[-1][0],
+            )
+
+        batch = {
+            r.event_type: (r.n, r.p50_cents, r.p90_cents, r.p95_cents,
+                           r.max_cents)
+            for r in stat_percentile_bands_by_type(spark, sf).collect()
+        }
+        for g, want in batch.items():
+            assert bands_from_state(g) == want
