@@ -3332,3 +3332,62 @@ def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day exact median (doubled units, windowed array).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "w19_rolling_median_daily",
+    """
+    WITH daily AS (
+      SELECT epoch_ms(ts) // 86400000 AS day, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY day
+    ),
+    w AS (
+      SELECT day, y,
+             list_sort(list(y) OVER (
+               ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+      FROM daily
+    )
+    SELECT day, y, CAST(len(win) AS BIGINT) AS n,
+           CAST(CASE WHEN len(win) % 2 = 1
+                     THEN 2 * win[(len(win) + 1) // 2]
+                     ELSE win[len(win) // 2] + win[len(win) // 2 + 1]
+                END AS BIGINT) AS median2
+    FROM w
+    """,
+    doc="[EXT] rolling 7-day exact median of daily event volume — the "
+    "robust companion to w18_rolling_ols_slope (a median sparkline "
+    "ignores single-day spikes a mean or slope reacts to). The trailing "
+    "RANGE frame collects at most 7 values; an in-row array sort + rank "
+    "pick yields the median in DOUBLED units (odd n: 2x the middle; "
+    "even n: sum of the two middles) so interpolation stays exact "
+    "integer — the MAD/Tukey scaled-integer ladder applied inside a "
+    "window. Never sorts more than the frame; |days| rows total.",
+    tags=("stats", "window"),
+)
+def w19_rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("unix_millis(ts) div 86400000").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    fr = Window.orderBy("day").rangeBetween(-6, 0)
+    w = daily.select(
+        "day", "y", F.sort_array(F.collect_list("y").over(fr)).alias("win")
+    )
+    n = F.size("win")
+    mid_odd = F.element_at("win", ((n + 1) / 2).cast("int"))
+    lo = F.element_at("win", (n / 2).cast("int"))
+    hi = F.element_at("win", (n / 2 + 1).cast("int"))
+    return w.select(
+        "day",
+        "y",
+        n.cast("long").alias("n"),
+        F.when(n % 2 == 1, 2 * mid_odd)
+        .otherwise(lo + hi)
+        .cast("long")
+        .alias("median2"),
+    )

@@ -1291,3 +1291,26 @@ class TestLargestRemainder:
         for r in rows:
             exact = r.cnt * 1_000_000 / n
             assert exact - 1 < r.alloc < exact + 1  # Hamilton stays within 1
+
+
+class TestRollingMedian:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.ranking import w19_rolling_median_daily
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        ms = ev["ts"].astype("int64") // (
+            1_000_000 if ev["ts"].dtype.str.endswith("[ns]") else 1_000
+        )
+        daily = collections.Counter(ms // 86_400_000)
+        days = sorted(daily)
+        expect = {}
+        for d in days:
+            win = sorted(int(daily[x]) for x in days if d - 6 <= x <= d)
+            n = len(win)
+            m2 = 2 * win[(n - 1) // 2] if n % 2 == 1 else win[n // 2 - 1] + win[n // 2]
+            expect[int(d)] = (int(daily[d]), n, m2)
+        got = {
+            r.day: (r.y, r.n, r.median2)
+            for r in w19_rolling_median_daily(spark, SF).collect()
+        }
+        assert got == expect
