@@ -429,3 +429,89 @@ def test_scd2_invariants(spark, tmp_path_factory, batches):
         # intervals chain: each version closes exactly at its successor
         for a, b in zip(rows, rows[1:]):
             assert a["valid_to"] == b["valid_from"], (key, a, b)
+
+
+class TestPinnedOrderFoldProperty:
+    """The round-8 exactness workhorse: Spark `aggregate` over
+    `sort_array(collect_list(struct(key, term)))` must equal a sequential
+    python fold over the same key order BITWISE — for sums and products,
+    over adversarial doubles (subnormal-adjacent magnitudes, mixed signs,
+    heavy cancellation). If this ever breaks (e.g. a Spark upgrade starts
+    fusing multiply-adds), every fold-gated oracle breaks with it — this
+    gate localizes the diagnosis."""
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vals=st.lists(
+            st.floats(
+                min_value=-1e12,
+                max_value=1e12,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def test_fold_sum_matches_python_bitwise(self, spark, vals):
+        import struct as _s
+
+        from pyspark.sql import functions as F
+
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "k int, x double")
+        got = (
+            df.agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("k", "x"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["x"],
+                ).alias("s")
+            ).collect()[0].s
+        )
+        want = 0.0
+        for _, v in sorted(rows):
+            want = want + v
+        assert _s.pack("<d", got) == _s.pack("<d", want)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vals=st.lists(
+            st.floats(
+                min_value=1e-6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def test_fold_product_matches_python_bitwise(self, spark, vals):
+        import struct as _s
+
+        from pyspark.sql import functions as F
+
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "k int, x double")
+        got = (
+            df.agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("k", "x"))),
+                    F.lit(1.0),
+                    lambda acc, s: acc * s["x"],
+                ).alias("p")
+            ).collect()[0].p
+        )
+        want = 1.0
+        for _, v in sorted(rows):
+            want = want * v
+        assert _s.pack("<d", got) == _s.pack("<d", want)
