@@ -3391,3 +3391,145 @@ def w19_rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("median2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Piecewise trend: CUSUM changepoint, then a slope on each side.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_piecewise_trend",
+    """
+    WITH daily AS (
+      SELECT epoch_ms(ts) // 86400000 AS day, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY day
+    ),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy
+          FROM daily),
+    c AS (
+      SELECT daily.day,
+             CAST(g.n * SUM(daily.y) OVER w
+                  - CAST(ROW_NUMBER() OVER w AS BIGINT) * g.sy AS BIGINT)
+               AS dev
+      FROM daily CROSS JOIN g
+      WINDOW w AS (ORDER BY daily.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    cp AS (
+      SELECT (max({'a': abs(dev), 'd': day})).d AS cp_day,
+             CAST(MAX(abs(dev)) AS BIGINT) AS peak_dev
+      FROM c
+    ),
+    sides AS (
+      SELECT CASE WHEN daily.day <= cp.cp_day THEN 0 ELSE 1 END AS side,
+             daily.day, daily.y
+      FROM daily CROSS JOIN cp
+    ),
+    idx AS (
+      SELECT side,
+             CAST(day - MIN(day) OVER (PARTITION BY side) AS BIGINT) AS t, y
+      FROM sides
+    ),
+    comp AS (
+      SELECT side, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(t * y) AS BIGINT) AS sty,
+             CAST(SUM(t * t) AS BIGINT) AS stt
+      FROM idx GROUP BY side
+    ),
+    slopes AS (
+      SELECT side, n,
+             CASE WHEN n * stt - st * st = 0 THEN NULL
+                  ELSE CAST(n * sty - st * sy AS DOUBLE)
+                       / CAST(n * stt - st * st AS DOUBLE) END AS slope
+      FROM comp
+    )
+    SELECT cp.cp_day, cp.peak_dev,
+           MAX(CASE WHEN side = 0 THEN n END) AS n_pre,
+           MAX(CASE WHEN side = 1 THEN n END) AS n_post,
+           MAX(CASE WHEN side = 0 THEN slope END) AS slope_pre,
+           MAX(CASE WHEN side = 1 THEN slope END) AS slope_post,
+           MAX(CASE WHEN side = 1 THEN slope END)
+             - MAX(CASE WHEN side = 0 THEN slope END) AS slope_delta
+    FROM slopes CROSS JOIN cp
+    GROUP BY cp.cp_day, cp.peak_dev
+    """,
+    doc="[EXT] piecewise trend: locate the CUSUM changepoint of the daily "
+    "series (exact n·cumsum − k·total deviations, deterministic argmax "
+    "on (|dev|, day)), then fit an exact-component OLS slope on each "
+    "side — the effect-sizing step AFTER detection (a changepoint alone "
+    "says WHERE; the slope delta says HOW MUCH the trajectory bent). "
+    "Composition of the engine's CUSUM and normal-equation machinery: "
+    "one window cumsum, one 1-row argmax broadcast, per-side windowed "
+    "index offsets, fixed IEEE slope finishes; slope_delta is one "
+    "subtraction of two hash-gated floats.",
+    tags=("stats",),
+)
+def stat_piecewise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("unix_millis(ts) div 86400000").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y")).coalesce(1).persist()
+    g = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = daily.crossJoin(F.broadcast(g)).select(
+        "day",
+        (
+            F.col("n") * F.sum("y").over(w)
+            - F.row_number().over(Window.orderBy("day")).cast("long")
+            * F.col("sy")
+        )
+        .cast("long")
+        .alias("dev"),
+    )
+    cp = c.agg(
+        F.max(F.struct(F.abs("dev").alias("a"), F.col("day").alias("d")))
+        .alias("top"),
+        F.max(F.abs("dev")).cast("long").alias("peak_dev"),
+    ).select(F.col("top.d").alias("cp_day"), "peak_dev")
+    sides = daily.crossJoin(F.broadcast(cp)).select(
+        F.when(F.col("day") <= F.col("cp_day"), 0).otherwise(1).alias("side"),
+        "day",
+        "y",
+        "cp_day",
+        "peak_dev",
+    )
+    ws = Window.partitionBy("side")
+    idx = sides.select(
+        "side",
+        "cp_day",
+        "peak_dev",
+        (F.col("day") - F.min("day").over(ws)).cast("long").alias("t"),
+        "y",
+    )
+    comp = idx.groupBy("side", "cp_day", "peak_dev").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+    )
+    num = F.col("n") * F.col("sty") - F.col("st") * F.col("sy")
+    den = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    slopes = comp.select(
+        "side",
+        "cp_day",
+        "peak_dev",
+        "n",
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("slope"),
+    )
+    pre = F.max(F.when(F.col("side") == 0, F.col("slope")))
+    post = F.max(F.when(F.col("side") == 1, F.col("slope")))
+    return slopes.groupBy("cp_day", "peak_dev").agg(
+        F.max(F.when(F.col("side") == 0, F.col("n"))).cast("long").alias("n_pre"),
+        F.max(F.when(F.col("side") == 1, F.col("n"))).cast("long").alias("n_post"),
+        pre.alias("slope_pre"),
+        post.alias("slope_post"),
+        (post - pre).alias("slope_delta"),
+    )

@@ -1314,3 +1314,48 @@ class TestRollingMedian:
             for r in w19_rolling_median_daily(spark, SF).collect()
         }
         assert got == expect
+
+
+class TestPiecewiseTrend:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.ranking import stat_piecewise_trend
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        ms = ev["ts"].astype("int64") // (
+            1_000_000 if ev["ts"].dtype.str.endswith("[ns]") else 1_000
+        )
+        daily = collections.Counter(ms // 86_400_000)
+        days = sorted(daily)
+        n, sy = len(days), sum(daily.values())
+        best = None
+        cum = 0
+        for k, d in enumerate(days, start=1):
+            cum += daily[d]
+            dev = n * cum - k * sy
+            key = (abs(dev), int(d))
+            if best is None or key > best[0]:
+                best = (key, int(d), abs(dev))
+        cp_day, peak = best[1], best[2]
+
+        def ols(pts):
+            if not pts:
+                return None, 0
+            t0 = min(p for p, _ in pts)
+            xs = [(int(p - t0), int(y)) for p, y in pts]
+            m = len(xs)
+            st = sum(t for t, _ in xs)
+            syy = sum(y for _, y in xs)
+            sty = sum(t * y for t, y in xs)
+            stt = sum(t * t for t, _ in xs)
+            num, den = m * sty - st * syy, m * stt - st * st
+            return (None if den == 0 else float(num) / float(den)), m
+
+        pre = [(d, daily[d]) for d in days if d <= cp_day]
+        post = [(d, daily[d]) for d in days if d > cp_day]
+        s_pre, n_pre = ols(pre)
+        s_post, n_post = ols(post)
+        row = stat_piecewise_trend(spark, SF).collect()[0]
+        assert (row.cp_day, row.peak_dev) == (cp_day, peak)
+        assert (row.n_pre, row.n_post) == (n_pre, n_post)
+        assert row.slope_pre == s_pre and row.slope_post == s_post
+        assert row.slope_delta == s_post - s_pre
