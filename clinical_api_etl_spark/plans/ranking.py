@@ -3533,3 +3533,95 @@ def stat_piecewise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         post.alias("slope_post"),
         (post - pre).alias("slope_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve: cumulative value per user by account age.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "ltv_cumulative_by_cohort",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    first_seen AS (
+      SELECT user_id, MIN(day) AS d0 FROM e GROUP BY user_id
+    ),
+    cohorts AS (
+      SELECT user_id, d0, d0 // 7 AS cohort_week FROM first_seen
+    ),
+    sized AS (
+      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+      FROM cohorts GROUP BY cohort_week
+    ),
+    aged AS (
+      SELECT c.cohort_week, e.day - c.d0 AS age_day,
+             CAST(SUM(e.cents) AS BIGINT) AS day_cents
+      FROM e JOIN cohorts c ON e.user_id = c.user_id
+      GROUP BY c.cohort_week, e.day - c.d0
+    ),
+    cum AS (
+      SELECT cohort_week, CAST(age_day AS BIGINT) AS age_day,
+             CAST(SUM(day_cents) OVER (
+               PARTITION BY cohort_week ORDER BY age_day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_cents
+      FROM aged
+    )
+    SELECT cum.cohort_week, cum.age_day, cum.cum_cents, sized.cohort_users,
+           CAST(cum.cum_cents AS DOUBLE) / CAST(sized.cohort_users AS DOUBLE)
+             AS ltv_cents_per_user
+    FROM cum JOIN sized ON cum.cohort_week = sized.cohort_week
+    """,
+    doc="[EXT] lifetime-value curves by acquisition cohort: users bucket "
+    "into epoch-week cohorts at their first monetized event, value "
+    "accumulates along ACCOUNT AGE (day minus each user's first day, so "
+    "cohorts overlay on one x-axis), and each point reports exact "
+    "cumulative cents plus the per-user LTV (one division by the fixed "
+    "cohort size — denominators never shrink, the standard LTV-curve "
+    "convention). The payback-period comparison every growth team "
+    "plots; |cohorts x ages| rows, one cumsum window over the "
+    "pre-aggregated (cohort, age) table, never events.",
+    tags=("analytics",),
+)
+def ltv_cumulative_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = ev.select(
+        "user_id",
+        F.expr("unix_millis(ts) div 86400000").alias("day"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("day").alias("d0"))
+    cohorts = first_seen.select(
+        "user_id", "d0", F.expr("d0 div 7").alias("cohort_week")
+    )
+    sized = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    aged = (
+        e.join(cohorts, "user_id")
+        .groupBy("cohort_week", (F.col("day") - F.col("d0")).alias("age_day"))
+        .agg(F.sum("cents").cast("long").alias("day_cents"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = aged.select(
+        "cohort_week",
+        F.col("age_day").cast("long").alias("age_day"),
+        F.sum("day_cents").over(w).cast("long").alias("cum_cents"),
+    )
+    return cum.join(F.broadcast(sized), "cohort_week").select(
+        "cohort_week",
+        "age_day",
+        "cum_cents",
+        "cohort_users",
+        (
+            F.col("cum_cents").cast("double")
+            / F.col("cohort_users").cast("double")
+        ).alias("ltv_cents_per_user"),
+    )

@@ -1359,3 +1359,52 @@ class TestPiecewiseTrend:
         assert (row.n_pre, row.n_post) == (n_pre, n_post)
         assert row.slope_pre == s_pre and row.slope_post == s_post
         assert row.slope_delta == s_post - s_pre
+
+
+class TestLtvCurve:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.ranking import ltv_cumulative_by_cohort
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        ev = ev[ev["value"].notna()]
+        ms = ev["ts"].astype("int64") // (
+            1_000_000 if ev["ts"].dtype.str.endswith("[ns]") else 1_000
+        )
+        day = ms // 86_400_000
+        cents = (ev["value"] * 100).round().astype("int64")
+        d0 = {}
+        for u, d in zip(ev["user_id"], day):
+            d0[u] = min(d0.get(u, d), d)
+        cohort = {u: int(d) // 7 for u, d in d0.items()}
+        users_per = collections.Counter(cohort.values())
+        per_age = collections.Counter()
+        for u, d, c in zip(ev["user_id"], day, cents):
+            per_age[(cohort[u], int(d - d0[u]))] += int(c)
+        expect = {}
+        for cw in users_per:
+            ages = sorted(a for c, a in per_age if c == cw)
+            cum = 0
+            for a in ages:
+                cum += per_age[(cw, a)]
+                expect[(cw, a)] = (
+                    cum, users_per[cw], cum / users_per[cw],
+                )
+        got = {
+            (r.cohort_week, r.age_day): (
+                r.cum_cents, r.cohort_users, r.ltv_cents_per_user,
+            )
+            for r in ltv_cumulative_by_cohort(spark, SF).collect()
+        }
+        assert got == expect
+
+    def test_curves_monotone(self, spark):
+        from clinical_api_etl_spark.plans.ranking import ltv_cumulative_by_cohort
+
+        rows = ltv_cumulative_by_cohort(spark, SF).collect()
+        per = collections.defaultdict(list)
+        for r in rows:
+            per[r.cohort_week].append((r.age_day, r.cum_cents))
+        for cw, pts in per.items():
+            pts.sort()
+            vals = [v for _, v in pts]
+            assert all(a <= b for a, b in zip(vals, vals[1:]))
