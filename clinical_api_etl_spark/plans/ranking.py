@@ -3625,3 +3625,168 @@ def ltv_cumulative_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("cohort_users").cast("double")
         ).alias("ltv_cents_per_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup: dHash + banded near-duplicate search.
+# ---------------------------------------------------------------------------
+
+_DH_KEYS = 50        # images repeat every 50 docs -> planted exact dupes
+_DH_BANDS = 4        # 56 dHash bits in 4 x 14-bit bands
+_DH_MAXHAM = 6       # verify threshold (complete for hamming <= 3)
+
+
+def _dhash_hex_sql() -> str:
+    """Deterministic 8x8 image hex: md5 chain of doc_id % 50; odd docs
+    get their last pixel forced to 0 — planted NEAR duplicates."""
+    chain = " || ".join(
+        f"md5('im{c}:' || CAST(doc_id % {_DH_KEYS} AS VARCHAR))"
+        for c in range(4)
+    )
+    return (
+        f"CASE WHEN (doc_id // {_DH_KEYS}) % 2 = 1"
+        f" THEN substr({chain}, 1, 126) || '00' "
+        f"ELSE {chain} END"
+    )
+
+
+def _dh_px_sql(i: int) -> str:
+    return f"CAST('0x' || substr(hx, {2 * i + 1}, 2) AS INTEGER)"
+
+
+def _dh_band_sql(b: int) -> str:
+    terms = []
+    for k in range(14):
+        bit = b * 14 + k
+        r, c = divmod(bit, 7)
+        i, j = r * 8 + c, r * 8 + c + 1
+        terms.append(
+            f"CASE WHEN {_dh_px_sql(i)} > {_dh_px_sql(j)}"
+            f" THEN CAST({1 << k} AS BIGINT) ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@QS.add(
+    "mm_image_dhash_neardups",
+    f"""
+    WITH hx AS (
+      SELECT doc_id, {_dhash_hex_sql()} AS hx FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             {_dh_band_sql(0)} AS b0, {_dh_band_sql(1)} AS b1,
+             {_dh_band_sql(2)} AS b2, {_dh_band_sql(3)} AS b3
+      FROM hx
+    ),
+    full_h AS (
+      SELECT doc_id,
+             CAST(b0 + (b1 << 14) + (b2 << 28) + (b3 << 42) AS BIGINT) AS dh,
+             b0, b1, b2, b3
+      FROM h
+    ),
+    cand AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.dh AS ha, b.dh AS hb
+      FROM full_h a JOIN full_h b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id, a.dh, b.dh
+      FROM full_h a JOIN full_h b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id, a.dh, b.dh
+      FROM full_h a JOIN full_h b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id, a.dh, b.dh
+      FROM full_h a JOIN full_h b ON a.b3 = b.b3 AND a.doc_id < b.doc_id
+    )
+    SELECT da, db, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= {_DH_MAXHAM}
+    """,
+    doc="[EXT] perceptual image near-duplicate search — dHash (adjacent-"
+    "pixel gradient sign, the classic 56-bit perceptual fingerprint "
+    "robust to brightness/scale shifts) over deterministic 8x8 images "
+    "(md5 of doc_id mod 50, planting exact-dup groups; alternate "
+    "50-blocks get one pixel forced so NEAR-duplicates exist too), then banded LSH: 4 x "
+    "14-bit bands, candidates from four equi-joins, verified by "
+    "popcount of the XORed hashes — by pigeonhole the banding is "
+    "COMPLETE for hamming <= 3 (4 bands cannot all differ), and both "
+    "engines run the identical candidate generation so the <= 6 output "
+    "hash-matches regardless. Entirely JVM-side column expressions "
+    "(pixels via hex substr + conv — no Arrow kernel needed): the "
+    "image-dedup counterpart of the text MinHash family.",
+    tags=("multimodal", "dedup"),
+)
+def mm_image_dhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    chain = F.concat(
+        *[
+            F.md5(
+                F.concat(
+                    F.lit(f"im{c}:"), (F.col("doc_id") % _DH_KEYS).cast("string")
+                )
+            )
+            for c in range(4)
+        ]
+    )
+    hx = docs.select(
+        "doc_id",
+        F.when(
+            F.expr(f"(doc_id div {_DH_KEYS}) % 2") == 1,
+            F.concat(F.substring(chain, 1, 126), F.lit("00")),
+        )
+        .otherwise(chain)
+        .alias("hx"),
+    )
+
+    def px(i: int) -> F.Column:
+        return F.conv(F.substring(F.col("hx"), 2 * i + 1, 2), 16, 10).cast("int")
+
+    def band(b: int) -> F.Column:
+        out = F.lit(0).cast("long")
+        for k in range(14):
+            bit = b * 14 + k
+            r, c = divmod(bit, 7)
+            i, j = r * 8 + c, r * 8 + c + 1
+            out = out + F.when(px(i) > px(j), F.lit(1 << k).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return out
+
+    h = hx.select(
+        "doc_id",
+        band(0).alias("b0"),
+        band(1).alias("b1"),
+        band(2).alias("b2"),
+        band(3).alias("b3"),
+    ).coalesce(8).persist()
+    full_h = h.select(
+        "doc_id",
+        (
+            F.col("b0")
+            + F.shiftleft(F.col("b1"), 14)
+            + F.shiftleft(F.col("b2"), 28)
+            + F.shiftleft(F.col("b3"), 42)
+        )
+        .cast("long")
+        .alias("dh"),
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+    ).persist()
+    cands = None
+    for bcol in ("b0", "b1", "b2", "b3"):
+        a = full_h.select(
+            F.col(bcol).alias("bb"), F.col("doc_id").alias("da"), F.col("dh").alias("ha")
+        )
+        b = full_h.select(
+            F.col(bcol).alias("bb"), F.col("doc_id").alias("db"), F.col("dh").alias("hb")
+        )
+        p = a.join(b, "bb").filter(F.col("da") < F.col("db")).select(
+            "da", "db", "ha", "hb"
+        )
+        cands = p if cands is None else cands.unionByName(p)
+    cand = cands.distinct()
+    ham = F.expr("bit_count(ha ^ hb)")
+    return cand.filter(ham <= _DH_MAXHAM).select(
+        "da", "db", ham.cast("long").alias("hamming")
+    )

@@ -1408,3 +1408,60 @@ class TestLtvCurve:
             pts.sort()
             vals = [v for _, v in pts]
             assert all(a <= b for a, b in zip(vals, vals[1:]))
+
+
+class TestImageDhash:
+    def _replay(self):
+        import hashlib
+
+        def hex_for(doc_id):
+            chain = "".join(
+                hashlib.md5(f"im{c}:{doc_id % 50}".encode()).hexdigest()
+                for c in range(4)
+            )
+            return chain[:126] + "00" if (doc_id // 50) % 2 == 1 else chain
+
+        def dhash(hx):
+            px = [int(hx[2 * i : 2 * i + 2], 16) for i in range(64)]
+            h = 0
+            for bit in range(56):
+                r, c = divmod(bit, 7)
+                if px[r * 8 + c] > px[r * 8 + c + 1]:
+                    h |= 1 << bit
+            return h
+
+        return {d: dhash(hex_for(d)) for d in range(500)}
+
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.ranking import mm_image_dhash_neardups
+
+        hashes = self._replay()
+        bands = {
+            d: [(h >> (14 * b)) & 0x3FFF for b in range(4)]
+            for d, h in hashes.items()
+        }
+        expect = set()
+        ids = sorted(hashes)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                if any(bands[a][k] == bands[b][k] for k in range(4)):
+                    ham = bin(hashes[a] ^ hashes[b]).count("1")
+                    if ham <= 6:
+                        expect.add((a, b, ham))
+        got = {
+            (r.da, r.db, r.hamming)
+            for r in mm_image_dhash_neardups(spark, SF).collect()
+        }
+        assert got == expect
+
+    def test_planted_structure_found(self, spark):
+        from clinical_api_etl_spark.plans.ranking import mm_image_dhash_neardups
+
+        rows = mm_image_dhash_neardups(spark, SF).collect()
+        exact = [r for r in rows if r.hamming == 0]
+        near = [r for r in rows if 0 < r.hamming <= 6]
+        # same-key same-block-parity docs are exact dupes; cross-block
+        # same-key pairs differ by the forced pixel -> near dupes
+        assert exact and near
+        for r in rows:
+            assert r.da % 50 == r.db % 50  # only same-image-key pairs survive
