@@ -3790,3 +3790,143 @@ def mm_image_dhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(ham <= _DH_MAXHAM).select(
         "da", "db", ham.cast("long").alias("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected-component size distribution of the co-purchase graph.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "graph_component_size_dist",
+    f"""
+    WITH RECURSIVE e0 AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= {_LP_SUPPORT}
+    ),
+    edges AS (SELECT u AS a, v AS b FROM e0
+              UNION ALL SELECT v, u FROM e0),
+    verts AS (SELECT DISTINCT a AS id FROM edges),
+    walk(id, label) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.a, w.label FROM walk w JOIN edges e ON w.id = e.b
+      WHERE w.label < e.a
+    ),
+    comp AS (SELECT id, MIN(label) AS component FROM walk GROUP BY id),
+    sizes AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS size
+      FROM comp GROUP BY component
+    )
+    SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components
+    FROM sizes GROUP BY size
+    """,
+    doc="[EXT] component-size distribution of the co-purchase graph — the "
+    "is-there-a-giant-component diagnostic that decides whether "
+    "graph-wide algorithms need partitioning by component (thousands of "
+    "small islands) or degree salting (one giant blob). Components via "
+    "the scale-adaptive min-label machinery (operators/graph.py); the "
+    "oracle cross-checks with a DuckDB recursive-CTE closure — two "
+    "independent transitive-closure formulations compressed to a "
+    "(size, count) histogram.",
+    tags=("graph",),
+)
+def graph_component_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.graph import connected_components
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= _LP_SUPPORT)
+        .select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
+    )
+    comp = connected_components(e0)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trimmed mean per event type (exact interior sum).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_trimmed_mean_by_type",
+    """
+    WITH t AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             event_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM t
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (rn > n // 20 AND rn <= n - n // 20)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(cents) FILTER (rn > n // 20 AND rn <= n - n // 20)
+                AS BIGINT) AS kept_cents,
+           CAST(SUM(cents) FILTER (rn > n // 20 AND rn <= n - n // 20)
+                AS DOUBLE)
+             / CAST(COUNT(*) FILTER (rn > n // 20 AND rn <= n - n // 20)
+                    AS DOUBLE) AS trimmed_mean_cents
+    FROM r GROUP BY event_type
+    """,
+    doc="[EXT] 5% two-sided trimmed mean per event type — the robust "
+    "location estimate between the mean (outlier-dragged) and the "
+    "median (throws away 98% of the data): drop exactly floor(n/20) "
+    "rows off each end of the (cents, event_id) total order and average "
+    "the interior EXACTLY (BIGINT sum, one division). Integer rank "
+    "arithmetic gives identical trim boundaries on both engines — a "
+    "fractional-quantile trim would hit the interpolation divergences "
+    "the percentile family documents.",
+    tags=("stats",),
+)
+def stat_trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = t.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    keep = (F.col("rn") > F.expr("n div 20")) & (
+        F.col("rn") <= F.col("n") - F.expr("n div 20")
+    )
+    kept_n = F.sum(F.when(keep, 1).otherwise(0))
+    kept_s = F.sum(F.when(keep, F.col("cents")))
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        kept_n.cast("long").alias("n_kept"),
+        kept_s.cast("long").alias("kept_cents"),
+        (kept_s.cast("double") / kept_n.cast("double")).alias(
+            "trimmed_mean_cents"
+        ),
+    )

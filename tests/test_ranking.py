@@ -1465,3 +1465,59 @@ class TestImageDhash:
         assert exact and near
         for r in rows:
             assert r.da % 50 == r.db % 50  # only same-image-key pairs survive
+
+
+class TestComponentSizeDist:
+    def test_matches_python_replay(self, spark, graph):
+        from clinical_api_etl_spark.plans.ranking import graph_component_size_dist
+
+        edges, adj = graph
+        seen = set()
+        sizes = collections.Counter()
+        for start in adj:
+            if start in seen:
+                continue
+            stack, comp = [start], set()
+            while stack:
+                v = stack.pop()
+                if v in comp:
+                    continue
+                comp.add(v)
+                stack.extend(adj[v] - comp)
+            seen |= comp
+            sizes[len(comp)] += 1
+        got = {
+            r.size: r.n_components
+            for r in graph_component_size_dist(spark, SF).collect()
+        }
+        assert got == dict(sizes)
+
+
+class TestTrimmedMean:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.ranking import stat_trimmed_mean_by_type
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        ev = ev[ev["value"].notna()]
+        cents = (ev["value"] * 100).round().astype("int64")
+        per = collections.defaultdict(list)
+        for t, c, e in zip(ev["event_type"], cents, ev["event_id"]):
+            per[t].append((int(c), int(e)))
+        expect = {}
+        for t, xs in per.items():
+            xs.sort()
+            n = len(xs)
+            k = n // 20
+            kept = [c for c, _ in xs[k : n - k]]
+            expect[t] = (n, len(kept), sum(kept), sum(kept) / len(kept))
+        got = {
+            r.event_type: (r.n, r.n_kept, r.kept_cents, r.trimmed_mean_cents)
+            for r in stat_trimmed_mean_by_type(spark, SF).collect()
+        }
+        assert got == expect
+
+    def test_between_min_and_max(self, spark):
+        from clinical_api_etl_spark.plans.ranking import stat_trimmed_mean_by_type
+
+        for r in stat_trimmed_mean_by_type(spark, SF).collect():
+            assert 0 < r.n_kept <= r.n
