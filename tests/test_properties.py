@@ -144,12 +144,24 @@ def test_pipeline_invariants(spark, tmp_path_factory, rows):
     assert [r["row_num"] for r in bronze] == list(range(1, len(rows) + 1))
     assert [r["value"] for r in bronze] == [r[3] for r in rows]
 
-    # -- row conservation (R1) ---------------------------------------------
-    n_valid_bp = sum(
-        1 for r in rows if r[2] == "blood_pressure" and py_parse_bp(r[3]) is not None
-    )
+    # -- row conservation (R1), modulo the reference's unique key ----------
+    # The reference's processed table enforces UNIQUE (study, participant,
+    # measurement_type, measured_at, site) — `uq_pm_obs`,
+    # 05_processed_measurements.sql:19 — with ON CONFLICT DO NOTHING
+    # semantics the engine mirrors via append_if_absent(SILVER_KEY). So
+    # the expected silver count is the number of DISTINCT observation
+    # keys, not the raw observation count (hypothesis found a batch with
+    # two rows sharing a logical key).
+    obs_keys = set()
+    for r in rows:
+        study, pid, mtype, value, _unit, ts, site, _q = r
+        if mtype == "blood_pressure" and py_parse_bp(value) is not None:
+            obs_keys.add((study, pid, "blood_pressure_systolic", ts, site))
+            obs_keys.add((study, pid, "blood_pressure_diastolic", ts, site))
+        else:
+            obs_keys.add((study, pid, mtype, ts, site))
     silver = wh.read(SILVER_TABLE).filter(f"job_id = '{jid}'").collect()
-    assert len(silver) == len(rows) + n_valid_bp
+    assert len(silver) == len(obs_keys)
 
     # -- null discipline (R2): exactly one of value_num/value_text ---------
     for r in silver:
