@@ -3930,3 +3930,92 @@ def stat_trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trimmed_mean_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Traffic shape diagnostics: burstiness (Fano) + concentration (HHI).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_traffic_shape_by_type",
+    """
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, day
+    ),
+    hourly AS (
+      SELECT event_type, epoch_ms(ts) // 3600000 AS hr,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, hr
+    ),
+    d AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM daily GROUP BY event_type
+    ),
+    h AS (
+      SELECT event_type,
+             CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(SUM(c * c) AS BIGINT) AS scc
+      FROM hourly GROUP BY event_type
+    )
+    SELECT d.event_type, d.n_days, d.sy, d.syy, h.scc,
+           CAST(d.n_days * d.syy - d.sy * d.sy AS BIGINT) AS var_num,
+           CASE WHEN d.sy = 0 THEN NULL
+                ELSE CAST(d.n_days * d.syy - d.sy * d.sy AS DOUBLE)
+                     / (CAST(d.n_days AS DOUBLE) * CAST(d.sy AS DOUBLE))
+           END AS fano,
+           CAST((h.scc * 1000000) // (h.n_events * h.n_events) AS BIGINT)
+             AS hhi_ppm
+    FROM d JOIN h ON d.event_type = h.event_type
+    """,
+    doc="[EXT] per-type traffic-shape diagnostics: the FANO FACTOR of "
+    "daily volume (variance/mean — 1 for a Poisson stream, >1 = bursty, "
+    "<1 = rate-limited/regular; fano = (nΣy²−(Σy)²)/(n·Σy), exact "
+    "BIGINT numerator, ONE fixed IEEE division) and the HERFINDAHL "
+    "concentration of hourly volume (Σ share² in exact floor-div ppm — "
+    "1e6/|hours| when perfectly spread, 1e6 when one hour carries "
+    "everything). Together they answer 'is this stream bursty, and is "
+    "the burst concentrated?' — the capacity-planning pre-read before "
+    "choosing partition counts and rate limits. Both from tiny "
+    "calendar-bounded pre-aggregates.",
+    tags=("stats", "quality"),
+)
+def stat_traffic_shape_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_millis(ts) div 86400000").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    hourly = ev.groupBy(
+        "event_type", F.expr("unix_millis(ts) div 3600000").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    d = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    h = hourly.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
+    )
+    var_num = F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")
+    return d.join(h, "event_type").select(
+        "event_type",
+        "n_days",
+        "sy",
+        "syy",
+        "scc",
+        var_num.cast("long").alias("var_num"),
+        F.when(F.col("sy") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            var_num.cast("double")
+            / (F.col("n_days").cast("double") * F.col("sy").cast("double"))
+        )
+        .alias("fano"),
+        F.expr("(scc * 1000000) div (n_events * n_events)")
+        .cast("long")
+        .alias("hhi_ppm"),
+    )

@@ -1521,3 +1521,41 @@ class TestTrimmedMean:
 
         for r in stat_trimmed_mean_by_type(spark, SF).collect():
             assert 0 < r.n_kept <= r.n
+
+
+class TestTrafficShape:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.ranking import stat_traffic_shape_by_type
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        ms = ev["ts"].astype("int64") // (
+            1_000_000 if ev["ts"].dtype.str.endswith("[ns]") else 1_000
+        )
+        ev = ev.assign(day=ms // 86_400_000, hr=ms // 3_600_000)
+        expect = {}
+        for t in ev["event_type"].unique():
+            sub = ev[ev["event_type"] == t]
+            daily = collections.Counter(sub["day"])
+            hourly = collections.Counter(sub["hr"])
+            n = len(daily)
+            sy = sum(daily.values())
+            syy = sum(y * y for y in daily.values())
+            scc = sum(c * c for c in hourly.values())
+            ne = sum(hourly.values())
+            var_num = n * syy - sy * sy
+            fano = float(var_num) / (float(n) * float(sy))
+            hhi = (scc * 1_000_000) // (ne * ne)
+            expect[t] = (n, sy, syy, scc, var_num, fano, hhi)
+        got = {
+            r.event_type: (r.n_days, r.sy, r.syy, r.scc, r.var_num, r.fano,
+                           r.hhi_ppm)
+            for r in stat_traffic_shape_by_type(spark, SF).collect()
+        }
+        assert got == expect
+
+    def test_sane_ranges(self, spark):
+        from clinical_api_etl_spark.plans.ranking import stat_traffic_shape_by_type
+
+        for r in stat_traffic_shape_by_type(spark, SF).collect():
+            assert r.fano >= 0.0
+            assert 0 < r.hhi_ppm <= 1_000_000
