@@ -4019,3 +4019,74 @@ def stat_traffic_shape_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hhi_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival gap percentiles per stream.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_interarrival_by_type",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS gap_ms,
+             event_id
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, gap_ms,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY gap_ms, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM g WHERE gap_ms IS NOT NULL
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN gap_ms END) AS BIGINT)
+             AS p50_gap_ms,
+           CAST(MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN gap_ms END)
+                AS BIGINT) AS p95_gap_ms,
+           CAST(MAX(CASE WHEN rn = n THEN gap_ms END) AS BIGINT)
+             AS max_gap_ms
+    FROM r GROUP BY event_type
+    """,
+    doc="[EXT] inter-arrival gap distribution per event stream: exact "
+    "p50/p95/max of consecutive-event gaps in milliseconds (lag over "
+    "the (ts, event_id) total order, then type-1 quantiles by rank "
+    "arithmetic — stat_percentile_bands_by_type's selection over a "
+    "DERIVED series). p95 gap is the watermark-delay calibration "
+    "number (how long a stream can silently pause before an alert "
+    "should fire — dq_freshness_lag's threshold comes FROM this), and "
+    "p50 vs mean gap exposes burstiness at the arrival grain.",
+    tags=("stats", "temporal", "quality"),
+)
+def stat_interarrival_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (
+            F.unix_millis(F.col("ts"))
+            - F.lag(F.unix_millis(F.col("ts"))).over(w)
+        ).alias("gap_ms"),
+        "event_id",
+    ).filter(F.col("gap_ms").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy("gap_ms", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = g.select(
+        "event_type",
+        "gap_ms",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda expr: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.expr(expr), F.col("gap_ms"))
+    ).cast("long")
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        pick("(n + 1) div 2").alias("p50_gap_ms"),
+        pick("(19 * n + 19) div 20").alias("p95_gap_ms"),
+        pick("n").alias("max_gap_ms"),
+    )

@@ -1559,3 +1559,33 @@ class TestTrafficShape:
         for r in stat_traffic_shape_by_type(spark, SF).collect():
             assert r.fano >= 0.0
             assert 0 < r.hhi_ppm <= 1_000_000
+
+
+class TestInterarrival:
+    def test_matches_python_replay(self, spark):
+        import math
+
+        from clinical_api_etl_spark.plans.ranking import stat_interarrival_by_type
+
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        ms = ev["ts"].astype("int64") // (
+            1_000_000 if ev["ts"].dtype.str.endswith("[ns]") else 1_000
+        )
+        ev = ev.assign(ms=ms)
+        expect = {}
+        for t in ev["event_type"].unique():
+            sub = sorted(
+                zip(ev[ev["event_type"] == t]["ms"],
+                    ev[ev["event_type"] == t]["event_id"])
+            )
+            gaps = sorted(
+                int(b[0] - a[0]) for a, b in zip(sub, sub[1:])
+            )
+            n = len(gaps)
+            q = lambda p: gaps[math.ceil(p * n) - 1]  # noqa: E731
+            expect[t] = (n, q(0.5), q(0.95), gaps[-1])
+        got = {
+            r.event_type: (r.n_gaps, r.p50_gap_ms, r.p95_gap_ms, r.max_gap_ms)
+            for r in stat_interarrival_by_type(spark, SF).collect()
+        }
+        assert got == expect
