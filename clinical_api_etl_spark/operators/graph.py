@@ -129,12 +129,16 @@ def pagerank_int(
     (≈ 1e-6 of total here): an explicitly-bounded, deterministic
     approximation of float PageRank.
 
-    Each iteration: contributions = one broadcast join of the (small)
-    rank vector onto the edge list + one shuffle on dst with map-side
-    partial sums. Node count rides a 1-row cross join so the plan stays
-    fully declarative. Nodes are taken from the edge list (call with a
-    symmetrized edge list; isolated vertices would hold static rank and
-    can be unioned in afterwards).
+    Each iteration: contributions = one equi-join of the rank vector
+    onto the edge list + one shuffle on dst with map-side partial sums.
+    The rank join is deliberately NOT hinted broadcast: the vector is
+    O(|V|) — at billions of nodes it exceeds any broadcast ceiling and
+    would serialize through the driver — so the plan shuffles on src
+    and lets AQE downgrade to a runtime broadcast while the vector is
+    actually small. Node count rides a 1-row cross join so the plan
+    stays fully declarative. Nodes are taken from the edge list (call
+    with a symmetrized edge list; isolated vertices would hold static
+    rank and can be unioned in afterwards).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
@@ -147,7 +151,7 @@ def pagerank_int(
     edeg = e.join(deg, "src")
     for _ in range(iters):
         contrib = edeg.join(
-            F.broadcast(ranks), edeg["src"] == ranks["node"]
+            ranks, edeg["src"] == ranks["node"]
         ).select("dst", F.expr("r div deg").alias("c"))
         summed = contrib.groupBy("dst").agg(F.sum("c").cast("long").alias("s"))
         ranks = summed.crossJoin(F.broadcast(ncount)).select(

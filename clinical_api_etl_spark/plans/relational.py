@@ -584,12 +584,45 @@ def a11_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @QS.add(
     "a11_approx_count_distinct",
-    None,  # HLL sketch values are implementation-specific — rows-only check.
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS within_rsd
+    FROM events GROUP BY event_type
+    """,
     doc="[EXT] A11: approx_count_distinct — the 100 TB-scale form of "
-    "distinct user counting (HLL sketch, no shuffle of raw values).",
-    tags=("agg", "A11", "approx"),
+    "distinct user counting (HLL sketch, no shuffle of raw values). "
+    "Hash-gated bounded formulation: the output carries the exact count "
+    "plus a per-group boolean asserting the HLL estimate is within 15% "
+    "relative error (3x the default 5% rsd); the raw engine-specific "
+    "estimate stays under a11_approx_count_distinct_raw. The HLL merge is "
+    "register-wise max — order-independent, so the gate is run-stable.",
+    tags=("agg", "A11", "approx", "gate"),
 )
 def a11_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    both = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    rel_ok = (
+        F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
+    ) <= 0.15
+    return both.select(
+        "event_type", "exact_users", "n_events", rel_ok.alias("within_rsd")
+    )
+
+
+@QS.add(
+    "a11_approx_count_distinct_raw",
+    None,  # HLL sketch values are implementation-specific — rows-only check.
+    doc="[EXT] A11: the raw approx_count_distinct estimates (engine-specific "
+    "HLL values; bounded twin a11_approx_count_distinct is hash-gated).",
+    tags=("agg", "A11", "approx"),
+)
+def a11_approx_count_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
@@ -1241,14 +1274,55 @@ def f_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @QS.add(
     "f_percentile_approx",
-    None,
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS p50_rank_ok,
+           TRUE AS p95_rank_ok
+    FROM events GROUP BY event_type
+    """,
     doc="[EXT] approx_percentile via the Greenwald-Khanna sketch — "
     "mergeable, bounded-memory, the percentile that scales (exact "
-    "percentile materializes each group's values). Rows-only check: the "
-    "sketch is engine-specific by design.",
-    tags=("agg", "A11", "approx"),
+    "percentile materializes each group's values). Hash-gated bounded "
+    "formulation: per group, the rank of each returned percentile value "
+    "must lie within the GK accuracy bound (1e-4 of n, padded to 2% for "
+    "merge slack) of its target rank — the sketch's contract, checked "
+    "without comparing engine-specific sketch internals (those stay under "
+    "f_percentile_approx_raw). Rank counting is merge-order-independent.",
+    tags=("agg", "A11", "approx", "gate"),
 )
 def f_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95"),
+    )
+    joined = ev.select("event_type", "value").join(F.broadcast(approx), "event_type")
+    ranks = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("value") <= F.col("p50"), 1).otherwise(0)).alias("r50"),
+        F.sum(F.when(F.col("value") <= F.col("p95"), 1).otherwise(0)).alias("r95"),
+    )
+    tol = 0.02
+    ok50 = (F.col("r50") >= (0.5 - tol) * F.col("n")) & (
+        F.col("r50") <= (0.5 + tol) * F.col("n") + 1
+    )
+    ok95 = (F.col("r95") >= (0.95 - tol) * F.col("n")) & (
+        F.col("r95") <= (0.95 + tol) * F.col("n") + 1
+    )
+    return ranks.select(
+        "event_type", "n", ok50.alias("p50_rank_ok"), ok95.alias("p95_rank_ok")
+    )
+
+
+@QS.add(
+    "f_percentile_approx_raw",
+    None,
+    doc="[EXT] the raw approx_percentile estimates (engine-specific GK "
+    "sketch values; bounded twin f_percentile_approx is hash-gated).",
+    tags=("agg", "A11", "approx"),
+)
+def f_percentile_approx_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.percentile_approx("value", 0.5, 10000).alias("p50"),

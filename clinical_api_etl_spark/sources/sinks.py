@@ -37,10 +37,13 @@ swap's brief directory-absence window via ``read``'s bounded retry.
 
 from __future__ import annotations
 
+import fcntl
+import os
 import shutil
 import threading
 import time
 import uuid
+from contextlib import contextmanager
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -91,6 +94,53 @@ class ParquetWarehouse:
         #: the in-process analogue of the reference's Postgres
         #: transactions. RLock: append_if_absent calls append.
         self._write_lock = threading.RLock()
+        #: Cross-process writer exclusion (see :meth:`_commit_guard`).
+        self._flock_depth = 0
+        self._flock_fd: int | None = None
+
+    @contextmanager
+    def _commit_guard(self):
+        """Writer critical section, safe across THREADS and PROCESSES.
+
+        The reference gets concurrent-upsert safety from Postgres row
+        locks + ``ON CONFLICT`` (etl-service/src/db.py:41-58); plain
+        parquet directories have no such arbiter, so two *processes*
+        (two Spark drivers, a backfill next to the API) merging one
+        table would race on the directory swap. This guard composes:
+
+        * the in-process ``RLock`` (thread exclusion, reentrancy), and
+        * an exclusive ``fcntl.flock`` on ``<root>/.writer.lock`` —
+          kernel-mediated, released automatically when the holding
+          process exits (no stale-lock file to time out).
+
+        The flock is acquired once at depth 0 and held across nested
+        writer calls (``upsert`` → ``_swap_partitions``): flock is NOT
+        reentrant across file descriptors, so depth is tracked under
+        the RLock. ``SnapshotWarehouse`` additionally backstops every
+        manifest publish with an optimistic hard-link claim, defending
+        even against writers that bypass this guard.
+        """
+        with self._write_lock:
+            if self._flock_depth == 0:
+                self.root.mkdir(parents=True, exist_ok=True)
+                fd = os.open(str(self.root / ".writer.lock"), os.O_CREAT | os.O_RDWR, 0o644)
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX)
+                except Exception:
+                    os.close(fd)
+                    raise
+                self._flock_fd = fd
+            self._flock_depth += 1
+            try:
+                yield
+            finally:
+                self._flock_depth -= 1
+                if self._flock_depth == 0 and self._flock_fd is not None:
+                    try:
+                        fcntl.flock(self._flock_fd, fcntl.LOCK_UN)
+                    finally:
+                        os.close(self._flock_fd)
+                        self._flock_fd = None
 
     def _path(self, table: str) -> Path:
         return self.root / table
@@ -99,8 +149,17 @@ class ParquetWarehouse:
         """S12: drop every table (the reference's test-reset endpoint,
         main.py:40-45 — broken as shipped since its reset.sql is absent
         from the repo; corrected semantics implemented here)."""
-        with self._write_lock:
-            shutil.rmtree(self.root, ignore_errors=True)
+        with self._commit_guard():
+            # Children only — unlinking .writer.lock while a process holds
+            # (or is blocked on) its inode would let a later opener acquire
+            # a NEW inode's lock concurrently (classic unlink-lockfile race).
+            for child in self.root.iterdir():
+                if child.name == ".writer.lock":
+                    continue
+                if child.is_dir():
+                    shutil.rmtree(child, ignore_errors=True)
+                else:
+                    child.unlink(missing_ok=True)
             self.root.mkdir(parents=True, exist_ok=True)
 
     def exists(self, table: str) -> bool:
@@ -155,7 +214,7 @@ class ParquetWarehouse:
 
     def append(self, table: str, df: DataFrame) -> None:
         """S7-style plain append."""
-        with self._write_lock:
+        with self._commit_guard():
             w = df.write.mode("append")
             if table in self.partitioning:
                 w = w.partitionBy(*self.partitioning[table])
@@ -167,7 +226,7 @@ class ParquetWarehouse:
         Also dedups the incoming batch on the key (first wins — matching a
         unique-constraint insert where later conflicting rows are dropped).
         """
-        with self._write_lock:
+        with self._commit_guard():
             incoming = df.dropDuplicates(key)
             existing = self.read(table)
             if existing is not None:
@@ -244,7 +303,7 @@ class ParquetWarehouse:
         Partition-scoped when the key covers the partition column: only
         partitions present in ``df`` are read back, merged and swapped.
         """
-        with self._write_lock:
+        with self._commit_guard():
             existing = self.read(table)
             if existing is None:
                 self._rewrite(table, df)
@@ -270,7 +329,7 @@ class ParquetWarehouse:
         Partition-scoped like :meth:`upsert`: a job merging one study's
         aggregates rewrites only that study's partition directory.
         """
-        with self._write_lock:
+        with self._commit_guard():
             self._merge_aggregations(table, df, key)
 
     def _merge_aggregations(self, table: str, df: DataFrame, key: list[str]) -> None:
@@ -341,7 +400,7 @@ class ParquetWarehouse:
         """
         from pyspark.sql.window import Window as W
 
-        with self._write_lock:
+        with self._commit_guard():
             w = W.partitionBy(*key).orderBy(ts_col)
             incoming = (
                 df.withColumn("valid_from", F.col(ts_col))

@@ -55,6 +55,21 @@ from clinical_api_etl_spark.sources.sinks import ParquetWarehouse
 
 _MANIFESTS = "_manifests"
 
+#: Bounded OCC retry for commuting operations (appends).
+_COMMIT_RETRIES = 20
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published the manifest version this commit claimed.
+
+    Raised by :meth:`SnapshotWarehouse._commit` when the optimistic
+    hard-link claim on ``v<N>.json`` loses the race (or the table moved
+    past the caller's read version). Commuting operations (appends)
+    retry transparently; read-modify-write operations surface it after
+    their bounded retry — the caller re-runs the whole merge against
+    the fresh snapshot (Delta's ``ConcurrentAppendException`` contract).
+    """
+
 
 class SnapshotWarehouse(ParquetWarehouse):
     """``ParquetWarehouse`` with manifest-pinned snapshot reads.
@@ -165,16 +180,33 @@ class SnapshotWarehouse(ParquetWarehouse):
         operation: str,
         deletes: list[dict] | None = None,
         txn: str | None = None,
-    ) -> None:
-        """Atomically publish the next snapshot. Files are relpaths under
-        the table's data root; the rename is the commit point. ``deletes``
-        are deletion-vector entries (see :meth:`delete_where`) carried in
+        base_version: int | None = None,
+    ) -> int:
+        """Atomically publish the next snapshot; returns its version.
+
+        Files are relpaths under the table's data root. ``deletes`` are
+        deletion-vector entries (see :meth:`delete_where`) carried in
         the manifest; rewrites publish with none. ``txn`` stamps the
-        manifest with an idempotence token (see :meth:`append_once`)."""
+        manifest with an idempotence token (see :meth:`append_once`).
+
+        CROSS-PROCESS optimistic concurrency (the reference's Postgres
+        gave this via transactions, db.py:41-58): the fully-written
+        temp manifest is *claimed* into ``v<N>.json`` with a hard link —
+        atomic create-if-absent on POSIX — so of two processes racing on
+        the same next version, exactly one wins and the loser gets
+        :class:`CommitConflict` with no partial manifest ever visible.
+        ``base_version`` (the snapshot the caller derived its file list
+        from) additionally fails the commit if the table has already
+        moved on, catching lost updates before the link attempt."""
         mdir = self._manifest_dir(table)
         mdir.mkdir(parents=True, exist_ok=True)
         vs = self.versions(table)
-        nxt = (max(vs) + 1) if vs else 1
+        latest = max(vs) if vs else 0
+        if base_version is not None and latest != base_version:
+            raise CommitConflict(
+                f"{table}: snapshot moved v{base_version}→v{latest} under a commit"
+            )
+        nxt = latest + 1
         manifest = {
             "version": nxt,
             "operation": operation,
@@ -189,7 +221,13 @@ class SnapshotWarehouse(ParquetWarehouse):
             manifest["txn"] = txn
         tmp = mdir / f".tmp-{uuid.uuid4().hex}"
         tmp.write_text(json.dumps(manifest, indent=1))
-        os.rename(tmp, mdir / f"v{nxt:08d}.json")
+        try:
+            os.link(tmp, mdir / f"v{nxt:08d}.json")
+        except FileExistsError:
+            raise CommitConflict(f"{table}: lost the race for v{nxt}") from None
+        finally:
+            tmp.unlink(missing_ok=True)
+        return nxt
 
     # -- physical write ---------------------------------------------------
 
@@ -247,16 +285,28 @@ class SnapshotWarehouse(ParquetWarehouse):
         return reduce(lambda a, b: a.unionByName(b), parts)
 
     def append(self, table: str, df: DataFrame) -> None:
-        with self._write_lock:
-            prev = self._load_manifest(table)
+        """Append = lock-free OCC: appends commute, so on a lost commit
+        race the carried file list is simply re-derived from the fresh
+        snapshot and the claim retried — the new data files are already
+        on disk and immutable, no rewrite. Two processes appending
+        concurrently both land, history stays linear."""
+        with self._commit_guard():
             new = self._write_commit_files(table, df)
-            carried = prev["files"] if prev else []
-            self._commit(
-                table,
-                carried + new,
-                "append",
-                deletes=(prev.get("deletes") if prev else None),
-            )
+            for attempt in range(_COMMIT_RETRIES):
+                prev = self._load_manifest(table)
+                try:
+                    self._commit(
+                        table,
+                        (prev["files"] if prev else []) + new,
+                        "append",
+                        deletes=(prev.get("deletes") if prev else None),
+                        base_version=(prev["version"] if prev else 0),
+                    )
+                    return
+                except CommitConflict:
+                    if attempt == _COMMIT_RETRIES - 1:
+                        raise
+                    time.sleep(0.01 * (attempt + 1))
 
     def committed_txns(self, table: str) -> set[str]:
         """All idempotence tokens recorded in the table's retained
@@ -277,21 +327,39 @@ class SnapshotWarehouse(ParquetWarehouse):
         re-runs a batch (same ``batchId``) after any failure between the
         sink call and the checkpoint commit. Returns True if the append
         happened, False if it was a replay. The seen-check and the
-        manifest rename happen under the writer lock, so concurrent
-        replays cannot double-commit."""
-        with self._write_lock:
+        manifest claim happen inside the OCC loop, so concurrent
+        replays — same process or another one — cannot double-commit:
+        the seen-check is re-run after every lost race, and of two
+        processes replaying one token exactly one wins the version
+        link while the other re-reads and backs off."""
+        with self._commit_guard():
             if txn in self.committed_txns(table):
                 return False
-            prev = self._load_manifest(table)
             new = self._write_commit_files(table, df)
-            carried = prev["files"] if prev else []
-            self._commit(
-                table,
-                carried + new,
-                "append",
-                deletes=(prev.get("deletes") if prev else None),
-                txn=txn,
-            )
+            for attempt in range(_COMMIT_RETRIES):
+                if txn in self.committed_txns(table):
+                    # A concurrent process landed this token between our
+                    # first check and the claim: drop our staged commit
+                    # dir (immutable but now unreachable) and report replay.
+                    cids = {rel.split("/", 1)[0] for rel in new}
+                    for cid in cids:
+                        shutil.rmtree(self._data_root(table) / cid, ignore_errors=True)
+                    return False
+                prev = self._load_manifest(table)
+                try:
+                    self._commit(
+                        table,
+                        (prev["files"] if prev else []) + new,
+                        "append",
+                        deletes=(prev.get("deletes") if prev else None),
+                        txn=txn,
+                        base_version=(prev["version"] if prev else 0),
+                    )
+                    return True
+                except CommitConflict:
+                    if attempt == _COMMIT_RETRIES - 1:
+                        raise
+                    time.sleep(0.01 * (attempt + 1))
             return True
 
     def delete_where(
@@ -307,7 +375,7 @@ class SnapshotWarehouse(ParquetWarehouse):
         now. Reads anti-join the tombstones; ``compact`` materializes the
         deletes and clears the vectors. Returns the number of deleted keys.
         """
-        with self._write_lock:
+        with self._commit_guard():
             prev = self._load_manifest(table)
             if prev is None or not prev["files"]:
                 return 0
@@ -329,19 +397,26 @@ class SnapshotWarehouse(ParquetWarehouse):
                 prev["files"],
                 f"delete[{key_col}]",
                 deletes=(prev.get("deletes") or []) + [entry],
+                base_version=prev["version"],
             )
             return n
 
     def _rewrite(self, table: str, df: DataFrame) -> None:
-        with self._write_lock:
+        with self._commit_guard():
+            prev = self._load_manifest(table)
             new = self._write_commit_files(table, df)
-            self._commit(table, new, "rewrite")
+            self._commit(
+                table,
+                new,
+                "rewrite",
+                base_version=(prev["version"] if prev else 0),
+            )
 
     def _swap_partitions(self, table: str, merged: DataFrame, pcol: str) -> None:
         """Partition-scoped commit: new files for touched partitions, the
         previous snapshot's entries carried over (by path — no data
         movement) for every other partition."""
-        with self._write_lock:
+        with self._commit_guard():
             prev = self._load_manifest(table)
             new = self._write_commit_files(table, merged)
             touched = {rel.split("/")[1] for rel in new if "/" in rel}
@@ -357,6 +432,7 @@ class SnapshotWarehouse(ParquetWarehouse):
                 carried + new,
                 f"merge[{pcol}]",
                 deletes=(prev.get("deletes") if prev else None),
+                base_version=(prev["version"] if prev else 0),
             )
 
     def read_changes(
@@ -526,7 +602,7 @@ class SnapshotWarehouse(ParquetWarehouse):
         ``key_col`` must be a physical data column (not a hive partition
         column). Returns the number of purged keys.
         """
-        with self._write_lock:
+        with self._commit_guard():
             vs = self.versions(table)
             if not vs:
                 return 0
@@ -670,7 +746,7 @@ class SnapshotWarehouse(ParquetWarehouse):
         (same as Iceberg's orphan cleanup): ``vacuum`` during an open WAP
         window deletes the staged files — match retention to audit
         duration."""
-        with self._write_lock:
+        with self._commit_guard():
             new = self._write_commit_files(table, df)
             sid = uuid.uuid4().hex
             mdir = self._manifest_dir(table)
@@ -707,7 +783,7 @@ class SnapshotWarehouse(ParquetWarehouse):
         (under the writer lock), so commits that landed during the audit
         window are preserved, not clobbered. Returns the new version; the
         staged manifest is consumed."""
-        with self._write_lock:
+        with self._commit_guard():
             staged = self._load_staged(table, staging_id)
             prev = self._load_manifest(table)
             carried = prev["files"] if prev else []
@@ -723,7 +799,7 @@ class SnapshotWarehouse(ParquetWarehouse):
     def discard_staged(self, table: str, staging_id: str) -> None:
         """Audit failed: drop the staged manifest and its data files
         (safe — no published manifest references them)."""
-        with self._write_lock:
+        with self._commit_guard():
             staged = self._load_staged(table, staging_id)
             root = self._data_root(table)
             dirs = set()
@@ -748,7 +824,7 @@ class SnapshotWarehouse(ParquetWarehouse):
         retention horizon Delta imposes). Downstream CDF consumers must
         resync across a restore (``read_changes`` refuses the window,
         like a rewrite)."""
-        with self._write_lock:
+        with self._commit_guard():
             m = self._load_manifest(table, version)
             if m is None:
                 raise ValueError(f"{table}: nothing to restore")
@@ -783,7 +859,7 @@ class SnapshotWarehouse(ParquetWarehouse):
         directory entries, never the other's bytes (POSIX hardlink
         semantics), and subsequent writes land in fresh commit dirs.
         Falls back to a copy where hard links can't cross devices."""
-        with self._write_lock:
+        with self._commit_guard():
             if self.versions(dst_table):
                 raise ValueError(f"{dst_table}: already exists")
             m = self._load_manifest(src_table, version)
@@ -817,7 +893,7 @@ class SnapshotWarehouse(ParquetWarehouse):
         input — the rewrite lands in a fresh commit dir, never touching
         the files being read. Older snapshots stay readable until
         ``vacuum``."""
-        with self._write_lock:
+        with self._commit_guard():
             df = self.read(table)
             if df is not None:
                 self._rewrite(table, df)
@@ -838,7 +914,7 @@ class SnapshotWarehouse(ParquetWarehouse):
         rewrite also materializes any deletion vectors."""
         from clinical_api_etl_spark.sources.layout import zorder_frame
 
-        with self._write_lock:
+        with self._commit_guard():
             df = self.read(table)
             if df is not None:
                 self._rewrite(
@@ -852,7 +928,7 @@ class SnapshotWarehouse(ParquetWarehouse):
         files removed. Readers still planning against vacuumed snapshots
         will fail — run with a retention matching reader lifetimes, as
         with Delta's VACUUM."""
-        with self._write_lock:
+        with self._commit_guard():
             vs = self.versions(table)
             if not vs:
                 return 0
