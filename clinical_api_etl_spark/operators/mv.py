@@ -58,7 +58,12 @@ class IncrementalMV:
 
     @property
     def _meta_path(self) -> Path:
-        return self.path / "_mv_meta.json"
+        # Meta lives INSIDE data/ (underscore-prefixed: invisible to the
+        # parquet reader, like _SUCCESS) so aggregates and their applied
+        # version publish in ONE directory rename — a crash can never
+        # leave new aggregates paired with old versions, which would make
+        # the next refresh re-apply (double-count) the same delta.
+        return self.path / "data" / "_mv_meta.json"
 
     def applied_version(self) -> int | None:
         if not self._meta_path.exists():
@@ -73,15 +78,15 @@ class IncrementalMV:
     def _write_state(self, df: DataFrame, version: int) -> None:
         tmp = self.path / f"_tmp_{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(str(tmp))
+        (tmp / "_mv_meta.json").write_text(json.dumps({"version": version}))
         dest = self.path / "data"
         old = self.path / f"_old_{uuid.uuid4().hex}"
         self.path.mkdir(parents=True, exist_ok=True)
         if dest.exists():
             os.rename(dest, old)
-        os.rename(tmp, dest)
+        os.rename(tmp, dest)  # atomic publish of data + applied version
         if old.exists():
             shutil.rmtree(old)
-        self._meta_path.write_text(json.dumps({"version": version}))
 
     # -- aggregation algebra ----------------------------------------------
 
@@ -185,7 +190,8 @@ class IncrementalJoinMV:
 
     @property
     def _meta_path(self) -> Path:
-        return self.path / "_mv_meta.json"
+        # Inside data/ — atomic data+versions publish (see IncrementalMV).
+        return self.path / "data" / "_mv_meta.json"
 
     def applied_versions(self) -> tuple[int, int] | None:
         if not self._meta_path.exists():
@@ -201,17 +207,17 @@ class IncrementalJoinMV:
     def _write_state(self, df: DataFrame, lv: int, rv: int) -> None:
         tmp = self.path / f"_tmp_{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(str(tmp))
+        (tmp / "_mv_meta.json").write_text(
+            json.dumps({"left_version": lv, "right_version": rv})
+        )
         dest = self.path / "data"
         old = self.path / f"_old_{uuid.uuid4().hex}"
         self.path.mkdir(parents=True, exist_ok=True)
         if dest.exists():
             os.rename(dest, old)
-        os.rename(tmp, dest)
+        os.rename(tmp, dest)  # atomic publish of data + applied versions
         if old.exists():
             shutil.rmtree(old)
-        self._meta_path.write_text(
-            json.dumps({"left_version": lv, "right_version": rv})
-        )
 
     # -- algebra ----------------------------------------------------------
 

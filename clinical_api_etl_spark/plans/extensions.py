@@ -517,19 +517,61 @@ def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_stats(attach_media(docs))
 
 
+_SYNTH_IMG_HX = (
+    "md5('im0:' || CAST(doc_id AS VARCHAR)) || md5('im1:' || CAST(doc_id AS VARCHAR))"
+    " || md5('im2:' || CAST(doc_id AS VARCHAR)) || md5('im3:' || CAST(doc_id AS VARCHAR))"
+)
+
+
 @QS.add(
     "mm_decode_features",
-    None,  # Arrow-batched mapInPandas with the marked fake codec → rows-only.
-    doc="[EXT] decode/feature-extract stage over binary payloads via "
-    "mapInPandas (Arrow batches). Codec is a deterministic, clearly-marked "
-    "fake (no media libs in this container); plumbing/schema/batching real.",
+    f"""
+    WITH img AS (SELECT doc_id, {_SYNTH_IMG_HX} AS hx FROM documents),
+    px AS (
+      SELECT doc_id,
+             CAST('0x' || substr(hx, CAST(i * 2 + 1 AS INTEGER), 2) AS INTEGER) AS v
+      FROM img, range(64) t(i)
+    )
+    SELECT doc_id, CAST(v // 32 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(v) AS BIGINT) AS px_sum
+    FROM px GROUP BY doc_id, v // 32
+    """,
+    doc="[EXT] REAL image decode, fully value-hash-gated with no media "
+    "library: synth_image's md5-derived 8x8 grayscale pixels are encoded "
+    "into actual PNGs (zlib scanlines, all five filter types cycled, CRC'd "
+    "chunks) and decoded back by a stdlib-zlib + unfilter Arrow kernel "
+    "(operators/multimodal.py:png_decode_gray8); the intensity-histogram "
+    "features (exact integer counts/sums per 32-wide bucket) are re-derived "
+    "by DuckDB straight from the md5 bytes — any decode defect breaks the "
+    "hash. Pillow, when present, stays the general-codec path "
+    "(decode_media); the batch plumbing is identical.",
     tags=("multimodal", "udf"),
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clinical_api_etl_spark.operators.multimodal import attach_media, decode_media
+    from clinical_api_etl_spark.operators.multimodal import (
+        png_decode_images,
+        png_encode_images,
+        synth_image,
+    )
 
-    docs = load(spark, sf_dir, "documents")
-    return decode_media(attach_media(docs), dim=8, fake=True)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    px = png_decode_images(png_encode_images(synth_image(docs)))
+    vals = (
+        px.select("doc_id", F.hex("pixels").alias("hx"))
+        .select(
+            "doc_id", "hx", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i")
+        )
+        .select(
+            "doc_id",
+            F.conv(F.expr("substring(hx, i*2+1, 2)"), 16, 10).cast("long").alias("v"),
+        )
+    )
+    return vals.groupBy(
+        "doc_id", F.expr("v div 32").cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("v").cast("long").alias("px_sum"),
+    )
 
 
 @QS.add(
@@ -658,18 +700,78 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @QS.add(
     "mm_resize_images",
-    None,  # codec stubbed (deterministic fake) → rows-only by design.
-    doc="[EXT] image resize stage: Arrow-batched mapInPandas keeping the "
-    "multimodal frame shape (payload + updated dims metadata) so it "
-    "composes with decode/binary_stats; codec stubbed behind fake=True "
-    "(operators/multimodal.py:resize_images).",
+    f"""
+    WITH img AS (SELECT doc_id, {_SYNTH_IMG_HX} AS hx FROM documents),
+    rimg AS (
+      SELECT doc_id,
+             substr(hx,1,2)||substr(hx,5,2)||substr(hx,9,2)||substr(hx,13,2)||
+             substr(hx,33,2)||substr(hx,37,2)||substr(hx,41,2)||substr(hx,45,2)||
+             substr(hx,65,2)||substr(hx,69,2)||substr(hx,73,2)||substr(hx,77,2)||
+             substr(hx,97,2)||substr(hx,101,2)||substr(hx,105,2)||substr(hx,109,2)
+               AS rhex
+      FROM img
+    ),
+    px AS (
+      SELECT doc_id, rhex,
+             CAST('0x' || substr(rhex, CAST(i * 2 + 1 AS INTEGER), 2) AS INTEGER) AS v
+      FROM rimg, range(16) t(i)
+    )
+    SELECT doc_id, CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(SUM(v * v) AS BIGINT) AS px_sumsq,
+           md5(rhex) AS digest
+    FROM px GROUP BY doc_id, rhex
+    """,
+    doc="[EXT] REAL resize over really-decoded pixels, value-hash-gated: "
+    "synth PNGs are decoded (full zlib+unfilter path), nearest-neighbor "
+    "resized 8x8→4x4 by the exact index map out[i,j]=in[2i,2j] "
+    "(operators/multimodal.py:resize_gray8), and the output carries exact "
+    "pixel sums plus an md5 digest of the resized bytes' lowercase hex — "
+    "DuckDB re-derives the identical selected bytes straight from the md5 "
+    "pixel source (byte b of row r', col c' is hex position 2*(16r'+2c')+1). "
+    "Pillow's general resize_images remains for arbitrary codecs.",
     tags=("multimodal", "udf"),
 )
 def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clinical_api_etl_spark.operators.multimodal import attach_media, resize_images
+    from clinical_api_etl_spark.operators.multimodal import (
+        png_decode_images,
+        png_encode_images,
+        resize_gray8,
+        synth_image,
+    )
 
-    docs = load(spark, sf_dir, "documents")
-    return resize_images(attach_media(docs), width=4, height=4, fake=True)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    px = png_decode_images(png_encode_images(synth_image(docs)))
+    rz = resize_gray8(px, side=8, new_side=4)
+    vals = (
+        rz.select("doc_id", F.lower(F.hex("pixels")).alias("rhex"))
+        .select(
+            "doc_id", "rhex", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("i")
+        )
+        .select(
+            "doc_id",
+            "rhex",
+            F.conv(F.expr("substring(rhex, i*2+1, 2)"), 16, 10).cast("long").alias("v"),
+        )
+    )
+    return (
+        vals.groupBy("doc_id", "rhex")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_px"),
+            F.sum("v").cast("long").alias("px_sum"),
+            F.sum(F.expr("v * v")).cast("long").alias("px_sumsq"),
+        )
+        .select(
+            "doc_id",
+            F.lit(4).alias("width"),
+            F.lit(4).alias("height"),
+            "n_px",
+            "px_sum",
+            "px_sumsq",
+            F.md5("rhex").alias("digest"),
+        )
+    )
 
 
 @QS.add(

@@ -1507,6 +1507,7 @@ def _dbscan_oracle() -> str:
     "floor-div (Spark div truncates toward zero, DuckDB // floors — "
     "identical only for non-negative operands).",
     tags=("embedding", "graph"),
+    headline=True,
 )
 def emb_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clinical_api_etl_spark.operators.graph import connected_components
@@ -2334,6 +2335,7 @@ def _eval_dcg_sql(rel: str, rnk: str) -> str:
     "ONE posting-join pass (rel and iscore aggregate together); ties "
     "pinned by doc_id throughout.",
     tags=("text", "retrieval"),
+    headline=True,
 )
 def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = _tf(spark, sf_dir).coalesce(8).persist()
@@ -2711,6 +2713,7 @@ def _mmr_oracle() -> str:
     "Pairwise similarities only ever span the 10-candidate pools "
     "(<= 45 pairs/query), computed once via a posting self-join.",
     tags=("text", "retrieval", "iterative"),
+    headline=True,
 )
 def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = _tf(spark, sf_dir).coalesce(8).persist()
@@ -2881,6 +2884,7 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "label. Train tables are (class x vocab)-sized aggregates; scoring "
     "joins the exploded corpus once.",
     tags=("text", "ml"),
+    headline=True,
 )
 def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")

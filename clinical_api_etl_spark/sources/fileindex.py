@@ -301,12 +301,18 @@ def prune(
                 break
         if keep:
             for col, v in (equals or {}).items():
-                # min/max still applies to a point predicate.
+                # min/max still applies to a point predicate. Guard the
+                # comparison: a type-mismatched probe (int vs string
+                # stats) must conservatively KEEP the file and fall
+                # through to the type-tagged bloom check below, not raise.
                 st = e["columns"].get(col)
                 if st is not None and st["min"] is not None:
-                    if st["min"] > v or st["max"] < v:
-                        keep = False
-                        break
+                    try:
+                        if st["min"] > v or st["max"] < v:
+                            keep = False
+                            break
+                    except TypeError:
+                        pass
                 hexmap = (e.get("bloom") or {}).get(col)
                 if hexmap is None:
                     continue  # no bloom -> cannot prune further

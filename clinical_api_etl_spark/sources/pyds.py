@@ -192,16 +192,31 @@ class _JsonlSinkWriter(DataSourceWriter):
                     os.unlink(os.path.join(self.path, name))
         published = []
         total = 0
+        winners = set()
         for m in messages:
             dest = os.path.join(
                 self.path, os.path.basename(m.path).replace("_tmp-", "part-")
             )
             os.replace(m.path, dest)
             published.append(os.path.basename(dest))
+            winners.add(os.path.basename(m.path))
             total += m.rows
+        # Sweep losing-attempt staging: a task retried-then-succeeded leaves
+        # its first attempt's _tmp-* file behind (abort() only runs on JOB
+        # failure; commit messages name only winning attempts).
+        for name in os.listdir(self.path):
+            if name.startswith("_tmp-") and name not in winners:
+                os.unlink(os.path.join(self.path, name))
         manifest = os.path.join(self.path, "_SUCCESS")
-        with open(manifest, "a") as f:
-            f.write(json.dumps({"files": sorted(published), "rows": total}) + "\n")
+        if self.overwrite:
+            # Overwrite deleted prior part-* files — an appended manifest
+            # line would keep naming them. Rewrite the manifest to exactly
+            # this commit's files.
+            with open(manifest, "w") as f:
+                f.write(json.dumps({"files": sorted(published), "rows": total}) + "\n")
+        else:
+            with open(manifest, "a") as f:
+                f.write(json.dumps({"files": sorted(published), "rows": total}) + "\n")
 
     def abort(self, messages) -> None:
         import os

@@ -225,6 +225,23 @@ class TestBloomPruning:
         surviving = prune(idx, equals={"who": "user-0123"})
         assert 0 < len(surviving) < total / 2
 
+    def test_type_mismatched_probe_keeps_files(self, spark, tmp_path):
+        """ADVICE r04: an int probed against a string column's min/max
+        must conservatively keep the file (fall through to the
+        type-tagged bloom check), not raise TypeError."""
+        from clinical_api_etl_spark.sources.fileindex import (
+            build_file_index,
+            load_file_index,
+            prune,
+        )
+
+        path = self._corpus(spark, tmp_path)
+        build_file_index(path, ["id"], bloom_columns=["who"])
+        idx = load_file_index(path)
+        surviving = prune(idx, equals={"who": 123})  # int vs string stats
+        # min/max can't compare; the bloom (type-tagged) rejects the int.
+        assert isinstance(surviving, list)
+
     def test_no_false_negatives(self, spark, tmp_path):
         from clinical_api_etl_spark.sources.fileindex import (
             build_file_index,

@@ -190,6 +190,44 @@ class TestJsonlSinkWriter:
         back = spark.read.json(os.path.join(dest, "part-*"))
         assert [(r.id, r.s) for r in back.collect()] == [(9, "z")]
 
+    def test_overwrite_rewrites_manifest_single_line(self, spark, tmp_path):
+        """ADVICE r04: overwrite deletes prior part-* files, so an appended
+        manifest would keep naming dead files. After overwrite, _SUCCESS
+        must contain exactly one line naming exactly the live files."""
+        import json
+        import os
+
+        from clinical_api_etl_spark.sources.pyds import JsonlSinkDataSource
+
+        spark.dataSource.register(JsonlSinkDataSource)
+        dest = str(tmp_path / "out")
+        a = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+        b = spark.createDataFrame([(9, "z")], "id long, s string")
+        a.write.format("jsonl_sink").option("path", dest).mode("append").save()
+        b.write.format("jsonl_sink").option("path", dest).mode("overwrite").save()
+        lines = open(os.path.join(dest, "_SUCCESS")).read().splitlines()
+        assert len(lines) == 1
+        manifest = json.loads(lines[0])
+        live = sorted(n for n in os.listdir(dest) if n.startswith("part-"))
+        assert sorted(manifest["files"]) == live and manifest["rows"] == 1
+
+    def test_commit_sweeps_orphaned_tmp_files(self, spark, tmp_path):
+        """ADVICE r04: a retried task whose job succeeds leaves its losing
+        attempt's _tmp-* staged file — commit() must sweep strays."""
+        import os
+
+        from clinical_api_etl_spark.sources.pyds import JsonlSinkDataSource
+
+        spark.dataSource.register(JsonlSinkDataSource)
+        dest = tmp_path / "out"
+        dest.mkdir()
+        (dest / "_tmp-deadbeef.jsonl").write_text('{"id": 0, "s": "lost"}\n')
+        df = spark.createDataFrame([(1, "a")], "id long, s string")
+        df.write.format("jsonl_sink").option("path", str(dest)).mode("append").save()
+        names = os.listdir(dest)
+        assert not [n for n in names if n.startswith("_tmp-")]
+        assert [n for n in names if n.startswith("part-")]
+
     def test_failed_job_publishes_nothing(self, spark, tmp_path):
         import os
 
