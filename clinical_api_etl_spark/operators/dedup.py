@@ -63,6 +63,70 @@ def _hashed_shingles(text: Column, n: int) -> Column:
     )
 
 
+def _prefix_filter_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filter candidate pairs over a (doc_id, shingles) table.
+
+    PPJoin-style pruning at join-probe time (integer predicates — nearly
+    free, applied before the dedup shuffle and the verify joins):
+
+    * length filter: J ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|);
+    * position filter: a match at 0-based prefix positions (p_a, p_b)
+      bounds the overlap by min(p_a,p_b) possibly-common earlier
+      elements + this one + min of the suffix lengths, which must reach
+      α = ⌈t/(1+t)·(|A|+|B|)⌉ (the overlap any ≥t pair needs). The
+      bound holds for every match row, so true pairs always survive.
+    """
+    pre_len = (
+        F.size("shingles") - F.ceil(F.lit(threshold) * F.size("shingles")) + 1
+    ).cast("int")
+    prefix = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.posexplode(F.slice("shingles", F.lit(1), pre_len)).alias("pos", "shingle"),
+    )
+    n_a, n_b = F.col("a.n_sh"), F.col("b.n_sh")
+    p_a, p_b = F.col("a.pos"), F.col("b.pos")
+    alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) * (n_a + n_b))
+    overlap_ub = (
+        F.lit(1) + F.least(p_a, p_b) + F.least(n_a - p_a - 1, n_b - p_b - 1)
+    )
+    return (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.least(n_a, n_b) >= F.lit(threshold) * F.greatest(n_a, n_b))
+            & (overlap_ub >= alpha),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        # Candidate rows are tiny (two longs) so AQE would coalesce the
+        # dedup exchange into ~one partition and serialize the verify
+        # stage. An explicit hash repartition on the pair key both feeds
+        # dropDuplicates (same required distribution — no extra exchange)
+        # and pins the verify parallelism, since AQE leaves user-specified
+        # repartitions alone.
+        .repartition(
+            sh.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def ngram_jaccard_candidates(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """The candidate-pair stage of :func:`ngram_jaccard_pairs` alone —
+    scaling telemetry: the operator's cost driver is candidate count, so
+    candidates-vs-output across scale factors is the evidence for the
+    output-bound law (PERF.md)."""
+    sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(id_col).alias("doc_id"),
+        _hashed_shingles(F.col(text_col), n).alias("shingles"),
+    )
+    return _prefix_filter_candidates(sh, threshold)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, *, n: int = 3, threshold: float = 0.8
 ) -> DataFrame:
@@ -107,49 +171,7 @@ def ngram_jaccard_pairs(
         )
         .persist()
     )
-    pre_len = (
-        F.size("shingles") - F.ceil(F.lit(threshold) * F.size("shingles")) + 1
-    ).cast("int")
-    prefix = sh.select(
-        "doc_id",
-        F.size("shingles").alias("n_sh"),
-        F.posexplode(F.slice("shingles", F.lit(1), pre_len)).alias("pos", "shingle"),
-    )
-    # PPJoin-style pruning at join-probe time (integer predicates — nearly
-    # free, applied before the dedup shuffle and the verify joins):
-    #  * length filter: J ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|);
-    #  * position filter: a match at 0-based prefix positions (p_a, p_b)
-    #    bounds the overlap by min(p_a,p_b) possibly-common earlier
-    #    elements + this one + min of the suffix lengths, which must reach
-    #    α = ⌈t/(1+t)·(|A|+|B|)⌉ (the overlap any ≥t pair needs). The
-    #    bound holds for every match row, so true pairs always survive.
-    n_a, n_b = F.col("a.n_sh"), F.col("b.n_sh")
-    p_a, p_b = F.col("a.pos"), F.col("b.pos")
-    alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) * (n_a + n_b))
-    overlap_ub = (
-        F.lit(1) + F.least(p_a, p_b) + F.least(n_a - p_a - 1, n_b - p_b - 1)
-    )
-    cand = (
-        prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.least(n_a, n_b) >= F.lit(threshold) * F.greatest(n_a, n_b))
-            & (overlap_ub >= alpha),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        # Candidate rows are tiny (two longs) so AQE would coalesce the
-        # dedup exchange into ~one partition and serialize the verify
-        # stage. An explicit hash repartition on the pair key both feeds
-        # dropDuplicates (same required distribution — no extra exchange)
-        # and pins the verify parallelism, since AQE leaves user-specified
-        # repartitions alone.
-        .repartition(
-            df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _prefix_filter_candidates(sh, threshold)
     # Exact verify on the full (hashed) shingle sets. |A∪B| is derived as
     # |A| + |B| − |A∩B| — array_union would allocate a merged array per
     # pair just to take its size.

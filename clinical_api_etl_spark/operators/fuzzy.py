@@ -78,19 +78,7 @@ def edit_distance_self_join(
     verify removes everything else.
     """
     base = strings.select(F.col(id_col).alias("sid"), F.col(s_col).alias("s"))
-    sigs = base.select(
-        "sid",
-        F.explode(F.array_distinct(_deletion_variants("s", max_dist))).alias("v"),
-    ).select("sid", F.xxhash64("v").alias("sig"))
-
-    cands = (
-        sigs.alias("l")
-        .join(sigs.alias("r"), "sig")
-        .filter(F.col("l.sid") < F.col("r.sid"))
-        .select(F.col("l.sid").alias("id_l"), F.col("r.sid").alias("id_r"))
-        .distinct()
-    )
-
+    cands = edit_distance_candidates(strings, id_col, s_col, max_dist)
     left = base.select(F.col("sid").alias("id_l"), F.col("s").alias("s_l"))
     right = base.select(F.col("sid").alias("id_r"), F.col("s").alias("s_r"))
     return (
@@ -100,6 +88,31 @@ def edit_distance_self_join(
         .withColumn("dist", F.levenshtein("s_l", "s_r"))
         .filter(F.col("dist") <= max_dist)
         .select("id_l", "id_r", "dist")
+    )
+
+
+def edit_distance_candidates(
+    strings: DataFrame,
+    id_col: str,
+    s_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """The candidate-pair stage of :func:`edit_distance_self_join` alone
+    (distinct signature-bucket co-occurrences, before the levenshtein
+    verify) — exposed for scaling telemetry: candidate count is the cost
+    driver of the whole operator, so measuring it against output size is
+    how `output-bound, not super-linear` gets evidenced (PERF.md)."""
+    base = strings.select(F.col(id_col).alias("sid"), F.col(s_col).alias("s"))
+    sigs = base.select(
+        "sid",
+        F.explode(F.array_distinct(_deletion_variants("s", max_dist))).alias("v"),
+    ).select("sid", F.xxhash64("v").alias("sig"))
+    return (
+        sigs.alias("l")
+        .join(sigs.alias("r"), "sig")
+        .filter(F.col("l.sid") < F.col("r.sid"))
+        .select(F.col("l.sid").alias("id_l"), F.col("r.sid").alias("id_r"))
+        .distinct()
     )
 
 

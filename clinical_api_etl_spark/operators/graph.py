@@ -159,3 +159,98 @@ def pagerank_int(
             (base + F.expr(f"{damping_pct} * s div 100")).cast("long").alias("r"),
         )
     return ranks.select("node", F.col("r").alias("rank_units"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS hop distances (0..iters) in exact integers.
+
+    ``sources`` must have a ``node`` column. Each round relaxes
+    ``dist[dst] = min(dist[dst], dist[src] + 1)`` via one equi-join on
+    src + one min-aggregate — the Pregel BFS step as two declarative
+    ops. Nodes unreached within ``iters`` hops are absent from the
+    output (distance = null semantics). All-integer: hash-gates against
+    an unrolled DuckDB oracle.
+
+    Lineage note: the distance table feeds BOTH the join and the union
+    every round (multiplicative growth), so each round is eagerly
+    localCheckpoint-ed — the k-core rule from CLAUDE.md, not the
+    pagerank (linear-growth) exception.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    dist = sources.select("node", F.lit(0).cast("long").alias("dist"))
+    for _ in range(iters):
+        nxt = e.join(dist, e["src"] == dist["node"]).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.lit(1)).alias("dist")
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
+def ppr_int(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    iters: int = 3,
+    total_units: int = 1_000_000_000_000,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart to ``sources``) in
+    exact integer arithmetic — same bit-reproducibility contract as
+    :func:`pagerank_int`, but the restart mass re-concentrates on the
+    source set each iteration instead of spreading uniformly, so ranks
+    measure proximity to the sources (the recommendation / similar-node
+    primitive). Nodes never touched by mass stay absent (implicit 0).
+
+    Per iteration: one equi-join of the rank vector onto the edge list
+    (AQE chooses broadcast vs shuffle), one shuffle on dst with map-side
+    partial sums, one full-outer join with the (small, broadcastable)
+    restart vector.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    edeg = e.join(deg, "src")
+    n_src = sources.count()
+    if n_src == 0:
+        raise ValueError("ppr_int: empty source set")
+    restart = sources.select(
+        "node",
+        F.lit(total_units * (100 - damping_pct) // 100 // n_src)
+        .cast("long")
+        .alias("base"),
+    )
+    ranks = sources.select(
+        "node", F.lit(total_units // n_src).cast("long").alias("r")
+    )
+    for _ in range(iters):
+        contrib = edeg.join(ranks, edeg["src"] == ranks["node"]).select(
+            "dst", F.expr("r div deg").alias("c")
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("c").cast("long").alias("s"))
+        ranks = (
+            summed.select(F.col("dst").alias("node"), "s")
+            .join(restart, "node", "full_outer")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("base"), F.lit(0))
+                    + F.expr(f"{damping_pct} * coalesce(s, 0) div 100")
+                )
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_units"))

@@ -741,3 +741,190 @@ def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_rows",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+# ---------------------------------------------------------------------------
+# Round-5: OHLC downsampling, functional-dependency discovery, FK orphan
+# profile.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "ts_ohlc_daily",
+    f"""
+    WITH r AS (
+      SELECT event_type, date_trunc('day', ts) AS day, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts ASC, event_id ASC) AS rn_open,
+             row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, day,
+           MIN(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MIN(CASE WHEN rn_close = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume,
+           {DSUM('value', 'total')}
+    FROM r GROUP BY event_type, day
+    """,
+    doc="[EXT] OHLC bar downsampling (the financial/telemetry resample "
+    "primitive): per (event_type, day) the first value (open), max "
+    "(high), min (low), last value (close), count and decimal-exact "
+    "total. First/last are picked by row_number over (ts, event_id) — "
+    "deterministic under timestamp ties, unlike naive first_value. "
+    "Open/close/high/low are single SELECTED doubles (no float "
+    "accumulation) so they hash-gate; the total goes through dsum. Two "
+    "window passes + one aggregate over ONE (type, day) exchange — "
+    "Spark compiles both orderings into one Exchange + two Sorts.",
+    tags=("window", "analytics"),
+)
+def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    day = F.date_trunc("day", "ts").alias("day")
+    base = ev.select("event_type", day, "value", "ts", "event_id")
+    wo = W.partitionBy("event_type", "day").orderBy(F.asc("ts"), F.asc("event_id"))
+    wc = W.partitionBy("event_type", "day").orderBy(F.desc("ts"), F.desc("event_id"))
+    r = base.select(
+        "event_type",
+        "day",
+        "value",
+        F.row_number().over(wo).alias("rn_open"),
+        F.row_number().over(wc).alias("rn_close"),
+    )
+    return r.groupBy("event_type", "day").agg(
+        F.min(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.min(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).cast("long").alias("volume"),
+        dsum("value", "total"),
+    )
+
+
+#: Candidate FDs probed by dq_functional_dependencies: (table, lhs, rhs).
+#: A mix of true dependencies (keys) and expected violations.
+_FD_CANDIDATES = (
+    ("customer", "c_custkey", "c_nationkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderstatus"),
+    ("supplier", "s_suppkey", "s_nationkey"),
+    ("part", "p_partkey", "p_brand"),
+    ("part", "p_brand", "p_type"),
+)
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for table, lhs, rhs in _FD_CANDIDATES:
+        parts.append(f"""
+    SELECT '{table}' AS tbl, '{lhs}' AS lhs, '{rhs}' AS rhs,
+           CAST(COUNT(DISTINCT {lhs}) AS BIGINT) AS n_lhs,
+           CAST(COUNT(DISTINCT ({lhs}, {rhs})) AS BIGINT) AS n_pairs,
+           COUNT(DISTINCT {lhs}) = COUNT(DISTINCT ({lhs}, {rhs})) AS holds
+    FROM {table}""")
+    return " UNION ALL ".join(parts)
+
+
+@QS.add(
+    "dq_functional_dependencies",
+    _fd_oracle(),
+    doc="[EXT] functional-dependency discovery (profiling primitive behind "
+    "key inference and normalization checks): A→B holds iff "
+    "|distinct A| = |distinct (A,B)|. One two-distinct-count aggregate "
+    "per candidate over a declared candidate set — each is a single "
+    "shuffle with partial aggregation; candidates are independent so "
+    "Spark runs the union branches concurrently. Exact integers.",
+    tags=("agg", "profile"),
+)
+def dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for table, lhs, rhs in _FD_CANDIDATES:
+        t = load(spark, sf_dir, table)
+        outs.append(
+            t.agg(
+                F.countDistinct(lhs).cast("long").alias("n_lhs"),
+                F.countDistinct(lhs, rhs).cast("long").alias("n_pairs"),
+            ).select(
+                F.lit(table).alias("tbl"),
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                "n_lhs",
+                "n_pairs",
+                (F.col("n_lhs") == F.col("n_pairs")).alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+#: Referential relationships probed by dq_fk_orphans:
+#: (child table, child key, parent table, parent key).
+_FK_RELS = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for child, ckey, parent, pkey in _FK_RELS:
+        parts.append(f"""
+    SELECT '{child}.{ckey}' AS child, '{parent}.{pkey}' AS parent,
+           CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(COUNT(*) FILTER (WHERE p.{pkey} IS NULL) AS BIGINT) AS n_orphans,
+           CAST(COUNT(*) FILTER (WHERE p.{pkey} IS NULL) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS orphan_rate
+    FROM {child} c LEFT JOIN (SELECT DISTINCT {pkey} FROM {parent}) p
+      ON c.{ckey} = p.{pkey}""")
+    return " UNION ALL ".join(parts)
+
+
+@QS.add(
+    "dq_fk_orphans",
+    _fk_oracle(),
+    doc="[EXT] referential-integrity profile: per declared FK "
+    "relationship, child row count, orphan count (child keys absent "
+    "from the parent) and orphan rate — the DQ dashboard behind the "
+    "reference's FK constraints (02_staging_clinical_trials.sql), "
+    "generalized to the whole star schema. Each relationship is a LEFT "
+    "join against the DISTINCT parent keys (broadcast for dims); the "
+    "rate is one IEEE division of exact counts (portable).",
+    tags=("agg", "profile", "J3"),
+)
+def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for child, ckey, parent, pkey in _FK_RELS:
+        c = load(spark, sf_dir, child)
+        p = load(spark, sf_dir, parent).select(pkey).distinct()
+        joined = c.join(p, c[ckey] == p[pkey], "left")
+        outs.append(
+            joined.agg(
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+                F.sum(F.when(F.col(pkey).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphans"),
+            ).select(
+                F.lit(f"{child}.{ckey}").alias("child"),
+                F.lit(f"{parent}.{pkey}").alias("parent"),
+                "n_child",
+                "n_orphans",
+                (
+                    F.col("n_orphans").cast("double")
+                    / F.col("n_child").cast("double")
+                ).alias("orphan_rate"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

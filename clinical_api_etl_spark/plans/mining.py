@@ -2265,3 +2265,83 @@ def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("longest", F.lit(0)).cast("long").alias("longest_run"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5: multi-source BFS hop distances over the interaction graph.
+# ---------------------------------------------------------------------------
+
+_BFS_ITERS = 4
+
+#: Shared edge derivation with graph_pagerank_interactions: the symmetrized
+#: customer<->supplier interaction graph.
+_INTERACTION_EDGES_SQL = """
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    )"""
+
+
+def _bfs_oracle() -> str:
+    """Unrolled-iteration DuckDB twin of operators/graph.py:bfs_hops.
+    Every it{k} is referenced twice (union + join) — multiplicative CTE
+    reuse, so each MUST be MATERIALIZED (the k-core oracle lesson)."""
+    it = """
+    it{k} AS MATERIALIZED (
+      SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM it{p}
+        UNION ALL
+        SELECT e.dst AS node, r.dist + 1 AS dist
+        FROM edges e JOIN it{p} r ON e.src = r.node
+      ) u GROUP BY node
+    )"""
+    its = ",".join(it.format(k=k, p=k - 1) for k in range(1, _BFS_ITERS + 1))
+    return f"""
+    WITH {_INTERACTION_EDGES_SQL},
+    it0 AS MATERIALIZED (
+      SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node, CAST(0 AS BIGINT) AS dist
+      FROM supplier WHERE s_suppkey % 5 = 0
+    ),
+    {its}
+    SELECT node, dist FROM it{_BFS_ITERS}
+    """
+
+
+@QS.add(
+    "graph_bfs_hops",
+    _bfs_oracle(),
+    doc="[EXT] multi-source BFS hop distances over the symmetrized "
+    "customer<->supplier interaction graph, sources = every 5th supplier "
+    "(non-empty at all SFs), "
+    f"{_BFS_ITERS} relaxation rounds (operators/graph.py:bfs_hops). Each "
+    "round is one equi-join on src + one min-aggregate (Pregel step as "
+    "two declarative ops); distances are exact BIGINTs so the 8th "
+    "iterative algorithm joins the full value-hash-gated set. Rounds are "
+    "eagerly checkpointed (distance table referenced twice per round — "
+    "multiplicative lineage, the k-core rule).",
+    tags=("graph", "iterative"),
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.graph import bfs_hops
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sources = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 5 == 0)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
+    )
+    return bfs_hops(edges, sources, iters=_BFS_ITERS)

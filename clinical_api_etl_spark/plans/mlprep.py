@@ -683,8 +683,10 @@ def _pagerank_oracle() -> str:
     "0.85, in EXACT integer arithmetic: rank mass is 1e12 units and every "
     "step is BIGINT floor-division, so Spark and DuckDB agree "
     "bit-for-bit — an iterative algorithm under a full value-hash gate, "
-    "not a rows-only check. Per iteration: rank vector (|V| rows) "
-    "broadcast onto the edge list, contributions shuffle once on dst "
+    "not a rows-only check. Per iteration: rank vector equi-joined onto "
+    "the edge list (no broadcast hint — AQE broadcasts while |V| is "
+    "small, shuffles when it isn't; an O(|V|) forced broadcast would be "
+    "wrong at billions of nodes), contributions shuffle once on dst "
     "with map-side partials. operators/graph.py:pagerank_int.",
     headline=True,
     tags=("graph",),
@@ -815,3 +817,91 @@ def decontaminate_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_missed")
     )
     return n_exact.crossJoin(n_cand).crossJoin(n_missed)
+
+
+# ---------------------------------------------------------------------------
+# Round-5: personalized PageRank (random walk with restart).
+# ---------------------------------------------------------------------------
+
+_PPR_ITERS = 3
+
+
+def _ppr_oracle() -> str:
+    """Unrolled DuckDB twin of operators/graph.py:ppr_int. The contrib/
+    restart combination is a FULL OUTER join per iteration; every it{k}
+    is referenced once (linear chain) but srcs/restart are reused across
+    iterations -> MATERIALIZED."""
+    it = """
+    it{k} AS MATERIALIZED (
+      SELECT COALESCE(c.node, b.node) AS node,
+             CAST(COALESCE(b.base, 0) + (85 * COALESCE(c.s, 0)) // 100
+                  AS BIGINT) AS r
+      FROM (
+        SELECT e.dst AS node, SUM(r.r // e.deg) AS s
+        FROM edeg e JOIN it{p} r ON e.src = r.node GROUP BY e.dst
+      ) c FULL OUTER JOIN restart b ON c.node = b.node
+    )"""
+    its = ",".join(it.format(k=k, p=k - 1) for k in range(1, _PPR_ITERS + 1))
+    return f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    edeg AS MATERIALIZED (
+      SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)
+    ),
+    srcs AS MATERIALIZED (
+      SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node
+      FROM supplier WHERE s_suppkey % 5 = 0
+    ),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM srcs),
+    it0 AS MATERIALIZED (
+      SELECT node, CAST(1000000000000 // ns.n AS BIGINT) AS r FROM srcs, ns
+    ),
+    restart AS MATERIALIZED (
+      SELECT node, CAST(150000000000 // ns.n AS BIGINT) AS base FROM srcs, ns
+    ),
+    {its}
+    SELECT node, r AS rank_units FROM it{_PPR_ITERS}
+    """
+
+
+@QS.add(
+    "graph_ppr_suppliers",
+    _ppr_oracle(),
+    doc="[EXT] personalized PageRank (random walk with 15% restart to the "
+    "source set = every 5th supplier) over the customer<->supplier "
+    f"interaction graph, {_PPR_ITERS} iterations in EXACT integer "
+    "arithmetic (operators/graph.py:ppr_int) — the proximity/"
+    "recommendation primitive, 9th fully value-hash-gated iterative "
+    "algorithm. Per iteration: rank equi-join onto edges (AQE chooses "
+    "the strategy), one dst shuffle with map-side partials, one full "
+    "outer join with the small restart vector. Ranks measure closeness "
+    "to the sources; untouched nodes stay absent (implicit zero).",
+    tags=("graph", "iterative"),
+)
+def graph_ppr_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.graph import ppr_int
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sources = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 5 == 0)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
+    )
+    return ppr_int(edges, sources, iters=_PPR_ITERS)

@@ -1,0 +1,157 @@
+"""Round-5 graph operators: BFS hops, personalized PageRank, telemetry.
+
+The registered queries carry full DuckDB hash gates; these tests pin the
+SEMANTICS on tiny hand graphs where the expected answer is computed by
+an independent python reference.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_api_etl_spark.operators.graph import bfs_hops, pagerank_int, ppr_int
+
+
+def _edges(spark, pairs):
+    sym = pairs + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(sym, "src string, dst string")
+
+
+class TestBfsHops:
+    def test_path_graph_distances(self, spark):
+        # a - b - c - d - e : from {a}, dists 0..4
+        e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+        src = spark.createDataFrame([("a",)], "node string")
+        got = {r["node"]: r["dist"] for r in bfs_hops(e, src, iters=4).collect()}
+        assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "e": 4}
+
+    def test_bounded_iters_leave_far_nodes_absent(self, spark):
+        e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+        src = spark.createDataFrame([("a",)], "node string")
+        got = {r["node"]: r["dist"] for r in bfs_hops(e, src, iters=2).collect()}
+        assert got == {"a": 0, "b": 1, "c": 2}  # d unreached in 2 hops
+
+    def test_multi_source_takes_min(self, spark):
+        e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+        src = spark.createDataFrame([("a",), ("d",)], "node string")
+        got = {r["node"]: r["dist"] for r in bfs_hops(e, src, iters=3).collect()}
+        assert got == {"a": 0, "d": 0, "b": 1, "c": 1}
+
+
+def _ppr_reference(sym_pairs, sources, iters, total=10**12, damping=85):
+    """Independent python-int replay of ppr_int's floor-division algebra."""
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for a, _ in sym_pairs:
+        deg[a] += 1
+    n_src = len(sources)
+    base = total * (100 - damping) // 100 // n_src
+    r = {s: total // n_src for s in sources}
+    for _ in range(iters):
+        contrib = defaultdict(int)
+        for a, b in sym_pairs:
+            if a in r:
+                contrib[b] += r[a] // deg[a]
+        nodes = set(contrib) | set(sources)
+        r = {
+            v: (base if v in sources else 0) + damping * contrib.get(v, 0) // 100
+            for v in nodes
+        }
+    return r
+
+
+class TestPersonalizedPagerank:
+    def test_matches_python_reference(self, spark):
+        pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")]
+        sym = pairs + [(b, a) for a, b in pairs]
+        e = _edges(spark, pairs)
+        src = spark.createDataFrame([("a",)], "node string")
+        got = {
+            r["node"]: r["rank_units"]
+            for r in ppr_int(e, src, iters=3).collect()
+        }
+        assert got == _ppr_reference(sym, ["a"], 3)
+
+    def test_restart_concentrates_mass_near_sources(self, spark):
+        # star a-(b,c,d) plus a distant tail d-e-f: source a must outrank
+        # the tail end under restart.
+        pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("d", "e"), ("e", "f")]
+        e = _edges(spark, pairs)
+        src = spark.createDataFrame([("a",)], "node string")
+        got = {
+            r["node"]: r["rank_units"]
+            for r in ppr_int(e, src, iters=3).collect()
+        }
+        assert got["a"] > got["f"]
+
+    def test_empty_sources_raise(self, spark):
+        e = _edges(spark, [("a", "b")])
+        src = spark.createDataFrame([], "node string")
+        with pytest.raises(ValueError, match="empty source set"):
+            ppr_int(e, src)
+
+    def test_uniform_sources_do_not_equal_global_pagerank(self, spark):
+        """Sanity: PPR != PageRank even with all nodes as sources, because
+        restart mass is per-source-uniform while PageRank's base is
+        per-node — but both must conserve approximate total mass."""
+        pairs = [("a", "b"), ("b", "c"), ("a", "c")]
+        e = _edges(spark, pairs)
+        src = spark.createDataFrame([("a",), ("b",), ("c",)], "node string")
+        total_ppr = sum(
+            r["rank_units"] for r in ppr_int(e, src, iters=3).collect()
+        )
+        total_pr = sum(
+            r["rank_units"] for r in pagerank_int(e, iters=3).collect()
+        )
+        assert abs(total_ppr - 10**12) < 100  # floor loss < |V|*iters
+        assert abs(total_pr - 10**12) < 100
+
+
+class TestCandidateTelemetry:
+    def test_fuzzy_candidates_superset_of_matches(self, spark):
+        from clinical_api_etl_spark.operators.fuzzy import (
+            edit_distance_candidates,
+            edit_distance_self_join,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alpha"), (2, "alphb"), (3, "gamma"), (4, "alpha")],
+            "id long, s string",
+        )
+        cands = {
+            (r["id_l"], r["id_r"])
+            for r in edit_distance_candidates(df, "id", "s", 1).collect()
+        }
+        matches = {
+            (r["id_l"], r["id_r"])
+            for r in edit_distance_self_join(df, "id", "s", 1).collect()
+        }
+        assert matches <= cands
+        assert (1, 2) in matches and (1, 4) in matches and (3, 4) not in matches
+
+    def test_ngram_candidates_superset_of_pairs(self, spark):
+        from clinical_api_etl_spark.operators.dedup import (
+            ngram_jaccard_candidates,
+            ngram_jaccard_pairs,
+        )
+
+        text = "the quick brown fox jumps over the lazy dog " * 3
+        df = spark.createDataFrame(
+            [(1, text), (2, text + "extra tail"), (3, "completely different words here")],
+            "doc_id long, text string",
+        )
+        cands = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_candidates(
+                df, "doc_id", "text", n=3, threshold=0.8
+            ).collect()
+        }
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=0.8
+            ).collect()
+        }
+        assert pairs <= cands and (1, 2) in pairs
