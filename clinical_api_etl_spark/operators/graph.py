@@ -254,3 +254,43 @@ def ppr_int(
             )
         )
     return ranks.select("node", F.col("r").alias("rank_units"))
+
+
+def pagerank_weighted_int(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = 3,
+    total_units: int = 1_000_000_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Weighted PageRank in exact integer arithmetic: each neighbor
+    receives ``rank * w div sum(w over src's edges)`` — the
+    integer-weighted generalization of :func:`pagerank_int` with the
+    same bit-reproducibility contract (BIGINT floor-div throughout) and
+    the same join shape (rank equi-join, no forced broadcast; one dst
+    shuffle with map-side partials per iteration). Weights must be
+    positive integers."""
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    )
+    sw = e.groupBy("src").agg(F.sum("w").cast("long").alias("sw"))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    ncount = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    base = F.expr(f"{total_units * (100 - damping_pct)} div 100 div n")
+    ranks = nodes.crossJoin(F.broadcast(ncount)).select(
+        "node", F.expr(f"{total_units} div n").alias("r")
+    )
+    esw = e.join(sw, "src")
+    for _ in range(iters):
+        contrib = esw.join(ranks, esw["src"] == ranks["node"]).select(
+            "dst", F.expr("r * w div sw").alias("c")
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("c").cast("long").alias("s"))
+        ranks = summed.crossJoin(F.broadcast(ncount)).select(
+            F.col("dst").alias("node"),
+            (base + F.expr(f"{damping_pct} * s div 100")).cast("long").alias("r"),
+        )
+    return ranks.select("node", F.col("r").alias("rank_units"))

@@ -928,3 +928,103 @@ def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@QS.add(
+    "stat_seasonal_decomposition",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(isodow(date_trunc('day', ts)) - 1 AS BIGINT) AS dow,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, date_trunc('day', ts)
+    ),
+    win AS (
+      SELECT *,
+             SUM(cents) OVER w AS trend_sum,
+             COUNT(*) OVER w AS n_win
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY epoch(day)
+                   RANGE BETWEEN 259200 PRECEDING AND 259200 FOLLOWING)
+    ),
+    interior AS (
+      SELECT event_type, day, dow, cents,
+             CAST(7 * cents - trend_sum AS BIGINT) AS detr_x7,
+             CAST(trend_sum AS BIGINT) AS trend_sum
+      FROM win WHERE n_win = 7
+    ),
+    season AS (
+      SELECT event_type, dow,
+             CAST(SUM(detr_x7) AS BIGINT) AS s_dow,
+             CAST(COUNT(*) AS BIGINT) AS n_dow
+      FROM interior GROUP BY event_type, dow
+    )
+    SELECT i.event_type, i.day, i.dow, i.cents,
+           CAST(i.trend_sum AS DOUBLE) / 7.0e0 AS trend,
+           CAST(s.s_dow AS DOUBLE) / (7.0e0 * CAST(s.n_dow AS DOUBLE)) AS seasonal,
+           CAST(i.detr_x7 AS DOUBLE) / 7.0e0
+             - CAST(s.s_dow AS DOUBLE) / (7.0e0 * CAST(s.n_dow AS DOUBLE))
+             AS residual
+    FROM interior i JOIN season s
+      ON i.event_type = s.event_type AND i.dow = s.dow
+    """,
+    doc="[EXT] additive seasonal decomposition (classical STL-lite) of the "
+    "per-type daily revenue series: trend = centered 7-day moving average "
+    "(RANGE frame on epoch day, interior days only so every window holds "
+    "exactly 7 points), seasonal = day-of-week mean of the detrended "
+    "series, residual = remainder. The core stays EXACT: detrended x7 = "
+    "7*cents - trend_sum is a BIGINT; the published floats are a fixed "
+    "IEEE tree over exact ints (two correctly-rounded divisions + one "
+    "subtraction) so every value hash-matches. Day-of-week via Spark "
+    "weekday == DuckDB isodow-1 (both Monday-0). One window exchange per "
+    "type + one broadcast-joined 7-row seasonal table.",
+    tags=("window", "analytics", "stats"),
+)
+def stat_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(cents).cast("long").alias("cents"))
+    daily = daily.withColumn("dow", F.weekday("day").cast("long"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("day"))
+        .rangeBetween(-3 * 86400, 3 * 86400)
+    )
+    win = daily.select(
+        "event_type",
+        "day",
+        "dow",
+        "cents",
+        F.sum("cents").over(w).alias("trend_sum"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    )
+    interior = win.filter(F.col("n_win") == 7).select(
+        "event_type",
+        "day",
+        "dow",
+        "cents",
+        (F.lit(7) * F.col("cents") - F.col("trend_sum")).cast("long").alias("detr_x7"),
+        F.col("trend_sum").cast("long").alias("trend_sum"),
+    )
+    season = interior.groupBy("event_type", "dow").agg(
+        F.sum("detr_x7").cast("long").alias("s_dow"),
+        F.count(F.lit(1)).cast("long").alias("n_dow"),
+    )
+    seasonal = F.col("s_dow").cast("double") / (
+        F.lit(7.0) * F.col("n_dow").cast("double")
+    )
+    return interior.join(F.broadcast(season), ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        "dow",
+        "cents",
+        (F.col("trend_sum").cast("double") / F.lit(7.0)).alias("trend"),
+        seasonal.alias("seasonal"),
+        (F.col("detr_x7").cast("double") / F.lit(7.0) - seasonal).alias("residual"),
+    )

@@ -2345,3 +2345,81 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
     )
     return bfs_hops(edges, sources, iters=_BFS_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Round-5: weighted PageRank over the interaction graph.
+# ---------------------------------------------------------------------------
+
+_WPR_ITERS = 3
+
+
+def _wpr_oracle() -> str:
+    """Unrolled DuckDB twin of operators/graph.py:pagerank_weighted_int —
+    weights = lineitem counts per (customer, supplier) pair."""
+    it = """
+    it{k} AS MATERIALIZED (
+      SELECT e.dst AS node,
+             CAST(150000000000 // n.n + (85 * SUM(r.r * e.w // e.sw)) // 100
+                  AS BIGINT) AS r
+      FROM esw e JOIN it{p} r ON e.src = r.node, n
+      GROUP BY e.dst, n.n
+    )"""
+    its = ",".join(it.format(k=k, p=k - 1) for k in range(1, _WPR_ITERS + 1))
+    return f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey, l_suppkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst, w FROM e0
+      UNION ALL SELECT dst AS src, src AS dst, w FROM e0
+    ),
+    sw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS sw FROM edges GROUP BY src),
+    esw AS MATERIALIZED (
+      SELECT e.src, e.dst, e.w, s.sw FROM edges e JOIN sw s USING (src)
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    it0 AS MATERIALIZED (
+      SELECT node, CAST(1000000000000 // n.n AS BIGINT) AS r FROM nodes, n
+    ),
+    {its}
+    SELECT node, r AS rank_units FROM it{_WPR_ITERS}
+    """
+
+
+@QS.add(
+    "graph_wpagerank_interactions",
+    _wpr_oracle(),
+    doc="[EXT] WEIGHTED PageRank over the customer<->supplier graph, edge "
+    "weight = lineitem count between the pair: each neighbor receives "
+    "rank*w div sum(w) — interaction intensity steers the walk "
+    f"(operators/graph.py:pagerank_weighted_int, {_WPR_ITERS} iterations, "
+    "exact BIGINT floor-div; 10th hash-gated iterative). Same plan shape "
+    "as the unweighted twin: rank equi-join (AQE strategy), one dst "
+    "shuffle with map-side partials per iteration.",
+    tags=("graph", "iterative"),
+)
+def graph_wpagerank_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.graph import pagerank_weighted_int
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            "w",
+        )
+    )
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    return pagerank_weighted_int(edges, iters=_WPR_ITERS)

@@ -4221,3 +4221,75 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TR_TOPK)
         .select("rk", F.col("node").alias("word"), "rank_units")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5: boolean conjunctive retrieval (posting-list intersection).
+# ---------------------------------------------------------------------------
+
+_BOOL_TERMS = 3
+
+
+@QS.add(
+    "text_boolean_and_retrieval",
+    f"""
+    WITH t AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM t GROUP BY tok),
+    qt AS (
+      SELECT doc_id AS q_id, tok FROM (
+        SELECT t.doc_id, t.tok,
+               row_number() OVER (PARTITION BY t.doc_id
+                                  ORDER BY df.df ASC, t.tok ASC) AS rk
+        FROM t JOIN df USING (tok)
+        WHERE t.doc_id < {_N_QUERY_DOCS}
+      ) WHERE rk <= {_BOOL_TERMS}
+    ),
+    nq AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_q FROM qt GROUP BY q_id),
+    hits AS (
+      SELECT qt.q_id, t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM t JOIN qt USING (tok)
+      WHERE t.doc_id <> qt.q_id
+      GROUP BY qt.q_id, t.doc_id
+    )
+    SELECT h.q_id, h.doc_id, h.n_hit
+    FROM hits h JOIN nq ON h.q_id = nq.q_id
+    WHERE h.n_hit = nq.n_q
+    """,
+    doc="[EXT] boolean AND retrieval: each query doc's "
+    f"{_BOOL_TERMS} RAREST terms (by document frequency, ties on token — "
+    "the classic smallest-posting-first heuristic) form a conjunctive "
+    "query; matches = documents whose distinct-token postings contain "
+    "ALL of them, found by ONE posting-list equi-join + a count==arity "
+    "filter — never a per-term loop or intersection of materialized "
+    "lists. Cost is bounded by the rarest terms' posting sizes, exactly "
+    "why engines order conjunctions by df. All-BIGINT: hash-gated.",
+    tags=("text", "retrieval"),
+)
+def text_boolean_and_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.functions.text import tokens as tok_fn
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(F.array_distinct(tok_fn(F.col("text")))).alias("tok")
+    )
+    df_ = t.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
+    qt = (
+        t.filter(F.col("doc_id") < _N_QUERY_DOCS)
+        .join(df_, "tok")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BOOL_TERMS)
+        .select(F.col("doc_id").alias("q_id"), "tok")
+    )
+    nq = qt.groupBy("q_id").agg(F.count(F.lit(1)).cast("long").alias("n_q"))
+    hits = (
+        t.join(F.broadcast(qt), "tok")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    return (
+        hits.join(F.broadcast(nq), "q_id")
+        .filter(F.col("n_hit") == F.col("n_q"))
+        .select("q_id", "doc_id", "n_hit")
+    )

@@ -276,3 +276,37 @@ def sessionize_stream(events: DataFrame, *, gap_minutes: int = 30) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def daily_ohlc(events: DataFrame, *, watermark: str | None = None) -> DataFrame:
+    """Daily OHLC bars as ONE streaming-legal aggregate (batch == stream).
+
+    Open/close are ``min_by``/``max_by`` over a (ts, event_id) struct —
+    deterministic under timestamp ties AND incrementally mergeable, so
+    the identical expression runs under ``readStream`` (the windowed
+    twin of plans/analytics.py:ts_ohlc_daily, whose row_number form is
+    not a streaming aggregate)."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    key = F.struct("ts", "event_id")
+    return (
+        src.filter(F.col("value").isNotNull())
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("volume"),
+            dsum("value", "total"),
+        )
+        .select(
+            F.col("w.start").alias("day"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "total",
+        )
+    )

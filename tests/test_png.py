@@ -111,6 +111,28 @@ class TestCodec:
         assert img.size == (8, 8) and img.tobytes() == px
 
 
+class TestCodecProperties:
+    def test_roundtrip_property(self):
+        """Hypothesis: encode→decode is identity for arbitrary pixel
+        payloads and sides — the lossless contract the hash gate rests on."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            side=st.integers(min_value=1, max_value=24),
+            seed=st.integers(min_value=0, max_value=2**32 - 1),
+        )
+        def check(side, seed):
+            import random
+
+            rng = random.Random(seed)
+            px = bytes(rng.randrange(256) for _ in range(side * side))
+            assert png_decode_gray8(png_encode_gray8(px, side)) == (side, side, px)
+
+        check()
+
+
 class TestDistributedKernels:
     def test_encode_decode_resize_pipeline(self, spark):
         from clinical_api_etl_spark.operators.multimodal import (

@@ -159,6 +159,47 @@ class TestTwoInstancesOneProcess:
         assert a.read("t").count() == 8 * 3
 
 
+class TestPlainWarehouseCrossInstance:
+    def test_concurrent_upserts_both_land(self, spark, tmp_path):
+        """Two ParquetWarehouse INSTANCES (separate flock fds) upserting
+        different studies concurrently into one partitioned table: the
+        directory swaps serialize on the flock, so neither merge's
+        partition writes are lost."""
+        from clinical_api_etl_spark.sources.sinks import ParquetWarehouse
+
+        root = str(tmp_path / "wh")
+        part = {"gold": ["study_id"]}
+        a = ParquetWarehouse(spark, root, partitioning=part)
+        b = ParquetWarehouse(spark, root, partitioning=part)
+        schema = "study_id string, participant_id string, v double"
+        errs: list[Exception] = []
+
+        def run(wh, study):
+            try:
+                for i in range(3):
+                    df = spark.createDataFrame(
+                        [(study, f"p{j}", float(i)) for j in range(4)], schema
+                    )
+                    wh.upsert("gold", df, ["study_id", "participant_id"])
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        ts = [
+            threading.Thread(target=run, args=(w, s))
+            for w, s in ((a, "s1"), (b, "s2"))
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs
+        rows = a.read("gold").collect()
+        got = {(r["study_id"], r["participant_id"]): r["v"] for r in rows}
+        assert len(rows) == 8  # 4 participants per study, last write wins
+        assert all(got[("s1", f"p{j}")] == 2.0 for j in range(4))
+        assert all(got[("s2", f"p{j}")] == 2.0 for j in range(4))
+
+
 class TestOptimisticBackstop:
     def test_stale_base_version_conflicts(self, spark, tmp_path):
         """A writer that read v1 and tries to publish after the table

@@ -111,3 +111,54 @@ class TestStreamingCorpusPipeline:
         df = swh.read("corpus_shards")
         assert df.count() == 2
         assert df.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+
+
+class TestStreamingOhlc:
+    def test_stream_equals_batch_daily_bars(self, spark, tmp_path):
+        """daily_ohlc under availableNow streaming must produce exactly
+        the batch bars — min_by/max_by open/close are mergeable, so the
+        same expression is the streaming operator (and its values agree
+        with the hash-gated ts_ohlc_daily query's row_number form)."""
+        from clinical_api_etl_spark.plans.analytics import ts_ohlc_daily
+        from clinical_api_etl_spark.sources.catalog import load
+        from clinical_api_etl_spark.streaming.windows import daily_ohlc
+
+        sf = "/root/testdata/sf0.001"
+        events = load(spark, sf, "events")
+        src_dir = str(tmp_path / "events_parquet")
+        events.write.parquet(src_dir)
+
+        batch = {
+            (r["day"], r["event_type"]): (
+                r["open"], r["high"], r["low"], r["close"], r["volume"], r["total"],
+            )
+            for r in daily_ohlc(events).collect()
+        }
+        # Cross-check the two batch formulations (window row_number vs
+        # mergeable min_by/max_by) agree before trusting the stream diff.
+        query_form = {
+            (r["day"], r["event_type"]): (
+                r["open"], r["high"], r["low"], r["close"], r["volume"], r["total"],
+            )
+            for r in ts_ohlc_daily(spark, sf).collect()
+        }
+        assert batch == query_form
+
+        stream = spark.readStream.schema(events.schema).parquet(src_dir)
+        out_rows = []
+        q = (
+            daily_ohlc(stream, watermark="1 day")
+            .writeStream.outputMode("complete")
+            .foreachBatch(lambda df, bid: out_rows.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["day"], r["event_type"]): (
+                r["open"], r["high"], r["low"], r["close"], r["volume"], r["total"],
+            )
+            for r in out_rows
+        }
+        assert got == batch
