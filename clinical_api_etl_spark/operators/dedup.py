@@ -124,6 +124,12 @@ def ngram_jaccard_candidates(
         F.col(id_col).alias("doc_id"),
         _hashed_shingles(F.col(text_col), n).alias("shingles"),
     )
+    # Persist BEFORE the self-join (mirrors ngram_jaccard_pairs): the
+    # expensive _hashed_shingles higher-order expression feeds BOTH join
+    # sides, and HOF expressions get no codegen subexpression elimination
+    # (CLAUDE.md round-1 finding) — unpersisted it would be recomputed
+    # twice, overstating the candidate stage in the scaling telemetry.
+    sh = sh.persist()
     return _prefix_filter_candidates(sh, threshold)
 
 

@@ -271,10 +271,33 @@ def pagerank_weighted_int(
     integer-weighted generalization of :func:`pagerank_int` with the
     same bit-reproducibility contract (BIGINT floor-div throughout) and
     the same join shape (rank equi-join, no forced broadcast; one dst
-    shuffle with map-side partials per iteration). Weights must be
-    positive integers."""
+    shuffle with map-side partials per iteration).
+
+    Weights must be positive integers with ``w <= BIGINT_MAX /
+    total_units`` (~9.2e6 at the default ``total_units`` of 1e12):
+    ``r * w`` is computed before the floor-div and ``r`` can reach
+    ``total_units``, so a larger weight overflows BIGINT (ANSI runtime
+    ARITHMETIC_OVERFLOW on Spark; silent wrap elsewhere). For heavier
+    weight domains pass a smaller ``total_units`` — precision degrades
+    gracefully (rank granularity is 1/total_units)."""
+    _w_bound = (2**63 - 1) // total_units
     e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        # Per-row guard: surfaces the overflow precondition as a clear
+        # message instead of a mid-iteration ARITHMETIC_OVERFLOW. One
+        # integer compare per edge, codegen'd — negligible.
+        F.when(F.col(weight).cast("long") <= F.lit(_w_bound), F.col(weight))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"pagerank_weighted_int: edge weight exceeds {_w_bound} "
+                    f"(BIGINT_MAX / total_units={total_units}); pass a "
+                    "smaller total_units"
+                )
+            )
+        )
+        .alias("w"),
     )
     sw = e.groupBy("src").agg(F.sum("w").cast("long").alias("sw"))
     nodes = e.select(F.col("src").alias("node")).distinct()

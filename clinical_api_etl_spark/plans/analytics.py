@@ -778,6 +778,7 @@ def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window passes + one aggregate over ONE (type, day) exchange — "
     "Spark compiles both orderings into one Exchange + two Sorts.",
     tags=("window", "analytics"),
+    headline=True,
 )
 def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W

@@ -1363,6 +1363,7 @@ def stat_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "union-find under 1M edges, min-label loop above), one window "
     "shuffle for sizes.",
     tags=("fuzzy", "graph", "dedup"),
+    headline=True,
 )
 def er_resolve_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clinical_api_etl_spark.operators.fuzzy import edit_distance_self_join

@@ -2324,6 +2324,7 @@ def _bfs_oracle() -> str:
     "eagerly checkpointed (distance table referenced twice per round — "
     "multiplicative lineage, the k-core rule).",
     tags=("graph", "iterative"),
+    headline=True,
 )
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clinical_api_etl_spark.operators.graph import bfs_hops

@@ -884,6 +884,7 @@ def _ppr_oracle() -> str:
     "outer join with the small restart vector. Ranks measure closeness "
     "to the sources; untouched nodes stay absent (implicit zero).",
     tags=("graph", "iterative"),
+    headline=True,
 )
 def graph_ppr_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clinical_api_etl_spark.operators.graph import ppr_int

@@ -4185,6 +4185,7 @@ def _textrank_oracle() -> str:
     "explode + distinct, and the rank loop never touches documents "
     "again — the 100 TB shape for corpus-level keyword extraction.",
     tags=("text", "graph", "iterative"),
+    headline=True,
 )
 def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clinical_api_etl_spark.operators.graph import pagerank_int
@@ -4195,11 +4196,18 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t"
         )
     )
+    # Guard size(t) >= 2 BEFORE building the pair index sequence: Spark's
+    # sequence(1, 0) defaults step to -1 and yields DESCENDING [1, 0], so a
+    # doc with <2 filtered tokens would index t[-1]/t[size] and throw
+    # INVALID_ARRAY_INDEX under ANSI mode (the DuckDB oracle's range() is
+    # empty for the same doc). Filtered docs contribute no pairs — identical
+    # semantics to the oracle.
     pairs = (
-        toks.select(
+        toks.filter(F.size("t") >= 2)
+        .select(
             F.explode(
                 F.expr(
-                    "transform(sequence(1, greatest(size(t) - 1, 0)),"
+                    "transform(sequence(1, size(t) - 1),"
                     " i -> struct(t[i - 1] AS a, t[i] AS b))"
                 )
             ).alias("p")

@@ -42,7 +42,14 @@ def all_queries() -> dict[str, Query]:
             if name in merged:
                 raise ValueError(f"duplicate query {name!r} across plan modules")
             merged[name] = q
-    return merged
+    # Oracle-gated queries first (stable within each group): external
+    # samplers that take a prefix of the registry in iteration order see
+    # only hash-checkable queries; the rows-only diagnostics (raw sketch
+    # outputs, recall-gated approximate families) sit at the end, each
+    # covered by a hash-gated twin registered above it.
+    ordered = {n: q for n, q in merged.items() if q.oracle is not None}
+    ordered.update({n: q for n, q in merged.items() if q.oracle is None})
+    return ordered
 
 
 def headline_queries() -> dict[str, Query]:

@@ -597,7 +597,11 @@ def a11_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plus a per-group boolean asserting the HLL estimate is within 15% "
     "relative error (3x the default 5% rsd); the raw engine-specific "
     "estimate stays under a11_approx_count_distinct_raw. The HLL merge is "
-    "register-wise max — order-independent, so the gate is run-stable.",
+    "register-wise max — order-independent, so the gate is run-stable. "
+    "TRIAGE NOTE: the oracle hard-codes within_rsd=TRUE, so a hash "
+    "mismatch here means the sketch landed OUTSIDE the padded 15% "
+    "tolerance (a bound breach, not an engine bug) — inspect "
+    "a11_approx_count_distinct_raw for the violating group/margin.",
     tags=("agg", "A11", "approx", "gate"),
 )
 def a11_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1288,7 +1292,11 @@ def f_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "must lie within the GK accuracy bound (1e-4 of n, padded to 2% for "
     "merge slack) of its target rank — the sketch's contract, checked "
     "without comparing engine-specific sketch internals (those stay under "
-    "f_percentile_approx_raw). Rank counting is merge-order-independent.",
+    "f_percentile_approx_raw). Rank counting is merge-order-independent. "
+    "TRIAGE NOTE: the oracle hard-codes the rank-ok booleans TRUE, so a "
+    "hash mismatch here means the GK sketch breached its padded rank "
+    "bound (tolerance breach, not an engine bug) — inspect "
+    "f_percentile_approx_raw for the violating group/margin.",
     tags=("agg", "A11", "approx", "gate"),
 )
 def f_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:

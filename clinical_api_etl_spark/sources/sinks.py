@@ -119,6 +119,18 @@ class ParquetWarehouse:
         the RLock. ``SnapshotWarehouse`` additionally backstops every
         manifest publish with an optimistic hard-link claim, defending
         even against writers that bypass this guard.
+
+        **Scope: SINGLE HOST.** ``fcntl.flock`` is kernel-local; on NFS
+        (and most fuse/object-store mounts) it is advisory-broken or
+        silently a no-op, so two writers on DIFFERENT hosts sharing the
+        directory are NOT excluded by this guard. The cross-host safety
+        layer is the hard-link OCC claim in
+        ``SnapshotWarehouse._commit`` — ``os.link`` is atomic
+        create-if-absent on POSIX filesystems including NFSv3+ — which
+        turns a cross-host race into a clean ``CommitConflict`` retry
+        rather than a lost update. Plain ``ParquetSink`` directory swaps
+        carry no such backstop: keep multi-host writers on the
+        SnapshotWarehouse path.
         """
         with self._write_lock:
             if self._flock_depth == 0:

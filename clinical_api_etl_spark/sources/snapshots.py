@@ -285,11 +285,15 @@ class SnapshotWarehouse(ParquetWarehouse):
         return reduce(lambda a, b: a.unionByName(b), parts)
 
     def append(self, table: str, df: DataFrame) -> None:
-        """Append = lock-free OCC: appends commute, so on a lost commit
-        race the carried file list is simply re-derived from the fresh
-        snapshot and the claim retried — the new data files are already
-        on disk and immutable, no rewrite. Two processes appending
-        concurrently both land, history stays linear."""
+        """Append under the two-layer concurrency stack: the
+        ``_commit_guard`` flock serializes guard-using writers on this
+        host (appends from THIS codepath never actually race), while the
+        hard-link OCC claim in :meth:`_commit` is the backstop that keeps
+        history linear against writers that bypass the guard or run on
+        another host sharing the filesystem. On a lost commit race the
+        carried file list is re-derived from the fresh snapshot and the
+        claim retried — the new data files are already on disk and
+        immutable, no rewrite. Appends commute, so both writers land."""
         with self._commit_guard():
             new = self._write_commit_files(table, df)
             for attempt in range(_COMMIT_RETRIES):

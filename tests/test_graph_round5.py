@@ -155,3 +155,54 @@ class TestCandidateTelemetry:
             ).collect()
         }
         assert pairs <= cands and (1, 2) in pairs
+
+
+class TestAdviceR05Fixes:
+    """Regression tests for the ADVICE r05 findings."""
+
+    def test_textrank_survives_short_documents(self, spark, tmp_path):
+        # ADVICE r05 (medium): a doc with <2 filtered tokens used to build
+        # sequence(1, 0) == DESCENDING [1, 0] and throw INVALID_ARRAY_INDEX
+        # under ANSI mode. Short docs must contribute no pairs.
+        import pyspark.sql.functions as SF
+
+        from clinical_api_etl_spark.plans.ranking import text_textrank_keywords
+
+        docs = spark.createDataFrame(
+            [
+                (0, "alpha bravo charlie alpha bravo delta echo foxtrot"),
+                (1, "zz"),          # zero tokens after the min-length filter
+                (2, "singleton"),   # exactly one filtered token
+                (3, ""),            # empty text
+                (4, "alpha charlie bravo delta alpha echo golf hotel"),
+            ],
+            "doc_id long, text string",
+        )
+        d = tmp_path / "docs_sf"
+        docs.write.parquet(str(d / "documents.parquet"))
+        out = text_textrank_keywords(spark, str(d)).collect()
+        words = {r["word"] for r in out}
+        assert len(out) > 0
+        assert "singleton" not in words  # no self-pair fabricated
+
+    def test_weighted_pagerank_rejects_overflowing_weights(self, spark):
+        from pyspark.sql.utils import PythonException
+
+        from clinical_api_etl_spark.operators.graph import pagerank_weighted_int
+
+        e = spark.createDataFrame(
+            [("a", "b", 10_000_000_000)], "src string, dst string, w long"
+        )
+        with pytest.raises(Exception) as exc:
+            pagerank_weighted_int(e, iters=1).collect()
+        assert "total_units" in str(exc.value)
+
+    def test_weighted_pagerank_accepts_bounded_weights(self, spark):
+        from clinical_api_etl_spark.operators.graph import pagerank_weighted_int
+
+        e = spark.createDataFrame(
+            [("a", "b", 3), ("b", "a", 1)], "src string, dst string, w long"
+        )
+        got = {r["node"]: r["rank_units"] for r in pagerank_weighted_int(e, iters=2).collect()}
+        assert set(got) == {"a", "b"}
+        assert all(v > 0 for v in got.values())

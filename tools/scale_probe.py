@@ -56,6 +56,15 @@ QUERIES = [
     "emb_dbscan_clusters",
     "ml_naive_bayes_lang",
     "stat_kaplan_meier_conversion",
+    # round-9 additions (VERDICT r05 task 2): the new iteratives —
+    # multi-source BFS relaxation rounds, personalized PageRank restart
+    # joins, the SymSpell-blocked entity-resolution pipeline, the
+    # vocabulary-graph TextRank loop, and the two-ordering OHLC window.
+    "graph_bfs_hops",
+    "graph_ppr_suppliers",
+    "er_resolve_customers",
+    "text_textrank_keywords",
+    "ts_ohlc_daily",
 ]
 
 
