@@ -69,4 +69,18 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Demote WindowExec's "No Partition Defined" warning to ERROR: every
+    # partition-less window in the registry is audited and allowlisted with
+    # a bounded-cardinality argument (tools/plan_audit.py:GLOBAL_WINDOW_OK
+    # — any NEW global window outside that list FAILS the audit), so the
+    # blanket warning is noise in gate logs. Best-effort: log4j2 internals
+    # may move between Spark versions.
+    try:
+        jvm = spark.sparkContext._jvm  # noqa: SLF001
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # noqa: BLE001
+        pass
     return spark

@@ -7,9 +7,12 @@ node is the only difference, and Catalyst pushes the same filters and
 column pruning into ORC readers as parquet (predicate pushdown via ORC
 row-group statistics).
 
-Avro is intentionally absent: the ``spark-avro`` datasource module is a
-separate artifact not baked into this environment, and stubbing a fake
-reader would misrepresent coverage.
+Avro lives in :mod:`clinical_api_etl_spark.sources.avro`: the
+``spark-avro`` datasource module is a separate artifact not baked into
+this environment, so the engine implements the public Avro OCF spec
+directly (stdlib ``zlib``/``struct``) on the Python DataSource API —
+split-parallel reads on sync markers, two-phase-commit writes,
+``src_avro_nation_summary`` hash-gates the seam like the ORC twin below.
 """
 
 from __future__ import annotations

@@ -1,0 +1,163 @@
+"""Avro OCF source/sink (sources/avro.py) — pure-stdlib implementation of
+the public Avro spec, closing the env-gated format gap the PNG codec
+pattern established (no spark-avro jar in this container).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_api_etl_spark.sources.avro import (
+    avro_roundtrip,
+    read_avro,
+    read_header,
+    write_avro,
+)
+from clinical_api_etl_spark.sources.catalog import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+class TestRoundTrip:
+    def test_nation_exact(self, spark, tmp_path):
+        nation = load(spark, SF, "nation")
+        back = avro_roundtrip(spark, nation, str(tmp_path / "nation"))
+        assert back.schema == nation.schema
+        assert _sorted_rows(back) == _sorted_rows(nation)
+
+    def test_events_timestamps_exact(self, spark, tmp_path):
+        # timestamp-micros logical type + nullable doubles + JSON strings.
+        ev = load(spark, SF, "events")
+        back = avro_roundtrip(spark, ev, str(tmp_path / "events"))
+        assert _sorted_rows(back) == _sorted_rows(ev)
+
+    def test_embeddings_float_arrays_exact(self, spark, tmp_path):
+        emb = load(spark, SF, "embeddings")
+        back = avro_roundtrip(spark, emb, str(tmp_path / "emb"))
+        assert _sorted_rows(back) == _sorted_rows(emb)
+
+    def test_null_codec(self, spark, tmp_path):
+        nation = load(spark, SF, "nation")
+        back = avro_roundtrip(
+            spark, nation, str(tmp_path / "n0"), codec="null"
+        )
+        assert _sorted_rows(back) == _sorted_rows(nation)
+
+    def test_deflate_actually_compresses(self, spark, tmp_path):
+        docs = load(spark, SF, "documents").coalesce(1)
+        write_avro(docs, str(tmp_path / "dz"), codec="deflate")
+        write_avro(docs, str(tmp_path / "d0"), codec="null")
+        size = lambda d: sum(
+            os.path.getsize(os.path.join(d, n))
+            for n in os.listdir(d)
+            if n.endswith(".avro")
+        )
+        assert size(str(tmp_path / "dz")) < 0.8 * size(str(tmp_path / "d0"))
+
+
+class TestSplitParallelism:
+    """OCF sync markers let readers start mid-file: slicing one file into
+    byte ranges must yield every row exactly once, any slice size."""
+
+    @pytest.mark.parametrize("max_bytes", [1 << 10, 4 << 10, 1 << 20])
+    def test_every_row_exactly_once(self, spark, tmp_path, max_bytes):
+        ev = load(spark, SF, "events").coalesce(1)  # ONE multi-block file
+        path = str(tmp_path / "ev_one")
+        write_avro(ev, path)
+        got = (
+            spark.read.format("avro_ocf")
+            .option("path", path)
+            .option("maxBytesPerPartition", max_bytes)
+            .load()
+        )
+        assert _sorted_rows(got) == _sorted_rows(ev)
+
+    def test_small_splits_make_many_partitions(self, spark, tmp_path):
+        ev = load(spark, SF, "events").coalesce(1)
+        path = str(tmp_path / "ev_parts")
+        write_avro(ev, path)
+        got = (
+            spark.read.format("avro_ocf")
+            .option("path", path)
+            .option("maxBytesPerPartition", 4 << 10)
+            .load()
+        )
+        assert got.rdd.getNumPartitions() > 4
+
+
+class TestWriterCommit:
+    def test_overwrite_replaces(self, spark, tmp_path):
+        nation = load(spark, SF, "nation")
+        p = str(tmp_path / "ow")
+        write_avro(nation, p)
+        write_avro(nation.limit(5), p)
+        assert read_avro(spark, p).count() == 5
+
+    def test_no_tmp_left_behind(self, spark, tmp_path):
+        p = str(tmp_path / "clean")
+        write_avro(load(spark, SF, "region"), p)
+        assert not [n for n in os.listdir(p) if n.startswith("_tmp-")]
+
+    def test_header_well_formed(self, spark, tmp_path):
+        p = str(tmp_path / "hdr")
+        write_avro(load(spark, SF, "region"), p)
+        f0 = next(
+            os.path.join(p, n) for n in sorted(os.listdir(p))
+            if n.endswith(".avro")
+        )
+        with open(f0, "rb") as f:
+            schema, codec, sync, hlen = read_header(f)
+        assert schema["type"] == "record"
+        assert codec == "deflate"
+        assert len(sync) == 16
+        names = [fd["name"] for fd in schema["fields"]]
+        assert names == load(spark, SF, "region").columns
+
+
+class TestErrors:
+    def test_bad_magic_rejected(self, spark, tmp_path):
+        bad = tmp_path / "bad" / "part-x.avro"
+        bad.parent.mkdir()
+        bad.write_bytes(b"PAR1 not avro")
+        with pytest.raises(Exception, match="magic"):
+            read_avro(spark, str(bad.parent)).collect()
+
+    def test_unsupported_codec_rejected(self, spark, tmp_path):
+        nation = load(spark, SF, "nation")
+        with pytest.raises(Exception, match="codec"):
+            write_avro(nation, str(tmp_path / "sz"), codec="snappy")
+
+
+class TestFederated:
+    def test_union_parquet_orc_jsonl_avro(self, spark, tmp_path):
+        """Round-6 extension of the federated-source test: one logical
+        table served by four physical formats, unioned and aggregated."""
+        from clinical_api_etl_spark.sources.formats import write_orc
+
+        nation = load(spark, SF, "nation")
+        q1 = nation.filter(F.col("n_nationkey") % 4 == 0)
+        q2 = nation.filter(F.col("n_nationkey") % 4 == 1)
+        q3 = nation.filter(F.col("n_nationkey") % 4 == 2)
+        q4 = nation.filter(F.col("n_nationkey") % 4 == 3)
+
+        pq = str(tmp_path / "pq"); q1.write.parquet(pq)
+        orc = str(tmp_path / "orc"); write_orc(q2, orc)
+        jl = str(tmp_path / "jl"); q3.write.json(jl)
+        av = str(tmp_path / "av"); write_avro(q4, av)
+
+        fed = (
+            spark.read.parquet(pq)
+            .unionByName(spark.read.orc(orc))
+            .unionByName(
+                spark.read.schema(nation.schema).json(jl).select(nation.columns)
+            )
+            .unionByName(read_avro(spark, av))
+        )
+        assert _sorted_rows(fed) == _sorted_rows(nation)

@@ -94,3 +94,30 @@ class TestRegistryClean:
                 assert not _dim_smj(root), f"DIM-SMJ fired on {name}"
             if name not in NO_PUSHDOWN_OK:
                 assert not _no_pushdown(root), f"NO-PUSHDOWN fired on {name}"
+
+
+class TestGlobalWindow:
+    def test_fires_on_partitionless_window(self, spark):
+        from pyspark.sql.window import Window
+
+        from plan_audit import _global_window
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        bad = ev.withColumn(
+            "rn", F.row_number().over(Window.orderBy("event_id"))
+        )
+        assert _global_window(_root(bad))
+
+    def test_silent_on_partitioned_window(self, spark):
+        from pyspark.sql.window import Window
+
+        from plan_audit import _global_window
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        good = ev.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("event_id")
+            ),
+        )
+        assert not _global_window(_root(good))
