@@ -530,3 +530,160 @@ def canonical_docs(
             (F.col("_rk") == 1).alias("is_canonical"),
         )
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level exact dedup: remove VERBATIM k-token spans that
+    repeat across (or within) the corpus — the distributed, hash-gatable
+    form of the suffix-array method in "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al. 2022, public; reference uses a
+    single-node suffix array over the concatenated corpus).
+
+    Equivalence bound: the suffix array removes every repeated substring
+    of length ≥ L characters; this operator removes every repeated
+    **k-token window**, which covers exactly the repeated TOKEN substrings
+    of length ≥ k (any such substring is a union of repeated k-windows,
+    and every repeated k-window is a repeated substring). Tokens shorter
+    than k that repeat are kept — the deliberate trade for a shuffle-only
+    plan. Output grain: one row per document — merged cut spans (token
+    offsets), removal counters, and the md5 of the cleaned text (kept
+    tokens joined by single spaces; whitespace is normalized by the
+    tokenizer on both engines).
+
+    Pipeline (every step a shuffle-friendly relational op):
+
+    1. per-doc rolling windows: position i → md5 of the k-token slice —
+       32 hex chars shuffle per position instead of k tokens, and md5 is
+       REPLAYABLE IN DUCKDB, so corpus-wide counts (incl. collisions)
+       are identical in both engines (xxhash64 would be Spark-only);
+    2. global window counts → repeated = count ≥ ``min_count``
+       (one groupBy with map-side partials — the only corpus-wide
+       shuffle, keyed on a uniform hash: no skew);
+    3. covered token positions = explode of [i, i+k-1] per repeated
+       window, distinct per doc;
+    4. islands (merged spans) via the q - row_number() trick;
+    5. cleaned text = anti-join of token positions against covered
+       positions, re-assembled in pinned position order.
+
+    At 100 TB the shingle count table is the corpus's repeated-phrase
+    vocabulary — orders smaller than the corpus; steps 3-5 are per-doc
+    and shuffle only (doc_id, position) pairs.
+    """
+    from pyspark.sql.window import Window as W
+
+    from clinical_api_etl_spark.functions.text import tokens
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
+    ).persist()  # feeds windows (twice via join) AND the rebuild
+
+    sh = (
+        base.filter(F.size("t") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {k} + 1), "
+                    f"i -> struct(i AS pos, "
+                    f"md5(concat_ws(' ', slice(t, i, {k}))) AS h))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.pos", "s.h")
+    )
+    rep = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("h")
+    )
+    cov = (
+        sh.join(rep, "h")
+        .select("doc_id", F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("q"))
+        .distinct()
+    )
+    grp = F.col("q") - F.row_number().over(
+        W.partitionBy("doc_id").orderBy("q")
+    )
+    spans = (
+        cov.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("q").cast("long").alias("cut_start"),
+            F.count(F.lit(1)).cast("long").alias("cut_len"),
+        )
+    )
+    cuts = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cuts"),
+        F.sum("cut_len").cast("long").alias("removed_tokens"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("cut_start", "cut_len"))
+                ),
+                lambda s: F.concat_ws(
+                    ":",
+                    s["cut_start"].cast("string"),
+                    s["cut_len"].cast("string"),
+                ),
+            ),
+        ).alias("cuts_repr"),
+    )
+    toks = base.select(
+        "doc_id", F.posexplode("t").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("q"), "tok")
+    cleaned = (
+        toks.join(cov, ["doc_id", "q"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("q", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("cleaned_md5"),
+        )
+    )
+    all_docs = base.select(
+        "doc_id",
+        F.size("t").cast("long").alias("total_tokens"),
+        F.md5(F.concat_ws(" ", "t")).alias("_full_md5"),
+    )
+    out = (
+        all_docs.join(cuts, "doc_id", "left")
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_tokens",
+            F.coalesce("n_cuts", F.lit(0)).cast("long").alias("n_cuts"),
+            F.coalesce("removed_tokens", F.lit(0)).cast("long").alias(
+                "removed_tokens"
+            ),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias(
+                "kept_tokens"
+            ),
+            F.coalesce("cuts_repr", F.lit("")).alias("cuts_repr"),
+            # a fully-covered doc has NO kept tokens: md5('') sentinel
+            # keeps the column non-null (NaT/NaN/null = hash mismatch);
+            # an un-cut doc hashes its full normalized text.
+            F.coalesce(
+                "cleaned_md5",
+                F.when(F.col("n_cuts").isNull(), F.col("_full_md5")).otherwise(
+                    F.md5(F.lit(""))
+                ),
+            ).alias("cleaned_md5"),
+        )
+    )
+    return out

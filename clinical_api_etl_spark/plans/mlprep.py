@@ -906,3 +906,87 @@ def graph_ppr_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
     )
     return ppr_int(edges, sources, iters=_PPR_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Round-6: substring-level exact dedup (VERDICT r05 task 4 — the last
+# missing LLM-dedup family).
+# ---------------------------------------------------------------------------
+
+_SUBK = 8  # k-token window; Lee et al. 2022 use 50 BPE tokens at web scale
+
+
+@QS.add(
+    "text_substring_dedup",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(t[i:i + {_SUBK - 1}], ' ')) AS h
+      FROM t, unnest(range(1, greatest(len(t) - {_SUBK} + 2, 1))) AS u(i)
+      WHERE len(t) >= {_SUBK}
+    ),
+    rep AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2),
+    cov AS (
+      SELECT DISTINCT j.doc_id, u.q
+      FROM (SELECT s.doc_id, s.pos FROM sh s JOIN rep r ON s.h = r.h) j,
+           unnest(range(j.pos, j.pos + {_SUBK})) AS u(q)
+    ),
+    spans AS (
+      SELECT doc_id, grp, CAST(MIN(q) AS BIGINT) AS cut_start,
+             CAST(COUNT(*) AS BIGINT) AS cut_len
+      FROM (SELECT doc_id, q,
+                   q - row_number() OVER (PARTITION BY doc_id ORDER BY q) AS grp
+            FROM cov)
+      GROUP BY doc_id, grp
+    ),
+    cuts AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cuts,
+             CAST(SUM(cut_len) AS BIGINT) AS removed_tokens,
+             string_agg(cut_start || ':' || cut_len, ',' ORDER BY cut_start)
+               AS cuts_repr
+      FROM spans GROUP BY doc_id
+    ),
+    tks AS (
+      SELECT doc_id, u.q, t[u.q] AS tok
+      FROM t, unnest(range(1, len(t) + 1)) AS u(q)
+    ),
+    cl AS (
+      SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+             md5(string_agg(tk.tok, ' ' ORDER BY tk.q)) AS cleaned_md5
+      FROM tks tk LEFT JOIN cov c ON tk.doc_id = c.doc_id AND tk.q = c.q
+      WHERE c.q IS NULL
+      GROUP BY tk.doc_id
+    )
+    SELECT a.doc_id, CAST(len(a.t) AS BIGINT) AS total_tokens,
+           COALESCE(c.n_cuts, 0) AS n_cuts,
+           COALESCE(c.removed_tokens, 0) AS removed_tokens,
+           COALESCE(cl.kept_tokens, 0) AS kept_tokens,
+           COALESCE(c.cuts_repr, '') AS cuts_repr,
+           COALESCE(cl.cleaned_md5,
+                    CASE WHEN c.n_cuts IS NULL
+                         THEN md5(array_to_string(a.t, ' '))
+                         ELSE md5('') END) AS cleaned_md5
+    FROM t a
+    LEFT JOIN cuts c USING (doc_id)
+    LEFT JOIN cl USING (doc_id)
+    """,
+    doc="[EXT] substring-level EXACT dedup (operators/dedup.py:"
+    "substring_dedup): remove verbatim repeated k-token spans corpus-wide "
+    "— the distributed form of the suffix-array method in 'Deduplicating "
+    f"Training Data Makes Language Models Better' (Lee et al. 2022), k={_SUBK}. "
+    "Repeated k-windows (md5-keyed, so counts replay identically in "
+    "DuckDB) mark covered token positions; islands merge them into cut "
+    "spans; the cleaned text is rebuilt in pinned position order and "
+    "gated by md5. Covers exactly the repeated token substrings of "
+    "length >= k (every such substring is a union of repeated k-windows). "
+    "One corpus-wide shuffle (window counts, uniform md5 keys — no "
+    "skew); spans/rebuild shuffle only (doc_id, position) pairs.",
+    tags=("text", "dedup"),
+    headline=True,
+)
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.dedup import substring_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return substring_dedup(docs, "doc_id", "text", k=_SUBK, min_count=2)

@@ -192,3 +192,89 @@ class TestRecursiveReach:
         for node, d in rows.items():
             assert (node[0] == "s") == (d % 2 == 1)
         assert max(rows.values()) <= 2
+
+
+class TestSubstringDedup:
+    """Round-6 substring-level exact dedup (operators/dedup.py:
+    substring_dedup) — planted verbatim repeats must be cut, unique text
+    must survive byte-exactly."""
+
+    def _run(self, spark, tmp_path, rows, **kw):
+        import hashlib as _h
+
+        from clinical_api_etl_spark.operators.dedup import substring_dedup
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return (
+            {r["doc_id"]: r for r in substring_dedup(df, "doc_id", "text", **kw).collect()},
+            _h,
+        )
+
+    def test_planted_repeat_cut_from_both_docs(self, spark, tmp_path):
+        rep = " ".join(f"rep{i}" for i in range(8))   # exactly k tokens
+        u1 = " ".join(f"one{i}" for i in range(8))
+        u2 = " ".join(f"two{i}" for i in range(8))
+        out, h = self._run(
+            spark, tmp_path,
+            [(1, u1 + " " + rep), (2, rep + " " + u2)], k=8,
+        )
+        # both docs lose exactly the 8-token repeated span
+        for d, uniq, start in ((1, u1, 9), (2, u2, 1)):
+            assert out[d]["n_cuts"] == 1
+            assert out[d]["removed_tokens"] == 8
+            assert out[d]["kept_tokens"] == 8
+            assert out[d]["cuts_repr"] == f"{start}:8"
+            assert out[d]["cleaned_md5"] == h.md5(uniq.encode()).hexdigest()
+
+    def test_within_document_repeat_counts(self, spark, tmp_path):
+        # the SAME doc repeating a k-window twice is a corpus repeat too
+        rep = " ".join(f"r{i}" for i in range(8))
+        mid = " ".join(f"m{i}" for i in range(8))
+        out, h = self._run(spark, tmp_path, [(1, rep + " " + mid + " " + rep)], k=8)
+        assert out[1]["n_cuts"] == 2
+        assert out[1]["removed_tokens"] == 16
+        assert out[1]["cleaned_md5"] == h.md5(mid.encode()).hexdigest()
+
+    def test_overlapping_windows_merge_into_one_span(self, spark, tmp_path):
+        # a 12-token repeated substring = 5 overlapping 8-windows -> ONE cut
+        rep = " ".join(f"rep{i}" for i in range(12))
+        u1 = " ".join(f"one{i}" for i in range(8))
+        u2 = " ".join(f"two{i}" for i in range(8))
+        out, _ = self._run(
+            spark, tmp_path, [(1, rep + " " + u1), (2, u2 + " " + rep)], k=8,
+        )
+        assert out[1]["n_cuts"] == 1 and out[1]["removed_tokens"] == 12
+        assert out[2]["cuts_repr"] == "9:12"
+
+    def test_unique_docs_untouched(self, spark, tmp_path):
+        t1 = " ".join(f"a{i}" for i in range(20))
+        t2 = " ".join(f"b{i}" for i in range(20))
+        out, h = self._run(spark, tmp_path, [(1, t1), (2, t2)], k=8)
+        for d, t in ((1, t1), (2, t2)):
+            assert out[d]["n_cuts"] == 0
+            assert out[d]["kept_tokens"] == 0 or out[d]["removed_tokens"] == 0
+            assert out[d]["cleaned_md5"] == h.md5(t.encode()).hexdigest()
+
+    def test_fully_covered_doc_hashes_empty(self, spark, tmp_path):
+        rep = " ".join(f"x{i}" for i in range(8))
+        out, h = self._run(spark, tmp_path, [(1, rep), (2, rep)], k=8)
+        for d in (1, 2):
+            assert out[d]["kept_tokens"] == 0
+            assert out[d]["removed_tokens"] == 8
+            assert out[d]["cleaned_md5"] == h.md5(b"").hexdigest()
+
+    def test_short_docs_survive(self, spark, tmp_path):
+        out, h = self._run(
+            spark, tmp_path, [(1, "tiny doc"), (2, "tiny doc")], k=8,
+        )
+        # shorter than k: no windows, never cut (the documented trade)
+        for d in (1, 2):
+            assert out[d]["n_cuts"] == 0
+            assert out[d]["cleaned_md5"] == h.md5(b"tiny doc").hexdigest()
+
+    def test_accounting_conserves_on_corpus(self, spark):
+        from clinical_api_etl_spark.plans.mlprep import text_substring_dedup
+
+        pdf = text_substring_dedup(spark, SF).toPandas()
+        assert (pdf["kept_tokens"] + pdf["removed_tokens"] == pdf["total_tokens"]).all()
+        assert (pdf["n_cuts"] > 0).any()  # testdata plants real repeats

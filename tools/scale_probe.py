@@ -65,6 +65,8 @@ QUERIES = [
     "er_resolve_customers",
     "text_textrank_keywords",
     "ts_ohlc_daily",
+    # round-6: corpus-wide repeated-window counting + per-doc span rebuild.
+    "text_substring_dedup",
 ]
 
 
