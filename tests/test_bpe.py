@@ -162,3 +162,35 @@ class TestDistributedLearner:
             for r in bpe_learn_merges(spark, SF).collect()
         ]
         assert got == expect
+
+
+class TestTokenizerArtifact:
+    """Round-6: vocab table + id-level round-trip (VERDICT r05 task 5)."""
+
+    def test_vocab_ids_contiguous_and_ranked(self, spark):
+        from clinical_api_etl_spark.plans.inference import bpe_vocab_table
+
+        rows = bpe_vocab_table(spark, "/root/testdata/sf0.001").collect()
+        ids = sorted(r["token_id"] for r in rows)
+        assert ids == list(range(len(rows)))  # dense 0..V-1
+        base = [r for r in rows if r["kind"] == "base"]
+        merged = sorted(
+            (r for r in rows if r["kind"] == "merge"),
+            key=lambda r: r["merge_rank"],
+        )
+        assert all(r["merge_rank"] == -1 for r in base)
+        # merges occupy the top of the id space in learned order
+        n_base = len(base)
+        assert [r["token_id"] for r in merged] == [
+            n_base + i for i in range(len(merged))
+        ]
+        # base ids follow lexicographic token order
+        base_sorted = sorted(base, key=lambda r: r["token"])
+        assert [r["token_id"] for r in base_sorted] == list(range(n_base))
+
+    def test_roundtrip_is_identity_on_corpus(self, spark):
+        from clinical_api_etl_spark.plans.inference import bpe_roundtrip_identity
+
+        pdf = bpe_roundtrip_identity(spark, "/root/testdata/sf0.001").toPandas()
+        assert (pdf["n_roundtrip_ok"] == pdf["n_words"]).all()
+        assert (pdf["orig_md5"] == pdf["decoded_md5"]).all()

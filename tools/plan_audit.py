@@ -138,6 +138,10 @@ GLOBAL_WINDOW_OK: set[str] = {
     "stat_piecewise_trend",
     # top-k cut of the RANKED VOCABULARY (post-pagerank, vocab-scaled).
     "text_textrank_keywords",
+    # base-token id assignment: row_number over the corpus CHARACTER
+    # INVENTORY (alphabet-bounded, dozens of rows).
+    "bpe_vocab_table",
+    "bpe_roundtrip_identity",
 }
 
 
