@@ -247,3 +247,95 @@ class TestOptimisticBackstop:
         wh.reset()
         assert lock.exists() and lock.stat().st_ino == ino
         assert not wh.exists("t")
+
+
+# ---------------------------------------------------------------------------
+# Round-6 (VERDICT r05 task 7): two REAL streaming writers in separate OS
+# processes — the flock + OCC + txn-token stack under foreachBatch
+# concurrency.
+# ---------------------------------------------------------------------------
+
+
+def _json_docs(path: Path, ids) -> None:
+    path.mkdir(parents=True, exist_ok=True)
+    body = " ".join(f"w{k}" for k in range(25))  # >= MIN_TOKENS
+    with open(path / "docs.json", "w") as f:
+        for i in ids:
+            f.write(
+                json.dumps(
+                    {"doc_id": i, "text": f"doc {i} {body}",
+                     "ts": "2024-01-01T00:00:00Z"}
+                )
+                + "\n"
+            )
+
+
+def _stream_worker(root: str, drop_dir: str, ckpt: str, q) -> None:
+    """One availableNow pass of the REAL streaming corpus pipeline in its
+    own JVM (own SparkSession, own checkpoint) against a shared table."""
+    try:
+        from pyspark.sql import SparkSession
+
+        from clinical_api_etl_spark.streaming.corpus import run_corpus_stream
+
+        spark = (
+            SparkSession.builder.master("local[2]")
+            .appName(f"xproc-stream-{Path(ckpt).name}")
+            .config("spark.sql.shuffle.partitions", "2")
+            .config("spark.driver.memory", "1g")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+        try:
+            wh = SnapshotWarehouse(spark, root)
+            run_corpus_stream(spark, wh, drop_dir, ckpt)
+        finally:
+            spark.stop()
+        q.put(("ok", Path(ckpt).name))
+    except Exception as e:  # pragma: no cover - failure reporting
+        q.put(("err", f"{Path(ckpt).name}: {type(e).__name__}: {e}"))
+
+
+class TestCrossProcessStreamingWriters:
+    def test_two_streams_one_table_exactly_once(self, spark, tmp_path):
+        """Two streaming append_once writers (separate spawned processes,
+        separate checkpoints, one table): linear history, both streams'
+        rows present exactly once; a lost-checkpoint replay of one stream
+        lands nothing new (the durable anti-join layer)."""
+        root = str(tmp_path / "wh")
+        SnapshotWarehouse(None, root)  # create root
+        ids_a = list(range(1, 31))      # none % 97 == 0
+        ids_b = list(range(101, 131))
+        drop_a, drop_b = tmp_path / "dropA", tmp_path / "dropB"
+        _json_docs(drop_a, ids_a)
+        _json_docs(drop_b, ids_b)
+
+        results = _spawn(
+            _stream_worker,
+            [
+                (root, str(drop_a), str(tmp_path / "ckA")),
+                (root, str(drop_b), str(tmp_path / "ckB")),
+            ],
+        )
+        assert all(r[0] == "ok" for r in results), results
+
+        wh = SnapshotWarehouse(spark, root)
+        hist = wh.history("corpus_shards")
+        versions = [h["version"] for h in hist]
+        assert versions == list(range(1, len(hist) + 1)), "linear history"
+        txns = wh.committed_txns("corpus_shards")
+        assert {"corpus-ckA-0", "corpus-ckB-0"} <= txns
+        rows = wh.read("corpus_shards").groupBy("doc_id").count().collect()
+        got = {r["doc_id"]: r["count"] for r in rows}
+        assert got == {i: 1 for i in ids_a + ids_b}, "each doc exactly once"
+
+        # Lost checkpoint: re-stream drop A from scratch in ANOTHER
+        # process. The file source re-lists everything; the published
+        # corpus anti-join must land zero new rows.
+        results = _spawn(
+            _stream_worker, [(root, str(drop_a), str(tmp_path / "ckA2"))]
+        )
+        assert all(r[0] == "ok" for r in results), results
+        wh2 = SnapshotWarehouse(spark, root)
+        assert wh2.read("corpus_shards").count() == len(ids_a) + len(ids_b)
