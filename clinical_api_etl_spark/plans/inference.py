@@ -3011,3 +3011,74 @@ def bpe_roundtrip_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@QS.add(
+    "bpe_fertility_by_lang",
+    "WITH "
+    + _bpe_artifact_ctes(_BPE_MERGES)
+    + f""",
+    seg AS (SELECT word, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_sub
+            FROM s{_BPE_MERGES}),
+    docw AS (
+      SELECT d.lang, x.tok AS word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks) x
+      JOIN documents d USING (doc_id)
+      GROUP BY d.lang, x.tok
+    )
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           CAST(SUM(c * n_sub) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(c * n_sub) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+             AS fertility
+    FROM docw JOIN seg USING (word)
+    GROUP BY lang
+    """,
+    doc="[EXT] tokenizer FERTILITY by language (BPE tokens per word) — "
+    "the standard multilingual-tokenizer equity metric: a vocab trained "
+    "on an en-heavy corpus over-segments the other languages, and this "
+    "is the query that shows it before a training run locks the vocab "
+    "in. Reuses the learned merge chain over the distinct-word table "
+    "(vocabulary-scaled); per-language counts are exact BIGINTs and "
+    "fertility is one division — hash-gated end to end against the "
+    "unrolled DuckDB learn-then-apply twin.",
+    tags=("text", "iterative"),
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.bpe import (
+        _apply_merge,
+        initial_symbols,
+        learn_bpe_distributed,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "lang", F.explode(tokens(F.col("text"))).alias("word")
+        )
+        .coalesce(8)
+        .persist()
+    )
+    words = tok.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    merges = learn_bpe_distributed(words, _BPE_MERGES)
+    sym = initial_symbols(F.col("word"))
+    for m in merges:
+        sym = _apply_merge(sym, F.lit(m.lhs), F.lit(m.rhs))
+    seg = words.select(
+        "word", F.size(F.split(sym, " ")).cast("long").alias("n_sub")
+    )
+    docw = tok.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        docw.join(F.broadcast(seg), "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_sub")).cast("long").alias("n_bpe_tokens"),
+            (
+                F.sum(F.col("c") * F.col("n_sub")).cast("double")
+                / F.sum("c").cast("double")
+            ).alias("fertility"),
+        )
+    )

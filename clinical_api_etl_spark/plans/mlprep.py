@@ -990,3 +990,170 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return substring_dedup(docs, "doc_id", "text", k=_SUBK, min_count=2)
+
+
+# ---------------------------------------------------------------------------
+# Round-6: training-run assembly ops — sequence packing, temperature
+# mixture allocation, tokenizer fertility. The three decisions between a
+# curated corpus and an actual pretraining run.
+# ---------------------------------------------------------------------------
+
+_PACK_L = 128     # tokens per training sequence
+_PACK_SHARD = 128  # docs per packing shard (doc_id div)
+
+
+@QS.add(
+    "corpus_sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id, doc_id // {_PACK_SHARD} AS shard_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY shard_id ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS end_off
+      FROM t
+    )
+    SELECT doc_id, shard_id, n_tokens,
+           CAST(end_off - n_tokens AS BIGINT) AS start_off,
+           end_off,
+           CAST((end_off - n_tokens) // {_PACK_L} AS BIGINT) AS first_seq,
+           CAST((end_off - 1) // {_PACK_L} AS BIGINT) AS last_seq
+    FROM c
+    """,
+    doc="[EXT] GPT-style sequence packing: concatenate documents in "
+    f"doc_id order and split at {_PACK_L}-token boundaries (docs straddle "
+    "sequence boundaries — the standard pretraining packing; nothing is "
+    "padded or dropped). Packing is PER SHARD "
+    f"(doc_id div {_PACK_SHARD}), so the running offset is a partitioned "
+    "window, never a global sort — shards pack independently on "
+    "executors at 100 TB exactly as they do here. Output: per doc, its "
+    "token span [start_off, end_off) in the shard stream and the "
+    "first/last training sequence it lands in (floor-div on exact "
+    "BIGINTs, non-negative — Spark div == DuckDB //).",
+    tags=("text", "mlprep"),
+)
+def corpus_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.functions.text import token_count
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.expr(f"doc_id div {_PACK_SHARD}").alias("shard_id"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("end_off", F.sum("n_tokens").over(w).cast("long"))
+    return c.select(
+        "doc_id",
+        "shard_id",
+        "n_tokens",
+        (F.col("end_off") - F.col("n_tokens")).cast("long").alias("start_off"),
+        "end_off",
+        F.expr(f"(end_off - n_tokens) div {_PACK_L}").cast("long").alias("first_seq"),
+        F.expr(f"(end_off - 1) div {_PACK_L}").cast("long").alias("last_seq"),
+    )
+
+
+_MIX_BUDGET = 10_000  # documents to draw across languages
+
+
+@QS.add(
+    "mixture_temperature_sampling",
+    f"""
+    WITH g AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                            list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang)),
+               (x, y) -> x + y) AS t
+      FROM g
+    ),
+    raw AS (
+      SELECT lang, n_docs,
+             CAST({_MIX_BUDGET} AS DOUBLE) * sqrt(CAST(n_docs AS DOUBLE))
+               / tot.t AS r
+      FROM g CROSS JOIN tot
+    ),
+    base AS (
+      SELECT lang, n_docs, CAST(floor(r) AS BIGINT) AS b,
+             r - floor(r) AS rem
+      FROM raw
+    ),
+    lv AS (SELECT CAST({_MIX_BUDGET} - SUM(b) AS BIGINT) AS leftover FROM base)
+    SELECT lang, n_docs,
+           CAST(b + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+                              <= lv.leftover
+                         THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM base CROSS JOIN lv
+    """,
+    doc="[EXT] temperature-based mixture allocation (the multilingual "
+    "pretraining rebalance of Conneau & Lample: sample language i "
+    "proportionally to n_i^alpha) at alpha = 0.5, where the weight is "
+    "sqrt(n) — CORRECTLY ROUNDED in IEEE, so both engines compute the "
+    f"identical double. Splits a {_MIX_BUDGET}-doc budget: raw shares "
+    "through one pinned-order fold (the chi-square technique) + one "
+    "division each; integer floors + largest-remainder top-up make the "
+    "allocation exact with nothing lost. The window runs over |langs| "
+    "rows. Composes with sample_weighted_bernoulli to materialize the "
+    "per-language draws.",
+    tags=("sampling", "mlprep"),
+)
+def mixture_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    g = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .coalesce(1)
+        .persist()
+    )
+    tot = g.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("lang", F.sqrt(F.col("n_docs").cast("double")).alias("w"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w"],
+        ).alias("t")
+    )
+    raw = g.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (
+            F.lit(float(_MIX_BUDGET)) * F.sqrt(F.col("n_docs").cast("double"))
+            / F.col("t")
+        ).alias("r"),
+    )
+    base = raw.select(
+        "lang",
+        "n_docs",
+        F.floor("r").cast("long").alias("b"),
+        (F.col("r") - F.floor("r")).alias("rem"),
+    )
+    lv = base.agg((F.lit(_MIX_BUDGET) - F.sum("b")).cast("long").alias("leftover"))
+    rk = F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("lang")))
+    return (
+        base.crossJoin(F.broadcast(lv))
+        .withColumn("rk", rk)
+        .select(
+            "lang",
+            "n_docs",
+            (
+                F.col("b")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            ).cast("long").alias("alloc"),
+        )
+    )

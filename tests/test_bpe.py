@@ -194,3 +194,16 @@ class TestTokenizerArtifact:
         pdf = bpe_roundtrip_identity(spark, "/root/testdata/sf0.001").toPandas()
         assert (pdf["n_roundtrip_ok"] == pdf["n_words"]).all()
         assert (pdf["orig_md5"] == pdf["decoded_md5"]).all()
+
+
+class TestFertility:
+    def test_fertility_bounds_and_en_lowest(self, spark):
+        from clinical_api_etl_spark.plans.inference import bpe_fertility_by_lang
+
+        pdf = bpe_fertility_by_lang(spark, "/root/testdata/sf0.001").toPandas()
+        # every word is at least 1 subtoken; fertility is tokens/words
+        assert (pdf["fertility"] >= 1.0).all()
+        assert (pdf["n_bpe_tokens"] >= pdf["n_words"]).all()
+        assert abs(
+            pdf["fertility"] - pdf["n_bpe_tokens"] / pdf["n_words"]
+        ).max() < 1e-12

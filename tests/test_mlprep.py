@@ -278,3 +278,54 @@ class TestSubstringDedup:
         pdf = text_substring_dedup(spark, SF).toPandas()
         assert (pdf["kept_tokens"] + pdf["removed_tokens"] == pdf["total_tokens"]).all()
         assert (pdf["n_cuts"] > 0).any()  # testdata plants real repeats
+
+
+class TestSequencePacking:
+    def test_offsets_contiguous_within_shard(self, spark):
+        from clinical_api_etl_spark.plans.mlprep import corpus_sequence_packing
+
+        pdf = (
+            corpus_sequence_packing(spark, SF)
+            .toPandas()
+            .sort_values(["shard_id", "doc_id"])
+        )
+        for _, g in pdf.groupby("shard_id"):
+            assert g.iloc[0]["start_off"] == 0
+            # each doc starts where the previous ended — nothing padded/lost
+            assert (
+                g["start_off"].iloc[1:].values == g["end_off"].iloc[:-1].values
+            ).all()
+            assert (g["end_off"] - g["start_off"] == g["n_tokens"]).all()
+
+    def test_sequence_ids_match_offsets(self, spark):
+        from clinical_api_etl_spark.plans.mlprep import corpus_sequence_packing
+
+        pdf = corpus_sequence_packing(spark, SF).toPandas()
+        L = 128
+        assert (pdf["first_seq"] == pdf["start_off"] // L).all()
+        assert (pdf["last_seq"] == (pdf["end_off"] - 1) // L).all()
+        assert (pdf["first_seq"] <= pdf["last_seq"]).all()
+
+
+class TestMixtureSampling:
+    def test_budget_conserved_and_temperature_flattens(self, spark):
+        import math
+
+        from clinical_api_etl_spark.plans.mlprep import (
+            mixture_temperature_sampling,
+        )
+
+        pdf = mixture_temperature_sampling(spark, SF).toPandas()
+        assert pdf["alloc"].sum() == 10_000
+        # alpha=0.5 flattens: the biggest language's share of the budget
+        # must be strictly below its share of the corpus, smallest above.
+        pdf = pdf.sort_values("n_docs")
+        tot = pdf["n_docs"].sum()
+        big, small = pdf.iloc[-1], pdf.iloc[0]
+        assert big["alloc"] / 10_000 < big["n_docs"] / tot
+        assert small["alloc"] / 10_000 > small["n_docs"] / tot
+        # and each alloc is within 1 unit of its exact sqrt share
+        ws = {r["lang"]: math.sqrt(r["n_docs"]) for _, r in pdf.iterrows()}
+        s = sum(ws.values())
+        for _, r in pdf.iterrows():
+            assert abs(r["alloc"] - 10_000 * ws[r["lang"]] / s) < 1.0

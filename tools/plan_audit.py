@@ -142,6 +142,8 @@ GLOBAL_WINDOW_OK: set[str] = {
     # INVENTORY (alphabet-bounded, dozens of rows).
     "bpe_vocab_table",
     "bpe_roundtrip_identity",
+    # largest-remainder ranking over |langs| rows (k-bounded).
+    "mixture_temperature_sampling",
 }
 
 
