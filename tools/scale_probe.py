@@ -118,20 +118,57 @@ def synthesize(spark, factor: int, dest: str) -> None:
         out = out.unionByName(c)
     out.write.mode("overwrite").parquet(f"{dest}/customer.parquet")
 
+    sup = load(spark, BASE, "supplier")
+    n_s = sup.agg(F.max("s_suppkey")).collect()[0][0] + 1
     li = load(spark, BASE, "lineitem")
     n_o = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
     n_p = li.agg(F.max("l_partkey")).collect()[0][0] + 1
     lcopies = []
     for k in range(factor):
         lcopies.append(
-            li.withColumn("l_orderkey", F.col("l_orderkey") + k * n_o).withColumn(
-                "l_partkey", F.col("l_partkey") + k * n_p
-            )
+            li.withColumn("l_orderkey", F.col("l_orderkey") + k * n_o)
+            .withColumn("l_partkey", F.col("l_partkey") + k * n_p)
+            # shift suppliers too: the interaction GRAPH must gain new
+            # nodes at 10x, not 10x the degree on the same suppliers —
+            # degree inflation would make graph ops look super-linear by
+            # construction, not by algorithm.
+            .withColumn("l_suppkey", F.col("l_suppkey") + k * n_s)
         )
     out = lcopies[0]
     for c in lcopies[1:]:
         out = out.unionByName(c)
     out.write.mode("overwrite").parquet(f"{dest}/lineitem.parquet")
+
+    # orders + supplier: the round-5 iteratives (BFS / PPR) derive the
+    # customer<->supplier graph from lineitem JOIN orders; keys shift by
+    # the same per-table strides so every copy is a disjoint subgraph.
+    orders = load(spark, BASE, "orders")
+    ocopies = [
+        orders.withColumn("o_orderkey", F.col("o_orderkey") + k * n_o)
+        .withColumn("o_custkey", F.col("o_custkey") + k * n_c)
+        for k in range(factor)
+    ]
+    out = ocopies[0]
+    for c in ocopies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(f"{dest}/orders.parquet")
+
+    scopies = [
+        sup.select(
+            (F.col("s_suppkey") + k * n_s).alias("s_suppkey"),
+            F.concat(
+                F.lit("Supplier#"),
+                F.lpad((F.col("s_suppkey") + k * n_s).cast("string"), 9, "0"),
+            ).alias("s_name"),
+            "s_nationkey",
+            "s_acctbal",
+        )
+        for k in range(factor)
+    ]
+    out = scopies[0]
+    for c in scopies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(f"{dest}/supplier.parquet")
 
     docs = load(spark, BASE, "documents")
     n_d = docs.agg(F.max("doc_id")).collect()[0][0] + 1
