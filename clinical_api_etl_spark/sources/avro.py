@@ -55,6 +55,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -478,38 +479,44 @@ class _AvroReader(DataSourceReader):
         return parts
 
     def read(self, part: _AvroSplit):
-        with open(part.path, "rb") as f:
-            schema, codec, sync, header_len = read_header(f)
-            readers = [_reader_for(fd["type"]) for fd in schema["fields"]]
-            size = os.path.getsize(part.path)
-            # Locate the first sync-marker START at offset >= lo. The
-            # header's trailing sync starts at header_len - 16; block N's
-            # trailing sync starts where block N+1's framing begins - 16.
-            if part.lo <= header_len - 16:
-                pos = header_len - 16
-            else:
-                pos = _find_sync(f, sync, part.lo, size)
-                if pos is None:
-                    return
-            while pos < part.hi:
-                f.seek(pos)
-                if f.read(16) != sync:
-                    raise ValueError(
-                        f"Avro sync mismatch at {pos} in {part.path}"
-                    )
-                frame_start = f.tell()
-                head = f.read(20)  # two varlongs: count, byte size
-                if not head:
-                    return  # clean EOF
-                d = _Decoder(head)
-                n_rows = d.long()
-                n_bytes = d.long()
-                f.seek(frame_start + d.pos)
-                data = _decompress(codec, f.read(n_bytes))
-                dec = _Decoder(data)
-                for _ in range(n_rows):
-                    yield tuple(r(dec) for r in readers)
-                pos = frame_start + d.pos + n_bytes
+        return read_split(part.path, part.lo, part.hi)
+
+
+def read_split(path: str, lo: int, hi: int):
+    """Yield row tuples from the blocks of ``path`` whose preceding sync
+    marker STARTS in ``[lo, hi)`` (the split-ownership rule — shared by
+    the batch reader's byte-range partitions and the stream reader's
+    whole-file reads)."""
+    with open(path, "rb") as f:
+        schema, codec, sync, header_len = read_header(f)
+        readers = [_reader_for(fd["type"]) for fd in schema["fields"]]
+        size = os.path.getsize(path)
+        # Locate the first sync-marker START at offset >= lo. The
+        # header's trailing sync starts at header_len - 16; block N's
+        # trailing sync starts where block N+1's framing begins - 16.
+        if lo <= header_len - 16:
+            pos = header_len - 16
+        else:
+            pos = _find_sync(f, sync, lo, size)
+            if pos is None:
+                return
+        while pos < hi:
+            f.seek(pos)
+            if f.read(16) != sync:
+                raise ValueError(f"Avro sync mismatch at {pos} in {path}")
+            frame_start = f.tell()
+            head = f.read(20)  # two varlongs: count, byte size
+            if not head:
+                return  # clean EOF
+            d = _Decoder(head)
+            n_rows = d.long()
+            n_bytes = d.long()
+            f.seek(frame_start + d.pos)
+            data = _decompress(codec, f.read(n_bytes))
+            dec = _Decoder(data)
+            for _ in range(n_rows):
+                yield tuple(r(dec) for r in readers)
+            pos = frame_start + d.pos + n_bytes
 
 
 def _find_sync(f, sync: bytes, lo: int, size: int) -> int | None:
@@ -531,6 +538,56 @@ def _find_sync(f, sync: bytes, lo: int, size: int) -> int | None:
         carry = buf[-15:]
         pos += chunk
     return None
+
+
+class _AvroStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the OCF source: a drop-folder tail.
+
+    The offset is the SET of consumed file names (``{"seen": [...]}``) —
+    each micro-batch emits every ``.avro`` file not yet in the set, in
+    sorted-name order, and ``readBetweenOffsets`` replays exactly the
+    set difference, so committed batches replay deterministically after
+    failure (the exactly-once contract a file-tailing source must honor;
+    landing files must be renamed in atomically, the convention every
+    file source shares). The offset grows with file count — the same
+    growth Spark's own file-source log has (which compacts; at real
+    scale this source would too, or files would be pruned by a
+    retention window after commit).
+
+    The Simple stream API reads on the driver (one partition per batch)
+    — right for control-plane-sized drops; bulk backfills go through
+    the split-parallel batch reader.
+    """
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("avro_ocf requires .option('path', ...)")
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def _rows_for(self, names: list[str]):
+        out = []
+        for n in sorted(names):
+            p = os.path.join(self.path, n)
+            if os.path.exists(p):
+                out.extend(read_split(p, 0, os.path.getsize(p)))
+        return out
+
+    def read(self, start: dict):
+        seen = set(start.get("seen", []))
+        have = {os.path.basename(p) for p in _avro_files(self.path)}
+        new = sorted(have - seen)
+        # iter() over a MATERIALIZED list: the runner's prefetch cache
+        # needs a real iterator (it probes with next() when the offset
+        # did not advance), and a generator would not survive its
+        # copy.copy — a list_iterator satisfies both.
+        return iter(self._rows_for(new)), {"seen": sorted(have | seen)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        new = set(end.get("seen", [])) - set(start.get("seen", []))
+        return iter(self._rows_for(sorted(new)))
 
 
 class _AvroCommit(WriterCommitMessage):
@@ -603,6 +660,9 @@ class AvroOcfDataSource(DataSource):
 
     def reader(self, schema) -> _AvroReader:
         return _AvroReader(self.options)
+
+    def simpleStreamReader(self, schema) -> _AvroStreamReader:
+        return _AvroStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> _AvroWriter:
         return _AvroWriter(self.options, schema, overwrite)
