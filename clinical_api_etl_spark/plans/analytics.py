@@ -1081,3 +1081,103 @@ def stat_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         seasonal.alias("seasonal"),
         (F.col("detr_x7").cast("double") / F.lit(7.0) - seasonal).alias("residual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: Holt double exponential smoothing — a SEQUENTIAL recurrence
+# under a full value hash via pinned left-folds.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "ts_holt_smoothing_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, d
+    ),
+    series AS (
+      SELECT event_type, list(CAST(y AS DOUBLE) ORDER BY d) AS ys
+      FROM daily GROUP BY event_type
+    ),
+    folded AS (
+      -- DOUBLE[] accumulator [l, b, sse], NOT a struct: DuckDB's
+      -- list_reduce evaluates STRUCT-field expressions with the
+      -- accumulator updated IN PLACE (field 2 sees field 1's new value
+      -- — reproduced on 1.x), while list-element expressions all read
+      -- the original accumulator. Spark's named_struct reads the
+      -- original acc for every field, so the list form is the one that
+      -- matches Spark and the python reference bit-for-bit.
+      SELECT event_type, len(ys) AS n_days,
+        list_reduce(
+          list_concat(
+            [[ys[1], ys[2] - ys[1], CAST(0 AS DOUBLE)]],
+            list_transform(ys[2:], y -> [y, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+          (acc, e) -> [
+            0.5e0 * e[1] + 0.5e0 * (acc[1] + acc[2]),
+            0.25e0 * ((0.5e0 * e[1] + 0.5e0 * (acc[1] + acc[2])) - acc[1])
+              + 0.75e0 * acc[2],
+            acc[3] + (e[1] - (acc[1] + acc[2])) * (e[1] - (acc[1] + acc[2]))]
+        ) AS st
+      FROM series WHERE len(ys) >= 2
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           st[1] AS level, st[2] AS trend,
+           st[1] + st[2] AS forecast_1, st[3] AS sse
+    FROM folded
+    """,
+    doc="[EXT] Holt double exponential smoothing (level + trend) of the "
+    "daily event-count series, alpha=0.5 beta=0.25 (exact binary "
+    "fractions), init l1=y1, b1=y2-y1, recurrence over y2..yn with "
+    "one-step-ahead SSE accumulated in the same pass — the first "
+    "SEQUENTIAL-RECURRENCE query under a full value hash: both engines "
+    "run the identical left-fold over the day-ordered series (Spark "
+    "aggregate with a named_struct accumulator == DuckDB list_reduce "
+    "with a DOUBLE[] accumulator — struct accumulators are NOT safe in "
+    "DuckDB, see the oracle comment), so every intermediate IEEE value "
+    "is bit-identical. The fold runs per event type over the "
+    "calendar-bounded daily pre-aggregate — one shuffle, fold cost "
+    "|days|, never events.",
+    tags=("timeseries", "stats"),
+)
+def ts_holt_smoothing_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.selectExpr("event_type", "unix_millis(ts) div 86400000 AS d")
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, CAST(y AS DOUBLE) AS yv))),"
+            " s -> s.yv)"
+        ).alias("ys")
+    )
+    return (
+        series.filter(F.size("ys") >= 2)
+        .selectExpr(
+            "event_type",
+            "CAST(size(ys) AS BIGINT) AS n_days",
+            """aggregate(
+                 slice(ys, 2, size(ys) - 1),
+                 named_struct(
+                   'l', element_at(ys, 1),
+                   'b', element_at(ys, 2) - element_at(ys, 1),
+                   'sse', CAST(0.0 AS DOUBLE)),
+                 (acc, y) -> named_struct(
+                   'l', 0.5D * y + 0.5D * (acc.l + acc.b),
+                   'b', 0.25D * ((0.5D * y + 0.5D * (acc.l + acc.b)) - acc.l)
+                        + 0.75D * acc.b,
+                   'sse', acc.sse + (y - (acc.l + acc.b)) * (y - (acc.l + acc.b)))
+               ) AS st""",
+        )
+        .selectExpr(
+            "event_type",
+            "n_days",
+            "st.l AS level",
+            "st.b AS trend",
+            "st.l + st.b AS forecast_1",
+            "st.sse AS sse",
+        )
+    )

@@ -195,3 +195,39 @@ class TestProfile:
         assert flag["n_distinct"] == li.select("l_returnflag").distinct().count()
         assert flag["n_nulls"] == li.filter(F.col("l_returnflag").isNull()).count()
         assert flag["min_val"] == li.agg(F.min("l_returnflag")).first()[0]
+
+
+class TestHoltSmoothing:
+    def test_matches_python_reference(self, spark):
+        """The fold must replay the textbook recurrence exactly — pinned
+        against an independent python implementation."""
+        from clinical_api_etl_spark.plans.analytics import ts_holt_smoothing_daily
+
+        sf = "/root/testdata/sf0.001"
+        got = {r["event_type"]: r for r in ts_holt_smoothing_daily(spark, sf).collect()}
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        from clinical_api_etl_spark.sources.catalog import load as _load
+        daily = (
+            _load(spark, sf, "events")
+            .selectExpr("event_type", "unix_millis(ts) div 86400000 AS d")
+            .groupBy("event_type", "d")
+            .count()
+            .collect()
+        )
+        series: dict = {}
+        for r in daily:
+            series.setdefault(r["event_type"], []).append((r["d"], float(r["count"])))
+        for et, pts in series.items():
+            ys = [y for _, y in sorted(pts)]
+            l, b, sse = ys[0], ys[1] - ys[0], 0.0
+            for y in ys[1:]:
+                err = y - (l + b)
+                ln = 0.5 * y + 0.5 * (l + b)
+                b = 0.25 * (ln - l) + 0.75 * b
+                l = ln
+                sse += err * err
+            assert got[et]["level"] == l            # bit-exact, not approx
+            assert got[et]["trend"] == b
+            assert got[et]["sse"] == sse
+            assert got[et]["n_days"] == len(ys)
