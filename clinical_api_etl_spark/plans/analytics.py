@@ -1181,3 +1181,164 @@ def ts_holt_smoothing_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "st.sse AS sse",
         )
     )
+
+
+@QS.add(
+    "ts_max_drawdown_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, d
+    ),
+    cum AS (
+      SELECT event_type, d,
+             CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY d
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+      FROM daily
+    ),
+    dd AS (
+      SELECT event_type, d, c,
+             CAST(MAX(c) OVER (PARTITION BY event_type ORDER BY d
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+      FROM cum
+    ),
+    dd2 AS (
+      SELECT event_type, d, c, peak, peak - c AS draw,
+             MAX(peak - c) OVER (PARTITION BY event_type) AS maxdraw
+      FROM dd
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           MAX(peak) AS peak_cents,
+           CAST(MAX(draw) AS BIGINT) AS max_drawdown_cents,
+           CAST(MIN(CASE WHEN draw = maxdraw THEN d END) AS BIGINT)
+             AS trough_day
+    FROM dd2 GROUP BY event_type
+    """,
+    doc="[EXT] maximum drawdown of the cumulative daily revenue series "
+    "per event type (the risk/ops metric: worst peak-to-trough drop), "
+    "with the earliest trough day. Running sum + running max + one "
+    "aggregate — three passes over ONE (type, day) exchange, all exact "
+    "integer cents, zero float risk. The drawdown frame is the running "
+    "PREFIX max, so the answer is order-deterministic by construction.",
+    tags=("timeseries", "analytics"),
+)
+def ts_max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = (
+        ev.selectExpr("event_type", "unix_millis(ts) div 86400000 AS d", "value")
+        .groupBy("event_type", "d")
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    run = W.partitionBy("event_type").orderBy("d").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    dd = (
+        daily.withColumn("c", F.sum("cents").over(run).cast("long"))
+        .withColumn("peak", F.max("c").over(run).cast("long"))
+        .withColumn("draw", F.col("peak") - F.col("c"))
+        .withColumn(
+            "maxdraw", F.max(F.col("peak") - F.col("c")).over(W.partitionBy("event_type"))
+        )
+    )
+    return dd.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("peak").alias("peak_cents"),
+        F.max("draw").cast("long").alias("max_drawdown_cents"),
+        F.min(F.when(F.col("draw") == F.col("maxdraw"), F.col("d")))
+        .cast("long")
+        .alias("trough_day"),
+    )
+
+
+@QS.add(
+    "ts_kalman_local_level",
+    """
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, d
+    ),
+    series AS (
+      SELECT event_type, list(CAST(y AS DOUBLE) ORDER BY d) AS ys
+      FROM daily GROUP BY event_type
+    ),
+    folded AS (
+      -- DOUBLE[] accumulator [x, p, ll2] (state, variance, sum of
+      -- squared one-step innovations scaled by 1/S) — the struct
+      -- in-place hazard rule (see ts_holt_smoothing_daily).
+      SELECT event_type, len(ys) AS n_days,
+        list_reduce(
+          list_concat(
+            [[ys[1], 100.0e0, CAST(0 AS DOUBLE)]],
+            list_transform(ys[2:], y -> [y, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+          (acc, e) -> [
+            acc[1] + ((acc[2] + 4.0e0) / (acc[2] + 4.0e0 + 25.0e0))
+                     * (e[1] - acc[1]),
+            (1.0e0 - (acc[2] + 4.0e0) / (acc[2] + 4.0e0 + 25.0e0))
+              * (acc[2] + 4.0e0),
+            acc[3] + (e[1] - acc[1]) * (e[1] - acc[1])
+                     / (acc[2] + 4.0e0 + 25.0e0)]
+        ) AS st
+      FROM series WHERE len(ys) >= 2
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           st[1] AS level, st[2] AS variance, st[3] AS innovation_score
+    FROM folded
+    """,
+    doc="[EXT] 1-D Kalman filter (local level model, Q=4, R=25, "
+    "P0=100 — exact binary constants) over the daily count series: "
+    "per step the prediction variance P+Q, gain K=(P+Q)/(P+Q+R), state "
+    "update x+=K*innovation, posterior variance (1-K)(P+Q), plus the "
+    "normalized innovation sum (the goodness-of-fit signal). Second "
+    "instance of the sequential-recurrence fold template "
+    "(ts_holt_smoothing_daily) — this one proves PER-STEP DIVISIONS "
+    "stay bit-identical across engines (division is correctly rounded; "
+    "the fold pins the order). Fold cost |days| per type, one shuffle.",
+    tags=("timeseries", "stats"),
+)
+def ts_kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.selectExpr("event_type", "unix_millis(ts) div 86400000 AS d")
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, CAST(y AS DOUBLE) AS yv))),"
+            " s -> s.yv)"
+        ).alias("ys")
+    )
+    return (
+        series.filter(F.size("ys") >= 2)
+        .selectExpr(
+            "event_type",
+            "CAST(size(ys) AS BIGINT) AS n_days",
+            """aggregate(
+                 slice(ys, 2, size(ys) - 1),
+                 named_struct('x', element_at(ys, 1), 'p', CAST(100.0 AS DOUBLE),
+                              'll2', CAST(0.0 AS DOUBLE)),
+                 (acc, y) -> named_struct(
+                   'x', acc.x + ((acc.p + 4.0D) / (acc.p + 4.0D + 25.0D))
+                                * (y - acc.x),
+                   'p', (1.0D - (acc.p + 4.0D) / (acc.p + 4.0D + 25.0D))
+                        * (acc.p + 4.0D),
+                   'll2', acc.ll2 + (y - acc.x) * (y - acc.x)
+                          / (acc.p + 4.0D + 25.0D))
+               ) AS st""",
+        )
+        .selectExpr(
+            "event_type",
+            "n_days",
+            "st.x AS level",
+            "st.p AS variance",
+            "st.ll2 AS innovation_score",
+        )
+    )

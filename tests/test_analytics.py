@@ -231,3 +231,43 @@ class TestHoltSmoothing:
             assert got[et]["trend"] == b
             assert got[et]["sse"] == sse
             assert got[et]["n_days"] == len(ys)
+
+
+class TestKalmanAndDrawdown:
+    def test_kalman_matches_python_reference(self, spark):
+        from clinical_api_etl_spark.plans.analytics import ts_kalman_local_level
+        from clinical_api_etl_spark.sources.catalog import load as _load
+
+        sf = "/root/testdata/sf0.001"
+        got = {r["event_type"]: r for r in ts_kalman_local_level(spark, sf).collect()}
+        daily = (
+            _load(spark, sf, "events")
+            .selectExpr("event_type", "unix_millis(ts) div 86400000 AS d")
+            .groupBy("event_type", "d")
+            .count()
+            .collect()
+        )
+        series: dict = {}
+        for r in daily:
+            series.setdefault(r["event_type"], []).append((r["d"], float(r["count"])))
+        Q, R = 4.0, 25.0
+        for et, pts in series.items():
+            ys = [y for _, y in sorted(pts)]
+            x, p, ll2 = ys[0], 100.0, 0.0
+            for y in ys[1:]:
+                pq = p + Q
+                k = pq / (pq + R)
+                ll2 += (y - x) * (y - x) / (pq + R)
+                x = x + k * (y - x)
+                p = (1.0 - k) * pq
+            assert got[et]["level"] == x
+            assert got[et]["variance"] == p
+            assert got[et]["innovation_score"] == ll2
+
+    def test_drawdown_properties(self, spark):
+        from clinical_api_etl_spark.plans.analytics import ts_max_drawdown_daily
+
+        pdf = ts_max_drawdown_daily(spark, "/root/testdata/sf0.001").toPandas()
+        assert (pdf["max_drawdown_cents"] >= 0).all()
+        assert (pdf["peak_cents"] > 0).all()
+        assert pdf["trough_day"].notna().all()
