@@ -1342,3 +1342,89 @@ def ts_kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             "st.ll2 AS innovation_score",
         )
     )
+
+
+@QS.add(
+    "ops_rate_limit_simulation",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+    ),
+    series AS (
+      SELECT user_id, list(us ORDER BY us, event_id) AS xs
+      FROM e GROUP BY user_id
+    ),
+    folded AS (
+      -- BIGINT[] accumulator [tokens_micro, last_us, admitted, rejected]
+      -- (list, not struct — the in-place rule, ts_holt_smoothing_daily).
+      -- Bucket: capacity 5 tokens, refill 1 token / 10 s; micro-token
+      -- units (1 token = 1e6) make every step EXACT integer algebra.
+      SELECT user_id, len(xs) AS n_events,
+        list_reduce(
+          list_concat(
+            [[CAST(4000000 AS BIGINT), xs[1], CAST(1 AS BIGINT),
+              CAST(0 AS BIGINT)]],
+            list_transform(xs[2:], x -> [x, CAST(0 AS BIGINT),
+                                         CAST(0 AS BIGINT), CAST(0 AS BIGINT)])),
+          (acc, e) -> CASE
+            WHEN least(acc[1] + (e[1] - acc[2]) // 10, 5000000) >= 1000000
+            THEN [least(acc[1] + (e[1] - acc[2]) // 10, 5000000) - 1000000,
+                  e[1], acc[3] + 1, acc[4]]
+            ELSE [least(acc[1] + (e[1] - acc[2]) // 10, 5000000),
+                  e[1], acc[3], acc[4] + 1] END
+        ) AS st
+      FROM series
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           st[3] AS admitted, st[4] AS rejected, st[1] AS tokens_left_micro
+    FROM folded
+    """,
+    doc="[EXT] token-bucket rate-limiter replay per user (capacity 5, "
+    "refill 1 token/10 s, bucket starts full): for each user's "
+    "time-ordered event stream, how many requests a production edge "
+    "limiter would have admitted vs rejected — the capacity-planning / "
+    "abuse-analysis query. Third instance of the sequential-recurrence "
+    "fold template, this one in PURE BIGINT micro-token algebra (floor "
+    "div is non-negative — Spark div == DuckDB //), so the gate is "
+    "exact with zero float surface. Fold cost = per-user event count; "
+    "one shuffle on user_id.",
+    tags=("analytics", "stateful"),
+)
+def ops_rate_limit_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    series = (
+        ev.selectExpr("user_id", "unix_micros(ts) AS us", "event_id")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(us, event_id))),"
+                " s -> s.us)"
+            ).alias("xs")
+        )
+    )
+    return series.selectExpr(
+        "user_id",
+        "CAST(size(xs) AS BIGINT) AS n_events",
+        """aggregate(
+             slice(xs, 2, size(xs) - 1),
+             named_struct('t', CAST(4000000 AS BIGINT), 'last', element_at(xs, 1),
+                          'a', CAST(1 AS BIGINT), 'r', CAST(0 AS BIGINT)),
+             (acc, x) -> IF(
+               least(acc.t + (x - acc.last) div 10, CAST(5000000 AS BIGINT))
+                 >= 1000000,
+               named_struct(
+                 't', least(acc.t + (x - acc.last) div 10,
+                            CAST(5000000 AS BIGINT)) - 1000000,
+                 'last', x, 'a', acc.a + 1, 'r', acc.r),
+               named_struct(
+                 't', least(acc.t + (x - acc.last) div 10,
+                            CAST(5000000 AS BIGINT)),
+                 'last', x, 'a', acc.a, 'r', acc.r + 1))
+           ) AS st""",
+    ).selectExpr(
+        "user_id",
+        "n_events",
+        "st.a AS admitted",
+        "st.r AS rejected",
+        "st.t AS tokens_left_micro",
+    )

@@ -271,3 +271,35 @@ class TestKalmanAndDrawdown:
         assert (pdf["max_drawdown_cents"] >= 0).all()
         assert (pdf["peak_cents"] > 0).all()
         assert pdf["trough_day"].notna().all()
+
+
+class TestRateLimitSimulation:
+    def test_matches_python_reference(self, spark):
+        from clinical_api_etl_spark.plans.analytics import ops_rate_limit_simulation
+        from clinical_api_etl_spark.sources.catalog import load as _load
+
+        sf = "/root/testdata/sf0.001"
+        got = {r["user_id"]: r for r in ops_rate_limit_simulation(spark, sf).collect()}
+        rows = (
+            _load(spark, sf, "events")
+            .selectExpr("user_id", "unix_micros(ts) AS us", "event_id")
+            .collect()
+        )
+        per: dict = {}
+        for r in rows:
+            per.setdefault(r["user_id"], []).append((r["us"], r["event_id"]))
+        CAP, COST = 5_000_000, 1_000_000
+        for uid, evs in per.items():
+            xs = [us for us, _ in sorted(evs)]
+            t, last, a, rj = CAP - COST, xs[0], 1, 0
+            for x in xs[1:]:
+                t = min(t + (x - last) // 10, CAP)
+                if t >= COST:
+                    t -= COST
+                    a += 1
+                else:
+                    rj += 1
+                last = x
+            g = got[uid]
+            assert (g["admitted"], g["rejected"], g["tokens_left_micro"]) == (a, rj, t)
+            assert g["admitted"] + g["rejected"] == g["n_events"]
