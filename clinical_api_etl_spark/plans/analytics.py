@@ -1389,6 +1389,7 @@ def ts_kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact with zero float surface. Fold cost = per-user event count; "
     "one shuffle on user_id.",
     tags=("analytics", "stateful"),
+    headline=True,
 )
 def ops_rate_limit_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")

@@ -214,3 +214,66 @@ class TestStreaming:
         # third trigger with nothing new: no duplicates
         self._run_stream(spark, src, out, ckpt)
         assert spark.read.parquet(out).count() == nation.count()
+
+
+class TestCodecProperties:
+    """Hypothesis gate on the codec CORE (write_ocf -> read_split, no
+    Spark): arbitrary rows must round-trip byte-exactly through the
+    binary encoding, block framing, and deflate codec."""
+
+    def test_random_rows_roundtrip(self, tmp_path):
+        from hypothesis import given, settings, strategies as st
+
+        from clinical_api_etl_spark.sources.avro import (
+            _writer_for,
+            read_split,
+            write_ocf,
+        )
+
+        schema = {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {"name": "i", "type": "long"},
+                {"name": "s", "type": ["null", "string"]},
+                {"name": "d", "type": "double"},
+                {"name": "f", "type": "float"},
+                {"name": "bb", "type": "bytes"},
+                {"name": "ok", "type": "boolean"},
+                {"name": "arr", "type": {"type": "array", "items": "long"}},
+            ],
+        }
+        import struct as _struct
+
+        f32 = st.floats(allow_nan=False, width=32)
+        row = st.tuples(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.one_of(st.none(), st.text(max_size=40)),
+            st.floats(allow_nan=False),
+            f32,
+            st.binary(max_size=40),
+            st.booleans(),
+            st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=8),
+        )
+        writers = [_writer_for(fd["type"]) for fd in schema["fields"]]
+        counter = [0]
+
+        @settings(max_examples=40, deadline=None)
+        @given(rows=st.lists(row, max_size=30), codec=st.sampled_from(["null", "deflate"]))
+        def run(rows, codec):
+            counter[0] += 1
+            p = str(tmp_path / f"prop-{counter[0]}.avro")
+            n = write_ocf(p, schema, rows, writers, codec=codec, rows_per_block=7)
+            assert n == len(rows)
+            back = list(read_split(p, 0, os.path.getsize(p)))
+            assert len(back) == len(rows)
+            for orig, got in zip(rows, back):
+                assert got[0] == orig[0]
+                assert got[1] == orig[1]
+                assert _struct.pack("<d", got[2]) == _struct.pack("<d", orig[2])
+                assert _struct.pack("<f", got[3]) == _struct.pack("<f", orig[3])
+                assert bytes(got[4]) == orig[4]
+                assert got[5] == orig[5]
+                assert list(got[6]) == orig[6]
+
+        run()

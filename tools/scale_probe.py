@@ -65,8 +65,10 @@ QUERIES = [
     "er_resolve_customers",
     "text_textrank_keywords",
     "ts_ohlc_daily",
-    # round-6: corpus-wide repeated-window counting + per-doc span rebuild.
+    # round-6: corpus-wide repeated-window counting + per-doc span rebuild;
+    # per-user sequential-state fold (rate limiter replay).
     "text_substring_dedup",
+    "ops_rate_limit_simulation",
 ]
 
 
