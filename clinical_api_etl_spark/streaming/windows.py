@@ -310,3 +310,87 @@ def daily_ohlc(events: DataFrame, *, watermark: str | None = None) -> DataFrame:
             "total",
         )
     )
+
+
+_RL_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("admitted", T.LongType()),
+        T.StructField("rejected", T.LongType()),
+        T.StructField("tokens_left_micro", T.LongType()),
+    ]
+)
+
+_RL_STATE = T.StructType(
+    [
+        T.StructField("tokens", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("admitted", T.LongType()),
+        T.StructField("rejected", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_RL_CAP = 5_000_000
+_RL_COST = 1_000_000
+
+
+def rate_limit_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``plans/analytics.ops_rate_limit_simulation``:
+    the token bucket (capacity 5, refill 1 token/10 s, micro-token
+    integers) replayed incrementally with per-user ``GroupState``.
+
+    Each micro-batch sorts its rows per user by (ts, event_id), folds the
+    EXACT same BIGINT recurrence as the batch query, and emits the user's
+    cumulative (admitted, rejected, tokens). Equals the batch fold when
+    each user's events arrive in event-time order across batches (the
+    funnel_stream ordering contract); the micro-units make stream and
+    batch agree to the last integer — no float drift between the two
+    planes.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            tokens, last_us, adm, rej, n = state.get
+        else:
+            tokens = last_us = None
+            adm = rej = n = 0
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for ts in rows["ts"]:
+            us = ts.value // 1_000
+            n += 1
+            if last_us is None:
+                tokens, last_us, adm = _RL_CAP - _RL_COST, us, adm + 1
+                continue
+            tokens = min(tokens + (us - last_us) // 10, _RL_CAP)
+            if tokens >= _RL_COST:
+                tokens -= _RL_COST
+                adm += 1
+            else:
+                rej += 1
+            last_us = us
+        state.update((tokens, last_us, adm, rej, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "admitted": [adm],
+                "rejected": [rej],
+                "tokens_left_micro": [tokens],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_RL_OUT,
+        stateStructType=_RL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1428,3 +1428,55 @@ class TestStreamingPercentileMonitor:
         }
         for g, want in batch.items():
             assert bands_from_state(g) == want
+
+
+class TestStreamingRateLimit:
+    def test_stream_equals_batch_across_batches(self, spark, tmp_path):
+        """rate_limit_stream reproduces ops_rate_limit_simulation exactly
+        (integer for integer) when each user's events arrive in event-time
+        order across micro-batches — proven with a two-drop time split so
+        state must carry between batches."""
+        from clinical_api_etl_spark.plans.analytics import ops_rate_limit_simulation
+        from clinical_api_etl_spark.sources.catalog import load
+        from clinical_api_etl_spark.streaming.windows import rate_limit_stream
+
+        sf = "/root/testdata/sf0.001"
+        events = load(spark, sf, "events").select("user_id", "event_id", "ts")
+        cut = events.agg(F.expr("percentile_approx(unix_micros(ts), 0.5)")).collect()[0][0]
+
+        src = str(tmp_path / "rl_src")
+        events.filter(F.expr(f"unix_micros(ts) <= {cut}")).coalesce(1).write.parquet(
+            src
+        )
+        out_rows: list = []
+
+        def run():
+            stream = spark.readStream.schema(events.schema).parquet(src)
+            q = (
+                rate_limit_stream(stream)
+                .writeStream.outputMode("update")
+                .foreachBatch(lambda df, bid: out_rows.extend(df.collect()))
+                .option("checkpointLocation", str(tmp_path / "rl_ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run()  # first half
+        events.filter(F.expr(f"unix_micros(ts) > {cut}")).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run()  # second half — state must carry
+
+        got: dict = {}
+        for r in out_rows:  # last update per user wins
+            got[r["user_id"]] = (
+                r["n_events"], r["admitted"], r["rejected"], r["tokens_left_micro"]
+            )
+        batch = {
+            r["user_id"]: (
+                r["n_events"], r["admitted"], r["rejected"], r["tokens_left_micro"]
+            )
+            for r in ops_rate_limit_simulation(spark, sf).collect()
+        }
+        assert got == batch
