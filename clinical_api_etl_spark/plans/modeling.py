@@ -1,0 +1,384 @@
+"""Round-11 modeling family: seasonal/recurrence time-series models,
+deterministic resampling inference, rank fusion, instance-based and
+split-based learners, HITS link analysis, and data-quality profiling.
+
+Design notes
+------------
+* Sequential recurrences (Holt-Winters, Wilder RSI) follow the round-10
+  pinned-fold template: both engines run the identical left-fold over the
+  day-ordered series — Spark ``aggregate`` with an ``array<double>``
+  accumulator == DuckDB ``list_reduce`` with a ``DOUBLE[]`` accumulator
+  (LIST, never STRUCT: DuckDB mutates struct accumulators in place,
+  CLAUDE.md round-10 hazard). Every fold term is a fixed IEEE tree over
+  exact integers (daily counts / cents), so intermediates are
+  bit-identical and the queries carry full value hashes.
+* The bootstrap avoids RNG entirely: replica weights are md5-derived
+  (``conv(substr(md5(id||':'||b),1,2),16,10) % 3`` ∈ {0,1,2}) — the
+  round-6 portable-hash-arithmetic pattern — and each replica mean is
+  one division over exact BIGINT sums, evaluated as 2·B conditional
+  aggregates in a single pass (no row blow-up, mergeable partials).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clinical_api_etl_spark.plans.base import QuerySet
+from clinical_api_etl_spark.sources.catalog import load
+
+QS = QuerySet()
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (m=7) — sequential recurrence.
+# ---------------------------------------------------------------------------
+
+# lnew inlined wherever referenced (both engines inline the identical
+# expression tree, so intermediates stay bit-equal; fold lambdas are
+# interpreted per element — no codegen CSE concern at |days| scale).
+_HW_L_DUCK = "(0.5e0 * (e[1] - acc[4]) + 0.5e0 * (acc[1] + acc[2]))"
+_HW_L_SPARK = (
+    "(0.5D * (y - element_at(acc, 4)) + 0.5D * (element_at(acc, 1) + element_at(acc, 2)))"
+)
+
+
+@QS.add(
+    "ts_holt_winters_daily",
+    f"""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, d
+    ),
+    series AS (
+      SELECT event_type, list(CAST(y AS DOUBLE) ORDER BY d) AS ys
+      FROM daily GROUP BY event_type
+    ),
+    init AS (
+      -- week-1/week-2 init: integer-count sums are exact in DOUBLE, so
+      -- l0/b0/s_i are single correctly-rounded ops — portable.
+      SELECT event_type, ys, len(ys) AS n_days,
+             list_reduce(ys[1:7], (a, x) -> a + x) / 7e0 AS l0,
+             (list_reduce(ys[8:14], (a, x) -> a + x)
+              - list_reduce(ys[1:7], (a, x) -> a + x)) / 49e0 AS b0
+      FROM series WHERE len(ys) >= 14
+    ),
+    folded AS (
+      SELECT event_type, n_days,
+        list_reduce(
+          list_concat(
+            [[l0, b0, CAST(0 AS DOUBLE),
+              ys[1] - l0, ys[2] - l0, ys[3] - l0, ys[4] - l0,
+              ys[5] - l0, ys[6] - l0, ys[7] - l0]],
+            list_transform(ys[8:], y -> [y])),
+          (acc, e) -> list_concat(list_concat(
+            [{_HW_L_DUCK},
+             0.25e0 * ({_HW_L_DUCK} - acc[1]) + 0.75e0 * acc[2],
+             acc[3] + (e[1] - (acc[1] + acc[2] + acc[4]))
+                    * (e[1] - (acc[1] + acc[2] + acc[4]))],
+            acc[5:10]),
+            [0.25e0 * (e[1] - {_HW_L_DUCK}) + 0.75e0 * acc[4]])
+        ) AS st
+      FROM init
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           st[1] AS level, st[2] AS trend, st[4] AS seasonal_next,
+           st[1] + st[2] + st[4] AS forecast_1, st[3] AS sse
+    FROM folded
+    """,
+    doc="[EXT] additive Holt-Winters (level + trend + weekly seasonality, "
+    "m=7, alpha=0.5 beta=0.25 gamma=0.25 — exact binary fractions) over "
+    "the daily event-count series. Init: l0 = mean(week1), b0 = "
+    "(mean(week2)-mean(week1))/7 expressed as one /49 division, s_i = "
+    "y_i - l0; the fold runs over days 8..n with a 10-slot DOUBLE "
+    "accumulator [l, b, sse, s1..s7] that rotates the seasonal ring "
+    "each step. Extends the round-10 sequential-recurrence class to "
+    "VECTOR state: both engines rebuild the accumulator list per step "
+    "(all element expressions read the ORIGINAL accumulator — the "
+    "DuckDB in-place-struct hazard does not apply to lists), so level/"
+    "trend/seasonal/SSE are bit-identical. One shuffle to the per-type "
+    "daily pre-aggregate; fold cost |days| per type, never |events|.",
+    tags=("timeseries", "stats"),
+)
+def ts_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.selectExpr("event_type", "unix_millis(ts) div 86400000 AS d")
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, CAST(y AS DOUBLE) AS yv))),"
+            " s -> s.yv)"
+        ).alias("ys")
+    )
+    init = series.filter(F.size("ys") >= 14).selectExpr(
+        "event_type",
+        "ys",
+        "size(ys) AS n_days",
+        "aggregate(slice(ys, 1, 7), 0D, (a, x) -> a + x) / 7D AS l0",
+        "(aggregate(slice(ys, 8, 7), 0D, (a, x) -> a + x)"
+        " - aggregate(slice(ys, 1, 7), 0D, (a, x) -> a + x)) / 49D AS b0",
+    )
+    fold = f"""aggregate(
+        slice(ys, 8, size(ys) - 7),
+        array(l0, b0, 0D,
+              element_at(ys, 1) - l0, element_at(ys, 2) - l0,
+              element_at(ys, 3) - l0, element_at(ys, 4) - l0,
+              element_at(ys, 5) - l0, element_at(ys, 6) - l0,
+              element_at(ys, 7) - l0),
+        (acc, y) -> concat(
+          array({_HW_L_SPARK},
+                0.25D * ({_HW_L_SPARK} - element_at(acc, 1))
+                  + 0.75D * element_at(acc, 2),
+                element_at(acc, 3)
+                  + (y - (element_at(acc, 1) + element_at(acc, 2) + element_at(acc, 4)))
+                  * (y - (element_at(acc, 1) + element_at(acc, 2) + element_at(acc, 4)))),
+          slice(acc, 5, 6),
+          array(0.25D * (y - {_HW_L_SPARK}) + 0.75D * element_at(acc, 4)))
+      ) AS st"""
+    return (
+        init.selectExpr("event_type", "CAST(n_days AS BIGINT) AS n_days", fold)
+        .selectExpr(
+            "event_type",
+            "n_days",
+            "element_at(st, 1) AS level",
+            "element_at(st, 2) AS trend",
+            "element_at(st, 4) AS seasonal_next",
+            "element_at(st, 1) + element_at(st, 2) + element_at(st, 4) AS forecast_1",
+            "element_at(st, 3) AS sse",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilder RSI (alpha = 1/16, binary) — sequential recurrence on cents deltas.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "ts_rsi_wilder_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, d
+    ),
+    series AS (
+      SELECT event_type, list(CAST(cents AS DOUBLE) ORDER BY d) AS cs
+      FROM daily GROUP BY event_type
+    ),
+    deltas AS (
+      SELECT event_type, len(cs) AS n_days,
+             list_transform(range(1, len(cs)), i -> cs[i + 1] - cs[i]) AS ds
+      FROM series WHERE len(cs) >= 18
+    ),
+    init AS (
+      -- first 16 deltas seed the averages: integer sums / 2^4 are EXACT.
+      SELECT event_type, n_days, ds,
+        list_reduce(list_transform(ds[1:16], x -> greatest(x, 0e0)),
+                    (a, x) -> a + x) / 16e0 AS g0,
+        list_reduce(list_transform(ds[1:16], x -> greatest(-x, 0e0)),
+                    (a, x) -> a + x) / 16e0 AS l0
+      FROM deltas
+    ),
+    folded AS (
+      SELECT event_type, n_days,
+        list_reduce(
+          list_concat([[g0, l0]], list_transform(ds[17:], x -> [x, 0e0])),
+          (acc, e) -> [
+            acc[1] + (greatest(e[1], 0e0) - acc[1]) * 0.0625e0,
+            acc[2] + (greatest(-e[1], 0e0) - acc[2]) * 0.0625e0]
+        ) AS st
+      FROM init
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           st[1] AS avg_gain, st[2] AS avg_loss,
+           CASE WHEN st[1] + st[2] = 0e0 THEN 50e0
+                ELSE 100e0 * st[1] / (st[1] + st[2]) END AS rsi
+    FROM folded
+    """,
+    doc="[EXT] Wilder-smoothed RSI over the daily cents-total series per "
+    "event type, alpha = 1/16 (binary fraction; Wilder's 1/14 is not "
+    "representable — the power-of-two neighbor keeps every smoothing "
+    "step a pair of exact-scale ops). Day-over-day deltas are exact "
+    "integer cents; the first 16 deltas seed avg gain/loss (integer "
+    "sum / 2^4 — EXACT), then a two-slot [g, l] pinned fold consumes "
+    "the rest. Final RSI = 100·g/(g+l) is one multiply + one division — "
+    "fixed IEEE tree, hash-portable. Gaps in the daily series follow "
+    "the trading-day convention (consecutive PRESENT days), identical "
+    "in both engines by construction.",
+    tags=("timeseries", "stats"),
+)
+def ts_rsi_wilder_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .selectExpr(
+            "event_type",
+            "unix_millis(ts) div 86400000 AS d",
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c",
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, CAST(cents AS DOUBLE)"
+            " AS cv))), s -> s.cv)"
+        ).alias("cs")
+    )
+    return (
+        series.filter(F.size("cs") >= 18)
+        .selectExpr(
+            "event_type",
+            "CAST(size(cs) AS BIGINT) AS n_days",
+            "transform(sequence(1, size(cs) - 1),"
+            " i -> element_at(cs, i + 1) - element_at(cs, i)) AS ds",
+        )
+        .selectExpr(
+            "event_type",
+            "n_days",
+            "ds",
+            "aggregate(transform(slice(ds, 1, 16), x -> greatest(x, 0D)),"
+            " 0D, (a, x) -> a + x) / 16D AS g0",
+            "aggregate(transform(slice(ds, 1, 16), x -> greatest(-x, 0D)),"
+            " 0D, (a, x) -> a + x) / 16D AS l0",
+        )
+        .selectExpr(
+            "event_type",
+            "n_days",
+            """aggregate(
+                 slice(ds, 17, size(ds) - 16),
+                 array(g0, l0),
+                 (acc, x) -> array(
+                   element_at(acc, 1)
+                     + (greatest(x, 0D) - element_at(acc, 1)) * 0.0625D,
+                   element_at(acc, 2)
+                     + (greatest(-x, 0D) - element_at(acc, 2)) * 0.0625D)
+               ) AS st""",
+        )
+        .selectExpr(
+            "event_type",
+            "n_days",
+            "element_at(st, 1) AS avg_gain",
+            "element_at(st, 2) AS avg_loss",
+            "CASE WHEN element_at(st, 1) + element_at(st, 2) = 0D THEN 50D"
+            " ELSE 100D * element_at(st, 1)"
+            " / (element_at(st, 1) + element_at(st, 2)) END AS rsi",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic (hash-multinomial) bootstrap CI for the mean.
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 20
+
+
+def _boot_w_duck(b: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':{b}'), 1, 2)"
+        f" AS INTEGER) % 3"
+    )
+
+
+def _boot_w_spark(b: int) -> str:
+    return (
+        f"CAST(conv(substring(md5(CAST(event_id AS STRING) || ':{b}'), 1, 2),"
+        f" 16, 10) AS INT) % 3"
+    )
+
+
+def _bootstrap_oracle() -> str:
+    reps = ",\n".join(
+        f"      CAST(SUM(({_boot_w_duck(b)}) * cents) AS BIGINT) AS num{b},\n"
+        f"      CAST(SUM({_boot_w_duck(b)}) AS BIGINT) AS den{b}"
+        for b in range(_BOOT_B)
+    )
+    means = ", ".join(
+        f"CASE WHEN den{b} = 0 THEN CAST(snum AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" ELSE CAST(num{b} AS DOUBLE) / CAST(den{b} AS DOUBLE) END"
+        for b in range(_BOOT_B)
+    )
+    return f"""
+    WITH base AS (
+      SELECT event_type, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS snum,
+{reps}
+      FROM base GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n,
+             CAST(snum AS DOUBLE) / CAST(100 * n AS DOUBLE) AS mean_value,
+             list_sort([{means}]) AS ms
+      FROM agg
+    )
+    SELECT event_type, n, mean_value,
+           ms[2] / 100e0 AS boot_lo, ms[{_BOOT_B - 1}] / 100e0 AS boot_hi
+    FROM m
+    """
+
+
+@QS.add(
+    "stat_bootstrap_ci_mean",
+    _bootstrap_oracle(),
+    doc="[EXT] bootstrap confidence interval for the mean event value per "
+    "type with ZERO RNG: replica b reweights row i by "
+    "md5(event_id||':'||b) % 3 in {0,1,2} (a deterministic multinomial-"
+    "style resample, mean weight ≈ 1), so both engines draw the SAME "
+    f"{_BOOT_B} replicas. Each replica mean is one division over exact "
+    "BIGINT cents sums; the CI is the 2nd-smallest / 2nd-largest replica "
+    "mean (≈ 5th/95th percentile of B=20). Evaluated as 2·B conditional "
+    "aggregates in ONE pass over events — no row blow-up, map-side "
+    "partials, mergeable at any scale.",
+    tags=("stats",),
+)
+def stat_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    base = ev.filter(F.col("value").isNotNull()).selectExpr(
+        "event_type",
+        "event_id",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("snum"),
+    ]
+    for b in range(_BOOT_B):
+        w = F.expr(_boot_w_spark(b))
+        aggs.append(F.sum(w * F.col("cents")).cast("long").alias(f"num{b}"))
+        aggs.append(F.sum(w).cast("long").alias(f"den{b}"))
+    means = ", ".join(
+        f"CASE WHEN den{b} = 0 THEN CAST(snum AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" ELSE CAST(num{b} AS DOUBLE) / CAST(den{b} AS DOUBLE) END"
+        for b in range(_BOOT_B)
+    )
+    return (
+        base.groupBy("event_type")
+        .agg(*aggs)
+        .selectExpr(
+            "event_type",
+            "n",
+            "CAST(snum AS DOUBLE) / CAST(100 * n AS DOUBLE) AS mean_value",
+            f"array_sort(array({means})) AS ms",
+        )
+        .selectExpr(
+            "event_type",
+            "n",
+            "mean_value",
+            "element_at(ms, 2) / 100D AS boot_lo",
+            f"element_at(ms, {_BOOT_B - 1}) / 100D AS boot_hi",
+        )
+    )

@@ -21,6 +21,7 @@ def all_queries() -> dict[str, Query]:
         inference,
         mining,
         mlprep,
+        modeling,
         ranking,
         relational,
         tpch_deep,
@@ -37,6 +38,7 @@ def all_queries() -> dict[str, Query]:
         mining,
         inference,
         ranking,
+        modeling,
     ):
         for name, q in mod.QS.queries.items():
             if name in merged:
