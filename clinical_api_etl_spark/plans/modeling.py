@@ -382,3 +382,235 @@ def stat_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"element_at(ms, {_BOOT_B - 1}) / 100D AS boot_hi",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of two retrieval rankers (cosine + dot/MIPS).
+# ---------------------------------------------------------------------------
+
+_FOLD_DOT = (
+    "list_reduce(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]),"
+    " (x,y) -> x+y)"
+)
+_FOLD_NORM = "sqrt(list_reduce(list_transform({a}, x -> x*x), (x,y) -> x+y))"
+
+
+@QS.add(
+    "retrieval_rrf_fusion",
+    f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e,
+             {_FOLD_NORM.format(a='list_transform(embedding, x -> x::DOUBLE)')} AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v WHERE vec_id < 10),
+    pairs AS (
+      SELECT query_id, b.vec_id AS neighbor_id,
+             {_FOLD_DOT.format(a='qe', b='b.e')} AS dp, qn, b.nrm AS cn
+      FROM q CROSS JOIN v b WHERE b.vec_id <> query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dp / (qn * cn) DESC, neighbor_id) AS r_cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dp DESC, neighbor_id) AS r_dot
+      FROM pairs
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id,
+             (CASE WHEN r_cos <= 20 THEN 1e0 / (60e0 + r_cos) ELSE 0e0 END)
+             + (CASE WHEN r_dot <= 20 THEN 1e0 / (60e0 + r_dot) ELSE 0e0 END)
+               AS rrf_score
+      FROM ranked WHERE r_cos <= 20 OR r_dot <= 20
+    )
+    SELECT query_id, neighbor_id, rrf_score, CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rrf_score DESC, neighbor_id)
+                    AS fused_rank
+          FROM fused)
+    WHERE fused_rank <= 10
+    """,
+    doc="[EXT] reciprocal-rank fusion (k=60) of two retrieval rankers over "
+    "the same pair scan: exact cosine and exact dot-product (MIPS) "
+    "rankings, top-20 each, fused score = sum of 1/(60+rank) "
+    "contributions in a FIXED order (cosine term first) — each term is "
+    "one correctly-rounded division, so the two-term sum is a fixed "
+    "IEEE tree and the query carries a full value hash. ONE query-"
+    "broadcast pair scan feeds both rankers (the dot product is shared; "
+    "cosine divides by hoisted per-row norms), then three windows over "
+    "the same query_id partitioning — no second scan, no extra "
+    "shuffle. Standard RRF per Cormack et al.; rank ties broken by "
+    "neighbor id on both engines.",
+    tags=("similarity", "retrieval"),
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from clinical_api_etl_spark.functions.vectors import as_double, dot, norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("e"),
+        norm(as_double(F.col("embedding"))).alias("nrm"),
+    )
+    q = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    c = c.repartition(c.sparkSession.sparkContext.defaultParallelism)
+    # dp named once; the cos ranking references it through the projection
+    # boundary (CollapseProject keeps non-cheap aliases referenced >1x).
+    pairs = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        dot(F.col("qe"), F.col("ce")).alias("dp"),
+        "qn",
+        "cn",
+    )
+    w_cos = W.partitionBy("query_id").orderBy(
+        (F.col("dp") / (F.col("qn") * F.col("cn"))).desc(), F.asc("neighbor_id")
+    )
+    w_dot = W.partitionBy("query_id").orderBy(F.desc("dp"), F.asc("neighbor_id"))
+    ranked = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w_cos).alias("r_cos"),
+        F.row_number().over(w_dot).alias("r_dot"),
+    )
+    fused = ranked.filter((F.col("r_cos") <= 20) | (F.col("r_dot") <= 20)).select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.when(F.col("r_cos") <= 20, F.lit(1.0) / (F.lit(60.0) + F.col("r_cos")))
+            .otherwise(F.lit(0.0))
+            + F.when(F.col("r_dot") <= 20, F.lit(1.0) / (F.lit(60.0) + F.col("r_dot")))
+            .otherwise(F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    w_f = W.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("neighbor_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f).cast("long"))
+        .filter(F.col("fused_rank") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN holdout classification eval over the embedding table.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "ml_knn_eval",
+    f"""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e,
+             {_FOLD_NORM.format(a='list_transform(embedding, x -> x::DOUBLE)')} AS nrm
+      FROM embeddings
+    ),
+    test AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+    train AS (SELECT * FROM v WHERE vec_id % 10 <> 0),
+    pairs AS (
+      SELECT t.vec_id AS test_id, t.label AS true_label,
+             r.vec_id AS neighbor_id, r.label AS nlabel,
+             {_FOLD_DOT.format(a='t.e', b='r.e')} / (t.nrm * r.nrm) AS cos_sim
+      FROM test t CROSS JOIN train r
+    ),
+    top5 AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY test_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM pairs) WHERE rk <= 5
+    ),
+    votes AS (
+      SELECT test_id, true_label, nlabel, COUNT(*) AS cnt
+      FROM top5 GROUP BY test_id, true_label, nlabel
+    ),
+    pred AS (
+      SELECT test_id, true_label, nlabel AS pred_label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY test_id
+                                     ORDER BY cnt DESC, nlabel) AS pr
+        FROM votes) WHERE pr = 1
+    )
+    SELECT true_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
+    FROM pred GROUP BY true_label
+    """,
+    doc="[EXT] k-nearest-neighbor classifier holdout evaluation: every "
+    "10th vec_id held out, k=5 exact-cosine neighbors from the rest, "
+    "majority-label vote (ties -> higher count, then smaller label — "
+    "total order, deterministic both engines), per-label accuracy as "
+    "one exact-integer division. The neighbor scan broadcasts the "
+    "small test side over the train corpus — the same output-bound "
+    "posture as cosine_topk; at 100 TB the train side would go through "
+    "the IVF/LSH bucketed candidate path instead of the brute scan.",
+    tags=("ml", "similarity"),
+)
+def ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from clinical_api_etl_spark.functions.vectors import as_double, dot, norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        as_double(F.col("embedding")).alias("e"),
+        norm(as_double(F.col("embedding"))).alias("nrm"),
+    )
+    test = v.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("test_id"),
+        F.col("label").alias("true_label"),
+        F.col("e").alias("te"),
+        F.col("nrm").alias("tn"),
+    )
+    train = v.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nlabel"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    train = train.repartition(train.sparkSession.sparkContext.defaultParallelism)
+    pairs = train.join(F.broadcast(test)).select(
+        "test_id",
+        "true_label",
+        "neighbor_id",
+        "nlabel",
+        (dot(F.col("te"), F.col("ce")) / (F.col("tn") * F.col("cn"))).alias("cos_sim"),
+    )
+    w_k = W.partitionBy("test_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    top5 = pairs.withColumn("rk", F.row_number().over(w_k)).filter(F.col("rk") <= 5)
+    votes = top5.groupBy("test_id", "true_label", "nlabel").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_p = W.partitionBy("test_id").orderBy(F.desc("cnt"), F.asc("nlabel"))
+    pred = (
+        votes.withColumn("pr", F.row_number().over(w_p))
+        .filter(F.col("pr") == 1)
+        .select("test_id", "true_label", F.col("nlabel").alias("pred_label"))
+    )
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        (
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("accuracy"),
+    )

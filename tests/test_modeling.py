@@ -165,3 +165,136 @@ class TestBootstrapCi:
             # estimate; the CI must at least be in its neighborhood
             spread = max(abs(r["boot_hi"]), abs(r["boot_lo"]), 1.0)
             assert abs(r["mean_value"] - (r["boot_lo"] + r["boot_hi"]) / 2) <= spread
+
+
+class TestRrfFusion:
+    def test_matches_python_reference(self, spark):
+        """Replay both rankers + fusion in numpy-free python over the
+        collected vectors; ranks and fused scores must agree exactly."""
+        from clinical_api_etl_spark.plans.modeling import retrieval_rrf_fusion
+
+        got = {
+            (r["query_id"], r["neighbor_id"]): r
+            for r in retrieval_rrf_fusion(spark, SF).collect()
+        }
+        rows = load(spark, SF, "embeddings").collect()
+        vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+
+        def _dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc += x * y
+            return acc
+
+        def _norm(a):
+            acc = 0.0
+            for x in a:
+                acc += x * x
+            return acc**0.5
+
+        import math
+
+        for qid in [i for i in vecs if i < 10]:
+            qe = vecs[qid]
+            qn = _norm(qe)
+            scored = []
+            for nid, ce in vecs.items():
+                if nid == qid:
+                    continue
+                dp = _dot(qe, ce)
+                scored.append((nid, dp, dp / (qn * _norm(ce))))
+            r_cos = {
+                nid: i + 1
+                for i, (nid, _, _) in enumerate(
+                    sorted(scored, key=lambda s: (-s[2], s[0]))
+                )
+            }
+            r_dot = {
+                nid: i + 1
+                for i, (nid, _, _) in enumerate(
+                    sorted(scored, key=lambda s: (-s[1], s[0]))
+                )
+            }
+            fused = {}
+            for nid in vecs:
+                if nid == qid:
+                    continue
+                s = 0.0
+                if r_cos[nid] <= 20:
+                    s += 1.0 / (60.0 + r_cos[nid])
+                if r_dot[nid] <= 20:
+                    s += 1.0 / (60.0 + r_dot[nid])
+                if s > 0:
+                    fused[nid] = s
+            top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+            for rank, (nid, score) in enumerate(top, 1):
+                row = got[(qid, nid)]
+                assert row["fused_rank"] == rank
+                assert math.isclose(row["rrf_score"], score, rel_tol=0, abs_tol=0)
+
+    def test_shape(self, spark):
+        from clinical_api_etl_spark.plans.modeling import retrieval_rrf_fusion
+
+        df = retrieval_rrf_fusion(spark, SF)
+        assert df.count() == 100  # 10 queries x top-10
+        assert df.groupBy("query_id").count().filter("count <> 10").count() == 0
+
+
+class TestKnnEval:
+    def test_majority_vote_reference(self, spark):
+        from clinical_api_etl_spark.plans.modeling import ml_knn_eval
+
+        got = {r["label"]: r for r in ml_knn_eval(spark, SF).collect()}
+        rows = load(spark, SF, "embeddings").collect()
+        vecs = {
+            r["vec_id"]: ([float(x) for x in r["embedding"]], r["label"])
+            for r in rows
+        }
+
+        def _dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc += x * y
+            return acc
+
+        def _norm(a):
+            acc = 0.0
+            for x in a:
+                acc += x * x
+            return acc**0.5
+
+        per_label: dict = {}
+        for tid, (te, tl) in vecs.items():
+            if tid % 10 != 0:
+                continue
+            tn = _norm(te)
+            scored = sorted(
+                (
+                    (-_dot(te, ce) / (tn * _norm(ce)), nid, nl)
+                    for nid, (ce, nl) in vecs.items()
+                    if nid % 10 != 0
+                ),
+            )[:5]
+            counts: dict = {}
+            for _, _, nl in scored:
+                counts[nl] = counts.get(nl, 0) + 1
+            pred = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            n, c = per_label.get(tl, (0, 0))
+            per_label[tl] = (n + 1, c + (1 if pred == tl else 0))
+        for lbl, (n, c) in per_label.items():
+            assert got[lbl]["n_test"] == n
+            assert got[lbl]["n_correct"] == c
+            assert got[lbl]["accuracy"] == float(c) / float(n)
+
+    def test_eval_structure(self, spark):
+        """Every held-out point is evaluated exactly once; accuracies are
+        valid fractions. (The synthetic labels carry almost no geometric
+        signal — measured ~0.12 vs 0.1 chance — so clusterability is NOT
+        an invariant here; the exact-replay test above is the real gate.)"""
+        from clinical_api_etl_spark.plans.modeling import ml_knn_eval
+
+        rows = ml_knn_eval(spark, SF).collect()
+        assert sum(r["n_test"] for r in rows) == 50
+        for r in rows:
+            assert 0 <= r["n_correct"] <= r["n_test"]
+            assert r["accuracy"] == r["n_correct"] / r["n_test"]
