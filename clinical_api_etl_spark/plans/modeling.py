@@ -614,3 +614,177 @@ def ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision stump: best single-threshold split (Gini) via a histogram walk.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "ml_stump_nchars_lang",
+    """
+    WITH hist AS (
+      SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM documents GROUP BY n_chars
+    ),
+    walk AS (
+      SELECT v,
+             CAST(SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS n_l,
+             CAST(SUM(pos) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS pos_l,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n,
+             CAST(SUM(pos) OVER () AS BIGINT) AS p
+      FROM hist
+    ),
+    scored AS (
+      SELECT v AS threshold, n_l, pos_l, n - n_l AS n_r, p - pos_l AS pos_r, n, p,
+             CAST(pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l) AS DOUBLE)
+               / CAST(n_l AS DOUBLE)
+             + CAST((p - pos_l) * (p - pos_l)
+                    + ((n - n_l) - (p - pos_l)) * ((n - n_l) - (p - pos_l))
+                    AS DOUBLE) / CAST(n - n_l AS DOUBLE) AS purity
+      FROM walk WHERE n - n_l > 0
+    )
+    SELECT threshold, purity, n_l AS n_left, pos_l AS pos_left,
+           n_r AS n_right, pos_r AS pos_right,
+           pos_l * 2 > n_l AS pred_left_en,
+           pos_r * 2 > n_r AS pred_right_en,
+           CAST(GREATEST(pos_l, n_l - pos_l) + GREATEST(pos_r, n_r - pos_r)
+                AS DOUBLE) / CAST(n AS DOUBLE) AS train_accuracy
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY purity DESC, threshold) AS rk
+          FROM scored)
+    WHERE rk = 1
+    """,
+    doc="[EXT] CART-style decision stump: the best single threshold on "
+    "n_chars for predicting lang='en', chosen by weighted Gini. "
+    "Minimizing Gini == maximizing purity = (posL^2+negL^2)/nL + "
+    "(posR^2+negR^2)/nR — two divisions over exact BIGINT counts, a "
+    "fixed IEEE tree, so the argmax (rank-1 by purity desc, threshold "
+    "asc) hash-matches. Candidate thresholds walk the (value -> count, "
+    "positives) HISTOGRAM with running sums — the round-7 rank-"
+    "statistic technique: cost |distinct values|, never |rows|; the "
+    "global window is bounded by the value domain (GLOBAL_WINDOW_OK).",
+    tags=("ml", "stats"),
+)
+def ml_stump_nchars_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    hist = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("pos"),
+    )
+    w_run = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy()
+    walk = hist.select(
+        "v",
+        F.sum("cnt").over(w_run).cast("long").alias("n_l"),
+        F.sum("pos").over(w_run).cast("long").alias("pos_l"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
+        F.sum("pos").over(w_all).cast("long").alias("p"),
+    )
+    scored = walk.filter(F.col("n") > F.col("n_l")).selectExpr(
+        "v AS threshold",
+        "n_l",
+        "pos_l",
+        "n - n_l AS n_r",
+        "p - pos_l AS pos_r",
+        "n",
+        "p",
+        "CAST(pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l) AS DOUBLE)"
+        " / CAST(n_l AS DOUBLE)"
+        " + CAST((p - pos_l) * (p - pos_l)"
+        "        + ((n - n_l) - (p - pos_l)) * ((n - n_l) - (p - pos_l))"
+        "        AS DOUBLE) / CAST(n - n_l AS DOUBLE) AS purity",
+    )
+    w_rk = W.orderBy(F.desc("purity"), F.asc("threshold"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") == 1)
+        .selectExpr(
+            "threshold",
+            "purity",
+            "n_l AS n_left",
+            "pos_l AS pos_left",
+            "n_r AS n_right",
+            "pos_r AS pos_right",
+            "pos_l * 2 > n_l AS pred_left_en",
+            "pos_r * 2 > n_r AS pred_right_en",
+            "CAST(GREATEST(pos_l, n_l - pos_l) + GREATEST(pos_r, n_r - pos_r)"
+            " AS DOUBLE) / CAST(n AS DOUBLE) AS train_accuracy",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column-uniqueness / null-fraction DQ profile across the star schema.
+# ---------------------------------------------------------------------------
+
+_UNIQ_COLS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderkey", "o_custkey", "o_orderstatus"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"),
+    "customer": ("c_custkey", "c_nationkey"),
+    "documents": ("doc_id", "lang", "source"),
+}
+
+
+def _uniqueness_oracle() -> str:
+    parts = []
+    for tbl, cols in _UNIQ_COLS.items():
+        for c in cols:
+            parts.append(
+                f"SELECT '{tbl}' AS tbl, '{c}' AS col_name,"
+                f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
+                f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+                f" CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,"
+                f" CAST(COUNT(DISTINCT {c}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+                f" AS uniqueness"
+                f" FROM {tbl}"
+            )
+    return " UNION ALL ".join(parts)
+
+
+@QS.add(
+    "dq_uniqueness_profile",
+    _uniqueness_oracle(),
+    doc="[EXT] column uniqueness/null profile over a declared column set "
+    "of the star schema: per (table, column) exact distinct count, null "
+    "count, and uniqueness ratio (one division over exact BIGINTs). "
+    "Spark runs ONE pass per table (multi-distinct aggregate -> Expand, "
+    "map-side partials) and stacks to long format; the oracle is the "
+    "equivalent per-column UNION ALL. Key columns profile at 1.0 "
+    "uniqueness — the generalized form of the reference's unique-key "
+    "constraints (database/05_processed_measurements.sql uq_pm_obs).",
+    tags=("dq",),
+)
+def dq_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for tbl, cols in _UNIQ_COLS.items():
+        df = load(spark, sf_dir, tbl)
+        aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+        for c in cols:
+            aggs.append(F.countDistinct(c).cast("long").alias(f"d_{c}"))
+            aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"z_{c}")
+            )
+        wide = df.agg(*aggs)
+        stack = ", ".join(f"'{c}', d_{c}, z_{c}" for c in cols)
+        long = wide.selectExpr(
+            f"'{tbl}' AS tbl",
+            "n_rows",
+            f"stack({len(cols)}, {stack}) AS (col_name, n_distinct, n_nulls)",
+        ).selectExpr(
+            "tbl",
+            "col_name",
+            "n_rows",
+            "n_distinct",
+            "n_nulls",
+            "CAST(n_distinct AS DOUBLE) / CAST(n_rows AS DOUBLE) AS uniqueness",
+        )
+        out = long if out is None else out.unionByName(long)
+    return out

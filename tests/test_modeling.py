@@ -298,3 +298,79 @@ class TestKnnEval:
         for r in rows:
             assert 0 <= r["n_correct"] <= r["n_test"]
             assert r["accuracy"] == r["n_correct"] / r["n_test"]
+
+
+class TestDecisionStump:
+    def test_matches_exhaustive_search(self, spark):
+        """Brute-force every threshold in python; the stump must pick the
+        same (purity, threshold) argmax with identical statistics."""
+        from clinical_api_etl_spark.plans.modeling import ml_stump_nchars_lang
+
+        row = ml_stump_nchars_lang(spark, SF).collect()[0]
+        docs = load(spark, SF, "documents").select("n_chars", "lang").collect()
+        pts = sorted((r["n_chars"], r["lang"] == "en") for r in docs)
+        n = len(pts)
+        p = sum(1 for _, y in pts if y)
+        best = None
+        for t in sorted({v for v, _ in pts}):
+            n_l = sum(1 for v, _ in pts if v <= t)
+            pos_l = sum(1 for v, y in pts if v <= t and y)
+            n_r, pos_r = n - n_l, p - pos_l
+            if n_r == 0:
+                continue
+            purity = float(pos_l**2 + (n_l - pos_l) ** 2) / n_l + float(
+                pos_r**2 + (n_r - pos_r) ** 2
+            ) / n_r
+            key = (-purity, t)
+            if best is None or key < best[0]:
+                best = (key, t, purity, n_l, pos_l, n_r, pos_r)
+        _, t, purity, n_l, pos_l, n_r, pos_r = best
+        assert row["threshold"] == t
+        assert row["purity"] == purity
+        assert (row["n_left"], row["pos_left"]) == (n_l, pos_l)
+        assert (row["n_right"], row["pos_right"]) == (n_r, pos_r)
+        assert row["pred_left_en"] == (pos_l * 2 > n_l)
+        assert row["pred_right_en"] == (pos_r * 2 > n_r)
+        expect_acc = float(max(pos_l, n_l - pos_l) + max(pos_r, n_r - pos_r)) / n
+        assert row["train_accuracy"] == expect_acc
+
+    def test_beats_majority_class(self, spark):
+        from clinical_api_etl_spark.plans.modeling import ml_stump_nchars_lang
+
+        row = ml_stump_nchars_lang(spark, SF).collect()[0]
+        docs = load(spark, SF, "documents").select("lang").collect()
+        n = len(docs)
+        p = sum(1 for r in docs if r["lang"] == "en")
+        # a stump can never do WORSE than predicting the majority class
+        assert row["train_accuracy"] >= max(p, n - p) / n
+
+
+class TestUniquenessProfile:
+    def test_key_columns_unique(self, spark):
+        from clinical_api_etl_spark.plans.modeling import dq_uniqueness_profile
+
+        rows = {
+            (r["tbl"], r["col_name"]): r
+            for r in dq_uniqueness_profile(spark, SF).collect()
+        }
+        for tbl, col in [
+            ("orders", "o_orderkey"),
+            ("customer", "c_custkey"),
+            ("documents", "doc_id"),
+        ]:
+            r = rows[(tbl, col)]
+            assert r["n_distinct"] == r["n_rows"]
+            assert r["uniqueness"] == 1.0
+            assert r["n_nulls"] == 0
+
+    def test_direct_aggregates(self, spark):
+        from clinical_api_etl_spark.plans.modeling import dq_uniqueness_profile
+
+        rows = {
+            (r["tbl"], r["col_name"]): r
+            for r in dq_uniqueness_profile(spark, SF).collect()
+        }
+        li = load(spark, SF, "lineitem")
+        r = rows[("lineitem", "l_returnflag")]
+        assert r["n_rows"] == li.count()
+        assert r["n_distinct"] == li.select("l_returnflag").distinct().count()

@@ -144,6 +144,9 @@ GLOBAL_WINDOW_OK: set[str] = {
     "bpe_roundtrip_identity",
     # largest-remainder ranking over |langs| rows (k-bounded).
     "mixture_temperature_sampling",
+    # threshold walk over the n_chars VALUE HISTOGRAM (bounded by the
+    # document-length domain, not the corpus).
+    "ml_stump_nchars_lang",
 }
 
 
