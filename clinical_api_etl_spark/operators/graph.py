@@ -317,3 +317,71 @@ def pagerank_weighted_int(
             (base + F.expr(f"{damping_pct} * s div 100")).cast("long").alias("r"),
         )
     return ranks.select("node", F.col("r").alias("rank_units"))
+
+
+def hits_int(
+    edges: DataFrame,
+    *,
+    hub: str = "c",
+    auth: str = "s",
+    iters: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """HITS hubs & authorities in exact integer arithmetic.
+
+    Directed bipartite form: hub scores live on ``hub``-side nodes, authority
+    scores on ``auth``-side nodes. Scores are L1-normalized to ``scale``
+    integer units per half-step with BIGINT floor-division (Spark ``div`` ==
+    DuckDB ``//`` for non-negative operands), so every intermediate is
+    bit-reproducible across engines — the same discipline as
+    :func:`pagerank_int`. Overflow bound: ``raw * scale`` must stay under
+    BIGINT_MAX, i.e. max in/out-degree ≤ ~9.2e12 / scale (9.2e6 at the
+    default scale) — assert-checked by the normalization being well-defined
+    (raw sums are positive whenever the edge set is non-empty).
+
+    Each half-step is one equi-join of the score vector onto the edge list
+    plus one key shuffle with map-side partial sums. The raw-aggregate table
+    is referenced TWICE per half-step (once by the normalization total, once
+    by the normalized projection), so lineage growth is multiplicative —
+    each raw table is eagerly ``localCheckpoint``-ed (the k-core rule;
+    pagerank's linear chain correctly skips this). The normalization total
+    rides a 1-row broadcast cross join — no driver collect, fully
+    declarative.
+    """
+    e = edges.select(F.col(hub).alias("c"), F.col(auth).alias("s"))
+    h = e.select("c").distinct().select(
+        "c", F.lit(scale).cast("long").alias("h")
+    )
+    a = None
+    for _ in range(iters):
+        araw = (
+            e.join(h, "c")
+            .groupBy("s")
+            .agg(F.sum("h").cast("long").alias("ar"))
+            .localCheckpoint()
+        )
+        at = araw.agg(F.sum("ar").cast("long").alias("t"))
+        a = araw.crossJoin(F.broadcast(at)).select(
+            "s", F.expr(f"ar * {scale} div t").cast("long").alias("a")
+        )
+        hraw = (
+            e.join(a, "s")
+            .groupBy("c")
+            .agg(F.sum("a").cast("long").alias("hr"))
+            .localCheckpoint()
+        )
+        ht = hraw.agg(F.sum("hr").cast("long").alias("t"))
+        h = hraw.crossJoin(F.broadcast(ht)).select(
+            "c", F.expr(f"hr * {scale} div t").cast("long").alias("h")
+        )
+    hubs = h.select(
+        F.concat(F.lit("c"), F.col("c").cast("string")).alias("node"),
+        F.lit("hub").alias("kind"),
+        F.col("h").alias("score_units"),
+    )
+    auths = a.select(
+        F.concat(F.lit("s"), F.col("s").cast("string")).alias("node"),
+        F.lit("auth").alias("kind"),
+        F.col("a").alias("score_units"),
+    )
+    return hubs.unionByName(auths)

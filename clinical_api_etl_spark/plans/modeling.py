@@ -788,3 +788,177 @@ def dq_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = long if out is None else out.unionByName(long)
     return out
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities — 10th fully hash-gated iterative algorithm.
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 3
+_HITS_SCALE = 1_000_000
+
+
+def _hits_oracle() -> str:
+    its = []
+    for k in range(1, _HITS_ITERS + 1):
+        its.append(
+            f"""
+    a{k}raw AS MATERIALIZED (
+      SELECT s, CAST(SUM(h) AS BIGINT) AS ar
+      FROM e JOIN h{k - 1} USING (c) GROUP BY s),
+    a{k} AS MATERIALIZED (
+      SELECT s, CAST(ar * {_HITS_SCALE} // (SELECT SUM(ar) FROM a{k}raw)
+                AS BIGINT) AS a
+      FROM a{k}raw),
+    h{k}raw AS MATERIALIZED (
+      SELECT c, CAST(SUM(a) AS BIGINT) AS hr
+      FROM e JOIN a{k} USING (s) GROUP BY c),
+    h{k} AS MATERIALIZED (
+      SELECT c, CAST(hr * {_HITS_SCALE} // (SELECT SUM(hr) FROM h{k}raw)
+                AS BIGINT) AS h
+      FROM h{k}raw)"""
+        )
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    h0 AS (SELECT DISTINCT c, CAST({_HITS_SCALE} AS BIGINT) AS h FROM e),
+    {",".join(its)}
+    SELECT 'c' || CAST(c AS VARCHAR) AS node, 'hub' AS kind,
+           h AS score_units FROM h{_HITS_ITERS}
+    UNION ALL
+    SELECT 's' || CAST(s AS VARCHAR) AS node, 'auth' AS kind,
+           a AS score_units FROM a{_HITS_ITERS}
+    """
+
+
+@QS.add(
+    "graph_hits_scores",
+    _hits_oracle(),
+    doc="[EXT] HITS (Kleinberg) hubs & authorities over the directed "
+    "customer->supplier purchase graph, 3 iterations in EXACT integer "
+    "arithmetic: scores L1-normalize to 1e6 units per half-step via "
+    "BIGINT floor-division, so both engines agree bit-for-bit — the "
+    "10th iterative algorithm under a full value hash. Spark: each "
+    "half-step is one score-vector equi-join + one key shuffle with "
+    "map-side partials; the raw aggregate is referenced twice (total + "
+    "normalization) so it eager-checkpoints per half-step (k-core "
+    "rule), and the total rides a 1-row broadcast cross join. Oracle: "
+    "unrolled CTE chain, every stage MATERIALIZED (the round-6 "
+    "exponential-re-expansion rule). operators/graph.py:hits_int.",
+    tags=("graph",),
+)
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.graph import hits_int
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    return hits_int(e, iters=_HITS_ITERS, scale=_HITS_SCALE)
+
+
+# ---------------------------------------------------------------------------
+# Contrastive pair mining (anchor, positive, hard negative) on embeddings.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "corpus_contrastive_pairs",
+    f"""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e,
+             {_FOLD_NORM.format(a='list_transform(embedding, x -> x::DOUBLE)')} AS nrm
+      FROM embeddings
+    ),
+    anchors AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+                       e AS ae, nrm AS an FROM v WHERE vec_id % 10 = 0),
+    pairs AS (
+      SELECT anchor_id, anchor_label, b.vec_id AS cand_id,
+             b.label = anchor_label AS same_label,
+             {_FOLD_DOT.format(a='ae', b='b.e')} / (an * b.nrm) AS cos_sim
+      FROM anchors CROSS JOIN v b WHERE b.vec_id <> anchor_id
+    ),
+    best AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id, same_label
+                                     ORDER BY cos_sim DESC, cand_id) AS rk
+        FROM pairs) WHERE rk = 1
+    )
+    SELECT anchor_id, anchor_label,
+           MAX(CASE WHEN same_label THEN cand_id END) AS pos_id,
+           MAX(CASE WHEN same_label THEN cos_sim END) AS pos_sim,
+           MAX(CASE WHEN NOT same_label THEN cand_id END) AS neg_id,
+           MAX(CASE WHEN NOT same_label THEN cos_sim END) AS neg_sim,
+           MAX(CASE WHEN same_label THEN cos_sim END)
+             - MAX(CASE WHEN NOT same_label THEN cos_sim END) AS margin,
+           MAX(CASE WHEN same_label THEN cos_sim END)
+             > MAX(CASE WHEN NOT same_label THEN cos_sim END) AS margin_pos
+    FROM best GROUP BY anchor_id, anchor_label
+    """,
+    doc="[EXT] contrastive training-pair mining: for every 10th vector "
+    "(anchor), the nearest SAME-label vector (positive) and the nearest "
+    "DIFFERENT-label vector (hard negative) by exact cosine, with the "
+    "triplet margin pos-neg and its sign. One anchor-broadcast pair "
+    "scan, one (anchor, same_label) window, conditional-aggregate "
+    "pivot to one row per anchor. Margin is a subtraction of two "
+    "pinned-fold cosines — fixed IEEE tree, full value hash. The "
+    "SimCSE/triplet-mining primitive; at 100 TB anchors come from the "
+    "ANN bucketed path instead of the brute scan.",
+    tags=("ml", "similarity"),
+)
+def corpus_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from clinical_api_etl_spark.functions.vectors import as_double, dot, norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        as_double(F.col("embedding")).alias("e"),
+        norm(as_double(F.col("embedding"))).alias("nrm"),
+    )
+    anchors = v.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("e").alias("ae"),
+        F.col("nrm").alias("an"),
+    )
+    cands = v.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("clabel"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cands = cands.repartition(cands.sparkSession.sparkContext.defaultParallelism)
+    pairs = cands.join(
+        F.broadcast(anchors), F.col("anchor_id") != F.col("cand_id")
+    ).select(
+        "anchor_id",
+        "anchor_label",
+        "cand_id",
+        (F.col("clabel") == F.col("anchor_label")).alias("same_label"),
+        (dot(F.col("ae"), F.col("ce")) / (F.col("an") * F.col("cn"))).alias("cos_sim"),
+    )
+    w = W.partitionBy("anchor_id", "same_label").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    best = pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return best.groupBy("anchor_id", "anchor_label").agg(
+        F.max(F.when(F.col("same_label"), F.col("cand_id"))).alias("pos_id"),
+        F.max(F.when(F.col("same_label"), F.col("cos_sim"))).alias("pos_sim"),
+        F.max(F.when(~F.col("same_label"), F.col("cand_id"))).alias("neg_id"),
+        F.max(F.when(~F.col("same_label"), F.col("cos_sim"))).alias("neg_sim"),
+        (
+            F.max(F.when(F.col("same_label"), F.col("cos_sim")))
+            - F.max(F.when(~F.col("same_label"), F.col("cos_sim")))
+        ).alias("margin"),
+        (
+            F.max(F.when(F.col("same_label"), F.col("cos_sim")))
+            > F.max(F.when(~F.col("same_label"), F.col("cos_sim")))
+        ).alias("margin_pos"),
+    )

@@ -374,3 +374,116 @@ class TestUniquenessProfile:
         r = rows[("lineitem", "l_returnflag")]
         assert r["n_rows"] == li.count()
         assert r["n_distinct"] == li.select("l_returnflag").distinct().count()
+
+
+class TestHitsScores:
+    def test_matches_python_integer_replay(self, spark):
+        """Replay the exact integer HITS iteration in python; every
+        hub/auth unit count must match (floor-div discipline)."""
+        from clinical_api_etl_spark.plans.modeling import (
+            _HITS_ITERS,
+            _HITS_SCALE,
+            graph_hits_scores,
+        )
+
+        got = {r["node"]: r for r in graph_hits_scores(spark, SF).collect()}
+        li = load(spark, SF, "lineitem").select("l_orderkey", "l_suppkey")
+        orders = load(spark, SF, "orders").select("o_orderkey", "o_custkey")
+        e = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .select("o_custkey", "l_suppkey")
+            .distinct()
+            .collect()
+        )
+        edges = [(r["o_custkey"], r["l_suppkey"]) for r in e]
+        h = {c: _HITS_SCALE for c, _ in edges}
+        a: dict = {}
+        for _ in range(_HITS_ITERS):
+            a = {}
+            for c, s in edges:
+                a[s] = a.get(s, 0) + h[c]
+            ta = sum(a.values())
+            a = {s: v * _HITS_SCALE // ta for s, v in a.items()}
+            h = {}
+            for c, s in edges:
+                h[c] = h.get(c, 0) + a[s]
+            th = sum(h.values())
+            h = {c: v * _HITS_SCALE // th for c, v in h.items()}
+        assert len(got) == len(h) + len(a)
+        for c, v in h.items():
+            row = got[f"c{c}"]
+            assert row["kind"] == "hub" and row["score_units"] == v
+        for s, v in a.items():
+            row = got[f"s{s}"]
+            assert row["kind"] == "auth" and row["score_units"] == v
+
+    def test_mass_roughly_conserved(self, spark):
+        from clinical_api_etl_spark.plans.modeling import (
+            _HITS_SCALE,
+            graph_hits_scores,
+        )
+
+        df = graph_hits_scores(spark, SF)
+        for kind in ("hub", "auth"):
+            tot = (
+                df.filter(F.col("kind") == kind)
+                .agg(F.sum("score_units"))
+                .first()[0]
+            )
+            # floor division loses < |nodes| units
+            n = df.filter(F.col("kind") == kind).count()
+            assert _HITS_SCALE - n <= tot <= _HITS_SCALE
+
+
+class TestContrastivePairs:
+    def test_matches_python_reference(self, spark):
+        from clinical_api_etl_spark.plans.modeling import corpus_contrastive_pairs
+
+        got = {r["anchor_id"]: r for r in corpus_contrastive_pairs(spark, SF).collect()}
+        rows = load(spark, SF, "embeddings").collect()
+        vecs = {
+            r["vec_id"]: ([float(x) for x in r["embedding"]], r["label"])
+            for r in rows
+        }
+
+        def _dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc += x * y
+            return acc
+
+        def _norm(a):
+            acc = 0.0
+            for x in a:
+                acc += x * x
+            return acc**0.5
+
+        for aid, (ae, al) in vecs.items():
+            if aid % 10 != 0:
+                continue
+            an = _norm(ae)
+            best = {True: None, False: None}
+            for cid, (ce, cl) in vecs.items():
+                if cid == aid:
+                    continue
+                sim = _dot(ae, ce) / (an * _norm(ce))
+                key = (-sim, cid)
+                same = cl == al
+                if best[same] is None or key < best[same][0]:
+                    best[same] = (key, cid, sim)
+            row = got[aid]
+            assert row["pos_id"] == best[True][1]
+            assert row["pos_sim"] == best[True][2]
+            assert row["neg_id"] == best[False][1]
+            assert row["neg_sim"] == best[False][2]
+            assert row["margin"] == best[True][2] - best[False][2]
+            assert row["margin_pos"] == (best[True][2] > best[False][2])
+
+    def test_every_anchor_has_both_sides(self, spark):
+        from clinical_api_etl_spark.plans.modeling import corpus_contrastive_pairs
+
+        df = corpus_contrastive_pairs(spark, SF)
+        assert df.count() == 50
+        assert df.filter(
+            F.col("pos_id").isNull() | F.col("neg_id").isNull()
+        ).count() == 0
