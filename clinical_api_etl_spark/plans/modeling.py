@@ -962,3 +962,233 @@ def corpus_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.max(F.when(~F.col("same_label"), F.col("cos_sim")))
         ).alias("margin_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank AUC (Mann-Whitney form, tie midranks) for a single feature.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "ml_auc_nchars_lang",
+    """
+    WITH hist AS (
+      SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM documents GROUP BY n_chars
+    ),
+    walk AS (
+      SELECT v, cnt, pos,
+             CAST(COALESCE(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+      FROM hist
+    ),
+    agg AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS p,
+             CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n_neg,
+             CAST(SUM(pos * (2 * cum_prev + cnt + 1)) AS BIGINT) AS sum2r_pos
+      FROM walk
+    )
+    SELECT p AS n_pos, n_neg,
+           sum2r_pos - p * (p + 1) AS u2_stat,
+           CAST(sum2r_pos - p * (p + 1) AS DOUBLE)
+             / CAST(2 * p * n_neg AS DOUBLE) AS auc,
+           2e0 * (CAST(sum2r_pos - p * (p + 1) AS DOUBLE)
+             / CAST(2 * p * n_neg AS DOUBLE)) - 1e0 AS gini_coef
+    FROM agg
+    """,
+    doc="[EXT] single-feature ROC AUC of n_chars for lang='en' in the "
+    "Mann-Whitney U form with tie MIDRANKS, computed entirely on the "
+    "value histogram: doubled midrank 2r = 2*cum_prev + cnt + 1 stays "
+    "integer (round-7 doubled-midrank rule), so U2 = sum_pos(2r) - "
+    "P(P+1) is an exact BIGINT and AUC = U2 / (2*P*N) is one division "
+    "— full value hash. Gini coefficient = 2*AUC - 1 as a fixed tree. "
+    "Cost |distinct values|, never |rows|; the running window walks "
+    "the bounded value domain (GLOBAL_WINDOW_OK).",
+    tags=("ml", "stats"),
+)
+def ml_auc_nchars_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    hist = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("pos"),
+    )
+    w_prev = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    walk = hist.select(
+        "v",
+        "cnt",
+        "pos",
+        F.coalesce(F.sum("cnt").over(w_prev), F.lit(0)).cast("long").alias("cum_prev"),
+    )
+    return walk.agg(
+        F.sum("pos").cast("long").alias("p"),
+        (F.sum("cnt") - F.sum("pos")).cast("long").alias("n_neg"),
+        F.sum(F.col("pos") * (2 * F.col("cum_prev") + F.col("cnt") + 1))
+        .cast("long")
+        .alias("sum2r_pos"),
+    ).selectExpr(
+        "p AS n_pos",
+        "n_neg",
+        "sum2r_pos - p * (p + 1) AS u2_stat",
+        "CAST(sum2r_pos - p * (p + 1) AS DOUBLE)"
+        " / CAST(2 * p * n_neg AS DOUBLE) AS auc",
+        "2D * (CAST(sum2r_pos - p * (p + 1) AS DOUBLE)"
+        " / CAST(2 * p * n_neg AS DOUBLE)) - 1D AS gini_coef",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5-fold cross-validated decision stump (hash folds, per-fold refit).
+# ---------------------------------------------------------------------------
+
+_CV_FOLDS = 5
+_FOLD_DUCK = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER) % 5"
+)
+_FOLD_SPARK = (
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS INT) % 5"
+)
+
+
+@QS.add(
+    "ml_stump_cv_accuracy",
+    f"""
+    WITH docs2 AS (
+      SELECT doc_id, n_chars, lang, {_FOLD_DUCK} AS fold FROM documents
+    ),
+    hist AS (
+      SELECT fold, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM docs2 GROUP BY fold, n_chars
+    ),
+    total AS (
+      SELECT v, CAST(SUM(cnt) AS BIGINT) AS tcnt, CAST(SUM(pos) AS BIGINT) AS tpos
+      FROM hist GROUP BY v
+    ),
+    folds AS (SELECT DISTINCT fold FROM docs2),
+    train_hist AS (
+      SELECT f.fold, t.v,
+             t.tcnt - COALESCE(h.cnt, 0) AS cnt,
+             t.tpos - COALESCE(h.pos, 0) AS pos
+      FROM folds f CROSS JOIN total t
+      LEFT JOIN hist h ON h.fold = f.fold AND h.v = t.v
+    ),
+    walk AS (
+      SELECT fold, v,
+             CAST(SUM(cnt) OVER (PARTITION BY fold ORDER BY v
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_l,
+             CAST(SUM(pos) OVER (PARTITION BY fold ORDER BY v
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pos_l,
+             CAST(SUM(cnt) OVER (PARTITION BY fold) AS BIGINT) AS n,
+             CAST(SUM(pos) OVER (PARTITION BY fold) AS BIGINT) AS p
+      FROM train_hist
+    ),
+    best AS (
+      SELECT fold, v AS threshold,
+             pos_l * 2 > n_l AS pred_left_en,
+             (p - pos_l) * 2 > (n - n_l) AS pred_right_en
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fold ORDER BY
+               CAST(pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l) AS DOUBLE)
+                 / CAST(n_l AS DOUBLE)
+               + CAST((p - pos_l) * (p - pos_l)
+                      + ((n - n_l) - (p - pos_l)) * ((n - n_l) - (p - pos_l))
+                      AS DOUBLE) / CAST(n - n_l AS DOUBLE) DESC, v) AS rk
+        FROM walk WHERE n - n_l > 0 AND n_l > 0) WHERE rk = 1
+    )
+    SELECT d.fold, b.threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN (CASE WHEN d.n_chars <= b.threshold
+                                    THEN b.pred_left_en ELSE b.pred_right_en END)
+                              = (d.lang = 'en') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN (CASE WHEN d.n_chars <= b.threshold
+                                    THEN b.pred_left_en ELSE b.pred_right_en END)
+                              = (d.lang = 'en') THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS cv_accuracy
+    FROM docs2 d JOIN best b USING (fold)
+    GROUP BY d.fold, b.threshold
+    """,
+    doc="[EXT] 5-fold cross-validated decision stump: folds are md5-hash "
+    "assigned (portable integer slots), each held-out fold's stump "
+    "refits on the OTHER four via the complement trick train_hist = "
+    "total_hist - fold_hist (no 5x data replication — cost |folds| x "
+    "|distinct values|), per-fold threshold argmax by the same exact-"
+    "integer purity objective as ml_stump_nchars_lang, then held-out "
+    "accuracy per fold as one exact division. The model-selection "
+    "companion to the training-accuracy stump; windows partition BY "
+    "FOLD so nothing is global.",
+    tags=("ml", "stats"),
+)
+def ml_stump_cv_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "n_chars", "lang", f"{_FOLD_SPARK} AS fold"
+    )
+    hist = docs.groupBy("fold", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("pos"),
+    )
+    total = hist.groupBy("v").agg(
+        F.sum("cnt").cast("long").alias("tcnt"),
+        F.sum("pos").cast("long").alias("tpos"),
+    )
+    folds = docs.select("fold").distinct()
+    train_hist = (
+        folds.crossJoin(total)
+        .join(hist, ["fold", "v"], "left")
+        .select(
+            "fold",
+            "v",
+            (F.col("tcnt") - F.coalesce(F.col("cnt"), F.lit(0))).alias("cnt"),
+            (F.col("tpos") - F.coalesce(F.col("pos"), F.lit(0))).alias("pos"),
+        )
+    )
+    w_run = W.partitionBy("fold").orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy("fold")
+    walk = train_hist.select(
+        "fold",
+        "v",
+        F.sum("cnt").over(w_run).cast("long").alias("n_l"),
+        F.sum("pos").over(w_run).cast("long").alias("pos_l"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
+        F.sum("pos").over(w_all).cast("long").alias("p"),
+    )
+    purity = (
+        "CAST(pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l) AS DOUBLE)"
+        " / CAST(n_l AS DOUBLE)"
+        " + CAST((p - pos_l) * (p - pos_l)"
+        "        + ((n - n_l) - (p - pos_l)) * ((n - n_l) - (p - pos_l))"
+        "        AS DOUBLE) / CAST(n - n_l AS DOUBLE)"
+    )
+    w_rk = W.partitionBy("fold").orderBy(F.expr(purity).desc(), F.asc("v"))
+    best = (
+        walk.filter((F.col("n") > F.col("n_l")) & (F.col("n_l") > 0))
+        .withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") == 1)
+        .selectExpr(
+            "fold",
+            "v AS threshold",
+            "pos_l * 2 > n_l AS pred_left_en",
+            "(p - pos_l) * 2 > (n - n_l) AS pred_right_en",
+        )
+    )
+    joined = docs.join(best, "fold")
+    correct = F.when(
+        F.when(F.col("n_chars") <= F.col("threshold"), F.col("pred_left_en"))
+        .otherwise(F.col("pred_right_en"))
+        == (F.col("lang") == "en"),
+        1,
+    ).otherwise(0)
+    return joined.groupBy("fold", "threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(correct).cast("long").alias("n_correct"),
+        (F.sum(correct).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "cv_accuracy"
+        ),
+    )

@@ -487,3 +487,84 @@ class TestContrastivePairs:
         assert df.filter(
             F.col("pos_id").isNull() | F.col("neg_id").isNull()
         ).count() == 0
+
+
+class TestAucNcharsLang:
+    def test_matches_sklearn_free_reference(self, spark):
+        """AUC computed the naive O(n^2) way in python (ties count 1/2)
+        must equal the histogram midrank form exactly (rational counts)."""
+        from fractions import Fraction
+
+        from clinical_api_etl_spark.plans.modeling import ml_auc_nchars_lang
+
+        row = ml_auc_nchars_lang(spark, SF).collect()[0]
+        docs = load(spark, SF, "documents").select("n_chars", "lang").collect()
+        pos = [r["n_chars"] for r in docs if r["lang"] == "en"]
+        neg = [r["n_chars"] for r in docs if r["lang"] != "en"]
+        wins = Fraction(0)
+        for p in pos:
+            for q in neg:
+                if p > q:
+                    wins += 1
+                elif p == q:
+                    wins += Fraction(1, 2)
+        assert row["n_pos"] == len(pos)
+        assert row["n_neg"] == len(neg)
+        # u2_stat is the doubled U statistic — exact integer
+        assert row["u2_stat"] == 2 * wins
+        # exact check through the same one-division tree:
+        assert row["auc"] == float(row["u2_stat"]) / float(
+            2 * len(pos) * len(neg)
+        )
+        assert 0.0 <= row["auc"] <= 1.0
+
+
+class TestStumpCv:
+    def test_matches_python_reference(self, spark):
+        from clinical_api_etl_spark.plans.modeling import ml_stump_cv_accuracy
+
+        got = {r["fold"]: r for r in ml_stump_cv_accuracy(spark, SF).collect()}
+        docs = load(spark, SF, "documents").select("doc_id", "n_chars", "lang").collect()
+        pts = [
+            (
+                int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:2], 16) % 5,
+                r["n_chars"],
+                r["lang"] == "en",
+            )
+            for r in docs
+        ]
+        for f in sorted({p[0] for p in pts}):
+            train = [(v, y) for ff, v, y in pts if ff != f]
+            test = [(v, y) for ff, v, y in pts if ff == f]
+            n = len(train)
+            p = sum(1 for _, y in train if y)
+            best = None
+            for t in sorted({v for v, _ in train}):
+                n_l = sum(1 for v, _ in train if v <= t)
+                pos_l = sum(1 for v, y in train if v <= t and y)
+                n_r, pos_r = n - n_l, p - pos_l
+                if n_r == 0 or n_l == 0:
+                    continue
+                purity = float(pos_l**2 + (n_l - pos_l) ** 2) / n_l + float(
+                    pos_r**2 + (n_r - pos_r) ** 2
+                ) / n_r
+                key = (-purity, t)
+                if best is None or key < best[0]:
+                    best = (key, t, pos_l * 2 > n_l, pos_r * 2 > n_r)
+            _, t, pl, pr = best
+            correct = sum(
+                1 for v, y in test if (pl if v <= t else pr) == y
+            )
+            row = got[f]
+            assert row["threshold"] == t
+            assert row["n_test"] == len(test)
+            assert row["n_correct"] == correct
+            assert row["cv_accuracy"] == correct / len(test)
+
+    def test_folds_partition_corpus(self, spark):
+        from clinical_api_etl_spark.plans.modeling import ml_stump_cv_accuracy
+
+        rows = ml_stump_cv_accuracy(spark, SF).collect()
+        assert len(rows) == 5
+        n_docs = load(spark, SF, "documents").count()
+        assert sum(r["n_test"] for r in rows) == n_docs

@@ -97,6 +97,10 @@ NO_PUSHDOWN_OK = {
     # the scan; a predicate over a computed array can never reach parquet
     # row-group stats. Unpushable by construction.
     "text_textrank_keywords",
+    # the fold join key is conv(md5(doc_id)) % 5 — the inferred
+    # isnotnull sits on a derived hash expression; no base-column
+    # predicate exists to push.
+    "ml_stump_cv_accuracy",
 }
 
 
@@ -147,6 +151,8 @@ GLOBAL_WINDOW_OK: set[str] = {
     # threshold walk over the n_chars VALUE HISTOGRAM (bounded by the
     # document-length domain, not the corpus).
     "ml_stump_nchars_lang",
+    # midrank walk over the same bounded value histogram.
+    "ml_auc_nchars_lang",
 }
 
 
