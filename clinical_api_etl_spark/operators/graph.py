@@ -385,3 +385,37 @@ def hits_int(
         F.col("a").alias("score_units"),
     )
     return hubs.unionByName(auths)
+
+
+def bfs_hops_per_source(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-source BFS hop distances: like :func:`bfs_hops` but the distance
+    state is keyed (source, node), so each source's frontier expands
+    independently in the SAME join/min-aggregate rounds — one run for the
+    whole probe set instead of |sources| sequential BFS runs. State size is
+    |sources| x |reached nodes|; use a bounded probe set (the standard
+    posture for centrality at scale). Output: (s, node, dist), nodes
+    unreached within ``iters`` absent. Rounds eager-checkpoint (the state
+    table is referenced twice per round — multiplicative lineage, k-core
+    rule)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    dist = sources.select(
+        F.col("node").alias("s"), F.col("node"), F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(iters):
+        nxt = e.join(dist, e["src"] == dist["node"]).select(
+            "s", F.col("dst").alias("node"), (F.col("dist") + F.lit(1)).alias("dist")
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("s", "node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -1192,3 +1192,102 @@ def ml_stump_cv_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cv_accuracy"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Harmonic centrality of a supplier probe set — exact x12 integer units.
+# ---------------------------------------------------------------------------
+
+_HC_ITERS = 4
+
+
+def _harmonic_oracle() -> str:
+    """Unrolled per-source BFS; every it{k} referenced twice -> MATERIALIZED.
+    Harmonic sum stays exact: with hop distances bounded by the iteration
+    count (<= 4), 12/d is an exact integer (12 = lcm(1..4)), so the
+    centrality numerator is a BIGINT and the final value one division."""
+    it = """
+    it{k} AS MATERIALIZED (
+      SELECT s, node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        SELECT s, node, dist FROM it{p}
+        UNION ALL
+        SELECT r.s, e.dst AS node, r.dist + 1 AS dist
+        FROM edges e JOIN it{p} r ON e.src = r.node
+      ) u GROUP BY s, node
+    )"""
+    its = ",".join(it.format(k=k, p=k - 1) for k in range(1, _HC_ITERS + 1))
+    return f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ),
+    it0 AS MATERIALIZED (
+      SELECT 's' || CAST(s_suppkey AS VARCHAR) AS s,
+             's' || CAST(s_suppkey AS VARCHAR) AS node, CAST(0 AS BIGINT) AS dist
+      FROM supplier WHERE s_suppkey % 12 = 0
+    ),
+    {its}
+    SELECT s AS source_node,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+           CAST(SUM(CASE WHEN dist > 0 THEN 12 // dist ELSE 0 END)
+                AS BIGINT) AS harmonic_x12,
+           CAST(SUM(CASE WHEN dist > 0 THEN 12 // dist ELSE 0 END) AS DOUBLE)
+             / 12e0 AS harmonic
+    FROM it{_HC_ITERS} GROUP BY s
+    """
+
+
+@QS.add(
+    "graph_harmonic_centrality",
+    _harmonic_oracle(),
+    doc="[EXT] harmonic centrality (sum of 1/d to every reachable node, "
+    "the disconnect-safe closeness variant) for a supplier probe set "
+    "(every 12th supplier) over the symmetrized interaction graph, "
+    f"within {_HC_ITERS} hops. EXACT arithmetic trick: hop distances "
+    "are bounded by the iteration count, so multiplying by lcm(1..4)=12 "
+    "makes the harmonic sum an exact BIGINT (12//d per term) and the "
+    "final centrality ONE division — no float association anywhere. "
+    "One tagged BFS run covers the whole probe set: state keyed "
+    "(source, node), same Pregel join+min rounds as bfs_hops "
+    "(operators/graph.py:bfs_hops_per_source), eager-checkpointed per "
+    "round. 11th hash-gated iterative.",
+    tags=("graph", "iterative"),
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.graph import bfs_hops_per_source
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sources = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 12 == 0)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
+    )
+    dist = bfs_hops_per_source(edges, sources, iters=_HC_ITERS)
+    return dist.groupBy(F.col("s").alias("source_node")).agg(
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_reached"),
+        F.sum(
+            F.when(F.col("dist") > 0, F.expr("12 div dist")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("harmonic_x12"),
+        (
+            F.sum(
+                F.when(F.col("dist") > 0, F.expr("12 div dist")).otherwise(F.lit(0))
+            ).cast("double")
+            / F.lit(12.0)
+        ).alias("harmonic"),
+    )

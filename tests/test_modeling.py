@@ -568,3 +568,46 @@ class TestStumpCv:
         assert len(rows) == 5
         n_docs = load(spark, SF, "documents").count()
         assert sum(r["n_test"] for r in rows) == n_docs
+
+
+class TestHarmonicCentrality:
+    def test_matches_python_bfs(self, spark):
+        from clinical_api_etl_spark.plans.modeling import (
+            _HC_ITERS,
+            graph_harmonic_centrality,
+        )
+
+        got = {
+            r["source_node"]: r for r in graph_harmonic_centrality(spark, SF).collect()
+        }
+        li = load(spark, SF, "lineitem").select("l_orderkey", "l_suppkey")
+        orders = load(spark, SF, "orders").select("o_orderkey", "o_custkey")
+        e = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .select("o_custkey", "l_suppkey")
+            .distinct()
+            .collect()
+        )
+        adj: dict = {}
+        for r in e:
+            c, s = f"c{r['o_custkey']}", f"s{r['l_suppkey']}"
+            adj.setdefault(c, set()).add(s)
+            adj.setdefault(s, set()).add(c)
+        sup = load(spark, SF, "supplier").collect()
+        srcs = [f"s{r['s_suppkey']}" for r in sup if r["s_suppkey"] % 12 == 0]
+        for s0 in srcs:
+            dist = {s0: 0}
+            frontier = [s0]
+            for d in range(1, _HC_ITERS + 1):
+                nxt = []
+                for u in frontier:
+                    for v in adj.get(u, ()):
+                        if v not in dist:
+                            dist[v] = d
+                            nxt.append(v)
+                frontier = nxt
+            h12 = sum(12 // d for d in dist.values() if d > 0)
+            row = got[s0]
+            assert row["n_reached"] == len(dist) - 1
+            assert row["harmonic_x12"] == h12
+            assert row["harmonic"] == h12 / 12.0
