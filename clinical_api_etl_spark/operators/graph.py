@@ -183,18 +183,38 @@ def bfs_hops(
     localCheckpoint-ed — the k-core rule from CLAUDE.md, not the
     pagerank (linear-growth) exception.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    dist = sources.select("node", F.lit(0).cast("long").alias("dist"))
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "src")
+        .persist()
+    )
+    dist = sources.select(
+        "node", F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=True)
+    # frontier propagation (first reach == min distance): only last
+    # round's discoveries can extend the tree, so each node crosses the
+    # edge join once over the whole run instead of every round — and the
+    # persisted edge table stops re-deriving its upstream join per round.
+    # dist stays a UNION of already-checkpointed frontier layers — each
+    # layer is materialized once and never re-checkpointed (one blocking
+    # job per round, not two)
+    frontier = dist
     for _ in range(iters):
-        nxt = e.join(dist, e["src"] == dist["node"]).select(
-            F.col("dst").alias("node"), (F.col("dist") + F.lit(1)).alias("dist")
-        )
-        dist = (
-            dist.unionByName(nxt)
+        cand = (
+            e.join(frontier, e["src"] == frontier["node"])
+            .select(
+                F.col("dst").alias("node"), (F.col("dist") + F.lit(1)).alias("dist")
+            )
             .groupBy("node")
             .agg(F.min("dist").cast("long").alias("dist"))
-            .localCheckpoint(eager=True)
         )
+        frontier = cand.join(
+            dist.select("node"), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        dist = dist.unionByName(frontier)
+    e.unpersist(False)
     return dist
 
 
@@ -348,7 +368,11 @@ def hits_int(
     rides a 1-row broadcast cross join — no driver collect, fully
     declarative.
     """
-    e = edges.select(F.col(hub).alias("c"), F.col(auth).alias("s"))
+    e = (
+        edges.select(F.col(hub).alias("c"), F.col(auth).alias("s"))
+        .repartition(edges.sparkSession.sparkContext.defaultParallelism)
+        .persist()
+    )
     h = e.select("c").distinct().select(
         "c", F.lit(scale).cast("long").alias("h")
     )
@@ -374,6 +398,9 @@ def hits_int(
         h = hraw.crossJoin(F.broadcast(ht)).select(
             "c", F.expr(f"hr * {scale} div t").cast("long").alias("h")
         )
+    # every half-step is eagerly checkpointed, so the cached edge table
+    # has served all its joins by the time we return
+    e.unpersist(False)
     hubs = h.select(
         F.concat(F.lit("c"), F.col("c").cast("string")).alias("node"),
         F.lit("hub").alias("kind"),
@@ -404,18 +431,42 @@ def bfs_hops_per_source(
     unreached within ``iters`` absent. Rounds eager-checkpoint (the state
     table is referenced twice per round — multiplicative lineage, k-core
     rule)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # pin the partitioning BEFORE persist: AQE would coalesce the small
+    # edge exchange to 1 partition and serialize every expansion join
+    # (CLAUDE.md round-1 rule; AQE leaves user repartitions alone)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "src")
+        .persist()
+    )
     dist = sources.select(
         F.col("node").alias("s"), F.col("node"), F.lit(0).cast("long").alias("dist")
-    )
+    ).localCheckpoint(eager=True)
+    # FRONTIER propagation, not full-state relaxation: in BFS the first
+    # reach IS the min distance, so only nodes discovered last round can
+    # improve anything. Joining the full (source, node) state against the
+    # edges every round made the saturated rounds quadratic-ish in
+    # |sources| x |E| (21.7s at sf0.1); with the frontier each (source,
+    # node) pair crosses the join exactly once over the whole run —
+    # total work Σ deg(v) per source, spread across rounds.
+    frontier = dist
     for _ in range(iters):
-        nxt = e.join(dist, e["src"] == dist["node"]).select(
-            "s", F.col("dst").alias("node"), (F.col("dist") + F.lit(1)).alias("dist")
-        )
-        dist = (
-            dist.unionByName(nxt)
+        cand = (
+            e.join(frontier, e["src"] == frontier["node"])
+            .select(
+                "s",
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.lit(1)).alias("dist"),
+            )
             .groupBy("s", "node")
             .agg(F.min("dist").cast("long").alias("dist"))
+        )
+        frontier = (
+            cand.join(dist.select("s", "node"), ["s", "node"], "left_anti")
             .localCheckpoint(eager=True)
         )
+        if frontier.isEmpty():
+            break
+        dist = dist.unionByName(frontier)
+    e.unpersist(False)
     return dist

@@ -99,6 +99,7 @@ _HW_L_SPARK = (
     "DuckDB in-place-struct hazard does not apply to lists), so level/"
     "trend/seasonal/SSE are bit-identical. One shuffle to the per-type "
     "daily pre-aggregate; fold cost |days| per type, never |events|.",
+    headline=True,
     tags=("timeseries", "stats"),
 )
 def ts_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,6 +344,7 @@ def _bootstrap_oracle() -> str:
     "mean (≈ 5th/95th percentile of B=20). Evaluated as 2·B conditional "
     "aggregates in ONE pass over events — no row blow-up, map-side "
     "partials, mergeable at any scale.",
+    headline=True,
     tags=("stats",),
 )
 def stat_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,6 +444,7 @@ _FOLD_NORM = "sqrt(list_reduce(list_transform({a}, x -> x*x), (x,y) -> x+y))"
     "the same query_id partitioning — no second scan, no extra "
     "shuffle. Standard RRF per Cormack et al.; rank ties broken by "
     "neighbor id on both engines.",
+    headline=True,
     tags=("similarity", "retrieval"),
 )
 def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -846,6 +849,7 @@ def _hits_oracle() -> str:
     "rule), and the total rides a 1-row broadcast cross join. Oracle: "
     "unrolled CTE chain, every stage MATERIALIZED (the round-6 "
     "exponential-re-expansion rule). operators/graph.py:hits_int.",
+    headline=True,
     tags=("graph",),
 )
 def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1228,7 +1232,7 @@ def _harmonic_oracle() -> str:
     it0 AS MATERIALIZED (
       SELECT 's' || CAST(s_suppkey AS VARCHAR) AS s,
              's' || CAST(s_suppkey AS VARCHAR) AS node, CAST(0 AS BIGINT) AS dist
-      FROM supplier WHERE s_suppkey % 12 = 0
+      FROM supplier WHERE s_suppkey < 8
     ),
     {its}
     SELECT s AS source_node,
@@ -1246,7 +1250,8 @@ def _harmonic_oracle() -> str:
     _harmonic_oracle(),
     doc="[EXT] harmonic centrality (sum of 1/d to every reachable node, "
     "the disconnect-safe closeness variant) for a supplier probe set "
-    "(every 12th supplier) over the symmetrized interaction graph, "
+    "(fixed 8-supplier probe — bounded at every SF; centrality probes "
+    "are bounded sets by posture) over the symmetrized interaction graph, "
     f"within {_HC_ITERS} hops. EXACT arithmetic trick: hop distances "
     "are bounded by the iteration count, so multiplying by lcm(1..4)=12 "
     "makes the harmonic sum an exact BIGINT (12//d per term) and the "
@@ -1255,6 +1260,7 @@ def _harmonic_oracle() -> str:
     "(source, node), same Pregel join+min rounds as bfs_hops "
     "(operators/graph.py:bfs_hops_per_source), eager-checkpointed per "
     "round. 11th hash-gated iterative.",
+    headline=True,
     tags=("graph", "iterative"),
 )
 def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1273,7 +1279,7 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sources = (
         load(spark, sf_dir, "supplier")
-        .filter(F.col("s_suppkey") % 12 == 0)
+        .filter(F.col("s_suppkey") < 8)
         .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
     )
     dist = bfs_hops_per_source(edges, sources, iters=_HC_ITERS)
@@ -1290,4 +1296,205 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
             / F.lit(12.0)
         ).alias("harmonic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bollinger-band breaches on the daily cents series — exact integer algebra.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "ts_bollinger_breaches",
+    """
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, d
+    ),
+    win AS (
+      SELECT event_type, d, cents,
+             CAST(SUM(cents) OVER w AS BIGINT) AS s7,
+             CAST(SUM(cents * cents) OVER w AS BIGINT) AS q7,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, d AS day_index, cents,
+           CAST(s7 AS DOUBLE) / 7e0 AS mean7,
+           7 * cents - s7 > 0
+             AND (7 * cents - s7) * (7 * cents - s7) > 4 * (7 * q7 - s7 * s7)
+             AS breach_upper,
+           s7 - 7 * cents > 0
+             AND (7 * cents - s7) * (7 * cents - s7) > 4 * (7 * q7 - s7 * s7)
+             AS breach_lower
+    FROM win WHERE n7 = 7
+    """,
+    doc="[EXT] Bollinger-band breach detection on the trailing-7-day "
+    "window of the daily cents series: |x - mu| > 2*sigma decided "
+    "ENTIRELY in exact integer algebra — (7x - S)^2 > 4(7Q - S^2) with "
+    "S, Q the window sum and sum-of-squares (the anomaly_zscore "
+    "population-variance identity moved into a moving frame; "
+    "n*sigma^2*n = nQ - S^2). Only full windows emit. The band test "
+    "never touches a float; mean7 is the single reporting division. "
+    "One exchange per type, two running sums share one WindowExec.",
+    tags=("timeseries", "stats"),
+)
+def ts_bollinger_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .selectExpr(
+            "event_type",
+            "unix_millis(ts) div 86400000 AS d",
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c",
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    w = W.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+    win = daily.select(
+        "event_type",
+        "d",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("s7"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).cast("long").alias("q7"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n7"),
+    )
+    return win.filter(F.col("n7") == 7).selectExpr(
+        "event_type",
+        "d AS day_index",
+        "cents",
+        "CAST(s7 AS DOUBLE) / 7D AS mean7",
+        "7 * cents - s7 > 0"
+        " AND (7 * cents - s7) * (7 * cents - s7) > 4 * (7 * q7 - s7 * s7)"
+        " AS breach_upper",
+        "s7 - 7 * cents > 0"
+        " AND (7 * cents - s7) * (7 * cents - s7) > 4 * (7 * q7 - s7 * s7)"
+        " AS breach_lower",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fixed-size per-group sample (hash-order "reservoir").
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "sample_reservoir_hash",
+    """
+    WITH keyed AS (
+      SELECT event_type, event_id, user_id,
+             substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS hk
+      FROM events
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY hk, event_id) AS rk
+      FROM keyed
+    )
+    SELECT event_type, CAST(rk AS BIGINT) AS rk, event_id, user_id
+    FROM ranked WHERE rk <= 50
+    """,
+    doc="[EXT] fixed-size-per-group deterministic sample: the 50 events "
+    "with the smallest md5(event_id) hex prefix per type — the "
+    "distributed, rerun-stable equivalent of per-group reservoir "
+    "sampling (uniform over any id distribution because md5 order is "
+    "independent of insertion/value order; fixed-width lowercase hex "
+    "compares lexicographically == numerically, round-2 rule). "
+    "Complements hash-Bernoulli (fixed RATE) with fixed SIZE semantics. "
+    "One window per group; at scale the rank-50 cut is a per-partition "
+    "top-k before the final per-group merge (TakeOrdered-style partial "
+    "aggregation inside WindowGroupLimit).",
+    tags=("sampling",),
+)
+def sample_reservoir_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type",
+        "event_id",
+        "user_id",
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8).alias("hk"),
+    )
+    w = W.partitionBy("event_type").orderBy("hk", "event_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 50)
+        .select("event_type", "rk", "event_id", "user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: last-writer-wins snapshot of an upsert/delete change log.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "cdc_last_writer_wins",
+    """
+    WITH log AS (
+      SELECT user_id, ts, event_id, event_type,
+             -- sentinel, not NULL: a null BIGINT turns into NaN through
+             -- pandas and breaks the value hash (CLAUDE.md rule)
+             COALESCE(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
+                      -1) AS cents
+      FROM events
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes
+      FROM log
+    )
+    SELECT user_id, epoch_ms(ts) AS last_ts_ms, event_type AS last_type,
+           cents AS last_cents, n_changes,
+           event_type = 'error' AS is_tombstone
+    FROM ranked WHERE rk = 1
+    """,
+    doc="[EXT] CDC apply-changes: treat the event stream as an upsert "
+    "change log keyed by user, ordered by (ts, event_id) — last writer "
+    "wins, 'error' as the tombstone op (Debezium/Delta "
+    "APPLY CHANGES INTO semantics: the snapshot keeps the tombstone "
+    "row flagged so downstream merges can delete). One window per key "
+    "computes the winner AND the change count; total order under ts "
+    "ties via event_id. The deterministic-ordering requirement is "
+    "exactly the reference's idempotent-upsert discipline "
+    "(etl-service/src/etl.py ON CONFLICT upserts) generalized to "
+    "change streams.",
+    tags=("warehouse", "cdc"),
+)
+def cdc_last_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.expr(
+            "COALESCE(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), -1)"
+        ).alias("cents"),
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    w_n = W.partitionBy("user_id")
+    return (
+        log.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_changes", F.count(F.lit(1)).over(w_n).cast("long"))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.expr("unix_millis(ts)").alias("last_ts_ms"),
+            F.col("event_type").alias("last_type"),
+            F.col("cents").alias("last_cents"),
+            "n_changes",
+            (F.col("event_type") == "error").alias("is_tombstone"),
+        )
     )

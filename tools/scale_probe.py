@@ -69,6 +69,12 @@ QUERIES = [
     # per-user sequential-state fold (rate limiter replay).
     "text_substring_dedup",
     "ops_rate_limit_simulation",
+    # round-11: integer HITS normalization half-steps and the tagged
+    # per-source BFS behind harmonic centrality — both graph-iterative;
+    # plus the one-pass 2B-conditional-aggregate bootstrap.
+    "graph_hits_scores",
+    "graph_harmonic_centrality",
+    "stat_bootstrap_ci_mean",
 ]
 
 
