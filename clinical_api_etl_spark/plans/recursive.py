@@ -1,0 +1,179 @@
+"""Recursive CTE family — Spark 4 ``WITH RECURSIVE`` surface parity.
+
+Spark 4.1 executes SQL-standard recursive common table expressions
+(UNION ALL form; the UNION-distinct form raises
+``UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE`` as of 4.1.2, verified in
+tests/test_recursive.py). DuckDB runs the same standard, so these
+queries are near-identical SQL text on both engines — the recursion is
+declared, not hand-unrolled, which makes this family complementary to
+the unrolled-CTE oracles used by the iterative *operators* (pagerank,
+k-core, BFS in operators/graph.py): there the Spark side is a
+DataFrame loop and only the oracle is SQL; here BOTH sides are the
+engine's own recursive-query evaluator.
+
+Scale posture: each recursion level is one equi-join + optional
+per-level DISTINCT — the engine's semi-naive working-table evaluation,
+so level k only re-joins level k-1's rows (never the accumulated
+result). Depth is structurally bounded: the ancestor walk's depth is
+log2(max key) (~25 levels at TPC-H sf100); the reachability probe is
+hop-guarded. Spark's ``spark.sql.cteRecursionLevelLimit`` (default 100)
+is a hard backstop, not a tuning knob we approach.
+
+Safety rules learned probing Spark 4.1.2 (kept as executable knowledge
+in tests/test_recursive.py):
+
+* UNION-distinct recursion is unsupported → cycles must be broken by a
+  monotone guard column (hop bound / strictly-decreasing key), and
+  node-set dedup happens via per-level ``SELECT DISTINCT`` + a final
+  ``GROUP BY`` outside the CTE.
+* Floor-div ports as Spark ``div`` == DuckDB ``//`` only for
+  non-negative operands (CLAUDE.md round-6 rule) — part keys are >= 0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clinical_api_etl_spark.plans.base import QuerySet
+from clinical_api_etl_spark.sources.catalog import load
+
+QS = QuerySet()
+
+
+# ---------------------------------------------------------------------------
+# Recursive ancestor-chain rollup over the implicit part binary tree.
+# ---------------------------------------------------------------------------
+
+# The part table has contiguous keys from 0, so parent(k) = k div 2
+# defines a complete binary tree rooted at key 0 — a deterministic
+# hierarchy (bill-of-materials shape) requiring no synthetic data. The
+# walk ascends from every part to the root, accumulating exact
+# retail-price cents along the chain; recursion terminates because the
+# node key strictly decreases (k div 2 < k for k >= 1) and the guard
+# stops at the root's self-loop.
+
+_ANCESTOR_SQL = """
+    WITH RECURSIVE pc AS (
+      SELECT p_partkey AS k,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM {part}
+    ),
+    walk(part, node, depth, chain_cents) AS (
+      SELECT k, k, CAST(0 AS BIGINT), cents FROM pc
+      UNION ALL
+      SELECT w.part, p.k, w.depth + 1, w.chain_cents + p.cents
+      FROM walk w JOIN pc p ON p.k = w.node {div} 2
+      WHERE w.node > 0
+    )
+    SELECT part AS p_partkey,
+           depth AS depth_to_root,
+           chain_cents,
+           CAST(chain_cents AS DOUBLE) / ((depth + 1) * 1e2) AS avg_chain_price
+    FROM walk WHERE node = 0
+"""
+
+
+@QS.add(
+    "rec_part_ancestor_rollup",
+    _ANCESTOR_SQL.format(part="part", div="//"),
+    doc="[EXT] recursive-CTE ancestor-chain rollup: parent(k) = k div 2 "
+    "makes the contiguous part keys a complete binary tree rooted at 0 "
+    "(a bill-of-materials hierarchy with no synthetic data); the walk "
+    "ascends every part to the root accumulating exact retail cents. "
+    "Both engines evaluate the SAME declared recursion (Spark 4 WITH "
+    "RECURSIVE == DuckDB WITH RECURSIVE, UNION ALL semi-naive "
+    "working-table semantics) — no unrolling on either side. "
+    "Termination is structural (node strictly decreases; depth = "
+    "floor(log2 k), ~25 levels at sf100, far under Spark's 100-level "
+    "default). chain_cents stays BIGINT; the single reporting division "
+    "is one correctly-rounded IEEE op over exact ints (portable). "
+    "Reference parity: generalizes the reference's static hierarchies "
+    "(database/08_views.sql study->participant->measurement rollups) "
+    "to arbitrary-depth recursion.",
+    tags=("relational", "recursive"),
+)
+def rec_part_ancestor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "part").createOrReplaceTempView("__rec_part")
+    return spark.sql(_ANCESTOR_SQL.format(part="__rec_part", div="div"))
+
+
+# ---------------------------------------------------------------------------
+# Recursive hop-bounded reachability over the interaction graph.
+# ---------------------------------------------------------------------------
+
+_REACH_ITERS = 4
+
+# Same symmetrized customer<->supplier edge set as graph_bfs_hops /
+# graph_pagerank_interactions (plans/mining.py:_INTERACTION_EDGES_SQL),
+# same 8-supplier probe set as graph_harmonic_centrality — so the
+# recursive-CTE result is directly comparable to the frontier operator
+# (tests assert rec == operators/graph.py:bfs_hops on this probe set).
+
+_REACH_SQL = """
+    WITH RECURSIVE e0 AS {mat} (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS {str}) AS src,
+                      's' || CAST(l_suppkey AS {str}) AS dst
+      FROM {lineitem} JOIN {orders} ON l_orderkey = o_orderkey
+    ),
+    edges AS {mat} (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ),
+    reach(node, dist) AS (
+      SELECT 's' || CAST(s_suppkey AS {str}) AS node, CAST(0 AS BIGINT) AS dist
+      FROM {supplier} WHERE s_suppkey < 8
+      UNION ALL
+      SELECT DISTINCT e.dst AS node, r.dist + 1 AS dist
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.dist < {iters}
+    )
+    SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM reach GROUP BY node
+"""
+
+
+@QS.add(
+    "rec_reachability_hops",
+    _REACH_SQL.format(
+        mat="MATERIALIZED",
+        str="VARCHAR",
+        lineitem="lineitem",
+        orders="orders",
+        supplier="supplier",
+        iters=_REACH_ITERS,
+    ),
+    doc="[EXT] hop-bounded multi-source reachability declared as a "
+    "recursive CTE — the engine's own semi-naive evaluator runs the BFS "
+    "(vs. the hand-built frontier loop in operators/graph.py:bfs_hops, "
+    "which tests assert gives identical distances on this probe set). "
+    "Spark 4 supports only UNION ALL recursion, so cycles are broken by "
+    "the monotone hop guard and nodes are deduped per level (SELECT "
+    "DISTINCT keeps each level <= |V|) with a final MIN(dist) collapsing "
+    "multi-level rediscoveries to the BFS distance. Level k joins only "
+    "level k-1's working table against edges — k*|E| total join work, "
+    "the same bound as the unrolled oracle form. The frontier operator "
+    "remains the 100 TB path (it also subtracts already-settled nodes); "
+    "this query is the declarative surface for it. e0/edges are "
+    "MATERIALIZED on the DuckDB side only (multiplicative CTE reuse "
+    "rule); Spark has no such keyword and plans the reuse itself.",
+    tags=("graph", "recursive"),
+)
+def rec_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).createOrReplaceTempView("__rec_li")
+    load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).createOrReplaceTempView("__rec_ord")
+    load(spark, sf_dir, "supplier").select("s_suppkey").createOrReplaceTempView(
+        "__rec_sup"
+    )
+    return spark.sql(
+        _REACH_SQL.format(
+            mat="",
+            str="STRING",
+            lineitem="__rec_li",
+            orders="__rec_ord",
+            supplier="__rec_sup",
+            iters=_REACH_ITERS,
+        )
+    )

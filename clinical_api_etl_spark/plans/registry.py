@@ -23,6 +23,7 @@ def all_queries() -> dict[str, Query]:
         mlprep,
         modeling,
         ranking,
+        recursive,
         relational,
         tpch_deep,
     )
@@ -39,6 +40,7 @@ def all_queries() -> dict[str, Query]:
         inference,
         ranking,
         modeling,
+        recursive,
     ):
         for name, q in mod.QS.queries.items():
             if name in merged:
