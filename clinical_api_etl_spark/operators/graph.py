@@ -470,3 +470,57 @@ def bfs_hops_per_source(
         dist = dist.unionByName(frontier)
     e.unpersist(False)
     return dist
+
+
+def bfs_path_counts(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-source shortest-path COUNTS (Brandes sigma): for every (source,
+    node) pair within ``iters`` hops, the exact number of distinct
+    shortest paths between them — the forward half of betweenness
+    centrality, and exact BIGINTs throughout (path counts are sums of
+    predecessor counts, never floats).
+
+    Same frontier discipline as :func:`bfs_hops_per_source`; the only
+    change is the aggregate: a node first reached at level k+1 receives
+    ``SUM(sigma)`` over its level-k predecessors (every shortest path to
+    it extends a shortest path to a predecessor — all of which sit exactly
+    one level down, so summing the frontier is the whole recurrence).
+    Equal-level and backward edges are discarded by the settled anti-join,
+    matching Brandes' BFS DAG. State is (source, node, dist, sigma); use a
+    bounded probe set (centrality posture). sigma fits BIGINT far past any
+    real scale: it is bounded by (max degree)^iters.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "src")
+        .persist()
+    )
+    state = sources.select(
+        F.col("node").alias("s"),
+        F.col("node"),
+        F.lit(0).cast("long").alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    frontier = state
+    for k in range(iters):
+        cand = (
+            e.join(frontier, e["src"] == frontier["node"])
+            .select("s", F.col("dst").alias("node"), "sigma")
+            .groupBy("s", "node")
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .select("s", "node", F.lit(k + 1).cast("long").alias("dist"), "sigma")
+        )
+        frontier = cand.join(
+            state.select("s", "node"), ["s", "node"], "left_anti"
+        ).localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        state = state.unionByName(frontier)
+    e.unpersist(False)
+    return state

@@ -1498,3 +1498,94 @@ def cdc_last_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_type") == "error").alias("is_tombstone"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Shortest-path counts (Brandes sigma) from a bounded probe set.
+# ---------------------------------------------------------------------------
+
+_SPC_ITERS = 4
+
+
+def _path_counts_oracle() -> str:
+    """Unrolled frontier BFS with path counting: lvl{k} holds the nodes
+    FIRST reached at hop k with sigma = sum of level-(k-1) predecessor
+    sigmas; set{k} accumulates the settled state used to reject
+    re-discoveries. Every CTE is referenced more than once downstream ->
+    all MATERIALIZED (the k-core exponential-re-expansion rule)."""
+    step = """
+    lvl{k} AS MATERIALIZED (
+      SELECT c.s, c.node, CAST({k} AS BIGINT) AS dist, c.sigma FROM (
+        SELECT r.s, e.dst AS node, CAST(SUM(r.sigma) AS BIGINT) AS sigma
+        FROM edges e JOIN lvl{p} r ON e.src = r.node
+        GROUP BY r.s, e.dst
+      ) c LEFT JOIN set{p} st ON st.s = c.s AND st.node = c.node
+      WHERE st.node IS NULL
+    ),
+    set{k} AS MATERIALIZED (
+      SELECT s, node FROM set{p} UNION ALL SELECT s, node FROM lvl{k}
+    )"""
+    its = ",".join(step.format(k=k, p=k - 1) for k in range(1, _SPC_ITERS + 1))
+    union_all = " UNION ALL ".join(
+        f"SELECT s, node, dist, sigma FROM lvl{k}" for k in range(_SPC_ITERS + 1)
+    )
+    return f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ),
+    lvl0 AS MATERIALIZED (
+      SELECT 's' || CAST(s_suppkey AS VARCHAR) AS s,
+             's' || CAST(s_suppkey AS VARCHAR) AS node,
+             CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS sigma
+      FROM supplier WHERE s_suppkey < 8
+    ),
+    set0 AS MATERIALIZED (SELECT s, node FROM lvl0),
+    {its}
+    SELECT s AS source_node, node, dist, sigma FROM ({union_all}) u
+    """
+
+
+@QS.add(
+    "graph_path_counts",
+    _path_counts_oracle(),
+    doc="[EXT] exact shortest-path COUNTS (Brandes sigma, the forward "
+    "half of betweenness centrality) from the fixed 8-supplier probe "
+    "set over the symmetrized interaction graph, within "
+    f"{_SPC_ITERS} hops. sigma(v) at level k+1 = SUM of sigma over "
+    "level-k predecessors — path counts are sums of exact BIGINTs, so "
+    "the whole computation is integer arithmetic and carries a full "
+    "value hash (12th hash-gated iterative). Frontier discipline: each "
+    "(source, node) pair crosses the edge join exactly once over the "
+    "run (operators/graph.py:bfs_path_counts); equal-level and backward "
+    "edges die in the settled anti-join, matching the Brandes BFS DAG. "
+    "Oracle: unrolled frontier levels + settled sets, all MATERIALIZED.",
+    tags=("graph", "iterative"),
+)
+def graph_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.graph import bfs_path_counts
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sources = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 8)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
+    )
+    st = bfs_path_counts(edges, sources, iters=_SPC_ITERS)
+    return st.select(
+        F.col("s").alias("source_node"), "node", "dist", "sigma"
+    )

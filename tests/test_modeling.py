@@ -717,3 +717,68 @@ class TestCdcApply:
             assert g["last_cents"] == last["cents"]
             assert g["n_changes"] == len(rows)
             assert g["is_tombstone"] == (last["event_type"] == "error")
+
+
+class TestPathCounts:
+    def test_planted_diamond(self, spark):
+        """Diamond a->{b,c}->d: two shortest paths to d, one to b/c."""
+        from clinical_api_etl_spark.operators.graph import bfs_path_counts
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")],
+            ["src", "dst"],
+        )
+        srcs = spark.createDataFrame([("a",)], ["node"])
+        got = {
+            (r["s"], r["node"]): (r["dist"], r["sigma"])
+            for r in bfs_path_counts(e, srcs, iters=3).collect()
+        }
+        assert got == {
+            ("a", "a"): (0, 1),
+            ("a", "b"): (1, 1),
+            ("a", "c"): (1, 1),
+            ("a", "d"): (2, 2),
+            ("a", "e"): (3, 2),
+        }
+
+    def test_matches_python_brandes_forward(self, spark):
+        from clinical_api_etl_spark.plans.modeling import (
+            _SPC_ITERS,
+            graph_path_counts,
+        )
+
+        got = {
+            (r["source_node"], r["node"]): (r["dist"], r["sigma"])
+            for r in graph_path_counts(spark, SF).collect()
+        }
+        li = load(spark, SF, "lineitem").select("l_orderkey", "l_suppkey").collect()
+        orders = load(spark, SF, "orders").select("o_orderkey", "o_custkey").collect()
+        cust = {r["o_orderkey"]: r["o_custkey"] for r in orders}
+        adj: dict = {}
+        for r in li:
+            c, s = f"c{cust[r['l_orderkey']]}", f"s{r['l_suppkey']}"
+            adj.setdefault(c, set()).add(s)
+            adj.setdefault(s, set()).add(c)
+        sup = load(spark, SF, "supplier").collect()
+        expect = {}
+        for r in sup:
+            if r["s_suppkey"] >= 8:
+                continue
+            s0 = f"s{r['s_suppkey']}"
+            dist = {s0: 0}
+            sigma = {s0: 1}
+            frontier = [s0]
+            for d in range(1, _SPC_ITERS + 1):
+                nxt: dict = {}
+                for u in frontier:
+                    for v in adj.get(u, ()):
+                        if v in dist:
+                            continue
+                        nxt[v] = nxt.get(v, 0) + sigma[u]
+                for v, sg in nxt.items():
+                    dist[v] = d
+                    sigma[v] = sg
+                frontier = list(nxt)
+            for v in dist:
+                expect[(s0, v)] = (dist[v], sigma[v])
+        assert got == expect
