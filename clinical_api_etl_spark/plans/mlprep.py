@@ -1157,3 +1157,88 @@ def mixture_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("alloc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8): per-dimension uniform int8 codes.
+# ---------------------------------------------------------------------------
+
+_SQ_DIM = 64
+
+
+def _sq8_code_expr(j: int, vec: str) -> str:
+    """Shared Spark/DuckDB text for dim j's code (identical IEEE tree:
+    (v - mn) / (mx - mn) * 255.0, floored, clamped). ``vec`` is the
+    1-based element access for the engine."""
+    v = f"CAST({vec} AS DOUBLE)"
+    return (
+        f"CASE WHEN mx{j} > mn{j} THEN "
+        f"CAST(LEAST(FLOOR((({v} - mn{j}) / (mx{j} - mn{j})) * 255.0), 255.0) "
+        f"AS BIGINT) ELSE CAST(0 AS BIGINT) END AS c{j}"
+    )
+
+
+def _sq8_final_exprs() -> list[str]:
+    cs = [f"c{j}" for j in range(_SQ_DIM)]
+    return [
+        "vec_id",
+        " + ".join(cs) + " AS code_sum",
+        "LEAST(" + ", ".join(cs) + ") AS code_min",
+        "GREATEST(" + ", ".join(cs) + ") AS code_max",
+        " + ".join(f"{j + 1} * c{j}" for j in range(_SQ_DIM)) + " AS code_checksum",
+    ]
+
+
+def _sq8_oracle() -> str:
+    stats = ", ".join(
+        f"min(CAST(embedding[{j + 1}] AS DOUBLE)) AS mn{j}, "
+        f"max(CAST(embedding[{j + 1}] AS DOUBLE)) AS mx{j}"
+        for j in range(_SQ_DIM)
+    )
+    codes = ", ".join(
+        _sq8_code_expr(j, f"embedding[{j + 1}]") for j in range(_SQ_DIM)
+    )
+    return f"""
+    WITH stats AS (SELECT {stats} FROM embeddings),
+    codes AS (SELECT vec_id, {codes} FROM embeddings, stats)
+    SELECT {", ".join(_sq8_final_exprs())} FROM codes
+    """
+
+
+@QS.add(
+    "emb_sq8_quantization",
+    _sq8_oracle(),
+    doc="[EXT] int8 scalar quantization of the embedding corpus (faiss "
+    "SQ8 analogue, completing the quantizer family next to IVF and PQ): "
+    "per-dimension global min/max in ONE mergeable aggregate pass, then "
+    "a map-only encode floor((v-mn)/(mx-mn)*255) clamped to [0,255]. "
+    "The 128-double model rides a 1-row broadcast cross join (standard "
+    "posture: the model is tiny, the encode embarrassingly parallel at "
+    "100 TB). Codes are exact BIGINTs: the float ladder is the identical "
+    "IEEE tree on both engines (each op correctly rounded over identical "
+    "inputs), and CAST happens on exactly-integral doubles so the "
+    "truncate-vs-round engine divergence never fires. Each code is its "
+    "own named scalar column (janino 64 KB discipline) materialized once "
+    "before the 4 summary aggregates reference it (the multi-reference "
+    "CSE rule — sum/min/max/checksum would otherwise inline the "
+    "division chain 4x64 times). Gate: per-row weighted checksum pins "
+    "every code position exactly.",
+    tags=("embedding", "quantization"),
+)
+def emb_sq8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    stats = emb.selectExpr(
+        *[
+            e
+            for j in range(_SQ_DIM)
+            for e in (
+                f"min(CAST(element_at(embedding, {j + 1}) AS DOUBLE)) AS mn{j}",
+                f"max(CAST(element_at(embedding, {j + 1}) AS DOUBLE)) AS mx{j}",
+            )
+        ]
+    )
+    codes = emb.crossJoin(F.broadcast(stats)).selectExpr(
+        "vec_id",
+        *[_sq8_code_expr(j, f"element_at(embedding, {j + 1})") for j in range(_SQ_DIM)],
+    )
+    return codes.selectExpr(*_sq8_final_exprs())

@@ -329,3 +329,34 @@ class TestMixtureSampling:
         s = sum(ws.values())
         for _, r in pdf.iterrows():
             assert abs(r["alloc"] - 10_000 * ws[r["lang"]] / s) < 1.0
+
+
+class TestSq8Quantization:
+    def test_matches_python_replay(self, spark):
+        import math
+
+        from clinical_api_etl_spark.plans.mlprep import (
+            _SQ_DIM,
+            emb_sq8_quantization,
+        )
+
+        got = {r["vec_id"]: r for r in emb_sq8_quantization(spark, SF).collect()}
+        rows = load(spark, SF, "embeddings").select("vec_id", "embedding").collect()
+        vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+        mn = [min(v[j] for v in vecs.values()) for j in range(_SQ_DIM)]
+        mx = [max(v[j] for v in vecs.values()) for j in range(_SQ_DIM)]
+        assert len(got) == len(vecs)
+        for vid, v in vecs.items():
+            codes = []
+            for j in range(_SQ_DIM):
+                if mx[j] > mn[j]:
+                    c = min(math.floor((v[j] - mn[j]) / (mx[j] - mn[j]) * 255.0), 255)
+                else:
+                    c = 0
+                assert 0 <= c <= 255
+                codes.append(int(c))
+            g = got[vid]
+            assert g["code_sum"] == sum(codes)
+            assert g["code_min"] == min(codes)
+            assert g["code_max"] == max(codes)
+            assert g["code_checksum"] == sum((j + 1) * c for j, c in enumerate(codes))
