@@ -1242,3 +1242,111 @@ def emb_sq8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[_sq8_code_expr(j, f"element_at(embedding, {j + 1})") for j in range(_SQ_DIM)],
     )
     return codes.selectExpr(*_sq8_final_exprs())
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (hashed-unigram target/raw likelihood ratio).
+# ---------------------------------------------------------------------------
+
+_DSIR_CAP = 32  # scored-token prefix: bounds the ratio product's magnitude
+
+
+@QS.add(
+    "corpus_dsir_importance",
+    f"""
+    WITH tgt_tok AS (
+      SELECT unnest({_TOKS}) AS w FROM documents WHERE lang = 'en'
+    ),
+    raw_tok AS (
+      SELECT unnest({_TOKS}) AS w FROM documents WHERE lang <> 'en'
+    ),
+    tc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_t FROM tgt_tok GROUP BY w),
+    rc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_r FROM raw_tok GROUP BY w),
+    scal AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tgt_tok) AS t_total,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM raw_tok) AS r_total,
+             (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) FROM
+                (SELECT w FROM tgt_tok UNION ALL SELECT w FROM raw_tok)) AS v
+    ),
+    ratio AS (
+      SELECT rc.w,
+             CAST((COALESCE(tc.c_t, 0) + 1) * (scal.r_total + scal.v) AS DOUBLE)
+               / CAST((rc.c_r + 1) * (scal.t_total + scal.v) AS DOUBLE) AS r
+      FROM rc LEFT JOIN tc ON rc.w = tc.w CROSS JOIN scal
+    ),
+    scored AS (
+      SELECT d.doc_id, s.w
+      FROM (SELECT doc_id, ({_TOKS})[1:{_DSIR_CAP}] AS t
+            FROM documents WHERE lang <> 'en') d,
+           unnest(d.t) AS s(w)
+    )
+    SELECT sc.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           list_reduce(
+             list_prepend(CAST(1 AS DOUBLE), list(ratio.r ORDER BY sc.w)),
+             (x, y) -> x * y) AS weight
+    FROM scored sc JOIN ratio ON sc.w = ratio.w
+    GROUP BY sc.doc_id
+    """,
+    doc="[EXT] DSIR-style data-selection importance weights (Xie et al., "
+    "'Data Selection for Language Models via Importance Resampling', "
+    "public method): weight(doc) = product over its tokens of the "
+    "add-one-smoothed unigram likelihood ratio p_target/p_raw, with "
+    "target = English docs and the non-English pool scored. Each ratio "
+    "is ONE correctly-rounded division over exact BIGINT count products "
+    "((c_t+1)(R+V)) / ((c_r+1)(T+V)) — no log anywhere (JVM log != libm "
+    "log, round-8 rule); the per-doc product runs the PINNED-ORDER fold "
+    "(token-sorted, duplicates adjacent with identical ratios) so the "
+    "float weights hash-match bit-exactly. Scoring is capped at the "
+    f"first {_DSIR_CAP} tokens to bound the product's magnitude "
+    "(DSIR's own hashed-feature truncation posture); the unigram models "
+    "train on the FULL pools. Scale: two count aggregates + one "
+    "posting-style equi-join — mergeable everywhere, model size = "
+    "vocabulary, never corpus.",
+    tags=("llm", "sampling"),
+)
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tgt_tok = docs.filter(F.col("lang") == "en").select(
+        F.explode(toks).alias("w")
+    )
+    raw_tok = docs.filter(F.col("lang") != "en").select(
+        F.explode(toks).alias("w")
+    )
+    tc = tgt_tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c_t"))
+    rc = raw_tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c_r"))
+    scal = (
+        tgt_tok.agg(F.count(F.lit(1)).cast("long").alias("t_total"))
+        .crossJoin(raw_tok.agg(F.count(F.lit(1)).cast("long").alias("r_total")))
+        .crossJoin(
+            tgt_tok.unionAll(raw_tok)
+            .agg(F.countDistinct("w").cast("long").alias("v"))
+        )
+    )
+    ratio = (
+        rc.join(tc, "w", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "w",
+            (
+                ((F.coalesce(F.col("c_t"), F.lit(0)) + 1) * (F.col("r_total") + F.col("v"))).cast(
+                    "double"
+                )
+                / ((F.col("c_r") + 1) * (F.col("t_total") + F.col("v"))).cast("double")
+            ).alias("r"),
+        )
+    )
+    scored = (
+        docs.filter(F.col("lang") != "en")
+        .select("doc_id", F.explode(F.slice(toks, 1, _DSIR_CAP)).alias("w"))
+        .join(ratio, "w")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("w", "r"))),
+            F.lit(1.0),
+            lambda acc, x: acc * x["r"],
+        ).alias("weight"),
+    )

@@ -360,3 +360,62 @@ class TestSq8Quantization:
             assert g["code_min"] == min(codes)
             assert g["code_max"] == max(codes)
             assert g["code_checksum"] == sum((j + 1) * c for j, c in enumerate(codes))
+
+
+class TestDsirImportance:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.mlprep import (
+            _DSIR_CAP,
+            corpus_dsir_importance,
+        )
+
+        got = {r["doc_id"]: r for r in corpus_dsir_importance(spark, SF).collect()}
+        rows = load(spark, SF, "documents").select("doc_id", "text", "lang").collect()
+        import re as _re
+
+        def toks(t):
+            return _re.split(r"\s+", t.strip().lower())
+
+        tgt, raw = {}, {}
+        t_total = r_total = 0
+        vocab = set()
+        raw_docs = {}
+        for r in rows:
+            ws = toks(r["text"])
+            vocab.update(ws)
+            if r["lang"] == "en":
+                for w in ws:
+                    tgt[w] = tgt.get(w, 0) + 1
+                t_total += len(ws)
+            else:
+                for w in ws:
+                    raw[w] = raw.get(w, 0) + 1
+                r_total += len(ws)
+                raw_docs[r["doc_id"]] = ws[:_DSIR_CAP]
+        v = len(vocab)
+        assert set(got) == set(raw_docs)
+        for did, ws in raw_docs.items():
+            ratios = sorted(
+                (w, ((tgt.get(w, 0) + 1) * (r_total + v)) / ((raw[w] + 1) * (t_total + v)))
+                for w in ws
+            )
+            weight = 1.0
+            for _, rr in ratios:
+                weight *= rr
+            g = got[did]
+            assert g["n_scored"] == len(ws)
+            assert g["weight"] == weight  # bit-exact: same IEEE op sequence
+
+    def test_en_pool_excluded_and_weights_positive(self, spark):
+        from clinical_api_etl_spark.plans.mlprep import corpus_dsir_importance
+
+        rows = corpus_dsir_importance(spark, SF).collect()
+        en_ids = {
+            r["doc_id"]
+            for r in load(spark, SF, "documents")
+            .filter(F.col("lang") == "en")
+            .collect()
+        }
+        for r in rows:
+            assert r["doc_id"] not in en_ids
+            assert r["weight"] > 0
