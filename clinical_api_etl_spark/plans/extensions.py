@@ -1826,3 +1826,85 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall: how much top-k recall do the first 16
+# dims retain vs the full 64-dim embedding?
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = 16
+_MRL_K = 5
+
+
+def _mrl_oracle() -> str:
+    def topk(vtab: str) -> str:
+        return f"""(
+      SELECT query_id, nid FROM (
+        SELECT q.query_id, b.vec_id AS nid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_cosine_sql("q.qe", "b.e")} DESC, b.vec_id
+               ) AS rk
+        FROM (SELECT vec_id AS query_id, e AS qe FROM {vtab}
+              WHERE vec_id < 10) q
+        CROSS JOIN {vtab} b WHERE b.vec_id <> q.query_id
+      ) r WHERE rk <= {_MRL_K}
+    )"""
+
+    return f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+               FROM embeddings),
+    t AS (SELECT vec_id, e[1:{_MRL_DIMS}] AS e FROM v),
+    ef AS MATERIALIZED {topk("v")},
+    et AS MATERIALIZED {topk("t")}
+    SELECT ef.query_id,
+           CAST({_MRL_K} AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN et.nid IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN et.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / {_MRL_K}e0 AS recall
+    FROM ef LEFT JOIN et ON ef.query_id = et.query_id AND ef.nid = et.nid
+    GROUP BY ef.query_id
+    """
+
+
+@QS.add(
+    "emb_matryoshka_recall",
+    _mrl_oracle(),
+    doc="[EXT] Matryoshka-representation evaluation (Kusupati et al., "
+    f"public method): truncate embeddings to their first {_MRL_DIMS} of "
+    "64 dims and measure exact top-k recall vs the full-dimension "
+    "neighbors, per query — the decision metric for serving shorter "
+    "prefixes of MRL-trained embeddings. Both top-k runs are exact "
+    "brute-force cosine (bit-deterministic sequential folds, vec-id "
+    "tie-break) so the whole evaluation carries a full value hash; "
+    "recall = n_hits/k is exact (multiples of 1/k are representable). "
+    "Scale: queries broadcast over the corpus scan twice; the IVF/LSH "
+    "operators are the large-corpus path for each side.",
+    tags=("embedding", "similarity"),
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, _MRL_DIMS).alias("embedding")
+    )
+    full_k = cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=_MRL_K).select(
+        "query_id", F.col("neighbor_id").alias("nid")
+    )
+    trunc_k = cosine_topk(
+        trunc.filter(F.col("vec_id") < 10), trunc, k=_MRL_K
+    ).select("query_id", F.col("neighbor_id").alias("nid"), F.lit(1).alias("hit"))
+    return (
+        full_k.join(trunc_k, ["query_id", "nid"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.lit(_MRL_K).cast("long").alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+            (
+                F.sum(F.coalesce("hit", F.lit(0))).cast("double") / F.lit(float(_MRL_K))
+            ).alias("recall"),
+        )
+    )

@@ -1350,3 +1350,79 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc * x["r"],
         ).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum phase assignment by exact-integer difficulty.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "corpus_curriculum_phases",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+    freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+    scal AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
+                    CAST(COUNT(DISTINCT w) AS BIGINT) AS nv FROM tok),
+    ds AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN f.c * scal.nv < scal.total
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+      FROM tok t JOIN freq f ON t.w = f.w CROSS JOIN scal
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, n_rare,
+           CAST((1000 * n_rare) // n_tokens AS BIGINT) AS difficulty_milli,
+           CAST(CASE WHEN (1000 * n_rare) // n_tokens < 250 THEN 0
+                     WHEN (1000 * n_rare) // n_tokens < 500 THEN 1
+                     WHEN (1000 * n_rare) // n_tokens < 750 THEN 2
+                     ELSE 3 END AS BIGINT) AS phase
+    FROM ds
+    """,
+    doc="[EXT] curriculum-learning phase assignment: difficulty(doc) = "
+    "permille of its tokens that are corpus-rare, where rare is the "
+    "adaptive below-average-frequency rule c * |vocab| < |tokens| "
+    "(exact integer comparison — no float quantile, works at any "
+    "corpus scale). Docs bucket into 4 fixed phases (easy -> hard) so "
+    "a training loader can stream phase 0 before phase 3 — the "
+    "standard curriculum ordering for LLM pretraining. All arithmetic "
+    "is BIGINT (floor-div on non-negative operands, round-6 rule); "
+    "cost = one token explode + one count aggregate + one equi-join — "
+    "mergeable map-side, model size = vocabulary.",
+    tags=("llm", "sampling"),
+)
+def corpus_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tok = docs.select("doc_id", F.explode(toks).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    scal = tok.agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.countDistinct("w").cast("long").alias("nv"),
+    )
+    ds = (
+        tok.join(freq, "w")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("c") * F.col("nv") < F.col("total"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_rare"),
+        )
+    )
+    dm = F.expr("(1000 * n_rare) div n_tokens")
+    return ds.select(
+        "doc_id",
+        "n_tokens",
+        "n_rare",
+        dm.cast("long").alias("difficulty_milli"),
+        F.when(dm < 250, 0)
+        .when(dm < 500, 1)
+        .when(dm < 750, 2)
+        .otherwise(3)
+        .cast("long")
+        .alias("phase"),
+    )

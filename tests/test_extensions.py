@@ -810,3 +810,49 @@ class TestComponentsFastPath:
 
         edges = spark.createDataFrame([], "id_a long, id_b long")
         assert connected_components(edges).count() == 0
+
+
+class TestMatryoshkaRecall:
+    def test_recall_bounds_and_exactness(self, spark):
+        from clinical_api_etl_spark.plans.extensions import (
+            _MRL_K,
+            emb_matryoshka_recall,
+        )
+
+        rows = emb_matryoshka_recall(spark, SF).collect()
+        assert len(rows) == 10  # one per query vector
+        for r in rows:
+            assert r["k"] == _MRL_K
+            assert 0 <= r["n_hits"] <= _MRL_K
+            assert r["recall"] == r["n_hits"] / _MRL_K
+        # prefix dims carry signal: the truncated space must agree with
+        # the full space on a nontrivial share of neighbors overall
+        assert sum(r["n_hits"] for r in rows) > 0
+
+    def test_full_width_truncation_is_identity(self, spark):
+        """Truncating to all 64 dims must reproduce the exact top-k,
+        i.e. recall 1.0 everywhere — pins the slice/cosine plumbing."""
+        from pyspark.sql import functions as F
+
+        from clinical_api_etl_spark.operators.similarity import cosine_topk
+        from clinical_api_etl_spark.sources.catalog import load
+
+        emb = load(spark, SF, "embeddings")
+        trunc = emb.select("vec_id", F.slice("embedding", 1, 64).alias("embedding"))
+        a = sorted(
+            map(
+                tuple,
+                cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+                .select("query_id", "neighbor_id")
+                .collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                cosine_topk(trunc.filter(F.col("vec_id") < 10), trunc, k=5)
+                .select("query_id", "neighbor_id")
+                .collect(),
+            )
+        )
+        assert a == b

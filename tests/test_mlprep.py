@@ -419,3 +419,32 @@ class TestDsirImportance:
         for r in rows:
             assert r["doc_id"] not in en_ids
             assert r["weight"] > 0
+
+
+class TestCurriculumPhases:
+    def test_matches_python_replay(self, spark):
+        import re as _re
+
+        from clinical_api_etl_spark.plans.mlprep import corpus_curriculum_phases
+
+        got = {r["doc_id"]: r for r in corpus_curriculum_phases(spark, SF).collect()}
+        rows = load(spark, SF, "documents").select("doc_id", "text").collect()
+        freq: dict = {}
+        docs = {}
+        for r in rows:
+            ws = _re.split(r"\s+", r["text"].strip().lower())
+            docs[r["doc_id"]] = ws
+            for w in ws:
+                freq[w] = freq.get(w, 0) + 1
+        total = sum(freq.values())
+        nv = len(freq)
+        assert len(got) == len(docs)
+        for did, ws in docs.items():
+            n_rare = sum(1 for w in ws if freq[w] * nv < total)
+            dm = (1000 * n_rare) // len(ws)
+            phase = 0 if dm < 250 else 1 if dm < 500 else 2 if dm < 750 else 3
+            g = got[did]
+            assert g["n_tokens"] == len(ws)
+            assert g["n_rare"] == n_rare
+            assert g["difficulty_milli"] == dm
+            assert g["phase"] == phase
