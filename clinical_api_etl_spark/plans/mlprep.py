@@ -1426,3 +1426,124 @@ def corpus_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("phase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN search in SQ8-quantized space (asymmetric distance) — fully gated.
+# ---------------------------------------------------------------------------
+
+_SQ_K = 5
+
+
+def _sq8_dequant_expr(j: int, vec: str) -> str:
+    """Dequantized value for dim j: mn + (code + 0.5) * step. With a
+    zero-range dim the step is exactly 0.0 and this collapses to mn —
+    no special case. Same IEEE tree both engines."""
+    code = _sq8_code_expr(j, vec).rsplit(" AS ", 1)[0]
+    return (
+        f"(mn{j} + (CAST(({code}) AS DOUBLE) + 0.5) * ((mx{j} - mn{j}) / 255.0)) "
+        f"AS d{j}"
+    )
+
+
+def _sq8_adist(qpfx: str, dpfx: str) -> str:
+    """Asymmetric L2^2: full-precision query vs dequantized code, fixed
+    left-to-right 64-term sum (identical IEEE sequence both engines)."""
+    return " + ".join(
+        f"({qpfx}{j} - {dpfx}{j}) * ({qpfx}{j} - {dpfx}{j})" for j in range(_SQ_DIM)
+    )
+
+
+def _sq8_topk_oracle() -> str:
+    stats = ", ".join(
+        f"min(CAST(embedding[{j + 1}] AS DOUBLE)) AS mn{j}, "
+        f"max(CAST(embedding[{j + 1}] AS DOUBLE)) AS mx{j}"
+        for j in range(_SQ_DIM)
+    )
+    dq = ", ".join(
+        _sq8_dequant_expr(j, f"embedding[{j + 1}]") for j in range(_SQ_DIM)
+    )
+    qcols = ", ".join(
+        f"CAST(embedding[{j + 1}] AS DOUBLE) AS q{j}" for j in range(_SQ_DIM)
+    )
+    return f"""
+    WITH stats AS (SELECT {stats} FROM embeddings),
+    dq AS (SELECT vec_id, {dq} FROM embeddings, stats),
+    q AS (SELECT vec_id AS query_id, {qcols} FROM embeddings WHERE vec_id < 10),
+    s AS (
+      SELECT query_id, dq.vec_id AS neighbor_id,
+             {_sq8_adist("q", "d")} AS adist
+      FROM q CROSS JOIN dq WHERE dq.vec_id <> query_id
+    ),
+    r AS (SELECT query_id, neighbor_id, adist,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY adist, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, adist, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {_SQ_K}
+    """
+
+
+@QS.add(
+    "ann_sq8_topk",
+    _sq8_topk_oracle(),
+    doc="[EXT] ANN top-k in SQ8-quantized space via ASYMMETRIC distance "
+    "(faiss SQ search posture: full-precision query against dequantized "
+    "int8 codes, dq = mn + (code+0.5)*step) — unlike LSH/IVF this "
+    "quantized search is fully DETERMINISTIC, so the whole search is "
+    "value-hash-gated, completing the quantizer family's eval story "
+    "(ivf/ivfpq carry recall gates; SQ8 carries an exact oracle). The "
+    "64-term squared-distance sum runs in fixed left-to-right order "
+    "(identical IEEE sequence both engines); dequantized dims are named "
+    "scalar columns (janino 64 KB discipline; zero-range dims collapse "
+    "to mn with step exactly 0.0 — no branch). Scale: encode is "
+    "map-only; queries broadcast over the code scan; recall-vs-exact "
+    "property is pinned in tests (SQ8 recall floor 0.6 on this corpus).",
+    tags=("similarity", "quantization"),
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = load(spark, sf_dir, "embeddings")
+    stats = emb.selectExpr(
+        *[
+            e
+            for j in range(_SQ_DIM)
+            for e in (
+                f"min(CAST(element_at(embedding, {j + 1}) AS DOUBLE)) AS mn{j}",
+                f"max(CAST(element_at(embedding, {j + 1}) AS DOUBLE)) AS mx{j}",
+            )
+        ]
+    )
+    dq = (
+        emb.crossJoin(F.broadcast(stats))
+        .selectExpr(
+            "vec_id",
+            *[
+                _sq8_dequant_expr(j, f"element_at(embedding, {j + 1})")
+                for j in range(_SQ_DIM)
+            ],
+        )
+        .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    )
+    q = emb.filter(F.col("vec_id") < 10).selectExpr(
+        "vec_id AS query_id",
+        *[
+            f"CAST(element_at(embedding, {j + 1}) AS DOUBLE) AS q{j}"
+            for j in range(_SQ_DIM)
+        ],
+    )
+    s = (
+        dq.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .selectExpr(
+            "query_id",
+            "vec_id AS neighbor_id",
+            f"{_sq8_adist('q', 'd')} AS adist",
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _SQ_K)
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )
