@@ -1547,3 +1547,82 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _SQ_K)
         .select("query_id", "neighbor_id", "adist", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# MLM corruption prep: deterministic 15% token masking (BERT-style).
+# ---------------------------------------------------------------------------
+
+_MLM_PCT = 15
+
+
+def _mlm_mask_pred(duck: bool) -> str:
+    """Token-position mask decision: md5(doc_id:pos) low 16 bits mod 100
+    < 15 — the round-6 portable hash-arithmetic pattern (no RNG, stable
+    across engines and reruns). ``i`` is the 1-based position."""
+    h = "substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 4)"
+    num = (
+        f"CAST('0x' || {h} AS INTEGER)"
+        if duck
+        else f"CAST(conv({h}, 16, 10) AS BIGINT)"
+    )
+    return f"{num} % 100 < {_MLM_PCT}"
+
+
+@QS.add(
+    "corpus_mlm_corruption",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    marked AS (
+      SELECT doc_id, t,
+             list_transform(t, (x, i) ->
+               CASE WHEN {_mlm_mask_pred(True)} THEN '[MASK]' ELSE x END) AS ct,
+             list_filter(
+               list_transform(t, (x, i) ->
+                 CASE WHEN {_mlm_mask_pred(True)}
+                      THEN CAST(i AS VARCHAR) || ':' || x END),
+               x -> x IS NOT NULL) AS mt
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(mt) AS BIGINT) AS n_masked,
+           COALESCE(array_to_string(ct, ' '), '') AS corrupted_text,
+           COALESCE(array_to_string(mt, ' '), '') AS mask_targets
+    FROM marked
+    """,
+    doc="[EXT] deterministic MLM corruption prep (BERT-style 15% token "
+    "masking): the mask decision per (doc, position) is md5-derived — "
+    "no RNG, so the corrupted corpus is identical on every engine, "
+    "executor, and rerun (the reproducibility property training-data "
+    "pipelines need for resumable preprocessing). Emits the corrupted "
+    "text and the position-tagged mask targets (the training labels). "
+    "Pure per-row array expressions — zero shuffle, zero UDF, "
+    "embarrassingly parallel at 100 TB. Spark's lambda index is 0-based "
+    "vs DuckDB's 1-based; both sides address positions 1-based.",
+    tags=("llm", "text"),
+)
+def corpus_mlm_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    # i is 0-based in Spark transform/filter lambdas -> hash over i+1
+    pred = (
+        _mlm_mask_pred(False)
+        .replace("CAST(i AS VARCHAR)", "CAST(i + 1 AS STRING)")
+        .replace("AS VARCHAR", "AS STRING")
+    )
+    tok = docs.selectExpr("doc_id", r"split(lower(trim(text)), '\\s+') AS t")
+    marked = tok.selectExpr(
+        "doc_id",
+        "t",
+        f"transform(t, (x, i) -> CASE WHEN {pred} THEN '[MASK]' ELSE x END) AS ct",
+        "filter(transform(t, (x, i) -> CASE WHEN "
+        + pred
+        + " THEN CAST(i + 1 AS STRING) || ':' || x END), x -> x IS NOT NULL) AS mt",
+    )
+    return marked.selectExpr(
+        "doc_id",
+        "CAST(size(t) AS BIGINT) AS n_tokens",
+        "CAST(size(mt) AS BIGINT) AS n_masked",
+        "COALESCE(array_join(ct, ' '), '') AS corrupted_text",
+        "COALESCE(array_join(mt, ' '), '') AS mask_targets",
+    )

@@ -1589,3 +1589,150 @@ def graph_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.select(
         F.col("s").alias("source_node"), "node", "dist", "sigma"
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN vote-confidence calibration (reliability table + exact ECE).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "eval_knn_calibration",
+    f"""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e,
+             {_FOLD_NORM.format(a='list_transform(embedding, x -> x::DOUBLE)')} AS nrm
+      FROM embeddings
+    ),
+    test AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+    train AS (SELECT * FROM v WHERE vec_id % 10 <> 0),
+    pairs AS (
+      SELECT t.vec_id AS test_id, t.label AS true_label,
+             r.vec_id AS neighbor_id, r.label AS nlabel,
+             {_FOLD_DOT.format(a='t.e', b='r.e')} / (t.nrm * r.nrm) AS cos_sim
+      FROM test t CROSS JOIN train r
+    ),
+    top5 AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY test_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM pairs) WHERE rk <= 5
+    ),
+    votes AS (
+      SELECT test_id, true_label, nlabel, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM top5 GROUP BY test_id, true_label, nlabel
+    ),
+    pred AS (
+      SELECT test_id, true_label, nlabel AS pred_label, cnt AS conf_votes FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY test_id
+                                     ORDER BY cnt DESC, nlabel) AS pr
+        FROM votes) WHERE pr = 1
+    ),
+    bins AS (
+      SELECT conf_votes,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_correct
+      FROM pred GROUP BY conf_votes
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+             CAST(SUM(abs(5 * n_correct - conf_votes * n)) AS BIGINT)
+               AS gap_num_total
+      FROM bins
+    )
+    SELECT b.conf_votes, b.n, b.n_correct,
+           CAST(b.conf_votes AS DOUBLE) / 5e0 AS confidence,
+           CAST(b.n_correct AS DOUBLE) / CAST(b.n AS DOUBLE) AS accuracy,
+           CAST(abs(5 * b.n_correct - b.conf_votes * b.n) AS BIGINT) AS gap_num,
+           CAST(t.gap_num_total AS DOUBLE) / CAST(5 * t.n_total AS DOUBLE) AS ece
+    FROM bins b CROSS JOIN tot t
+    """,
+    doc="[EXT] calibration audit of the kNN classifier's vote confidence "
+    "(reliability-diagram table + expected calibration error): bin test "
+    "points by winning vote count (confidence = votes/5 — every member "
+    "of a bin has the IDENTICAL confidence, so no float averaging "
+    "exists anywhere), per-bin accuracy as one exact division, and ECE "
+    "in closed integer form: sum_b n_b/N * |acc_b - conf_b| = "
+    "(sum_b |5*correct_b - votes_b*n_b|) / (5N) — the numerator is an "
+    "exact BIGINT and ECE is ONE division, fully portable. Shares the "
+    "ml_knn_eval scan posture (broadcast test side over train corpus; "
+    "IVF/LSH is the 100 TB candidate path).",
+    tags=("ml", "stats"),
+)
+def eval_knn_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from clinical_api_etl_spark.functions.vectors import as_double, dot, norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        as_double(F.col("embedding")).alias("e"),
+        norm(as_double(F.col("embedding"))).alias("nrm"),
+    )
+    test = v.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("test_id"),
+        F.col("label").alias("true_label"),
+        F.col("e").alias("te"),
+        F.col("nrm").alias("tn"),
+    )
+    train = v.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nlabel"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    train = train.repartition(train.sparkSession.sparkContext.defaultParallelism)
+    pairs = train.join(F.broadcast(test)).select(
+        "test_id",
+        "true_label",
+        "neighbor_id",
+        "nlabel",
+        (dot(F.col("te"), F.col("ce")) / (F.col("tn") * F.col("cn"))).alias("cos_sim"),
+    )
+    w_k = W.partitionBy("test_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    top5 = pairs.withColumn("rk", F.row_number().over(w_k)).filter(F.col("rk") <= 5)
+    votes = top5.groupBy("test_id", "true_label", "nlabel").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_p = W.partitionBy("test_id").orderBy(F.desc("cnt"), F.asc("nlabel"))
+    pred = (
+        votes.withColumn("pr", F.row_number().over(w_p))
+        .filter(F.col("pr") == 1)
+        .select(
+            "test_id",
+            "true_label",
+            F.col("nlabel").alias("pred_label"),
+            F.col("cnt").alias("conf_votes"),
+        )
+    )
+    bins = pred.groupBy("conf_votes").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    tot = bins.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(F.abs(5 * F.col("n_correct") - F.col("conf_votes") * F.col("n")))
+        .cast("long")
+        .alias("gap_num_total"),
+    )
+    return bins.crossJoin(F.broadcast(tot)).select(
+        "conf_votes",
+        "n",
+        "n_correct",
+        (F.col("conf_votes").cast("double") / F.lit(5.0)).alias("confidence"),
+        (F.col("n_correct").cast("double") / F.col("n").cast("double")).alias(
+            "accuracy"
+        ),
+        F.abs(5 * F.col("n_correct") - F.col("conf_votes") * F.col("n"))
+        .cast("long")
+        .alias("gap_num"),
+        (
+            F.col("gap_num_total").cast("double")
+            / (F.lit(5) * F.col("n_total")).cast("double")
+        ).alias("ece"),
+    )

@@ -484,3 +484,36 @@ class TestSq8TopK:
             assert [r["rank"] for r in rs] == list(range(1, _SQ_K + 1))
             for a, b in zip(rs, rs[1:]):
                 assert (a["adist"], a["neighbor_id"]) < (b["adist"], b["neighbor_id"])
+
+
+class TestMlmCorruption:
+    def test_matches_python_replay(self, spark):
+        import hashlib as _h
+        import re as _re
+
+        from clinical_api_etl_spark.plans.mlprep import (
+            _MLM_PCT,
+            corpus_mlm_corruption,
+        )
+
+        got = {r["doc_id"]: r for r in corpus_mlm_corruption(spark, SF).collect()}
+        rows = load(spark, SF, "documents").select("doc_id", "text").collect()
+        assert len(got) == len(rows)
+        any_masked = False
+        for r in rows:
+            ws = _re.split(r"\s+", r["text"].strip().lower())
+            ct, mt = [], []
+            for i, w in enumerate(ws, start=1):
+                hv = int(_h.md5(f"{r['doc_id']}:{i}".encode()).hexdigest()[:4], 16)
+                if hv % 100 < _MLM_PCT:
+                    ct.append("[MASK]")
+                    mt.append(f"{i}:{w}")
+                else:
+                    ct.append(w)
+            g = got[r["doc_id"]]
+            assert g["n_tokens"] == len(ws)
+            assert g["n_masked"] == len(mt)
+            assert g["corrupted_text"] == " ".join(ct)
+            assert g["mask_targets"] == " ".join(mt)
+            any_masked = any_masked or bool(mt)
+        assert any_masked

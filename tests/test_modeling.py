@@ -782,3 +782,20 @@ class TestPathCounts:
             for v in dist:
                 expect[(s0, v)] = (dist[v], sigma[v])
         assert got == expect
+
+
+class TestKnnCalibration:
+    def test_ece_closed_form(self, spark):
+        from clinical_api_etl_spark.plans.modeling import eval_knn_calibration
+
+        rows = eval_knn_calibration(spark, SF).collect()
+        n_total = sum(r["n"] for r in rows)
+        gap_total = sum(r["gap_num"] for r in rows)
+        for r in rows:
+            assert 1 <= r["conf_votes"] <= 5
+            assert r["confidence"] == r["conf_votes"] / 5
+            assert r["accuracy"] == r["n_correct"] / r["n"]
+            assert r["gap_num"] == abs(5 * r["n_correct"] - r["conf_votes"] * r["n"])
+            assert r["ece"] == gap_total / (5 * n_total)
+        # ECE is a mean of |acc-conf| terms, each <= 1
+        assert 0 <= rows[0]["ece"] <= 1
