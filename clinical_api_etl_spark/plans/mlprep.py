@@ -1223,6 +1223,7 @@ def _sq8_oracle() -> str:
     "CSE rule — sum/min/max/checksum would otherwise inline the "
     "division chain 4x64 times). Gate: per-row weighted checksum pins "
     "every code position exactly.",
+    headline=True,
     tags=("embedding", "quantization"),
 )
 def emb_sq8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1303,6 +1304,7 @@ _DSIR_CAP = 32  # scored-token prefix: bounds the ratio product's magnitude
     "train on the FULL pools. Scale: two count aggregates + one "
     "posting-style equi-join — mergeable everywhere, model size = "
     "vocabulary, never corpus.",
+    headline=True,
     tags=("llm", "sampling"),
 )
 def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1564,6 +1564,7 @@ def _path_counts_oracle() -> str:
     "run (operators/graph.py:bfs_path_counts); equal-level and backward "
     "edges die in the settled anti-join, matching the Brandes BFS DAG. "
     "Oracle: unrolled frontier levels + settled sets, all MATERIALIZED.",
+    headline=True,
     tags=("graph", "iterative"),
 )
 def graph_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -155,6 +155,7 @@ _REACH_SQL = """
     "this query is the declarative surface for it. e0/edges are "
     "MATERIALIZED on the DuckDB side only (multiplicative CTE reuse "
     "rule); Spark has no such keyword and plans the reuse itself.",
+    headline=True,
     tags=("graph", "recursive"),
 )
 def rec_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:

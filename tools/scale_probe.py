@@ -75,6 +75,12 @@ QUERIES = [
     "graph_hits_scores",
     "graph_harmonic_centrality",
     "stat_bootstrap_ci_mean",
+    # round-12: Brandes path counting (12th iterative), the engine-native
+    # recursive-CTE BFS (semi-naive evaluator scaling), and DSIR's
+    # posting-join scoring pipeline.
+    "graph_path_counts",
+    "rec_reachability_hops",
+    "corpus_dsir_importance",
 ]
 
 
