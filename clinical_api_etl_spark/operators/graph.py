@@ -524,3 +524,96 @@ def bfs_path_counts(
         state = state.unionByName(frontier)
     e.unpersist(False)
     return state
+
+
+def brandes_dependencies(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Brandes dependency accumulation (the backward half of betweenness
+    centrality) over the ``iters``-bounded shortest-path DAG: for every
+    (source, node) reached by :func:`bfs_path_counts`,
+
+        delta(v) = sum over successors w of (sigma_v / sigma_w) * (1 + delta_w)
+
+    where successors are neighbors exactly one BFS level deeper. Levels
+    run from the horizon downward; nodes AT the horizon get delta = 0
+    (k-bounded betweenness semantics — paths longer than ``iters`` do
+    not contribute, the standard truncation for centrality probes).
+
+    Portability: sigma ratios are single correctly-rounded divisions
+    over exact BIGINTs, and each node's successor sum runs as a
+    PINNED-ORDER fold (successor-id-sorted), so every delta — and any
+    fold over deltas — is bit-identical across engines. Each level is
+    one equi-join + one grouped fold; state is (source, node) keyed, so
+    the probe-set posture bounds it exactly like the forward pass.
+    """
+    state = bfs_path_counts(edges, sources, iters=iters, src=src, dst=dst).persist()
+    e = (
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "e_src")
+        .persist()
+    )
+    delta = (
+        state.filter(F.col("dist") == iters)
+        .select("s", "node", F.lit(0.0).alias("delta"))
+        .localCheckpoint(eager=True)
+    )
+    out = delta
+    for k in range(iters - 1, -1, -1):
+        succ_lvl = (
+            state.filter(F.col("dist") == k + 1)
+            .join(delta, ["s", "node"])
+            .select(
+                F.col("s").alias("w_s"),
+                F.col("node").alias("w_node"),
+                F.col("sigma").alias("w_sigma"),
+                F.col("delta").alias("w_delta"),
+            )
+        )
+        cur = state.filter(F.col("dist") == k).select("s", "node", "sigma")
+        contrib = (
+            cur.join(e, cur["node"] == e["e_src"])
+            .join(
+                succ_lvl,
+                (F.col("w_s") == F.col("s")) & (F.col("w_node") == F.col("e_dst")),
+            )
+            .select(
+                "s",
+                "node",
+                F.struct(
+                    F.col("w_node"),
+                    (
+                        (F.col("sigma").cast("double") / F.col("w_sigma").cast("double"))
+                        * (F.lit(1.0) + F.col("w_delta"))
+                    ).alias("term"),
+                ).alias("st"),
+            )
+            .groupBy("s", "node")
+            .agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list("st")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["term"],
+                ).alias("delta")
+            )
+        )
+        delta = (
+            cur.select("s", "node")
+            .join(contrib, ["s", "node"], "left")
+            .select("s", "node", F.coalesce("delta", F.lit(0.0)).alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(delta)
+    e.unpersist(False)
+    result = state.join(out, ["s", "node"]).select(
+        "s", "node", "dist", "sigma", "delta"
+    )
+    # materialize before unpersisting the forward state under it
+    result = result.localCheckpoint(eager=True)
+    state.unpersist(False)
+    return result

@@ -1737,3 +1737,120 @@ def eval_knn_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(5) * F.col("n_total")).cast("double")
         ).alias("ece"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Brandes dependency accumulation — k-bounded betweenness (backward pass).
+# ---------------------------------------------------------------------------
+
+
+def _betweenness_oracle() -> str:
+    """Forward unrolled frontier levels (as in _path_counts_oracle), then
+    the backward dependency CTEs d{k}: each node's delta folds its
+    successors' (sigma_v/sigma_w)(1+delta_w) in successor-id order —
+    the pinned-order float fold, applied level by level downward."""
+    fwd_step = """
+    lvl{k} AS MATERIALIZED (
+      SELECT c.s, c.node, CAST({k} AS BIGINT) AS dist, c.sigma FROM (
+        SELECT r.s, e.dst AS node, CAST(SUM(r.sigma) AS BIGINT) AS sigma
+        FROM edges e JOIN lvl{p} r ON e.src = r.node
+        GROUP BY r.s, e.dst
+      ) c LEFT JOIN set{p} st ON st.s = c.s AND st.node = c.node
+      WHERE st.node IS NULL
+    ),
+    set{k} AS MATERIALIZED (
+      SELECT s, node FROM set{p} UNION ALL SELECT s, node FROM lvl{k}
+    )"""
+    fwd = ",".join(fwd_step.format(k=k, p=k - 1) for k in range(1, _SPC_ITERS + 1))
+    bwd_step = """
+    f{k} AS MATERIALIZED (
+      SELECT v.s, v.node,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list((CAST(v.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE))
+                      * (1e0 + w.delta) ORDER BY w.node)),
+               (x, y) -> x + y) AS delta
+      FROM lvl{k} v JOIN edges e ON e.src = v.node
+      JOIN (SELECT l.s, l.node, l.sigma, dd.delta
+            FROM lvl{n} l JOIN d{n} dd ON l.s = dd.s AND l.node = dd.node) w
+        ON w.s = v.s AND w.node = e.dst
+      GROUP BY v.s, v.node, v.sigma
+    ),
+    d{k} AS MATERIALIZED (
+      SELECT l.s, l.node, COALESCE(f.delta, CAST(0 AS DOUBLE)) AS delta
+      FROM lvl{k} l LEFT JOIN f{k} f ON f.s = l.s AND f.node = l.node
+    )"""
+    bwd = ",".join(
+        bwd_step.format(k=k, n=k + 1) for k in range(_SPC_ITERS - 1, -1, -1)
+    )
+    finals = " UNION ALL ".join(
+        f"SELECT l.s, l.node, l.dist, l.sigma, d.delta FROM lvl{k} l "
+        f"JOIN d{k} d ON d.s = l.s AND d.node = l.node"
+        for k in range(_SPC_ITERS + 1)
+    )
+    return f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ),
+    lvl0 AS MATERIALIZED (
+      SELECT 's' || CAST(s_suppkey AS VARCHAR) AS s,
+             's' || CAST(s_suppkey AS VARCHAR) AS node,
+             CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS sigma
+      FROM supplier WHERE s_suppkey < 8
+    ),
+    set0 AS MATERIALIZED (SELECT s, node FROM lvl0),
+    {fwd},
+    d{_SPC_ITERS} AS MATERIALIZED (
+      SELECT s, node, CAST(0 AS DOUBLE) AS delta FROM lvl{_SPC_ITERS}
+    ),
+    {bwd}
+    SELECT s AS source_node, node, dist, sigma, delta FROM ({finals}) u
+    """
+
+
+@QS.add(
+    "graph_betweenness_probe",
+    _betweenness_oracle(),
+    doc="[EXT] Brandes dependency accumulation — the BACKWARD half of "
+    "betweenness centrality, completing graph_path_counts' forward "
+    "pass: delta(v) = sum over one-level-deeper successors of "
+    "(sigma_v/sigma_w)(1+delta_w), run level-by-level from the horizon "
+    f"down (k-bounded betweenness, horizon {_SPC_ITERS}: longer paths "
+    "do not contribute — the standard truncation for probe-set "
+    "centrality). 13th hash-gated iterative, and the first with FLOAT "
+    "state: sigma ratios are single divisions over exact BIGINTs and "
+    "every successor sum is a pinned-order fold (successor-id-sorted), "
+    "so deltas are bit-identical level after level. Operator: "
+    "operators/graph.py:brandes_dependencies (per-level equi-join + "
+    "grouped fold, eager-checkpointed). Oracle: forward frontier CTEs + "
+    "unrolled backward d{k} chain, all MATERIALIZED.",
+    tags=("graph", "iterative"),
+)
+def graph_betweenness_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.graph import brandes_dependencies
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sources = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 8)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
+    )
+    dep = brandes_dependencies(edges, sources, iters=_SPC_ITERS)
+    return dep.select(
+        F.col("s").alias("source_node"), "node", "dist", "sigma", "delta"
+    )

@@ -799,3 +799,84 @@ class TestKnnCalibration:
             assert r["ece"] == gap_total / (5 * n_total)
         # ECE is a mean of |acc-conf| terms, each <= 1
         assert 0 <= rows[0]["ece"] <= 1
+
+
+class TestBetweennessDependencies:
+    def test_planted_diamond(self, spark):
+        """a->{b,c}->d->e: delta(d)=1, delta(b)=delta(c)=1/2*2=1,
+        delta(a)=(1+1)+(1+1)=4; horizon cuts e at 0."""
+        from clinical_api_etl_spark.operators.graph import brandes_dependencies
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")],
+            ["src", "dst"],
+        )
+        srcs = spark.createDataFrame([("a",)], ["node"])
+        got = {
+            r["node"]: (r["dist"], r["sigma"], r["delta"])
+            for r in brandes_dependencies(e, srcs, iters=3).collect()
+        }
+        assert got == {
+            "a": (0, 1, 4.0),
+            "b": (1, 1, 1.0),
+            "c": (1, 1, 1.0),
+            "d": (2, 2, 1.0),
+            "e": (3, 2, 0.0),
+        }
+
+    def test_matches_python_brandes(self, spark):
+        from clinical_api_etl_spark.plans.modeling import (
+            _SPC_ITERS,
+            graph_betweenness_probe,
+        )
+
+        got = {
+            (r["source_node"], r["node"]): (r["dist"], r["sigma"], r["delta"])
+            for r in graph_betweenness_probe(spark, SF).collect()
+        }
+        li = load(spark, SF, "lineitem").select("l_orderkey", "l_suppkey").collect()
+        orders = load(spark, SF, "orders").select("o_orderkey", "o_custkey").collect()
+        cust = {r["o_orderkey"]: r["o_custkey"] for r in orders}
+        adj: dict = {}
+        for r in li:
+            c, s = f"c{cust[r['l_orderkey']]}", f"s{r['l_suppkey']}"
+            adj.setdefault(c, set()).add(s)
+            adj.setdefault(s, set()).add(c)
+        sup = load(spark, SF, "supplier").collect()
+        expect = {}
+        for r in sup:
+            if r["s_suppkey"] >= 8:
+                continue
+            s0 = f"s{r['s_suppkey']}"
+            dist = {s0: 0}
+            sigma = {s0: 1}
+            levels = [[s0]]
+            frontier = [s0]
+            for d in range(1, _SPC_ITERS + 1):
+                nxt: dict = {}
+                for u in frontier:
+                    for v in sorted(adj.get(u, ())):
+                        if v in dist:
+                            continue
+                        nxt[v] = nxt.get(v, 0) + sigma[u]
+                for v, sg in nxt.items():
+                    dist[v] = d
+                    sigma[v] = sg
+                frontier = sorted(nxt)
+                levels.append(frontier)
+            delta = {v: 0.0 for v in levels[-1]}
+            for k in range(_SPC_ITERS - 1, -1, -1):
+                for v in levels[k]:
+                    acc = 0.0
+                    for w in sorted(adj.get(v, ())):
+                        if dist.get(w) == k + 1:
+                            acc = acc + (sigma[v] / sigma[w]) * (1.0 + delta[w])
+                    delta[v] = acc
+            for v in dist:
+                expect[(s0, v)] = (dist[v], sigma[v], delta[v])
+        assert set(got) == set(expect)
+        for key in expect:
+            gd, gs, gdelta = got[key]
+            ed, es, edelta = expect[key]
+            assert (gd, gs) == (ed, es)
+            assert gdelta == edelta  # bit-exact: same pinned fold order
