@@ -1480,3 +1480,117 @@ class TestStreamingRateLimit:
             for r in ops_rate_limit_simulation(spark, sf).collect()
         }
         assert got == batch
+
+
+class TestStreamingCdcApply:
+    def test_foreachbatch_cdc_merge_equals_batch_snapshot(self, spark, tmp_path):
+        """APPLY CHANGES INTO, streaming twin of cdc_last_writer_wins:
+        each micro-batch upserts its per-user winner against the stored
+        winner by (ts, event_id) — so even with the change log split
+        ACROSS batches out of order, the maintained snapshot converges
+        to exactly the batch query's answer (tombstone flag included);
+        n_changes accumulates additively."""
+        from pyspark.sql.window import Window as W
+
+        from clinical_api_etl_spark.plans.modeling import cdc_last_writer_wins
+        from clinical_api_etl_spark.sources.catalog import load
+        from clinical_api_etl_spark.sources.sinks import ParquetWarehouse
+
+        sf = "/root/testdata/sf0.001"
+        events = load(spark, sf, "events")
+        src = tmp_path / "cdc_src"
+        src.mkdir()
+        # split on event_id parity: per-user changes interleave across the
+        # two micro-batches in non-timestamp order
+        events.filter(F.col("event_id") % 2 == 0).write.parquet(str(src / "a"))
+        events.filter(F.col("event_id") % 2 == 1).write.parquet(str(src / "b"))
+
+        pwh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+
+        def cdc_cols(df):
+            return df.selectExpr(
+                "user_id",
+                "unix_millis(ts) AS last_ts_ms",
+                "event_type AS last_type",
+                "COALESCE(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), -1)"
+                " AS last_cents",
+                "event_id AS last_event_id",
+            )
+
+        def merge(df, bid):
+            w = W.partitionBy("user_id").orderBy(
+                F.desc("last_ts_ms"), F.desc("last_event_id")
+            )
+            cand = (
+                cdc_cols(df)
+                .withColumn("rk", F.row_number().over(w))
+                .withColumn(
+                    "n_changes",
+                    F.count(F.lit(1)).over(W.partitionBy("user_id")).cast("long"),
+                )
+                .filter(F.col("rk") == 1)
+                .drop("rk")
+            )
+            try:
+                cur = pwh.read("cdc_mv").join(
+                    cand.select("user_id"), "user_id", "semi"
+                )
+            except Exception:
+                cur = None
+            merged = cand if cur is None else cand.unionByName(cur)
+            w2 = W.partitionBy("user_id").orderBy(
+                F.desc("last_ts_ms"), F.desc("last_event_id")
+            )
+            winner = (
+                merged.withColumn("rk", F.row_number().over(w2))
+                .withColumn(
+                    "n_total",
+                    F.sum("n_changes").over(W.partitionBy("user_id")).cast("long"),
+                )
+                .filter(F.col("rk") == 1)
+                .select(
+                    "user_id",
+                    "last_ts_ms",
+                    "last_type",
+                    "last_cents",
+                    "last_event_id",
+                    F.col("n_total").alias("n_changes"),
+                )
+            )
+            pwh.upsert("cdc_mv", winner, ["user_id"])
+
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(merge)
+            .option("checkpointLocation", str(tmp_path / "cdcckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        batch = {
+            r["user_id"]: (
+                r["last_ts_ms"],
+                r["last_type"],
+                r["last_cents"],
+                r["n_changes"],
+                r["is_tombstone"],
+            )
+            for r in cdc_last_writer_wins(spark, sf).collect()
+        }
+        got = {
+            r["user_id"]: (
+                r["last_ts_ms"],
+                r["last_type"],
+                r["last_cents"],
+                r["n_changes"],
+                r["last_type"] == "error",
+            )
+            for r in pwh.read("cdc_mv").collect()
+        }
+        assert got == batch
