@@ -617,3 +617,64 @@ def brandes_dependencies(
     result = result.localCheckpoint(eager=True)
     state.unpersist(False)
     return result
+
+
+def bellman_ford_bounded(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Bounded-hop weighted shortest paths (Bellman-Ford): after round k,
+    dist(source, v) is the exact minimum total edge weight over paths of
+    at most k edges — BIGINT weights, so every distance is exact.
+
+    Queue-optimized relaxation: only nodes whose distance IMPROVED last
+    round re-enter the edge join (new discoveries or cheaper paths) —
+    the classic SPFA refinement, which preserves the <=k-edge invariant
+    because every improvement propagates in the following round. Unlike
+    BFS, a settled node can improve again, so the frontier is
+    "improved", not "first reached"; state rows are REPLACED via
+    anti-join + union rather than only appended. Probe-set posture as
+    the other per-source operators; rounds eager-checkpoint (state is
+    referenced by the expansion, the improvement filter, and the
+    replacement — multiplicative lineage, k-core rule).
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+        )
+        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "src")
+        .persist()
+    )
+    state = sources.select(
+        F.col("node").alias("s"), F.col("node"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = state
+    for _ in range(iters):
+        cand = (
+            e.join(frontier, e["src"] == frontier["node"])
+            .select("s", F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+            .groupBy("s", "node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+        old = state.select("s", "node", F.col("dist").alias("old_dist"))
+        improved = (
+            cand.join(old, ["s", "node"], "left")
+            .filter(F.col("old_dist").isNull() | (F.col("dist") < F.col("old_dist")))
+            .select("s", "node", "dist")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        state = (
+            state.join(improved.select("s", "node"), ["s", "node"], "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    e.unpersist(False)
+    return state

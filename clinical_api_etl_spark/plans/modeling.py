@@ -1854,3 +1854,91 @@ def graph_betweenness_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dep.select(
         F.col("s").alias("source_node"), "node", "dist", "sigma", "delta"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hop weighted shortest paths (Bellman-Ford) — exact BIGINT costs.
+# ---------------------------------------------------------------------------
+
+_BF_ITERS = 4
+
+
+def _bf_oracle() -> str:
+    """Full-relaxation unrolled Bellman-Ford: it{k} = min total weight
+    over paths of <= k edges — the same fixpoint the queue-optimized
+    operator reaches after k rounds (every improvement propagates the
+    following round). Every it{k} referenced twice -> MATERIALIZED."""
+    it = """
+    it{k} AS MATERIALIZED (
+      SELECT s, node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        SELECT s, node, dist FROM it{p}
+        UNION ALL
+        SELECT r.s, e.dst AS node, r.dist + e.w AS dist
+        FROM edges e JOIN it{p} r ON e.src = r.node
+      ) u GROUP BY s, node
+    )"""
+    its = ",".join(it.format(k=k, p=k - 1) for k in range(1, _BF_ITERS + 1))
+    return f"""
+    WITH w0 AS MATERIALIZED (
+      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey, l_suppkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst, w FROM w0 UNION ALL SELECT dst AS src, src AS dst, w FROM w0
+    ),
+    it0 AS MATERIALIZED (
+      SELECT 's' || CAST(s_suppkey AS VARCHAR) AS s,
+             's' || CAST(s_suppkey AS VARCHAR) AS node, CAST(0 AS BIGINT) AS dist
+      FROM supplier WHERE s_suppkey < 8
+    ),
+    {its}
+    SELECT s AS source_node, node, dist AS cost FROM it{_BF_ITERS}
+    """
+
+
+@QS.add(
+    "graph_weighted_shortest_paths",
+    _bf_oracle(),
+    doc="[EXT] bounded-hop WEIGHTED shortest paths (Bellman-Ford, "
+    f"{_BF_ITERS} relaxation rounds) from the 8-supplier probe set: "
+    "edge weight = lineitem count per (customer, supplier) pair "
+    "(symmetrized), costs exact BIGINT sums — 14th hash-gated "
+    "iterative. The operator is queue-optimized (SPFA): only nodes "
+    "whose distance improved re-enter the edge join, which preserves "
+    "the <=k-edge minimum invariant because every improvement "
+    "propagates the next round; the oracle runs the plain full "
+    "relaxation and meets the same fixpoint — the test of the "
+    "equivalence claim IS the hash gate. operators/graph.py:"
+    "bellman_ford_bounded.",
+    tags=("graph", "iterative"),
+)
+def graph_weighted_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.graph import bellman_ford_bounded
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    w0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            "w",
+        )
+    )
+    edges = w0.union(
+        w0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    sources = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 8)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
+    )
+    st = bellman_ford_bounded(edges, sources, iters=_BF_ITERS)
+    return st.select(
+        F.col("s").alias("source_node"), "node", F.col("dist").alias("cost")
+    )

@@ -880,3 +880,60 @@ class TestBetweennessDependencies:
             ed, es, edelta = expect[key]
             assert (gd, gs) == (ed, es)
             assert gdelta == edelta  # bit-exact: same pinned fold order
+
+
+class TestBellmanFordBounded:
+    def test_reimprovement_propagates(self, spark):
+        """b first reached at cost 10 improves to 2 via c; the improvement
+        must re-propagate to d on the following round (SPFA invariant)."""
+        from clinical_api_etl_spark.operators.graph import bellman_ford_bounded
+
+        e = spark.createDataFrame(
+            [("a", "b", 10), ("a", "c", 1), ("c", "b", 1), ("b", "d", 1)],
+            ["src", "dst", "w"],
+        )
+        srcs = spark.createDataFrame([("a",)], ["node"])
+        got = {
+            r["node"]: r["dist"]
+            for r in bellman_ford_bounded(e, srcs, iters=3).collect()
+        }
+        assert got == {"a": 0, "c": 1, "b": 2, "d": 3}
+
+    def test_matches_python_bellman_ford(self, spark):
+        from clinical_api_etl_spark.plans.modeling import (
+            _BF_ITERS,
+            graph_weighted_shortest_paths,
+        )
+
+        got = {
+            (r["source_node"], r["node"]): r["cost"]
+            for r in graph_weighted_shortest_paths(spark, SF).collect()
+        }
+        li = load(spark, SF, "lineitem").select("l_orderkey", "l_suppkey").collect()
+        orders = load(spark, SF, "orders").select("o_orderkey", "o_custkey").collect()
+        cust = {r["o_orderkey"]: r["o_custkey"] for r in orders}
+        wadj: dict = {}
+        for r in li:
+            c, s = f"c{cust[r['l_orderkey']]}", f"s{r['l_suppkey']}"
+            wadj[(c, s)] = wadj.get((c, s), 0) + 1
+        adj: dict = {}
+        for (c, s), w in wadj.items():
+            adj.setdefault(c, []).append((s, w))
+            adj.setdefault(s, []).append((c, w))
+        sup = load(spark, SF, "supplier").collect()
+        expect = {}
+        for r in sup:
+            if r["s_suppkey"] >= 8:
+                continue
+            s0 = f"s{r['s_suppkey']}"
+            dist = {s0: 0}
+            for _ in range(_BF_ITERS):
+                nd = dict(dist)
+                for u, du in dist.items():
+                    for v, w in adj.get(u, ()):
+                        if v not in nd or du + w < nd[v]:
+                            nd[v] = min(nd.get(v, du + w), du + w)
+                dist = nd
+            for v, d in dist.items():
+                expect[(s0, v)] = d
+        assert got == expect
