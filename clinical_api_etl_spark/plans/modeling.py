@@ -1829,6 +1829,7 @@ def _betweenness_oracle() -> str:
     "operators/graph.py:brandes_dependencies (per-level equi-join + "
     "grouped fold, eager-checkpointed). Oracle: forward frontier CTEs + "
     "unrolled backward d{k} chain, all MATERIALIZED.",
+    headline=True,
     tags=("graph", "iterative"),
 )
 def graph_betweenness_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1913,6 +1914,7 @@ def _bf_oracle() -> str:
     "relaxation and meets the same fixpoint — the test of the "
     "equivalence claim IS the hash gate. operators/graph.py:"
     "bellman_ford_bounded.",
+    headline=True,
     tags=("graph", "iterative"),
 )
 def graph_weighted_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -81,6 +81,10 @@ QUERIES = [
     "graph_path_counts",
     "rec_reachability_hops",
     "corpus_dsir_importance",
+    # round-12 late: Brandes backward pass (13th) and queue-optimized
+    # Bellman-Ford (14th) — the heaviest per-source graph iteratives.
+    "graph_betweenness_probe",
+    "graph_weighted_shortest_paths",
 ]
 
 
