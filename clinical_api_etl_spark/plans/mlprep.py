@@ -1628,3 +1628,81 @@ def corpus_mlm_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         "COALESCE(array_join(ct, ' '), '') AS corrupted_text",
         "COALESCE(array_join(mt, ' '), '') AS mask_targets",
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty: the memorization/leakage proxy per document.
+# ---------------------------------------------------------------------------
+
+_NOV_K = 8
+
+
+@QS.add(
+    "text_ngram_novelty",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - {_NOV_K} + 2),
+                    i -> md5(array_to_string(t[i:i + {_NOV_K} - 1], ' ')))) AS h
+      FROM tok WHERE len(t) >= {_NOV_K}
+    ),
+    rep AS (
+      SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN rep.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           CAST(COUNT(*) - SUM(CASE WHEN rep.h IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM sh LEFT JOIN rep ON sh.h = rep.h
+    GROUP BY sh.doc_id
+    """,
+    doc="[EXT] per-document n-gram novelty — the memorization/leakage "
+    f"proxy: share of a doc's rolling {_NOV_K}-token windows that appear "
+    "in NO other document (cross-doc repetition, not within-doc — the "
+    "same window convention as substring_dedup, which REMOVES what this "
+    "query MEASURES). novelty = (n_windows - n_shared)/n_windows is one "
+    "exact division; windows are md5-keyed so counts replay identically "
+    "in DuckDB. Docs shorter than the window emit nothing (the "
+    "descending-sequence ANSI guard). Scale: one explode + one "
+    "count-distinct-by-hash shuffle — the same posting-list shape as "
+    "decontamination.",
+    tags=("llm", "text", "dedup"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    sh = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= _NOV_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {_NOV_K} + 1), "
+                    f"i -> md5(concat_ws(' ', slice(t, i, {_NOV_K}))))"
+                )
+            ).alias("h"),
+        )
+    )
+    rep = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup = F.sum(F.when(F.col("rep_hit").isNotNull(), 1).otherwise(0)).cast("long")
+    return (
+        sh.join(rep.withColumn("rep_hit", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            dup.alias("n_shared"),
+            (
+                (F.count(F.lit(1)) - dup).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("novelty"),
+        )
+    )

@@ -517,3 +517,51 @@ class TestMlmCorruption:
             assert g["mask_targets"] == " ".join(mt)
             any_masked = any_masked or bool(mt)
         assert any_masked
+
+
+class TestNgramNovelty:
+    def test_matches_python_replay(self, spark):
+        import hashlib as _h
+        import re as _re
+
+        from clinical_api_etl_spark.plans.mlprep import _NOV_K, text_ngram_novelty
+
+        got = {r["doc_id"]: r for r in text_ngram_novelty(spark, SF).collect()}
+        rows = load(spark, SF, "documents").select("doc_id", "text").collect()
+        wins: dict = {}
+        owners: dict = {}
+        for r in rows:
+            ws = _re.split(r"\s+", r["text"].strip().lower())
+            if len(ws) < _NOV_K:
+                continue
+            hs = [
+                _h.md5(" ".join(ws[i : i + _NOV_K]).encode()).hexdigest()
+                for i in range(len(ws) - _NOV_K + 1)
+            ]
+            wins[r["doc_id"]] = hs
+            for h in hs:
+                owners.setdefault(h, set()).add(r["doc_id"])
+        assert set(got) == set(wins)
+        for did, hs in wins.items():
+            shared = sum(1 for h in hs if len(owners[h]) >= 2)
+            g = got[did]
+            assert g["n_windows"] == len(hs)
+            assert g["n_shared"] == shared
+            assert g["novelty"] == (len(hs) - shared) / len(hs)
+
+    def test_planted_cross_doc_repeat_lowers_novelty(self, spark):
+        from clinical_api_etl_spark.plans.mlprep import text_ngram_novelty
+
+        base = load(spark, SF, "documents")
+        # clone one doc's text under a new id: every window of the pair
+        # becomes shared, novelty 0 for both
+        victim = base.limit(1).selectExpr("doc_id + 1000000 AS doc_id", "text",
+                                          "lang", "source", "n_chars")
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            base.unionByName(victim).write.parquet(f"{d}/documents.parquet")
+            rows = {r["doc_id"]: r for r in text_ngram_novelty(spark, d).collect()}
+        vid = victim.collect()[0]["doc_id"]
+        assert rows[vid]["novelty"] == 0.0
+        assert rows[vid - 1000000]["novelty"] == 0.0
