@@ -856,3 +856,53 @@ class TestMatryoshkaRecall:
             )
         )
         assert a == b
+
+
+class TestLangidTrigram:
+    def test_structural_invariants_and_synthetic_separability(self, spark):
+        """The corpus has NO language signal (every lang shares one
+        vocabulary — verified here), so accuracy is chance by
+        construction; what must hold: every held-out doc with >=3 chars
+        gets exactly one prediction, overlaps are within profile size,
+        and a PLANTED separable language is classified perfectly."""
+        import hashlib as _h
+
+        from pyspark.sql import functions as F
+
+        from clinical_api_etl_spark.plans.extensions import (
+            _LID_PROFILE,
+            text_langid_trigram_eval,
+        )
+        from clinical_api_etl_spark.sources.catalog import load
+
+        rows = text_langid_trigram_eval(spark, SF).collect()
+        docs = load(spark, SF, "documents").select("doc_id", "lang", "text").collect()
+        test_docs = [
+            r
+            for r in docs
+            if int(_h.md5(str(r["doc_id"]).encode()).hexdigest()[:4], 16) % 2 == 1
+            and len(r["text"].strip()) >= 3
+        ]
+        assert sum(r["cnt"] for r in rows) == len(test_docs)
+        for r in rows:
+            assert 1 <= r["min_overlap"] <= r["max_overlap"] <= _LID_PROFILE
+
+        # planted separable language: clone docs into a fake script
+        base = load(spark, SF, "documents")
+        fake = base.selectExpr(
+            "doc_id + 1000000 AS doc_id",
+            "translate(text, 'abcdefghijklmnopqrstuvwxyz', "
+            "'αβγδεζηθικλμνξοπρστυφχψωςΩΔ') AS text",
+            "'xx' AS lang",
+            "source",
+            "n_chars",
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            base.unionByName(fake).write.parquet(f"{d}/documents.parquet")
+            planted = text_langid_trigram_eval(spark, d).collect()
+        xx = [r for r in planted if r["lang"] == "xx"]
+        assert xx and all(r["predicted"] == "xx" for r in xx)
+        # and no real-language doc is pulled into the fake script
+        assert not [r for r in planted if r["lang"] != "xx" and r["predicted"] == "xx"]
