@@ -1429,3 +1429,102 @@ def ops_rate_limit_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "st.r AS rejected",
         "st.t AS tokens_left_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# MASE: Holt one-step forecast errors scaled by the naive lag-1 errors.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "ts_forecast_mase",
+    """
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, d
+    ),
+    series AS (
+      SELECT event_type, list(CAST(y AS DOUBLE) ORDER BY d) AS ys
+      FROM daily GROUP BY event_type
+    ),
+    folded AS (
+      -- DOUBLE[] accumulator [l, b, sae_model, sae_naive, prev_y]
+      -- (LIST, not STRUCT — the DuckDB in-place-struct hazard)
+      SELECT event_type, len(ys) AS n_days,
+        list_reduce(
+          list_concat(
+            [[ys[1], ys[2] - ys[1], CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), ys[1]]],
+            list_transform(ys[2:], y -> [y, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                                         CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+          (acc, e) -> [
+            0.5e0 * e[1] + 0.5e0 * (acc[1] + acc[2]),
+            0.25e0 * ((0.5e0 * e[1] + 0.5e0 * (acc[1] + acc[2])) - acc[1])
+              + 0.75e0 * acc[2],
+            acc[3] + abs(e[1] - (acc[1] + acc[2])),
+            acc[4] + abs(e[1] - acc[5]),
+            e[1]]
+        ) AS st
+      FROM series WHERE len(ys) >= 2
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           st[3] AS sae_model, st[4] AS sae_naive,
+           CASE WHEN st[4] > 0 THEN st[3] / st[4] ELSE CAST(0 AS DOUBLE) END AS mase
+    FROM folded
+    """,
+    doc="[EXT] MASE — mean absolute scaled error of the Holt one-step "
+    "forecasts against the naive lag-1 forecast (Hyndman-Koehler, the "
+    "scale-free forecast-quality metric; MASE < 1 = beats naive): both "
+    "absolute-error sums accumulate inside the SAME pinned left-fold "
+    "that runs the Holt recurrence (ts_holt_smoothing_daily's "
+    "alpha/beta/init, one extra accumulator slot tracking prev_y), so "
+    "the errors and the final ratio are bit-identical across engines. "
+    "sae_naive sums |y_t - y_t-1| over exact integer counts (exact in "
+    "DOUBLE); MASE is one division of two bit-identical values. "
+    "Completes the forecasting family: smooth (Holt/HW/Kalman) -> "
+    "predict (forecast_1) -> EVALUATE.",
+    tags=("timeseries", "stats"),
+)
+def ts_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.selectExpr("event_type", "unix_millis(ts) div 86400000 AS d")
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, CAST(y AS DOUBLE) AS yv))),"
+            " s -> s.yv)"
+        ).alias("ys")
+    )
+    return (
+        series.filter(F.size("ys") >= 2)
+        .selectExpr(
+            "event_type",
+            "CAST(size(ys) AS BIGINT) AS n_days",
+            """aggregate(
+                 slice(ys, 2, size(ys) - 1),
+                 named_struct(
+                   'l', element_at(ys, 1),
+                   'b', element_at(ys, 2) - element_at(ys, 1),
+                   'sae', CAST(0.0 AS DOUBLE),
+                   'nv', CAST(0.0 AS DOUBLE),
+                   'prev', element_at(ys, 1)),
+                 (acc, y) -> named_struct(
+                   'l', 0.5D * y + 0.5D * (acc.l + acc.b),
+                   'b', 0.25D * ((0.5D * y + 0.5D * (acc.l + acc.b)) - acc.l)
+                        + 0.75D * acc.b,
+                   'sae', acc.sae + abs(y - (acc.l + acc.b)),
+                   'nv', acc.nv + abs(y - acc.prev),
+                   'prev', y)
+               ) AS st""",
+        )
+        .selectExpr(
+            "event_type",
+            "n_days",
+            "st.sae AS sae_model",
+            "st.nv AS sae_naive",
+            "CASE WHEN st.nv > 0D THEN st.sae / st.nv ELSE 0D END AS mase",
+        )
+    )

@@ -303,3 +303,40 @@ class TestRateLimitSimulation:
             g = got[uid]
             assert (g["admitted"], g["rejected"], g["tokens_left_micro"]) == (a, rj, t)
             assert g["admitted"] + g["rejected"] == g["n_events"]
+
+
+class TestForecastMase:
+    def test_matches_python_recurrence(self, spark):
+        from clinical_api_etl_spark.plans.analytics import ts_forecast_mase
+        from clinical_api_etl_spark.sources.catalog import load
+
+        got = {r["event_type"]: r for r in ts_forecast_mase(spark, SF).collect()}
+        daily = (
+            load(spark, SF, "events")
+            .selectExpr("event_type", "unix_millis(ts) div 86400000 AS d")
+            .groupBy("event_type", "d")
+            .count()
+            .collect()
+        )
+        series: dict = {}
+        for r in daily:
+            series.setdefault(r["event_type"], []).append((r["d"], float(r["count"])))
+        for et, pts in series.items():
+            ys = [y for _, y in sorted(pts)]
+            if len(ys) < 2:
+                assert et not in got
+                continue
+            l, b = ys[0], ys[1] - ys[0]
+            sae = nv = 0.0
+            prev = ys[0]
+            for y in ys[1:]:
+                sae = sae + abs(y - (l + b))
+                nv = nv + abs(y - prev)
+                ln = 0.5 * y + 0.5 * (l + b)
+                bn = 0.25 * (ln - l) + 0.75 * b
+                l, b, prev = ln, bn, y
+            g = got[et]
+            assert g["n_days"] == len(ys)
+            assert g["sae_model"] == sae
+            assert g["sae_naive"] == nv
+            assert g["mase"] == (sae / nv if nv > 0 else 0.0)
