@@ -101,6 +101,10 @@ NO_PUSHDOWN_OK = {
     # isnotnull sits on a derived hash expression; no base-column
     # predicate exists to push.
     "ml_stump_cv_accuracy",
+    # size(split(text)) >= 8 — window-length guard over the tokenized
+    # array (the TextRank ANSI-guard class): a predicate on a computed
+    # array can never reach parquet row-group stats.
+    "text_ngram_novelty",
 }
 
 
