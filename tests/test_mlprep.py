@@ -565,3 +565,50 @@ class TestNgramNovelty:
         vid = victim.collect()[0]["doc_id"]
         assert rows[vid]["novelty"] == 0.0
         assert rows[vid - 1000000]["novelty"] == 0.0
+
+
+class TestBinaryHammingTopK:
+    def test_recall_floor_and_rerank_order(self, spark):
+        from clinical_api_etl_spark.operators.similarity import cosine_topk
+        from clinical_api_etl_spark.plans.mlprep import (
+            _BQ_K,
+            ann_binary_hamming_topk,
+        )
+
+        emb = load(spark, SF, "embeddings")
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=_BQ_K)
+            .select("query_id", "neighbor_id")
+            .collect()
+        }
+        rows = ann_binary_hamming_topk(spark, SF).collect()
+        approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        assert len(exact & approx) / len(exact) >= 0.5  # measured 0.70
+        per: dict = {}
+        for r in rows:
+            per.setdefault(r["query_id"], []).append(r)
+        for q, rs in per.items():
+            rs.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in rs] == list(range(1, _BQ_K + 1))
+            for a, b in zip(rs, rs[1:]):
+                assert (-a["cos_sim"], a["neighbor_id"]) < (
+                    -b["cos_sim"],
+                    b["neighbor_id"],
+                )
+
+    def test_sign_bits_match_python(self, spark):
+        from clinical_api_etl_spark.plans.mlprep import _bq_half
+
+        emb = load(spark, SF, "embeddings")
+        got = emb.selectExpr(
+            "vec_id",
+            f"({_bq_half(0, 'CAST(element_at(embedding, {i}) AS DOUBLE)')}) AS lo",
+            f"({_bq_half(32, 'CAST(element_at(embedding, {i}) AS DOUBLE)')}) AS hi",
+        ).collect()
+        vecs = {r["vec_id"]: r for r in emb.collect()}
+        for r in got:
+            v = [float(x) for x in vecs[r["vec_id"]]["embedding"]]
+            lo = sum((1 << j) for j in range(32) if v[j] > 0)
+            hi = sum((1 << j) for j in range(32) if v[32 + j] > 0)
+            assert (r["lo"], r["hi"]) == (lo, hi)
