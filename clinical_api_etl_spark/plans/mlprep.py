@@ -1853,3 +1853,179 @@ def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _BQ_K)
         .select("query_id", "neighbor_id", "hamming", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus data card: the per-language release artifact, one hash gate.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "corpus_data_card",
+    f"""
+    WITH tok AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    base AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(t)) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY lang
+    ),
+    dup AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_dup_docs FROM (
+        SELECT d.lang, d.doc_id FROM documents d
+        JOIN (SELECT md5(text) AS h FROM documents
+              GROUP BY md5(text) HAVING COUNT(*) >= 2) g
+          ON md5(d.text) = g.h
+      ) x GROUP BY lang
+    ),
+    win AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(t) - {_NOV_K} + 2),
+                    i -> md5(array_to_string(t[i:i + {_NOV_K} - 1], ' ')))) AS h
+      FROM tok WHERE len(t) >= {_NOV_K}
+    ),
+    rep AS (SELECT h FROM win GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    novel AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_windows,
+             CAST(SUM(CASE WHEN rep.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared
+      FROM win LEFT JOIN rep ON win.h = rep.h GROUP BY lang
+    ),
+    freq AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w
+    ),
+    scal AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+                    CAST(COUNT(*) AS BIGINT) AS nv FROM freq),
+    phases AS (
+      SELECT lang,
+             CAST(SUM(CASE WHEN dm < 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy,
+             CAST(SUM(CASE WHEN dm >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
+      FROM (
+        SELECT x.lang, (1000 * x.n_rare) // x.n_tok AS dm FROM (
+          SELECT u.doc_id, u.lang, CAST(COUNT(*) AS BIGINT) AS n_tok,
+                 CAST(SUM(CASE WHEN f.c * scal.nv < scal.total
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+          FROM (SELECT doc_id, lang, unnest(t) AS w FROM tok) u
+          JOIN freq f ON u.w = f.w CROSS JOIN scal
+          GROUP BY u.doc_id, u.lang
+        ) x
+      ) y GROUP BY lang
+    )
+    SELECT base.lang, base.n_docs, base.n_tokens,
+           COALESCE(dup.n_dup_docs, 0) AS n_dup_docs,
+           novel.n_windows, novel.n_shared,
+           CAST(novel.n_windows - novel.n_shared AS DOUBLE)
+             / CAST(novel.n_windows AS DOUBLE) AS novelty,
+           phases.n_easy, phases.n_hard
+    FROM base
+    LEFT JOIN dup ON dup.lang = base.lang
+    JOIN novel ON novel.lang = base.lang
+    JOIN phases ON phases.lang = base.lang
+    """,
+    doc="[EXT] corpus DATA CARD — the per-language release artifact a "
+    "training run publishes, composed in ONE hash gate: doc/token "
+    "counts, exact-duplicate membership, cross-doc 8-gram novelty "
+    "(aggregated per language as an exact shared/total ratio — no "
+    "float averaging), and the curriculum easy/hard split. Composing "
+    "the separately-gated sub-pipelines into one oracle re-checks "
+    "their edge conventions against each other (the round-7 curation-"
+    "scorecard lesson: composition catches definition divergences "
+    "that pass alone). All counting is BIGINT; novelty is the single "
+    "division per language.",
+    tags=("llm", "quality"),
+)
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tok = docs.select("doc_id", "lang", toks.alias("t"))
+    base = tok.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("t")).cast("long").alias("n_tokens"),
+    )
+    g = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("h")
+    )
+    dup = (
+        docs.select("lang", "doc_id", F.md5("text").alias("h"))
+        .join(g, "h")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_docs"))
+    )
+    win = (
+        tok.filter(F.size("t") >= _NOV_K)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {_NOV_K} + 1), "
+                    f"i -> md5(concat_ws(' ', slice(t, i, {_NOV_K}))))"
+                )
+            ).alias("h"),
+        )
+    )
+    rep = (
+        win.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+        .withColumn("rep_hit", F.lit(1))
+    )
+    novel = (
+        win.join(rep, "h", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("rep_hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+    )
+    u = tok.select("doc_id", "lang", F.explode("t").alias("w"))
+    freq = u.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    scal = freq.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("nv"),
+    )
+    per_doc = (
+        u.join(freq, "w")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum(
+                F.when(F.col("c") * F.col("nv") < F.col("total"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_rare"),
+        )
+    )
+    dm = F.expr("(1000 * n_rare) div n_tok")
+    phases = per_doc.groupBy("lang").agg(
+        F.sum(F.when(dm < 500, 1).otherwise(0)).cast("long").alias("n_easy"),
+        F.sum(F.when(dm >= 500, 1).otherwise(0)).cast("long").alias("n_hard"),
+    )
+    return (
+        base.join(dup, "lang", "left")
+        .join(novel, "lang")
+        .join(phases, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.coalesce("n_dup_docs", F.lit(0)).cast("long").alias("n_dup_docs"),
+            "n_windows",
+            "n_shared",
+            (
+                (F.col("n_windows") - F.col("n_shared")).cast("double")
+                / F.col("n_windows").cast("double")
+            ).alias("novelty"),
+            "n_easy",
+            "n_hard",
+        )
+    )

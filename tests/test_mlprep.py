@@ -612,3 +612,65 @@ class TestBinaryHammingTopK:
             lo = sum((1 << j) for j in range(32) if v[j] > 0)
             hi = sum((1 << j) for j in range(32) if v[32 + j] > 0)
             assert (r["lo"], r["hi"]) == (lo, hi)
+
+
+class TestCorpusDataCard:
+    def test_consistent_with_component_queries(self, spark):
+        """The card's numbers must agree with the standalone queries it
+        composes — the composition-catches-divergence gate."""
+        from clinical_api_etl_spark.plans.mlprep import (
+            corpus_curriculum_phases,
+            corpus_data_card,
+            text_ngram_novelty,
+        )
+
+        card = {r["lang"]: r for r in corpus_data_card(spark, SF).collect()}
+        docs = load(spark, SF, "documents").select("doc_id", "lang", "text").collect()
+        lang_of = {r["doc_id"]: r["lang"] for r in docs}
+        # doc/token counts
+        import re as _re
+
+        per: dict = {}
+        for r in docs:
+            ws = _re.split(r"\s+", r["text"].strip().lower())
+            d = per.setdefault(r["lang"], [0, 0])
+            d[0] += 1
+            d[1] += len(ws)
+        for lang, (nd, nt) in per.items():
+            assert card[lang]["n_docs"] == nd
+            assert card[lang]["n_tokens"] == nt
+        # novelty composes text_ngram_novelty's per-doc counts
+        nov = text_ngram_novelty(spark, SF).collect()
+        agg: dict = {}
+        for r in nov:
+            a = agg.setdefault(lang_of[r["doc_id"]], [0, 0])
+            a[0] += r["n_windows"]
+            a[1] += r["n_shared"]
+        for lang, (nw, ns) in agg.items():
+            assert card[lang]["n_windows"] == nw
+            assert card[lang]["n_shared"] == ns
+            assert card[lang]["novelty"] == (nw - ns) / nw
+        # phases compose corpus_curriculum_phases (easy = phase 0/1)
+        ph = corpus_curriculum_phases(spark, SF).collect()
+        pc: dict = {}
+        for r in ph:
+            p = pc.setdefault(lang_of[r["doc_id"]], [0, 0])
+            p[0 if r["phase"] <= 1 else 1] += 1
+        for lang, (ne, nh) in pc.items():
+            assert card[lang]["n_easy"] == ne
+            assert card[lang]["n_hard"] == nh
+        # dup docs: members of exact-duplicate groups
+        import hashlib as _h
+
+        groups: dict = {}
+        for r in docs:
+            groups.setdefault(_h.md5(r["text"].encode()).hexdigest(), []).append(
+                r["lang"]
+            )
+        dup: dict = {}
+        for langs in groups.values():
+            if len(langs) >= 2:
+                for lg in langs:
+                    dup[lg] = dup.get(lg, 0) + 1
+        for lang in card:
+            assert card[lang]["n_dup_docs"] == dup.get(lang, 0)
