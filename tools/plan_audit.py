@@ -105,6 +105,10 @@ NO_PUSHDOWN_OK = {
     # array (the TextRank ANSI-guard class): a predicate on a computed
     # array can never reach parquet row-group stats.
     "text_ngram_novelty",
+    # composes the novelty sub-pipeline above, inheriting the same
+    # computed-array window guard (plus md5(text) dup-group keys —
+    # derived expressions, nothing pushable exists).
+    "corpus_data_card",
 }
 
 
