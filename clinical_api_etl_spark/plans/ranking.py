@@ -4301,3 +4301,93 @@ def text_boolean_and_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_hit") == F.col("n_q"))
         .select("q_id", "doc_id", "n_hit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Resource-allocation link prediction (the log-free Adamic-Adar).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "graph_linkpred_resource_alloc",
+    f"""
+    WITH {_LP_EDGES_SQL},
+    wedges AS (
+      SELECT s1.v AS a, s2.v AS b, s1.u AS w
+      FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+    ),
+    cand AS (
+      SELECT wd.a, wd.b, wd.w, dg.d
+      FROM wedges wd JOIN deg dg ON dg.node = wd.w
+      WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.u = wd.a AND e0.v = wd.b)
+    ),
+    scored AS (
+      SELECT a AS u, b AS v,
+             CAST(COUNT(*) AS BIGINT) AS cn,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list(CAST(1 AS DOUBLE) / CAST(d AS DOUBLE) ORDER BY w)),
+               (x, y) -> x + y) AS ra
+      FROM cand GROUP BY a, b
+    )
+    SELECT u, v, cn, ra FROM scored
+    ORDER BY ra DESC, u, v LIMIT {_LP_TOP}
+    """,
+    doc="[EXT] resource-allocation link prediction (Zhou-Lu-Zhang RA "
+    "index): RA(u,v) = sum over common neighbors w of 1/deg(w) — the "
+    "degree-penalized index that outperforms plain common-neighbor "
+    "counting (and the log-free stand-in for Adamic-Adar: JVM log != "
+    "libm log, so 1/log(deg) could never hash-gate; 1/deg is each a "
+    "single correctly-rounded division and the per-pair sum runs the "
+    "PINNED-ORDER fold, center-id-sorted — bit-identical). Same wedge "
+    "self-join and non-adjacency anti-join as graph_linkpred_topk; "
+    "top-20 under the (ra DESC, u, v) total order is deterministic "
+    "because the ra doubles are bit-equal across engines.",
+    tags=("graph",),
+)
+def graph_linkpred_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= _LP_SUPPORT)
+        .select("u", "v")
+        .coalesce(8)
+        .persist()
+    )
+    sym = e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    s1 = sym.select(F.col("u").alias("w"), F.col("v").alias("a"))
+    s2 = sym.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    wedges = s1.join(s2, "w").filter(F.col("a") < F.col("b"))
+    cand = wedges.join(
+        e0,
+        (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
+        "left_anti",
+    ).join(F.broadcast(deg.select(F.col("node").alias("w"), "d")), "w")
+    scored = cand.groupBy(F.col("a").alias("u"), F.col("b").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cn"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("w"),
+                        (F.lit(1.0) / F.col("d").cast("double")).alias("term"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("ra"),
+    )
+    out = scored.orderBy(F.desc("ra"), "u", "v").limit(_LP_TOP)
+    e0.unpersist(False)
+    return out

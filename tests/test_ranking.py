@@ -1589,3 +1589,56 @@ class TestInterarrival:
             for r in stat_interarrival_by_type(spark, SF).collect()
         }
         assert got == expect
+
+
+class TestLinkpredResourceAlloc:
+    def test_matches_python_ra(self, spark):
+        from clinical_api_etl_spark.plans.ranking import (
+            _LP_SUPPORT,
+            _LP_TOP,
+            graph_linkpred_resource_alloc,
+        )
+        from clinical_api_etl_spark.sources.catalog import load
+
+        SF = "/root/testdata/sf0.001"
+        got = [
+            (r["u"], r["v"], r["cn"], r["ra"])
+            for r in graph_linkpred_resource_alloc(spark, SF).collect()
+        ]
+        li = load(spark, SF, "lineitem").select("l_orderkey", "l_partkey").collect()
+        per_order: dict = {}
+        for r in li:
+            per_order.setdefault(r["l_orderkey"], []).append(r["l_partkey"])
+        pair_count: dict = {}
+        for parts in per_order.values():
+            ps = sorted(set(parts))
+            for i in range(len(ps)):
+                for j in range(i + 1, len(ps)):
+                    # count duplicate-part co-occurrences like the join does
+                    ca, cb = parts.count(ps[i]), parts.count(ps[j])
+                    pair_count[(ps[i], ps[j])] = (
+                        pair_count.get((ps[i], ps[j]), 0) + ca * cb
+                    )
+        edges = {p for p, c in pair_count.items() if c >= _LP_SUPPORT}
+        adj: dict = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        deg = {n: len(s) for n, s in adj.items()}
+        cand: dict = {}
+        for w, nbrs in adj.items():
+            ns = sorted(nbrs)
+            for i in range(len(ns)):
+                for j in range(i + 1, len(ns)):
+                    a_, b_ = ns[i], ns[j]
+                    if (a_, b_) in edges:
+                        continue
+                    cand.setdefault((a_, b_), []).append(w)
+        scored = []
+        for (a_, b_), ws in cand.items():
+            ra = 0.0
+            for w in sorted(ws):
+                ra = ra + 1.0 / deg[w]
+            scored.append((a_, b_, len(ws), ra))
+        scored.sort(key=lambda t: (-t[3], t[0], t[1]))
+        assert got == scored[:_LP_TOP]
