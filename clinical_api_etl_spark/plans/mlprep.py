@@ -704,7 +704,9 @@ def graph_pagerank_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    from clinical_api_etl_spark.operators.graph import symmetrize
+
+    edges = symmetrize(e0)
     return pagerank_int(edges, iters=_PR_ITERS)
 
 
@@ -899,7 +901,9 @@ def graph_ppr_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    from clinical_api_etl_spark.operators.graph import symmetrize
+
+    edges = symmetrize(e0)
     sources = (
         load(spark, sf_dir, "supplier")
         .filter(F.col("s_suppkey") % 5 == 0)

@@ -1276,7 +1276,9 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    from clinical_api_etl_spark.operators.graph import symmetrize
+
+    edges = symmetrize(e0)
     sources = (
         load(spark, sf_dir, "supplier")
         .filter(F.col("s_suppkey") < 8)
@@ -1580,7 +1582,9 @@ def graph_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    from clinical_api_etl_spark.operators.graph import symmetrize
+
+    edges = symmetrize(e0)
     sources = (
         load(spark, sf_dir, "supplier")
         .filter(F.col("s_suppkey") < 8)
@@ -1845,7 +1849,9 @@ def graph_betweenness_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    from clinical_api_etl_spark.operators.graph import symmetrize
+
+    edges = symmetrize(e0)
     sources = (
         load(spark, sf_dir, "supplier")
         .filter(F.col("s_suppkey") < 8)

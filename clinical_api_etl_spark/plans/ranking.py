@@ -4388,6 +4388,7 @@ def graph_linkpred_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame
             lambda acc, x: acc + x["term"],
         ).alias("ra"),
     )
-    out = scored.orderBy(F.desc("ra"), "u", "v").limit(_LP_TOP)
-    e0.unpersist(False)
-    return out
+    # keep e0 cached (matching graph_linkpred_topk): an unpersist at
+    # plan-build time would void the cache before any action ran and the
+    # expensive self-join would recompute for each downstream reference
+    return scored.orderBy(F.desc("ra"), "u", "v").limit(_LP_TOP)

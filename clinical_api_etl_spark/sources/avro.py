@@ -364,22 +364,35 @@ def read_header(f) -> tuple[dict, str, bytes, int]:
     Returns (schema dict, codec, 16-byte sync marker, header byte length —
     INCLUDING the trailing sync, i.e. the offset where block data begins).
     """
-    head = f.read(1 << 16)
-    if head[:4] != _MAGIC:
-        raise ValueError("not an Avro object container file (bad magic)")
-    d = _Decoder(head, 4)
-    meta: dict[str, bytes] = {}
+    # Headers are usually tiny, but external tooling can write arbitrarily
+    # large metadata (huge schema JSON, extra meta keys): on decoder
+    # exhaustion, double the prefix and retry until the whole header fits
+    # or the file itself ends (then the truncation is real).
+    size = 1 << 16
     while True:
-        n = d.long()
-        if n == 0:
+        f.seek(0)
+        head = f.read(size)
+        if head[:4] != _MAGIC:
+            raise ValueError("not an Avro object container file (bad magic)")
+        try:
+            d = _Decoder(head, 4)
+            meta: dict[str, bytes] = {}
+            while True:
+                n = d.long()
+                if n == 0:
+                    break
+                if n < 0:
+                    n = -n
+                    d.long()
+                for _ in range(n):
+                    k = d.string()
+                    meta[k] = d.bytes_()
+            sync = d.raw(16)
             break
-        if n < 0:
-            n = -n
-            d.long()
-        for _ in range(n):
-            k = d.string()
-            meta[k] = d.bytes_()
-    sync = d.raw(16)
+        except (EOFError, IndexError):
+            if len(head) < size:
+                raise EOFError("truncated Avro header")
+            size *= 2
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
     return schema, codec, sync, d.pos
@@ -475,10 +488,16 @@ class _AvroReader(DataSourceReader):
                 parts.append(_AvroSplit(p, lo, hi))
                 lo = hi
         if not parts:
-            raise ValueError(f"no .avro files under {self.path}")
+            # A directory with no part files (e.g. an overwrite by a
+            # zero-partition DataFrame) is an EMPTY table, not an error —
+            # emit one sentinel split whose read yields nothing. A missing
+            # path still fails naturally in _avro_files/os.listdir.
+            parts.append(_AvroSplit("", 0, 0))
         return parts
 
     def read(self, part: _AvroSplit):
+        if not part.path:
+            return iter(())
         return read_split(part.path, part.lo, part.hi)
 
 
@@ -622,17 +641,24 @@ class _AvroWriter(DataSourceWriter):
         return _AvroCommit(path=tmp, rows=n)
 
     def commit(self, messages) -> None:
+        # Rename winners FIRST, then delete stale parts: a crash mid-commit
+        # can leave old+new files coexisting (re-runnable), never data loss.
+        # uuid-named parts guarantee winners never collide with old parts.
+        winners = set()
+        winner_parts = set()
+        for m in messages:
+            dest_name = os.path.basename(m.path).replace("_tmp-", "part-")
+            os.replace(m.path, os.path.join(self.path, dest_name))
+            winners.add(os.path.basename(m.path))
+            winner_parts.add(dest_name)
         if self.overwrite:
             for name in os.listdir(self.path):
-                if name.startswith("part-") and name.endswith(".avro"):
+                if (
+                    name.startswith("part-")
+                    and name.endswith(".avro")
+                    and name not in winner_parts
+                ):
                     os.unlink(os.path.join(self.path, name))
-        winners = set()
-        for m in messages:
-            dest = os.path.join(
-                self.path, os.path.basename(m.path).replace("_tmp-", "part-")
-            )
-            os.replace(m.path, dest)
-            winners.add(os.path.basename(m.path))
         for name in os.listdir(self.path):
             if name.startswith("_tmp-") and name not in winners:
                 os.unlink(os.path.join(self.path, name))

@@ -277,3 +277,90 @@ class TestCodecProperties:
                 assert list(got[6]) == orig[6]
 
         run()
+
+
+class TestAdviceR06Fixes:
+    """Regression pins for the round-6 advisory items (sources/avro.py):
+    oversized header metadata, rename-first overwrite commit, and
+    empty-directory reads."""
+
+    def test_huge_header_metadata_reads(self, spark, tmp_path):
+        # External Avro tooling may write arbitrarily large metadata; the
+        # header parser must grow its prefix read past the initial 64 KiB
+        # instead of dying with a misleading EOFError/IndexError.
+        import json as _json
+
+        from clinical_api_etl_spark.sources.avro import _write_long
+
+        nation = load(spark, SF, "nation").coalesce(1)
+        p = str(tmp_path / "src")
+        write_avro(nation, p)
+        src = next(
+            os.path.join(p, n) for n in sorted(os.listdir(p))
+            if n.endswith(".avro")
+        )
+        with open(src, "rb") as f:
+            schema, codec, sync, hlen = read_header(f)
+            f.seek(0)
+            raw = f.read()
+        blocks = raw[hlen:]  # blocks reference the SAME sync marker
+        hdr = bytearray(b"Obj\x01")
+        meta = {
+            "avro.schema": _json.dumps(schema).encode("utf-8"),
+            "avro.codec": codec.encode("utf-8"),
+            # 128 KiB of padding — twice the initial prefix read
+            "user.padding": b"x" * (1 << 17),
+        }
+        _write_long(hdr, len(meta))
+        for k, v in meta.items():
+            kb = k.encode("utf-8")
+            _write_long(hdr, len(kb))
+            hdr += kb
+            _write_long(hdr, len(v))
+            hdr += v
+        _write_long(hdr, 0)
+        hdr += sync
+        big_dir = tmp_path / "bighdr"
+        big_dir.mkdir()
+        (big_dir / "part-big.avro").write_bytes(bytes(hdr) + blocks)
+        back = read_avro(spark, str(big_dir))
+        assert _sorted_rows(back) == _sorted_rows(nation)
+
+    def test_truncated_header_still_rejected(self, tmp_path):
+        # The grow-and-retry loop must not mask REAL truncation: a file
+        # that ends mid-header raises, it does not loop forever.
+        bad = tmp_path / "trunc" / "part-t.avro"
+        bad.parent.mkdir()
+        bad.write_bytes(b"Obj\x01" + b"\x04")  # map count with no entries
+        with open(bad, "rb") as f:
+            with pytest.raises((EOFError, IndexError)):
+                read_header(f)
+
+    def test_overwrite_keeps_new_parts_only(self, spark, tmp_path):
+        # Rename-first commit: after an overwrite, exactly the new parts
+        # remain (old parts deleted AFTER winners land, uuid names never
+        # collide).
+        nation = load(spark, SF, "nation")
+        p = str(tmp_path / "ow2")
+        write_avro(nation.coalesce(2), p)
+        before = {n for n in os.listdir(p) if n.endswith(".avro")}
+        write_avro(nation.limit(3).coalesce(1), p)
+        after = {n for n in os.listdir(p) if n.endswith(".avro")}
+        assert not (before & after)
+        assert read_avro(spark, p).count() == 3
+
+    def test_empty_directory_reads_as_empty_with_schema(self, spark, tmp_path):
+        # A directory containing no part files (e.g. after an overwrite by
+        # a zero-partition DataFrame) is an empty table when the caller
+        # supplies a schema — not a hard error.
+        d = tmp_path / "emptydir"
+        d.mkdir()
+        (d / "_SUCCESS").write_text("")
+        got = (
+            spark.read.format("avro_ocf")
+            .schema("r_regionkey BIGINT, r_name STRING")
+            .option("path", str(d))
+            .load()
+        )
+        assert got.count() == 0
+        assert got.columns == ["r_regionkey", "r_name"]

@@ -206,3 +206,23 @@ class TestAdviceR05Fixes:
         got = {r["node"]: r["rank_units"] for r in pagerank_weighted_int(e, iters=2).collect()}
         assert set(got) == {"a", "b"}
         assert all(v > 0 for v in got.values())
+
+
+class TestAdviceR06Fixes:
+    """Regression tests for the ADVICE r06 findings."""
+
+    def test_hits_rejects_nonpositive_iters(self, spark):
+        # ADVICE r06 (low): iters=0 used to crash with AttributeError on
+        # a.select deep in the auths projection; now a clear ValueError.
+        from clinical_api_etl_spark.operators.graph import hits_int
+
+        e = spark.createDataFrame([(1, 2)], "c long, s long")
+        with pytest.raises(ValueError, match="iters"):
+            hits_int(e, iters=0)
+
+    def test_hits_one_iteration_works(self, spark):
+        from clinical_api_etl_spark.operators.graph import hits_int
+
+        e = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "c long, s long")
+        rows = hits_int(e, iters=1).collect()
+        assert {r["kind"] for r in rows} == {"hub", "auth"}
