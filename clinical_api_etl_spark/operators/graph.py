@@ -54,6 +54,43 @@ def symmetrize(e0: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     ).select(F.col("_e.src").alias(src), F.col("_e.dst").alias(dst))
 
 
+#: Salt fan-out for the per-round frontier/vector joins. Real interaction
+#: graphs are power-law: a hub owning ~20% of edges turns a plain
+#: src-partitioned edge table into a straggler (skew_probe.json measured
+#: 3.2x scaling vs 1.2x uniform on path counts before salting). Each edge
+#: gets a deterministic salt from xxhash64(dst) (plan-side only — never
+#: reaches an oracle, the SymSpell rule), the edge table partitions on
+#: (src, salt), and the small frontier replicates EDGE_SALT ways so every
+#: edge still meets its frontier row exactly once — identical multisets,
+#: hashes unchanged, hub work spread over EDGE_SALT tasks. Cost: the
+#: frontier/rank shuffle multiplies by EDGE_SALT — bounded, because the
+#: frontier side is the per-source probe state (bfs family) or the O(|V|)
+#: vector (pagerank), both dwarfed by the edge side a hub inflates.
+EDGE_SALT = 8
+
+
+def _salted_edges(edges: DataFrame, src: str, dst: str, extra: tuple = ()) -> DataFrame:
+    """(src, dst, extra..., _slt) repartitioned on (src, _slt) + persisted."""
+    sel = [F.col(src).alias("src"), F.col(dst).alias("dst"), *extra]
+    return (
+        edges.select(*sel)
+        .withColumn(
+            "_slt", F.pmod(F.xxhash64(F.col("dst")), F.lit(EDGE_SALT)).cast("int")
+        )
+        .repartition(
+            edges.sparkSession.sparkContext.defaultParallelism, "src", "_slt"
+        )
+        .persist()
+    )
+
+
+def _replicated(frontier: DataFrame) -> DataFrame:
+    """Frontier fanned out to every salt value (one replica per salt)."""
+    return frontier.withColumn(
+        "_slt", F.explode(F.sequence(F.lit(0), F.lit(EDGE_SALT - 1)))
+    )
+
+
 def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Union-find with path compression over a collected edge list;
     component label = min vertex id (identical to the distributed loop)."""
@@ -172,10 +209,16 @@ def pagerank_int(
     ranks = nodes.crossJoin(F.broadcast(ncount)).select(
         "node", F.expr(f"{total_units} div n").alias("r")
     )
-    edeg = e.join(deg, "src")
+    # salt the rank equi-join (hub-skew resilience, see EDGE_SALT): the
+    # shuffle partitions on (src, _slt) so a hub's out-edges spread over
+    # EDGE_SALT reducers; the rank vector replicates EDGE_SALT ways.
+    edeg = e.join(deg, "src").withColumn(
+        "_slt", F.pmod(F.xxhash64(F.col("dst")), F.lit(EDGE_SALT)).cast("int")
+    )
     for _ in range(iters):
+        rk = _replicated(ranks)
         contrib = edeg.join(
-            ranks, edeg["src"] == ranks["node"]
+            rk, (edeg["src"] == rk["node"]) & (edeg["_slt"] == rk["_slt"])
         ).select("dst", F.expr("r div deg").alias("c"))
         summed = contrib.groupBy("dst").agg(F.sum("c").cast("long").alias("s"))
         ranks = summed.crossJoin(F.broadcast(ncount)).select(
@@ -207,11 +250,7 @@ def bfs_hops(
     localCheckpoint-ed — the k-core rule from CLAUDE.md, not the
     pagerank (linear-growth) exception.
     """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "src")
-        .persist()
-    )
+    e = _salted_edges(edges, src, dst)
     dist = sources.select(
         "node", F.lit(0).cast("long").alias("dist")
     ).localCheckpoint(eager=True)
@@ -224,8 +263,9 @@ def bfs_hops(
     # job per round, not two)
     frontier = dist
     for _ in range(iters):
+        fr = _replicated(frontier)
         cand = (
-            e.join(frontier, e["src"] == frontier["node"])
+            e.join(fr, (e["src"] == fr["node"]) & (e["_slt"] == fr["_slt"]))
             .select(
                 F.col("dst").alias("node"), (F.col("dist") + F.lit(1)).alias("dist")
             )
@@ -279,10 +319,14 @@ def ppr_int(
     ranks = sources.select(
         "node", F.lit(total_units // n_src).cast("long").alias("r")
     )
+    edeg = edeg.withColumn(
+        "_slt", F.pmod(F.xxhash64(F.col("dst")), F.lit(EDGE_SALT)).cast("int")
+    )
     for _ in range(iters):
-        contrib = edeg.join(ranks, edeg["src"] == ranks["node"]).select(
-            "dst", F.expr("r div deg").alias("c")
-        )
+        rk = _replicated(ranks)
+        contrib = edeg.join(
+            rk, (edeg["src"] == rk["node"]) & (edeg["_slt"] == rk["_slt"])
+        ).select("dst", F.expr("r div deg").alias("c"))
         summed = contrib.groupBy("dst").agg(F.sum("c").cast("long").alias("s"))
         ranks = (
             summed.select(F.col("dst").alias("node"), "s")
@@ -350,11 +394,14 @@ def pagerank_weighted_int(
     ranks = nodes.crossJoin(F.broadcast(ncount)).select(
         "node", F.expr(f"{total_units} div n").alias("r")
     )
-    esw = e.join(sw, "src")
+    esw = e.join(sw, "src").withColumn(
+        "_slt", F.pmod(F.xxhash64(F.col("dst")), F.lit(EDGE_SALT)).cast("int")
+    )
     for _ in range(iters):
-        contrib = esw.join(ranks, esw["src"] == ranks["node"]).select(
-            "dst", F.expr("r * w div sw").alias("c")
-        )
+        rk = _replicated(ranks)
+        contrib = esw.join(
+            rk, (esw["src"] == rk["node"]) & (esw["_slt"] == rk["_slt"])
+        ).select("dst", F.expr("r * w div sw").alias("c"))
         summed = contrib.groupBy("dst").agg(F.sum("c").cast("long").alias("s"))
         ranks = summed.crossJoin(F.broadcast(ncount)).select(
             F.col("dst").alias("node"),
@@ -459,12 +506,9 @@ def bfs_hops_per_source(
     rule)."""
     # pin the partitioning BEFORE persist: AQE would coalesce the small
     # edge exchange to 1 partition and serialize every expansion join
-    # (CLAUDE.md round-1 rule; AQE leaves user repartitions alone)
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "src")
-        .persist()
-    )
+    # (CLAUDE.md round-1 rule; AQE leaves user repartitions alone).
+    # Salted on (src, _slt) for hub-skew resilience (see EDGE_SALT).
+    e = _salted_edges(edges, src, dst)
     dist = sources.select(
         F.col("node").alias("s"), F.col("node"), F.lit(0).cast("long").alias("dist")
     ).localCheckpoint(eager=True)
@@ -477,8 +521,9 @@ def bfs_hops_per_source(
     # total work Σ deg(v) per source, spread across rounds.
     frontier = dist
     for _ in range(iters):
+        fr = _replicated(frontier)
         cand = (
-            e.join(frontier, e["src"] == frontier["node"])
+            e.join(fr, (e["src"] == fr["node"]) & (e["_slt"] == fr["_slt"]))
             .select(
                 "s",
                 F.col("dst").alias("node"),
@@ -535,11 +580,7 @@ def bfs_path_counts(
     materialization instead of deriving the edge list twice — the caller
     then owns the unpersist.
     """
-    e = _prepared_e if _prepared_e is not None else (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "src")
-        .persist()
-    )
+    e = _prepared_e if _prepared_e is not None else _salted_edges(edges, src, dst)
     state = sources.select(
         F.col("node").alias("s"),
         F.col("node"),
@@ -549,8 +590,9 @@ def bfs_path_counts(
     frontier = state
     levels = [state]
     for k in range(iters):
+        fr = _replicated(frontier)
         cand = (
-            e.join(frontier, e["src"] == frontier["node"])
+            e.join(fr, (e["src"] == fr["node"]) & (e["_slt"] == fr["_slt"]))
             .select("s", F.col("dst").alias("node"), "sigma")
             .groupBy("s", "node")
             .agg(F.sum("sigma").cast("long").alias("sigma"))
@@ -603,21 +645,17 @@ def brandes_dependencies(
     along through the delta chain, so the final full-state join is gone
     — the output is just the union of the per-level delta frames.
     """
-    # ONE edge materialization for both passes: the (src-repartitioned,
-    # persisted) table feeds the forward frontier joins, then gets
-    # column-aliased for the backward successor joins (a select on a
-    # persisted frame keeps the cache AND the src partitioning).
-    e_fwd = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "src")
-        .persist()
-    )
+    # ONE edge materialization for both passes: the salted (src, _slt)
+    # repartitioned + persisted table feeds the forward frontier joins,
+    # then gets column-aliased for the backward successor joins (a select
+    # on a persisted frame keeps the cache AND the partitioning).
+    e_fwd = _salted_edges(edges, src, dst)
     _, levels = bfs_path_counts(
         edges, sources, iters=iters, src=src, dst=dst,
         return_levels=True, _prepared_e=e_fwd,
     )
     e = e_fwd.select(
-        F.col("src").alias("e_src"), F.col("dst").alias("e_dst")
+        F.col("src").alias("e_src"), F.col("dst").alias("e_dst"), "_slt"
     )
 
     def _lvl(k: int) -> DataFrame:
@@ -637,9 +675,13 @@ def brandes_dependencies(
             F.col("delta").alias("w_delta"),
         )
         cur = _lvl(k)
+        curr = _replicated(cur.select("s", "node", "sigma"))
         contrib = (
-            cur.select("s", "node", "sigma")
-            .join(e, cur["node"] == e["e_src"])
+            curr.join(
+                e,
+                (curr["node"] == e["e_src"]) & (curr["_slt"] == e["_slt"]),
+            )
+            .drop("_slt")
             .join(
                 succ_lvl,
                 (F.col("w_s") == F.col("s")) & (F.col("w_node") == F.col("e_dst")),
@@ -701,20 +743,15 @@ def bellman_ford_bounded(
     referenced by the expansion, the improvement filter, and the
     replacement — multiplicative lineage, k-core rule).
     """
-    e = (
-        edges.select(
-            F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
-        )
-        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "src")
-        .persist()
-    )
+    e = _salted_edges(edges, src, dst, extra=(F.col(weight).alias("w"),))
     state = sources.select(
         F.col("node").alias("s"), F.col("node"), F.lit(0).cast("long").alias("dist")
     ).localCheckpoint(eager=True)
     frontier = state
     for _ in range(iters):
+        fr = _replicated(frontier)
         cand = (
-            e.join(frontier, e["src"] == frontier["node"])
+            e.join(fr, (e["src"] == fr["node"]) & (e["_slt"] == fr["_slt"]))
             .select("s", F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
             .groupBy("s", "node")
             .agg(F.min("dist").cast("long").alias("dist"))

@@ -2033,3 +2033,236 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hard",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece posture) — the second tokenizer
+# family next to BPE (operators/unigram.py; VERDICT r06 task 3).
+# ---------------------------------------------------------------------------
+
+_UG_MAXP = 4
+_UG_SEED_MULTI = 96
+_UG_FINAL_MULTI = 48
+_UG_ROUNDS = 2
+
+
+def _ug_dp_duck() -> str:
+    """DuckDB twin of operators/unigram.py:_dp_sql — the Viterbi DP as a
+    list_reduce with a growing DOUBLE[] accumulator (round-10 LIST-fold
+    template; position rides the reduced element)."""
+    cands = ", ".join(
+        f"CASE WHEN CAST(x[1] AS INTEGER) >= {k}"
+        f" THEN acc[CAST(x[1] AS INTEGER) - {k} + 1]"
+        f" * ss[(CAST(x[1] AS INTEGER) - {k}) * {_UG_MAXP} + {k}]"
+        f" ELSE CAST(0 AS DOUBLE) END"
+        for k in range(1, _UG_MAXP + 1)
+    )
+    return (
+        "list_reduce(list_prepend([CAST(1 AS DOUBLE)],"
+        " list_transform(range(1, wlen + 1), i -> [CAST(i AS DOUBLE)])),"
+        f" (acc, x) -> list_append(acc, greatest({cands})))"
+    )
+
+
+def _ug_walk_duck() -> str:
+    pos = "acc[len(acc)]"
+    eqs = " ".join(
+        f"WHEN ({pos} >= {k} AND dp[{pos} - {k} + 1]"
+        f" * ss[({pos} - {k}) * {_UG_MAXP} + {k}] = dp[{pos} + 1]) THEN {k}"
+        for k in range(1, _UG_MAXP + 1)
+    )
+    return (
+        "list_reduce(list_prepend([CAST(wlen AS INTEGER)],"
+        " list_transform(range(1, wlen + 1), j -> [CAST(j AS INTEGER)])),"
+        f" (acc, x) -> list_append(acc, CAST(CASE WHEN {pos} <= 0 THEN 0"
+        f" ELSE {pos} - (CASE {eqs} ELSE {pos} END) END AS INTEGER)))"
+    )
+
+
+_UG_PIECES_DUCK = (
+    "list_reverse(list_filter(list_transform(range(1, len(walk)),"
+    " j -> CASE WHEN walk[j] > walk[j + 1]"
+    " THEN substr(word, walk[j + 1] + 1, walk[j] - walk[j + 1]) END),"
+    " x -> x IS NOT NULL))"
+)
+
+
+def _ug_spans_cte(p: str, wt: str, keycols: str) -> str:
+    """Spans CTE: one row per (word, start, len<=4) with the dense slot."""
+    return (
+        f"{p}spans AS MATERIALIZED ("
+        f" SELECT {keycols} word, freq, wlen,"
+        f" (ik[1] - 1) * {_UG_MAXP} + ik[2] AS slot,"
+        " substr(word, ik[1], ik[2]) AS piece FROM ("
+        f"  SELECT {keycols} word, freq, wlen,"
+        "  unnest(flatten(list_transform(range(1, wlen + 1),"
+        f"  i -> list_transform(range(1, {_UG_MAXP + 1}), k -> [i, k])))) AS ik"
+        f"  FROM (SELECT {keycols} word, freq,"
+        f"  CAST(length(word) AS INTEGER) AS wlen FROM {wt}))"
+        " WHERE ik[1] + ik[2] - 1 <= wlen)"
+    )
+
+
+def _ug_viterbi_ctes(p: str, spans: str, vocab: str, keycols: str) -> list[str]:
+    """Ladder + dp + walk + pieces CTE chain for one Viterbi pass."""
+    slots = 12 * _UG_MAXP
+    ladder = ", ".join(
+        f"COALESCE(MAX(CASE WHEN slot = {s} THEN score END),"
+        " CAST(0 AS DOUBLE))"
+        for s in range(1, slots + 1)
+    )
+    return [
+        f"{p}lad AS MATERIALIZED (SELECT {keycols} word, freq, wlen,"
+        f" list_value({ladder}) AS ss"
+        f" FROM {spans} JOIN {vocab} USING (piece)"
+        f" GROUP BY {keycols} word, freq, wlen)",
+        f"{p}dp AS MATERIALIZED (SELECT {keycols} word, freq, wlen, ss,"
+        f" {_ug_dp_duck()} AS dp FROM {p}lad)",
+        f"{p}wk AS MATERIALIZED (SELECT {keycols} word, freq,"
+        f" {_ug_walk_duck()} AS walk FROM {p}dp)",
+        f"{p}seg AS MATERIALIZED (SELECT {keycols} word, freq,"
+        f" {_UG_PIECES_DUCK} AS pieces FROM {p}wk)",
+    ]
+
+
+def _ug_learn_ctes() -> list[str]:
+    """Shared CTE chain: word table -> seed -> EM rounds -> pruned vocab
+    ``ugkept`` (piece, cnt) with total in ``ugfin`` (piece, cnt, score)."""
+    ctes = [
+        "ugw AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq"
+        f" FROM (SELECT unnest({_TOKS}) AS word FROM documents)"
+        " WHERE length(word) BETWEEN 1 AND 12 GROUP BY word)",
+        _ug_spans_cte("ugw", "ugw", ""),
+        "ugcnt0 AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT)"
+        " AS cnt FROM ugwspans GROUP BY piece)",
+        "ugchars AS MATERIALIZED (SELECT piece, cnt FROM ugcnt0"
+        " WHERE length(piece) = 1)",
+        "ugseedm AS MATERIALIZED (SELECT piece, cnt FROM ugcnt0"
+        f" WHERE length(piece) >= 2 ORDER BY cnt DESC, piece"
+        f" LIMIT {_UG_SEED_MULTI})",
+        "ugseedu AS MATERIALIZED (SELECT piece, cnt FROM ugchars"
+        " UNION ALL SELECT piece, cnt FROM ugseedm)",
+        "ugv0 AS MATERIALIZED (SELECT piece, cnt, CAST(cnt AS DOUBLE)"
+        " / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM ugseedu) AS score"
+        " FROM ugseedu)",
+    ]
+    for r in range(1, _UG_ROUNDS + 1):
+        ctes += _ug_viterbi_ctes(f"ugr{r}", "ugwspans", f"ugv{r - 1}", "")
+        ctes += [
+            f"uguse{r} AS MATERIALIZED (SELECT piece, CAST(SUM(c) AS BIGINT)"
+            " AS cnt FROM ("
+            f" SELECT unnest(pieces) AS piece, freq AS c FROM ugr{r}seg"
+            " UNION ALL SELECT piece, CAST(1 AS BIGINT) AS c FROM ugchars)"
+            " GROUP BY piece)",
+            f"ugv{r} AS MATERIALIZED (SELECT piece, cnt, CAST(cnt AS DOUBLE)"
+            f" / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM uguse{r}) AS score"
+            f" FROM uguse{r})",
+        ]
+    ctes += [
+        f"ugkeptm AS MATERIALIZED (SELECT piece, cnt FROM ugv{_UG_ROUNDS}"
+        f" WHERE length(piece) >= 2 ORDER BY cnt DESC, piece"
+        f" LIMIT {_UG_FINAL_MULTI})",
+        f"ugkept AS MATERIALIZED (SELECT piece, cnt FROM ugv{_UG_ROUNDS}"
+        " WHERE length(piece) = 1 UNION ALL SELECT piece, cnt FROM ugkeptm)",
+        "ugfin AS MATERIALIZED (SELECT piece, cnt, CAST(cnt AS DOUBLE)"
+        " / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM ugkept) AS score"
+        " FROM ugkept)",
+    ]
+    return ctes
+
+
+def _ug_learn_oracle() -> str:
+    return (
+        "WITH "
+        + ",\n".join(_ug_learn_ctes())
+        + "\nSELECT piece, CAST(length(piece) AS BIGINT) AS piece_len,"
+        " cnt, score FROM ugfin"
+    )
+
+
+def _ug_fertility_oracle() -> str:
+    ctes = _ug_learn_ctes()
+    ctes += [
+        "ugwl AS MATERIALIZED (SELECT lang, word,"
+        " CAST(COUNT(*) AS BIGINT) AS freq FROM"
+        f" (SELECT lang, unnest({_TOKS}) AS word FROM documents)"
+        " WHERE length(word) BETWEEN 1 AND 12 GROUP BY lang, word)",
+        _ug_spans_cte("ugl", "ugwl", "lang,"),
+        *_ug_viterbi_ctes("ugf", "uglspans", "ugfin", "lang,"),
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT lang, CAST(SUM(freq) AS BIGINT) AS n_words,"
+        " CAST(SUM(freq * len(pieces)) AS BIGINT) AS n_pieces,"
+        " CAST(SUM(freq * len(pieces)) AS DOUBLE)"
+        " / CAST(SUM(freq) AS DOUBLE) AS fertility"
+        " FROM ugfseg GROUP BY lang"
+    )
+
+
+@QS.add(
+    "unigram_learn_vocab",
+    _ug_learn_oracle(),
+    doc="[EXT] unigram-LM tokenizer training (Kudo'18 / SentencePiece "
+    "posture), completing the tokenizer surface next to bpe_learn_merges "
+    "the way SQ8/binary completed the quantizer ladder: seed vocab = all "
+    f"chars + top-{_UG_SEED_MULTI} frequent substrings (len 2-4), "
+    f"{_UG_ROUNDS} hard-EM rounds (Viterbi segmentation of the DISTINCT-"
+    "WORD table -> frequency-weighted piece usage with a +1 char floor "
+    "-> MLE re-score), prune to all chars + top-"
+    f"{_UG_FINAL_MULTI} pieces. 15th hash-gated iterative, and the "
+    "second FLOAT-state one: scores are single divisions over exact "
+    "BIGINTs, the DP folds products in pinned position order (each "
+    "candidate ONE multiply of bit-identical doubles, greatest over "
+    "bit-identical doubles deterministic), and the backtrack re-derives "
+    "choices by float EQUALITY on those bit-identical values — so vocab, "
+    "counts, and scores all match DuckDB exactly. Piece lookup rides a "
+    "dense 48-slot span-score ladder (12 pos x 4 len; k-means scalar-"
+    "column discipline, identical CASE ladder both engines; 1-based "
+    "element_at per the round-12 rule). Everything after tokenization is "
+    "VOCABULARY-scaled (BPE-apply posture); the vocab broadcast is KBs. "
+    "Oracle: the same seed/EM/prune chain as MATERIALIZED CTEs with "
+    "list_reduce LIST-accumulator folds (round-10 template).",
+    headline=True,
+    tags=("text", "iterative"),
+)
+def unigram_learn_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.unigram import learn_unigram
+
+    return learn_unigram(load(spark, sf_dir, "documents"))
+
+
+@QS.add(
+    "unigram_fertility_by_lang",
+    _ug_fertility_oracle(),
+    doc="[EXT] per-language fertility (pieces per word) of the unigram-LM "
+    "tokenizer — the tokenizer-equity metric comparable row-for-row with "
+    "bpe_fertility_by_lang, giving the data card a cross-FAMILY "
+    "comparison (BPE vs unigram) instead of a single-tokenizer view. "
+    "Trains the full unigram vocab (unigram_learn_vocab's exact "
+    "pipeline), then Viterbi-segments the per-language word table under "
+    "the pruned vocab's scores; fertility = n_pieces/n_words, one "
+    "division over exact BIGINT sums. Fully hash-gated end to end "
+    "(training AND apply inside one oracle).",
+    tags=("text",),
+)
+def unigram_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.unigram import (
+        learn_unigram,
+        viterbi_pieces,
+        word_table,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = learn_unigram(docs).select("piece", "score")
+    wl = word_table(docs, ("lang",))
+    seg = viterbi_pieces(wl, vocab, keys=["lang"])
+    return seg.groupBy("lang").agg(
+        F.sum("freq").cast("long").alias("n_words"),
+        F.sum(F.col("freq") * F.size("pieces")).cast("long").alias("n_pieces"),
+        (
+            F.sum(F.col("freq") * F.size("pieces")).cast("double")
+            / F.sum("freq").cast("double")
+        ).alias("fertility"),
+    )

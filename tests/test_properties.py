@@ -527,3 +527,176 @@ class TestPinnedOrderFoldProperty:
         for _, v in sorted(rows):
             want = want * v
         assert _s.pack("<d", got) == _s.pack("<d", want)
+
+
+# ---------------------------------------------------------------------------
+# Sequential-recurrence fold template: engine-parity property gate
+# (VERDICT r06 task 6). The round-10 finding pinned the DuckDB
+# LIST-vs-STRUCT accumulator hazard with example-based tests only; this
+# gate generates arbitrary series and asserts Spark, DuckDB, and python
+# run the SAME left fold bit-for-bit — Holt (multi-state float), Kalman
+# (per-step divisions), and the token bucket (BIGINT states with
+# floor-div), i.e. one representative per fold family. If an engine
+# upgrade changes lambda-accumulator evaluation semantics, this fails
+# before any oracle does.
+# ---------------------------------------------------------------------------
+
+import struct as _struct
+
+
+def _bits(v):
+    return _struct.pack("<d", v)
+
+
+_HOLT_SPARK = """aggregate(
+  slice(ys, 2, size(ys) - 1),
+  named_struct('l', element_at(ys, 1), 'b', element_at(ys, 2) - element_at(ys, 1),
+               'sse', CAST(0.0 AS DOUBLE)),
+  (acc, y) -> named_struct(
+    'l', 0.5D * y + 0.5D * (acc.l + acc.b),
+    'b', 0.25D * ((0.5D * y + 0.5D * (acc.l + acc.b)) - acc.l) + 0.75D * acc.b,
+    'sse', acc.sse + (y - (acc.l + acc.b)) * (y - (acc.l + acc.b)))) AS st"""
+
+_HOLT_DUCK = """list_reduce(
+  list_concat(
+    [[ys[1], ys[2] - ys[1], CAST(0 AS DOUBLE)]],
+    list_transform(ys[2:], y -> [y, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+  (acc, e) -> [
+    0.5e0 * e[1] + 0.5e0 * (acc[1] + acc[2]),
+    0.25e0 * ((0.5e0 * e[1] + 0.5e0 * (acc[1] + acc[2])) - acc[1])
+      + 0.75e0 * acc[2],
+    acc[3] + (e[1] - (acc[1] + acc[2])) * (e[1] - (acc[1] + acc[2]))]) AS st"""
+
+
+def _holt_py(ys):
+    l, b, sse = ys[0], ys[1] - ys[0], 0.0
+    for y in ys[1:]:
+        nl = 0.5 * y + 0.5 * (l + b)
+        nb = 0.25 * ((0.5 * y + 0.5 * (l + b)) - l) + 0.75 * b
+        sse = sse + (y - (l + b)) * (y - (l + b))
+        l, b = nl, nb
+    return [l, b, sse]
+
+
+_KALMAN_SPARK = """aggregate(
+  slice(ys, 2, size(ys) - 1),
+  named_struct('x', element_at(ys, 1), 'p', CAST(100.0 AS DOUBLE),
+               'll2', CAST(0.0 AS DOUBLE)),
+  (acc, y) -> named_struct(
+    'x', acc.x + ((acc.p + 4.0D) / (acc.p + 4.0D + 25.0D)) * (y - acc.x),
+    'p', (1.0D - (acc.p + 4.0D) / (acc.p + 4.0D + 25.0D)) * (acc.p + 4.0D),
+    'll2', acc.ll2 + (y - acc.x) * (y - acc.x) / (acc.p + 4.0D + 25.0D))) AS st"""
+
+_KALMAN_DUCK = """list_reduce(
+  list_concat(
+    [[ys[1], 100.0e0, CAST(0 AS DOUBLE)]],
+    list_transform(ys[2:], y -> [y, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+  (acc, e) -> [
+    acc[1] + ((acc[2] + 4.0e0) / (acc[2] + 4.0e0 + 25.0e0)) * (e[1] - acc[1]),
+    (1.0e0 - (acc[2] + 4.0e0) / (acc[2] + 4.0e0 + 25.0e0)) * (acc[2] + 4.0e0),
+    acc[3] + (e[1] - acc[1]) * (e[1] - acc[1]) / (acc[2] + 4.0e0 + 25.0e0)]) AS st"""
+
+
+def _kalman_py(ys):
+    x, p, ll2 = ys[0], 100.0, 0.0
+    for y in ys[1:]:
+        k = (p + 4.0) / (p + 4.0 + 25.0)
+        nx = x + k * (y - x)
+        npp = (1.0 - k) * (p + 4.0)
+        ll2 = ll2 + (y - x) * (y - x) / (p + 4.0 + 25.0)
+        x, p = nx, npp
+    return [x, p, ll2]
+
+
+_BUCKET_SPARK = """aggregate(
+  slice(xs, 2, size(xs) - 1),
+  named_struct('t', CAST(4000000 AS BIGINT), 'u', element_at(xs, 1),
+               'a', CAST(1 AS BIGINT), 'r', CAST(0 AS BIGINT)),
+  (acc, x) -> CASE
+    WHEN least(acc.t + (x - acc.u) div 10, 5000000L) >= 1000000L
+    THEN named_struct('t', least(acc.t + (x - acc.u) div 10, 5000000L) - 1000000L,
+                      'u', x, 'a', acc.a + 1L, 'r', acc.r)
+    ELSE named_struct('t', least(acc.t + (x - acc.u) div 10, 5000000L),
+                      'u', x, 'a', acc.a, 'r', acc.r + 1L) END) AS st"""
+
+_BUCKET_DUCK = """list_reduce(
+  list_concat(
+    [[CAST(4000000 AS BIGINT), xs[1], CAST(1 AS BIGINT), CAST(0 AS BIGINT)]],
+    list_transform(xs[2:], x -> [x, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                                 CAST(0 AS BIGINT)])),
+  (acc, e) -> CASE
+    WHEN least(acc[1] + (e[1] - acc[2]) // 10, 5000000) >= 1000000
+    THEN [least(acc[1] + (e[1] - acc[2]) // 10, 5000000) - 1000000,
+          e[1], acc[3] + 1, acc[4]]
+    ELSE [least(acc[1] + (e[1] - acc[2]) // 10, 5000000),
+          e[1], acc[3], acc[4] + 1] END) AS st"""
+
+
+def _bucket_py(xs):
+    t, u, a, r = 4_000_000, xs[0], 1, 0
+    for x in xs[1:]:
+        nt = min(t + (x - u) // 10, 5_000_000)
+        if nt >= 1_000_000:
+            t, u, a = nt - 1_000_000, x, a + 1
+        else:
+            t, u, r = nt, x, r + 1
+    return [t, u, a, r]
+
+
+class TestSequentialFoldEngineParity:
+    def _spark_fold(self, spark, col, typ, vals, sql):
+        df = spark.createDataFrame([(vals,)], f"{col} array<{typ}>")
+        row = df.selectExpr(sql).collect()[0]["st"]
+        return list(row)
+
+    def _duck_fold(self, col, typ, vals, sql):
+        import duckdb
+
+        return duckdb.execute(
+            f"SELECT {sql} FROM (SELECT $1::{typ}[] AS {col})", [vals]
+        ).fetchone()[0]
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        ys=st.lists(
+            st.integers(min_value=0, max_value=1_000_000).map(float),
+            min_size=2,
+            max_size=40,
+        )
+    )
+    def test_float_folds_bit_identical(self, spark, ys):
+        for s_sql, d_sql, py in (
+            (_HOLT_SPARK, _HOLT_DUCK, _holt_py),
+            (_KALMAN_SPARK, _KALMAN_DUCK, _kalman_py),
+        ):
+            got_s = self._spark_fold(spark, "ys", "double", ys, s_sql)
+            got_d = self._duck_fold("ys", "DOUBLE", ys, d_sql)
+            got_p = py(ys)
+            for a, b, c in zip(got_s, got_d, got_p):
+                assert _bits(a) == _bits(b) == _bits(c), (ys, got_s, got_d, got_p)
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        gaps=st.lists(
+            st.integers(min_value=0, max_value=120_000_000),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def test_integer_bucket_fold_identical(self, spark, gaps):
+        xs, t = [], 0
+        for g in gaps:
+            t += g
+            xs.append(t)
+        got_s = self._spark_fold(spark, "xs", "long", xs, _BUCKET_SPARK)
+        got_d = self._duck_fold("xs", "BIGINT", xs, _BUCKET_DUCK)
+        got_p = _bucket_py(xs)
+        assert list(got_s) == list(got_d) == got_p, (xs, got_s, got_d, got_p)

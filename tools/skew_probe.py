@@ -1,0 +1,261 @@
+"""Hub-skew probe: power-law-degree resilience for the graph iteratives.
+
+The 10x scale probe (tools/scale_probe.py) deliberately grows NODES, not
+degree — honest for linear-scaling ratios, but it leaves the graph family
+with zero evidence against the power-law hubs real 100 TB interaction
+graphs have (VERDICT r06 task 1). This probe plants one: a HUB supplier
+owning ~20% of the distinct interaction edges, at 1x and at ``factor``x,
+and times the per-source graph iteratives on the uniform vs hub variants.
+
+Construction (same raw row count per variant, so times are comparable):
+take the sf0.1 lineitem, keep a 1-in-10 order-hash slice as the sparse
+uniform background, and reassign TWO further slices to supplier 0 — the
+hub then neighbors ~85% of active customers and carries ~18-20% of the
+distinct edge set, a ~100x degree outlier, while the background suppliers
+keep their normal ~15-edge degree. The same transform applied to the
+node-grown ``factor``x tables keeps the hub SHARE constant while its
+absolute degree grows ``factor``x — exactly the straggler shape a
+power-law graph presents at scale.
+
+Verdict metric: for each query, the hub variant's factor-x/1x TIME ratio
+vs the uniform variant's. hub_ratio <= uniform_ratio (within noise) means
+the frontier joins and map-side-combined aggregates absorb the hub; a
+hub_ratio >> uniform_ratio flags a straggler to fix (salting,
+operators/skew.py).
+
+Usage: python tools/skew_probe.py [factor] [out_json]
+Writes skew_probe.json at the repo root by default. ~10 min at factor 10.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+HUB_SUPPKEY = 0
+
+QUERIES = [
+    "graph_bfs_hops",
+    "graph_pagerank_interactions",
+    "graph_path_counts",
+    "graph_betweenness_probe",
+]
+
+
+def _write(df, dest: str, name: str) -> None:
+    df.write.mode("overwrite").parquet(f"{dest}/{name}.parquet")
+
+
+def synth_uniform(spark, factor: int, dest: str) -> None:
+    """Node-grown factor-x copies of the 3 graph tables (the scale_probe
+    discipline: disjoint id ranges per copy, so the graph gains nodes,
+    never degree)."""
+    from pyspark.sql import functions as F
+
+    from clinical_api_etl_spark.sources.catalog import load
+
+    os.makedirs(dest, exist_ok=True)
+    li = load(spark, BASE, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
+    orders = load(spark, BASE, "orders").select("o_orderkey", "o_custkey")
+    sup = load(spark, BASE, "supplier")
+    n_o = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    n_p = li.agg(F.max("l_partkey")).collect()[0][0] + 1
+    n_s = sup.agg(F.max("s_suppkey")).collect()[0][0] + 1
+    n_c = orders.agg(F.max("o_custkey")).collect()[0][0] + 1
+
+    lcopies = [
+        li.select(
+            (F.col("l_orderkey") + k * n_o).alias("l_orderkey"),
+            (F.col("l_partkey") + k * n_p).alias("l_partkey"),
+            (F.col("l_suppkey") + k * n_s).alias("l_suppkey"),
+        )
+        for k in range(factor)
+    ]
+    out = lcopies[0]
+    for c in lcopies[1:]:
+        out = out.unionByName(c)
+    _write(out, dest, "lineitem")
+
+    ocopies = [
+        orders.select(
+            (F.col("o_orderkey") + k * n_o).alias("o_orderkey"),
+            (F.col("o_custkey") + k * n_c).alias("o_custkey"),
+        )
+        for k in range(factor)
+    ]
+    out = ocopies[0]
+    for c in ocopies[1:]:
+        out = out.unionByName(c)
+    _write(out, dest, "orders")
+
+    scopies = [
+        sup.select(
+            (F.col("s_suppkey") + k * n_s).alias("s_suppkey"),
+            "s_name",
+            "s_nationkey",
+            "s_acctbal",
+        )
+        for k in range(factor)
+    ]
+    out = scopies[0]
+    for c in scopies[1:]:
+        out = out.unionByName(c)
+    _write(out, dest, "supplier")
+
+
+def synth_hub(spark, src_dir: str, dest: str) -> None:
+    """Hub variant of ``src_dir``: slice 0 of the order-hash keeps its
+    suppliers (sparse background), slices 1-2 reassign to the hub."""
+    from pyspark.sql import functions as F
+
+    from clinical_api_etl_spark.sources.catalog import load
+
+    os.makedirs(dest, exist_ok=True)
+    li = load(spark, src_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    slot = F.pmod(F.xxhash64(F.col("l_orderkey")), F.lit(10))
+    hub_li = (
+        li.filter(slot <= 2)
+        .withColumn(
+            "l_suppkey",
+            F.when(slot >= 1, F.lit(HUB_SUPPKEY).cast("long")).otherwise(
+                F.col("l_suppkey")
+            ),
+        )
+    )
+    _write(hub_li, dest, "lineitem")
+    for t in ("orders", "supplier"):
+        _write(load(spark, src_dir, t), dest, t)
+
+
+def hub_share(spark, sf_dir: str) -> dict:
+    """Distinct-edge share + degree of the hub supplier (the probe's
+    planted-skew evidence)."""
+    from pyspark.sql import functions as F
+
+    from clinical_api_etl_spark.sources.catalog import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    row = e0.agg(
+        F.count(F.lit(1)).alias("edges"),
+        F.sum((F.col("l_suppkey") == HUB_SUPPKEY).cast("long")).alias("hub_deg"),
+    ).collect()[0]
+    return {
+        "edges": row["edges"],
+        "hub_degree": row["hub_deg"],
+        "hub_share": round(row["hub_deg"] / max(row["edges"], 1), 4),
+    }
+
+
+def time_query(spark, q, d: str) -> dict:
+    best, rows = None, None
+    for _ in range(2):
+        t0 = time.time()
+        rows = q.builder(spark, d).count()
+        dt = time.time() - t0
+        spark.catalog.clearCache()
+        best = dt if best is None else min(best, dt)
+    return {"sec": round(best, 3), "rows": rows}
+
+
+def main() -> int:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_path = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "skew_probe.json",
+        )
+    )
+    from clinical_api_etl_spark.plans.registry import all_queries
+    from clinical_api_etl_spark.session import get_spark
+
+    spark = get_spark("skew-probe")
+    qs = all_queries()
+    work = tempfile.mkdtemp(prefix="skew_probe_")
+    try:
+        dirs = {"uniform_1x": BASE}
+        t0 = time.time()
+        for name, builder in (
+            ("hub_1x", lambda d: synth_hub(spark, BASE, d)),
+            ("uniform_fx", lambda d: synth_uniform(spark, factor, d)),
+        ):
+            d = os.path.join(work, name)
+            builder(d)
+            dirs[name] = d
+        d = os.path.join(work, "hub_fx")
+        synth_hub(spark, dirs["uniform_fx"], d)
+        dirs["hub_fx"] = d
+        print(f"# synthesized in {time.time()-t0:.1f}s", file=sys.stderr)
+
+        shares = {k: hub_share(spark, v) for k, v in dirs.items()}
+        for k, v in shares.items():
+            print(f"# {k}: {v}", file=sys.stderr)
+
+        results = {}
+        for qname in QUERIES:
+            q = qs[qname]
+            times = {k: time_query(spark, q, v) for k, v in dirs.items()}
+            uniform_ratio = round(
+                times["uniform_fx"]["sec"] / max(times["uniform_1x"]["sec"], 1e-9), 2
+            )
+            hub_ratio = round(
+                times["hub_fx"]["sec"] / max(times["hub_1x"]["sec"], 1e-9), 2
+            )
+            # Output growth must normalize the verdict: the hub BRIDGES the
+            # otherwise-disjoint factor-x copies, so the per-source state
+            # (path counts, betweenness) legitimately grows ~factor-x on
+            # the hub variant where the uniform variant stays constant —
+            # the output-bound law, not a straggler. Resilient = hub time
+            # scales no worse than the larger of (uniform time scaling,
+            # hub OUTPUT scaling), with 25% noise headroom.
+            hub_rows_ratio = round(
+                times["hub_fx"]["rows"] / max(times["hub_1x"]["rows"], 1), 2
+            )
+            results[qname] = {
+                **times,
+                "uniform_scale_ratio": uniform_ratio,
+                "hub_scale_ratio": hub_ratio,
+                "hub_rows_ratio": hub_rows_ratio,
+                "hub_resilient": hub_ratio
+                <= max(uniform_ratio, hub_rows_ratio) * 1.25,
+            }
+            print(
+                f"# {qname}: uniform {times['uniform_1x']['sec']}s->"
+                f"{times['uniform_fx']['sec']}s (x{uniform_ratio}) | hub "
+                f"{times['hub_1x']['sec']}s->{times['hub_fx']['sec']}s "
+                f"(x{hub_ratio})",
+                file=sys.stderr,
+            )
+        payload = {
+            "factor": factor,
+            "base": BASE,
+            "hub_suppkey": HUB_SUPPKEY,
+            "hub_shares": shares,
+            "queries": results,
+        }
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=2, sort_keys=True)
+        print(json.dumps({"wrote": out_path, "factor": factor}))
+        return 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
