@@ -2266,3 +2266,95 @@ def unigram_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("freq").cast("double")
         ).alias("fertility"),
     )
+
+
+def _family_fertility_oracle() -> str:
+    """Composed oracle: the BPE learn-then-apply fertility chain (from
+    plans/inference.py, CTE names toks/w/s*/p*/m*) next to the unigram
+    learn+apply chain (ug*-prefixed — namespaces are disjoint), joined
+    per language. The ratio is ONE IEEE division of two bit-identical
+    doubles, so the whole artifact stays hash-gated."""
+    from clinical_api_etl_spark.plans.inference import (
+        _BPE_MERGES,
+        _bpe_artifact_ctes,
+    )
+
+    ug = _ug_learn_ctes()
+    ug += [
+        "ugwl AS MATERIALIZED (SELECT lang, word,"
+        " CAST(COUNT(*) AS BIGINT) AS freq FROM"
+        f" (SELECT lang, unnest({_TOKS}) AS word FROM documents)"
+        " WHERE length(word) BETWEEN 1 AND 12 GROUP BY lang, word)",
+        _ug_spans_cte("ugl", "ugwl", "lang,"),
+        *_ug_viterbi_ctes("ugf", "uglspans", "ugfin", "lang,"),
+        "ufert AS MATERIALIZED (SELECT lang,"
+        " CAST(SUM(freq) AS BIGINT) AS n_words_ug,"
+        " CAST(SUM(freq * len(pieces)) AS DOUBLE)"
+        " / CAST(SUM(freq) AS DOUBLE) AS unigram_fertility"
+        " FROM ugfseg GROUP BY lang)",
+    ]
+    return (
+        "WITH "
+        + _bpe_artifact_ctes(_BPE_MERGES)
+        + f""",
+    bseg AS MATERIALIZED (
+      SELECT word, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_sub
+      FROM s{_BPE_MERGES}),
+    bdocw AS MATERIALIZED (
+      SELECT d.lang, x.tok AS word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks) x
+      JOIN documents d USING (doc_id)
+      GROUP BY d.lang, x.tok),
+    bfert AS MATERIALIZED (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS n_words_bpe,
+             CAST(SUM(c * n_sub) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+               AS bpe_fertility
+      FROM bdocw JOIN bseg USING (word) GROUP BY lang),
+    """
+        + ",\n".join(ug)
+        + "\nSELECT lang, n_words_bpe, bpe_fertility, n_words_ug,"
+        " unigram_fertility,"
+        " unigram_fertility / bpe_fertility AS fertility_ratio"
+        " FROM bfert JOIN ufert USING (lang)"
+    )
+
+
+@QS.add(
+    "tokenizer_family_fertility",
+    _family_fertility_oracle(),
+    doc="[EXT] cross-FAMILY tokenizer equity artifact: trains BOTH "
+    "tokenizers (BPE merge chain + unigram-LM hard-EM) on the same "
+    "corpus and emits per-language fertility side by side, plus the "
+    "unigram/BPE ratio — the comparison a tokenizer bake-off (and the "
+    "data card's equity section) actually gates on, rather than two "
+    "disconnected single-family views. All counts are exact BIGINTs; "
+    "each fertility is one division, the ratio one more IEEE division "
+    "of bit-identical doubles — the composed artifact stays fully "
+    "hash-gated (both trainings inside one oracle). Composition reuses "
+    "the registered builders verbatim, so any divergence between this "
+    "artifact and the standalone queries is itself a test signal.",
+    tags=("text", "iterative"),
+)
+def tokenizer_family_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.plans.inference import bpe_fertility_by_lang
+
+    bpe = bpe_fertility_by_lang(spark, sf_dir).select(
+        "lang",
+        F.col("n_words").alias("n_words_bpe"),
+        "fertility",
+    ).withColumnRenamed("fertility", "bpe_fertility")
+    ug = unigram_fertility_by_lang(spark, sf_dir).select(
+        "lang",
+        F.col("n_words").alias("n_words_ug"),
+        F.col("fertility").alias("unigram_fertility"),
+    )
+    return bpe.join(ug, "lang").select(
+        "lang",
+        "n_words_bpe",
+        "bpe_fertility",
+        "n_words_ug",
+        "unigram_fertility",
+        (F.col("unigram_fertility") / F.col("bpe_fertility")).alias(
+            "fertility_ratio"
+        ),
+    )

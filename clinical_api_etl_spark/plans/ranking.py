@@ -1079,7 +1079,7 @@ def stat_percentile_bands_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
 _LPA_ROUNDS = 3
 
 
-def _lpa_oracle(rounds: int) -> str:
+def _lpa_ctes(rounds: int) -> list[str]:
     """Unrolled DuckDB twin: every round's label table MATERIALIZED (the
     k-core finding — DuckDB re-inlines multiply-referenced CTEs and the
     chain re-expands exponentially otherwise)."""
@@ -1108,9 +1108,13 @@ def _lpa_oracle(rounds: int) -> str:
               ) WHERE rk = 1
             )"""
         )
+    return ctes
+
+
+def _lpa_oracle(rounds: int) -> str:
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_lpa_ctes(rounds))
         + f"\nSELECT node, lbl AS community FROM l{rounds}"
     )
 
@@ -1134,6 +1138,13 @@ def _lpa_oracle(rounds: int) -> str:
     headline=True,
 )
 def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _e0, labels = _lpa_run(spark, sf_dir)
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
+def _lpa_run(spark: SparkSession, sf_dir: str):
+    """Shared LPA trajectory: returns (e0 distinct undirected edges u<v,
+    final labels (node, lbl)); both persisted-safe for reuse."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     e0 = (
@@ -1173,7 +1184,116 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("node", F.col("top.lbl").cast("long").alias("lbl"))
         )
-    return labels.select("node", F.col("lbl").alias("community"))
+    return e0, labels
+
+
+@QS.add(
+    "graph_modularity_lpa",
+    "WITH "
+    + ",\n".join(_lpa_ctes(_LPA_ROUNDS))
+    + f""",
+    comm AS MATERIALIZED (SELECT node, lbl AS community FROM l{_LPA_ROUNDS}),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+    deg AS MATERIALIZED (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+      GROUP BY node),
+    dc AS (SELECT c.community, CAST(SUM(d) AS BIGINT) AS dsum
+           FROM deg JOIN comm c USING (node) GROUP BY c.community),
+    mc AS (SELECT a.community, CAST(COUNT(*) AS BIGINT) AS intra
+           FROM e0 JOIN comm a ON e0.u = a.node
+                   JOIN comm b ON e0.v = b.node
+           WHERE a.community = b.community GROUP BY a.community),
+    terms AS (
+      SELECT dc.community,
+             CAST(COALESCE(mc.intra, 0) AS BIGINT) AS intra, dc.dsum,
+             CAST(COALESCE(mc.intra, 0) AS DOUBLE)
+               / CAST((SELECT m FROM mm) AS DOUBLE)
+             - (CAST(dc.dsum AS DOUBLE)
+                / CAST(2 * (SELECT m FROM mm) AS DOUBLE))
+               * (CAST(dc.dsum AS DOUBLE)
+                  / CAST(2 * (SELECT m FROM mm) AS DOUBLE)) AS term
+      FROM dc LEFT JOIN mc ON dc.community = mc.community)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST((SELECT m FROM mm) AS BIGINT) AS m_edges,
+           CAST(SUM(intra) AS BIGINT) AS intra_edges,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(term ORDER BY community)), (x, y) -> x + y) AS modularity
+    FROM terms
+    """,
+    doc="[EXT] Newman-Girvan modularity Q of the LPA partition — the "
+    "standard quality score for a community detection run (did the "
+    "labels actually find structure, or collapse?): Q = Σ_c [m_c/m − "
+    "(D_c/2m)²] over communities c, with m total undirected edges, m_c "
+    "intra-community edges, D_c the community degree sum — all exact "
+    "BIGINTs from two equi-joins of the edge table against the final "
+    "label table. Each community's term is a fixed IEEE tree (two "
+    "correctly-rounded divisions, one multiply, one subtract) over those "
+    "exact integers, and the global Q sums terms via the pinned-order "
+    "fold (community-id order) — bit-identical cross-engine, so the "
+    "evaluation metric for the 5th iterative is itself fully "
+    "hash-gated. Replays the identical LPA trajectory (shared CTE "
+    "chain / shared Spark helper with graph_lpa_communities).",
+    tags=("graph", "iterative"),
+)
+def graph_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e0, labels = _lpa_run(spark, sf_dir)
+    comm = labels.select(
+        "node", F.col("lbl").cast("long").alias("community")
+    ).persist()
+    mm = e0.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    dc = (
+        deg.join(comm, "node")
+        .groupBy("community")
+        .agg(F.sum("d").cast("long").alias("dsum"))
+    )
+    mc = (
+        e0.join(comm.select(F.col("node").alias("u"),
+                            F.col("community").alias("cu")), "u")
+        .join(comm.select(F.col("node").alias("v"),
+                          F.col("community").alias("cv")), "v")
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra"))
+    )
+    terms = (
+        dc.join(mc, "community", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "community",
+            F.coalesce(F.col("intra"), F.lit(0)).cast("long").alias("intra"),
+            "dsum",
+            (
+                F.coalesce(F.col("intra"), F.lit(0)).cast("double")
+                / F.col("m").cast("double")
+                - (
+                    F.col("dsum").cast("double")
+                    / (F.lit(2) * F.col("m")).cast("double")
+                )
+                * (
+                    F.col("dsum").cast("double")
+                    / (F.lit(2) * F.col("m")).cast("double")
+                )
+            ).alias("term"),
+            "m",
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.max("m").cast("long").alias("m_edges"),
+        F.sum("intra").cast("long").alias("intra_edges"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("community", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("modularity"),
+    )
 
 
 # ---------------------------------------------------------------------------

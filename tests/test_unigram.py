@@ -128,3 +128,37 @@ class TestFertility:
             assert r["n_pieces"] >= r["n_words"] > 0
             assert r["fertility"] == r["n_pieces"] / r["n_words"]
             assert 1.0 <= r["fertility"] <= float(MAXW)
+
+
+class TestFamilyFertilityComposition:
+    """tokenizer_family_fertility must equal the join of the two
+    standalone registered queries — composition divergence is a bug."""
+
+    def test_matches_standalone_components(self, spark):
+        from clinical_api_etl_spark.plans.inference import (
+            bpe_fertility_by_lang,
+        )
+        from clinical_api_etl_spark.plans.mlprep import (
+            tokenizer_family_fertility,
+            unigram_fertility_by_lang,
+        )
+
+        fam = {
+            r["lang"]: r
+            for r in tokenizer_family_fertility(spark, SF).collect()
+        }
+        bpe = {r["lang"]: r for r in bpe_fertility_by_lang(spark, SF).collect()}
+        ug = {
+            r["lang"]: r
+            for r in unigram_fertility_by_lang(spark, SF).collect()
+        }
+        assert set(fam) == set(bpe) == set(ug)
+        for lang, row in fam.items():
+            assert row["n_words_bpe"] == bpe[lang]["n_words"]
+            assert row["bpe_fertility"] == bpe[lang]["fertility"]
+            assert row["n_words_ug"] == ug[lang]["n_words"]
+            assert row["unigram_fertility"] == ug[lang]["fertility"]
+            assert row["fertility_ratio"] == (
+                ug[lang]["fertility"] / bpe[lang]["fertility"]
+            )
+            assert row["fertility_ratio"] > 0
