@@ -2358,3 +2358,129 @@ def tokenizer_family_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fertility_ratio"
         ),
     )
+
+
+_DR_ROUNDS = 5
+_DR_TOPV = 256
+_DR_ETA = "0.1e0"  # e0 suffix forces the correctly-rounded DOUBLE parse
+
+
+def _doremi_oracle() -> str:
+    ctes = [
+        f"drtok AS MATERIALIZED (SELECT source, unnest({_TOKS}) AS w"
+        " FROM documents)",
+        "drcnt AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS c"
+        " FROM drtok GROUP BY w)",
+        f"drtop AS MATERIALIZED (SELECT w FROM drcnt"
+        f" ORDER BY c DESC, w LIMIT {_DR_TOPV})",
+        "drdom AS MATERIALIZED (SELECT t.source,"
+        " CAST(COUNT(*) AS BIGINT) AS n_tokens,"
+        " CAST(SUM(CASE WHEN p.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_rare FROM drtok t LEFT JOIN drtop p USING (w)"
+        " GROUP BY t.source)",
+        "drl AS MATERIALIZED (SELECT source, n_tokens, n_rare,"
+        " CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS loss"
+        " FROM drdom)",
+        "drw0 AS MATERIALIZED (SELECT source, n_tokens, n_rare, loss,"
+        " CAST(1 AS DOUBLE) / CAST((SELECT COUNT(*) FROM drl) AS DOUBLE)"
+        " AS w FROM drl)",
+    ]
+    for i in range(1, _DR_ROUNDS + 1):
+        ctes += [
+            f"drr{i} AS MATERIALIZED (SELECT source, n_tokens, n_rare,"
+            f" loss, w * (CAST(1 AS DOUBLE) + {_DR_ETA} * loss) AS t"
+            f" FROM drw{i - 1})",
+            f"drz{i} AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+            f" list(t ORDER BY source)), (x, y) -> x + y) AS z FROM drr{i})",
+            f"drw{i} AS MATERIALIZED (SELECT source, n_tokens, n_rare,"
+            f" loss, t / (SELECT z FROM drz{i}) AS w FROM drr{i})",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT source, n_tokens, n_rare, loss, w AS weight"
+        f" FROM drw{_DR_ROUNDS}"
+    )
+
+
+@QS.add(
+    "corpus_doremi_domain_weights",
+    _doremi_oracle(),
+    doc="[EXT] DoReMi-posture domain reweighting (Xie et al. 2023): "
+    "instead of sampling pretraining domains by raw size, upweight the "
+    "domains a proxy finds HARD. This is the deterministic static-loss "
+    "variant: excess loss per source domain = its rare-token ratio "
+    f"(tokens outside the corpus top-{_DR_TOPV} vocabulary — exact "
+    "BIGINT counts, one division), then {n} rounds of LINEARIZED "
+    "multiplicative weights w ← normalize(w · (1 + η·loss)) with "
+    "η=0.1 (the 1+εm MWU form — exp() is JVM-vs-libm unportable, the "
+    "linearized update is multiply/add of bit-identical doubles). Each "
+    "round's normalizer is a pinned-order fold over the 20-row domain "
+    "table; every weight trajectory value is bit-identical cross-engine "
+    "— the 17th hash-gated iterative. Scale shape: ONE corpus-scan "
+    "aggregation builds the loss table; the MWU itself runs on "
+    "|domains| rows.".replace("{n}", str(_DR_ROUNDS)),
+    tags=("mlprep", "iterative"),
+)
+def corpus_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("w")
+    ).persist()
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    top = (
+        cnt.orderBy(F.desc("c"), F.asc("w"))
+        .limit(_DR_TOPV)
+        .select("w", F.lit(1).alias("intop"))
+    )
+    dom = (
+        tok.join(F.broadcast(top), "w", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("intop").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+        )
+    )
+    lt = dom.select(
+        "source",
+        "n_tokens",
+        "n_rare",
+        (F.col("n_rare").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "loss"
+        ),
+    ).persist()
+    n_dom = lt.count()  # bounded: |source domains|
+    w = lt.select(
+        "source",
+        "n_tokens",
+        "n_rare",
+        "loss",
+        (F.lit(1.0) / F.lit(float(n_dom))).alias("w"),
+    )
+    for _ in range(_DR_ROUNDS):
+        terms = w.select(
+            "source",
+            "n_tokens",
+            "n_rare",
+            "loss",
+            (F.col("w") * (F.lit(1.0) + F.lit(0.1) * F.col("loss"))).alias("t"),
+        )
+        z = terms.agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("source", "t"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["t"],
+            ).alias("z")
+        )
+        w = terms.crossJoin(F.broadcast(z)).select(
+            "source",
+            "n_tokens",
+            "n_rare",
+            "loss",
+            (F.col("t") / F.col("z")).alias("w"),
+        )
+    return w.select(
+        "source", "n_tokens", "n_rare", "loss", F.col("w").alias("weight")
+    )

@@ -674,3 +674,39 @@ class TestCorpusDataCard:
                     dup[lg] = dup.get(lg, 0) + 1
         for lang in card:
             assert card[lang]["n_dup_docs"] == dup.get(lang, 0)
+
+
+class TestDoremiDomainWeights:
+    """corpus_doremi_domain_weights: bit-exact python replay of the
+    linearized-MWU trajectory from the collected loss table, plus
+    mixture invariants."""
+
+    def test_python_replay_bit_exact(self, spark):
+        from clinical_api_etl_spark.plans.mlprep import (
+            _DR_ROUNDS,
+            corpus_doremi_domain_weights,
+        )
+
+        rows = corpus_doremi_domain_weights(spark, SF).collect()
+        assert len(rows) >= 2
+        loss = {r["source"]: r["loss"] for r in rows}
+        for r in rows:
+            assert r["loss"] == r["n_rare"] / r["n_tokens"]  # one division
+        w = {s: 1.0 / float(len(loss)) for s in loss}
+        for _ in range(_DR_ROUNDS):
+            t = {s: w[s] * (1.0 + 0.1 * loss[s]) for s in w}
+            z = 0.0
+            for s in sorted(t):  # pinned fold order
+                z = z + t[s]
+            w = {s: t[s] / z for s in t}
+        for r in rows:
+            assert r["weight"] == w[r["source"]]  # bit-exact trajectory
+        # MWU direction: correctly-rounded multiply/divide are monotone,
+        # so a larger loss can never end with a smaller weight. (No
+        # comparison against exact uniform — with near-tied losses the
+        # trajectory sits within ulps of 1/n on either side.)
+        hardest = max(loss, key=lambda s: (loss[s], s))
+        easiest = min(loss, key=lambda s: (loss[s], s))
+        if loss[hardest] > loss[easiest]:
+            assert w[hardest] >= w[easiest]
+        assert abs(sum(w.values()) - 1.0) < 1e-12
