@@ -2024,3 +2024,144 @@ def text_langid_trigram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("overlap").cast("long").alias("min_overlap"),
         F.max("overlap").cast("long").alias("max_overlap"),
     )
+
+
+@QS.add(
+    "text_vocab_chao1",
+    f"""
+    WITH w AS (
+      SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_TOKS}) AS tok FROM documents) GROUP BY tok
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS s_obs,
+             CAST(SUM(freq) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) FILTER (freq = 1) AS BIGINT) AS f1,
+             CAST(COUNT(*) FILTER (freq = 2) AS BIGINT) AS f2
+      FROM w
+    )
+    SELECT s_obs, n_tokens, f1, f2,
+           CAST(s_obs AS DOUBLE)
+             + CAST(f1 * (f1 - 1) AS DOUBLE)
+               / CAST(2 * (f2 + 1) AS DOUBLE) AS chao1,
+           CAST(1 AS DOUBLE)
+             - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS good_coverage
+    FROM s
+    """,
+    doc="[EXT] Chao1 vocabulary-richness estimate + Good's sample "
+    "coverage — the 'how much vocabulary have we NOT seen yet' numbers "
+    "a corpus scaling decision leans on (Chao 1984; bias-corrected form "
+    "S_obs + f1(f1-1)/(2(f2+1)), so f2=0 never divides by zero): f1/f2 "
+    "are the singleton/doubleton counts of the word-frequency table, "
+    "coverage C = 1 - f1/N is the Good-Turing mass of unseen words. "
+    "All exact BIGINT products; two single divisions + one add — "
+    "hash-gated. One corpus scan, one tiny aggregate.",
+    tags=("text", "stats"),
+)
+def text_vocab_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    s = w.agg(
+        F.count(F.lit(1)).cast("long").alias("s_obs"),
+        F.sum("freq").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("freq") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    return s.select(
+        "s_obs",
+        "n_tokens",
+        "f1",
+        "f2",
+        (
+            F.col("s_obs").cast("double")
+            + (F.col("f1") * (F.col("f1") - 1)).cast("double")
+            / (F.lit(2) * (F.col("f2") + 1)).cast("double")
+        ).alias("chao1"),
+        (
+            F.lit(1.0)
+            - F.col("f1").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("good_coverage"),
+    )
+
+
+_GT_MAX_R = 10
+
+
+@QS.add(
+    "text_good_turing_counts",
+    f"""
+    WITH w AS (
+      SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_TOKS}) AS tok FROM documents) GROUP BY tok
+    ),
+    h AS (
+      SELECT freq AS r, CAST(COUNT(*) AS BIGINT) AS n_r FROM w
+      WHERE freq <= {_GT_MAX_R + 1} GROUP BY freq
+    ),
+    grid AS (SELECT unnest(range(1, {_GT_MAX_R + 1})) AS r)
+    SELECT g.r,
+           CAST(COALESCE(a.n_r, 0) AS BIGINT) AS n_r,
+           CAST(COALESCE(b.n_r, 0) AS BIGINT) AS n_r1,
+           CASE WHEN COALESCE(a.n_r, 0) = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST((g.r + 1) * COALESCE(b.n_r, 0) AS DOUBLE)
+                     / CAST(a.n_r AS DOUBLE) END AS r_star
+    FROM grid g
+    LEFT JOIN h a ON a.r = g.r
+    LEFT JOIN h b ON b.r = g.r + 1
+    """,
+    doc="[EXT] Good-Turing adjusted counts r* = (r+1)·N_(r+1)/N_r for "
+    f"r = 1..{_GT_MAX_R} over the word-frequency histogram — the "
+    "count-smoothing table under Katz backoff and the unseen-mass "
+    "companion to text_vocab_chao1's coverage. The frequency-of-"
+    "frequencies histogram is one corpus scan + one |vocab|-row "
+    "aggregate; the r grid is generated on both engines, missing "
+    "N_r rows coalesce to 0 (r* = 0 sentinel, the NaT/NaN rule for "
+    "undefined ratios). Each r* is one division over exact BIGINT "
+    "products — hash-gated.",
+    tags=("text", "stats"),
+)
+def text_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    h = (
+        w.filter(F.col("freq") <= _GT_MAX_R + 1)
+        .groupBy(F.col("freq").alias("r"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    )
+    grid = spark.range(1, _GT_MAX_R + 1).select(F.col("id").alias("r"))
+    a = h.select(F.col("r"), F.col("n_r"))
+    b = h.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    return (
+        grid.join(F.broadcast(a), "r", "left")
+        .join(F.broadcast(b), "r", "left")
+        .select(
+            "r",
+            F.coalesce(F.col("n_r"), F.lit(0)).cast("long").alias("n_r"),
+            F.coalesce(F.col("n_r1"), F.lit(0)).cast("long").alias("n_r1"),
+            F.when(
+                F.coalesce(F.col("n_r"), F.lit(0)) == 0, F.lit(0.0)
+            )
+            .otherwise(
+                ((F.col("r") + 1) * F.coalesce(F.col("n_r1"), F.lit(0)))
+                .cast("double")
+                / F.col("n_r").cast("double")
+            )
+            .alias("r_star"),
+        )
+    )

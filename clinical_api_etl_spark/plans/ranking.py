@@ -4512,3 +4512,138 @@ def graph_linkpred_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame
     # plan-build time would void the cache before any action ran and the
     # expensive self-join would recompute for each downstream reference
     return scored.orderBy(F.desc("ra"), "u", "v").limit(_LP_TOP)
+
+
+_RBO_K = 20
+_RBO_P = "0.9e0"  # e0 suffix = correctly-rounded DOUBLE parse both engines
+
+
+@QS.add(
+    "retrieval_rbo_rankings",
+    f"""
+    WITH m AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)
+                      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                                    AS BIGINT))) AS BIGINT) AS rev_u,
+             CAST(COUNT(*) AS BIGINT) AS n_li
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ra AS (SELECT l_partkey, ROW_NUMBER() OVER
+             (ORDER BY rev_u DESC, l_partkey) AS r FROM m
+           ORDER BY rev_u DESC, l_partkey LIMIT {_RBO_K}),
+    rb AS (SELECT l_partkey, ROW_NUMBER() OVER
+             (ORDER BY n_li DESC, l_partkey) AS r FROM m
+           ORDER BY n_li DESC, l_partkey LIMIT {_RBO_K}),
+    common AS (
+      SELECT GREATEST(ra.r, rb.r) AS mx
+      FROM ra JOIN rb USING (l_partkey)
+    ),
+    depths AS (
+      SELECT d, CAST((SELECT COUNT(*) FROM common WHERE mx <= d) AS BIGINT)
+               AS cnt,
+             CAST((SELECT COUNT(*) FROM common WHERE mx <= d) AS DOUBLE)
+               / CAST(d AS DOUBLE) AS a
+      FROM (SELECT unnest(range(1, {_RBO_K + 1})) AS d)
+    ),
+    folded AS (
+      SELECT list_reduce(
+               list_prepend([CAST(1 AS DOUBLE), CAST(0 AS DOUBLE)],
+                 list([a] ORDER BY d)),
+               (acc, x) -> [acc[1] * {_RBO_P}, acc[2] + acc[1] * x[1]]
+             ) AS st,
+             CAST(MAX(CASE WHEN d = {_RBO_K} THEN cnt END) AS BIGINT)
+               AS n_common
+      FROM depths
+    )
+    SELECT n_common,
+           (CAST(1 AS DOUBLE) - {_RBO_P}) * st[2] AS rbo_min
+    FROM folded
+    """,
+    doc="[EXT] rank-biased overlap (Webber et al. 2010) between two "
+    f"deterministic product rankings (top-{_RBO_K} by exact revenue "
+    "units vs by lineitem count): RBO@k = (1-p)·Σ p^(d-1)·A_d with "
+    "p=0.9, the top-weighted rank-agreement metric a retrieval A/B "
+    "compares rankers with (truncated rbo_min form — the residual mass "
+    "of unseen tails is excluded, documented convention). Prefix "
+    "agreement A_d = |X_d|/d comes from ONE join of the two top-k "
+    "tables (an item is in both depth-d prefixes iff max(rank_a, "
+    "rank_b) <= d) — never a per-depth re-ranking; the (p-power, sum) "
+    "pair rides a 2-slot LIST-accumulator pinned fold (the round-10 "
+    "template: both engines evaluate lambda elements against the "
+    "ORIGINAL accumulator), every term one multiply of bit-identical "
+    "doubles over single-division prefix ratios — fully hash-gated. "
+    "Both source rankings are exact-integer metrics (cent-hundredth "
+    "revenue units, counts) with partkey tie-breaks, so the input "
+    "rankings are themselves deterministic.",
+    tags=("retrieval", "stats"),
+)
+def retrieval_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+            * (
+                F.lit(100)
+                - (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("rev_u"),
+        F.count(F.lit(1)).cast("long").alias("n_li"),
+    ).persist()
+    ra = (
+        m.orderBy(F.desc("rev_u"), F.asc("l_partkey"))
+        .limit(_RBO_K)
+        .select(
+            "l_partkey",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rev_u"), F.asc("l_partkey")))
+            .alias("r_a"),
+        )
+    )
+    rb = (
+        m.orderBy(F.desc("n_li"), F.asc("l_partkey"))
+        .limit(_RBO_K)
+        .select(
+            "l_partkey",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_li"), F.asc("l_partkey")))
+            .alias("r_b"),
+        )
+    )
+    common = ra.join(rb, "l_partkey").select(
+        F.greatest("r_a", "r_b").alias("mx")
+    )
+    grid = spark.range(1, _RBO_K + 1).select(F.col("id").alias("d"))
+    depths = (
+        grid.join(F.broadcast(common), F.col("mx") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count(F.col("mx")).cast("long").alias("cnt"))
+        .select(
+            "d",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("d").cast("double")).alias("a"),
+        )
+    )
+    folded = depths.agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("d", "a"))),
+                lambda s: s["a"],
+            ),
+            F.array(F.lit(1.0), F.lit(0.0)),
+            lambda acc, x: F.array(
+                F.element_at(acc, 1) * F.lit(0.9),
+                F.element_at(acc, 2) + F.element_at(acc, 1) * x,
+            ),
+        ).alias("st"),
+        F.max(F.when(F.col("d") == _RBO_K, F.col("cnt")))
+        .cast("long")
+        .alias("n_common"),
+    )
+    return folded.select(
+        "n_common",
+        ((F.lit(1.0) - F.lit(0.9)) * F.element_at("st", 2)).alias("rbo_min"),
+    )

@@ -906,3 +906,91 @@ class TestLangidTrigram:
         assert xx and all(r["predicted"] == "xx" for r in xx)
         # and no real-language doc is pulled into the fake script
         assert not [r for r in planted if r["lang"] != "xx" and r["predicted"] == "xx"]
+
+
+class TestVocabStatistics:
+    """Chao1 / Good-Turing / RBO: python replays from first principles
+    on sf0.001 (the oracle gates carry cross-engine bit-exactness)."""
+
+    def _word_freqs(self, spark):
+        from collections import Counter
+
+        from clinical_api_etl_spark.sources.catalog import load
+
+        docs = load(spark, "/root/testdata/sf0.001", "documents").collect()
+        c: Counter = Counter()
+        for r in docs:
+            c.update(r["text"].strip().lower().split())
+        return c
+
+    def test_chao1_replay(self, spark):
+        from clinical_api_etl_spark.plans.extensions import text_vocab_chao1
+
+        row = text_vocab_chao1(spark, "/root/testdata/sf0.001").collect()[0]
+        c = self._word_freqs(spark)
+        f1 = sum(1 for v in c.values() if v == 1)
+        f2 = sum(1 for v in c.values() if v == 2)
+        n = sum(c.values())
+        assert row["s_obs"] == len(c)
+        assert row["n_tokens"] == n
+        assert (row["f1"], row["f2"]) == (f1, f2)
+        assert row["chao1"] == len(c) + (f1 * (f1 - 1)) / (2 * (f2 + 1))
+        assert row["good_coverage"] == 1.0 - f1 / n
+        assert row["chao1"] >= row["s_obs"]
+        assert 0.0 <= row["good_coverage"] <= 1.0
+
+    def test_good_turing_replay(self, spark):
+        from clinical_api_etl_spark.plans.extensions import (
+            _GT_MAX_R,
+            text_good_turing_counts,
+        )
+
+        rows = {
+            r["r"]: r
+            for r in text_good_turing_counts(
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        assert sorted(rows) == list(range(1, _GT_MAX_R + 1))
+        c = self._word_freqs(spark)
+        from collections import Counter
+
+        h = Counter(c.values())
+        for r in range(1, _GT_MAX_R + 1):
+            nr, nr1 = h.get(r, 0), h.get(r + 1, 0)
+            assert rows[r]["n_r"] == nr
+            assert rows[r]["n_r1"] == nr1
+            want = 0.0 if nr == 0 else ((r + 1) * nr1) / nr
+            assert rows[r]["r_star"] == want
+
+    def test_rbo_replay(self, spark):
+        from clinical_api_etl_spark.plans.ranking import (
+            _RBO_K,
+            retrieval_rbo_rankings,
+        )
+        from clinical_api_etl_spark.sources.catalog import load
+
+        row = retrieval_rbo_rankings(spark, "/root/testdata/sf0.001").collect()[0]
+        li = load(spark, "/root/testdata/sf0.001", "lineitem").collect()
+        from collections import defaultdict
+        from decimal import Decimal
+
+        rev: dict = defaultdict(int)
+        cnt: dict = defaultdict(int)
+        for r in li:
+            p = int(Decimal(str(r["l_extendedprice"])).quantize(Decimal("0.01")) * 100)
+            d = int(Decimal(str(r["l_discount"])).quantize(Decimal("0.01")) * 100)
+            rev[r["l_partkey"]] += p * (100 - d)
+            cnt[r["l_partkey"]] += 1
+        ra = sorted(rev, key=lambda k: (-rev[k], k))[:_RBO_K]
+        rb = sorted(cnt, key=lambda k: (-cnt[k], k))[:_RBO_K]
+        pos_a = {k: i + 1 for i, k in enumerate(ra)}
+        pos_b = {k: i + 1 for i, k in enumerate(rb)}
+        mx = [max(pos_a[k], pos_b[k]) for k in pos_a if k in pos_b]
+        pow_, s = 1.0, 0.0
+        for d in range(1, _RBO_K + 1):
+            a_d = sum(1 for m in mx if m <= d) / float(d)
+            pow_, s = pow_ * 0.9, s + pow_ * a_d
+        assert row["n_common"] == len(mx)
+        assert row["rbo_min"] == (1.0 - 0.9) * s
+        assert 0.0 <= row["rbo_min"] <= 1.0
