@@ -1142,9 +1142,10 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("node", F.col("lbl").alias("community"))
 
 
-def _lpa_run(spark: SparkSession, sf_dir: str):
-    """Shared LPA trajectory: returns (e0 distinct undirected edges u<v,
-    final labels (node, lbl)); both persisted-safe for reuse."""
+def _lp_graph(spark: SparkSession, sf_dir: str):
+    """Co-purchase graph shared by LPA / modularity / Katz: returns
+    (e0 distinct undirected edges u<v, sym both-direction view); both
+    persisted."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     e0 = (
@@ -1163,6 +1164,13 @@ def _lpa_run(spark: SparkSession, sf_dir: str):
     sym = e0.unionByName(
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).persist()
+    return e0, sym
+
+
+def _lpa_run(spark: SparkSession, sf_dir: str):
+    """Shared LPA trajectory: returns (e0 distinct undirected edges u<v,
+    final labels (node, lbl)); both persisted-safe for reuse."""
+    e0, sym = _lp_graph(spark, sf_dir)
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").cast("long").alias("lbl")
     )
@@ -4647,3 +4655,78 @@ def retrieval_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_common",
         ((F.lit(1.0) - F.lit(0.9)) * F.element_at("st", 2)).alias("rbo_min"),
     )
+
+
+_KATZ_ROUNDS = 3
+_KATZ_ALPHA = "0.05e0"
+
+
+def _katz_oracle() -> str:
+    ctes = list(_lpa_ctes(0)[:2])  # e0, sym — the shared co-purchase graph
+    ctes.append(
+        "k0 AS MATERIALIZED (SELECT DISTINCT u AS node,"
+        " CAST(1 AS DOUBLE) AS x FROM sym)"
+    )
+    for i in range(1, _KATZ_ROUNDS + 1):
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT n.node,"
+            " CAST(1 AS DOUBLE) + COALESCE(f.sm, CAST(0 AS DOUBLE)) AS x"
+            f" FROM k0 n LEFT JOIN ("
+            " SELECT s.v AS node,"
+            " list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+            f" list({_KATZ_ALPHA} * p.x ORDER BY s.u)), (a, b) -> a + b) AS sm"
+            f" FROM sym s JOIN k{i - 1} p ON s.u = p.node"
+            " GROUP BY s.v) f USING (node))"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, x AS katz FROM k{_KATZ_ROUNDS}"
+    )
+
+
+@QS.add(
+    "graph_katz_centrality",
+    _katz_oracle(),
+    doc="[EXT] Katz centrality (Katz 1953) over the co-purchase graph — "
+    f"x ← 1 + α·Aᵀx with α={_KATZ_ALPHA[:-2]}, {_KATZ_ROUNDS} synchronous "
+    "rounds (the truncated geometric attenuation series; α below the "
+    "spectral-radius bound for this support-2 graph). 18th hash-gated "
+    "iterative: each neighbor term is ONE multiply of a bit-identical "
+    "double by the e0-suffixed α literal, per-node sums run as "
+    "pinned-order folds (neighbor-id order), and the +1 offset is exact "
+    "— the whole float trajectory matches DuckDB bit-for-bit. Per "
+    "round: one edges⋈scores equi-join + one grouped fold; node "
+    "universe from the shared `_lp_graph` materialization (single-pass "
+    "symmetrize discipline). Linear lineage — deliberately NOT "
+    "checkpointed (the pagerank finding: eager checkpoints slow linear "
+    "chains).",
+    tags=("graph", "iterative"),
+)
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _e0, sym = _lp_graph(spark, sf_dir)
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    x = nodes.select("node", F.lit(1.0).alias("x"))
+    for _ in range(_KATZ_ROUNDS):
+        f = (
+            sym.join(x.select(F.col("node").alias("u"), "x"), "u")
+            .select(
+                F.col("v").alias("node"),
+                F.struct(F.col("u"), (F.lit(0.05) * F.col("x")).alias("term")).alias(
+                    "st"
+                ),
+            )
+            .groupBy("node")
+            .agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list("st")),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t["term"],
+                ).alias("sm")
+            )
+        )
+        x = nodes.join(f, "node", "left").select(
+            "node",
+            (F.lit(1.0) + F.coalesce(F.col("sm"), F.lit(0.0))).alias("x"),
+        )
+    return x.select("node", F.col("x").alias("katz"))
