@@ -2056,6 +2056,7 @@ def text_langid_trigram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "coverage C = 1 - f1/N is the Good-Turing mass of unseen words. "
     "All exact BIGINT products; two single divisions + one add — "
     "hash-gated. One corpus scan, one tiny aggregate.",
+    headline=True,
     tags=("text", "stats"),
 )
 def text_vocab_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1937,7 +1937,12 @@ def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "their edge conventions against each other (the round-7 curation-"
     "scorecard lesson: composition catches definition divergences "
     "that pass alone). All counting is BIGINT; novelty is the single "
-    "division per language.",
+    "division per language. The card's tokenizer-EQUITY section lives "
+    "in its row-compatible companions: tokenizer_family_fertility "
+    "(per-lang BPE vs unigram fertility + ratio, one composed hash "
+    "gate) joins on this card's lang key; the streaming twin "
+    "(streaming/datacard.py) keeps the counters current per "
+    "micro-batch.",
     tags=("llm", "quality"),
 )
 def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2420,6 +2425,7 @@ def _doremi_oracle() -> str:
     "— the 17th hash-gated iterative. Scale shape: ONE corpus-scan "
     "aggregation builds the loss table; the MWU itself runs on "
     "|domains| rows.".replace("{n}", str(_DR_ROUNDS)),
+    headline=True,
     tags=("mlprep", "iterative"),
 )
 def corpus_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4585,6 +4585,7 @@ _RBO_P = "0.9e0"  # e0 suffix = correctly-rounded DOUBLE parse both engines
     "Both source rankings are exact-integer metrics (cent-hundredth "
     "revenue units, counts) with partkey tie-breaks, so the input "
     "rankings are themselves deterministic.",
+    headline=True,
     tags=("retrieval", "stats"),
 )
 def retrieval_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4701,6 +4702,7 @@ def _katz_oracle() -> str:
     "symmetrize discipline). Linear lineage — deliberately NOT "
     "checkpointed (the pagerank finding: eager checkpoints slow linear "
     "chains).",
+    headline=True,
     tags=("graph", "iterative"),
 )
 def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -161,6 +161,10 @@ GLOBAL_WINDOW_OK: set[str] = {
     "ml_stump_nchars_lang",
     # midrank walk over the same bounded value histogram.
     "ml_auc_nchars_lang",
+    # rank assignment AFTER TakeOrderedAndProject's limit(20): the
+    # global window sorts exactly k=20 rows (the distributed top-k ran
+    # first); second window ditto for the other ranking.
+    "retrieval_rbo_rankings",
 }
 
 
