@@ -700,3 +700,74 @@ class TestSequentialFoldEngineParity:
         got_d = self._duck_fold("xs", "BIGINT", xs, _BUCKET_DUCK)
         got_p = _bucket_py(xs)
         assert list(got_s) == list(got_d) == got_p, (xs, got_s, got_d, got_p)
+
+
+class TestHashExpressionReproducibility:
+    """Regression pin for the arity-2 HOF-lambda trap: every hash-derived
+    signature expression must produce IDENTICAL values across two
+    independent expression BUILDS (pyspark auto-names lambda variables
+    with a global counter — a leaked str(Column) in a seed makes values
+    build-dependent, which silently breaks any persisted state keyed on
+    them, as streaming/neardup.py's band state was)."""
+
+    def _texts(self, spark, seed: int):
+        rows = [
+            (i, " ".join(f"w{(i * 7 + j * 3 + seed) % 23}" for j in range(12)))
+            for i in range(30)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_minhash_signature_build_independent(self, spark):
+        from pyspark.sql import functions as F
+
+        from clinical_api_etl_spark.operators.dedup import (
+            _hashed_shingles,
+            minhash_signature,
+        )
+
+        df = self._texts(spark, 1)
+        def build():
+            sh = df.select(
+                "doc_id", _hashed_shingles(F.col("text"), 3).alias("s")
+            )
+            return {
+                r["doc_id"]: tuple(r["sig"])
+                for r in sh.select(
+                    "doc_id", minhash_signature(F.col("s"), 16).alias("sig")
+                ).collect()
+            }
+
+        a, b = build(), build()  # two independent expression builds
+        assert a == b
+        # and the 16 hash functions are genuinely distinct per slot
+        any_doc = next(iter(a.values()))
+        assert len(set(any_doc)) > 1
+
+    def test_lsh_bands_build_independent(self, spark):
+        from clinical_api_etl_spark.operators.dedup import lsh_bands
+
+        df = self._texts(spark, 2)
+        def build():
+            return {
+                (r["doc_id"], r["band"]): r["bucket"]
+                for r in lsh_bands(df, "doc_id", "text").collect()
+            }
+
+        assert build() == build()
+
+    def test_hyperplane_signature_planes_distinct(self, spark):
+        from clinical_api_etl_spark.operators.similarity import _signature
+
+        df = spark.createDataFrame(
+            [([float((i * 13 + d * 7) % 11 - 5) for d in range(16)],)
+             for i in range(8)],
+            "v array<double>",
+        )
+        rows = df.select(*_signature("v", 8, 16)).collect()
+        # across 8 vectors, the 8 planes must NOT all emit identical
+        # bit-columns (the collapsed-plane regression gave rank 1)
+        cols = list(zip(*[[r[f"b{p}"] for p in range(8)] for r in rows]))
+        assert len(set(cols)) > 1
+        # and two builds agree
+        rows2 = df.select(*_signature("v", 8, 16)).collect()
+        assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
