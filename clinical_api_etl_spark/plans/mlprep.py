@@ -2370,7 +2370,7 @@ _DR_TOPV = 256
 _DR_ETA = "0.1e0"  # e0 suffix forces the correctly-rounded DOUBLE parse
 
 
-def _doremi_oracle() -> str:
+def _doremi_ctes() -> list[str]:
     ctes = [
         f"drtok AS MATERIALIZED (SELECT source, unnest({_TOKS}) AS w"
         " FROM documents)",
@@ -2400,9 +2400,13 @@ def _doremi_oracle() -> str:
             f"drw{i} AS MATERIALIZED (SELECT source, n_tokens, n_rare,"
             f" loss, t / (SELECT z FROM drz{i}) AS w FROM drr{i})",
         ]
+    return ctes
+
+
+def _doremi_oracle() -> str:
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_doremi_ctes())
         + f"\nSELECT source, n_tokens, n_rare, loss, w AS weight"
         f" FROM drw{_DR_ROUNDS}"
     )
@@ -2490,3 +2494,98 @@ def corpus_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         "source", "n_tokens", "n_rare", "loss", F.col("w").alias("weight")
     )
+
+
+_DRS_BUDGET = 200
+
+
+@QS.add(
+    "corpus_doremi_resample",
+    "WITH "
+    + ",\n".join(_doremi_ctes())
+    + f""",
+    drsw AS MATERIALIZED (SELECT source, w FROM drw{_DR_ROUNDS}),
+    drsraw AS (
+      SELECT source, CAST({_DRS_BUDGET} AS DOUBLE) * w AS r FROM drsw),
+    drsbase AS MATERIALIZED (
+      SELECT source, CAST(floor(r) AS BIGINT) AS b, r - floor(r) AS rem
+      FROM drsraw),
+    drslv AS (SELECT CAST({_DRS_BUDGET} - SUM(b) AS BIGINT) AS leftover
+              FROM drsbase),
+    drsalloc AS MATERIALIZED (
+      SELECT source,
+             CAST(b + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                                <= drslv.leftover
+                           THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      FROM drsbase CROSS JOIN drslv),
+    drsranked AS (
+      SELECT d.source, d.doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+             AS BIGINT) AS sel_rank
+      FROM documents d)
+    SELECT r.source, r.doc_id, r.sel_rank, a.alloc
+    FROM drsranked r JOIN drsalloc a USING (source)
+    WHERE r.sel_rank <= a.alloc
+    """,
+    doc="[EXT] DoReMi loop CLOSED: the MWU domain weights become an "
+    f"actual resampled-corpus manifest — a {_DRS_BUDGET}-doc budget is "
+    "apportioned per source by the exact largest-remainder method "
+    "(floor + remainder-ranked top-up, nothing lost; the "
+    "mixture_temperature_sampling discipline, explicit floor() before "
+    "the BIGINT cast per the round-6 rule), then each domain "
+    "contributes its first alloc docs in md5(doc_id) order — the "
+    "hash-deterministic sampling convention, so the manifest is "
+    "reproducible on any engine with no RNG. Output = the manifest "
+    "rows (source, doc_id, sel_rank, alloc), fully hash-gated through "
+    "weights, apportionment AND selection. Scale shape: the weight "
+    "chain is domain-scaled; selection is one per-source window over "
+    "the documents scan.",
+    tags=("mlprep", "sampling"),
+)
+def corpus_doremi_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = corpus_doremi_domain_weights(spark, sf_dir).select("source", "weight")
+    raw = w.select(
+        "source", (F.lit(float(_DRS_BUDGET)) * F.col("weight")).alias("r")
+    )
+    base = raw.select(
+        "source",
+        F.floor("r").cast("long").alias("b"),
+        (F.col("r") - F.floor("r")).alias("rem"),
+    ).coalesce(1).persist()
+    lv = base.agg(
+        (F.lit(_DRS_BUDGET) - F.sum("b")).cast("long").alias("leftover")
+    )
+    alloc = (
+        base.crossJoin(F.broadcast(lv))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("source"))),
+        )
+        .select(
+            "source",
+            (
+                F.col("b")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+    )
+    docs = load(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        )
+        .cast("long")
+        .alias("sel_rank"),
+    )
+    return ranked.join(F.broadcast(alloc), "source").filter(
+        F.col("sel_rank") <= F.col("alloc")
+    ).select("source", "doc_id", "sel_rank", "alloc")

@@ -710,3 +710,53 @@ class TestDoremiDomainWeights:
         if loss[hardest] > loss[easiest]:
             assert w[hardest] >= w[easiest]
         assert abs(sum(w.values()) - 1.0) < 1e-12
+
+
+class TestDoremiResample:
+    """corpus_doremi_resample: exact budget conservation, largest-
+    remainder replay from the (already replay-tested) weights, and
+    md5-order selection replay."""
+
+    def test_manifest_replay(self, spark):
+        import hashlib
+
+        from clinical_api_etl_spark.plans.mlprep import (
+            _DRS_BUDGET,
+            corpus_doremi_domain_weights,
+            corpus_doremi_resample,
+        )
+        from clinical_api_etl_spark.sources.catalog import load
+
+        rows = corpus_doremi_resample(spark, SF).collect()
+        assert len(rows) == _DRS_BUDGET  # nothing lost, nothing extra
+        w = {
+            r["source"]: r["weight"]
+            for r in corpus_doremi_domain_weights(spark, SF).collect()
+        }
+        import math
+
+        raw = {s: _DRS_BUDGET * w[s] for s in w}
+        base = {s: int(math.floor(raw[s])) for s in raw}
+        rem = {s: raw[s] - math.floor(raw[s]) for s in raw}
+        leftover = _DRS_BUDGET - sum(base.values())
+        topped = sorted(rem, key=lambda s: (-rem[s], s))[:leftover]
+        alloc = {s: base[s] + (1 if s in topped else 0) for s in base}
+        got_alloc: dict = {}
+        for r in rows:
+            got_alloc[r["source"]] = max(
+                got_alloc.get(r["source"], 0), r["sel_rank"]
+            )
+            assert r["alloc"] == alloc[r["source"]]
+        assert got_alloc == {s: a for s, a in alloc.items() if a > 0}
+        # md5-order selection replay per domain
+        docs = load(spark, SF, "documents").select("source", "doc_id").collect()
+        by_src: dict = {}
+        for d in docs:
+            by_src.setdefault(d["source"], []).append(d["doc_id"])
+        selected = {(r["source"], r["doc_id"]) for r in rows}
+        for s, ids in by_src.items():
+            ordered = sorted(
+                ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+            )
+            want = set(ordered[: alloc.get(s, 0)])
+            assert {i for (src, i) in selected if src == s} == want
