@@ -1528,3 +1528,80 @@ def ts_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN st.nv > 0D THEN st.sae / st.nv ELSE 0D END AS mase",
         )
     )
+
+
+@QS.add(
+    "ops_slo_burn_alerts",
+    """
+    WITH hourly AS (
+      SELECT epoch_ms(ts) // 3600000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS tot,
+             CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS err
+      FROM events GROUP BY h
+    ),
+    w AS (
+      SELECT h, tot, err,
+             CAST(SUM(tot) OVER (ORDER BY h
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS tot6,
+             CAST(SUM(err) OVER (ORDER BY h
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS err6
+      FROM hourly
+    )
+    SELECT h, tot, err, tot6, err6,
+           CAST(100 * err AS DOUBLE) / CAST(tot AS DOUBLE) AS burn_1h,
+           CAST(100 * err6 AS DOUBLE) / CAST(tot6 AS DOUBLE) AS burn_6h,
+           (1000 * err >= 144 * tot AND 50 * err6 >= 3 * tot6) AS page
+    FROM w
+    """,
+    doc="[EXT] multiwindow SLO burn-rate alerts (the Google SRE workbook "
+    "policy): with a 99% success SLO the error budget is 1%, so burn = "
+    "error_rate / 0.01 = 100·err/tot; PAGE when the fast window burns "
+    ">= 14.4x budget AND the slow 6h window confirms >= 6x (the "
+    "two-window AND kills both blips and slow-bleed false negatives). "
+    "Both threshold tests are exact integer cross-multiplications "
+    "(1000·err >= 144·tot; 50·err6 >= 3·tot6) — the booleans carry no "
+    "float boundary risk — and the reported burn rates are single "
+    "divisions over exact products, so every row hash-matches. Shape: "
+    "one map-side-combinable hourly aggregate, one 6-row trailing "
+    "frame over the HOURLY series (calendar-bounded window — the "
+    "w18/w19 class).",
+    tags=("ops", "temporal"),
+)
+def ops_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.expr("unix_millis(ts) div 3600000").alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("tot"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("err"),
+    )
+    frame = W.orderBy("h").rowsBetween(-5, 0)
+    w = hourly.select(
+        "h",
+        "tot",
+        "err",
+        F.sum("tot").over(frame).cast("long").alias("tot6"),
+        F.sum("err").over(frame).cast("long").alias("err6"),
+    )
+    return w.select(
+        "h",
+        "tot",
+        "err",
+        "tot6",
+        "err6",
+        ((F.lit(100) * F.col("err")).cast("double") / F.col("tot").cast("double")).alias(
+            "burn_1h"
+        ),
+        (
+            (F.lit(100) * F.col("err6")).cast("double")
+            / F.col("tot6").cast("double")
+        ).alias("burn_6h"),
+        (
+            (F.lit(1000) * F.col("err") >= F.lit(144) * F.col("tot"))
+            & (F.lit(50) * F.col("err6") >= F.lit(3) * F.col("tot6"))
+        ).alias("page"),
+    )

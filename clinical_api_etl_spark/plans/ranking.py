@@ -4732,3 +4732,109 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1.0) + F.coalesce(F.col("sm"), F.lit(0.0))).alias("x"),
         )
     return x.select("node", F.col("x").alias("katz"))
+
+
+@QS.add(
+    "privacy_t_closeness",
+    """
+    WITH e AS (
+      SELECT event_type, (epoch_ms(ts) // 86400000) % 7 AS dow,
+             LEAST(5, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      // 10000) AS bin
+      FROM events WHERE value IS NOT NULL
+    ),
+    gb AS (SELECT event_type, dow, bin, CAST(COUNT(*) AS BIGINT) AS c
+           FROM e GROUP BY event_type, dow, bin),
+    g AS (SELECT event_type, dow, CAST(SUM(c) AS BIGINT) AS n_g
+          FROM gb GROUP BY event_type, dow),
+    b AS (SELECT bin, CAST(SUM(c) AS BIGINT) AS cb FROM gb GROUP BY bin),
+    nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM gb),
+    x AS (
+      SELECT g.event_type, g.dow, g.n_g, b.bin, b.cb,
+             CAST(COALESCE(gb.c, 0) AS BIGINT) AS c
+      FROM g CROSS JOIN b
+      LEFT JOIN gb ON gb.event_type = g.event_type AND gb.dow = g.dow
+                  AND gb.bin = b.bin
+    ),
+    t AS (
+      SELECT event_type, dow, CAST(MAX(n_g) AS BIGINT) AS n_g,
+             CAST(SUM(ABS(c * (SELECT n FROM nn) - cb * n_g)) AS BIGINT)
+               AS num
+      FROM x GROUP BY event_type, dow
+    )
+    SELECT event_type, dow, n_g, num,
+           CAST(num AS DOUBLE)
+             / CAST(2 * n_g * (SELECT n FROM nn) AS DOUBLE) AS t_closeness
+    FROM t
+    """,
+    doc="[EXT] t-closeness release audit (Li et al. 2007, the "
+    "total-variation-distance variant for categorical sensitive "
+    "attributes) — the escalation past k-anonymity/l-diversity: a "
+    "quasi-identifier class can be large AND diverse yet still leak if "
+    "its sensitive-value DISTRIBUTION diverges from the corpus's. Per "
+    "QI class (event_type, epoch-dow): TV(p_class, p_global) = "
+    "Σ_bins |c_b/n_g − C_b/N| / 2, computed as the exact BIGINT "
+    "cross-multiplication Σ|c_b·N − C_b·n_g| with ONE final division "
+    "by 2·n_g·N — zero float accumulation, hash-gated. Sensitive bins "
+    "are fixed $100 value bands (floor-div on non-negative cents — "
+    "engine-portable). Missing class/bin pairs enter via the "
+    "class×bin frame (c=0 contributes its full global mass). "
+    "Cross-multiply headroom: n_g·N <= N² — fine through ~3e9 events "
+    "per partition-scoped audit; shard the audit by date partition "
+    "before N² approaches BIGINT range.",
+    tags=("quality", "privacy"),
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = ev.select(
+        "event_type",
+        F.expr("(unix_millis(ts) div 86400000) % 7").alias("dow"),
+        F.least(
+            F.lit(5),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 10000"
+            ),
+        ).alias("bin"),
+    )
+    gb = e.groupBy("event_type", "dow", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).persist()
+    g = gb.groupBy("event_type", "dow").agg(
+        F.sum("c").cast("long").alias("n_g")
+    )
+    b = gb.groupBy("bin").agg(F.sum("c").cast("long").alias("cb"))
+    nn = gb.agg(F.sum("c").cast("long").alias("n"))
+    x = (
+        g.crossJoin(F.broadcast(b))
+        .join(gb, ["event_type", "dow", "bin"], "left")
+        .select(
+            "event_type",
+            "dow",
+            "n_g",
+            "cb",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    t = (
+        x.crossJoin(F.broadcast(nn))
+        .groupBy("event_type", "dow")
+        .agg(
+            F.max("n_g").cast("long").alias("n_g"),
+            F.sum(
+                F.abs(F.col("c") * F.col("n") - F.col("cb") * F.col("n_g"))
+            )
+            .cast("long")
+            .alias("num"),
+            F.max("n").alias("_n"),
+        )
+    )
+    return t.select(
+        "event_type",
+        "dow",
+        "n_g",
+        "num",
+        (
+            F.col("num").cast("double")
+            / (F.lit(2) * F.col("n_g") * F.col("_n")).cast("double")
+        ).alias("t_closeness"),
+    )

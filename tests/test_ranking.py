@@ -1642,3 +1642,82 @@ class TestLinkpredResourceAlloc:
             scored.append((a_, b_, len(ws), ra))
         scored.sort(key=lambda t: (-t[3], t[0], t[1]))
         assert got == scored[:_LP_TOP]
+
+
+class TestTCloseness:
+    """privacy_t_closeness: exact python replay of the TV-distance
+    cross-multiplication from the raw events."""
+
+    def test_python_replay(self, spark):
+        from collections import Counter
+        from decimal import Decimal
+
+        from clinical_api_etl_spark.plans.ranking import privacy_t_closeness
+        from clinical_api_etl_spark.sources.catalog import load
+
+        sf = "/root/testdata/sf0.001"
+        rows = {
+            (r["event_type"], r["dow"]): r
+            for r in privacy_t_closeness(spark, sf).collect()
+        }
+        ev = load(spark, sf, "events").filter("value is not null").collect()
+        gb: Counter = Counter()
+        for r in ev:
+            cents = int(
+                Decimal(str(r["value"])).quantize(Decimal("0.01")) * 100
+            )
+            dow = (int(r["ts"].timestamp() * 1000) // 86400000) % 7
+            gb[(r["event_type"], dow, min(5, cents // 10000))] += 1
+        n = sum(gb.values())
+        groups = {(e, d) for (e, d, _b) in gb}
+        bins = Counter()
+        for (e, d, b), c in gb.items():
+            bins[b] += c
+        for (e, d) in groups:
+            n_g = sum(c for (ee, dd, _b), c in gb.items() if (ee, dd) == (e, d))
+            num = sum(
+                abs(gb.get((e, d, b), 0) * n - cb * n_g)
+                for b, cb in bins.items()
+            )
+            row = rows[(e, d)]
+            assert row["n_g"] == n_g
+            assert row["num"] == num
+            assert row["t_closeness"] == num / (2 * n_g * n)
+            assert 0.0 <= row["t_closeness"] <= 1.0
+        assert set(rows) == groups
+
+
+class TestSloBurnAlerts:
+    """ops_slo_burn_alerts: replay from hourly counts; page iff both
+    cross-multiplied thresholds hold."""
+
+    def test_python_replay(self, spark):
+        from collections import Counter
+
+        from clinical_api_etl_spark.plans.analytics import ops_slo_burn_alerts
+        from clinical_api_etl_spark.sources.catalog import load
+
+        sf = "/root/testdata/sf0.001"
+        rows = {r["h"]: r for r in ops_slo_burn_alerts(spark, sf).collect()}
+        ev = load(spark, sf, "events").collect()
+        tot: Counter = Counter()
+        err: Counter = Counter()
+        for r in ev:
+            h = int(r["ts"].timestamp() * 1000) // 3600000
+            tot[h] += 1
+            if r["event_type"] == "error":
+                err[h] += 1
+        hours = sorted(tot)
+        assert set(rows) == set(hours)
+        for i, h in enumerate(hours):
+            lo = max(0, i - 5)
+            t6 = sum(tot[hh] for hh in hours[lo : i + 1])
+            e6 = sum(err[hh] for hh in hours[lo : i + 1])
+            row = rows[h]
+            assert (row["tot"], row["err"]) == (tot[h], err[h])
+            assert (row["tot6"], row["err6"]) == (t6, e6)
+            assert row["burn_1h"] == 100 * err[h] / tot[h]
+            assert row["burn_6h"] == 100 * e6 / t6
+            assert row["page"] == (
+                1000 * err[h] >= 144 * tot[h] and 50 * e6 >= 3 * t6
+            )

@@ -168,6 +168,9 @@ GLOBAL_WINDOW_OK: set[str] = {
     # largest-remainder ranking over |source domains| rows (k-bounded;
     # the mixture_temperature_sampling class).
     "corpus_doremi_resample",
+    # 6-row trailing frame over the HOURLY pre-aggregate
+    # (calendar-bounded — the w18/w19 class).
+    "ops_slo_burn_alerts",
 }
 
 
