@@ -152,3 +152,46 @@ class TestXmlLayout:
             spark.read.format("xmltable").schema(SCHEMA).option("path", path).load()
         )
         assert back.count() == len(ROWS)
+
+
+class TestXmlStreaming:
+    """Drop-folder tail: incremental files across two availableNow runs
+    on one checkpoint — exactly-once, no re-emission."""
+
+    def _run(self, spark, src, out, ckpt):
+        q = (
+            spark.readStream.format("xmltable")
+            .schema("id long, name string")
+            .option("path", src)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def test_incremental_exactly_once(self, xml_ready, tmp_path):
+        spark = xml_ready
+        src = str(tmp_path / "drop"); os.makedirs(src)
+        out = str(tmp_path / "out"); ckpt = str(tmp_path / "ckpt")
+
+        def drop(name, lo, hi):
+            spark.createDataFrame(
+                [(i, f"n{i}") for i in range(lo, hi)], "id long, name string"
+            ).coalesce(1).write.format("xmltable").option("path", src).mode(
+                "append"
+            ).save()
+
+        drop("a", 0, 5)
+        self._run(spark, src, out, ckpt)
+        got1 = {r["id"] for r in spark.read.parquet(out).collect()}
+        assert got1 == set(range(5))
+        drop("b", 5, 9)
+        self._run(spark, src, out, ckpt)
+        back = spark.read.parquet(out).collect()
+        assert sorted(r["id"] for r in back) == list(range(9))  # no dupes
+        # a third run with nothing new emits nothing
+        self._run(spark, src, out, ckpt)
+        assert spark.read.parquet(out).count() == 9
