@@ -1978,3 +1978,72 @@ def a13_freq_items_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_missing.join(n_heavy).select(
         (F.col("_miss") == 0).alias("all_heavy_hitters_found"), "n_heavy"
     )
+
+
+@QS.add(
+    "sql_scripting_quantile_bisect",
+    """
+    WITH t AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST((9 * COUNT(*) + 9) // 10 AS BIGINT) AS k
+          FROM t)
+    SELECT s.n, s.k,
+           (SELECT cents FROM t ORDER BY cents
+            LIMIT 1 OFFSET ((SELECT k FROM s) - 1)) AS p90_cents,
+           CAST(26 AS BIGINT) AS iters
+    FROM s
+    """,
+    doc="[EXT] Spark 4 SQL SCRIPTING parity (BEGIN/DECLARE/WHILE/IF — "
+    "spark.sql.scripting.enabled): the exact type-1 p90 computed by "
+    "BISECTION entirely inside one SQL script — 26 WHILE iterations "
+    "halve [0, 2^26) cents, each testing ONE map-side-combinable "
+    "COUNT(<= mid) aggregate; k = ceil(0.9n) in pure integer form "
+    "((9n+9) DIV 10, the stat_percentile_bands convention). This is "
+    "the scripting-shaped access path: no sort, no window, no shuffle "
+    "of the data — 26 scans with a pushable predicate, the right "
+    "trade when the corpus is huge and sorted access is expensive "
+    "(the oracle's ORDER BY...OFFSET twin proves the same value the "
+    "direct order-statistic way). The iteration count is a structural "
+    "constant (interval length 2^26 halves exactly 26 times), so the "
+    "whole row is hash-gated. Follows rec_* precedent: the NEW Spark 4 "
+    "SQL surface gets a declared-semantics query with a classic-SQL "
+    "oracle.",
+    tags=("sql", "iterative"),
+)
+def sql_scripting_quantile_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev.select(
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        )
+    ).createOrReplaceTempView("_ssq_cents")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE n BIGINT;
+          DECLARE k BIGINT;
+          DECLARE lo BIGINT = 0;
+          DECLARE hi BIGINT = 67108863;
+          DECLARE mid BIGINT;
+          DECLARE cnt BIGINT;
+          DECLARE iters BIGINT = 0;
+          SET n = (SELECT COUNT(*) FROM _ssq_cents);
+          SET k = (9 * n + 9) DIV 10;
+          WHILE lo < hi DO
+            SET mid = (lo + hi) DIV 2;
+            SET cnt = (SELECT COUNT(*) FROM _ssq_cents WHERE cents <= mid);
+            IF cnt >= k THEN
+              SET hi = mid;
+            ELSE
+              SET lo = mid + 1;
+            END IF;
+            SET iters = iters + 1;
+          END WHILE;
+          SELECT n, k, lo AS p90_cents, iters;
+        END
+        """
+    )

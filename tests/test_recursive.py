@@ -131,3 +131,32 @@ class TestSparkRecursionLimitsProbes:
             """
         ).collect()
         assert [r["n"] for r in rows] == [1, 2, 3, 4, 5]
+
+
+class TestSqlScripting:
+    """Spark 4 SQL scripting (BEGIN/WHILE/IF) — the bisection quantile
+    query's semantics pinned by python replay."""
+
+    def test_bisect_matches_order_statistic(self, spark):
+        from decimal import Decimal
+
+        from clinical_api_etl_spark.plans.relational import (
+            sql_scripting_quantile_bisect,
+        )
+        from clinical_api_etl_spark.sources.catalog import load
+
+        sf = "/root/testdata/sf0.001"
+        row = sql_scripting_quantile_bisect(spark, sf).collect()[0]
+        ev = load(spark, sf, "events").filter("value is not null").collect()
+        cents = sorted(
+            int(Decimal(str(r["value"])).quantize(Decimal("0.01")) * 100)
+            for r in ev
+        )
+        n = len(cents)
+        k = (9 * n + 9) // 10
+        assert row["n"] == n and row["k"] == k
+        assert row["p90_cents"] == cents[k - 1]  # k-th order statistic
+        assert row["iters"] == 26  # structural constant: log2(2^26)
+        # rank property of the type-1 quantile
+        assert sum(1 for c in cents if c <= row["p90_cents"]) >= k
+        assert sum(1 for c in cents if c < row["p90_cents"]) < k
