@@ -4838,3 +4838,94 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2) * F.col("n_g") * F.col("_n")).cast("double")
         ).alias("t_closeness"),
     )
+
+
+_EIG_ROUNDS = 3
+
+
+def _eig_oracle() -> str:
+    ctes = list(_lpa_ctes(0)[:2])  # e0, sym
+    ctes.append(
+        "g0 AS MATERIALIZED (SELECT DISTINCT u AS node,"
+        " CAST(1 AS DOUBLE) AS x FROM sym)"
+    )
+    for i in range(1, _EIG_ROUNDS + 1):
+        ctes += [
+            f"gs{i} AS MATERIALIZED (SELECT n.node,"
+            " COALESCE(f.sm, CAST(0 AS DOUBLE)) AS y"
+            f" FROM g0 n LEFT JOIN ("
+            " SELECT s.v AS node,"
+            " list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+            " list(p.x ORDER BY s.u)), (a, b) -> a + b) AS sm"
+            f" FROM sym s JOIN g{i - 1} p ON s.u = p.node"
+            " GROUP BY s.v) f USING (node))",
+            f"gn{i} AS (SELECT sqrt(list_reduce(list_prepend("
+            " CAST(0 AS DOUBLE), list(y * y ORDER BY node)),"
+            f" (a, b) -> a + b)) AS nrm FROM gs{i})",
+            f"g{i} AS MATERIALIZED (SELECT node,"
+            f" y / (SELECT nrm FROM gn{i}) AS x FROM gs{i})",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, x AS eigen FROM g{_EIG_ROUNDS}"
+    )
+
+
+@QS.add(
+    "graph_eigenvector_centrality",
+    _eig_oracle(),
+    doc="[EXT] eigenvector centrality by normalized power iteration "
+    f"(x ← Ax / ||Ax||₂, {_EIG_ROUNDS} rounds from the all-ones "
+    "vector) over the co-purchase graph — completing the classic "
+    "centrality ladder next to degree, harmonic, betweenness, Katz, "
+    "pagerank and HITS. 19th hash-gated iterative: neighbor sums are "
+    "pinned-order folds, the L2 norm is sqrt (correctly rounded) of a "
+    "pinned-order fold of squares (node order), and each node's "
+    "normalize is ONE division by that bit-identical norm — the whole "
+    "float trajectory matches DuckDB bit-for-bit. Per round: one "
+    "edges⋈scores equi-join + one grouped fold + one 1-row norm "
+    "aggregate broadcast back. Linear lineage, deliberately NOT "
+    "checkpointed.",
+    tags=("graph", "iterative"),
+)
+def graph_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _e0, sym = _lp_graph(spark, sf_dir)
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    x = nodes.select("node", F.lit(1.0).alias("x"))
+    for _ in range(_EIG_ROUNDS):
+        f = (
+            sym.join(x.select(F.col("node").alias("u"), "x"), "u")
+            .select(
+                F.col("v").alias("node"),
+                F.struct(F.col("u"), F.col("x").alias("term")).alias("st"),
+            )
+            .groupBy("node")
+            .agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list("st")),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t["term"],
+                ).alias("sm")
+            )
+        )
+        y = nodes.join(f, "node", "left").select(
+            "node", F.coalesce(F.col("sm"), F.lit(0.0)).alias("y")
+        )
+        nrm = y.agg(
+            F.sqrt(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("node", (F.col("y") * F.col("y")).alias("s"))
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t["s"],
+                )
+            ).alias("nrm")
+        )
+        x = y.crossJoin(F.broadcast(nrm)).select(
+            "node", (F.col("y") / F.col("nrm")).alias("x")
+        )
+    return x.select("node", F.col("x").alias("eigen"))

@@ -308,3 +308,48 @@ class TestKatzCentrality:
         # attenuation bound: 3 rounds of alpha=0.05 on a finite-degree
         # graph keeps every score finite and >= 1
         assert all(v >= 1.0 for v in got.values())
+
+
+class TestEigenvectorCentrality:
+    """graph_eigenvector_centrality: bit-exact python replay of the
+    normalized power iteration."""
+
+    def test_python_replay_bit_exact(self, spark):
+        import math
+
+        from clinical_api_etl_spark.plans.ranking import (
+            _EIG_ROUNDS,
+            _lp_graph,
+            graph_eigenvector_centrality,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r["node"]: r["eigen"]
+            for r in graph_eigenvector_centrality(spark, sf).collect()
+        }
+        _e0, sym = _lp_graph(spark, sf)
+        edges = [(r["u"], r["v"]) for r in sym.collect()]
+        nodes = sorted({u for u, _ in edges})
+        inn: dict = {}
+        for u, v in edges:
+            inn.setdefault(v, []).append(u)
+        x = {n: 1.0 for n in nodes}
+        for _ in range(_EIG_ROUNDS):
+            y = {}
+            for n in nodes:
+                s = 0.0
+                for u in sorted(inn.get(n, [])):
+                    s = s + x[u]
+                y[n] = s
+            nrm = 0.0
+            for n in nodes:  # pinned node order
+                nrm = nrm + y[n] * y[n]
+            nrm = math.sqrt(nrm)
+            x = {n: y[n] / nrm for n in nodes}
+        assert set(got) == set(nodes)
+        for n in nodes:
+            assert got[n] == x[n]  # bit-exact
+        # unit norm (within fp): sum of squares ~ 1
+        ss = sum(v * v for v in got.values())
+        assert abs(ss - 1.0) < 1e-9
