@@ -1950,3 +1950,155 @@ def graph_weighted_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame
     return st.select(
         F.col("s").alias("source_node"), "node", F.col("dist").alias("cost")
     )
+
+
+@QS.add(
+    "ml_conformal_interval",
+    """
+    WITH e AS (
+      SELECT event_type, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             substr(md5(CAST(event_id AS VARCHAR)), 1, 1) AS h
+      FROM events WHERE value IS NOT NULL
+    ),
+    tr AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_train,
+                  CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                    AS mu
+           FROM e WHERE h <= '7' GROUP BY event_type),
+    ca AS (
+      SELECT e.event_type, e.event_id,
+             ABS(CAST(e.cents AS DOUBLE) - tr.mu) AS resid
+      FROM e JOIN tr USING (event_type)
+      WHERE e.h >= '8' AND e.h <= 'b'
+    ),
+    car AS (
+      SELECT event_type, resid,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY resid, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_calib
+      FROM ca
+    ),
+    q AS (
+      SELECT event_type, CAST(MAX(n_calib) AS BIGINT) AS n_calib,
+             MAX(CASE WHEN rn = LEAST(
+                   (9 * (n_calib + 1) + 9) // 10, n_calib)
+                 THEN resid END) AS q_hat
+      FROM car GROUP BY event_type
+    ),
+    te AS (
+      SELECT e.event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN ABS(CAST(e.cents AS DOUBLE) - tr.mu)
+                                <= q.q_hat THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_covered
+      FROM e JOIN tr USING (event_type) JOIN q USING (event_type)
+      WHERE e.h >= 'c' GROUP BY e.event_type
+    )
+    SELECT tr.event_type, tr.n_train, tr.mu, q.n_calib, q.q_hat,
+           te.n_test, te.n_covered,
+           CAST(te.n_covered AS DOUBLE) / CAST(te.n_test AS DOUBLE)
+             AS coverage
+    FROM tr JOIN q USING (event_type) JOIN te USING (event_type)
+    """,
+    doc="[EXT] split conformal prediction intervals (Vovk; Lei et al. "
+    "2018) — the distribution-free uncertainty wrapper every deployed "
+    "regressor needs: md5-deterministic 3-way split (train/calibrate/"
+    "test on the event_id hash — the engine's RNG-free convention), "
+    "per-type mean predictor fit on train, q_hat = the "
+    "ceil(0.9(n+1))-th order statistic of calibration |residuals| "
+    "(rank arithmetic in exact integers, (event_id)-tie-broken "
+    "selection of a bit-identical double), and held-out COVERAGE of "
+    "the interval mu ± q_hat — the finite-sample >=90% guarantee made "
+    "measurable. Residuals are single IEEE subtract/abs over exact "
+    "cents and the bit-identical mu; coverage is one division — every "
+    "column hash-gates. One scan + per-type windows over the "
+    "calibration slice.",
+    tags=("ml", "stats"),
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).alias("h"),
+    ).persist()
+    tr = (
+        e.filter(F.col("h") <= "7")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+            (
+                F.sum("cents").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mu"),
+        )
+    )
+    ca = (
+        e.filter((F.col("h") >= "8") & (F.col("h") <= "b"))
+        .join(F.broadcast(tr), "event_type")
+        .select(
+            "event_type",
+            "event_id",
+            F.abs(F.col("cents").cast("double") - F.col("mu")).alias("resid"),
+        )
+    )
+    wr = W.partitionBy("event_type").orderBy("resid", "event_id")
+    wn = W.partitionBy("event_type")
+    car = ca.select(
+        "event_type",
+        "resid",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_calib"),
+    )
+    q = car.groupBy("event_type").agg(
+        F.max("n_calib").cast("long").alias("n_calib"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.least(
+                    F.expr("(9 * (n_calib + 1) + 9) div 10"), F.col("n_calib")
+                ),
+                F.col("resid"),
+            )
+        ).alias("q_hat"),
+    )
+    te = (
+        e.filter(F.col("h") >= "c")
+        .join(F.broadcast(tr), "event_type")
+        .join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents").cast("double") - F.col("mu"))
+                    <= F.col("q_hat"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        tr.join(q, "event_type")
+        .join(te, "event_type")
+        .select(
+            "event_type",
+            "n_train",
+            "mu",
+            "n_calib",
+            "q_hat",
+            "n_test",
+            "n_covered",
+            (
+                F.col("n_covered").cast("double")
+                / F.col("n_test").cast("double")
+            ).alias("coverage"),
+        )
+    )

@@ -1721,3 +1721,51 @@ class TestSloBurnAlerts:
             assert row["page"] == (
                 1000 * err[h] >= 144 * tot[h] and 50 * e6 >= 3 * t6
             )
+
+
+class TestConformalInterval:
+    """ml_conformal_interval: python replay of split/mu/q_hat/coverage
+    plus the conformal coverage direction on held-out data."""
+
+    def test_python_replay(self, spark):
+        import hashlib
+        from decimal import Decimal
+
+        from clinical_api_etl_spark.plans.modeling import ml_conformal_interval
+        from clinical_api_etl_spark.sources.catalog import load
+
+        sf = "/root/testdata/sf0.001"
+        rows = {
+            r["event_type"]: r
+            for r in ml_conformal_interval(spark, sf).collect()
+        }
+        ev = load(spark, sf, "events").filter("value is not null").collect()
+        split: dict = {}
+        for r in ev:
+            h = hashlib.md5(str(r["event_id"]).encode()).hexdigest()[0]
+            part = "tr" if h <= "7" else ("ca" if h <= "b" else "te")
+            cents = int(
+                Decimal(str(r["value"])).quantize(Decimal("0.01")) * 100
+            )
+            split.setdefault(r["event_type"], {"tr": [], "ca": [], "te": []})[
+                part
+            ].append((r["event_id"], cents))
+        for et, parts in split.items():
+            row = rows[et]
+            n_tr = len(parts["tr"])
+            mu = float(sum(c for _i, c in parts["tr"])) / float(n_tr)
+            assert (row["n_train"], row["mu"]) == (n_tr, mu)
+            resids = sorted(
+                (abs(float(c) - mu), i) for i, c in parts["ca"]
+            )
+            n_ca = len(resids)
+            rank = min((9 * (n_ca + 1) + 9) // 10, n_ca)
+            q_hat = resids[rank - 1][0]
+            assert (row["n_calib"], row["q_hat"]) == (n_ca, q_hat)
+            cov = sum(
+                1 for _i, c in parts["te"] if abs(float(c) - mu) <= q_hat
+            )
+            assert (row["n_test"], row["n_covered"]) == (len(parts["te"]), cov)
+            assert row["coverage"] == cov / len(parts["te"])
+            # conformal direction: held-out coverage near the 90% target
+            assert row["coverage"] >= 0.8
