@@ -1605,3 +1605,86 @@ def ops_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.lit(50) * F.col("err6") >= F.lit(3) * F.col("tot6"))
         ).alias("page"),
     )
+
+
+@QS.add(
+    "anomaly_hbos_events",
+    """
+    WITH e AS (
+      SELECT event_id, event_type,
+             LEAST(5, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      // 10000) AS vband,
+             (epoch_ms(ts) // 3600000) % 24 AS hod,
+             (epoch_ms(ts) // 86400000) % 7 AS dow
+      FROM events WHERE value IS NOT NULL
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+    bv AS (SELECT vband, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY vband),
+    bh AS (SELECT hod, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY hod),
+    bd AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY dow),
+    scored AS (
+      SELECT e.event_id, e.event_type, e.vband, e.hod, e.dow,
+             bv.c AS c_vband, bh.c AS c_hod, bd.c AS c_dow,
+             (CAST((SELECT n FROM nn) AS DOUBLE) / CAST(bv.c AS DOUBLE))
+             * (CAST((SELECT n FROM nn) AS DOUBLE) / CAST(bh.c AS DOUBLE))
+             * (CAST((SELECT n FROM nn) AS DOUBLE) / CAST(bd.c AS DOUBLE))
+               AS hbos
+      FROM e JOIN bv USING (vband) JOIN bh USING (hod) JOIN bd USING (dow)
+    )
+    SELECT event_id, event_type, vband, hod, dow,
+           c_vband, c_hod, c_dow, hbos
+    FROM scored ORDER BY hbos DESC, event_id LIMIT 20
+    """,
+    doc="[EXT] HBOS outlier screen (Goldstein & Dengel 2012 — the "
+    "linear-time histogram-based detector that beats LOF/iForest on "
+    "global anomalies): score = Π_features 1/p_f(x), here over three "
+    "independent event histograms ($100 value band, hour-of-day, "
+    "day-of-week), in the LOG-FREE product form (JVM log is "
+    "unportable; the rank order is identical). Each term is ONE "
+    "division of exact BIGINTs and the product a fixed 2-multiply "
+    "tree, so the top-20 (score DESC, event_id) rows hash-gate "
+    "bit-for-bit. Shape: one scan derives the bins, three tiny "
+    "broadcast histograms join back, TakeOrdered 20 — no window, no "
+    "data-scaled shuffle.",
+    tags=("stats", "quality"),
+)
+def anomaly_hbos_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = ev.select(
+        "event_id",
+        "event_type",
+        F.least(
+            F.lit(5),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 10000"
+            ),
+        ).alias("vband"),
+        F.expr("(unix_millis(ts) div 3600000) % 24").alias("hod"),
+        F.expr("(unix_millis(ts) div 86400000) % 7").alias("dow"),
+    ).persist()
+    nn = e.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bv = e.groupBy("vband").agg(F.count(F.lit(1)).cast("long").alias("c_vband"))
+    bh = e.groupBy("hod").agg(F.count(F.lit(1)).cast("long").alias("c_hod"))
+    bd = e.groupBy("dow").agg(F.count(F.lit(1)).cast("long").alias("c_dow"))
+    scored = (
+        e.join(F.broadcast(bv), "vband")
+        .join(F.broadcast(bh), "hod")
+        .join(F.broadcast(bd), "dow")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "event_id",
+            "event_type",
+            "vband",
+            "hod",
+            "dow",
+            "c_vband",
+            "c_hod",
+            "c_dow",
+            (
+                (F.col("n").cast("double") / F.col("c_vband").cast("double"))
+                * (F.col("n").cast("double") / F.col("c_hod").cast("double"))
+                * (F.col("n").cast("double") / F.col("c_dow").cast("double"))
+            ).alias("hbos"),
+        )
+    )
+    return scored.orderBy(F.desc("hbos"), F.asc("event_id")).limit(20)

@@ -1769,3 +1769,41 @@ class TestConformalInterval:
             assert row["coverage"] == cov / len(parts["te"])
             # conformal direction: held-out coverage near the 90% target
             assert row["coverage"] >= 0.8
+
+
+class TestHbosOutliers:
+    """anomaly_hbos_events: python replay of the log-free HBOS ranking."""
+
+    def test_python_replay(self, spark):
+        from collections import Counter
+        from decimal import Decimal
+
+        from clinical_api_etl_spark.plans.analytics import anomaly_hbos_events
+        from clinical_api_etl_spark.sources.catalog import load
+
+        sf = "/root/testdata/sf0.001"
+        rows = anomaly_hbos_events(spark, sf).collect()
+        assert len(rows) == 20
+        ev = load(spark, sf, "events").filter("value is not null").collect()
+        feats = {}
+        cv: Counter = Counter(); ch: Counter = Counter(); cd: Counter = Counter()
+        for r in ev:
+            cents = int(Decimal(str(r["value"])).quantize(Decimal("0.01")) * 100)
+            ms = int(r["ts"].timestamp() * 1000)
+            f = (min(5, cents // 10000), (ms // 3600000) % 24,
+                 (ms // 86400000) % 7)
+            feats[r["event_id"]] = f
+            cv[f[0]] += 1; ch[f[1]] += 1; cd[f[2]] += 1
+        n = float(len(feats))
+        scores = {
+            i: (n / cv[f[0]]) * (n / ch[f[1]]) * (n / cd[f[2]])
+            for i, f in feats.items()
+        }
+        want = sorted(scores, key=lambda i: (-scores[i], i))[:20]
+        assert [r["event_id"] for r in rows] == sorted(
+            (r["event_id"] for r in rows),
+            key=lambda i: (-scores[i], i),
+        )
+        assert {r["event_id"] for r in rows} == set(want)
+        for r in rows:
+            assert r["hbos"] == scores[r["event_id"]]  # bit-exact products
