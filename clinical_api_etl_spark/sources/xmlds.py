@@ -38,7 +38,9 @@ metadata worth trusting; the caller owns the contract).
 
 from __future__ import annotations
 
+import base64
 import os
+import re
 import uuid
 import xml.etree.ElementTree as ET
 from datetime import datetime, timezone
@@ -53,6 +55,13 @@ from pyspark.sql.datasource import (
 )
 
 _TS_FMT = "%Y-%m-%dT%H:%M:%S.%f%z"
+
+#: Characters representable in XML 1.0 element text. \x0D is EXCLUDED on
+#: purpose: XML parsers normalize \r and \r\n to \n, which would silently
+#: corrupt a round-trip — strings containing \r take the base64 path too.
+_XML_OK = re.compile(
+    "^[\x09\x0A\x20-\uD7FF\uE000-\uFFFD\U00010000-\U0010FFFF]*$"
+)
 
 
 def _encode(value, dtype: str) -> str:
@@ -115,7 +124,12 @@ class _XmlReader(DataSourceReader):
                 if c is None or c.get("null") == "true":
                     out.append(None)
                 else:
-                    out.append(_decode(c.text or "", dtype))
+                    text = c.text or ""
+                    if c.get("e") == "b":
+                        text = base64.b64decode(text).decode(
+                            "utf-8", "surrogatepass"
+                        )
+                    out.append(_decode(text, dtype))
             yield tuple(out)
 
 
@@ -143,7 +157,16 @@ class _XmlWriter(DataSourceWriter):
                 if value is None:
                     c.set("null", "true")
                 else:
-                    c.text = _encode(value, dtype)
+                    text = _encode(value, dtype)
+                    if _XML_OK.match(text):
+                        c.text = text
+                    else:
+                        # control chars / lone surrogates / \r cannot
+                        # survive XML 1.0 text — base64 fallback, flagged
+                        c.set("e", "b")
+                        c.text = base64.b64encode(
+                            text.encode("utf-8", "surrogatepass")
+                        ).decode("ascii")
             n += 1
         if n == 0:
             return _XmlCommit(None)

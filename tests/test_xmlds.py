@@ -195,3 +195,54 @@ class TestXmlStreaming:
         # a third run with nothing new emits nothing
         self._run(spark, src, out, ckpt)
         assert spark.read.parquet(out).count() == 9
+
+
+class TestXmlPropertyRoundTrip:
+    """Hypothesis gate: ARBITRARY python strings (control chars, \r,
+    surrogate-adjacent codepoints, whitespace edges) survive the
+    write→read cycle exactly — the base64 fallback must catch every
+    XML-1.0-unrepresentable case."""
+
+    def test_arbitrary_strings_roundtrip(self, xml_ready, tmp_path):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        spark = xml_ready
+        case = [0]
+
+        @settings(
+            max_examples=12,
+            deadline=None,
+            suppress_health_check=list(HealthCheck),
+        )
+        @given(
+            st.lists(
+                st.text(
+                    alphabet=st.characters(
+                        codec="utf-8", categories=None
+                    ),
+                    max_size=40,
+                ),
+                min_size=1,
+                max_size=8,
+            )
+        )
+        def run(texts):
+            case[0] += 1
+            path = str(tmp_path / f"p{case[0]}")
+            rows = [(i, t) for i, t in enumerate(texts)]
+            spark.createDataFrame(rows, "id long, name string").coalesce(
+                1
+            ).write.format("xmltable").option("path", path).mode(
+                "append"
+            ).save()
+            back = (
+                spark.read.format("xmltable")
+                .schema("id long, name string")
+                .option("path", path)
+                .load()
+                .collect()
+            )
+            assert sorted((r["id"], r["name"]) for r in back) == sorted(rows)
+
+        run()
