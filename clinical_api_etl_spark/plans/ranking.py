@@ -4929,3 +4929,136 @@ def graph_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node", (F.col("y") / F.col("nrm")).alias("x")
         )
     return x.select("node", F.col("x").alias("eigen"))
+
+
+@QS.add(
+    "causal_stratified_ate",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             (substr(md5(CAST(event_id AS VARCHAR)), 1, 1) <
+              CASE event_type WHEN 'view' THEN '4' WHEN 'click' THEN '6'
+                   WHEN 'purchase' THEN '8' WHEN 'signup' THEN 'a'
+                   ELSE 'c' END) AS treated
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_s,
+             CAST(COUNT(*) FILTER (treated) AS BIGINT) AS n1,
+             CAST(COUNT(*) FILTER (NOT treated) AS BIGINT) AS n0,
+             CAST(SUM(cents) FILTER (treated) AS BIGINT) AS y1,
+             CAST(SUM(cents) FILTER (NOT treated) AS BIGINT) AS y0
+      FROM e GROUP BY event_type
+    ),
+    nn AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+                  CAST(SUM(n1) AS BIGINT) AS t1,
+                  CAST(SUM(n0) AS BIGINT) AS t0,
+                  CAST(SUM(y1) AS BIGINT) AS sy1,
+                  CAST(SUM(y0) AS BIGINT) AS sy0
+           FROM s),
+    terms AS (
+      SELECT event_type, n_s, n1, n0,
+             CAST(n1 AS DOUBLE) / CAST(n_s AS DOUBLE) AS p_hat,
+             (CAST(n_s AS DOUBLE) / CAST((SELECT n FROM nn) AS DOUBLE))
+             * (CAST(y1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                - CAST(y0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS term
+      FROM s WHERE n1 > 0 AND n0 > 0
+    )
+    SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST((SELECT sy1 AS BIGINT FROM nn) AS DOUBLE)
+             / CAST((SELECT t1 FROM nn) AS DOUBLE)
+           - CAST((SELECT sy0 FROM nn) AS DOUBLE)
+             / CAST((SELECT t0 FROM nn) AS DOUBLE) AS naive_diff_cents,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(term ORDER BY event_type)), (x, y) -> x + y)
+             AS ate_cents
+    FROM terms
+    """,
+    doc="[EXT] stratified (exact-subclassification) average treatment "
+    "effect — Rosenbaum & Rubin's propensity-stratification posture "
+    "with the covariate cell AS the stratum: treatment assignment is "
+    "md5-deterministic with a DIFFERENT rate per event_type (planted "
+    "confounding — treatment probability and outcome both depend on "
+    "type), so the NAIVE treated-vs-control difference is biased and "
+    "the stratified estimator Σ_s (n_s/N)(ȳ₁ₛ−ȳ₀ₛ) removes exactly "
+    "the between-stratum component. Completes the causal family next "
+    "to diff-in-diff (time confounding) and CUPED (variance "
+    "reduction). Every mean is one division over exact BIGINT cents, "
+    "each stratum term a fixed IEEE tree, the ATE a pinned "
+    "stratum-order fold; empty arms drop their stratum (standard "
+    "positivity filter) — fully hash-gated.",
+    tags=("stats", "causal"),
+)
+def causal_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    thr = (
+        F.when(F.col("event_type") == "view", "4")
+        .when(F.col("event_type") == "click", "6")
+        .when(F.col("event_type") == "purchase", "8")
+        .when(F.col("event_type") == "signup", "a")
+        .otherwise("c")
+    )
+    e = ev.select(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        (
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < thr
+        ).alias("treated"),
+    )
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum(F.when(F.col("treated"), 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(~F.col("treated"), 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("treated"), F.col("cents"))).cast("long").alias("y1"),
+        F.sum(F.when(~F.col("treated"), F.col("cents")))
+        .cast("long")
+        .alias("y0"),
+    ).persist()
+    nn = s.agg(
+        F.sum("n_s").cast("long").alias("n"),
+        F.sum("n1").cast("long").alias("t1"),
+        F.sum("n0").cast("long").alias("t0"),
+        F.sum("y1").cast("long").alias("sy1"),
+        F.sum("y0").cast("long").alias("sy0"),
+    )
+    terms = (
+        s.filter((F.col("n1") > 0) & (F.col("n0") > 0))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "event_type",
+            (
+                (F.col("n_s").cast("double") / F.col("n").cast("double"))
+                * (
+                    F.col("y1").cast("double") / F.col("n1").cast("double")
+                    - F.col("y0").cast("double") / F.col("n0").cast("double")
+                )
+            ).alias("term"),
+            "n",
+            "t1",
+            "t0",
+            "sy1",
+            "sy0",
+        )
+    )
+    return terms.agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        (
+            F.max("sy1").cast("double") / F.max("t1").cast("double")
+            - F.max("sy0").cast("double") / F.max("t0").cast("double")
+        ).alias("naive_diff_cents"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("event_type", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("ate_cents"),
+    )

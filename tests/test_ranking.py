@@ -1807,3 +1807,54 @@ class TestHbosOutliers:
         assert {r["event_id"] for r in rows} == set(want)
         for r in rows:
             assert r["hbos"] == scores[r["event_id"]]  # bit-exact products
+
+
+class TestStratifiedAte:
+    """causal_stratified_ate: python replay; the stratified estimator
+    must remove the planted between-stratum confounding exactly."""
+
+    def test_python_replay(self, spark):
+        import hashlib
+        from decimal import Decimal
+
+        from clinical_api_etl_spark.plans.ranking import causal_stratified_ate
+        from clinical_api_etl_spark.sources.catalog import load
+
+        sf = "/root/testdata/sf0.001"
+        row = causal_stratified_ate(spark, sf).collect()[0]
+        ev = load(spark, sf, "events").filter("value is not null").collect()
+        thr = {"view": "4", "click": "6", "purchase": "8", "signup": "a",
+               "error": "c"}
+        strata: dict = {}
+        for r in ev:
+            h = hashlib.md5(str(r["event_id"]).encode()).hexdigest()[0]
+            t = h < thr[r["event_type"]]
+            cents = int(
+                Decimal(str(r["value"])).quantize(Decimal("0.01")) * 100
+            )
+            d = strata.setdefault(
+                r["event_type"], {"n1": 0, "n0": 0, "y1": 0, "y0": 0}
+            )
+            if t:
+                d["n1"] += 1; d["y1"] += cents
+            else:
+                d["n0"] += 1; d["y0"] += cents
+        n = sum(d["n1"] + d["n0"] for d in strata.values())
+        t1 = sum(d["n1"] for d in strata.values())
+        t0 = sum(d["n0"] for d in strata.values())
+        sy1 = sum(d["y1"] for d in strata.values())
+        sy0 = sum(d["y0"] for d in strata.values())
+        naive = sy1 / t1 - sy0 / t0
+        ate = 0.0
+        for et in sorted(strata):  # pinned fold order
+            d = strata[et]
+            if d["n1"] > 0 and d["n0"] > 0:
+                ns = d["n1"] + d["n0"]
+                ate = ate + (ns / n) * (d["y1"] / d["n1"] - d["y0"] / d["n0"])
+        assert row["n"] == n
+        assert row["naive_diff_cents"] == naive
+        assert row["ate_cents"] == ate  # bit-exact fold
+        # the planted confounding makes the naive diff differ from the
+        # stratified estimate (treatment rate varies by type while the
+        # outcome distribution also varies by type)
+        assert row["naive_diff_cents"] != row["ate_cents"]
