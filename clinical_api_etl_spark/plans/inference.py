@@ -3082,3 +3082,147 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fertility"),
         )
     )
+
+
+@QS.add(
+    "stat_cvm_pairs",
+    f"""
+    WITH t AS (
+      SELECT event_type AS g, {_CENTS} AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    hist AS (
+      SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY g, x
+    ),
+    types AS (SELECT DISTINCT g AS o FROM t),
+    sides AS (
+      SELECT least(h.g, ty.o) AS ga, greatest(h.g, ty.o) AS gb,
+             h.g AS side, h.x AS x, h.c AS c
+      FROM hist h JOIN types ty ON ty.o <> h.g
+    ),
+    merged AS (
+      SELECT ga, gb, x,
+             CAST(COALESCE(SUM(c) FILTER (WHERE side = ga), 0) AS BIGINT) AS ca,
+             CAST(COALESCE(SUM(c) FILTER (WHERE side = gb), 0) AS BIGINT) AS cb
+      FROM sides GROUP BY ga, gb, x
+    ),
+    walked AS (
+      SELECT ga, gb, x, ca, cb,
+             SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b
+      FROM merged
+      WINDOW w AS (PARTITION BY ga, gb ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    totals AS (
+      SELECT ga, gb, CAST(MAX(cum_a) AS BIGINT) AS n_a,
+             CAST(MAX(cum_b) AS BIGINT) AS n_b
+      FROM walked GROUP BY ga, gb
+    ),
+    terms AS (
+      SELECT w.ga, w.gb, w.x, t.n_a, t.n_b,
+             CAST(w.ca + w.cb AS DOUBLE)
+             * (CAST(w.cum_a * t.n_b - w.cum_b * t.n_a AS DOUBLE)
+                * CAST(w.cum_a * t.n_b - w.cum_b * t.n_a AS DOUBLE)) AS term
+      FROM walked w JOIN totals t ON w.ga = t.ga AND w.gb = t.gb
+    )
+    SELECT ga, gb,
+           CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(term ORDER BY x)), (p, q) -> p + q)
+           / (CAST(MAX(n_a) * MAX(n_b) AS DOUBLE)
+              * CAST((MAX(n_a) + MAX(n_b)) * (MAX(n_a) + MAX(n_b))
+                     AS DOUBLE)) AS t_cvm
+    FROM terms GROUP BY ga, gb
+    """,
+    doc="[EXT] two-sample Cramér–von Mises statistic between every pair "
+    "of event types — the body-sensitive companion to stat_ks_pairs "
+    "(KS sees only the single largest CDF gap; CvM integrates the "
+    "SQUARED gap over the combined distribution, catching spread/shape "
+    "differences KS misses): T = nm/(n+m)² Σ_x w_x (F_a−F_b)², "
+    "computed over the same merged value histogram as the KS walk. "
+    "Each gap numerator cum_a·n_b − cum_b·n_a is an exact BIGINT, the "
+    "per-value term one fixed IEEE tree (cast, square, weight "
+    "multiply), the sum a pinned value-order fold, and the final "
+    "normalization a single division by exact integer products — "
+    "fully hash-gated. Cost: the histogram walk (|distinct values| "
+    "rows per pair), never the event table.",
+    tags=("stats",),
+)
+def stat_cvm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = ev.select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("x"),
+    )
+    hist = t.groupBy("g", "x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    types = t.select(F.col("g").alias("o")).distinct()
+    sides = hist.join(F.broadcast(types), F.col("o") != F.col("g")).select(
+        F.least("g", "o").alias("ga"),
+        F.greatest("g", "o").alias("gb"),
+        F.col("g").alias("side"),
+        "x",
+        "c",
+    )
+    merged = sides.groupBy("ga", "gb", "x").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("side") == F.col("ga"), F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("ca"),
+        F.coalesce(
+            F.sum(F.when(F.col("side") == F.col("gb"), F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("cb"),
+    )
+    w = (
+        W.partitionBy("ga", "gb")
+        .orderBy("x")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    walked = merged.select(
+        "ga",
+        "gb",
+        "x",
+        "ca",
+        "cb",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    totals = walked.groupBy("ga", "gb").agg(
+        F.max("cum_a").cast("long").alias("n_a"),
+        F.max("cum_b").cast("long").alias("n_b"),
+    )
+    d = F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+    terms = walked.join(totals, ["ga", "gb"]).select(
+        "ga",
+        "gb",
+        "x",
+        "n_a",
+        "n_b",
+        (
+            (F.col("ca") + F.col("cb")).cast("double")
+            * (d.cast("double") * d.cast("double"))
+        ).alias("term"),
+    )
+    return terms.groupBy("ga", "gb").agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        (
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("x", "term"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["term"],
+            )
+            / (
+                (F.max("n_a") * F.max("n_b")).cast("double")
+                * (
+                    (F.max("n_a") + F.max("n_b"))
+                    * (F.max("n_a") + F.max("n_b"))
+                ).cast("double")
+            )
+        ).alias("t_cvm"),
+    )

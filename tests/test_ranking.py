@@ -1858,3 +1858,43 @@ class TestStratifiedAte:
         # stratified estimate (treatment rate varies by type while the
         # outcome distribution also varies by type)
         assert row["naive_diff_cents"] != row["ate_cents"]
+
+
+class TestCvmPairs:
+    """stat_cvm_pairs: python replay of the weighted-squared-gap fold."""
+
+    def test_python_replay(self, spark):
+        from collections import Counter
+        from decimal import Decimal
+
+        from clinical_api_etl_spark.plans.inference import stat_cvm_pairs
+        from clinical_api_etl_spark.sources.catalog import load
+
+        sf = "/root/testdata/sf0.001"
+        rows = {
+            (r["ga"], r["gb"]): r for r in stat_cvm_pairs(spark, sf).collect()
+        }
+        ev = load(spark, sf, "events").filter("value is not null").collect()
+        by_g: dict = {}
+        for r in ev:
+            cents = int(
+                Decimal(str(r["value"])).quantize(Decimal("0.01")) * 100
+            )
+            by_g.setdefault(r["event_type"], Counter())[cents] += 1
+        gs = sorted(by_g)
+        assert set(rows) == {(a, b) for a in gs for b in gs if a < b}
+        for (a, b), row in rows.items():
+            ha, hb = by_g[a], by_g[b]
+            na, nb = sum(ha.values()), sum(hb.values())
+            assert (row["n_a"], row["n_b"]) == (na, nb)
+            xs = sorted(set(ha) | set(hb))
+            ca = cb = 0
+            s = 0.0
+            for x in xs:  # pinned value order
+                ca += ha.get(x, 0)
+                cb += hb.get(x, 0)
+                d = float(ca * nb - cb * na)
+                s = s + float(ha.get(x, 0) + hb.get(x, 0)) * (d * d)
+            t = s / (float(na * nb) * float((na + nb) * (na + nb)))
+            assert row["t_cvm"] == t  # bit-exact
+            assert row["t_cvm"] >= 0.0
