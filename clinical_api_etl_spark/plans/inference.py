@@ -3226,3 +3226,152 @@ def stat_cvm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("t_cvm"),
     )
+
+
+@QS.add(
+    "stat_ad_pairs",
+    f"""
+    WITH t AS (
+      SELECT event_type AS g, {_CENTS} AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    hist AS (
+      SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY g, x
+    ),
+    types AS (SELECT DISTINCT g AS o FROM t),
+    sides AS (
+      SELECT least(h.g, ty.o) AS ga, greatest(h.g, ty.o) AS gb,
+             h.g AS side, h.x AS x, h.c AS c
+      FROM hist h JOIN types ty ON ty.o <> h.g
+    ),
+    merged AS (
+      SELECT ga, gb, x,
+             CAST(COALESCE(SUM(c) FILTER (WHERE side = ga), 0) AS BIGINT) AS ca,
+             CAST(COALESCE(SUM(c) FILTER (WHERE side = gb), 0) AS BIGINT) AS cb
+      FROM sides GROUP BY ga, gb, x
+    ),
+    walked AS (
+      SELECT ga, gb, x, ca, cb,
+             SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b
+      FROM merged
+      WINDOW w AS (PARTITION BY ga, gb ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    totals AS (
+      SELECT ga, gb, CAST(MAX(cum_a) AS BIGINT) AS n_a,
+             CAST(MAX(cum_b) AS BIGINT) AS n_b
+      FROM walked GROUP BY ga, gb
+    ),
+    terms AS (
+      SELECT w.ga, w.gb, w.x, t.n_a, t.n_b,
+             CAST(w.ca + w.cb AS DOUBLE)
+             * (CAST((t.n_a + t.n_b) * w.cum_a - t.n_a * (w.cum_a + w.cum_b)
+                     AS DOUBLE)
+                * CAST((t.n_a + t.n_b) * w.cum_a - t.n_a * (w.cum_a + w.cum_b)
+                       AS DOUBLE))
+             / CAST((w.cum_a + w.cum_b)
+                    * ((t.n_a + t.n_b) - (w.cum_a + w.cum_b)) AS DOUBLE)
+               AS term
+      FROM walked w JOIN totals t ON w.ga = t.ga AND w.gb = t.gb
+      WHERE (w.cum_a + w.cum_b) < (t.n_a + t.n_b)
+    )
+    SELECT ga, gb,
+           CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(term ORDER BY x)), (p, q) -> p + q)
+           / CAST(MAX(n_a) * MAX(n_b) AS DOUBLE) AS a2
+    FROM terms GROUP BY ga, gb
+    """,
+    doc="[EXT] two-sample Anderson–Darling statistic for every "
+    "event-type pair — completing the EDF-test trio: KS sees the single "
+    "largest CDF gap, CvM the integrated squared gap, AD re-weights "
+    "that integral by 1/(H(1−H)) so TAIL differences count (the test "
+    "that catches a shifted p99 the other two wash out). Scholz–"
+    "Stephens ties form: A² = (1/nm) Σ_x w_x (N·cum_a − n_a·cumN)² / "
+    "(cumN·(N−cumN)), the all-mass top value excluded (0 denominator). "
+    "Every numerator/denominator is an exact BIGINT from the same "
+    "merged histogram walk as KS/CvM; each term is one division, the "
+    "sum a pinned value-order fold, the normalization one more "
+    "division — fully hash-gated; cost is the histogram, never the "
+    "event table.",
+    tags=("stats",),
+)
+def stat_ad_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = ev.select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("x"),
+    )
+    hist = t.groupBy("g", "x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    types = t.select(F.col("g").alias("o")).distinct()
+    sides = hist.join(F.broadcast(types), F.col("o") != F.col("g")).select(
+        F.least("g", "o").alias("ga"),
+        F.greatest("g", "o").alias("gb"),
+        F.col("g").alias("side"),
+        "x",
+        "c",
+    )
+    merged = sides.groupBy("ga", "gb", "x").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("side") == F.col("ga"), F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("ca"),
+        F.coalesce(
+            F.sum(F.when(F.col("side") == F.col("gb"), F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("cb"),
+    )
+    w = (
+        W.partitionBy("ga", "gb")
+        .orderBy("x")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    walked = merged.select(
+        "ga",
+        "gb",
+        "x",
+        "ca",
+        "cb",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    totals = walked.groupBy("ga", "gb").agg(
+        F.max("cum_a").cast("long").alias("n_a"),
+        F.max("cum_b").cast("long").alias("n_b"),
+    )
+    nn = F.col("n_a") + F.col("n_b")
+    cumn = F.col("cum_a") + F.col("cum_b")
+    num = nn * F.col("cum_a") - F.col("n_a") * cumn
+    terms = (
+        walked.join(totals, ["ga", "gb"])
+        .filter(cumn < nn)
+        .select(
+            "ga",
+            "gb",
+            "x",
+            "n_a",
+            "n_b",
+            (
+                (F.col("ca") + F.col("cb")).cast("double")
+                * (num.cast("double") * num.cast("double"))
+                / (cumn * (nn - cumn)).cast("double")
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy("ga", "gb").agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        (
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("x", "term"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["term"],
+            )
+            / (F.max("n_a") * F.max("n_b")).cast("double")
+        ).alias("a2"),
+    )

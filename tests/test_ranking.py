@@ -1898,3 +1898,45 @@ class TestCvmPairs:
             t = s / (float(na * nb) * float((na + nb) * (na + nb)))
             assert row["t_cvm"] == t  # bit-exact
             assert row["t_cvm"] >= 0.0
+
+
+class TestAdPairs:
+    """stat_ad_pairs: python replay of the Scholz-Stephens ties form."""
+
+    def test_python_replay(self, spark):
+        from collections import Counter
+        from decimal import Decimal
+
+        from clinical_api_etl_spark.plans.inference import stat_ad_pairs
+        from clinical_api_etl_spark.sources.catalog import load
+
+        sf = "/root/testdata/sf0.001"
+        rows = {
+            (r["ga"], r["gb"]): r for r in stat_ad_pairs(spark, sf).collect()
+        }
+        ev = load(spark, sf, "events").filter("value is not null").collect()
+        by_g: dict = {}
+        for r in ev:
+            cents = int(
+                Decimal(str(r["value"])).quantize(Decimal("0.01")) * 100
+            )
+            by_g.setdefault(r["event_type"], Counter())[cents] += 1
+        gs = sorted(by_g)
+        for (a, b), row in rows.items():
+            ha, hb = by_g[a], by_g[b]
+            na, nb = sum(ha.values()), sum(hb.values())
+            nn = na + nb
+            xs = sorted(set(ha) | set(hb))
+            ca = cn = 0
+            s = 0.0
+            for x in xs:  # pinned value order
+                wx = ha.get(x, 0) + hb.get(x, 0)
+                ca += ha.get(x, 0)
+                cn += wx
+                if cn < nn:
+                    num = float(nn * ca - na * cn)
+                    s = s + float(wx) * (num * num) / float(cn * (nn - cn))
+            a2 = s / float(na * nb)
+            assert (row["n_a"], row["n_b"]) == (na, nb)
+            assert row["a2"] == a2  # bit-exact
+            assert row["a2"] >= 0.0
