@@ -3375,3 +3375,146 @@ def stat_ad_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("n_a") * F.max("n_b")).cast("double")
         ).alias("a2"),
     )
+
+
+def _pairdist_cte(side: str, src: str) -> str:
+    """Σ_{i<j} c_i c_j (x_j − x_i) over one side's sorted histogram, in
+    the O(n) prefix form: for each value, x·c·cumw_prev − c·cumxw_prev
+    (all exact BIGINTs)."""
+    return (
+        f"{side} AS (SELECT ga, gb,"
+        " CAST(SUM(x * c * cw - c * cxw) AS BIGINT) AS s,"
+        " CAST(SUM(c) AS BIGINT) AS n FROM ("
+        "   SELECT ga, gb, x, c,"
+        "   COALESCE(SUM(c) OVER w, 0) AS cw,"
+        "   COALESCE(SUM(x * c) OVER w, 0) AS cxw"
+        f"  FROM {src}"
+        "   WINDOW w AS (PARTITION BY ga, gb ORDER BY x"
+        "                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        " ) GROUP BY ga, gb)"
+    )
+
+
+@QS.add(
+    "stat_energy_distance_pairs",
+    f"""
+    WITH t AS (
+      SELECT event_type AS g, {_CENTS} AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    hist AS (
+      SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY g, x
+    ),
+    types AS (SELECT DISTINCT g AS o FROM t),
+    sides AS (
+      SELECT least(h.g, ty.o) AS ga, greatest(h.g, ty.o) AS gb,
+             h.g AS side, h.x AS x, h.c AS c
+      FROM hist h JOIN types ty ON ty.o <> h.g
+    ),
+    ha AS (SELECT ga, gb, x, c FROM sides WHERE side = ga),
+    hb AS (SELECT ga, gb, x, c FROM sides WHERE side = gb),
+    hm AS (SELECT ga, gb, x, CAST(SUM(c) AS BIGINT) AS c
+           FROM sides GROUP BY ga, gb, x),
+    {_pairdist_cte("pa", "ha")},
+    {_pairdist_cte("pb", "hb")},
+    {_pairdist_cte("pm", "hm")}
+    SELECT pa.ga, pa.gb, pa.n AS n_a, pb.n AS n_b,
+           CAST(pm.s - pa.s - pb.s AS BIGINT) AS cross_sum,
+           pa.s AS within_a, pb.s AS within_b,
+           CAST(2 * (pm.s - pa.s - pb.s) AS DOUBLE)
+             / CAST(pa.n * pb.n AS DOUBLE)
+           - CAST(2 * pa.s AS DOUBLE) / CAST(pa.n * pa.n AS DOUBLE)
+           - CAST(2 * pb.s AS DOUBLE) / CAST(pb.n * pb.n AS DOUBLE)
+             AS energy_cents
+    FROM pa JOIN pb ON pa.ga = pb.ga AND pa.gb = pb.gb
+            JOIN pm ON pa.ga = pm.ga AND pa.gb = pm.gb
+    """,
+    doc="[EXT] two-sample ENERGY DISTANCE (Székely & Rizzo) for every "
+    "event-type pair — the metric member of the distribution-distance "
+    "family (zero iff the distributions are equal; KS/CvM/AD are "
+    "tests, energy is a DISTANCE usable as a drift magnitude in "
+    "cents): E = 2·E|X−Y| − E|X−X'| − E|Y−Y'|. Each mean-absolute-"
+    "difference is computed EXACTLY: Σ_{{i<j}} c_i c_j (x_j − x_i) in "
+    "the O(|values|) prefix form x·c·cumw − c·cum(xw) over the sorted "
+    "histogram — all BIGINT (cents × counts² stays far under int64 at "
+    "audit scale), with the cross term as whole-minus-withins (one "
+    "merged-histogram pass instead of an a×b product). Three exact "
+    "sums, three divisions, a fixed subtract tree — fully hash-gated.",
+    tags=("stats",),
+)
+def stat_energy_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = ev.select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("x"),
+    )
+    hist = t.groupBy("g", "x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    types = t.select(F.col("g").alias("o")).distinct()
+    sides = hist.join(F.broadcast(types), F.col("o") != F.col("g")).select(
+        F.least("g", "o").alias("ga"),
+        F.greatest("g", "o").alias("gb"),
+        F.col("g").alias("side"),
+        "x",
+        "c",
+    ).persist()
+
+    def pairdist(df):
+        w = (
+            W.partitionBy("ga", "gb")
+            .orderBy("x")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        pre = df.select(
+            "ga",
+            "gb",
+            "x",
+            "c",
+            F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cw"),
+            F.coalesce(F.sum(F.col("x") * F.col("c")).over(w), F.lit(0)).alias(
+                "cxw"
+            ),
+        )
+        return pre.groupBy("ga", "gb").agg(
+            F.sum(
+                F.col("x") * F.col("c") * F.col("cw") - F.col("c") * F.col("cxw")
+            )
+            .cast("long")
+            .alias("s"),
+            F.sum("c").cast("long").alias("n"),
+        )
+
+    pa = pairdist(sides.filter(F.col("side") == F.col("ga")))
+    pb = pairdist(sides.filter(F.col("side") == F.col("gb")))
+    hm = sides.groupBy("ga", "gb", "x").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+    pm = pairdist(hm)
+    j = (
+        pa.select("ga", "gb", F.col("s").alias("sa"), F.col("n").alias("n_a"))
+        .join(
+            pb.select(
+                "ga", "gb", F.col("s").alias("sb"), F.col("n").alias("n_b")
+            ),
+            ["ga", "gb"],
+        )
+        .join(pm.select("ga", "gb", F.col("s").alias("sm")), ["ga", "gb"])
+    )
+    return j.select(
+        "ga",
+        "gb",
+        "n_a",
+        "n_b",
+        (F.col("sm") - F.col("sa") - F.col("sb")).cast("long").alias("cross_sum"),
+        F.col("sa").cast("long").alias("within_a"),
+        F.col("sb").cast("long").alias("within_b"),
+        (
+            (F.lit(2) * (F.col("sm") - F.col("sa") - F.col("sb"))).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+            - (F.lit(2) * F.col("sa")).cast("double")
+            / (F.col("n_a") * F.col("n_a")).cast("double")
+            - (F.lit(2) * F.col("sb")).cast("double")
+            / (F.col("n_b") * F.col("n_b")).cast("double")
+        ).alias("energy_cents"),
+    )

@@ -1940,3 +1940,57 @@ class TestAdPairs:
             assert (row["n_a"], row["n_b"]) == (na, nb)
             assert row["a2"] == a2  # bit-exact
             assert row["a2"] >= 0.0
+
+
+class TestEnergyDistance:
+    """stat_energy_distance_pairs: brute-force O(n^2) python replay of
+    the prefix-form pairwise-|diff| sums, plus metric properties."""
+
+    def test_python_replay(self, spark):
+        from decimal import Decimal
+
+        from clinical_api_etl_spark.plans.inference import (
+            stat_energy_distance_pairs,
+        )
+        from clinical_api_etl_spark.sources.catalog import load
+
+        sf = "/root/testdata/sf0.001"
+        rows = {
+            (r["ga"], r["gb"]): r
+            for r in stat_energy_distance_pairs(spark, sf).collect()
+        }
+        ev = load(spark, sf, "events").filter("value is not null").collect()
+        by_g: dict = {}
+        for r in ev:
+            cents = int(
+                Decimal(str(r["value"])).quantize(Decimal("0.01")) * 100
+            )
+            by_g.setdefault(r["event_type"], []).append(cents)
+
+        def pair_sum(xs):  # brute force ground truth
+            xs = sorted(xs)
+            tot = cw = cxw = 0
+            for x in xs:
+                tot += x * cw - cxw
+                cw += 1
+                cxw += x
+            return tot
+
+        def cross_sum(a, b):
+            return pair_sum(a + b) - pair_sum(a) - pair_sum(b)
+
+        for (ga, gb), row in rows.items():
+            a, b = by_g[ga], by_g[gb]
+            na, nb = len(a), len(b)
+            sa, sb = pair_sum(a), pair_sum(b)
+            cx = cross_sum(a, b)
+            assert (row["n_a"], row["n_b"]) == (na, nb)
+            assert row["within_a"] == sa and row["within_b"] == sb
+            assert row["cross_sum"] == cx
+            e = (
+                (2 * cx) / (na * nb)
+                - (2 * sa) / (na * na)
+                - (2 * sb) / (nb * nb)
+            )
+            assert row["energy_cents"] == e  # bit-exact
+            assert row["energy_cents"] >= 0.0  # energy distance is >= 0
