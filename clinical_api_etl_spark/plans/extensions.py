@@ -2166,3 +2166,71 @@ def text_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r_star"),
         )
     )
+
+
+@QS.add(
+    "text_burstiness_topk",
+    f"""
+    WITH docw AS (
+      SELECT doc_id, tok AS word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    w AS (
+      SELECT word,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(c) AS BIGINT) AS total,
+             CAST(SUM(c * c) AS BIGINT) AS sum_sq
+      FROM docw GROUP BY word
+    )
+    SELECT word, n_docs, total, sum_sq,
+           CAST((SELECT n FROM nn) * sum_sq - total * total AS DOUBLE)
+             / CAST((SELECT n FROM nn) * total AS DOUBLE) AS vmr
+    FROM w WHERE total >= 20
+    ORDER BY vmr DESC, word LIMIT 20
+    """,
+    doc="[EXT] word BURSTINESS (Church & Gale 1995): content words "
+    "clump — they recur within the documents that mention them — while "
+    "function words spread Poisson-like, so the variance-to-mean ratio "
+    "of per-document counts separates topical vocabulary from glue "
+    "(VMR = 1 is the Poisson line; the curation signal behind "
+    "tf normalization choices and stopword induction). Closed integer "
+    "form over ALL N docs including zero-count ones: VMR = "
+    "(N·Σc² − T²)/(N·T) — exact BIGINT numerator and denominator, ONE "
+    "division, so the top-20 (vmr DESC, word) rows hash-gate exactly. "
+    "One doc×word aggregate, one vocab-sized aggregate, TakeOrdered.",
+    tags=("text", "stats"),
+)
+def text_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    docw = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    nn = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = docw.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+    )
+    return (
+        w.filter(F.col("total") >= 20)
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "word",
+            "n_docs",
+            "total",
+            "sum_sq",
+            (
+                (F.col("n") * F.col("sum_sq") - F.col("total") * F.col("total"))
+                .cast("double")
+                / (F.col("n") * F.col("total")).cast("double")
+            ).alias("vmr"),
+        )
+        .orderBy(F.desc("vmr"), F.asc("word"))
+        .limit(20)
+    )

@@ -994,3 +994,35 @@ class TestVocabStatistics:
         assert row["n_common"] == len(mx)
         assert row["rbo_min"] == (1.0 - 0.9) * s
         assert 0.0 <= row["rbo_min"] <= 1.0
+
+
+class TestBurstiness:
+    """text_burstiness_topk: python replay of the closed-integer VMR."""
+
+    def test_python_replay(self, spark):
+        from collections import Counter
+
+        from clinical_api_etl_spark.plans.extensions import text_burstiness_topk
+        from clinical_api_etl_spark.sources.catalog import load
+
+        sf = "/root/testdata/sf0.001"
+        rows = text_burstiness_topk(spark, sf).collect()
+        assert len(rows) == 20
+        docs = load(spark, sf, "documents").collect()
+        n = len(docs)
+        per_word: dict = {}
+        for d in docs:
+            for w, c in Counter(d["text"].strip().lower().split()).items():
+                st = per_word.setdefault(w, [0, 0, 0])
+                st[0] += 1; st[1] += c; st[2] += c * c
+        vmr = {
+            w: (n * ss - t * t) / (n * t)
+            for w, (nd, t, ss) in per_word.items()
+            if t >= 20
+        }
+        want = sorted(vmr, key=lambda w: (-vmr[w], w))[:20]
+        assert [r["word"] for r in rows] == want
+        for r in rows:
+            nd, t, ss = per_word[r["word"]]
+            assert (r["n_docs"], r["total"], r["sum_sq"]) == (nd, t, ss)
+            assert r["vmr"] == vmr[r["word"]]  # bit-exact single division
