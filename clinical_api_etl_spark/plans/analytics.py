@@ -1688,3 +1688,108 @@ def anomaly_hbos_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("hbos"), F.asc("event_id")).limit(20)
+
+
+@QS.add(
+    "ts_classical_decomposition",
+    """
+    WITH daily AS (
+      SELECT epoch_ms(ts) // 86400000 AS day,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY day
+    ),
+    ma AS (
+      SELECT day, s, c,
+             CAST(SUM(s) OVER w AS BIGINT) AS s7,
+             CAST(SUM(c) OVER w AS BIGINT) AS c7,
+             CAST(COUNT(*) OVER w AS BIGINT) AS k7
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT day, day % 7 AS dow,
+             CAST(s AS DOUBLE) / CAST(c AS DOUBLE) AS mean_cents,
+             CAST(s7 AS DOUBLE) / CAST(c7 AS DOUBLE) AS trend_cents,
+             CAST(s AS DOUBLE) / CAST(c AS DOUBLE)
+               - CAST(s7 AS DOUBLE) / CAST(c7 AS DOUBLE) AS detrended
+      FROM ma WHERE k7 = 7
+    ),
+    seas AS (
+      SELECT dow,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(detrended ORDER BY day)), (a, b) -> a + b)
+             / CAST(COUNT(*) AS DOUBLE) AS seasonal_cents
+      FROM det GROUP BY dow
+    )
+    SELECT d.day, d.dow, d.mean_cents, d.trend_cents,
+           s.seasonal_cents,
+           d.detrended - s.seasonal_cents AS remainder_cents
+    FROM det d JOIN seas s ON d.dow = s.dow
+    """,
+    doc="[EXT] classical additive seasonal decomposition of the daily "
+    "value series (the statsmodels seasonal_decompose method): trend = "
+    "centered 7-day moving average kept EXACT by averaging the window "
+    "of BIGINT (sum, count) pairs — Σs/Σc is ONE division, never a "
+    "float-window sum (fp association order differs between engines); "
+    "detrended = mean − trend (fixed IEEE subtract of bit-identical "
+    "doubles); seasonal = per-weekday mean of detrended via a pinned "
+    "day-order fold + one division; remainder closes the identity "
+    "y = trend + seasonal + remainder exactly in IEEE. Edge days "
+    "without a full 7-day frame are excluded (k7 = 7, the standard "
+    "centered-MA convention). Epoch-day mod 7 keeps the weekday "
+    "calendar-free. One daily pre-aggregate, one 7-row frame, one "
+    "|weekday|-row fold table.",
+    tags=("temporal", "stats"),
+)
+def ts_classical_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.expr("unix_millis(ts) div 86400000").alias("day")
+    ).agg(
+        F.sum(
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        )
+        .cast("long")
+        .alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    w = W.orderBy("day").rowsBetween(-3, 3)
+    ma = daily.select(
+        "day",
+        "s",
+        "c",
+        F.sum("s").over(w).cast("long").alias("s7"),
+        F.sum("c").over(w).cast("long").alias("c7"),
+        F.count(F.lit(1)).over(w).cast("long").alias("k7"),
+    )
+    mean = F.col("s").cast("double") / F.col("c").cast("double")
+    trend = F.col("s7").cast("double") / F.col("c7").cast("double")
+    det = ma.filter(F.col("k7") == 7).select(
+        "day",
+        (F.col("day") % 7).alias("dow"),
+        mean.alias("mean_cents"),
+        trend.alias("trend_cents"),
+        (mean - trend).alias("detrended"),
+    )
+    seas = det.groupBy("dow").agg(
+        (
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("day", "detrended"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["detrended"],
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("seasonal_cents")
+    )
+    return det.join(F.broadcast(seas), "dow").select(
+        "day",
+        "dow",
+        "mean_cents",
+        "trend_cents",
+        "seasonal_cents",
+        (F.col("detrended") - F.col("seasonal_cents")).alias("remainder_cents"),
+    )

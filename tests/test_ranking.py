@@ -1994,3 +1994,66 @@ class TestEnergyDistance:
             )
             assert row["energy_cents"] == e  # bit-exact
             assert row["energy_cents"] >= 0.0  # energy distance is >= 0
+
+
+class TestClassicalDecomposition:
+    """ts_classical_decomposition: python replay + the additive identity
+    y = trend + seasonal + remainder holding exactly in IEEE."""
+
+    def test_python_replay(self, spark):
+        from collections import defaultdict
+        from decimal import Decimal
+
+        from clinical_api_etl_spark.plans.analytics import (
+            ts_classical_decomposition,
+        )
+        from clinical_api_etl_spark.sources.catalog import load
+
+        sf = "/root/testdata/sf0.001"
+        rows = {
+            r["day"]: r
+            for r in ts_classical_decomposition(spark, sf).collect()
+        }
+        ev = load(spark, sf, "events").filter("value is not null").collect()
+        sc: dict = defaultdict(lambda: [0, 0])
+        for r in ev:
+            day = int(r["ts"].timestamp() * 1000) // 86400000
+            cents = int(
+                Decimal(str(r["value"])).quantize(Decimal("0.01")) * 100
+            )
+            sc[day][0] += cents
+            sc[day][1] += 1
+        days = sorted(sc)
+        det = {}
+        for i, d in enumerate(days):
+            if i < 3 or i >= len(days) - 3:
+                continue
+            s7 = sum(sc[days[j]][0] for j in range(i - 3, i + 4))
+            c7 = sum(sc[days[j]][1] for j in range(i - 3, i + 4))
+            mean = sc[d][0] / sc[d][1]
+            trend = s7 / c7
+            det[d] = (mean, trend, mean - trend)
+        assert set(rows) == set(det)
+        byw: dict = defaultdict(list)
+        for d in sorted(det):
+            byw[d % 7].append(det[d][2])
+        seas = {}
+        for wd, vals in byw.items():
+            s = 0.0
+            for v in vals:  # pinned day order
+                s = s + v
+            seas[wd] = s / len(vals)
+        for d, row in rows.items():
+            mean, trend, dtr = det[d]
+            assert row["mean_cents"] == mean
+            assert row["trend_cents"] == trend
+            assert row["seasonal_cents"] == seas[d % 7]
+            assert row["remainder_cents"] == dtr - seas[d % 7]
+            # reconstruction: trend + seasonal + remainder recovers the
+            # daily mean up to one reassociation rounding step
+            recon = row["trend_cents"] + (
+                row["seasonal_cents"] + row["remainder_cents"]
+            )
+            assert abs(recon - row["mean_cents"]) <= 1e-9 * max(
+                1.0, abs(row["mean_cents"])
+            )

@@ -171,6 +171,9 @@ GLOBAL_WINDOW_OK: set[str] = {
     # 6-row trailing frame over the HOURLY pre-aggregate
     # (calendar-bounded — the w18/w19 class).
     "ops_slo_burn_alerts",
+    # centered 7-day frame over the DAILY pre-aggregate
+    # (calendar-bounded — the w18/w19 class).
+    "ts_classical_decomposition",
 }
 
 
