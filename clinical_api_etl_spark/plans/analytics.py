@@ -1793,3 +1793,103 @@ def ts_classical_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seasonal_cents",
         (F.col("detrended") - F.col("seasonal_cents")).alias("remainder_cents"),
     )
+
+
+@QS.add(
+    "ts_page_hinkley_drift",
+    """
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY event_type, d
+    ),
+    series AS (
+      SELECT event_type,
+             list(CAST(s AS DOUBLE) / CAST(c AS DOUBLE) ORDER BY d) AS xs
+      FROM daily GROUP BY event_type
+    ),
+    folded AS (
+      -- DOUBLE[] accumulator [n, sum, m, mmin] (round-10 LIST rule:
+      -- every element expression reads the ORIGINAL accumulator, so
+      -- the running mean is recomputed inline from acc, and mmin
+      -- repeats the new-m expression verbatim — identical operands,
+      -- identical bits).
+      SELECT event_type, len(xs) AS n_days,
+        list_reduce(
+          list_prepend(
+            [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+             CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+            list_transform(xs, x ->
+              [x, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+          (acc, e) -> [
+            acc[1] + 1,
+            acc[2] + e[1],
+            acc[3] + (e[1] - (acc[2] + e[1]) / (acc[1] + 1) - 5.0e0),
+            least(acc[4],
+              acc[3] + (e[1] - (acc[2] + e[1]) / (acc[1] + 1) - 5.0e0))]
+        ) AS st
+      FROM series
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           st[2] / st[1] AS mean_cents,
+           st[3] AS m, st[4] AS m_min,
+           st[3] - st[4] AS ph,
+           (st[3] - st[4] > 500.0e0) AS drift
+    FROM folded
+    """,
+    doc="[EXT] Page-Hinkley drift detector (Page 1954; the streaming-ML "
+    "standard for mean shift) over each type's daily mean-cents series: "
+    "m_t = m_(t-1) + (x_t − x̄_t − δ) with the RUNNING mean, M_t = min "
+    "m_τ, alarm when m_t − M_t > λ (δ=5 cents tolerance, λ=500 "
+    "threshold — exact e0 literals). Third sequential-recurrence fold "
+    "after Holt/Kalman: the 4-slot DOUBLE[] accumulator [n, sum, m, "
+    "mmin] recomputes the running mean inline from the ORIGINAL "
+    "accumulator (the round-10 LIST-semantics rule) and repeats the "
+    "new-m expression verbatim inside least() — identical operands, "
+    "bit-identical on both engines, so m/M/PH and the alarm boolean "
+    "all hash-gate. Fold cost |days| per type, never events.",
+    tags=("temporal", "stats"),
+)
+def ts_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_millis(ts) div 86400000").alias("d")
+    ).agg(
+        F.sum(
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        )
+        .cast("long")
+        .alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d,"
+            " CAST(s AS DOUBLE) / CAST(c AS DOUBLE) AS xv))), t -> t.xv)"
+        ).alias("xs")
+    )
+    return series.selectExpr(
+        "event_type",
+        "CAST(size(xs) AS BIGINT) AS n_days",
+        """aggregate(
+             xs,
+             named_struct('n', CAST(0.0 AS DOUBLE), 's', CAST(0.0 AS DOUBLE),
+                          'm', CAST(0.0 AS DOUBLE), 'mm', CAST(0.0 AS DOUBLE)),
+             (acc, x) -> named_struct(
+               'n', acc.n + 1,
+               's', acc.s + x,
+               'm', acc.m + (x - (acc.s + x) / (acc.n + 1) - 5.0D),
+               'mm', least(acc.mm,
+                           acc.m + (x - (acc.s + x) / (acc.n + 1) - 5.0D)))
+           ) AS st""",
+    ).selectExpr(
+        "event_type",
+        "n_days",
+        "st.s / st.n AS mean_cents",
+        "st.m AS m",
+        "st.mm AS m_min",
+        "st.m - st.mm AS ph",
+        "(st.m - st.mm > 500.0D) AS drift",
+    )

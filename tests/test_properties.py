@@ -597,6 +597,37 @@ _KALMAN_DUCK = """list_reduce(
     acc[3] + (e[1] - acc[1]) * (e[1] - acc[1]) / (acc[2] + 4.0e0 + 25.0e0)]) AS st"""
 
 
+_PH_SPARK = """aggregate(
+  ys,
+  named_struct('n', CAST(0.0 AS DOUBLE), 's', CAST(0.0 AS DOUBLE),
+               'm', CAST(0.0 AS DOUBLE), 'mm', CAST(0.0 AS DOUBLE)),
+  (acc, x) -> named_struct(
+    'n', acc.n + 1,
+    's', acc.s + x,
+    'm', acc.m + (x - (acc.s + x) / (acc.n + 1) - 5.0D),
+    'mm', least(acc.mm, acc.m + (x - (acc.s + x) / (acc.n + 1) - 5.0D)))) AS st"""
+
+_PH_DUCK = """list_reduce(
+  list_prepend(
+    [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+    list_transform(ys, x ->
+      [x, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+  (acc, e) -> [
+    acc[1] + 1,
+    acc[2] + e[1],
+    acc[3] + (e[1] - (acc[2] + e[1]) / (acc[1] + 1) - 5.0e0),
+    least(acc[4],
+      acc[3] + (e[1] - (acc[2] + e[1]) / (acc[1] + 1) - 5.0e0))]) AS st"""
+
+
+def _ph_py(ys):
+    n = s = m = mm = 0.0
+    for x in ys:
+        nm = m + (x - (s + x) / (n + 1) - 5.0)
+        n, s, m, mm = n + 1, s + x, nm, min(mm, nm)
+    return [n, s, m, mm]
+
+
 def _kalman_py(ys):
     x, p, ll2 = ys[0], 100.0, 0.0
     for y in ys[1:]:
@@ -672,6 +703,7 @@ class TestSequentialFoldEngineParity:
         for s_sql, d_sql, py in (
             (_HOLT_SPARK, _HOLT_DUCK, _holt_py),
             (_KALMAN_SPARK, _KALMAN_DUCK, _kalman_py),
+            (_PH_SPARK, _PH_DUCK, _ph_py),
         ):
             got_s = self._spark_fold(spark, "ys", "double", ys, s_sql)
             got_d = self._duck_fold("ys", "DOUBLE", ys, d_sql)
