@@ -5062,3 +5062,74 @@ def causal_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x["term"],
         ).alias("ate_cents"),
     )
+
+
+@QS.add(
+    "graph_degree_assortativity",
+    "WITH "
+    + ",\n".join(_lpa_ctes(0)[:2])
+    + """,
+    deg AS MATERIALIZED (
+      SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM sym GROUP BY u),
+    ed AS (
+      SELECT du.d AS j, dv.d AS k
+      FROM sym s JOIN deg du ON s.u = du.node
+                 JOIN deg dv ON s.v = dv.node),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(j) AS BIGINT) AS s1,
+             CAST(SUM(j * j) AS BIGINT) AS s2,
+             CAST(SUM(j * k) AS BIGINT) AS s3
+      FROM ed)
+    SELECT m, s1, s2, s3,
+           CAST(m * s3 - s1 * s1 AS DOUBLE)
+             / CAST(m * s2 - s1 * s1 AS DOUBLE) AS assortativity
+    FROM sums
+    """,
+    doc="[EXT] degree assortativity coefficient (Newman 2002) of the "
+    "co-purchase graph — do high-degree nodes attach to high-degree "
+    "nodes (social-network-like, r>0) or to leaves (hub-and-spoke/"
+    "technological, r<0)? THE summary statistic for whether the "
+    "hub-skew posture (EDGE_SALT) matters on a given graph. On the "
+    "symmetrized edge list the (j,k) marginals coincide, so Pearson's "
+    "r over edge-endpoint degrees collapses to (M·Σjk − (Σj)²) / "
+    "(M·Σj² − (Σj)²) — exact BIGINT sums of degree products over the "
+    "edge join, ONE division, no sqrt. Cross-product headroom: "
+    "M·Σjk ~ degrees²·edges² stays under int64 through ~1e5-edge audit "
+    "graphs; shard by component beyond. One degree aggregate + one "
+    "edges⋈degrees join, map-side-combinable sums.",
+    tags=("graph", "stats"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _e0, sym = _lp_graph(spark, sf_dir)
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ed = (
+        sym.join(
+            deg.select(F.col("node").alias("u"), F.col("d").alias("j")), "u"
+        )
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("d").alias("k")), "v"
+        )
+        .select("j", "k")
+    )
+    sums = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("j").cast("long").alias("s1"),
+        F.sum(F.col("j") * F.col("j")).cast("long").alias("s2"),
+        F.sum(F.col("j") * F.col("k")).cast("long").alias("s3"),
+    )
+    return sums.select(
+        "m",
+        "s1",
+        "s2",
+        "s3",
+        (
+            (F.col("m") * F.col("s3") - F.col("s1") * F.col("s1")).cast("double")
+            / (F.col("m") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+                "double"
+            )
+        ).alias("assortativity"),
+    )

@@ -353,3 +353,37 @@ class TestEigenvectorCentrality:
         # unit norm (within fp): sum of squares ~ 1
         ss = sum(v * v for v in got.values())
         assert abs(ss - 1.0) < 1e-9
+
+
+class TestDegreeAssortativity:
+    """graph_degree_assortativity: python replay (incl. the collapse of
+    Pearson to the single-division symmetric form) and bounds."""
+
+    def test_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.ranking import (
+            _lp_graph,
+            graph_degree_assortativity,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        row = graph_degree_assortativity(spark, sf).collect()[0]
+        _e0, sym = _lp_graph(spark, sf)
+        edges = [(r["u"], r["v"]) for r in sym.collect()]
+        deg: dict = {}
+        for u, _v in edges:
+            deg[u] = deg.get(u, 0) + 1
+        m = len(edges)
+        s1 = sum(deg[u] for u, _ in edges)
+        s2 = sum(deg[u] * deg[u] for u, _ in edges)
+        s3 = sum(deg[u] * deg[v] for u, v in edges)
+        assert (row["m"], row["s1"], row["s2"], row["s3"]) == (m, s1, s2, s3)
+        r = (m * s3 - s1 * s1) / (m * s2 - s1 * s1)
+        assert row["assortativity"] == r
+        assert -1.0 <= r <= 1.0
+        # cross-check vs the general Pearson form on the symmetric list
+        import math
+
+        mean = s1 / m
+        cov = s3 / m - mean * mean
+        var = s2 / m - mean * mean
+        assert abs(r - cov / var) < 1e-9
