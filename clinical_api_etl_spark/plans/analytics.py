@@ -1690,6 +1690,38 @@ def anomaly_hbos_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("hbos"), F.asc("event_id")).limit(20)
 
 
+_DECOMP_CTES = """daily AS (
+      SELECT epoch_ms(ts) // 86400000 AS day,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY day
+    ),
+    ma AS (
+      SELECT day, s, c,
+             CAST(SUM(s) OVER w AS BIGINT) AS s7,
+             CAST(SUM(c) OVER w AS BIGINT) AS c7,
+             CAST(COUNT(*) OVER w AS BIGINT) AS k7
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT day, day % 7 AS dow,
+             CAST(s AS DOUBLE) / CAST(c AS DOUBLE) AS mean_cents,
+             CAST(s7 AS DOUBLE) / CAST(c7 AS DOUBLE) AS trend_cents,
+             CAST(s AS DOUBLE) / CAST(c AS DOUBLE)
+               - CAST(s7 AS DOUBLE) / CAST(c7 AS DOUBLE) AS detrended
+      FROM ma WHERE k7 = 7
+    ),
+    seas AS (
+      SELECT dow,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(detrended ORDER BY day)), (a, b) -> a + b)
+             / CAST(COUNT(*) AS DOUBLE) AS seasonal_cents
+      FROM det GROUP BY dow
+    )"""
+
+
 @QS.add(
     "ts_classical_decomposition",
     """
@@ -1892,4 +1924,91 @@ def ts_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "st.mm AS m_min",
         "st.m - st.mm AS ph",
         "(st.m - st.mm > 500.0D) AS drift",
+    )
+
+
+@QS.add(
+    "ts_decomposition_strength",
+    "WITH "
+    + _DECOMP_CTES
+    + """,
+    comp AS (
+      SELECT d.day, d.trend_cents AS t, s.seasonal_cents AS se,
+             d.detrended - s.seasonal_cents AS r
+      FROM det d JOIN seas s ON d.dow = s.dow
+    ),
+    folds AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(r ORDER BY day)), (a, b) -> a + b) AS sr,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(r * r ORDER BY day)), (a, b) -> a + b) AS srr,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(se + r ORDER BY day)), (a, b) -> a + b) AS ssr,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list((se + r) * (se + r) ORDER BY day)), (a, b) -> a + b)
+               AS ssrr,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(t + r ORDER BY day)), (a, b) -> a + b) AS str,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list((t + r) * (t + r) ORDER BY day)), (a, b) -> a + b)
+               AS strr
+      FROM comp
+    )
+    SELECT n,
+           greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)
+             - (srr / CAST(n AS DOUBLE) - (sr / CAST(n AS DOUBLE))
+                * (sr / CAST(n AS DOUBLE)))
+             / (ssrr / CAST(n AS DOUBLE) - (ssr / CAST(n AS DOUBLE))
+                * (ssr / CAST(n AS DOUBLE)))) AS f_seasonal,
+           greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)
+             - (srr / CAST(n AS DOUBLE) - (sr / CAST(n AS DOUBLE))
+                * (sr / CAST(n AS DOUBLE)))
+             / (strr / CAST(n AS DOUBLE) - (str / CAST(n AS DOUBLE))
+                * (str / CAST(n AS DOUBLE)))) AS f_trend
+    FROM folds
+    """,
+    doc="[EXT] seasonal and trend STRENGTH of the classical "
+    "decomposition (Hyndman & Athanasopoulos, FPP: F_S = max(0, 1 − "
+    "Var(R)/Var(S+R)), F_T = max(0, 1 − Var(R)/Var(T+R))) — the two "
+    "scalars that tell a forecasting pipeline whether to fit seasonal "
+    "terms at all. Shares the decomposition CTE chain verbatim; each "
+    "variance comes from a PAIR of pinned day-order folds (sum, "
+    "sum-of-squares) finished by fixed divisions/multiplies, and "
+    "greatest over bit-identical doubles is engine-portable — the "
+    "whole row hash-gates.",
+    tags=("temporal", "stats"),
+)
+def ts_decomposition_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = ts_classical_decomposition(spark, sf_dir).select(
+        "day",
+        F.col("trend_cents").alias("t"),
+        F.col("seasonal_cents").alias("se"),
+        F.col("remainder_cents").alias("r"),
+    )
+
+    def fold(expr, alias):
+        return F.aggregate(
+            F.sort_array(F.collect_list(F.struct(F.col("day"), expr.alias("v")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias(alias)
+
+    folds = comp.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        fold(F.col("r"), "sr"),
+        fold(F.col("r") * F.col("r"), "srr"),
+        fold(F.col("se") + F.col("r"), "ssr"),
+        fold((F.col("se") + F.col("r")) * (F.col("se") + F.col("r")), "ssrr"),
+        fold(F.col("t") + F.col("r"), "str"),
+        fold((F.col("t") + F.col("r")) * (F.col("t") + F.col("r")), "strr"),
+    )
+    nd = F.col("n").cast("double")
+    var_r = F.col("srr") / nd - (F.col("sr") / nd) * (F.col("sr") / nd)
+    var_sr = F.col("ssrr") / nd - (F.col("ssr") / nd) * (F.col("ssr") / nd)
+    var_tr = F.col("strr") / nd - (F.col("str") / nd) * (F.col("str") / nd)
+    return folds.select(
+        "n",
+        F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_sr).alias("f_seasonal"),
+        F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_tr).alias("f_trend"),
     )

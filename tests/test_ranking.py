@@ -2057,3 +2057,39 @@ class TestClassicalDecomposition:
             assert abs(recon - row["mean_cents"]) <= 1e-9 * max(
                 1.0, abs(row["mean_cents"])
             )
+
+
+class TestDecompositionStrength:
+    """ts_decomposition_strength: replay from the decomposition rows."""
+
+    def test_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.analytics import (
+            ts_classical_decomposition,
+            ts_decomposition_strength,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        row = ts_decomposition_strength(spark, sf).collect()[0]
+        comp = sorted(
+            ts_classical_decomposition(spark, sf).collect(),
+            key=lambda r: r["day"],
+        )
+        n = len(comp)
+
+        def var(vals):
+            s = ss = 0.0
+            for v in vals:  # pinned day order
+                s = s + v
+            for v in vals:
+                ss = ss + v * v
+            return ss / n - (s / n) * (s / n)
+
+        r = [c["remainder_cents"] for c in comp]
+        sr = [c["seasonal_cents"] + c["remainder_cents"] for c in comp]
+        tr = [c["trend_cents"] + c["remainder_cents"] for c in comp]
+        fs = max(0.0, 1.0 - var(r) / var(sr))
+        ft = max(0.0, 1.0 - var(r) / var(tr))
+        assert row["n"] == n
+        assert row["f_seasonal"] == fs
+        assert row["f_trend"] == ft
+        assert 0.0 <= fs <= 1.0 and 0.0 <= ft <= 1.0

@@ -174,6 +174,8 @@ GLOBAL_WINDOW_OK: set[str] = {
     # centered 7-day frame over the DAILY pre-aggregate
     # (calendar-bounded — the w18/w19 class).
     "ts_classical_decomposition",
+    # inherits the decomposition's daily frame (same class).
+    "ts_decomposition_strength",
 }
 
 
