@@ -2234,3 +2234,94 @@ def text_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("vmr"), F.asc("word"))
         .limit(20)
     )
+
+
+_VG_THRESH = [24, 50, 75, 101, 127, 152, 178, 203, 229, 255]
+
+
+@QS.add(
+    "text_vocab_growth_curve",
+    f"""
+    WITH db AS (
+      SELECT doc_id, text,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                  AS BIGINT) AS bucket
+      FROM documents
+    ),
+    wmin AS (
+      SELECT tok AS word, CAST(MIN(bucket) AS BIGINT) AS min_bucket
+      FROM (SELECT bucket, unnest({_TOKS}) AS tok FROM db)
+      GROUP BY tok
+    ),
+    grid AS (SELECT unnest({_VG_THRESH}) AS t),
+    curve AS (
+      SELECT g.t,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM db
+              WHERE bucket <= g.t) AS n_docs,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM wmin
+              WHERE min_bucket <= g.t) AS vocab
+      FROM grid g
+    )
+    SELECT CAST(t AS BIGINT) AS t, n_docs, vocab,
+           CAST(vocab AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             AS vocab_per_doc
+    FROM curve
+    """,
+    doc="[EXT] vocabulary GROWTH CURVE by nested random subsamples — the "
+    "Heaps'-law estimation convention (vocabulary grows ~K·nᵝ; the "
+    "curve says how much new vocabulary another 10x of corpus would "
+    "buy, the scaling companion to text_vocab_chao1's asymptote): "
+    "md5(doc_id) byte buckets give NESTED deterministic subsets at ten "
+    "thresholds, each word carries its MINIMUM bucket (the first "
+    "subset that contains it), and the curve is a 10-point walk over "
+    "that tiny table — no corpus-scale sort, no global window, no RNG "
+    "(the engine's hash-sampling convention; hex→BIGINT via the "
+    "round-6 conv/CAST equivalence). All counts exact; vocab_per_doc "
+    "one division — hash-gated.",
+    tags=("text", "stats"),
+)
+def text_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    db = docs.select(
+        "doc_id",
+        "text",
+        F.expr(
+            "conv(substr(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10)"
+        )
+        .cast("long")
+        .alias("bucket"),
+    ).persist()
+    wmin = (
+        db.select("bucket", F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.min("bucket").cast("long").alias("min_bucket"))
+    )
+    grid = spark.createDataFrame(
+        [(t,) for t in _VG_THRESH], "t long"
+    )
+    # broadcast the 10-row grid, stream the corpus-/vocab-scaled side
+    dcounts = (
+        db.select("bucket")
+        .join(F.broadcast(grid), F.col("bucket") <= F.col("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    vcounts = (
+        wmin.select("min_bucket")
+        .join(F.broadcast(grid), F.col("min_bucket") <= F.col("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    )
+    return (
+        dcounts.join(vcounts, "t")
+        .select(
+            "t",
+            "n_docs",
+            "vocab",
+            (
+                F.col("vocab").cast("double") / F.col("n_docs").cast("double")
+            ).alias("vocab_per_doc"),
+        )
+    )

@@ -1026,3 +1026,41 @@ class TestBurstiness:
             nd, t, ss = per_word[r["word"]]
             assert (r["n_docs"], r["total"], r["sum_sq"]) == (nd, t, ss)
             assert r["vmr"] == vmr[r["word"]]  # bit-exact single division
+
+
+class TestVocabGrowthCurve:
+    """text_vocab_growth_curve: python replay + nested-subset
+    monotonicity (the property the Heaps estimate rides on)."""
+
+    def test_python_replay_and_monotone(self, spark):
+        import hashlib
+
+        from clinical_api_etl_spark.plans.extensions import (
+            _VG_THRESH,
+            text_vocab_growth_curve,
+        )
+        from clinical_api_etl_spark.sources.catalog import load
+
+        sf = "/root/testdata/sf0.001"
+        rows = {
+            r["t"]: r for r in text_vocab_growth_curve(spark, sf).collect()
+        }
+        assert sorted(rows) == _VG_THRESH
+        docs = load(spark, sf, "documents").collect()
+        wmin: dict = {}
+        buckets = []
+        for d in docs:
+            b = int(hashlib.md5(str(d["doc_id"]).encode()).hexdigest()[:2], 16)
+            buckets.append(b)
+            for w in set(d["text"].strip().lower().split()):
+                wmin[w] = min(wmin.get(w, 256), b)
+        prev_v = prev_d = 0
+        for t in _VG_THRESH:
+            nd = sum(1 for b in buckets if b <= t)
+            v = sum(1 for b in wmin.values() if b <= t)
+            row = rows[t]
+            assert (row["n_docs"], row["vocab"]) == (nd, v)
+            assert row["vocab_per_doc"] == v / nd
+            assert nd >= prev_d and v >= prev_v  # nested subsets
+            prev_d, prev_v = nd, v
+        assert rows[255]["vocab"] == len(wmin)  # full corpus at the top
