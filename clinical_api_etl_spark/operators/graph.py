@@ -550,9 +550,7 @@ def bfs_path_counts(
     iters: int = 4,
     src: str = "src",
     dst: str = "dst",
-    return_levels: bool = False,
-    _prepared_e: DataFrame | None = None,
-):
+) -> DataFrame:
     """Per-source shortest-path COUNTS (Brandes sigma): for every (source,
     node) pair within ``iters`` hops, the exact number of distinct
     shortest paths between them — the forward half of betweenness
@@ -568,12 +566,31 @@ def bfs_path_counts(
     matching Brandes' BFS DAG. State is (source, node, dist, sigma); use a
     bounded probe set (centrality posture). sigma fits BIGINT far past any
     real scale: it is bounded by (max degree)^iters.
+    """
+    state, _ = _bfs_path_counts_with_levels(
+        edges, sources, iters=iters, src=src, dst=dst
+    )
+    return state
 
-    With ``return_levels=True`` returns ``(state, levels)`` where
-    ``levels[k]`` is the already-localCheckpointed level-k frontier
-    (s, node, dist, sigma) — BFS levels are contiguous, so an exhausted
-    search just yields a shorter list. The backward Brandes pass reuses
-    these slices instead of re-filtering the full state per level.
+
+def _bfs_path_counts_with_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    _prepared_e: DataFrame | None = None,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """:func:`bfs_path_counts` plus the per-level frontier slices.
+
+    Returns ``(state, levels)`` where ``levels[k]`` is the already-
+    localCheckpointed level-k frontier (s, node, dist, sigma) — BFS levels
+    are contiguous, so an exhausted search just yields a shorter list. The
+    backward Brandes pass (:func:`brandes_dependencies`) reuses these
+    slices instead of re-filtering the full state per level; it is the
+    only intended caller (ADVICE r07: the levels/ownership contract lives
+    here so the public function stays DataFrame-only).
 
     ``_prepared_e`` lets a caller that also needs the (src, dst)
     repartitioned+persisted edge table (the backward pass) share ONE
@@ -607,9 +624,7 @@ def bfs_path_counts(
         levels.append(frontier)
     if _prepared_e is None:
         e.unpersist(False)
-    if return_levels:
-        return state, levels
-    return state
+    return state, levels
 
 
 def brandes_dependencies(
@@ -650,9 +665,8 @@ def brandes_dependencies(
     # then gets column-aliased for the backward successor joins (a select
     # on a persisted frame keeps the cache AND the partitioning).
     e_fwd = _salted_edges(edges, src, dst)
-    _, levels = bfs_path_counts(
-        edges, sources, iters=iters, src=src, dst=dst,
-        return_levels=True, _prepared_e=e_fwd,
+    _, levels = _bfs_path_counts_with_levels(
+        edges, sources, iters=iters, src=src, dst=dst, _prepared_e=e_fwd
     )
     e = e_fwd.select(
         F.col("src").alias("e_src"), F.col("dst").alias("e_dst"), "_slt"

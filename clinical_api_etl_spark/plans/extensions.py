@@ -156,8 +156,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="[EXT] hash-checked invariants for dedup_minhash_lsh vs the exact "
     "ngram_jaccard result: the verified-candidate output must be a subset "
     "of the exact pairs (LSH can only miss, never invent) and recall must "
-    "stay ≥ 0.9 (measured 1.0 at sf0.001/0.01/0.1 — the corpus's dup "
-    "clusters are near-identical, so every band agrees).",
+    "stay ≥ 0.9 (re-measured 1.0 at sf0.001/0.01/0.1 on 2026-08-15 — the "
+    "corpus's dup clusters are near-identical, so every band agrees).",
     tags=("dedup", "approx", "gate"),
 )
 def dedup_minhash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,11 +290,13 @@ def _recall_gate(approx: DataFrame, exact: DataFrame, floor: float) -> DataFrame
 
 @QS.add(
     "ann_lsh_recall_gate",
-    "SELECT CAST(50 AS BIGINT) AS n_exact, 0.5 AS recall_floor, TRUE AS met",
+    "SELECT CAST(50 AS BIGINT) AS n_exact, 0.9 AS recall_floor, TRUE AS met",
     doc="[EXT] hash-checked recall floor for ann_lsh_topk: recall vs the "
-    "exact brute-force top-k must stay ≥ 0.5 (measured 0.96–0.98 across "
-    "sf0.001–0.1 with real 8×2-bit banding; hyperplanes are deterministic "
-    "so the gate is stable). "
+    "exact brute-force top-k must stay ≥ 0.9 (measured 0.98/0.96/0.96 at "
+    "sf0.001/0.01/0.1 on 2026-08-15 with real 8×2-bit banding; "
+    "hyperplanes are deterministic so the gate is stable). Floor raised "
+    "0.5→0.9 per VERDICT r07 task 1 — the vacuous 0.5 floor is what let "
+    "the arity-2 hyperplane collapse survive twelve rounds. "
     "Converts the approximate query's rows-only status into a driver-"
     "enforced invariant.",
     tags=("similarity", "approx", "gate"),
@@ -305,7 +307,7 @@ def ann_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return _recall_gate(
-        lsh_topk(queries, emb, k=5), cosine_topk(queries, emb, k=5), 0.5
+        lsh_topk(queries, emb, k=5), cosine_topk(queries, emb, k=5), 0.9
     )
 
 
@@ -333,8 +335,9 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="[EXT] hash-checked invariants for dedup_semantic_pairs: every "
     "reported pair must appear in the exact pair scan at the same "
     "threshold (subset — holds by construction, the gate proves the "
-    "implementation), and recall vs exact must stay ≥ 0.4 (measured "
-    "0.475 at sf0.01, k=4; deterministic k-means makes it stable). The "
+    "implementation), and recall vs exact must stay ≥ 0.4 (re-measured "
+    "0.515/0.475/0.441 at sf0.001/0.01/0.1 on 2026-08-15 — slack 0.041, "
+    "floor kept; deterministic k-means makes it stable). The "
     "corpus's similarity mass sits at cos≈0.4, so the gate runs at the "
     "calibrated threshold rather than the 0.95 production default.",
     tags=("dedup", "similarity", "gate"),
@@ -375,8 +378,9 @@ def dedup_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_recall_gate",
     "SELECT CAST(50 AS BIGINT) AS n_exact, 0.75 AS recall_floor, TRUE AS met",
     doc="[EXT] hash-checked recall floor for ann_ivf_topk: recall vs the "
-    "exact brute-force top-k must stay ≥ 0.75 (measured 0.80–0.86 across "
-    "sf0.001–0.1; k-means init is deterministic so the gate is stable).",
+    "exact brute-force top-k must stay ≥ 0.75 (re-measured 0.86/0.86/0.80 "
+    "at sf0.001/0.01/0.1 on 2026-08-15 — slack ≤ 0.11, floor kept; "
+    "k-means init is deterministic so the gate is stable).",
     tags=("similarity", "approx", "gate"),
 )
 def ann_ivf_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1542,10 +1546,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings WHERE vec_id < 10
     """,
     doc="[EXT] recall gate for ann_ivfpq_topk against exact l2_topk: "
-    "recall@5 over the 10-query set must hold ≥ 0.7 (measured 0.86 at "
-    "sf0.001/0.01 — exactly the n_probe=2/8 cell-probe ceiling, i.e. "
-    "the deep-refine shortlist loses nothing on top of IVF's own "
-    "approximation).",
+    "recall@5 over the 10-query set must hold ≥ 0.7 (re-measured "
+    "0.86/0.86/0.80 at sf0.001/0.01/0.1 on 2026-08-15 — exactly the "
+    "n_probe=2/8 cell-probe ceiling, i.e. the deep-refine shortlist "
+    "loses nothing on top of IVF's own approximation; slack vs the "
+    "sf0.1 minimum is 0.10, floor kept).",
     tags=("similarity", "approx", "gate"),
 )
 def ann_ivfpq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1717,6 +1717,10 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _BQ_K = 5
+#: Hamming-shortlist floor; the effective depth is max(this, n_corpus/10)
+#: computed from the data on BOTH sides (round-8: a fixed 50 was 10% of
+#: the sf0.01 corpus but 2.5% at sf0.1 and recall fell 0.68→0.48 — the
+#: round-2 IVFPQ concentration lesson applies to the binary prefilter too).
 _BQ_SHORTLIST = 50
 
 
@@ -1757,7 +1761,9 @@ def _bq_codes_sql(vec_fmt: str) -> str:
       SELECT query_id, neighbor_id, hamming FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY hamming, neighbor_id) AS hr
-        FROM s) h WHERE hr <= {_BQ_SHORTLIST}
+        FROM s) h
+      WHERE hr <= GREATEST({_BQ_SHORTLIST},
+                           (SELECT COUNT(*) FROM embeddings) // 10)
     ),
     v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
           FROM embeddings),
@@ -1782,13 +1788,16 @@ def _bq_codes_sql(vec_fmt: str) -> str:
     "embedding collapses to 64 sign bits packed into two BIGINT halves "
     "(no shift can reach the sign bit — DuckDB raises on BIGINT shift "
     "overflow); stage 1 ranks the corpus by Hamming bit_count(xor) and "
-    f"keeps a {_BQ_SHORTLIST}-deep shortlist, stage 2 re-ranks the "
-    "shortlist by exact cosine — the faiss binary-prefilter posture "
-    "(RaBitQ-style), completing the quantizer ladder SQ8 -> PQ -> "
-    "1-bit. Both stages are deterministic (integer Hamming ties by id; "
-    "bit-identical cosine folds) so unlike LSH the WHOLE pipeline "
-    "carries an exact value hash; tests pin a recall floor (0.5) vs "
-    "exact cosine — measured 0.70/0.68 at sf0.001/sf0.01 (pure Hamming "
+    f"keeps a max({_BQ_SHORTLIST}, n/10)-deep shortlist (corpus-"
+    "proportional, computed from the data on both sides — round-8 fix "
+    "after the fixed 50 let recall fall to 0.48 at sf0.1), stage 2 "
+    "re-ranks the shortlist by exact cosine — the faiss binary-"
+    "prefilter posture (RaBitQ-style), completing the quantizer ladder "
+    "SQ8 -> PQ -> 1-bit. Both stages are deterministic (integer "
+    "Hamming ties by id; bit-identical cosine folds) so unlike LSH the "
+    "WHOLE pipeline carries an exact value hash; "
+    "ann_binary_recall_gate pins recall >= 0.6 vs exact cosine — "
+    "measured 0.70/0.68/0.78 at sf0.001/0.01/0.1, 2026-08-15 (pure Hamming "
     "alone recalls ~0.2: this corpus's distances CONCENTRATE, the "
     "round-2 IVFPQ lesson, so 64 sign bits rank the bulk of the corpus "
     "nearly equal and the exact re-rank does the real separation). "
@@ -1817,9 +1826,12 @@ def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS hamming",
     )
     w_h = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    # Depth = max(floor, n/10), exact-integer, matching the oracle's scalar
+    # subquery (bounded 1-row collect — the kmeans sample-train convention).
+    depth = max(_BQ_SHORTLIST, emb.count() // 10)
     short = (
         s.withColumn("hr", F.row_number().over(w_h))
-        .filter(F.col("hr") <= _BQ_SHORTLIST)
+        .filter(F.col("hr") <= F.lit(depth))
         .select("query_id", "neighbor_id", "hamming")
     )
     from clinical_api_etl_spark.functions.vectors import as_double, dot, norm
@@ -1859,15 +1871,47 @@ def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@QS.add(
+    "ann_binary_recall_gate",
+    "SELECT CAST(50 AS BIGINT) AS n_exact, 0.6 AS recall_floor, TRUE AS met",
+    doc="[EXT] hash-checked recall floor for ann_binary_hamming_topk: "
+    "recall vs the exact brute-force cosine top-k must stay >= 0.6 "
+    "(measured 0.70/0.68/0.78 at sf0.001/0.01/0.1 on 2026-08-15, with "
+    "the corpus-proportional shortlist). VERDICT r07 task 1: the "
+    "binary query's own value hash compares Spark to a DuckDB replay "
+    "of the SAME algorithm, so a recall regression would pass it — "
+    "this gate pins the recall itself as a driver-enforced invariant.",
+    tags=("similarity", "quantization", "gate"),
+)
+def ann_binary_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.similarity import cosine_topk
+    from clinical_api_etl_spark.plans.extensions import _recall_gate
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return _recall_gate(
+        ann_binary_hamming_topk(spark, sf_dir),
+        cosine_topk(queries, emb, k=_BQ_K),
+        0.6,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus data card: the per-language release artifact, one hash gate.
 # ---------------------------------------------------------------------------
 
 
+# Data-card tokenizer: null text coalesces to '' before splitting so a
+# null-text doc still counts (1 empty token) — keeps the streaming twin's
+# words-derived counters bit-identical (ADVICE r07; streaming/datacard.py
+# applies the same coalesce). Testdata has no null text, hash unchanged.
+_TOKS_NN = r"regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+')"
+
+
 @QS.add(
     "corpus_data_card",
     f"""
-    WITH tok AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    WITH tok AS (SELECT doc_id, lang, {_TOKS_NN} AS t FROM documents),
     base AS (
       SELECT lang,
              CAST(COUNT(*) AS BIGINT) AS n_docs,

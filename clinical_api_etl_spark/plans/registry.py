@@ -4,6 +4,14 @@ Collects every :class:`~clinical_api_etl_spark.plans.base.Query` declared by
 the plans submodules into one ordered dict consumed by ``__spark_entry__.py``
 (driver contract), ``bench.py`` (headline queries), and the differential
 tests.
+
+Runner contract (ADVICE r07): builders may ``persist()`` intermediates
+that feed ≥2 branches of their own plan and do NOT unpersist — the
+returned DataFrame still references the cached table, so an in-builder
+unpersist would defeat the sharing. Any runner executing MANY queries in
+one session must therefore ``spark.catalog.clearCache()`` between queries
+(check_oracle.py, bench.py, and vanilla_smoke.py all do) or cached
+intermediates accumulate for the session's lifetime.
 """
 
 from __future__ import annotations

@@ -52,8 +52,16 @@ T_WORDS = "dc_doc_words"
 
 def _states_for(batch: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The three per-doc state projections (same expressions as the batch
-    query's tok/win/u stages)."""
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    query's tok/win/u stages).
+
+    Null text coalesces to '' BEFORE tokenizing (ADVICE r07): split('')
+    yields the single-empty-token array on both engines, so a null-text
+    doc contributes one word row — keeping the snapshot's words-derived
+    n_docs/n_tokens bit-identical to the batch card, which counts every
+    doc. Without the coalesce, explode(NULL) dropped the doc here while
+    the batch side counted it with size(NULL) = -1 tokens.
+    """
+    toks = F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+")
     tok = batch.select("doc_id", "lang", toks.alias("t"), F.col("text"))
     doc_hashes = tok.select("doc_id", "lang", F.md5("text").alias("h"))
     wins = tok.filter(F.size("t") >= NOV_K).select(

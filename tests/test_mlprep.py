@@ -584,7 +584,9 @@ class TestBinaryHammingTopK:
         }
         rows = ann_binary_hamming_topk(spark, SF).collect()
         approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
-        assert len(exact & approx) / len(exact) >= 0.5  # measured 0.70
+        # Floor raised 0.5->0.6 (VERDICT r07 task 1); measured 0.70/0.68/0.78
+        # at sf0.001/0.01/0.1 with the corpus-proportional shortlist.
+        assert len(exact & approx) / len(exact) >= 0.6
         per: dict = {}
         for r in rows:
             per.setdefault(r["query_id"], []).append(r)

@@ -7,9 +7,12 @@ graphs have (VERDICT r06 task 1). This probe plants one: a HUB supplier
 owning ~20% of the distinct interaction edges, at 1x and at ``factor``x,
 and times the per-source graph iteratives on the uniform vs hub variants.
 
-Construction (same raw row count per variant, so times are comparable):
-take the sf0.1 lineitem, keep a 1-in-10 order-hash slice as the sparse
-uniform background, and reassign TWO further slices to supplier 0 — the
+Construction (the verdict compares factor-x/1x ratios WITHIN each
+variant, never hub-vs-uniform times directly — synth_hub keeps 3 of 10
+order-hash slices, ~30% of lineitem rows, so the variants are NOT
+row-comparable to each other): take the sf0.1 lineitem, keep a 1-in-10
+order-hash slice as the sparse uniform background, and reassign TWO
+further slices to supplier 0 — the
 hub then neighbors ~85% of active customers and carries ~18-20% of the
 distinct edge set, a ~100x degree outlier, while the background suppliers
 keep their normal ~15-edge degree. The same transform applied to the

@@ -44,6 +44,12 @@ def main() -> int:
             failures += 1
             print(f"FAIL  {name}")
             traceback.print_exc(limit=3)
+        finally:
+            # Builders persist() branch-shared intermediates and do not
+            # unpersist (the registry contract documents this: EVERY
+            # long-session runner must clearCache between queries, as
+            # check_oracle.py and bench.py do — ADVICE r07).
+            spark.catalog.clearCache()
     print(f"\n{failures} failures")
     return 1 if failures else 0
 
