@@ -787,3 +787,232 @@ def bellman_ford_bounded(
         frontier = improved
     e.unpersist(False)
     return state
+
+
+def _reach_fixpoint(es: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Tagged multi-source reachable sets (p, node) over a salted edge
+    table, BFS to FIXPOINT (no hop bound — termination is the anti-join
+    against the settled set; rounds = max pivot eccentricity, small on
+    the dense interaction graph). ``seeds`` carries (p, node) start rows;
+    pivots in different weak components never meet, so the tagged state
+    stays ≤ |V| rows when seeds are one-per-weak-component. ``es`` is a
+    ``_salted_edges`` table; to traverse backward, pass one built with
+    src/dst swapped (the salt is a function of the probe side either
+    way, so the hub-skew discipline holds in both directions)."""
+    reach = seeds.localCheckpoint(eager=True)
+    frontier = reach
+    while True:
+        fr = _replicated(frontier)
+        nxt = (
+            es.join(fr, (es["src"] == fr["node"]) & (es["_slt"] == fr["_slt"]))
+            .select("p", F.col("dst").alias("node"))
+            .distinct()
+            .join(reach, ["p", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            return reach
+        # reach feeds BOTH the next anti-join and the final union —
+        # multiplicative lineage, checkpoint every round (k-core rule).
+        reach = reach.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+
+
+def _weak_cc_labels(e: DataFrame) -> DataFrame:
+    """(node, wcc) weak-component labels of a directed (src, dst) edge
+    list; wcc = the component's minimum node id — which is therefore a
+    valid FW-BW pivot AND the minimum of its own SCC. Scale-adaptive like
+    :func:`connected_components`: driver union-find (type-preserving — the
+    SCC node ids are strings) under ``DRIVER_CC_MAX_EDGES``, distributed
+    min-label loop above it."""
+    if e.limit(DRIVER_CC_MAX_EDGES + 1).count() <= DRIVER_CC_MAX_EDGES:
+        pdf = e.select("src", "dst").toPandas()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(pdf["src"], pdf["dst"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(n, find(n)) for n in parent]
+        return e.sparkSession.createDataFrame(rows, "node string, wcc string")
+    sym = symmetrize(e).distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("wcc", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        nbr = sym.join(labels, sym["dst"] == labels["node"]).select(
+            sym["src"].alias("node"), F.col("wcc")
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("wcc").alias("wcc"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.wcc") != F.col("o.wcc"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+
+
+def _restrict_edges(e: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Edges with BOTH endpoints in ``nodes`` (column ``node``), eagerly
+    checkpointed — every outer SCC round re-restricts, so lineage must
+    not accumulate across rounds."""
+    return (
+        e.join(nodes.select(F.col("node").alias("src")), "src", "left_semi")
+        .join(nodes.select(F.col("node").alias("dst")), "dst", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+
+
+def scc_components(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED edge list: (node,
+    scc_id) for every vertex, where ``scc_id`` is the MINIMUM vertex id
+    of the component — a canonical labeling independent of the algorithm,
+    which is what makes the result oracle-able (the DuckDB oracle derives
+    the identical labeling from a UNION-distinct recursive transitive
+    closure, which Spark 4 cannot declare — UNION ALL only).
+
+    Algorithm: FW-BW decomposition with recursive trimming (Fleischer/
+    Hendrickson/Pinar 2000 — the standard parallel SCC):
+
+    1. TRIM to fixpoint: a node with no in-edge or no out-edge *within
+       the active subgraph* is a singleton SCC (any cycle through it
+       would supply both). Each trim round is two distinct-projections +
+       one anti-join; the fixpoint peels entire DAG tendrils (the IN/OUT
+       sets of the web bowtie) in eccentricity-bounded rounds.
+    2. PIVOT, one per WEAK component in parallel: the first pivot round
+       seeds only the global minimum node (free; on the bowtie shape it
+       captures the giant SCC and trim finishes the rest). If more pivot
+       rounds are needed — K disjoint regions, e.g. graph shards — ONE
+       weak-CC labeling (:func:`_weak_cc_labels`, scale-adaptive) is
+       computed and every later round seeds the min active node of every
+       surviving label at once, so K regions decompose in O(1) extra
+       rounds instead of K (the labels stay valid: components only split
+       as SCCs are removed, and an SCC never spans weak components, so
+       each seed is the minimum of its own SCC). Forward and backward
+       reachable sets run as ONE tagged multi-source salted-frontier BFS
+       each (EDGE_SALT discipline both directions — the backward pass
+       runs on a src/dst-swapped salted table); per-pivot intersections
+       are exactly the pivots' SCCs, removed together. Removal preserves
+       every other SCC (an SCC's internal paths never leave it, so
+       membership never depends on removed nodes).
+    3. Repeat on the remainder.
+
+    Outer rounds = max over weak components of (non-trivial SCCs in the
+    component) + 1 — on interaction graphs the Broder bowtie shape (one
+    giant SCC + tendrils) means ~2. ``max_rounds`` is a loud-failure
+    backstop, not a truncation: raising means the graph has
+    pathologically many chained non-trivial SCCs and the result would be
+    INCOMPLETE, so we refuse rather than mislabel.
+
+    Scale: state is (pivot, node) sets bounded by |V|; every step is an
+    equi-join or distinct; edges re-restrict per outer round
+    (checkpointed, never re-derived); the only collect is the
+    scale-adaptive weak-CC fast path (same bound as
+    ``connected_components``).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e_act = e.localCheckpoint(eager=True)
+    active = (
+        e_act.select(F.col("src").alias("node"))
+        .unionByName(e_act.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    parts: list[DataFrame] = []
+    lab: DataFrame | None = None
+    pivot_rounds = 0
+    for _ in range(max_rounds):
+        # --- 1. trim to fixpoint
+        while True:
+            keep = (
+                e_act.select(F.col("src").alias("node"))
+                .distinct()
+                .join(e_act.select(F.col("dst").alias("node")).distinct(), "node")
+                .localCheckpoint(eager=True)
+            )
+            trimmed = active.join(keep, "node", "left_anti").localCheckpoint(
+                eager=True
+            )
+            if trimmed.isEmpty():
+                break
+            parts.append(trimmed.select("node", F.col("node").alias("scc_id")))
+            active = keep
+            e_act = _restrict_edges(e_act, keep)
+        if active.isEmpty():
+            break
+        # --- 2. FW-BW, pivots in parallel across weak components.
+        # Round 1 uses the single global-min pivot (free; on the bowtie
+        # shape it captures the giant SCC and trim finishes the rest).
+        # Only if MORE pivot rounds are needed — disjoint regions, e.g.
+        # the 10x probe's copies or shards of a real graph — pay ONE
+        # weak-CC labeling and seed every remaining region at once; the
+        # labels stay valid (components only split as SCCs are removed,
+        # and an SCC never spans weak components), so later rounds just
+        # re-minimize per label over the surviving active set.
+        if lab is None and pivot_rounds > 0:
+            lab = _weak_cc_labels(e_act)
+        if lab is None:
+            seeds = (
+                active.agg(F.min("node").alias("p"))
+                .select("p", F.col("p").alias("node"))
+                .localCheckpoint(eager=True)
+            )
+        else:
+            seeds = (
+                active.join(lab, "node")
+                .groupBy("wcc")
+                .agg(F.min("node").alias("p"))
+                .select("p", F.col("p").alias("node"))
+                .localCheckpoint(eager=True)
+            )
+        pivot_rounds += 1
+        es_f = _salted_edges(e_act, "src", "dst")
+        es_b = _salted_edges(e_act, "dst", "src")
+        fwd = _reach_fixpoint(es_f, seeds)
+        bwd = _reach_fixpoint(es_b, seeds)
+        scc = fwd.join(bwd, ["p", "node"]).localCheckpoint(eager=True)
+        es_f.unpersist(False)
+        es_b.unpersist(False)
+        parts.append(scc.select("node", F.col("p").alias("scc_id")))
+        active = active.join(
+            scc.select("node"), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        if active.isEmpty():
+            break
+        e_act = _restrict_edges(e_act, active)
+    else:
+        raise RuntimeError(
+            f"scc_components did not converge in {max_rounds} rounds: "
+            "the graph has more non-trivial SCCs than the backstop allows "
+            "(raise max_rounds; the result would otherwise be incomplete)"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -2426,3 +2426,94 @@ def graph_wpagerank_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
     return pagerank_weighted_int(edges, iters=_WPR_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Round-8: strongly connected components of the DIRECTED interaction graph.
+# ---------------------------------------------------------------------------
+
+#: Direction rule for the directed interaction graph: a customer-supplier
+#: contact via an ODD order flows customer->supplier (purchase), via an
+#: EVEN order supplier->customer (fulfilment/return flow). Deterministic,
+#: derived from real keys, and it produces the Broder bowtie shape real
+#: interaction graphs have: one giant SCC (~98.6% of the 1,600 nodes at
+#: sf0.01) plus one-directional periphery (22 singletons).
+_DIRECTED_EDGES_SQL = """
+    d_edges AS MATERIALIZED (
+      SELECT DISTINCT
+        CASE WHEN o_orderkey % 2 = 1
+             THEN 'c' || CAST(o_custkey AS VARCHAR)
+             ELSE 's' || CAST(l_suppkey AS VARCHAR) END AS src,
+        CASE WHEN o_orderkey % 2 = 1
+             THEN 's' || CAST(l_suppkey AS VARCHAR)
+             ELSE 'c' || CAST(o_custkey AS VARCHAR) END AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )"""
+
+# The oracle leans on a DuckDB capability Spark 4 lacks: UNION-distinct
+# recursion, which terminates on CYCLIC graphs (Spark is UNION ALL only —
+# tests/test_recursive.py pins that limitation; a UNION ALL closure over a
+# cyclic graph never terminates). The closure is V*E work and O(V^2)
+# pairs — fine at the gate's sf0.01 (1,600 nodes, 2.5M closure pairs,
+# ~12s), and never the Spark path: the operator runs FW-BW + trimming.
+# cl wraps the recursion MATERIALIZED because mutual references it twice
+# (the k-core multiplicative-reuse rule).
+_SCC_ORACLE = f"""
+    WITH RECURSIVE {_DIRECTED_EDGES_SQL},
+    r(a, b) AS (
+      SELECT src, dst FROM d_edges
+      UNION
+      SELECT r.a, e.dst FROM r JOIN d_edges e ON e.src = r.b
+    ),
+    cl AS MATERIALIZED (SELECT a, b FROM r),
+    nodes AS MATERIALIZED (
+      SELECT src AS node FROM d_edges UNION SELECT dst FROM d_edges
+    ),
+    mutual AS (
+      SELECT c1.a AS u, c1.b AS v
+      FROM cl c1 JOIN cl c2 ON c2.a = c1.b AND c2.b = c1.a
+    )
+    SELECT n.node, LEAST(n.node, COALESCE(MIN(m.v), n.node)) AS scc_id
+    FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+    GROUP BY n.node
+"""
+
+
+@QS.add(
+    "graph_scc_components",
+    _SCC_ORACLE,
+    doc="[EXT] strongly connected components of the DIRECTED interaction "
+    "graph (customer->supplier on odd orders, supplier->customer on "
+    "even — the parity rule plants real cycle structure and yields the "
+    "Broder bowtie: one giant SCC + DAG periphery). Spark side = FW-BW "
+    "decomposition with recursive trimming "
+    "(operators/graph.py:scc_components): trim peels in/out-degree-0 "
+    "nodes to fixpoint (singleton SCCs), then forward∩backward salted-"
+    "frontier BFS from the deterministic min-id pivot extracts its "
+    "whole SCC; repeat. The label is CANONICAL (min node id per "
+    "component), so the 20th hash-gated iterative compares against a "
+    "DuckDB UNION-distinct recursive transitive closure computing the "
+    "identical labeling — an algorithm-independent oracle (Spark "
+    "cannot declare that closure: UNION ALL recursion never terminates "
+    "on cycles). Scale: node-set state, equi-joins + distincts only, "
+    "1-row pivot collects; closure never runs on the Spark side.",
+    tags=("graph", "iterative"),
+    headline=True,
+)
+def graph_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.graph import scc_components
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    odd = F.col("o_orderkey") % 2 == 1
+    c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.when(odd, c).otherwise(s).alias("src"),
+            F.when(odd, s).otherwise(c).alias("dst"),
+        )
+        .distinct()
+    )
+    return scc_components(e0)

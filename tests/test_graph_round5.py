@@ -387,3 +387,117 @@ class TestDegreeAssortativity:
         cov = s3 / m - mean * mean
         var = s2 / m - mean * mean
         assert abs(r - cov / var) < 1e-9
+
+
+class TestSccComponents:
+    """Planted-structure gates for operators/graph.py:scc_components; the
+    registered graph_scc_components carries the full DuckDB closure hash
+    gate — these pin semantics vs an independent Tarjan reference."""
+
+    @staticmethod
+    def _tarjan(edge_pairs):
+        from collections import defaultdict
+
+        g = defaultdict(list)
+        nodes: set = set()
+        for a, b in edge_pairs:
+            g[a].append(b)
+            nodes |= {a, b}
+        idx: dict = {}
+        low: dict = {}
+        on: set = set()
+        stack: list = []
+        comps: list = []
+        counter = [0]
+
+        def dfs(v):
+            idx[v] = low[v] = counter[0]
+            counter[0] += 1
+            stack.append(v)
+            on.add(v)
+            for w in g[v]:
+                if w not in idx:
+                    dfs(w)
+                    low[v] = min(low[v], low[w])
+                elif w in on:
+                    low[v] = min(low[v], idx[w])
+            if low[v] == idx[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                comps.append(comp)
+
+        for v in sorted(nodes):
+            if v not in idx:
+                dfs(v)
+        return {n: min(comp) for comp in comps for n in comp}
+
+    def _check(self, spark, pairs):
+        from clinical_api_etl_spark.operators.graph import scc_components
+
+        df = spark.createDataFrame(pairs, "src string, dst string")
+        got = {r["node"]: r["scc_id"] for r in scc_components(df).collect()}
+        assert got == self._tarjan(pairs)
+        return got
+
+    def test_planted_cycle_with_tail(self, spark):
+        # x->y->z->x is one SCC; the z->t->u tail trims to singletons.
+        got = self._check(
+            spark, [("x", "y"), ("y", "z"), ("z", "x"), ("z", "t"), ("t", "u")]
+        )
+        assert got == {"x": "x", "y": "x", "z": "x", "t": "t", "u": "u"}
+
+    def test_dag_chain_all_singletons(self, spark):
+        # pure DAG: trimming alone must decompose it (multi-round trim).
+        got = self._check(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+        assert set(got.values()) == {"a", "b", "c", "d"}
+
+    def test_two_sccs_need_two_pivot_rounds(self, spark):
+        # a<->b -> c<->d: nothing trims (every node has in+out), so the
+        # loop must run pivot FW-BW twice — pins the multi-round path.
+        got = self._check(
+            spark, [("a", "b"), ("b", "a"), ("c", "d"), ("d", "c"), ("b", "c")]
+        )
+        assert got == {"a": "a", "b": "a", "c": "c", "d": "c"}
+
+    def test_pseudo_random_digraph_matches_tarjan(self, spark):
+        # Deterministic md5-sampled 40-node digraph: several non-trivial
+        # SCCs + periphery, exercising trim+pivot interleaving.
+        import hashlib
+
+        pairs = [
+            (f"n{i:02d}", f"n{j:02d}")
+            for i in range(40)
+            for j in range(40)
+            if i != j
+            and int(hashlib.md5(f"{i}-{j}".encode()).hexdigest(), 16) % 17 == 0
+        ]
+        self._check(spark, pairs)
+
+    def test_max_rounds_backstop_raises(self, spark):
+        from clinical_api_etl_spark.operators.graph import scc_components
+
+        # two disjoint 2-cycles need two pivot rounds; max_rounds=1 must
+        # refuse loudly rather than return a partial labeling.
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("c", "d"), ("d", "c"), ("b", "c")],
+            "src string, dst string",
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            scc_components(df, max_rounds=1)
+
+    def test_weak_cc_distributed_path_matches_driver(self, spark, monkeypatch):
+        # Force the distributed min-label branch (bound -> 0) and check it
+        # produces the same labeling as the driver union-find fast path.
+        import clinical_api_etl_spark.operators.graph as G
+
+        pairs = [("a", "b"), ("c", "d"), ("d", "c"), ("e", "a")]
+        df = spark.createDataFrame(pairs, "src string, dst string")
+        want = {r["node"]: r["wcc"] for r in G._weak_cc_labels(df).collect()}
+        monkeypatch.setattr(G, "DRIVER_CC_MAX_EDGES", 0)
+        got = {r["node"]: r["wcc"] for r in G._weak_cc_labels(df).collect()}
+        assert got == want == {"a": "a", "b": "a", "e": "a", "c": "c", "d": "c"}

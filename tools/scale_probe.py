@@ -85,6 +85,10 @@ QUERIES = [
     # Bellman-Ford (14th) — the heaviest per-source graph iteratives.
     "graph_betweenness_probe",
     "graph_weighted_shortest_paths",
+    # round-8 (driver numbering): FW-BW SCC — trim + fixpoint BFS both
+    # directions; the 10x copies each contain their own bowtie, so the
+    # giant SCC count grows with copies but per-copy work is the law.
+    "graph_scc_components",
 ]
 
 
