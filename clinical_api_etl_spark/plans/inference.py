@@ -167,14 +167,20 @@ def mannwhitney_from_samples(t: DataFrame) -> DataFrame:
 # Kolmogorov-Smirnov two-sample statistic over all event-type pairs.
 # ---------------------------------------------------------------------------
 
-
-@QS.add(
-    "stat_ks_pairs",
-    f"""
-    WITH t AS (
+#: The registry queries' (g, x) sample source; the EDF property gate
+#: (tests/test_properties.py) formats the same oracle bodies over an
+#: arbitrary generated sample table instead.
+_EDF_SRC = f"""
       SELECT event_type AS g, {_CENTS} AS x
       FROM events WHERE value IS NOT NULL
-    ),
+    """
+
+
+def _ks_oracle(src: str) -> str:
+    """DuckDB KS SQL over any (g: VARCHAR, x: BIGINT) sample source —
+    shared by the registry oracle and the EDF property gate."""
+    return f"""
+    WITH t AS ({src}),
     hist AS (
       SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY g, x
     ),
@@ -209,7 +215,12 @@ def mannwhitney_from_samples(t: DataFrame) -> DataFrame:
              / CAST(MAX(t.n_a) * MAX(t.n_b) AS DOUBLE) AS d
     FROM walked w JOIN totals t ON w.ga = t.ga AND w.gb = t.gb
     GROUP BY w.ga, w.gb
-    """,
+    """
+
+
+@QS.add(
+    "stat_ks_pairs",
+    _ks_oracle(_EDF_SRC),
     doc="[EXT] two-sample Kolmogorov-Smirnov statistic between every pair "
     "of event types: D = max_x |F_a(x) − F_b(x)|, computed EXACTLY as "
     "max |cum_a·n_b − cum_b·n_a| over the merged value histogram (the "
@@ -3084,13 +3095,11 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@QS.add(
-    "stat_cvm_pairs",
-    f"""
-    WITH t AS (
-      SELECT event_type AS g, {_CENTS} AS x
-      FROM events WHERE value IS NOT NULL
-    ),
+def _cvm_oracle(src: str) -> str:
+    """DuckDB CvM SQL over any (g: VARCHAR, x: BIGINT) sample source —
+    shared by the registry oracle and the EDF property gate."""
+    return f"""
+    WITH t AS ({src}),
     hist AS (
       SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY g, x
     ),
@@ -3134,7 +3143,12 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
               * CAST((MAX(n_a) + MAX(n_b)) * (MAX(n_a) + MAX(n_b))
                      AS DOUBLE)) AS t_cvm
     FROM terms GROUP BY ga, gb
-    """,
+    """
+
+
+@QS.add(
+    "stat_cvm_pairs",
+    _cvm_oracle(_EDF_SRC),
     doc="[EXT] two-sample Cramér–von Mises statistic between every pair "
     "of event types — the body-sensitive companion to stat_ks_pairs "
     "(KS sees only the single largest CDF gap; CvM integrates the "
@@ -3150,13 +3164,19 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats",),
 )
 def stat_cvm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     t = ev.select(
         F.col("event_type").alias("g"),
         F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("x"),
     )
+    return cvm_from_samples(t)
+
+
+def cvm_from_samples(t: DataFrame) -> DataFrame:
+    """Pairwise two-sample CvM over any (g: string, x: long) sample frame
+    (shared by the registry query and the EDF property gate)."""
+    from pyspark.sql.window import Window as W
+
     hist = t.groupBy("g", "x").agg(F.count(F.lit(1)).cast("long").alias("c"))
     types = t.select(F.col("g").alias("o")).distinct()
     sides = hist.join(F.broadcast(types), F.col("o") != F.col("g")).select(
@@ -3228,13 +3248,11 @@ def stat_cvm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@QS.add(
-    "stat_ad_pairs",
-    f"""
-    WITH t AS (
-      SELECT event_type AS g, {_CENTS} AS x
-      FROM events WHERE value IS NOT NULL
-    ),
+def _ad_oracle(src: str) -> str:
+    """DuckDB Anderson–Darling SQL over any (g: VARCHAR, x: BIGINT) sample
+    source — shared by the registry oracle and the EDF property gate."""
+    return f"""
+    WITH t AS ({src}),
     hist AS (
       SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY g, x
     ),
@@ -3282,7 +3300,12 @@ def stat_cvm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              list(term ORDER BY x)), (p, q) -> p + q)
            / CAST(MAX(n_a) * MAX(n_b) AS DOUBLE) AS a2
     FROM terms GROUP BY ga, gb
-    """,
+    """
+
+
+@QS.add(
+    "stat_ad_pairs",
+    _ad_oracle(_EDF_SRC),
     doc="[EXT] two-sample Anderson–Darling statistic for every "
     "event-type pair — completing the EDF-test trio: KS sees the single "
     "largest CDF gap, CvM the integrated squared gap, AD re-weights "
@@ -3298,13 +3321,19 @@ def stat_cvm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats",),
 )
 def stat_ad_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     t = ev.select(
         F.col("event_type").alias("g"),
         F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("x"),
     )
+    return ad_from_samples(t)
+
+
+def ad_from_samples(t: DataFrame) -> DataFrame:
+    """Pairwise two-sample Anderson–Darling over any (g: string, x: long)
+    sample frame (shared by the registry query and the EDF property gate)."""
+    from pyspark.sql.window import Window as W
+
     hist = t.groupBy("g", "x").agg(F.count(F.lit(1)).cast("long").alias("c"))
     types = t.select(F.col("g").alias("o")).distinct()
     sides = hist.join(F.broadcast(types), F.col("o") != F.col("g")).select(
@@ -3395,13 +3424,11 @@ def _pairdist_cte(side: str, src: str) -> str:
     )
 
 
-@QS.add(
-    "stat_energy_distance_pairs",
-    f"""
-    WITH t AS (
-      SELECT event_type AS g, {_CENTS} AS x
-      FROM events WHERE value IS NOT NULL
-    ),
+def _energy_oracle(src: str) -> str:
+    """DuckDB energy-distance SQL over any (g: VARCHAR, x: BIGINT) sample
+    source — shared by the registry oracle and the EDF property gate."""
+    return f"""
+    WITH t AS ({src}),
     hist AS (
       SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY g, x
     ),
@@ -3428,7 +3455,12 @@ def _pairdist_cte(side: str, src: str) -> str:
              AS energy_cents
     FROM pa JOIN pb ON pa.ga = pb.ga AND pa.gb = pb.gb
             JOIN pm ON pa.ga = pm.ga AND pa.gb = pm.gb
-    """,
+    """
+
+
+@QS.add(
+    "stat_energy_distance_pairs",
+    _energy_oracle(_EDF_SRC),
     doc="[EXT] two-sample ENERGY DISTANCE (Székely & Rizzo) for every "
     "event-type pair — the metric member of the distribution-distance "
     "family (zero iff the distributions are equal; KS/CvM/AD are "
@@ -3443,13 +3475,19 @@ def _pairdist_cte(side: str, src: str) -> str:
     tags=("stats",),
 )
 def stat_energy_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     t = ev.select(
         F.col("event_type").alias("g"),
         F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("x"),
     )
+    return energy_from_samples(t)
+
+
+def energy_from_samples(t: DataFrame) -> DataFrame:
+    """Pairwise two-sample energy distance over any (g: string, x: long)
+    sample frame (shared by the registry query and the EDF property gate)."""
+    from pyspark.sql.window import Window as W
+
     hist = t.groupBy("g", "x").agg(F.count(F.lit(1)).cast("long").alias("c"))
     types = t.select(F.col("g").alias("o")).distinct()
     sides = hist.join(F.broadcast(types), F.col("o") != F.col("g")).select(

@@ -803,3 +803,142 @@ class TestHashExpressionReproducibility:
         # and two builds agree
         rows2 = df.select(*_signature("v", 8, 16)).collect()
         assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
+
+
+class TestEdfStatisticEngineParity:
+    """VERDICT r07 task 7: KS / CvM / AD all ride ONE merged (group,
+    value) histogram walk, and energy distance shares the histogram
+    prefix-sum machinery. Hypothesis generates arbitrary (group, value)
+    multisets; the registry's OWN Spark code paths (``*_from_samples``),
+    the registry's OWN DuckDB oracle bodies (``_*_oracle`` over a sample
+    table), and a pure-python replay of the declared IEEE op sequence
+    must agree BIT FOR BIT on every statistic — the skeleton-level gate
+    the fold-parity class provides for the recurrence family."""
+
+    @staticmethod
+    def _py_expected(samples):
+        from collections import Counter
+
+        groups = sorted({g for g, _ in samples})
+        ks, cvm, ad, energy = {}, {}, {}, {}
+
+        def pair_s(h):
+            cw = cxw = s = 0
+            for x in sorted(h):
+                c = h[x]
+                s += x * c * cw - c * cxw
+                cw += c
+                cxw += x * c
+            return s
+
+        for i, ga in enumerate(groups):
+            for gb in groups[i + 1 :]:
+                ha = Counter(x for g, x in samples if g == ga)
+                hb = Counter(x for g, x in samples if g == gb)
+                xs = sorted(set(ha) | set(hb))
+                n_a, n_b = sum(ha.values()), sum(hb.values())
+                nn = n_a + n_b
+                cum_a = cum_b = d_num = 0
+                cvm_acc, ad_acc = 0.0, 0.0
+                for x in xs:
+                    ca, cb = ha.get(x, 0), hb.get(x, 0)
+                    cum_a += ca
+                    cum_b += cb
+                    d = cum_a * n_b - cum_b * n_a
+                    d_num = max(d_num, abs(d))
+                    w = ca + cb
+                    cvm_acc += float(w) * (float(d) * float(d))
+                    cumn = cum_a + cum_b
+                    if cumn < nn:
+                        num = nn * cum_a - n_a * cumn
+                        ad_acc += (
+                            float(w)
+                            * (float(num) * float(num))
+                            / float(cumn * (nn - cumn))
+                        )
+                ks[(ga, gb)] = (n_a, n_b, d_num, float(d_num) / float(n_a * n_b))
+                cvm[(ga, gb)] = cvm_acc / (float(n_a * n_b) * float(nn * nn))
+                if len(xs) >= 2:  # all-mass-at-one-value pairs emit no AD row
+                    ad[(ga, gb)] = ad_acc / float(n_a * n_b)
+                sa, sb, sm = pair_s(ha), pair_s(hb), pair_s(ha + hb)
+                cross = sm - sa - sb
+                energy[(ga, gb)] = (
+                    sa,
+                    sb,
+                    cross,
+                    float(2 * cross) / float(n_a * n_b)
+                    - float(2 * sa) / float(n_a * n_a)
+                    - float(2 * sb) / float(n_b * n_b),
+                )
+        return ks, cvm, ad, energy
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        samples=st.lists(
+            st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 12)),
+            min_size=4,
+            max_size=30,
+        ).filter(lambda s: len({g for g, _ in s}) >= 2)
+    )
+    def test_trio_plus_energy_bit_identical(self, spark, samples):
+        import duckdb
+        import pandas as pd
+
+        from clinical_api_etl_spark.plans.inference import (
+            _ad_oracle,
+            _cvm_oracle,
+            _energy_oracle,
+            _ks_oracle,
+            ad_from_samples,
+            cvm_from_samples,
+            energy_from_samples,
+            ks_from_samples,
+        )
+
+        exp_ks, exp_cvm, exp_ad, exp_energy = self._py_expected(samples)
+        t = spark.createDataFrame(samples, "g string, x long")
+        con = duckdb.connect()
+        con.register("samples", pd.DataFrame(samples, columns=["g", "x"]))
+        src = "SELECT g, CAST(x AS BIGINT) AS x FROM samples"
+
+        def duck(sql):
+            return {
+                (r[0], r[1]): r for r in con.execute(sql).fetchall()
+            }
+
+        # KS: exact d_num BIGINT + one-division d
+        s_ks = {(r.ga, r.gb): r for r in ks_from_samples(t).collect()}
+        d_ks = duck(_ks_oracle(src))
+        assert set(s_ks) == set(d_ks) == set(exp_ks)
+        for k, (n_a, n_b, d_num, d) in exp_ks.items():
+            assert (s_ks[k].n_a, s_ks[k].n_b, s_ks[k].d_num) == (n_a, n_b, d_num)
+            assert (d_ks[k][2], d_ks[k][3], d_ks[k][4]) == (n_a, n_b, d_num)
+            assert _bits(s_ks[k].d) == _bits(d_ks[k][5]) == _bits(d)
+
+        # CvM: pinned value-order fold + one normalizing division
+        s_cvm = {(r.ga, r.gb): r for r in cvm_from_samples(t).collect()}
+        d_cvm = duck(_cvm_oracle(src))
+        assert set(s_cvm) == set(d_cvm) == set(exp_cvm)
+        for k, v in exp_cvm.items():
+            assert _bits(s_cvm[k].t_cvm) == _bits(d_cvm[k][4]) == _bits(v)
+
+        # AD: per-term division, Scholz-Stephens ties form, top excluded
+        s_ad = {(r.ga, r.gb): r for r in ad_from_samples(t).collect()}
+        d_ad = duck(_ad_oracle(src))
+        assert set(s_ad) == set(d_ad) == set(exp_ad)
+        for k, v in exp_ad.items():
+            assert _bits(s_ad[k].a2) == _bits(d_ad[k][4]) == _bits(v)
+
+        # Energy: exact BIGINT pairwise-|diff| prefix sums + 3 divisions
+        s_en = {(r.ga, r.gb): r for r in energy_from_samples(t).collect()}
+        d_en = duck(_energy_oracle(src))
+        assert set(s_en) == set(d_en) == set(exp_energy)
+        for k, (sa, sb, cross, e) in exp_energy.items():
+            r = s_en[k]
+            assert (r.within_a, r.within_b, r.cross_sum) == (sa, sb, cross)
+            assert (d_en[k][5], d_en[k][6], d_en[k][4]) == (sa, sb, cross)
+            assert _bits(r.energy_cents) == _bits(d_en[k][7]) == _bits(e)
