@@ -265,6 +265,29 @@ def ivf_topk(
         corpus, id_col=id_col, vec_col=vec_col, k=n_clusters,
         iterations=kmeans_iterations,
     )
+    return ivf_probe(
+        queries, corpus, assign, centroids,
+        id_col=id_col, vec_col=vec_col, k=k, n_probe=n_probe,
+    )
+
+
+def ivf_probe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    assign: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """The probe half of :func:`ivf_topk` over a PRE-ASSIGNED corpus:
+    ``assign`` is an (id, cluster) frame and ``centroids`` the trained
+    coarse model. Shared by the batch build and the streaming index MV
+    (streaming/annindex.py), which maintains the assignment table
+    incrementally under a once-trained model — the faiss posture, where
+    the coarse quantizer is fixed and adds stream in."""
     c = _prep(corpus, id_col, vec_col, "neighbor_id", "c_vec").join(
         assign.select(F.col("id").alias("neighbor_id"), "cluster"), "neighbor_id"
     )
