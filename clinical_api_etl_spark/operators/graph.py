@@ -91,6 +91,33 @@ def _replicated(frontier: DataFrame) -> DataFrame:
     )
 
 
+def _node_count(e: DataFrame) -> int:
+    """|V| of a (src, dst, ...) edge table — BOTH endpoint columns, so
+    directed inputs with sink-only nodes count correctly (an undercount
+    could fire the settled check early and skip a live round)."""
+    return (
+        e.select(F.col("src").alias("n"))
+        .unionByName(e.select(F.col("dst").alias("n")))
+        .distinct()
+        .count()
+    )
+
+
+def _all_settled(state: DataFrame, n_sources: int, n_nodes: int) -> bool:
+    """True when every source has settled EVERY node of the graph — the
+    next BFS frontier is then provably empty, so the expansion round can
+    be skipped outright. On a connected graph the final round otherwise
+    exists only to verify emptiness, and it is the most expensive one
+    (it joins the largest frontier — 90% of state on the betweenness
+    probe, 3.4s of its 16s at sf0.1). Σ_s |state(s)| == n_sources·|V|
+    implies each per-source set is exactly V (each is ≤ V), so the check
+    is EXACT, order-one jobs on checkpointed state, and conservative on
+    disconnected graphs (never fires; rounds proceed as before). Results
+    and hashes are unchanged by construction — the skipped round could
+    only have produced an empty frontier."""
+    return state.count() == n_sources * n_nodes
+
+
 def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Union-find with path compression over a collected edge list;
     component label = min vertex id (identical to the distributed loop)."""
@@ -520,7 +547,14 @@ def bfs_hops_per_source(
     # node) pair crosses the join exactly once over the whole run —
     # total work Σ deg(v) per source, spread across rounds.
     frontier = dist
-    for _ in range(iters):
+    n_sources = n_nodes = None
+    for k in range(iters):
+        if k > 0:
+            if n_nodes is None:
+                n_sources = sources.count()
+                n_nodes = _node_count(e)
+            if _all_settled(dist, n_sources, n_nodes):
+                break
         fr = _replicated(frontier)
         cand = (
             e.join(fr, (e["src"] == fr["node"]) & (e["_slt"] == fr["_slt"]))
@@ -606,7 +640,17 @@ def _bfs_path_counts_with_levels(
     ).localCheckpoint(eager=True)
     frontier = state
     levels = [state]
+    n_sources = n_nodes = None
     for k in range(iters):
+        if k > 0:
+            # Skip the final empty-verify expansion when every source has
+            # provably settled the whole graph (see _all_settled) — on the
+            # betweenness probe that round joins 90% of state for nothing.
+            if n_nodes is None:
+                n_sources = sources.count()
+                n_nodes = _node_count(e)
+            if _all_settled(state, n_sources, n_nodes):
+                break
         fr = _replicated(frontier)
         cand = (
             e.join(fr, (e["src"] == fr["node"]) & (e["_slt"] == fr["_slt"]))
