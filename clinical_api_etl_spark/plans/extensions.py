@@ -2330,3 +2330,69 @@ def text_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vocab_per_doc"),
         )
     )
+
+
+@QS.add(
+    "text_simpson_concentration",
+    f"""
+    WITH w AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest({_TOKS}) AS word FROM documents)
+      GROUP BY source, word
+    ),
+    agg AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_vocab,
+             CAST(SUM(c * (c - 1)) AS BIGINT) AS rep_pairs
+      FROM w GROUP BY source
+    )
+    SELECT source, n_tokens, n_vocab, rep_pairs,
+           CASE WHEN n_tokens < 2 THEN NULL
+                ELSE CAST(rep_pairs AS DOUBLE)
+                     / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) END
+             AS simpson,
+           CASE WHEN rep_pairs = 0 THEN NULL
+                ELSE CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
+                     / CAST(rep_pairs AS DOUBLE) END AS inv_simpson
+    FROM agg
+    """,
+    doc="[EXT] Simpson lexical concentration per source: λ = Σc(c−1) / "
+    "(T(T−1)) — the probability two random token draws are the SAME "
+    "word — and its inverse (effective vocabulary size). The LOG-FREE "
+    "diversity index (Shannon entropy is JVM-vs-libm unportable, the "
+    "round-8 log rule; Simpson is exact BIGINT pair counting + ONE "
+    "division), completing the vocabulary-statistics family next to "
+    "Chao1 (unseen mass) and Heaps (growth): concentration flags "
+    "boilerplate/templated sources a dedup pass should visit first. "
+    "NULL guards: undefined below 2 tokens / with no repeated pair "
+    "(never NaN/Inf — hash discipline).",
+    tags=("text",),
+)
+def text_simpson_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    w = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = w.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("rep_pairs"),
+    )
+    tt = F.col("n_tokens") * (F.col("n_tokens") - 1)
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_vocab",
+        "rep_pairs",
+        F.when(F.col("n_tokens") < 2, F.lit(None).cast("double"))
+        .otherwise(F.col("rep_pairs").cast("double") / tt.cast("double"))
+        .alias("simpson"),
+        F.when(F.col("rep_pairs") == 0, F.lit(None).cast("double"))
+        .otherwise(tt.cast("double") / F.col("rep_pairs").cast("double"))
+        .alias("inv_simpson"),
+    )

@@ -3556,3 +3556,161 @@ def energy_from_samples(t: DataFrame) -> DataFrame:
             / (F.col("n_b") * F.col("n_b")).cast("double")
         ).alias("energy_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis k-group rank test over ALL event types at once.
+# ---------------------------------------------------------------------------
+
+
+def _kw_oracle(src: str) -> str:
+    """DuckDB Kruskal-Wallis SQL over any (g: VARCHAR, x: BIGINT) sample
+    source — shared by the registry oracle and the EDF property gate."""
+    return f"""
+    WITH t AS ({src}),
+    hist AS (
+      SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY g, x
+    ),
+    pooled AS (
+      SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM hist GROUP BY x
+    ),
+    walked AS (
+      SELECT x, cx,
+             CAST(COALESCE(SUM(cx) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM pooled
+    ),
+    per_group AS (
+      SELECT h.g,
+             CAST(SUM(h.c) AS BIGINT) AS n_g,
+             CAST(SUM(h.c * (2 * w.cum_before + w.cx + 1)) AS BIGINT) AS r2_g
+      FROM hist h JOIN walked w ON w.x = h.x
+      GROUP BY h.g
+    ),
+    scal AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE)
+                    / CAST(n_g AS DOUBLE) ORDER BY g)), (p, q) -> p + q) AS s
+      FROM per_group
+    ),
+    ties AS (
+      SELECT CAST(SUM(cx * cx * cx - cx) AS BIGINT) AS tie_cubes FROM pooled
+    )
+    SELECT scal.k AS n_groups, scal.n AS n_total, ties.tie_cubes,
+           3.0e0 * scal.s / CAST(scal.n * (scal.n + 1) AS DOUBLE)
+             - 3.0e0 * CAST(scal.n + 1 AS DOUBLE) AS h,
+           -- all values identical => correction 0/0; NULL = undefined
+           -- (scipy raises here), never NaN (hash discipline)
+           CASE WHEN ties.tie_cubes = scal.n * scal.n * scal.n - scal.n
+                THEN NULL
+                ELSE (3.0e0 * scal.s / CAST(scal.n * (scal.n + 1) AS DOUBLE)
+                      - 3.0e0 * CAST(scal.n + 1 AS DOUBLE))
+                     / (1.0e0 - CAST(ties.tie_cubes AS DOUBLE)
+                        / CAST(scal.n * scal.n * scal.n - scal.n AS DOUBLE))
+           END AS h_tie_adj
+    FROM scal, ties
+    """
+
+
+@QS.add(
+    "stat_kruskal_wallis",
+    _kw_oracle(_EDF_SRC),
+    doc="[EXT] Kruskal-Wallis H over ALL event types at once — the "
+    "k-group extension of stat_mannwhitney_pairs, riding the SAME "
+    "(group, value) histogram machinery: pooled midranks come from one "
+    "walk over DISTINCT values (doubled midrank 2R = 2·cum_before + "
+    "tie_count + 1 stays BIGINT), per-group doubled rank sums are exact "
+    "BIGINT dot products of the group histogram against the walk, and "
+    "H = 3·Σ(2R_g)²/n_g / (N(N+1)) − 3(N+1) (the doubled form absorbs "
+    "the classic 12/4) with the group fold PINNED in group order — "
+    "(2R_g)² squares in DOUBLE because N²-scale BIGINTs would overflow "
+    "when squared; int→double casts are correctly rounded on both "
+    "engines so the tree is bit-portable. Tie correction "
+    "H/(1−Σ(t³−t)/(N³−N)) from exact BIGINT tie cubes. Cost: the "
+    "histogram walk — |distinct values| rows, never events.",
+    tags=("stats",),
+)
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = ev.select(F.col("event_type").alias("g"), _cents().alias("x"))
+    return kruskal_from_samples(t)
+
+
+def kruskal_from_samples(t: DataFrame) -> DataFrame:
+    """Kruskal-Wallis over any (g: string, x: long) sample frame (shared
+    by the registry query and the EDF property gate)."""
+    from pyspark.sql.window import Window as W
+
+    hist = t.groupBy("g", "x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    pooled = hist.groupBy("x").agg(F.sum("c").cast("long").alias("cx"))
+    w = W.orderBy("x").rowsBetween(W.unboundedPreceding, -1)
+    walked = pooled.select(
+        "x",
+        "cx",
+        F.coalesce(F.sum("cx").over(w), F.lit(0)).cast("long").alias("cum_before"),
+    )
+    per_group = (
+        hist.join(walked, "x")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(
+                F.col("c") * (2 * F.col("cum_before") + F.col("cx") + 1)
+            )
+            .cast("long")
+            .alias("r2_g"),
+        )
+    )
+    scal = per_group.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "g",
+                        (
+                            F.col("r2_g").cast("double")
+                            * F.col("r2_g").cast("double")
+                            / F.col("n_g").cast("double")
+                        ).alias("term"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("s"),
+    )
+    ties = pooled.agg(
+        F.sum(F.col("cx") * F.col("cx") * F.col("cx") - F.col("cx"))
+        .cast("long")
+        .alias("tie_cubes")
+    )
+    h = (
+        F.lit(3.0) * F.col("s") / (F.col("n") * (F.col("n") + 1)).cast("double")
+        - F.lit(3.0) * (F.col("n") + 1).cast("double")
+    )
+    n3n = F.col("n") * F.col("n") * F.col("n") - F.col("n")
+    return scal.crossJoin(F.broadcast(ties)).select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_total"),
+        "tie_cubes",
+        h.alias("h"),
+        # all values identical => correction 0/0; NULL = undefined
+        # (scipy raises here), never NaN (hash discipline)
+        F.when(
+            F.col("tie_cubes") == n3n,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            h
+            / (
+                F.lit(1.0)
+                - F.col("tie_cubes").cast("double") / n3n.cast("double")
+            )
+        )
+        .alias("h_tie_adj"),
+    )

@@ -2457,9 +2457,9 @@ _DIRECTED_EDGES_SQL = """
 # pairs — fine at the gate's sf0.01 (1,600 nodes, 2.5M closure pairs,
 # ~12s), and never the Spark path: the operator runs FW-BW + trimming.
 # cl wraps the recursion MATERIALIZED because mutual references it twice
-# (the k-core multiplicative-reuse rule).
-_SCC_ORACLE = f"""
-    WITH RECURSIVE {_DIRECTED_EDGES_SQL},
+# (the k-core multiplicative-reuse rule). The label CTE chain is shared
+# with graph_scc_condensation.
+_SCC_LABEL_CTES = """
     r(a, b) AS (
       SELECT src, dst FROM d_edges
       UNION
@@ -2472,10 +2472,17 @@ _SCC_ORACLE = f"""
     mutual AS (
       SELECT c1.a AS u, c1.b AS v
       FROM cl c1 JOIN cl c2 ON c2.a = c1.b AND c2.b = c1.a
-    )
-    SELECT n.node, LEAST(n.node, COALESCE(MIN(m.v), n.node)) AS scc_id
-    FROM nodes n LEFT JOIN mutual m ON m.u = n.node
-    GROUP BY n.node
+    ),
+    scc AS MATERIALIZED (
+      SELECT n.node, LEAST(n.node, COALESCE(MIN(m.v), n.node)) AS scc_id
+      FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+      GROUP BY n.node
+    )"""
+
+_SCC_ORACLE = f"""
+    WITH RECURSIVE {_DIRECTED_EDGES_SQL},
+    {_SCC_LABEL_CTES}
+    SELECT node, scc_id FROM scc
 """
 
 
@@ -2517,3 +2524,85 @@ def graph_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return scc_components(e0)
+
+
+@QS.add(
+    "graph_scc_condensation",
+    f"""
+    WITH RECURSIVE {_DIRECTED_EDGES_SQL},
+    {_SCC_LABEL_CTES},
+    cond AS MATERIALIZED (
+      SELECT DISTINCT sa.scc_id AS a, sb.scc_id AS b
+      FROM d_edges e
+      JOIN scc sa ON sa.node = e.src
+      JOIN scc sb ON sb.node = e.dst
+      WHERE sa.scc_id <> sb.scc_id
+    ),
+    sizes AS (
+      SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM scc GROUP BY scc_id
+    )
+    SELECT s.scc_id, s.n_nodes,
+           CAST(COALESCE(od.d, 0) AS BIGINT) AS out_deg,
+           CAST(COALESCE(id_.d, 0) AS BIGINT) AS in_deg
+    FROM sizes s
+    LEFT JOIN (SELECT a, COUNT(*) AS d FROM cond GROUP BY a) od
+      ON od.a = s.scc_id
+    LEFT JOIN (SELECT b, COUNT(*) AS d FROM cond GROUP BY b) id_
+      ON id_.b = s.scc_id
+    """,
+    doc="[EXT] condensation DAG of the directed interaction graph: one "
+    "row per strongly connected component with its size and its in/out "
+    "degree among CONDENSED edges (distinct SCC->SCC pairs; intra-SCC "
+    "edges collapse away). The Broder-bowtie summary a web/interaction "
+    "crawl publishes — which components feed the giant SCC (IN), which "
+    "it feeds (OUT). Spark side reuses operators/graph.py:scc_components "
+    "(FW-BW + trimming) and two equi-joins of the label table onto the "
+    "edge list; the oracle derives the identical canonical labels from "
+    "the UNION-distinct recursive closure and condenses in SQL.",
+    tags=("graph", "iterative"),
+)
+def graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.graph import scc_components
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    odd = F.col("o_orderkey") % 2 == 1
+    c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.when(odd, c).otherwise(s).alias("src"),
+            F.when(odd, s).otherwise(c).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = scc_components(e0).localCheckpoint(eager=True)
+    la = labels.select(F.col("node").alias("src"), F.col("scc_id").alias("a"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("scc_id").alias("b"))
+    cond = (
+        e0.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = labels.groupBy("scc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    od = cond.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    ind = cond.groupBy("b").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        sizes.join(od, sizes["scc_id"] == od["a"], "left")
+        .select("scc_id", "n_nodes", F.coalesce("d", F.lit(0)).cast("long").alias("out_deg"))
+        .join(ind, F.col("scc_id") == ind["b"], "left")
+        .select(
+            "scc_id",
+            "n_nodes",
+            "out_deg",
+            F.coalesce("d", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )

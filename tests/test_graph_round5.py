@@ -501,3 +501,21 @@ class TestSccComponents:
         monkeypatch.setattr(G, "DRIVER_CC_MAX_EDGES", 0)
         got = {r["node"]: r["wcc"] for r in G._weak_cc_labels(df).collect()}
         assert got == want == {"a": "a", "b": "a", "e": "a", "c": "c", "d": "c"}
+
+    def test_condensation_on_planted_graph(self, spark):
+        # a<->b -> c<->d -> e : three SCCs, chain condensation
+        from clinical_api_etl_spark.operators.graph import scc_components
+
+        pairs = [("a", "b"), ("b", "a"), ("c", "d"), ("d", "c"),
+                 ("b", "c"), ("d", "e")]
+        e0 = spark.createDataFrame(pairs, "src string, dst string")
+        labels = scc_components(e0)
+        la = labels.select(F.col("node").alias("src"), F.col("scc_id").alias("ca"))
+        lb = labels.select(F.col("node").alias("dst"), F.col("scc_id").alias("cb"))
+        cond = {
+            (r["ca"], r["cb"])
+            for r in e0.join(la, "src").join(lb, "dst")
+            .filter(F.col("ca") != F.col("cb")).select("ca", "cb").distinct()
+            .collect()
+        }
+        assert cond == {("a", "c"), ("c", "e")}

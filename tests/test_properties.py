@@ -942,3 +942,67 @@ class TestEdfStatisticEngineParity:
             assert (r.within_a, r.within_b, r.cross_sum) == (sa, sb, cross)
             assert (d_en[k][5], d_en[k][6], d_en[k][4]) == (sa, sb, cross)
             assert _bits(r.energy_cents) == _bits(d_en[k][7]) == _bits(e)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        samples=st.lists(
+            st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 12)),
+            min_size=4,
+            max_size=30,
+        ).filter(lambda s: len({g for g, _ in s}) >= 2)
+    )
+    def test_kruskal_wallis_bit_identical(self, spark, samples):
+        """Kruskal-Wallis rides the same histogram walk (pooled midranks
+        instead of pairwise merges) — same three-engine bit gate."""
+        import duckdb
+        import pandas as pd
+        from collections import Counter
+
+        from clinical_api_etl_spark.plans.inference import (
+            _kw_oracle,
+            kruskal_from_samples,
+        )
+
+        # python replay of the declared op sequence
+        pooled = Counter(x for _, x in samples)
+        groups = sorted({g for g, _ in samples})
+        n = len(samples)
+        cum = 0
+        walked = {}
+        for x in sorted(pooled):
+            walked[x] = (pooled[x], cum)
+            cum += pooled[x]
+        s_acc = 0.0
+        for g in groups:  # pinned group-order fold
+            h_g = Counter(x for gg, x in samples if gg == g)
+            n_g = sum(h_g.values())
+            r2 = sum(c * (2 * walked[x][1] + walked[x][0] + 1) for x, c in h_g.items())
+            s_acc += float(r2) * float(r2) / float(n_g)
+        tie_cubes = sum(c * c * c - c for c in pooled.values())
+        h = 3.0 * s_acc / float(n * (n + 1)) - 3.0 * float(n + 1)
+        # all values identical -> correction undefined (NULL, never NaN)
+        h_adj = (
+            None
+            if tie_cubes == n * n * n - n
+            else h / (1.0 - float(tie_cubes) / float(n * n * n - n))
+        )
+
+        t = spark.createDataFrame(samples, "g string, x long")
+        row = kruskal_from_samples(t).collect()[0]
+        con = duckdb.connect()
+        con.register("samples", pd.DataFrame(samples, columns=["g", "x"]))
+        d = con.execute(
+            _kw_oracle("SELECT g, CAST(x AS BIGINT) AS x FROM samples")
+        ).fetchone()
+        assert (row.n_groups, row.n_total, row.tie_cubes) == (
+            len(groups), n, tie_cubes
+        ) == (d[0], d[1], d[2])
+        assert _bits(row.h) == _bits(d[3]) == _bits(h)
+        if h_adj is None:
+            assert row.h_tie_adj is None and d[4] is None
+        else:
+            assert _bits(row.h_tie_adj) == _bits(d[4]) == _bits(h_adj)
