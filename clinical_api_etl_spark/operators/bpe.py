@@ -270,3 +270,93 @@ def apply_merges_py(word: str, merges: list[tuple[str, str]]) -> str:
         merged = doubled.replace(f" {lhs}  {rhs} ", f" {lhs}{rhs} ")
         sym = merged.replace("  ", " ").strip()
     return sym
+
+
+def _symbol_counts(symtab: DataFrame) -> DataFrame:
+    """(tok, c): frequency-weighted symbol unigram counts of the current
+    segmentation — the WordPiece score denominators."""
+    return (
+        symtab.select("freq", F.explode(F.split(F.col("sym"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.sum("freq").cast("long").alias("c"))
+    )
+
+
+def learn_wordpiece_distributed(words: DataFrame, n_merges: int) -> list:
+    """Learn ``n_merges`` WordPiece merges from a ``(word, freq)``
+    DataFrame. Identical machinery to :func:`learn_bpe_distributed` —
+    pair counting, space-doubling merge application, one-row argmax
+    collects — with the family-defining objective swapped in: WordPiece
+    (Schuster & Nakajima 2012; the BERT tokenizer) merges the pair
+    maximizing the LIKELIHOOD ratio
+
+        score(l, r) = count(l r) / (count(l) * count(r))
+
+    instead of raw pair count, so frequent-but-independent pairs lose to
+    genuinely associated ones. The score is ONE correctly-rounded IEEE
+    division of exact BIGINTs (count(l)*count(r) <= corpus-tokens², far
+    under int64) — bit-identical across engines, ties broken (lhs, rhs)
+    lexicographically on bit-identical doubles. Returns one Row per
+    iteration: (it, lhs, rhs, merged, pair_count, lhs_count, rhs_count,
+    score)."""
+    from pyspark.sql import Row
+
+    symtab = (
+        words.select(
+            F.col("freq").cast("long").alias("freq"),
+            initial_symbols(F.col("word")).alias("sym"),
+        )
+        .coalesce(8)
+        .persist()
+    )
+    out: list = []
+    try:
+        for it in range(1, n_merges + 1):
+            # symbol counts are vocabulary-sized (KBs) but hang off the
+            # lazily-persisted symtab, so AQE plans the joins stats-blind
+            # (round-4 finding) — broadcast explicitly, and materialize u
+            # ONCE so the two join branches don't re-derive it.
+            u = _symbol_counts(symtab).localCheckpoint(eager=True)
+            top = (
+                _pair_counts(symtab)
+                .join(F.broadcast(u.select(F.col("tok").alias("lhs"), F.col("c").alias("lc"))), "lhs")
+                .join(F.broadcast(u.select(F.col("tok").alias("rhs"), F.col("c").alias("rc"))), "rhs")
+                .select(
+                    "lhs",
+                    "rhs",
+                    "pair_count",
+                    F.col("lc").alias("lhs_count"),
+                    F.col("rc").alias("rhs_count"),
+                    (
+                        F.col("pair_count").cast("double")
+                        / (F.col("lc") * F.col("rc")).cast("double")
+                    ).alias("score"),
+                )
+                .orderBy(F.col("score").desc(), "lhs", "rhs")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            t = top[0]
+            out.append(
+                Row(
+                    it=it,
+                    lhs=t.lhs,
+                    rhs=t.rhs,
+                    merged=t.lhs + t.rhs,
+                    pair_count=t.pair_count,
+                    lhs_count=t.lhs_count,
+                    rhs_count=t.rhs_count,
+                    score=t.score,
+                )
+            )
+            nxt = symtab.select(
+                "freq",
+                _apply_merge(F.col("sym"), F.lit(t.lhs), F.lit(t.rhs)).alias("sym"),
+            ).persist()
+            symtab.unpersist()
+            symtab = nxt
+    finally:
+        symtab.unpersist()
+    return out

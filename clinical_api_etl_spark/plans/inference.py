@@ -3714,3 +3714,99 @@ def kruskal_from_samples(t: DataFrame) -> DataFrame:
         )
         .alias("h_tie_adj"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer merge learning (likelihood objective, hash-gated).
+# ---------------------------------------------------------------------------
+
+_WP_MERGES = 6
+
+
+def _wordpiece_oracle(n: int) -> str:
+    """Unrolled DuckDB twin of operators/bpe.py:learn_wordpiece_distributed
+    — the BPE chain with a symbol-count CTE per iteration and the argmax
+    re-keyed to the likelihood score (one IEEE division of exact BIGINTs;
+    bit-identical across engines, ties lexicographic)."""
+    ctes = [
+        f"toks AS (SELECT {_TOKS} AS t FROM documents)",
+        "w AS MATERIALIZED (SELECT tok AS word, CAST(COUNT(*) AS BIGINT)"
+        " AS freq FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok)",
+        "s0 AS MATERIALIZED (SELECT freq,"
+        " regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS sym FROM w)",
+    ]
+    for i in range(1, n + 1):
+        ctes.append(
+            f"u{i} AS MATERIALIZED (SELECT tok, CAST(SUM(freq) AS BIGINT) AS c"
+            " FROM (SELECT freq, unnest(string_split(sym, ' ')) AS tok"
+            f" FROM s{i - 1}) GROUP BY tok)"
+        )
+        ctes.append(
+            f"p{i} AS ("
+            " SELECT p['lhs'] AS lhs, p['rhs'] AS rhs,"
+            " CAST(SUM(freq) AS BIGINT) AS pair_count"
+            " FROM (SELECT freq, unnest(list_transform(range(1, len(tk)),"
+            " j -> {'lhs': tk[j], 'rhs': tk[j + 1]})) AS p"
+            f" FROM (SELECT freq, string_split(sym, ' ') AS tk FROM s{i - 1}))"
+            " GROUP BY lhs, rhs)"
+        )
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT p.lhs, p.rhs, p.pair_count,"
+            " ul.c AS lhs_count, ur.c AS rhs_count,"
+            " CAST(p.pair_count AS DOUBLE) / CAST(ul.c * ur.c AS DOUBLE)"
+            " AS score"
+            f" FROM p{i} p JOIN u{i} ul ON ul.tok = p.lhs"
+            f" JOIN u{i} ur ON ur.tok = p.rhs"
+            " ORDER BY score DESC, p.lhs, p.rhs LIMIT 1)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT freq,"
+            " trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',"
+            f" ' ' || (SELECT lhs FROM m{i}) || '  ' || (SELECT rhs FROM m{i}) || ' ',"
+            f" ' ' || (SELECT lhs FROM m{i}) || (SELECT rhs FROM m{i}) || ' '),"
+            f" '  ', ' ')) AS sym FROM s{i - 1})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS it, lhs, rhs, lhs || rhs AS merged,"
+        f" pair_count, lhs_count, rhs_count, score FROM m{i}"
+        for i in range(1, n + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+@QS.add(
+    "wordpiece_learn_merges",
+    _wordpiece_oracle(_WP_MERGES),
+    doc="[EXT] WordPiece tokenizer training (Schuster & Nakajima 2012; "
+    "the BERT family), completing the THREE production tokenizer "
+    "families next to bpe_learn_merges (count objective) and "
+    "unigram_learn_vocab (EM): identical pair-count/merge-apply "
+    "machinery, but the argmax maximizes the likelihood ratio "
+    "count(l,r)/(count(l)·count(r)) — frequent-but-independent pairs "
+    "lose to genuinely associated ones, so the learned merges DIVERGE "
+    "from BPE's on the same corpus (tested). The score is one "
+    "correctly-rounded division of exact BIGINTs (bit-identical both "
+    "engines; ties lexicographic on bit-identical doubles), so the "
+    "21st iterative algorithm carries a full value hash including the "
+    "float scores. Oracle = the BPE unrolled MATERIALIZED chain plus a "
+    "per-iteration symbol-count CTE.",
+    tags=("text", "iterative"),
+    headline=True,
+)
+def wordpiece_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.bpe import learn_wordpiece_distributed
+
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode_outer(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word").isNotNull())
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    rows = learn_wordpiece_distributed(words, _WP_MERGES)
+    return spark.createDataFrame(
+        rows,
+        schema="it BIGINT, lhs STRING, rhs STRING, merged STRING,"
+        " pair_count BIGINT, lhs_count BIGINT, rhs_count BIGINT,"
+        " score DOUBLE",
+    )

@@ -207,3 +207,85 @@ class TestFertility:
         assert abs(
             pdf["fertility"] - pdf["n_bpe_tokens"] / pdf["n_words"]
         ).max() < 1e-12
+
+
+class TestWordPieceLearn:
+    @staticmethod
+    def _py_wordpiece(word_freqs, n):
+        """Independent replay: likelihood-scored merges over python dicts,
+        same space-separated symbol representation and replace semantics."""
+        from collections import Counter
+
+        sym = Counter()
+        for w, f in word_freqs.items():
+            sym[" ".join(list(w)) + " </w>"] += f
+        out = []
+        for it in range(1, n + 1):
+            uni, pairs = Counter(), Counter()
+            for s, f in sym.items():
+                tk = s.split(" ")
+                for t in tk:
+                    uni[t] += f
+                for a, b in zip(tk, tk[1:]):
+                    pairs[(a, b)] += f
+            if not pairs:
+                break
+            best = max(
+                pairs,
+                key=lambda p: (float(pairs[p]) / float(uni[p[0]] * uni[p[1]]),),
+            )
+            # deterministic tie-break: score DESC then (lhs, rhs) ASC
+            bs = float(pairs[best]) / float(uni[best[0]] * uni[best[1]])
+            cands = sorted(
+                p for p in pairs
+                if float(pairs[p]) / float(uni[p[0]] * uni[p[1]]) == bs
+            )
+            best = cands[0]
+            out.append(
+                (it, best[0], best[1], best[0] + best[1], pairs[best],
+                 uni[best[0]], uni[best[1]], bs)
+            )
+            nxt = Counter()
+            for s, f in sym.items():
+                tk = s.split(" ")
+                merged, i = [], 0
+                while i < len(tk):
+                    if i + 1 < len(tk) and (tk[i], tk[i + 1]) == best:
+                        merged.append(tk[i] + tk[i + 1])
+                        i += 2
+                    else:
+                        merged.append(tk[i])
+                        i += 1
+                nxt[" ".join(merged)] += f
+            sym = nxt
+        return out
+
+    def test_matches_python_replay_and_diverges_from_bpe(self, spark):
+        import struct
+
+        from clinical_api_etl_spark.operators.bpe import (
+            learn_bpe_distributed,
+            learn_wordpiece_distributed,
+        )
+
+        # 'th' is the most FREQUENT pair, but 'q'+'u' is perfectly
+        # associated (every q is followed by u) — WordPiece must pick the
+        # likelihood winner where BPE picks the count winner.
+        word_freqs = {"the": 20, "then": 10, "tea": 8, "quit": 3, "quo": 3}
+        words = spark.createDataFrame(
+            list(word_freqs.items()), "word string, freq long"
+        )
+        got = learn_wordpiece_distributed(words, 4)
+        want = self._py_wordpiece(word_freqs, 4)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert (g.it, g.lhs, g.rhs, g.merged, g.pair_count,
+                    g.lhs_count, g.rhs_count) == w[:7]
+            assert struct.pack("<d", g.score) == struct.pack("<d", w[7])
+        bpe = learn_bpe_distributed(words, 4)
+        assert [(r.lhs, r.rhs) for r in bpe] != [(r.lhs, r.rhs) for r in got]
+        # the defining pick: q+u is perfectly associated (every q is
+        # followed by u: 6/(6*6) beats the merely-frequent 'th')
+        assert (got[0].lhs, got[0].rhs) == ("q", "u")
+        assert got[0].score == 6 / (6 * 6)
+        assert (bpe[0].lhs, bpe[0].rhs) != ("q", "u")
