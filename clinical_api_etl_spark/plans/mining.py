@@ -2606,3 +2606,102 @@ def graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("d", F.lit(0)).cast("long").alias("in_deg"),
         )
     )
+
+
+@QS.add(
+    "graph_diameter_2sweep",
+    f"""
+    WITH RECURSIVE {_DIRECTED_EDGES_SQL},
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM d_edges
+      UNION ALL SELECT dst AS src, src AS dst FROM d_edges
+    ),
+    p0 AS (SELECT MIN(src) AS node FROM edges),
+    r1(node, dist) AS (
+      SELECT node, CAST(0 AS BIGINT) FROM p0
+      UNION
+      SELECT e.dst, r1.dist + 1
+      FROM r1 JOIN edges e ON e.src = r1.node WHERE r1.dist < 32
+    ),
+    d1 AS MATERIALIZED (
+      SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM r1 GROUP BY node
+    ),
+    p1 AS MATERIALIZED (
+      SELECT node FROM d1 ORDER BY dist DESC, node LIMIT 1
+    ),
+    r2(node, dist) AS (
+      SELECT node, CAST(0 AS BIGINT) FROM p1
+      UNION
+      SELECT e.dst, r2.dist + 1
+      FROM r2 JOIN edges e ON e.src = r2.node WHERE r2.dist < 32
+    ),
+    d2 AS MATERIALIZED (
+      SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM r2 GROUP BY node
+    )
+    SELECT (SELECT node FROM p0) AS pivot_a,
+           (SELECT MAX(dist) FROM d1) AS ecc_a,
+           (SELECT node FROM p1) AS pivot_b,
+           (SELECT MAX(dist) FROM d2) AS diameter_lb,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM d2) AS n_reached
+    """,
+    doc="[EXT] double-sweep diameter bound (Magnien et al. 2009 — the "
+    "standard cheap estimator crawl analyses publish): BFS to saturation "
+    "from the deterministic min-id node, re-BFS from the farthest node "
+    "found (ties by id), whose eccentricity lower-bounds the diameter "
+    "(exact on trees; within 1-2 in practice on real graphs). Runs on "
+    "the symmetrized interaction graph with the salted frontier "
+    "machinery — the settled-|V| check stops each sweep at "
+    "saturation+1 rounds, so cost is 2 BFS, never all-pairs. Oracle: "
+    "two chained UNION-distinct recursive CTEs (hop-guarded at 32; "
+    "cycles bounded by the distinct (node, dist) working set), the "
+    "second seeded from the first's argmax. All outputs exact "
+    "BIGINT/string.",
+    tags=("graph", "iterative"),
+)
+def graph_diameter_2sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.graph import (
+        bfs_hops_per_source,
+        symmetrize,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    odd = F.col("o_orderkey") % 2 == 1
+    c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.when(odd, c).otherwise(s).alias("src"),
+            F.when(odd, s).otherwise(c).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = symmetrize(e0).localCheckpoint(eager=True)
+    spark_sess = edges.sparkSession
+    pivot_a = edges.agg(F.min("src")).collect()[0][0]
+    d1 = bfs_hops_per_source(
+        edges, spark_sess.createDataFrame([(pivot_a,)], "node string"), iters=32
+    )
+    far = d1.orderBy(F.desc("dist"), "node").limit(1).collect()[0]
+    pivot_b, ecc_a = far["node"], far["dist"]
+    d2 = bfs_hops_per_source(
+        edges, spark_sess.createDataFrame([(pivot_b,)], "node string"), iters=32
+    )
+    row = d2.agg(
+        F.max("dist").cast("long").alias("diameter_lb"),
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+    ).collect()[0]
+    return spark_sess.createDataFrame(
+        [
+            (
+                pivot_a,
+                int(ecc_a),
+                pivot_b,
+                int(row["diameter_lb"]),
+                int(row["n_reached"]),
+            )
+        ],
+        "pivot_a string, ecc_a long, pivot_b string, diameter_lb long,"
+        " n_reached long",
+    )
