@@ -3810,3 +3810,149 @@ def wordpiece_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         " pair_count BIGINT, lhs_count BIGINT, rhs_count BIGINT,"
         " score DOUBLE",
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function (lags 1..7) of the daily revenue series.
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+_DAY_MS = 86_400_000
+
+
+@QS.add(
+    "ts_acf_daily",
+    f"""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // {_DAY_MS} AS d,
+             CAST(SUM({_CENTS}) AS BIGINT) AS s
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, d
+    ),
+    scal AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(s) AS BIGINT) AS tot
+      FROM daily GROUP BY event_type
+    ),
+    cent AS (
+      SELECT d.event_type, d.d, sc.n,
+             CAST(sc.n * d.s - sc.tot AS BIGINT) AS c
+      FROM daily d JOIN scal sc ON sc.event_type = d.event_type
+    ),
+    den AS (
+      SELECT event_type, MAX(n) AS n,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(CAST(c AS DOUBLE) * CAST(c AS DOUBLE) ORDER BY d)),
+               (p, q) -> p + q) AS den
+      FROM cent GROUP BY event_type
+    ),
+    lagged AS (
+      SELECT event_type, d, c,
+             {", ".join(
+                 f"lead(c, {k}) OVER w AS y{k},"
+                 f" lead(d, {k}) OVER w - d AS dd{k}"
+                 for k in range(1, _ACF_MAX_LAG + 1)
+             )}
+      FROM cent
+      WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    terms AS (
+      {" UNION ALL ".join(
+          f"SELECT event_type, CAST({k} AS BIGINT) AS lag, d,"
+          f" CAST(c AS DOUBLE) * CAST(y{k} AS DOUBLE) AS t"
+          f" FROM lagged WHERE dd{k} = {k}"
+          for k in range(1, _ACF_MAX_LAG + 1)
+      )}
+    ),
+    num AS (
+      SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(t ORDER BY d)), (p, q) -> p + q) AS num
+      FROM terms GROUP BY event_type, lag
+    )
+    SELECT n.event_type, n.lag, d.n AS n_days, n.n_pairs,
+           n.num / d.den AS acf
+    FROM num n JOIN den d ON d.event_type = n.event_type
+    """,
+    doc="[EXT] sample autocorrelation function (lags 1-7) of each event "
+    "type's daily revenue series — the ARIMA-order / seasonality "
+    "diagnostic beyond stat_autocorr_lag1's Pearson-of-pairs form: the "
+    "standard single-mean estimator r_k = Σ(x_t−x̄)(x_{{t+k}}−x̄) / "
+    "Σ(x_t−x̄)², computed on n-scaled centered values n·x−S (exact "
+    "BIGINTs ≤ 2^53, so each product is ONE IEEE multiply of exactly-"
+    "converted doubles) with numerator and denominator as PINNED "
+    "day-order folds and one final division — bit-portable per the "
+    "round-8 fold rule, where the naive all-BIGINT form overflows at "
+    "Σ(n·x−S)². Gap days pair with nothing (lead-day check = k); all "
+    "seven lag numerators ride ONE window pass (7 leads in one "
+    "WindowExec) over the |days| pre-aggregate, never the event table.",
+    tags=("stats", "timeseries"),
+)
+def ts_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_millis(ts) div {_DAY_MS}").alias("d"),
+            _cents().alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").cast("long").alias("s"))
+    )
+    scal = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("s").cast("long").alias("tot"),
+    )
+    cent = daily.join(F.broadcast(scal), "event_type").select(
+        "event_type",
+        "d",
+        "n",
+        (F.col("n") * F.col("s") - F.col("tot")).cast("long").alias("c"),
+    )
+    den = cent.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "d",
+                        (F.col("c").cast("double") * F.col("c").cast("double")).alias(
+                            "t"
+                        ),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("den"),
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lag_cols = []
+    for k in range(1, _ACF_MAX_LAG + 1):
+        lag_cols.append(F.lead("c", k).over(w).alias(f"y{k}"))
+        lag_cols.append((F.lead("d", k).over(w) - F.col("d")).alias(f"dd{k}"))
+    lagged = cent.select("event_type", "d", "c", *lag_cols)
+    stack = ", ".join(
+        f"{k}L, CASE WHEN dd{k} = {k} THEN CAST(c AS DOUBLE) * CAST(y{k} AS DOUBLE) END"
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    terms = lagged.selectExpr(
+        "event_type",
+        "d",
+        f"stack({_ACF_MAX_LAG}, {stack}) AS (lag, t)",
+    ).filter(F.col("t").isNotNull())
+    num = terms.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("d", "t"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("num"),
+    )
+    return num.join(F.broadcast(den), "event_type").select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        "n_days",
+        "n_pairs",
+        (F.col("num") / F.col("den")).alias("acf"),
+    )
