@@ -161,6 +161,9 @@ GLOBAL_WINDOW_OK: set[str] = {
     "ml_stump_nchars_lang",
     # midrank walk over the same bounded value histogram.
     "ml_auc_nchars_lang",
+    # pooled-midrank walk over the DISTINCT-VALUE histogram (bounded by
+    # the cents-value domain, not events — the Mann-Whitney cost law).
+    "stat_kruskal_wallis",
     # rank assignment AFTER TakeOrderedAndProject's limit(20): the
     # global window sorts exactly k=20 rows (the distributed top-k ran
     # first); second window ditto for the other ranking.
