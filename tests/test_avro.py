@@ -137,19 +137,22 @@ class TestErrors:
 
 class TestFederated:
     def test_union_parquet_orc_jsonl_avro(self, spark, tmp_path):
-        """Round-6 federated-source test, extended to FIVE physical
-        formats (parquet/ORC/JSONL/Avro OCF/XML) serving one logical
-        table, unioned and compared row-exact."""
+        """Round-6 federated-source test, extended to SIX physical
+        formats (parquet/ORC/JSONL/Avro OCF/XML/SQLite) serving one
+        logical table, unioned and compared row-exact."""
         from clinical_api_etl_spark.sources.formats import write_orc
+        from clinical_api_etl_spark.sources.sqliteds import SqliteTableDataSource
         from clinical_api_etl_spark.sources.xmlds import XmlTableDataSource
 
         spark.dataSource.register(XmlTableDataSource)
+        spark.dataSource.register(SqliteTableDataSource)
         nation = load(spark, SF, "nation")
-        q1 = nation.filter(F.col("n_nationkey") % 5 == 0)
-        q2 = nation.filter(F.col("n_nationkey") % 5 == 1)
-        q3 = nation.filter(F.col("n_nationkey") % 5 == 2)
-        q4 = nation.filter(F.col("n_nationkey") % 5 == 3)
-        q5 = nation.filter(F.col("n_nationkey") % 5 == 4)
+        q1 = nation.filter(F.col("n_nationkey") % 6 == 0)
+        q2 = nation.filter(F.col("n_nationkey") % 6 == 1)
+        q3 = nation.filter(F.col("n_nationkey") % 6 == 2)
+        q4 = nation.filter(F.col("n_nationkey") % 6 == 3)
+        q5 = nation.filter(F.col("n_nationkey") % 6 == 4)
+        q6 = nation.filter(F.col("n_nationkey") % 6 == 5)
 
         pq = str(tmp_path / "pq"); q1.write.parquet(pq)
         orc = str(tmp_path / "orc"); write_orc(q2, orc)
@@ -157,6 +160,8 @@ class TestFederated:
         av = str(tmp_path / "av"); write_avro(q4, av)
         xm = str(tmp_path / "xm")
         q5.write.format("xmltable").option("path", xm).mode("append").save()
+        sq = str(tmp_path / "sq")
+        q6.write.format("sqlitetable").option("path", sq).mode("append").save()
 
         fed = (
             spark.read.parquet(pq)
@@ -169,6 +174,12 @@ class TestFederated:
                 spark.read.format("xmltable")
                 .schema(nation.schema)
                 .option("path", xm)
+                .load()
+            )
+            .unionByName(
+                spark.read.format("sqlitetable")
+                .schema(nation.schema)
+                .option("path", sq)
                 .load()
             )
         )
