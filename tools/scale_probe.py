@@ -216,13 +216,16 @@ def synthesize(spark, factor: int, dest: str) -> None:
     # exact duplicates would make density/near-dup operators look
     # quadratic at 10x purely because every point gains 9 clones at
     # distance zero — an artifact, not a scaling law.
+    # NB single-arity closure: `lambda x, k=k:` is the ARITY-2 HOF trap
+    # (pyspark passes the array INDEX as k — every copy got the SAME
+    # index-shifted vector, i.e. exact clones, the artifact this shift
+    # exists to avoid; round-8 fix, same bug class as the minhash seeds).
+    def _shift(k: int):
+        return lambda x: (x + F.lit(0.05 * k)).cast("float")
+
     ecopies = [
         emb.withColumn("vec_id", F.col("vec_id") + k * n_v).withColumn(
-            "embedding",
-            F.transform(
-                F.col("embedding"),
-                lambda x, k=k: (x + F.lit(0.05 * k)).cast("float"),
-            ),
+            "embedding", F.transform(F.col("embedding"), _shift(k))
         )
         for k in range(factor)
     ]
