@@ -2396,3 +2396,84 @@ def text_simpson_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(tt.cast("double") / F.col("rep_pairs").cast("double"))
         .alias("inv_simpson"),
     )
+
+
+@QS.add(
+    "text_source_overlap",
+    f"""
+    WITH v AS (
+      SELECT DISTINCT source, word
+      FROM (SELECT source, unnest({_TOKS}) AS word FROM documents)
+    ),
+    sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM v a JOIN v b ON a.word = b.word AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(LEAST(sa.n, sb.n) AS DOUBLE) AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    """,
+    doc="[EXT] pairwise vocabulary overlap between sources: Jaccard and "
+    "containment of the distinct-word sets for every source pair — the "
+    "corpus-mixing diagnostic (two sources with near-identical "
+    "vocabularies add redundancy, not coverage; a low-containment "
+    "source is the one worth upsampling). Work is an equi-join on the "
+    "word over the DISTINCT (source, word) table — vocabulary-scaled, "
+    "never corpus-scaled, and pair counts are exact BIGINTs with two "
+    "single divisions. Pairs with zero shared words are absent (inner "
+    "join) — identical on both engines.",
+    tags=("text",),
+)
+def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    v = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("word"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = v.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = v.select(F.col("source").alias("src_a"), "word")
+    b = v.select(F.col("source").alias("src_b"), "word")
+    inter = (
+        a.join(b, "word")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+            (
+                F.col("n_common").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+    )

@@ -1666,6 +1666,35 @@ def graph_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ml", "stats"),
 )
 def eval_knn_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bins = _knn_conf_bins(spark, sf_dir)
+    tot = bins.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(F.abs(5 * F.col("n_correct") - F.col("conf_votes") * F.col("n")))
+        .cast("long")
+        .alias("gap_num_total"),
+    )
+    return bins.crossJoin(F.broadcast(tot)).select(
+        "conf_votes",
+        "n",
+        "n_correct",
+        (F.col("conf_votes").cast("double") / F.lit(5.0)).alias("confidence"),
+        (F.col("n_correct").cast("double") / F.col("n").cast("double")).alias(
+            "accuracy"
+        ),
+        F.abs(5 * F.col("n_correct") - F.col("conf_votes") * F.col("n"))
+        .cast("long")
+        .alias("gap_num"),
+        (
+            F.col("gap_num_total").cast("double")
+            / (F.lit(5) * F.col("n_total")).cast("double")
+        ).alias("ece"),
+    )
+
+
+def _knn_conf_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(conf_votes, n, n_correct) reliability bins of the kNN vote
+    classifier — shared by eval_knn_calibration (ECE) and
+    eval_brier_decomposition (Murphy terms)."""
     from pyspark.sql.window import Window as W
 
     from clinical_api_etl_spark.functions.vectors import as_double, dot, norm
@@ -1713,33 +1742,163 @@ def eval_knn_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("conf_votes"),
         )
     )
-    bins = pred.groupBy("conf_votes").agg(
+    return pred.groupBy("conf_votes").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0))
         .cast("long")
         .alias("n_correct"),
     )
-    tot = bins.agg(
-        F.sum("n").cast("long").alias("n_total"),
-        F.sum(F.abs(5 * F.col("n_correct") - F.col("conf_votes") * F.col("n")))
-        .cast("long")
-        .alias("gap_num_total"),
+
+
+#: The v..bins CTE chain of eval_knn_calibration's oracle, verbatim —
+#: shared text so the two oracles can never drift apart.
+_KNN_BINS_CTES = f"""
+    v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e,
+             {{norm}} AS nrm
+      FROM embeddings
+    ),
+    test AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+    train AS (SELECT * FROM v WHERE vec_id % 10 <> 0),
+    pairs AS (
+      SELECT t.vec_id AS test_id, t.label AS true_label,
+             r.vec_id AS neighbor_id, r.label AS nlabel,
+             {{dot}} / (t.nrm * r.nrm) AS cos_sim
+      FROM test t CROSS JOIN train r
+    ),
+    top5 AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY test_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM pairs) WHERE rk <= 5
+    ),
+    votes AS (
+      SELECT test_id, true_label, nlabel, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM top5 GROUP BY test_id, true_label, nlabel
+    ),
+    pred AS (
+      SELECT test_id, true_label, nlabel AS pred_label, cnt AS conf_votes FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY test_id
+                                     ORDER BY cnt DESC, nlabel) AS pr
+        FROM votes) WHERE pr = 1
+    ),
+    bins AS (
+      SELECT conf_votes,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_correct
+      FROM pred GROUP BY conf_votes
+    )"""
+
+
+@QS.add(
+    "eval_brier_decomposition",
+    "WITH "
+    + _KNN_BINS_CTES.format(
+        norm=_FOLD_NORM.format(a="list_transform(embedding, x -> x::DOUBLE)"),
+        dot=_FOLD_DOT.format(a="t.e", b="r.e"),
     )
-    return bins.crossJoin(F.broadcast(tot)).select(
-        "conf_votes",
-        "n",
-        "n_correct",
-        (F.col("conf_votes").cast("double") / F.lit(5.0)).alias("confidence"),
-        (F.col("n_correct").cast("double") / F.col("n").cast("double")).alias(
-            "accuracy"
-        ),
-        F.abs(5 * F.col("n_correct") - F.col("conf_votes") * F.col("n"))
+    + """,
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(n_correct) AS BIGINT) AS ct,
+             CAST(SUM(n_correct * (5 - conf_votes) * (5 - conf_votes)
+                      + (n - n_correct) * conf_votes * conf_votes)
+                  AS BIGINT) AS brier_num
+      FROM bins
+    ),
+    folds AS (
+      SELECT
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(CAST((conf_votes * n - 5 * n_correct)
+                    * (conf_votes * n - 5 * n_correct) AS DOUBLE)
+               / CAST(25 * n AS DOUBLE) ORDER BY conf_votes)),
+          (p, q) -> p + q) AS rel_sum,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(CAST((n_correct * tot.nt - tot.ct * n)
+                    * (n_correct * tot.nt - tot.ct * n) AS DOUBLE)
+               / CAST(n * tot.nt * tot.nt AS DOUBLE) ORDER BY conf_votes)),
+          (p, q) -> p + q) AS res_sum
+      FROM bins, tot GROUP BY tot.nt, tot.ct
+    )
+    SELECT tot.nt AS n_total, tot.ct AS n_correct_total, tot.brier_num,
+           CAST(tot.brier_num AS DOUBLE) / CAST(25 * tot.nt AS DOUBLE)
+             AS brier,
+           folds.rel_sum / CAST(tot.nt AS DOUBLE) AS reliability,
+           folds.res_sum / CAST(tot.nt AS DOUBLE) AS resolution,
+           CAST(tot.ct * (tot.nt - tot.ct) AS DOUBLE)
+             / CAST(tot.nt * tot.nt AS DOUBLE) AS uncertainty
+    FROM tot, folds
+    """,
+    doc="[EXT] Murphy decomposition of the kNN vote classifier's Brier "
+    "score (Brier = reliability − resolution + uncertainty) over the "
+    "same confidence bins as eval_knn_calibration: every member of a "
+    "vote bin shares the identical forecast p = votes/5, so the whole "
+    "decomposition collapses to exact bin counts — the Brier numerator "
+    "Σ c(5−v)² + (n−c)v² is a BIGINT with ONE division by 25N; "
+    "reliability and resolution are pinned bin-order folds whose terms "
+    "are single divisions over exact BIGINT squares; uncertainty is "
+    "ō(1−ō) as one fixed tree. The CALIBRATION-vs-DISCRIMINATION "
+    "split ECE cannot give: high reliability (miscalibrated) vs low "
+    "resolution (uninformative) point at different fixes.",
+    tags=("ml", "stats"),
+)
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # <= 5 rows, but three plan branches (tot, joined, brier join) hang
+    # off it — materialize once so the kNN scan never re-runs.
+    bins = _knn_conf_bins(spark, sf_dir).localCheckpoint(eager=True)
+    tot = bins.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("n_correct").cast("long").alias("ct"),
+        F.sum(
+            F.col("n_correct") * (5 - F.col("conf_votes")) * (5 - F.col("conf_votes"))
+            + (F.col("n") - F.col("n_correct"))
+            * F.col("conf_votes")
+            * F.col("conf_votes")
+        )
         .cast("long")
-        .alias("gap_num"),
+        .alias("brier_num"),
+    )
+    joined = bins.crossJoin(F.broadcast(tot))
+    rel_term = (
         (
-            F.col("gap_num_total").cast("double")
-            / (F.lit(5) * F.col("n_total")).cast("double")
-        ).alias("ece"),
+            (F.col("conf_votes") * F.col("n") - 5 * F.col("n_correct"))
+            * (F.col("conf_votes") * F.col("n") - 5 * F.col("n_correct"))
+        ).cast("double")
+        / (25 * F.col("n")).cast("double")
+    )
+    res_term = (
+        (
+            (F.col("n_correct") * F.col("nt") - F.col("ct") * F.col("n"))
+            * (F.col("n_correct") * F.col("nt") - F.col("ct") * F.col("n"))
+        ).cast("double")
+        / (F.col("n") * F.col("nt") * F.col("nt")).cast("double")
+    )
+    folds = joined.groupBy("nt", "ct").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("conf_votes", rel_term.alias("t")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("rel_sum"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("conf_votes", res_term.alias("t")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("res_sum"),
+    )
+    return folds.crossJoin(F.broadcast(tot.select("brier_num"))).select(
+        F.col("nt").alias("n_total"),
+        F.col("ct").alias("n_correct_total"),
+        "brier_num",
+        (F.col("brier_num").cast("double") / (25 * F.col("nt")).cast("double")).alias(
+            "brier"
+        ),
+        (F.col("rel_sum") / F.col("nt").cast("double")).alias("reliability"),
+        (F.col("res_sum") / F.col("nt").cast("double")).alias("resolution"),
+        (
+            (F.col("ct") * (F.col("nt") - F.col("ct"))).cast("double")
+            / (F.col("nt") * F.col("nt")).cast("double")
+        ).alias("uncertainty"),
     )
 
 
