@@ -2705,3 +2705,130 @@ def graph_diameter_2sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pivot_a string, ecc_a long, pivot_b string, diameter_lb long,"
         " n_reached long",
     )
+
+
+def _silhouette_oracle() -> str:
+    q = (
+        "list_transform(range(1, 65), d -> CAST(floor(CAST(embedding[d]"
+        " AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE))"
+    )
+    sums = ", ".join(
+        f"CAST(SUM(CAST(floor(CAST(embedding[{j + 1}] AS DOUBLE)"
+        f" * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) AS s{j}"
+        for j in range(_CENT_DIM)
+    )
+    s_arr = "list_value(" + ", ".join(f"s{j}" for j in range(_CENT_DIM)) + ")"
+    return f"""
+    WITH cent AS MATERIALIZED (
+      SELECT label AS c_label, CAST(COUNT(*) AS BIGINT) AS n_c, {sums}
+      FROM embeddings GROUP BY label
+    ),
+    pts AS (SELECT vec_id, label, {q} AS q FROM embeddings),
+    d AS (
+      SELECT p.vec_id, p.label, c.c_label,
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, 65),
+                 d -> (p.q[d] * CAST(c.n_c AS DOUBLE) - {s_arr}[d])
+                      * (p.q[d] * CAST(c.n_c AS DOUBLE) - {s_arr}[d]))),
+               (x, y) -> x + y))
+             / (1000000.0e0 * CAST(c.n_c AS DOUBLE)) AS dist
+      FROM pts p CROSS JOIN cent c
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             MIN(CASE WHEN c_label = label THEN dist END) AS a,
+             MIN(CASE WHEN c_label <> label THEN dist END) AS b
+      FROM d GROUP BY vec_id, label
+    ),
+    s AS (
+      SELECT vec_id, label, (b - a) / GREATEST(a, b) AS s
+      FROM ab WHERE GREATEST(a, b) > 0
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(s ORDER BY vec_id)), (x, y) -> x + y)
+           / CAST(COUNT(*) AS DOUBLE) AS mean_silhouette
+    FROM s GROUP BY label
+    """
+
+
+@QS.add(
+    "ml_silhouette_labels",
+    _silhouette_oracle(),
+    doc="[EXT] simplified silhouette of the LABELED clustering (Hruschka "
+    "et al.: distance to class centroids instead of all-pairs — the "
+    "O(N·k) form that scales where the classic O(N²) silhouette "
+    "cannot): a = distance to own-label centroid, b = nearest other "
+    "centroid, s = (b−a)/max(a,b), averaged per label. Fully "
+    "hash-gated via the micro-unit discipline: vectors quantize to "
+    "exact 1e-6 integers, centroids stay as exact (sum, n) pairs, and "
+    "each distance is sqrt(Σ_d (q_d·n − s_d)²)/(1e6·n) — every term a "
+    "single IEEE multiply of exactly-representable doubles folded in "
+    "PINNED dim order, sqrt and the division correctly rounded, so a/b "
+    "comparisons and the final pinned vec-order mean are bit-identical "
+    "across engines. The cluster-quality audit for the label taxonomy "
+    "(low mean silhouette = labels not separable in embedding space — "
+    "re-label or re-embed before training on them).",
+    tags=("ml", "embedding"),
+)
+def ml_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    sums = [
+        F.sum(
+            F.floor(
+                F.element_at("embedding", j + 1).cast("double") * 1000000.0 + 0.5
+            ).cast("long")
+        )
+        .cast("double")
+        .alias(f"s{j}")
+        for j in range(_CENT_DIM)
+    ]
+    cent = emb.groupBy(F.col("label").alias("c_label")).agg(
+        F.count("*").cast("long").alias("n_c"), *sums
+    )
+    cent = cent.select(
+        "c_label", "n_c", F.array(*[f"s{j}" for j in range(_CENT_DIM)]).alias("s")
+    )
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5).cast("double"),
+    )
+    pts = emb.select("vec_id", "label", q.alias("q"))
+    dist = (
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("q"),
+                    F.col("s"),
+                    lambda x, y: (x * F.col("n_c").cast("double") - y)
+                    * (x * F.col("n_c").cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        )
+        / (F.lit(1000000.0) * F.col("n_c").cast("double"))
+    )
+    d = pts.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "c_label", dist.alias("dist")
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("c_label") == F.col("label"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("c_label") != F.col("label"), F.col("dist"))).alias("b"),
+    )
+    s = ab.filter(F.greatest("a", "b") > 0).select(
+        "vec_id",
+        "label",
+        ((F.col("b") - F.col("a")) / F.greatest("a", "b")).alias("s"),
+    )
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("vec_id", "s"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["s"],
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_silhouette"),
+    )
