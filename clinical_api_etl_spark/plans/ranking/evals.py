@@ -1705,3 +1705,184 @@ def causal_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x["term"],
         ).alias("ate_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiclass Matthews correlation over the NB confusion matrix.
+# ---------------------------------------------------------------------------
+
+#: Composed oracle: the registered NB oracle becomes a CTE, so the two
+#: can never drift (the corpus_data_card composition lesson).
+_MCC_ORACLE = f"""
+    WITH conf AS MATERIALIZED (
+      {{nb}}
+    ),
+    cls AS (
+      SELECT cls, CAST(COALESCE(SUM(t_n), 0) AS BIGINT) AS t_k,
+             CAST(COALESCE(SUM(p_n), 0) AS BIGINT) AS p_k
+      FROM (
+        SELECT actual AS cls, n AS t_n, NULL AS p_n FROM conf
+        UNION ALL
+        SELECT predicted AS cls, NULL AS t_n, n AS p_n FROM conf
+      ) m GROUP BY cls
+    ),
+    scal AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS s,
+             CAST(SUM(CASE WHEN actual = predicted THEN n ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM conf
+    ),
+    sums AS (
+      SELECT CAST(SUM(p_k * t_k) AS BIGINT) AS ptsum,
+             CAST(SUM(p_k * p_k) AS BIGINT) AS ppsum,
+             CAST(SUM(t_k * t_k) AS BIGINT) AS ttsum
+      FROM cls
+    )
+    SELECT scal.s AS n_total, scal.c AS n_correct,
+           CAST(scal.c * scal.s - sums.ptsum AS BIGINT) AS mcc_num,
+           CAST(scal.s * scal.s - sums.ppsum AS BIGINT) AS den_p,
+           CAST(scal.s * scal.s - sums.ttsum AS BIGINT) AS den_t,
+           CASE WHEN scal.s * scal.s - sums.ppsum = 0
+                  OR scal.s * scal.s - sums.ttsum = 0 THEN NULL
+                ELSE CAST(scal.c * scal.s - sums.ptsum AS DOUBLE)
+                     / (sqrt(CAST(scal.s * scal.s - sums.ppsum AS DOUBLE))
+                        * sqrt(CAST(scal.s * scal.s - sums.ttsum AS DOUBLE)))
+           END AS mcc
+    FROM scal, sums
+"""
+
+
+@QS.add(
+    "ml_mcc_multiclass",
+    _MCC_ORACLE.format(nb=QS.queries["ml_naive_bayes_lang"].oracle),
+    doc="[EXT] multiclass Matthews correlation coefficient (Gorodkin R_K) "
+    "of the Naive Bayes classifier — the single-number quality score "
+    "robust to class imbalance where accuracy and per-class F1 mislead: "
+    "R_K = (c·s − Σp_k t_k) / (√(s²−Σp²)·√(s²−Σt²)) with every "
+    "component an exact BIGINT from the confusion matrix, two "
+    "correctly-rounded sqrts and one division (NULL when a margin is "
+    "degenerate — one predicted or actual class — never NaN). The "
+    "oracle embeds the REGISTERED NB oracle as a CTE, so classifier "
+    "and metric can never drift apart (the composition lesson).",
+    tags=("ml", "stats"),
+)
+def ml_mcc_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    conf = ml_naive_bayes_lang(spark, sf_dir).localCheckpoint(eager=True)
+    t_k = conf.groupBy(F.col("actual").alias("cls")).agg(
+        F.sum("n").cast("long").alias("t_k")
+    )
+    p_k = conf.groupBy(F.col("predicted").alias("cls")).agg(
+        F.sum("n").cast("long").alias("p_k")
+    )
+    cls = (
+        t_k.join(p_k, "cls", "full_outer")
+        .select(
+            "cls",
+            F.coalesce("t_k", F.lit(0)).cast("long").alias("t_k"),
+            F.coalesce("p_k", F.lit(0)).cast("long").alias("p_k"),
+        )
+    )
+    scal = conf.agg(
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.when(F.col("actual") == F.col("predicted"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    sums = cls.agg(
+        F.sum(F.col("p_k") * F.col("t_k")).cast("long").alias("ptsum"),
+        F.sum(F.col("p_k") * F.col("p_k")).cast("long").alias("ppsum"),
+        F.sum(F.col("t_k") * F.col("t_k")).cast("long").alias("ttsum"),
+    )
+    j = scal.crossJoin(F.broadcast(sums))
+    den_p = F.col("s") * F.col("s") - F.col("ppsum")
+    den_t = F.col("s") * F.col("s") - F.col("ttsum")
+    num = F.col("c") * F.col("s") - F.col("ptsum")
+    return j.select(
+        F.col("s").alias("n_total"),
+        F.col("c").alias("n_correct"),
+        num.cast("long").alias("mcc_num"),
+        den_p.cast("long").alias("den_p"),
+        den_t.cast("long").alias("den_t"),
+        F.when((den_p == 0) | (den_t == 0), F.lit(None).cast("double"))
+        .otherwise(
+            num.cast("double")
+            / (F.sqrt(den_p.cast("double")) * F.sqrt(den_t.cast("double")))
+        )
+        .alias("mcc"),
+    )
+
+
+@QS.add(
+    "privacy_recursive_cl_diversity",
+    """
+    WITH e AS (
+      SELECT event_type, (epoch_ms(ts) // 86400000) % 7 AS dow,
+             LEAST(5, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      // 2000) AS sens
+      FROM events WHERE value IS NOT NULL
+    ),
+    bins AS (
+      SELECT event_type, dow, sens, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM e GROUP BY event_type, dow, sens
+    ),
+    ranked AS (
+      SELECT event_type, dow, sens, cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type, dow
+                                ORDER BY cnt DESC, sens) AS rk
+      FROM bins
+    )
+    SELECT event_type, dow,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(MAX(CASE WHEN rk = 1 THEN cnt END) AS BIGINT) AS r1,
+           CAST(SUM(CASE WHEN rk >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+             AS tail_l2,
+           CAST(SUM(CASE WHEN rk >= 3 THEN cnt ELSE 0 END) AS BIGINT)
+             AS tail_l3,
+           MAX(CASE WHEN rk = 1 THEN cnt END)
+             < 3 * SUM(CASE WHEN rk >= 2 THEN cnt ELSE 0 END) AS ok_c3_l2,
+           MAX(CASE WHEN rk = 1 THEN cnt END)
+             < 3 * SUM(CASE WHEN rk >= 3 THEN cnt ELSE 0 END) AS ok_c3_l3
+    FROM ranked GROUP BY event_type, dow
+    """,
+    doc="[EXT] recursive (c,l)-diversity audit (Machanavajjhala et al. "
+    "2007) per QI class (event_type, day-of-week) over the bounded "
+    "sensitive domain (value quintile bins, the t-closeness setup): a "
+    "class passes (c,l) iff the most common sensitive value is rarer "
+    "than c times the tail from rank l — the escalation past plain "
+    "l-diversity that catches skewed classes where one value dominates "
+    "despite l distinct values existing. Both (3,2) and (3,3) emitted; "
+    "everything exact BIGINT counts + integer cross-multiplied "
+    "booleans (tail sums depend only on the sorted count multiset, so "
+    "rank ties cannot perturb them).",
+    tags=("quality", "privacy"),
+)
+def privacy_recursive_cl_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = ev.select(
+        "event_type",
+        F.expr("(unix_millis(ts) div 86400000) % 7").alias("dow"),
+        F.least(
+            F.lit(5),
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 2000"),
+        ).alias("sens"),
+    )
+    bins = e.groupBy("event_type", "dow", "sens").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("event_type", "dow").orderBy(
+        F.desc("cnt"), F.asc("sens")
+    )
+    ranked = bins.withColumn("rk", F.row_number().over(w))
+    r1 = F.max(F.when(F.col("rk") == 1, F.col("cnt")))
+    tail2 = F.sum(F.when(F.col("rk") >= 2, F.col("cnt")).otherwise(0))
+    tail3 = F.sum(F.when(F.col("rk") >= 3, F.col("cnt")).otherwise(0))
+    return ranked.groupBy("event_type", "dow").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        r1.cast("long").alias("r1"),
+        tail2.cast("long").alias("tail_l2"),
+        tail3.cast("long").alias("tail_l3"),
+        (r1 < 3 * tail2).alias("ok_c3_l2"),
+        (r1 < 3 * tail3).alias("ok_c3_l3"),
+    )
