@@ -1870,3 +1870,126 @@ def stat_interarrival_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("(19 * n + 19) div 20").alias("p95_gap_ms"),
         pick("n").alias("max_gap_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe variance-homogeneity test (Levene with medians).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_brown_forsythe",
+    """
+    WITH t AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 200 AS BIGINT) AS c2
+      FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(c2, 0.5) AS med2
+      FROM t GROUP BY event_type
+    ),
+    z AS (
+      SELECT t.event_type,
+             CAST(abs(CAST(t.c2 AS DOUBLE) - m.med2) AS BIGINT) AS x
+      FROM t JOIN med m USING (event_type)
+    ),
+    pg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(x) AS BIGINT) AS s_g,
+             CAST(SUM(x * x) AS BIGINT) AS q_g
+      FROM z GROUP BY event_type
+    ),
+    tt AS (
+      SELECT event_type, n_g, s_g, q_g,
+             (CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE))
+               / CAST(n_g AS DOUBLE) AS term
+      FROM pg
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(s_g) AS BIGINT) AS s_all,
+             CAST(SUM(q_g) AS BIGINT) AS q_all,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY event_type)),
+               (x, y) -> x + y) AS fold
+      FROM tt
+    )
+    SELECT k, n, s_all, q_all,
+           fold - (CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE))
+                    / CAST(n AS DOUBLE) AS ssb,
+           CAST(q_all AS DOUBLE) - fold AS ssw,
+           ((fold - (CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE))
+                      / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+             / ((CAST(q_all AS DOUBLE) - fold) / CAST(n - k AS DOUBLE))
+             AS f_stat
+    FROM agg
+    """,
+    doc="[EXT] Brown-Forsythe variance-homogeneity test across event "
+    "types — the robust Levene variant (deviations from MEDIANS, not "
+    "means) that guards the ANOVA's equal-variance assumption: z = "
+    "|x − median| per group, then the one-way ANOVA F machinery on z "
+    "(stat_anova_f_types' exact sufficient-statistics form, pinned "
+    "group-order fold for SSB). Medians ride DOUBLED cents (average of "
+    "two even ints = exactly representable; the MAD discipline), so z "
+    "is an exactly-integral double — the BIGINT cast is safe on both "
+    "engines (truncate vs round-half-even agree on integral operands, "
+    "round-6 rule). Σz² stays under int64 at the ANOVA's documented "
+    "sf bound (z ≤ value range in doubled cents).",
+    tags=("stats",),
+)
+def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 200).cast("long").alias("c2"),
+    )
+    med = t.groupBy("event_type").agg(F.expr("percentile(c2, 0.5)").alias("med2"))
+    z = t.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("c2").cast("double") - F.col("med2")).cast("long").alias("x"),
+    )
+    pg = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("x").cast("long").alias("s_g"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q_g"),
+    )
+    tt = pg.select(
+        "event_type",
+        "n_g",
+        "s_g",
+        "q_g",
+        (
+            (F.col("s_g").cast("double") * F.col("s_g").cast("double"))
+            / F.col("n_g").cast("double")
+        ).alias("term"),
+    )
+    agg = tt.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s_all"),
+        F.sum("q_g").cast("long").alias("q_all"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("event_type", "term"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("fold"),
+    )
+    ssb = F.col("fold") - (
+        F.col("s_all").cast("double") * F.col("s_all").cast("double")
+    ) / F.col("n").cast("double")
+    ssw = F.col("q_all").cast("double") - F.col("fold")
+    return agg.select(
+        "k",
+        "n",
+        "s_all",
+        "q_all",
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        (
+            (ssb / (F.col("k") - 1).cast("double"))
+            / (ssw / (F.col("n") - F.col("k")).cast("double"))
+        ).alias("f_stat"),
+    )
