@@ -1060,3 +1060,65 @@ def scc_components(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def temporal_earliest_arrival(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    t: str = "t",
+) -> DataFrame:
+    """Bounded-hop TIME-RESPECTING reachability (temporal graph earliest
+    arrival): edges are timestamped contacts (src, dst, t), and a path is
+    valid only if contact times never decrease along it — the contagion /
+    information-flow semantics a static reachability over the same edges
+    OVERSTATES (it happily routes through a contact that happened before
+    the node was reached). After round k, arr(source, v) is the exact
+    minimum arrival time over time-respecting paths of at most k contacts.
+
+    Same improved-frontier discipline as :func:`bellman_ford_bounded` —
+    an edge (u, v, t) relaxes to arrival t when t >= arr(u), and an
+    IMPROVED (smaller) arr(u) can unlock earlier paths through u, so
+    improved rows re-enter the join and state rows are REPLACED via
+    anti-join + union. Times are exact BIGINTs (epoch days), so the whole
+    state hash-gates against an unrolled full-relaxation oracle — the
+    hash IS the SPFA-fixpoint equivalence proof, as with Bellman-Ford.
+    """
+    e = _salted_edges(edges, src, dst, extra=(F.col(t).alias("t"),))
+    state = sources.select(
+        F.col("node").alias("s"), F.col("node"), F.lit(0).cast("long").alias("arr")
+    ).localCheckpoint(eager=True)
+    frontier = state
+    for _ in range(iters):
+        fr = _replicated(frontier)
+        cand = (
+            e.join(
+                fr,
+                (e["src"] == fr["node"])
+                & (e["_slt"] == fr["_slt"])
+                & (e["t"] >= fr["arr"]),
+            )
+            .select("s", F.col("dst").alias("node"), F.col("t").alias("arr"))
+            .groupBy("s", "node")
+            .agg(F.min("arr").cast("long").alias("arr"))
+        )
+        old = state.select("s", "node", F.col("arr").alias("old_arr"))
+        improved = (
+            cand.join(old, ["s", "node"], "left")
+            .filter(F.col("old_arr").isNull() | (F.col("arr") < F.col("old_arr")))
+            .select("s", "node", "arr")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        state = (
+            state.join(improved.select("s", "node"), ["s", "node"], "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    e.unpersist(False)
+    return state

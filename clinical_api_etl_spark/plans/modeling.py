@@ -2261,3 +2261,95 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-respecting reachability over the timestamped contact network.
+# ---------------------------------------------------------------------------
+
+_TR_ITERS = 4
+
+
+def _temporal_oracle() -> str:
+    """Unrolled full-relaxation twin of
+    operators/graph.py:temporal_earliest_arrival — each round admits an
+    edge only when its contact day is >= the current arrival at its
+    source. Every it{k} referenced twice -> MATERIALIZED."""
+    it = """
+    it{k} AS MATERIALIZED (
+      SELECT s, node, CAST(MIN(arr) AS BIGINT) AS arr FROM (
+        SELECT s, node, arr FROM it{p}
+        UNION ALL
+        SELECT r.s, e.dst AS node, e.t AS arr
+        FROM edges e JOIN it{p} r ON e.src = r.node AND e.t >= r.arr
+      ) u GROUP BY s, node
+    )"""
+    its = ",".join(it.format(k=k, p=k - 1) for k in range(1, _TR_ITERS + 1))
+    return f"""
+    WITH c0 AS MATERIALIZED (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst,
+             CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS t
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst, t FROM c0 UNION ALL SELECT dst AS src, src AS dst, t FROM c0
+    ),
+    it0 AS MATERIALIZED (
+      SELECT 's' || CAST(s_suppkey AS VARCHAR) AS s,
+             's' || CAST(s_suppkey AS VARCHAR) AS node, CAST(0 AS BIGINT) AS arr
+      FROM supplier WHERE s_suppkey < 8
+    ),
+    {its}
+    SELECT s AS source_node, node, arr AS earliest_day FROM it{_TR_ITERS}
+    """
+
+
+@QS.add(
+    "graph_temporal_reachability",
+    _temporal_oracle(),
+    doc="[EXT] TIME-RESPECTING reachability (temporal-graph earliest "
+    "arrival) from the 8-supplier probe set over the timestamped "
+    "contact network (each customer-supplier order is a contact on its "
+    "order day, symmetrized): a path is valid only if contact days "
+    "never decrease along it — the contagion / information-flow "
+    "semantics static reachability OVERSTATES (it routes through "
+    "contacts that happened before the node was reached). "
+    f"{_TR_ITERS} relaxation rounds; arrivals exact BIGINT epoch days, "
+    "so the 22nd hash-gated iterative. Operator is improved-frontier "
+    "(an earlier arrival at u can unlock earlier paths THROUGH u, so "
+    "improved rows re-enter the join and state rows are replaced — "
+    "the SPFA discipline); the oracle runs plain full relaxation and "
+    "meets the same fixpoint: the hash gate IS the equivalence proof, "
+    "as with Bellman-Ford. operators/graph.py:temporal_earliest_arrival.",
+    headline=True,
+    tags=("graph", "iterative", "temporal"),
+)
+def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.graph import temporal_earliest_arrival
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            F.expr("unix_millis(o_orderdate) div 86400000").alias("t"),
+        )
+        .distinct()
+    )
+    edges = c0.union(
+        c0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "t")
+    )
+    sources = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 8)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
+    )
+    st = temporal_earliest_arrival(edges, sources, iters=_TR_ITERS)
+    return st.select(
+        F.col("s").alias("source_node"), "node", F.col("arr").alias("earliest_day")
+    )

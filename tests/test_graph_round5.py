@@ -519,3 +519,48 @@ class TestSccComponents:
             .collect()
         }
         assert cond == {("a", "c"), ("c", "e")}
+
+
+class TestTemporalReachability:
+    def test_time_respecting_semantics_on_planted_contacts(self, spark):
+        from clinical_api_etl_spark.operators.graph import (
+            temporal_earliest_arrival,
+        )
+
+        # a-(day5)-b-(day3)-c : b is reached on day 5, but b's contact
+        # with c happened on day 3 — statically a reaches c, temporally
+        # it must NOT. d chains correctly: a-(5)-b-(7)-d.
+        contacts = [
+            ("a", "b", 5), ("b", "a", 5),
+            ("b", "c", 3), ("c", "b", 3),
+            ("b", "d", 7), ("d", "b", 7),
+        ]
+        e = spark.createDataFrame(contacts, "src string, dst string, t long")
+        src = spark.createDataFrame([("a",)], "node string")
+        got = {
+            r["node"]: r["arr"]
+            for r in temporal_earliest_arrival(e, src, iters=4).collect()
+        }
+        assert got == {"a": 0, "b": 5, "d": 7}  # c absent: unreachable
+
+    def test_improvement_unlocks_earlier_paths(self, spark):
+        from clinical_api_etl_spark.operators.graph import (
+            temporal_earliest_arrival,
+        )
+
+        # two routes to b: direct on day 9, or via m (day 1 then day 2).
+        # b improved 9 -> 2 must RE-ENTER the join and unlock b-(4)-z,
+        # which the day-9 arrival would have forbidden.
+        contacts = [
+            ("a", "b", 9), ("b", "a", 9),
+            ("a", "m", 1), ("m", "a", 1),
+            ("m", "b", 2), ("b", "m", 2),
+            ("b", "z", 4), ("z", "b", 4),
+        ]
+        e = spark.createDataFrame(contacts, "src string, dst string, t long")
+        src = spark.createDataFrame([("a",)], "node string")
+        got = {
+            r["node"]: r["arr"]
+            for r in temporal_earliest_arrival(e, src, iters=4).collect()
+        }
+        assert got == {"a": 0, "m": 1, "b": 2, "z": 4}
