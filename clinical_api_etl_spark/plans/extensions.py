@@ -2477,3 +2477,105 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+@QS.add(
+    "text_source_tv_distance",
+    f"""
+    WITH w AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest({_TOKS}) AS word FROM documents)
+      GROUP BY source, word
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM w GROUP BY source
+    ),
+    pairs AS (
+      -- SHARED words only; one-sided mass is closed-form (see miss)
+      SELECT a.source AS src_a, b.source AS src_b, a.word,
+             a.c AS ca, b.c AS cb
+      FROM w a JOIN w b ON a.word = b.word AND a.source < b.source
+    ),
+    folded AS (
+      SELECT p.src_a, p.src_b,
+             CAST(SUM(abs(p.ca * tb.t - p.cb * ta.t)) AS BIGINT) AS num,
+             MAX(ta.t) AS ta, MAX(tb.t) AS tb
+      FROM pairs p
+      JOIN tot ta ON ta.source = p.src_a
+      JOIN tot tb ON tb.source = p.src_b
+      GROUP BY p.src_a, p.src_b
+    ),
+    miss AS (
+      -- words present in exactly one side still contribute |p - 0|:
+      -- Σ_unshared ca·tb = (Ta − Σ_shared ca)·tb, likewise the other
+      -- side, so the full numerator needs only the SHARED join plus
+      -- per-pair shared-mass totals.
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(SUM(a.c) AS BIGINT) AS sh_a,
+             CAST(SUM(b.c) AS BIGINT) AS sh_b
+      FROM w a JOIN w b ON a.word = b.word AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT f.src_a, f.src_b, f.ta AS t_a, f.tb AS t_b,
+           CAST(f.num + (f.ta - m.sh_a) * f.tb + (f.tb - m.sh_b) * f.ta
+                AS BIGINT) AS tv_num,
+           CAST(f.num + (f.ta - m.sh_a) * f.tb + (f.tb - m.sh_b) * f.ta
+                AS DOUBLE) / CAST(2 * f.ta * f.tb AS DOUBLE) AS tv_distance
+    FROM folded f JOIN miss m ON m.src_a = f.src_a AND m.src_b = f.src_b
+    """,
+    doc="[EXT] pairwise TOTAL-VARIATION distance between source unigram "
+    "distributions: TV = ½ Σ_w |p_a(w) − p_b(w)| — the distributional "
+    "companion to text_source_overlap's set view (two sources can share "
+    "every word yet weight them oppositely), and the log-free "
+    "divergence (JS/KL need ln — unportable): the numerator is the "
+    "exact BIGINT cross-multiplication Σ|c_a·T_b − c_b·T_a| over "
+    "SHARED words plus closed-form one-sided mass (T−shared)·T_other, "
+    "one final division by 2·T_a·T_b. Joins ride the (source, word) "
+    "aggregate — vocabulary-scaled.",
+    tags=("text",),
+)
+def text_source_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    w = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = w.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
+    a = w.select(F.col("source").alias("src_a"), "word", F.col("c").alias("ca"))
+    b = w.select(F.col("source").alias("src_b"), "word", F.col("c").alias("cb"))
+    shared = a.join(b, "word").filter(F.col("src_a") < F.col("src_b"))
+    ta = tot.select(F.col("source").alias("src_a"), F.col("t").alias("ta"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("t").alias("tb"))
+    agg = (
+        shared.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta")))
+            .cast("long")
+            .alias("num"),
+            F.max("ta").cast("long").alias("ta"),
+            F.max("tb").cast("long").alias("tb"),
+            F.sum("ca").cast("long").alias("sh_a"),
+            F.sum("cb").cast("long").alias("sh_b"),
+        )
+    )
+    tv_num = (
+        F.col("num")
+        + (F.col("ta") - F.col("sh_a")) * F.col("tb")
+        + (F.col("tb") - F.col("sh_b")) * F.col("ta")
+    )
+    return agg.select(
+        "src_a",
+        "src_b",
+        F.col("ta").alias("t_a"),
+        F.col("tb").alias("t_b"),
+        tv_num.cast("long").alias("tv_num"),
+        (tv_num.cast("double") / (2 * F.col("ta") * F.col("tb")).cast("double")).alias(
+            "tv_distance"
+        ),
+    )
