@@ -1068,3 +1068,56 @@ class TestAssortativity:
         # Symmetrized edge list => x/y marginals identical.
         assert row.den_x == row.den_y
         assert -1.0 <= row.r <= 1.0
+
+
+class TestAcfDaily:
+    def test_matches_python_replay_on_synthetic_series(self, spark, tmp_path):
+        """Bitwise replay of the declared op sequence: n-scaled centered
+        values, pinned day-order folds, one division — incl. a gap day
+        that must pair with nothing."""
+        import datetime
+        import struct
+
+        from clinical_api_etl_spark.plans.inference import ts_acf_daily
+
+        base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        days = [0, 1, 2, 3, 5, 6, 7, 8, 9, 10]  # gap at day 4
+        vals = [10.25, 11.50, 9.75, 12.00, 8.25, 13.10, 10.00, 9.90, 12.35, 11.05]
+        rows = [
+            (i, base + datetime.timedelta(days=d), 1, "t0", v, None)
+            for i, (d, v) in enumerate(zip(days, vals))
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        d = tmp_path / "acf"
+        df.write.parquet(str(d / "events.parquet"))
+        got = {
+            (r["event_type"], r["lag"]): r
+            for r in ts_acf_daily(spark, str(d)).collect()
+        }
+
+        cents = [round(v * 100) for v in vals]
+        epoch = [
+            int((base + datetime.timedelta(days=dd)).timestamp() * 1000) // 86400000
+            for dd in days
+        ]
+        n, tot = len(cents), sum(cents)
+        c = [n * x - tot for x in cents]
+        den = 0.0
+        for ci in c:  # pinned day order
+            den += float(ci) * float(ci)
+        for k in range(1, 8):
+            num, pairs = 0.0, 0
+            for i in range(n - k):
+                if epoch[i + k] - epoch[i] == k:
+                    num += float(c[i]) * float(c[i + k])
+                    pairs += 1
+            if pairs == 0:
+                assert ("t0", k) not in got
+                continue
+            r = got[("t0", k)]
+            assert (r["n_days"], r["n_pairs"]) == (n, pairs)
+            assert struct.pack("<d", r["acf"]) == struct.pack("<d", num / den)

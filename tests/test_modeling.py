@@ -937,3 +937,34 @@ class TestBellmanFordBounded:
             for v, d in dist.items():
                 expect[(s0, v)] = d
         assert got == expect
+
+
+class TestBrierDecomposition:
+    def test_murphy_identity_and_exact_components(self, spark):
+        from clinical_api_etl_spark.plans.modeling import (
+            _knn_conf_bins,
+            eval_brier_decomposition,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        bins = {
+            r["conf_votes"]: (r["n"], r["n_correct"])
+            for r in _knn_conf_bins(spark, sf).collect()
+        }
+        row = eval_brier_decomposition(spark, sf).collect()[0]
+        n = sum(v[0] for v in bins.values())
+        c = sum(v[1] for v in bins.values())
+        brier_num = sum(
+            corr * (5 - v) ** 2 + (nb - corr) * v * v
+            for v, (nb, corr) in bins.items()
+        )
+        assert (row["n_total"], row["n_correct_total"], row["brier_num"]) == (
+            n, c, brier_num
+        )
+        # Murphy identity: Brier = REL - RES + UNC (different float trees,
+        # so equality is analytic, not bitwise)
+        assert abs(
+            row["brier"]
+            - (row["reliability"] - row["resolution"] + row["uncertainty"])
+        ) < 1e-12
+        assert 0.0 <= row["brier"] <= 1.0
