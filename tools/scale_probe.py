@@ -89,6 +89,11 @@ QUERIES = [
     # directions; the 10x copies each contain their own bowtie, so the
     # giant SCC count grows with copies but per-copy work is the law.
     "graph_scc_components",
+    # round-8 late: time-respecting earliest arrival (improved-frontier
+    # over timestamped contacts) and the WordPiece trainer (vocabulary-
+    # scaled like BPE — expect ~1x).
+    "graph_temporal_reachability",
+    "wordpiece_learn_merges",
 ]
 
 
