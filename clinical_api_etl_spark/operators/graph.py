@@ -1122,3 +1122,51 @@ def temporal_earliest_arrival(
         frontier = improved
     e.unpersist(False)
     return state
+
+
+def dag_layers(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    node: str = "scc_id",
+    src: str = "a",
+    dst: str = "b",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Longest-path (Kahn) layering of a DAG: ``(node, layer)`` where
+    ``layer`` = longest path length from any in-degree-0 source — the
+    stage schedule of a dependency graph. Peels in-degree-0 nodes per
+    round via a left-anti frontier; rounds are bounded by DAG depth.
+    State tables are checkpointed per round (they shrink monotonically).
+    Raises ``ValueError`` if nodes remain after ``max_rounds`` or after a
+    round with an empty frontier but nonempty remainder (a cycle —
+    callers feed condensations, which are acyclic by construction).
+    """
+    rem_nodes = nodes.select(F.col(node)).distinct().localCheckpoint(eager=True)
+    rem_edges = edges.select(src, dst).localCheckpoint(eager=True)
+    layers: list[DataFrame] = []
+    for layer in range(max_rounds):
+        dsts = rem_edges.select(F.col(dst).alias(node)).distinct()
+        frontier = rem_nodes.join(dsts, node, "left_anti").localCheckpoint(
+            eager=True
+        )
+        if frontier.isEmpty():
+            if not rem_nodes.isEmpty():
+                raise ValueError("dag_layers: cycle detected (empty frontier)")
+            break
+        layers.append(
+            frontier.select(node, F.lit(layer).cast("long").alias("layer"))
+        )
+        rem_nodes = rem_nodes.join(frontier, node, "left_anti").localCheckpoint(
+            eager=True
+        )
+        rem_edges = rem_edges.join(
+            frontier.select(F.col(node).alias(src)), src, "left_anti"
+        ).localCheckpoint(eager=True)
+    else:
+        if not rem_nodes.isEmpty():
+            raise ValueError("dag_layers: max_rounds exhausted")
+    out = layers[0]
+    for extra in layers[1:]:
+        out = out.unionByName(extra)
+    return out

@@ -3956,3 +3956,410 @@ def ts_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         (F.col("num") / F.col("den")).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage trend test: return probability vs quantity dose.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_cochran_armitage_trend",
+    """
+    WITH dose AS (
+      SELECT LEAST(4, (CAST(l_quantity AS BIGINT) - 1) // 10) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_i,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r_i
+      FROM lineitem GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+             CAST(SUM(r_i) AS BIGINT) AS r,
+             CAST(SUM(s * r_i) AS BIGINT) AS sr,
+             CAST(SUM(s * n_i) AS BIGINT) AS sn,
+             CAST(SUM(s * s * n_i) AS BIGINT) AS ssn,
+             CAST(COUNT(*) AS BIGINT) AS k_doses
+      FROM dose
+    )
+    SELECT n AS n_total, r AS n_returns, k_doses,
+           CAST(n * sr - r * sn AS BIGINT) AS t_num,
+           CAST(r * (n - r) AS BIGINT) AS d1,
+           CAST(n * ssn - sn * sn AS BIGINT) AS d2,
+           CASE WHEN r * (n - r) = 0 OR n * ssn - sn * sn = 0 THEN NULL
+                ELSE CAST(n * sr - r * sn AS DOUBLE)
+                     / sqrt(CAST(r * (n - r) AS DOUBLE)
+                            * CAST(n * ssn - sn * sn AS DOUBLE)
+                            / CAST(n AS DOUBLE))
+           END AS z_trend
+    FROM agg
+    """,
+    doc="[EXT] Cochran-Armitage trend test: does return probability "
+    "trend monotonically with ordered quantity dose (l_quantity decile "
+    "buckets 0..4, scores = bucket index)? Scaled statistic "
+    "T' = N*Sum(s_i r_i) - R*Sum(s_i n_i) and its variance "
+    "Var(T') = R(N-R)*(N*Sum(n_i s_i^2) - (Sum n_i s_i)^2)/N are exact "
+    "BIGINT compositions; Z = T'/sqrt(d1*d2/N) is one fixed IEEE tree "
+    "(each operand exactly double-convertible at bench scale -- "
+    "magnitudes < 2^53 documented in the builder). One scan, one 5-row "
+    "aggregate; the dose-trend screen an observational pipeline runs "
+    "before modeling.",
+    tags=("stats",),
+)
+def stat_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Magnitude audit for the exact-double conversions (sf0.1: |lineitem|
+    # ~ 6e5): t_num <= N*4*N ~ 1.4e12, d1 <= N^2/4 ~ 9e10,
+    # d2 <= N*16*N ~ 5.8e12 -- all far below 2^53, so CAST(... AS DOUBLE)
+    # is exact and the z tree is bit-identical across engines.
+    li = load(spark, sf_dir, "lineitem").select("l_quantity", "l_returnflag")
+    dose = li.select(
+        F.least(
+            F.lit(4), F.expr("(CAST(l_quantity AS BIGINT) - 1) div 10")
+        ).alias("s"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    ).groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum("ret").cast("long").alias("r_i"),
+    )
+    return cochran_armitage_from_dose(dose)
+
+
+def cochran_armitage_from_dose(dose: DataFrame) -> DataFrame:
+    """CA trend statistic from a (s, n_i, r_i) dose table (template shared
+    with the property gate — the EDF *_from_samples discipline)."""
+    agg = dose.agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum("r_i").cast("long").alias("r"),
+        F.sum(F.col("s") * F.col("r_i")).cast("long").alias("sr"),
+        F.sum(F.col("s") * F.col("n_i")).cast("long").alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n_i")).cast("long").alias("ssn"),
+        F.count(F.lit(1)).cast("long").alias("k_doses"),
+    )
+    t_num = F.col("n") * F.col("sr") - F.col("r") * F.col("sn")
+    d1 = F.col("r") * (F.col("n") - F.col("r"))
+    d2 = F.col("n") * F.col("ssn") - F.col("sn") * F.col("sn")
+    return agg.select(
+        F.col("n").alias("n_total"),
+        F.col("r").alias("n_returns"),
+        "k_doses",
+        t_num.cast("long").alias("t_num"),
+        d1.cast("long").alias("d1"),
+        d2.cast("long").alias("d2"),
+        F.when((d1 == 0) | (d2 == 0), F.lit(None).cast("double"))
+        .otherwise(
+            t_num.cast("double")
+            / F.sqrt(d1.cast("double") * d2.cast("double") / F.col("n").cast("double"))
+        )
+        .alias("z_trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mantel-Haenszel stratified odds ratio + CMH statistic.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_mantel_haenszel",
+    """
+    WITH cells AS (
+      SELECT o.o_orderpriority AS stratum,
+             CAST(SUM(CASE WHEN l.l_discount > 0.05
+                            AND l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN l.l_discount > 0.05
+                            AND l.l_returnflag <> 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN l.l_discount <= 0.05
+                            AND l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN l.l_discount <= 0.05
+                            AND l.l_returnflag <> 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1
+    ),
+    terms AS (
+      SELECT stratum, a, b, c, d, a + b + c + d AS n,
+             CAST(a * d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE) AS ad_n,
+             CAST(b * c AS DOUBLE) / CAST(a + b + c + d AS DOUBLE) AS bc_n,
+             CAST((a + b) * (a + c) AS DOUBLE)
+               / CAST(a + b + c + d AS DOUBLE) AS e_a,
+             (CAST((a + b) * (c + d) AS DOUBLE)
+                / CAST((a + b + c + d) * (a + b + c + d - 1) AS DOUBLE))
+             * (CAST((a + c) * (b + d) AS DOUBLE)
+                / CAST(a + b + c + d AS DOUBLE)) AS v_a
+      FROM cells
+    ),
+    folded AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k_strata,
+             CAST(SUM(a) AS BIGINT) AS sum_a,
+             list_reduce(list_prepend(0.0e0,
+               list(ad_n ORDER BY stratum)), (x, y) -> x + y) AS sum_ad_n,
+             list_reduce(list_prepend(0.0e0,
+               list(bc_n ORDER BY stratum)), (x, y) -> x + y) AS sum_bc_n,
+             list_reduce(list_prepend(0.0e0,
+               list(e_a ORDER BY stratum)), (x, y) -> x + y) AS sum_e_a,
+             list_reduce(list_prepend(0.0e0,
+               list(v_a ORDER BY stratum)), (x, y) -> x + y) AS sum_v_a
+      FROM terms
+    )
+    SELECT k_strata, sum_a, sum_ad_n, sum_bc_n, sum_e_a, sum_v_a,
+           CASE WHEN sum_bc_n = 0e0 THEN NULL
+                ELSE sum_ad_n / sum_bc_n END AS or_mh,
+           CASE WHEN sum_v_a = 0e0 THEN NULL
+                ELSE (CAST(sum_a AS DOUBLE) - sum_e_a)
+                     * (CAST(sum_a AS DOUBLE) - sum_e_a) / sum_v_a
+           END AS cmh_chi2
+    FROM folded
+    """,
+    doc="[EXT] Mantel-Haenszel stratified 2x2 analysis: exposure = "
+    "deep discount (l_discount > 0.05), outcome = returned, strata = "
+    "order priority. OR_MH = Sum(a_i d_i/n_i)/Sum(b_i c_i/n_i) and the "
+    "CMH chi-square (Sum a - Sum E)^2/Sum V, with E_i=(a+b)(a+c)/n and "
+    "V_i restructured as ((a+b)(c+d)/(n(n-1)))*((a+c)(b+d)/n) so every "
+    "operand is an exact-double BIGINT product (< 2^53; the naive "
+    "4-factor numerator overflows BIGINT). Per-stratum terms are single "
+    "divisions over exact counts; the cross-stratum sums are pinned-"
+    "order folds keyed by stratum -- bit-identical both engines. The "
+    "confounding-aware effect estimate next to stat_stratified_ate.",
+    tags=("stats", "causal"),
+)
+def stat_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_discount", "l_returnflag"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    exp = F.col("l_discount") > 0.05
+    ret = F.col("l_returnflag") == "R"
+    cells = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("o_orderpriority").alias("stratum"))
+        .agg(
+            F.sum(F.when(exp & ret, 1).otherwise(0)).cast("long").alias("a"),
+            F.sum(F.when(exp & ~ret, 1).otherwise(0)).cast("long").alias("b"),
+            F.sum(F.when(~exp & ret, 1).otherwise(0)).cast("long").alias("c"),
+            F.sum(F.when(~exp & ~ret, 1).otherwise(0)).cast("long").alias("d"),
+        )
+    )
+    return mantel_haenszel_from_cells(cells)
+
+
+def mantel_haenszel_from_cells(cells: DataFrame) -> DataFrame:
+    """MH estimator from a (stratum, a, b, c, d) 2x2 table (template
+    shared with the Simpson's-paradox property test)."""
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    terms = cells.select(
+        "stratum",
+        "a",
+        (F.col("a") * F.col("d")).cast("double").alias("adx"),
+        (F.col("b") * F.col("c")).cast("double").alias("bcx"),
+        n.cast("double").alias("nd"),
+        ((F.col("a") + F.col("b")) * (F.col("a") + F.col("c")))
+        .cast("double")
+        .alias("e_num"),
+        ((F.col("a") + F.col("b")) * (F.col("c") + F.col("d")))
+        .cast("double")
+        .alias("v1"),
+        (n * (n - 1)).cast("double").alias("v2"),
+        ((F.col("a") + F.col("c")) * (F.col("b") + F.col("d")))
+        .cast("double")
+        .alias("v3"),
+    ).select(
+        "stratum",
+        "a",
+        (F.col("adx") / F.col("nd")).alias("ad_n"),
+        (F.col("bcx") / F.col("nd")).alias("bc_n"),
+        (F.col("e_num") / F.col("nd")).alias("e_a"),
+        ((F.col("v1") / F.col("v2")) * (F.col("v3") / F.col("nd"))).alias("v_a"),
+    )
+
+    def fold(col: str) -> F.Column:
+        return F.aggregate(
+            F.sort_array(F.collect_list(F.struct("stratum", F.col(col).alias("t")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        )
+
+    folded = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k_strata"),
+        F.sum("a").cast("long").alias("sum_a"),
+        fold("ad_n").alias("sum_ad_n"),
+        fold("bc_n").alias("sum_bc_n"),
+        fold("e_a").alias("sum_e_a"),
+        fold("v_a").alias("sum_v_a"),
+    )
+    diff = F.col("sum_a").cast("double") - F.col("sum_e_a")
+    return folded.select(
+        "k_strata",
+        "sum_a",
+        "sum_ad_n",
+        "sum_bc_n",
+        "sum_e_a",
+        "sum_v_a",
+        F.when(F.col("sum_bc_n") == 0.0, F.lit(None).cast("double"))
+        .otherwise(F.col("sum_ad_n") / F.col("sum_bc_n"))
+        .alias("or_mh"),
+        F.when(F.col("sum_v_a") == 0.0, F.lit(None).cast("double"))
+        .otherwise(diff * diff / F.col("sum_v_a"))
+        .alias("cmh_chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal Mann-Kendall (Hirsch-Slack) on the daily revenue series.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_seasonal_mannkendall",
+    f"""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // {_DAY_MS} AS d,
+             (epoch_ms(ts) // {_DAY_MS}) % 7 AS season,
+             CAST(SUM({_CENTS}) AS BIGINT) AS s
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, d
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CASE WHEN b.s > a.s THEN 1 WHEN b.s < a.s THEN -1 ELSE 0 END AS sg
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.season = b.season AND a.d < b.d
+    ),
+    svar AS (
+      SELECT event_type, season, CAST(COUNT(*) AS BIGINT) AS n
+      FROM daily GROUP BY event_type, season
+    ),
+    ties AS (
+      SELECT event_type, season, s, CAST(COUNT(*) AS BIGINT) AS t
+      FROM daily GROUP BY event_type, season, s
+      HAVING COUNT(*) > 1
+    ),
+    v18 AS (
+      SELECT sv.event_type,
+             CAST(SUM(sv.n * (sv.n - 1) * (2 * sv.n + 5)) AS BIGINT)
+               - CAST(COALESCE((SELECT SUM(t.t * (t.t - 1) * (2 * t.t + 5))
+                                FROM ties t
+                                WHERE t.event_type = sv.event_type), 0)
+                      AS BIGINT) AS var18
+      FROM svar sv GROUP BY sv.event_type
+    ),
+    stat AS (
+      SELECT event_type, CAST(SUM(sg) AS BIGINT) AS s_stat
+      FROM pairs GROUP BY event_type
+    ),
+    nd AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY event_type
+    )
+    SELECT nd.event_type, nd.n_days, stat.s_stat, v18.var18,
+           CASE WHEN v18.var18 = 0 THEN NULL
+                WHEN stat.s_stat > 0 THEN
+                  CAST(stat.s_stat - 1 AS DOUBLE)
+                  / sqrt(CAST(v18.var18 AS DOUBLE) / 18e0)
+                WHEN stat.s_stat < 0 THEN
+                  CAST(stat.s_stat + 1 AS DOUBLE)
+                  / sqrt(CAST(v18.var18 AS DOUBLE) / 18e0)
+                ELSE 0e0 END AS z_sk
+    FROM nd JOIN stat ON nd.event_type = stat.event_type
+    JOIN v18 ON nd.event_type = v18.event_type
+    """,
+    doc="[EXT] seasonal Mann-Kendall trend test (Hirsch-Slack): the "
+    "pairwise sign statistic computed WITHIN each weekday season of the "
+    "daily revenue series and summed -- the trend screen that is immune "
+    "to weekly seasonality, which inflates the plain MK statistic with "
+    "spurious cross-weekday comparisons. S and the tie-corrected "
+    "variance (x18 to stay integer: Sum n(n-1)(2n+5) - Sum_ties "
+    "t(t-1)(2t+5)) are exact BIGINTs; Z applies the continuity "
+    "correction through one fixed tree (division after sqrt(var18/18), "
+    "identical on both engines). Pairs are quadratic in DAYS-PER-SEASON "
+    "(calendar-bounded, ~52 per weekday-year), never in events -- the "
+    "same cost law as stat_mannkendall_trend.",
+    tags=("stats", "timeseries"),
+)
+def stat_seasonal_mannkendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_millis(ts) div {_DAY_MS}").alias("d"),
+            _cents().alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").cast("long").alias("s"))
+        .withColumn("season", F.col("d") % 7)
+    )
+    return seasonal_mk_from_daily(daily)
+
+
+def seasonal_mk_from_daily(daily: DataFrame) -> DataFrame:
+    """Seasonal MK from a (event_type, d, season, s) daily table
+    (template shared with the planted-seasonality property test)."""
+    daily = daily.coalesce(8).persist()
+    a = daily.select(
+        "event_type", F.col("season").alias("se_a"), F.col("d").alias("da"),
+        F.col("s").alias("sa"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"), F.col("season").alias("se_b"),
+        F.col("d").alias("db"), F.col("s").alias("sb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("event_type") == F.col("et_b"))
+        & (F.col("se_a") == F.col("se_b"))
+        & (F.col("da") < F.col("db")),
+    ).select(
+        "event_type",
+        F.when(F.col("sb") > F.col("sa"), 1)
+        .when(F.col("sb") < F.col("sa"), -1)
+        .otherwise(0)
+        .alias("sg"),
+    )
+    stat = pairs.groupBy("event_type").agg(F.sum("sg").cast("long").alias("s_stat"))
+    svar = daily.groupBy("event_type", "season").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    nvar = svar.groupBy("event_type").agg(
+        F.sum(F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5))
+        .cast("long")
+        .alias("v_n")
+    )
+    ties = (
+        daily.groupBy("event_type", "season", "s")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("long")
+            .alias("v_t")
+        )
+    )
+    nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    j = (
+        nd.join(stat, "event_type")
+        .join(nvar, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            (F.col("v_n") - F.coalesce(F.col("v_t"), F.lit(0)))
+            .cast("long")
+            .alias("var18"),
+        )
+    )
+    sd = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    return j.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        "var18",
+        F.when(F.col("var18") == 0, F.lit(None).cast("double"))
+        .when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double") / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+        .alias("z_sk"),
+    )

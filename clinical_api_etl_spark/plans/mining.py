@@ -2832,3 +2832,89 @@ def ml_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("mean_silhouette"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Topological layering of the SCC condensation DAG (Kahn longest-path).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "graph_condensation_layers",
+    f"""
+    WITH RECURSIVE {_DIRECTED_EDGES_SQL},
+    {_SCC_LABEL_CTES},
+    cond AS MATERIALIZED (
+      SELECT DISTINCT sa.scc_id AS a, sb.scc_id AS b
+      FROM d_edges e
+      JOIN scc sa ON sa.node = e.src
+      JOIN scc sb ON sb.node = e.dst
+      WHERE sa.scc_id <> sb.scc_id
+    ),
+    comps AS MATERIALIZED (SELECT DISTINCT scc_id FROM scc),
+    rl(n, d) AS (
+      SELECT scc_id, CAST(0 AS BIGINT) FROM comps
+      WHERE scc_id NOT IN (SELECT b FROM cond)
+      UNION
+      SELECT e.b, rl.d + 1 FROM rl JOIN cond e ON e.a = rl.n
+      WHERE rl.d < 64
+    ),
+    lay AS (
+      SELECT n AS scc_id, CAST(MAX(d) AS BIGINT) AS layer FROM rl GROUP BY n
+    ),
+    sizes AS (
+      SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM scc GROUP BY scc_id
+    )
+    SELECT s.scc_id, s.n_nodes, l.layer
+    FROM sizes s JOIN lay l ON l.scc_id = s.scc_id
+    """,
+    doc="[EXT] topological layering of the SCC condensation DAG: each "
+    "component's layer = its longest path length from any source "
+    "component (Kahn peel round: in-degree-0 components are layer 0, "
+    "remove and repeat) — the stage schedule a pipeline scheduler or "
+    "cycle-collapsed dependency analysis derives from a directed "
+    "graph. Spark side reuses scc_components (FW-BW + trimming) and "
+    "peels the TINY condensation iteratively (left-anti frontier per "
+    "round, bounded by DAG depth, each round's state checkpointed); "
+    "the oracle recomputes the identical canonical labels from the "
+    "UNION-distinct closure and layers them with a recursive CTE "
+    "(UNION-distinct on (node, depth) pairs — terminates because the "
+    "condensation is acyclic BY CONSTRUCTION; depth guard 64). "
+    "Layer values are algorithm-independent, so the 23rd hash-gated "
+    "iterative composes two iterative algorithms under one hash.",
+    tags=("graph", "iterative"),
+)
+def graph_condensation_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.graph import dag_layers, scc_components
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    odd = F.col("o_orderkey") % 2 == 1
+    c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.when(odd, c).otherwise(s).alias("src"),
+            F.when(odd, s).otherwise(c).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = scc_components(e0).localCheckpoint(eager=True)
+    la = labels.select(F.col("node").alias("src"), F.col("scc_id").alias("a"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("scc_id").alias("b"))
+    rem_edges = (
+        e0.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = labels.groupBy("scc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    out = dag_layers(labels.select("scc_id"), rem_edges)
+    return sizes.join(out, "scc_id").select("scc_id", "n_nodes", "layer")

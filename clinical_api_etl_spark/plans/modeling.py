@@ -2353,3 +2353,117 @@ def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.select(
         F.col("s").alias("source_node"), "node", F.col("arr").alias("earliest_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lift / cumulative-gains deciles for the n_chars score (campaign-targeting
+# diagnostic for the same single-feature classifier ml_auc_nchars_lang
+# evaluates globally).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "ml_lift_gains_deciles",
+    """
+    WITH hist AS (
+      SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY n_chars
+    ),
+    walk AS (
+      SELECT v, CAST(COALESCE(SUM(cnt) OVER (ORDER BY v DESC ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_prev
+      FROM hist
+    ),
+    scal AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS p
+      FROM documents
+    ),
+    rows_ AS (
+      SELECT d.doc_id, d.lang,
+             w.cum_prev + ROW_NUMBER() OVER (PARTITION BY d.n_chars
+                                             ORDER BY d.doc_id) AS rnk
+      FROM documents d JOIN walk w ON w.v = d.n_chars
+    ),
+    dec AS (
+      SELECT ((rnk - 1) * 10) // scal.n AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_d,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS pos_d
+      FROM rows_, scal GROUP BY 1, scal.n
+    )
+    SELECT decile, n_d, pos_d,
+           CAST(SUM(pos_d) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+           CAST(pos_d * scal.n AS DOUBLE)
+             / CAST(n_d * scal.p AS DOUBLE) AS lift,
+           CAST(SUM(pos_d) OVER (ORDER BY decile) AS DOUBLE)
+             / CAST(scal.p AS DOUBLE) AS cum_gain
+    FROM dec, scal
+    """,
+    doc="[EXT] lift and cumulative-gains table by score decile: rank "
+    "documents by n_chars descending (ties pinned by doc_id), split "
+    "into 10 equal-population deciles via ((rank-1)*10) div N (explicit "
+    "floor-div, never NTILE -- identical bucketing both engines), and "
+    "report per-decile positive capture. lift_d = (pos_d*N)/(n_d*P) "
+    "and cum_gain = cum_pos/P are single divisions over exact BIGINT "
+    "products. The global rank never materializes per row: the "
+    "DESC-ordered cumulative walk runs on the n_chars VALUE HISTOGRAM "
+    "(ml_auc_nchars_lang's bounded-domain law) and each row's rank is "
+    "cum_prev(v) + row_number within its value block (partitioned "
+    "window); the only other global window orders the 10 decile rows.",
+    tags=("ml",),
+)
+def ml_lift_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    hist = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_prev = W.orderBy(F.desc("v")).rowsBetween(W.unboundedPreceding, -1)
+    walk = hist.select(
+        "v",
+        F.coalesce(F.sum("cnt").over(w_prev), F.lit(0)).cast("long").alias("cum_prev"),
+    )
+    scal = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("p"),
+    )
+    w_blk = W.partitionBy("n_chars").orderBy("doc_id")
+    rows_ = (
+        docs.join(F.broadcast(walk), docs["n_chars"] == walk["v"])
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (F.col("cum_prev") + F.row_number().over(w_blk)).alias("rnk"),
+        )
+    )
+    dec = (
+        rows_.crossJoin(F.broadcast(scal))
+        .select(
+            F.expr("((rnk - 1) * 10) div n").alias("decile"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_d"),
+            F.sum("pos").cast("long").alias("pos_d"),
+        )
+    )
+    w_cum = W.orderBy("decile")
+    return dec.crossJoin(F.broadcast(scal)).select(
+        "decile",
+        "n_d",
+        "pos_d",
+        F.sum("pos_d").over(w_cum).cast("long").alias("cum_pos"),
+        (
+            (F.col("pos_d") * F.col("n")).cast("double")
+            / (F.col("n_d") * F.col("p")).cast("double")
+        ).alias("lift"),
+        (
+            F.sum("pos_d").over(w_cum).cast("double") / F.col("p").cast("double")
+        ).alias("cum_gain"),
+    )

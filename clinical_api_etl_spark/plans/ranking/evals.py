@@ -1886,3 +1886,216 @@ def privacy_recursive_cl_diversity(spark: SparkSession, sf_dir: str) -> DataFram
         (r1 < 3 * tail2).alias("ok_c3_l2"),
         (r1 < 3 * tail3).alias("ok_c3_l3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa over the NB confusion matrix (chance-corrected accuracy).
+# ---------------------------------------------------------------------------
+
+#: Same composed-oracle discipline as ml_mcc_multiclass: the registered
+#: NB oracle is the CTE, so classifier and metric can never drift.
+_KAPPA_ORACLE = """
+    WITH conf AS MATERIALIZED (
+      {nb}
+    ),
+    cls AS (
+      SELECT cls, CAST(COALESCE(SUM(t_n), 0) AS BIGINT) AS t_k,
+             CAST(COALESCE(SUM(p_n), 0) AS BIGINT) AS p_k
+      FROM (
+        SELECT actual AS cls, n AS t_n, NULL AS p_n FROM conf
+        UNION ALL
+        SELECT predicted AS cls, NULL AS t_n, n AS p_n FROM conf
+      ) m GROUP BY cls
+    ),
+    scal AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS s,
+             CAST(SUM(CASE WHEN actual = predicted THEN n ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM conf
+    ),
+    sums AS (
+      SELECT CAST(SUM(p_k * t_k) AS BIGINT) AS ptsum FROM cls
+    )
+    SELECT scal.s AS n_total, scal.c AS n_correct,
+           CAST(scal.s * scal.c - sums.ptsum AS BIGINT) AS kappa_num,
+           CAST(scal.s * scal.s - sums.ptsum AS BIGINT) AS kappa_den,
+           CASE WHEN scal.s * scal.s - sums.ptsum = 0 THEN NULL
+                ELSE CAST(scal.s * scal.c - sums.ptsum AS DOUBLE)
+                     / CAST(scal.s * scal.s - sums.ptsum AS DOUBLE)
+           END AS kappa
+    FROM scal, sums
+"""
+
+
+@QS.add(
+    "ml_cohen_kappa",
+    _KAPPA_ORACLE.format(nb=QS.queries["ml_naive_bayes_lang"].oracle),
+    doc="[EXT] Cohen's kappa of the Naive Bayes classifier -- "
+    "chance-corrected agreement between predicted and actual labels: "
+    "kappa = (s*c - Sum p_k t_k) / (s^2 - Sum p_k t_k), the multiply-"
+    "through-by-s^2 form where observed agreement c/s and expected "
+    "agreement Sum(p_k t_k)/s^2 share a denominator, so numerator and "
+    "denominator are exact BIGINTs and kappa is ONE division. The "
+    "complement to ml_mcc_multiclass: kappa penalizes marginal-"
+    "distribution luck, MCC penalizes per-class imbalance -- a model "
+    "card reports both. Oracle embeds the REGISTERED NB oracle as a "
+    "CTE (composition discipline).",
+    tags=("ml", "stats"),
+)
+def ml_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    conf = ml_naive_bayes_lang(spark, sf_dir).localCheckpoint(eager=True)
+    t_k = conf.groupBy(F.col("actual").alias("cls")).agg(
+        F.sum("n").cast("long").alias("t_k")
+    )
+    p_k = conf.groupBy(F.col("predicted").alias("cls")).agg(
+        F.sum("n").cast("long").alias("p_k")
+    )
+    cls = t_k.join(p_k, "cls", "full_outer").select(
+        "cls",
+        F.coalesce("t_k", F.lit(0)).cast("long").alias("t_k"),
+        F.coalesce("p_k", F.lit(0)).cast("long").alias("p_k"),
+    )
+    scal = conf.agg(
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.when(F.col("actual") == F.col("predicted"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    sums = cls.agg(F.sum(F.col("p_k") * F.col("t_k")).cast("long").alias("ptsum"))
+    j = scal.crossJoin(F.broadcast(sums))
+    num = F.col("s") * F.col("c") - F.col("ptsum")
+    den = F.col("s") * F.col("s") - F.col("ptsum")
+    return j.select(
+        F.col("s").alias("n_total"),
+        F.col("c").alias("n_correct"),
+        num.cast("long").alias("kappa_num"),
+        den.cast("long").alias("kappa_den"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Average precision per query (AP / MAP building block) for the
+# quantized-impact ranking, relevance = true (exact dot-product) top-5.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "eval_average_precision",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM t GROUP BY doc_id, tok),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+    idf AS (SELECT tok,
+                   CAST(1 AS BIGINT) << (length(bin(n.n_docs // CAST(COUNT(*) AS BIGINT))) - 1)
+                     AS impact
+            FROM tf CROSS JOIN n GROUP BY tok, n.n_docs),
+    q AS (SELECT doc_id AS q_id, tok, c AS qc FROM tf
+          WHERE doc_id < {_N_QUERY_DOCS}),
+    s AS (SELECT q.q_id, tf.doc_id,
+                 CAST(SUM(tf.c * q.qc) AS BIGINT) AS rel,
+                 CAST(SUM(tf.c * idf.impact) AS BIGINT) AS iscore
+          FROM tf JOIN q USING (tok) JOIN idf ON tf.tok = idf.tok
+          WHERE tf.doc_id <> q.q_id
+          GROUP BY q.q_id, tf.doc_id),
+    ranked AS (
+      SELECT q_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY iscore DESC, doc_id) AS sys_rnk,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY rel DESC, doc_id) AS ideal_rnk
+      FROM s
+    ),
+    walk AS (
+      SELECT q_id, sys_rnk, ideal_rnk,
+             CAST(SUM(CASE WHEN ideal_rnk <= 5 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY q_id ORDER BY sys_rnk) AS BIGINT) AS cum
+      FROM ranked
+    ),
+    terms AS (
+      SELECT q_id, sys_rnk,
+             CAST(cum AS DOUBLE) / CAST(sys_rnk AS DOUBLE) AS term
+      FROM walk WHERE ideal_rnk <= 5
+    )
+    SELECT q_id,
+           CAST(MAX(sys_rnk) AS BIGINT) AS last_rel_rank,
+           list_reduce(list_prepend(0.0e0, list(term ORDER BY sys_rnk)),
+                       (x, y) -> x + y) / 5e0 AS ap
+    FROM terms GROUP BY q_id
+    """,
+    doc="[EXT] average precision per query of the quantized-impact "
+    "ranking, relevance = membership in the exact dot-product top-5 "
+    "(same setup as eval_retrieval_ndcg): AP = (1/5) * "
+    "Sum_{{relevant at system rank k}} cum_rel(k)/k. Each precision "
+    "term is ONE division of exact BIGINTs (cumulative relevant count "
+    "over rank), summed in pinned ascending-rank order -- bit-identical "
+    "both engines. The rank-sensitive retrieval metric that, unlike "
+    "NDCG@5, rewards putting ALL relevant docs early, not just the "
+    "cut; windows are per-query partitions, never global.",
+    tags=("text", "retrieval", "ml"),
+)
+def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = _tf(spark, sf_dir).coalesce(8).persist()
+    n = tf.agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = (
+        df_t.crossJoin(F.broadcast(n))
+        .withColumn("m", F.expr("n_docs div df"))
+        .withColumn(
+            "e", F.length(F.conv(F.col("m").cast("string"), 10, 2)) - F.lit(1)
+        )
+        .select(
+            "tok",
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(e AS INT)) AS BIGINT)")
+            .alias("impact"),
+        )
+    )
+    q = tf.filter(F.col("doc_id") < _N_QUERY_DOCS).select(
+        F.col("doc_id").alias("q_id"), "tok", F.col("c").alias("qc")
+    )
+    s = (
+        tf.join(F.broadcast(q), "tok")
+        .join(F.broadcast(idf), "tok")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("qc")).cast("long").alias("rel"),
+            F.sum(F.col("c") * F.col("impact")).cast("long").alias("iscore"),
+        )
+    )
+    w_sys = Window.partitionBy("q_id").orderBy(F.desc("iscore"), F.asc("doc_id"))
+    w_ideal = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("doc_id"))
+    ranked = s.select(
+        "q_id",
+        F.row_number().over(w_sys).alias("sys_rnk"),
+        F.row_number().over(w_ideal).alias("ideal_rnk"),
+    )
+    w_cum = Window.partitionBy("q_id").orderBy("sys_rnk")
+    walk = ranked.select(
+        "q_id",
+        "sys_rnk",
+        "ideal_rnk",
+        F.sum(F.when(F.col("ideal_rnk") <= 5, 1).otherwise(0))
+        .over(w_cum)
+        .cast("long")
+        .alias("cum"),
+    )
+    terms = walk.filter(F.col("ideal_rnk") <= 5).select(
+        "q_id",
+        "sys_rnk",
+        (F.col("cum").cast("double") / F.col("sys_rnk").cast("double")).alias("term"),
+    )
+    return terms.groupBy("q_id").agg(
+        F.max("sys_rnk").cast("long").alias("last_rel_rank"),
+        (
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("sys_rnk", "term"))),
+                F.lit(0.0),
+                lambda acc, s_: acc + s_["term"],
+            )
+            / F.lit(5.0)
+        ).alias("ap"),
+    )

@@ -1000,3 +1000,150 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient ladder over the co-purchase graph.
+# ---------------------------------------------------------------------------
+
+#: Degree thresholds for the rich-club ladder. A literal ladder (not
+#: percentile-derived) so the output schema is stable across scale
+#: factors; thresholds are powers of two covering the observed degree
+#: range at every SF.
+_RC_KS = (1, 2, 4, 8, 16, 32)
+
+
+@QS.add(
+    "graph_rich_club",
+    "WITH "
+    + ",\n".join(_lpa_ctes(0)[:2])
+    + f""",
+    deg AS MATERIALIZED (
+      SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM sym GROUP BY u),
+    ks AS (SELECT unnest(ARRAY{list(_RC_KS)}) AS k),
+    nk AS (
+      SELECT ks.k, CAST(COUNT(deg.node) AS BIGINT) AS n_k
+      FROM ks LEFT JOIN deg ON deg.d > ks.k GROUP BY ks.k),
+    ek AS (
+      SELECT ks.k, CAST(COUNT(ed.dju) AS BIGINT) AS e_k
+      FROM ks LEFT JOIN (
+        SELECT du.d AS dju, dv.d AS djv
+        FROM e0 JOIN deg du ON e0.u = du.node
+                JOIN deg dv ON e0.v = dv.node
+      ) ed ON ed.dju > ks.k AND ed.djv > ks.k
+      GROUP BY ks.k)
+    SELECT nk.k, nk.n_k, ek.e_k,
+           CASE WHEN nk.n_k < 2 THEN NULL
+                ELSE CAST(2 * ek.e_k AS DOUBLE)
+                     / CAST(nk.n_k * (nk.n_k - 1) AS DOUBLE)
+           END AS phi
+    FROM nk JOIN ek ON nk.k = ek.k
+    """,
+    doc="[EXT] rich-club coefficient ladder (Zhou-Mondragon): for each "
+    "degree threshold k, phi(k) = 2*E_k / (N_k*(N_k-1)) where N_k "
+    "counts nodes of degree > k and E_k the undirected edges with BOTH "
+    "endpoints above threshold — does the high-degree elite form a "
+    "densely wired club? Pure BIGINT counts + ONE division per ladder "
+    "rung (NULL below 2 club members, never NaN); a literal power-of-"
+    "two ladder keeps the schema scale-stable. One degree aggregate + "
+    "one edges⋈degrees join feed every rung (the ladder is a 6-row "
+    "broadcast); complements graph_degree_assortativity, which "
+    "summarizes the same correlation in one number.",
+    tags=("graph", "stats"),
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e0, sym = _lp_graph(spark, sf_dir)
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    ).coalesce(8).persist()
+    ks = e0.sparkSession.createDataFrame([(k,) for k in _RC_KS], "k int")
+    nk = (
+        ks.join(deg, deg["d"] > ks["k"], "left")
+        .groupBy("k")
+        .agg(F.count(F.col("node")).cast("long").alias("n_k"))
+    )
+    ed = (
+        e0.join(deg.select(F.col("node").alias("u"), F.col("d").alias("dju")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("djv")), "v")
+        .select("dju", "djv")
+    )
+    ek = (
+        ks.join(ed, (ed["dju"] > ks["k"]) & (ed["djv"] > ks["k"]), "left")
+        .groupBy("k")
+        .agg(F.count(F.col("dju")).cast("long").alias("e_k"))
+    )
+    j = nk.join(ek, "k")
+    return j.select(
+        F.col("k").cast("int").alias("k"),
+        "n_k",
+        "e_k",
+        F.when(F.col("n_k") < 2, F.lit(None).cast("double"))
+        .otherwise(
+            (2 * F.col("e_k")).cast("double")
+            / (F.col("n_k") * (F.col("n_k") - 1)).cast("double")
+        )
+        .alias("phi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Average neighbor degree by degree class (the knn(k) curve).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "graph_avg_neighbor_degree",
+    "WITH "
+    + ",\n".join(_lpa_ctes(0)[:2])
+    + """,
+    deg AS MATERIALIZED (
+      SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM sym GROUP BY u),
+    ed AS (
+      SELECT du.d AS j, dv.d AS k
+      FROM sym s JOIN deg du ON s.u = du.node
+                 JOIN deg dv ON s.v = dv.node),
+    byj AS (
+      SELECT j, CAST(SUM(k) AS BIGINT) AS sum_nbr_deg FROM ed GROUP BY j),
+    nj AS (
+      SELECT d AS j, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM deg GROUP BY d)
+    SELECT nj.j AS degree, nj.n_nodes, byj.sum_nbr_deg,
+           CAST(byj.sum_nbr_deg AS DOUBLE)
+             / CAST(nj.j * nj.n_nodes AS DOUBLE) AS knn
+    FROM nj JOIN byj ON nj.j = byj.j
+    """,
+    doc="[EXT] average-neighbor-degree curve knn(k) (Pastor-Satorras "
+    "degree-correlation function): for each degree class k, the mean "
+    "degree of the neighbors of degree-k nodes = Sum(deg(v) over edges "
+    "with deg(u)=k) / (k * N_k) — exact BIGINT sums from one "
+    "sym⋈deg⋈deg join, ONE division per class. The full curve behind "
+    "graph_degree_assortativity's single r (rising knn = assortative, "
+    "falling = hub-and-spoke) and the standard diagnostic plot for "
+    "whether EDGE_SALT matters at a given scale.",
+    tags=("graph", "stats"),
+)
+def graph_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _e0, sym = _lp_graph(spark, sf_dir)
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    ).coalesce(8).persist()
+    ed = (
+        sym.join(deg.select(F.col("node").alias("u"), F.col("d").alias("j")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("k")), "v")
+        .select("j", "k")
+    )
+    byj = ed.groupBy("j").agg(F.sum("k").cast("long").alias("sum_nbr_deg"))
+    nj = deg.groupBy(F.col("d").alias("j")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    return nj.join(byj, "j").select(
+        F.col("j").alias("degree"),
+        "n_nodes",
+        "sum_nbr_deg",
+        (
+            F.col("sum_nbr_deg").cast("double")
+            / (F.col("j") * F.col("n_nodes")).cast("double")
+        ).alias("knn"),
+    )

@@ -1,0 +1,375 @@
+"""Round-15 additions: python replays + planted-structure tests for the
+new stats (Cochran-Armitage, Mantel-Haenszel, seasonal Mann-Kendall),
+ML evals (Cohen's kappa, average precision, lift/gains deciles), graph
+topology (rich club, knn(k) curve, condensation DAG layers).
+
+Same discipline as test_inference.py: integer components must match a
+pure-python recomputation from the raw sf0.001 parquet to the bit; float
+finishes to IEEE equality (they are single divisions / fixed trees over
+exactly-converted ints)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+_DAY_MS = 86_400_000
+
+
+@pytest.fixture(scope="module")
+def li_pdf():
+    return pd.read_parquet(f"{SF}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def orders_pdf():
+    return pd.read_parquet(f"{SF}/orders.parquet")
+
+
+class TestCochranArmitage:
+    def test_matches_python_replay(self, spark, li_pdf):
+        from clinical_api_etl_spark.plans.inference import (
+            stat_cochran_armitage_trend,
+        )
+
+        row = stat_cochran_armitage_trend(spark, SF).collect()[0]
+        dose = {}
+        for q, rf in zip(li_pdf["l_quantity"], li_pdf["l_returnflag"]):
+            s = min(4, (int(q) - 1) // 10)
+            n_i, r_i = dose.get(s, (0, 0))
+            dose[s] = (n_i + 1, r_i + (1 if rf == "R" else 0))
+        n = sum(v[0] for v in dose.values())
+        r = sum(v[1] for v in dose.values())
+        sr = sum(s * v[1] for s, v in dose.items())
+        sn = sum(s * v[0] for s, v in dose.items())
+        ssn = sum(s * s * v[0] for s, v in dose.items())
+        t_num = n * sr - r * sn
+        d1, d2 = r * (n - r), n * ssn - sn * sn
+        assert row.n_total == n and row.n_returns == r
+        assert row.k_doses == len(dose)
+        assert row.t_num == t_num and row.d1 == d1 and row.d2 == d2
+        z = float(t_num) / math.sqrt(float(d1) * float(d2) / float(n))
+        assert row.z_trend == z
+
+    def test_planted_trend_and_null(self, spark):
+        from clinical_api_etl_spark.plans.inference import (
+            cochran_armitage_from_dose,
+        )
+
+        # Monotone dose-response: success rate rises 10% -> 50%.
+        rising = spark.createDataFrame(
+            [(s, 1000, 100 + 100 * s) for s in range(5)],
+            "s long, n_i long, r_i long",
+        )
+        z = cochran_armitage_from_dose(rising).collect()[0].z_trend
+        assert z > 10
+        # Exactly flat rates: T' = 0 by construction.
+        flat = spark.createDataFrame(
+            [(s, 1000, 300) for s in range(5)], "s long, n_i long, r_i long"
+        )
+        row = cochran_armitage_from_dose(flat).collect()[0]
+        assert row.t_num == 0 and row.z_trend == 0.0
+
+
+class TestMantelHaenszel:
+    def test_matches_python_replay(self, spark, li_pdf, orders_pdf):
+        from clinical_api_etl_spark.plans.inference import stat_mantel_haenszel
+
+        row = stat_mantel_haenszel(spark, SF).collect()[0]
+        j = li_pdf.merge(
+            orders_pdf[["o_orderkey", "o_orderpriority"]],
+            left_on="l_orderkey",
+            right_on="o_orderkey",
+        )
+        cells = {}
+        for strat, disc, rf in zip(
+            j["o_orderpriority"], j["l_discount"], j["l_returnflag"]
+        ):
+            a, b, c, d = cells.get(strat, (0, 0, 0, 0))
+            exp, ret = disc > 0.05, rf == "R"
+            if exp and ret:
+                a += 1
+            elif exp:
+                b += 1
+            elif ret:
+                c += 1
+            else:
+                d += 1
+            cells[strat] = (a, b, c, d)
+        assert row.k_strata == len(cells)
+        assert row.sum_a == sum(v[0] for v in cells.values())
+        s_ad = s_bc = s_e = s_v = 0.0
+        for strat in sorted(cells):  # the pinned fold order
+            a, b, c, d = cells[strat]
+            n = a + b + c + d
+            s_ad += float(a * d) / float(n)
+            s_bc += float(b * c) / float(n)
+            s_e += float((a + b) * (a + c)) / float(n)
+            s_v += (float((a + b) * (c + d)) / float(n * (n - 1))) * (
+                float((a + c) * (b + d)) / float(n)
+            )
+        assert row.sum_ad_n == s_ad and row.sum_bc_n == s_bc
+        assert row.sum_e_a == s_e and row.sum_v_a == s_v
+        assert row.or_mh == s_ad / s_bc
+        diff = float(row.sum_a) - s_e
+        assert row.cmh_chi2 == diff * diff / s_v
+
+    def test_simpsons_paradox_planted(self, spark):
+        from clinical_api_etl_spark.plans.inference import (
+            mantel_haenszel_from_cells,
+        )
+
+        # Berkeley-style reversal: within each stratum the exposure is
+        # protective (OR < 1), but exposure concentrates in the
+        # high-outcome stratum, so the CRUDE pooled OR exceeds 1.
+        cells = [
+            ("dept_a", 480, 420, 60, 40),  # exposed mostly here, high rate
+            ("dept_b", 20, 180, 150, 850),  # unexposed mostly here, low rate
+        ]
+        a = sum(r[1] for r in cells)
+        b = sum(r[2] for r in cells)
+        c = sum(r[3] for r in cells)
+        d = sum(r[4] for r in cells)
+        crude_or = (a * d) / (b * c)
+        assert crude_or > 1  # the confounded estimate
+        df = spark.createDataFrame(
+            cells, "stratum string, a long, b long, c long, d long"
+        )
+        row = mantel_haenszel_from_cells(df).collect()[0]
+        # Stratified estimate recovers the protective per-stratum truth.
+        per_stratum_ors = [(r[1] * r[4]) / (r[2] * r[3]) for r in cells]
+        assert all(o < 1 for o in per_stratum_ors)
+        assert row.or_mh < 1 < crude_or
+
+
+class TestSeasonalMannKendall:
+    @staticmethod
+    def _replay(daily: dict[tuple[str, int], tuple[int, int]]):
+        """daily: (event_type, day) -> (season, s)."""
+        out = {}
+        by_et: dict[str, list[tuple[int, int, int]]] = {}
+        for (et, d), (se, s) in daily.items():
+            by_et.setdefault(et, []).append((d, se, s))
+        for et, rows in by_et.items():
+            s_stat = 0
+            for i, (da, sa_se, sa) in enumerate(rows):
+                for db, sb_se, sb in rows[i + 1 :]:
+                    if sa_se != sb_se:
+                        continue
+                    lo, hi = (sa, sb) if da < db else (sb, sa)
+                    s_stat += (hi > lo) - (hi < lo)
+            var18 = 0
+            for se in {r[1] for r in rows}:
+                vals = [r[2] for r in rows if r[1] == se]
+                n = len(vals)
+                var18 += n * (n - 1) * (2 * n + 5)
+                for v in set(vals):
+                    t = vals.count(v)
+                    if t > 1:
+                        var18 -= t * (t - 1) * (2 * t + 5)
+            out[et] = (len(rows), s_stat, var18)
+        return out
+
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.inference import (
+            stat_seasonal_mannkendall,
+        )
+
+        pdf = pd.read_parquet(f"{SF}/events.parquet")
+        pdf = pdf[pdf["value"].notna()].copy()
+        pdf["cents"] = (pdf["value"] * 100).round().astype("int64")
+        pdf["d"] = pdf["ts"].astype("datetime64[us]").astype("int64") // (
+            _DAY_MS * 1000
+        )
+        daily = {}
+        g = pdf.groupby(["event_type", "d"])["cents"].sum()
+        for (et, d), s in g.items():
+            daily[(et, int(d))] = (int(d) % 7, int(s))
+        want = self._replay(daily)
+        got = {r.event_type: r for r in stat_seasonal_mannkendall(spark, SF).collect()}
+        assert set(got) == set(want)
+        for et, (n_days, s_stat, var18) in want.items():
+            row = got[et]
+            assert row.n_days == n_days
+            assert row.s_stat == s_stat
+            assert row.var18 == var18
+            if var18 == 0:
+                assert row.z_sk is None
+            elif s_stat > 0:
+                assert row.z_sk == (s_stat - 1) / math.sqrt(var18 / 18.0)
+            elif s_stat < 0:
+                assert row.z_sk == (s_stat + 1) / math.sqrt(var18 / 18.0)
+            else:
+                assert row.z_sk == 0.0
+
+    def test_pure_seasonality_is_null_trend(self, spark):
+        from clinical_api_etl_spark.plans.inference import seasonal_mk_from_daily
+
+        # Value depends ONLY on the weekday: every within-season pair
+        # ties, so S = 0 — the statistic is immune to weekly cycles
+        # that inflate plain MK.
+        rows = [("a", d, d % 7, 100 * (d % 7)) for d in range(70)]
+        df = spark.createDataFrame(rows, "event_type string, d long, season long, s long")
+        row = seasonal_mk_from_daily(df).collect()[0]
+        assert row.s_stat == 0
+        # Tie correction zeroes the variance entirely (all values tie
+        # within every season) -> degenerate NULL, never NaN.
+        assert row.var18 == 0 and row.z_sk is None
+
+    def test_monotone_trend_detected(self, spark):
+        from clinical_api_etl_spark.plans.inference import seasonal_mk_from_daily
+
+        rows = [("a", d, d % 7, d) for d in range(70)]
+        df = spark.createDataFrame(rows, "event_type string, d long, season long, s long")
+        row = seasonal_mk_from_daily(df).collect()[0]
+        # Strictly rising: every within-season pair concordant.
+        assert row.s_stat == 7 * (10 * 9 // 2)
+        assert row.z_sk > 3
+
+
+class TestCohenKappa:
+    def test_matches_confusion_replay(self, spark):
+        from clinical_api_etl_spark.plans.ranking.evals import (
+            ml_cohen_kappa,
+            ml_naive_bayes_lang,
+        )
+
+        conf = ml_naive_bayes_lang(spark, SF).collect()
+        s = sum(r.n for r in conf)
+        c = sum(r.n for r in conf if r.actual == r.predicted)
+        t_k: dict[str, int] = {}
+        p_k: dict[str, int] = {}
+        for r in conf:
+            t_k[r.actual] = t_k.get(r.actual, 0) + r.n
+            p_k[r.predicted] = p_k.get(r.predicted, 0) + r.n
+        ptsum = sum(p_k.get(k, 0) * t_k.get(k, 0) for k in set(t_k) | set(p_k))
+        row = ml_cohen_kappa(spark, SF).collect()[0]
+        assert row.n_total == s and row.n_correct == c
+        assert row.kappa_num == s * c - ptsum
+        assert row.kappa_den == s * s - ptsum
+        assert row.kappa == (s * c - ptsum) / (s * s - ptsum)
+
+
+class TestAveragePrecision:
+    def test_bounds_and_perfect_iff_top5(self, spark):
+        from clinical_api_etl_spark.plans.ranking.evals import (
+            eval_average_precision,
+        )
+
+        rows = eval_average_precision(spark, SF).collect()
+        assert rows  # every query doc has candidates
+        for r in rows:
+            assert 0.0 < r.ap <= 1.0
+            assert r.last_rel_rank >= 5
+            # AP == 1 exactly when all 5 relevant docs occupy the top 5.
+            assert (r.ap == 1.0) == (r.last_rel_rank == 5)
+
+
+class TestLiftGains:
+    def test_invariants_and_replay(self, spark):
+        from clinical_api_etl_spark.plans.modeling import ml_lift_gains_deciles
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet")
+        n = len(docs)
+        p = int((docs["lang"] == "en").sum())
+        rows = sorted(
+            ml_lift_gains_deciles(spark, SF).collect(), key=lambda r: r.decile
+        )
+        assert [r.decile for r in rows] == list(range(10))
+        assert sum(r.n_d for r in rows) == n
+        assert sum(r.pos_d for r in rows) == p
+        assert rows[-1].cum_pos == p
+        sizes = [r.n_d for r in rows]
+        assert max(sizes) - min(sizes) <= 1  # floor-div decile law
+        cum = 0
+        for r in rows:
+            cum += r.pos_d
+            assert r.cum_pos == cum
+            assert r.lift == float(r.pos_d * n) / float(r.n_d * p)
+            assert r.cum_gain == float(cum) / float(p)
+
+
+class TestRichClub:
+    def test_monotone_and_replay(self, spark):
+        from clinical_api_etl_spark.plans.ranking.graphrank import graph_rich_club
+
+        rows = sorted(graph_rich_club(spark, SF).collect(), key=lambda r: r.k)
+        assert [r.k for r in rows] == [1, 2, 4, 8, 16, 32]
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur.n_k <= prev.n_k and cur.e_k <= prev.e_k
+        for r in rows:
+            if r.n_k < 2:
+                assert r.phi is None
+            else:
+                assert r.phi == float(2 * r.e_k) / float(r.n_k * (r.n_k - 1))
+                assert 0.0 <= r.phi <= 1.0
+
+
+class TestAvgNeighborDegree:
+    def test_identities(self, spark):
+        from clinical_api_etl_spark.plans.ranking.graphrank import (
+            graph_avg_neighbor_degree,
+            graph_degree_assortativity,
+        )
+
+        rows = graph_avg_neighbor_degree(spark, SF).collect()
+        asrt = graph_degree_assortativity(spark, SF).collect()[0]
+        # Sum over degree classes of the neighbor-degree mass equals the
+        # assortativity query's s1 = sum of j over the edge join (the two
+        # queries share the sym x deg x deg join, transposed).
+        assert sum(r.sum_nbr_deg for r in rows) == asrt.s1
+        assert sum(r.degree * r.n_nodes for r in rows) == asrt.m
+        for r in rows:
+            assert r.knn == float(r.sum_nbr_deg) / float(r.degree * r.n_nodes)
+            assert r.knn >= 1.0
+
+
+class TestDagLayers:
+    def test_planted_dag(self, spark):
+        from clinical_api_etl_spark.operators.graph import dag_layers
+
+        nodes = spark.createDataFrame(
+            [(x,) for x in "abcdefg"], "scc_id string"
+        )
+        edges = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("e", "f")],
+            "a string, b string",
+        )
+        got = {r.scc_id: r.layer for r in dag_layers(nodes, edges).collect()}
+        assert got == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 0, "f": 1, "g": 0}
+
+    def test_longest_path_not_shortest(self, spark):
+        from clinical_api_etl_spark.operators.graph import dag_layers
+
+        # d is reachable in 1 hop from a but its LONGEST chain is 3.
+        nodes = spark.createDataFrame([(x,) for x in "abcd"], "scc_id string")
+        edges = spark.createDataFrame(
+            [("a", "d"), ("a", "b"), ("b", "c"), ("c", "d")],
+            "a string, b string",
+        )
+        got = {r.scc_id: r.layer for r in dag_layers(nodes, edges).collect()}
+        assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    def test_cycle_raises(self, spark):
+        from clinical_api_etl_spark.operators.graph import dag_layers
+
+        nodes = spark.createDataFrame([("a",), ("b",)], "scc_id string")
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "a")], "a string, b string"
+        )
+        with pytest.raises(ValueError, match="cycle"):
+            dag_layers(nodes, edges).collect()
+
+    def test_condensation_layers_end_to_end(self, spark):
+        from clinical_api_etl_spark.plans.mining import graph_condensation_layers
+
+        rows = graph_condensation_layers(spark, SF).collect()
+        assert rows
+        layers = {r.layer for r in rows}
+        assert 0 in layers  # at least one source layer
+        # Every scc appears exactly once.
+        ids = [r.scc_id for r in rows]
+        assert len(ids) == len(set(ids))

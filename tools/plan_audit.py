@@ -179,6 +179,10 @@ GLOBAL_WINDOW_OK: set[str] = {
     "ts_classical_decomposition",
     # inherits the decomposition's daily frame (same class).
     "ts_decomposition_strength",
+    # DESC cumulative walk over the n_chars VALUE HISTOGRAM (the
+    # ml_auc_nchars_lang bounded-domain class) + a 10-row decile
+    # cumulative; per-row ranks come from value-partitioned windows.
+    "ml_lift_gains_deciles",
 }
 
 
