@@ -2579,3 +2579,116 @@ def text_source_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tv_distance"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality-filter funnel: cumulative attrition per rule.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "corpus_quality_funnel",
+    f"""
+    WITH flags AS MATERIALIZED (
+      SELECT
+        (text IS NOT NULL AND length(trim(text)) > 0) AS f1,
+        n_chars >= 100 AS f2,
+        len({_TOKS}) >= 20 AS f3,
+        10 * len(list_distinct({_TOKS})) >= 3 * len({_TOKS}) AS f4,
+        list_max(list_transform({_TOKS}, t -> length(t))) <= 40 AS f5,
+        CAST(len({_TOKS}) AS BIGINT) AS toks
+      FROM documents
+    ),
+    stages AS (
+      SELECT 0 AS stage, 'all' AS stage_name,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(toks) AS BIGINT) AS n_tokens FROM flags
+      UNION ALL
+      SELECT 1, 'nonempty', COUNT(*), CAST(SUM(toks) AS BIGINT)
+      FROM flags WHERE f1
+      UNION ALL
+      SELECT 2, 'min_chars_100', COUNT(*), CAST(SUM(toks) AS BIGINT)
+      FROM flags WHERE f1 AND f2
+      UNION ALL
+      SELECT 3, 'min_tokens_20', COUNT(*), CAST(SUM(toks) AS BIGINT)
+      FROM flags WHERE f1 AND f2 AND f3
+      UNION ALL
+      SELECT 4, 'diversity_30pct', COUNT(*), CAST(SUM(toks) AS BIGINT)
+      FROM flags WHERE f1 AND f2 AND f3 AND f4
+      UNION ALL
+      SELECT 5, 'max_token_len_40', COUNT(*), CAST(SUM(toks) AS BIGINT)
+      FROM flags WHERE f1 AND f2 AND f3 AND f4 AND f5
+    ),
+    base AS (SELECT n_docs AS n0 FROM stages WHERE stage = 0)
+    SELECT s.stage, s.stage_name, s.n_docs, s.n_tokens,
+           CAST(s.n_docs AS DOUBLE) / CAST(b.n0 AS DOUBLE) AS retained
+    FROM stages s, base b
+    """,
+    doc="[EXT] quality-filter funnel (the Gopher/C4-style attrition "
+    "report a training-corpus release documents): documents and tokens "
+    "surviving each CUMULATIVE rule — nonempty, length floor, token "
+    "floor, lexical-diversity floor (10*distinct >= 3*total, integer "
+    "cross-multiplication), max-token-length cap (boilerplate/garbage "
+    "screen). One corpus scan computes all per-doc flags; each stage is "
+    "a conditional aggregate over the SAME flag table (no re-scan); "
+    "retained-fraction is one division. Exact BIGINT counts; the "
+    "false AND NULL = false law makes null-text rows drop identically "
+    "on both engines.",
+    tags=("text", "quality", "mlprep"),
+)
+def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.functions.text import tokens as _tok
+
+    docs = load(spark, sf_dir, "documents")
+    t = _tok(F.col("text"))
+    flags = docs.select(
+        (F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)).alias("f1"),
+        (F.col("n_chars") >= 100).alias("f2"),
+        (F.size(t) >= 20).alias("f3"),
+        (10 * F.size(F.array_distinct(t)) >= 3 * F.size(t)).alias("f4"),
+        (
+            F.array_max(F.transform(t, lambda s: F.length(s))) <= 40
+        ).alias("f5"),
+        F.size(t).cast("long").alias("toks"),
+    ).localCheckpoint(eager=True)
+    conds = {
+        0: ("all", F.lit(True)),
+        1: ("nonempty", F.col("f1")),
+        2: ("min_chars_100", F.col("f1") & F.col("f2")),
+        3: ("min_tokens_20", F.col("f1") & F.col("f2") & F.col("f3")),
+        4: (
+            "diversity_30pct",
+            F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4"),
+        ),
+        5: (
+            "max_token_len_40",
+            F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4") & F.col("f5"),
+        ),
+    }
+    aggs = []
+    for i, (_nm, cond) in conds.items():
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"d{i}")
+        )
+        aggs.append(
+            F.sum(F.when(cond, F.col("toks")).otherwise(0))
+            .cast("long")
+            .alias(f"t{i}")
+        )
+    wide = flags.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, '{nm}', d{i}, t{i}" for i, (nm, _c) in conds.items()
+    )
+    stages = wide.selectExpr(
+        f"stack(6, {stack_args}) AS (stage, stage_name, n_docs, n_tokens)"
+    )
+    base = wide.select(F.col("d0").alias("n0"))
+    return stages.crossJoin(F.broadcast(base)).select(
+        F.col("stage").cast("int").alias("stage"),
+        "stage_name",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_docs").cast("double") / F.col("n0").cast("double")).alias(
+            "retained"
+        ),
+    )

@@ -2467,3 +2467,142 @@ def ml_lift_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pos_d").over(w_cum).cast("double") / F.col("p").cast("double")
         ).alias("cum_gain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROC curve points + KS separation for the n_chars score (the curve and
+# max-separation statistic behind ml_auc_nchars_lang's single number).
+# ---------------------------------------------------------------------------
+
+_ROC_WALK = """
+    hist AS (
+      SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS pos
+      FROM documents GROUP BY n_chars
+    ),
+    scal AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS p,
+             CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS nn
+      FROM hist
+    ),
+    walk AS (
+      SELECT v,
+             CAST(SUM(pos) OVER (ORDER BY v DESC) AS BIGINT) AS tp,
+             CAST(SUM(cnt - pos) OVER (ORDER BY v DESC) AS BIGINT) AS fp
+      FROM hist
+    )"""
+
+
+@QS.add(
+    "ml_roc_points",
+    f"""
+    WITH {_ROC_WALK}
+    SELECT w.v AS threshold, w.tp, w.fp,
+           CAST(w.tp AS DOUBLE) / CAST(s.p AS DOUBLE) AS tpr,
+           CAST(w.fp AS DOUBLE) / CAST(s.nn AS DOUBLE) AS fpr
+    FROM walk w, scal s
+    """,
+    doc="[EXT] full ROC curve of the n_chars score for lang='en': one "
+    "point per distinct threshold (predict positive when n_chars >= v), "
+    "tp/fp as exact BIGINT cumulative counts from ONE descending walk "
+    "over the value HISTOGRAM (the ml_auc_nchars_lang bounded-domain "
+    "law — cost |distinct lengths|, never |docs|), tpr/fpr single "
+    "divisions. The curve the AUC integrates; feeds threshold selection "
+    "and the KS separation twin.",
+    tags=("ml",),
+)
+def ml_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    hist = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("pos"),
+    )
+    scal = hist.agg(
+        F.sum("pos").cast("long").alias("p"),
+        (F.sum("cnt") - F.sum("pos")).cast("long").alias("nn"),
+    )
+    w_cum = W.orderBy(F.desc("v")).rowsBetween(W.unboundedPreceding, 0)
+    walk = hist.select(
+        "v",
+        F.sum("pos").over(w_cum).cast("long").alias("tp"),
+        F.sum(F.col("cnt") - F.col("pos")).over(w_cum).cast("long").alias("fp"),
+    )
+    return walk.crossJoin(F.broadcast(scal)).select(
+        F.col("v").alias("threshold"),
+        "tp",
+        "fp",
+        (F.col("tp").cast("double") / F.col("p").cast("double")).alias("tpr"),
+        (F.col("fp").cast("double") / F.col("nn").cast("double")).alias("fpr"),
+    )
+
+
+@QS.add(
+    "ml_ks_separation",
+    f"""
+    WITH {_ROC_WALK},
+    diffs AS (
+      SELECT w.v, abs(w.tp * s.nn - w.fp * s.p) AS d
+      FROM walk w, scal s
+    ),
+    best AS (SELECT CAST(MAX(d) AS BIGINT) AS ks_num FROM diffs)
+    SELECT b.ks_num,
+           CAST((SELECT MIN(v) FROM diffs WHERE d = b.ks_num) AS BIGINT)
+             AS threshold,
+           s.p AS n_pos, s.nn AS n_neg,
+           CAST(b.ks_num AS DOUBLE) / CAST(s.p * s.nn AS DOUBLE) AS ks
+    FROM best b, scal s
+    """,
+    doc="[EXT] Kolmogorov-Smirnov separation of the n_chars score "
+    "between classes — the credit-scoring discrimination metric: "
+    "KS = max over thresholds of |TPR - FPR|, computed as an exact "
+    "BIGINT maximum of |tp*N - fp*P| over the same descending "
+    "histogram walk as ml_roc_points (ties in the argmax pinned by "
+    "MIN threshold), ONE division at the end. Identical cross-"
+    "multiplication discipline as the z-score fences; cost |distinct "
+    "lengths|.",
+    tags=("ml", "stats"),
+)
+def ml_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    hist = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("pos"),
+    )
+    scal = hist.agg(
+        F.sum("pos").cast("long").alias("p"),
+        (F.sum("cnt") - F.sum("pos")).cast("long").alias("nn"),
+    )
+    w_cum = W.orderBy(F.desc("v")).rowsBetween(W.unboundedPreceding, 0)
+    walk = hist.select(
+        "v",
+        F.sum("pos").over(w_cum).cast("long").alias("tp"),
+        F.sum(F.col("cnt") - F.col("pos")).over(w_cum).cast("long").alias("fp"),
+    )
+    diffs = walk.crossJoin(F.broadcast(scal)).select(
+        "v",
+        F.abs(F.col("tp") * F.col("nn") - F.col("fp") * F.col("p")).alias("d"),
+    )
+    best = diffs.agg(F.max("d").cast("long").alias("ks_num"))
+    arg = (
+        diffs.join(F.broadcast(best), diffs["d"] == best["ks_num"])
+        .agg(F.min("v").cast("long").alias("threshold"))
+    )
+    return (
+        best.crossJoin(F.broadcast(arg))
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "ks_num",
+            "threshold",
+            F.col("p").alias("n_pos"),
+            F.col("nn").alias("n_neg"),
+            (
+                F.col("ks_num").cast("double")
+                / (F.col("p") * F.col("nn")).cast("double")
+            ).alias("ks"),
+        )
+    )

@@ -373,3 +373,95 @@ class TestDagLayers:
         # Every scc appears exactly once.
         ids = [r.scc_id for r in rows]
         assert len(ids) == len(set(ids))
+
+
+class TestRocPoints:
+    def test_monotone_endpoints_and_auc_identity(self, spark):
+        from clinical_api_etl_spark.plans.modeling import (
+            ml_auc_nchars_lang,
+            ml_roc_points,
+        )
+
+        pts = sorted(
+            ml_roc_points(spark, SF).collect(), key=lambda r: -r.threshold
+        )
+        docs = pd.read_parquet(f"{SF}/documents.parquet")
+        p = int((docs["lang"] == "en").sum())
+        nn = len(docs) - p
+        # Cumulative counts are nondecreasing as the threshold drops and
+        # end at the totals.
+        for prev, cur in zip(pts, pts[1:]):
+            assert cur.tp >= prev.tp and cur.fp >= prev.fp
+        assert pts[-1].tp == p and pts[-1].fp == nn
+        for r in pts:
+            assert r.tpr == r.tp / p and r.fpr == r.fp / nn
+        # EXACT identity: the midrank AUC's U2 statistic equals the
+        # doubled trapezoidal area over these points, in integers:
+        # u2 = sum_blocks (tp_prev + tp) * (fp - fp_prev).
+        auc_row = ml_auc_nchars_lang(spark, SF).collect()[0]
+        u2 = 0
+        tp_prev = fp_prev = 0
+        for r in pts:
+            u2 += (tp_prev + r.tp) * (r.fp - fp_prev)
+            tp_prev, fp_prev = r.tp, r.fp
+        assert u2 == auc_row.u2_stat
+
+    def test_ks_is_max_of_roc_gap(self, spark):
+        from clinical_api_etl_spark.plans.modeling import (
+            ml_ks_separation,
+            ml_roc_points,
+        )
+
+        pts = ml_roc_points(spark, SF).collect()
+        docs = pd.read_parquet(f"{SF}/documents.parquet")
+        p = int((docs["lang"] == "en").sum())
+        nn = len(docs) - p
+        best = max(abs(r.tp * nn - r.fp * p) for r in pts)
+        thr = min(r.threshold for r in pts if abs(r.tp * nn - r.fp * p) == best)
+        row = ml_ks_separation(spark, SF).collect()[0]
+        assert row.ks_num == best and row.threshold == thr
+        assert row.n_pos == p and row.n_neg == nn
+        assert row.ks == best / (p * nn)
+        assert 0.0 <= row.ks <= 1.0
+
+
+class TestQualityFunnel:
+    def test_matches_python_replay(self, spark):
+        import re as _re
+
+        from clinical_api_etl_spark.plans.extensions import corpus_quality_funnel
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet")
+        want_docs = [0] * 6
+        want_toks = [0] * 6
+        for text, n_chars in zip(docs["text"], docs["n_chars"]):
+            if text is None or (isinstance(text, float) and pd.isna(text)):
+                toks = None
+                flags = [True, False, False, False, False, False]
+            else:
+                tl = _re.split(r"\s+", text.strip().lower())
+                toks = len(tl)
+                f1 = len(text.strip()) > 0
+                f2 = n_chars >= 100
+                f3 = toks >= 20
+                f4 = 10 * len(set(tl)) >= 3 * toks
+                f5 = max(len(t) for t in tl) <= 40
+                flags = [
+                    True,
+                    f1,
+                    f1 and f2,
+                    f1 and f2 and f3,
+                    f1 and f2 and f3 and f4,
+                    f1 and f2 and f3 and f4 and f5,
+                ]
+            for i, ok in enumerate(flags):
+                if ok:
+                    want_docs[i] += 1
+                    want_toks[i] += toks or 0
+        rows = sorted(corpus_quality_funnel(spark, SF).collect(), key=lambda r: r.stage)
+        assert [r.n_docs for r in rows] == want_docs
+        assert [r.n_tokens for r in rows] == want_toks
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur.n_docs <= prev.n_docs and cur.n_tokens <= prev.n_tokens
+        for r in rows:
+            assert r.retained == r.n_docs / want_docs[0]

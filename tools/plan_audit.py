@@ -183,6 +183,10 @@ GLOBAL_WINDOW_OK: set[str] = {
     # ml_auc_nchars_lang bounded-domain class) + a 10-row decile
     # cumulative; per-row ranks come from value-partitioned windows.
     "ml_lift_gains_deciles",
+    # descending cumulative walks over the same n_chars VALUE HISTOGRAM
+    # (bounded by the length domain, not the corpus).
+    "ml_roc_points",
+    "ml_ks_separation",
 }
 
 

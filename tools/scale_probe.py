@@ -94,6 +94,12 @@ QUERIES = [
     # scaled like BPE — expect ~1x).
     "graph_temporal_reachability",
     "wordpiece_learn_merges",
+    # round-15: condensation layering (SCC + Kahn peel — two composed
+    # iteratives), the rich-club/assortativity edge⋈deg⋈deg family, and
+    # the seasonal-MK calendar-bounded pair join.
+    "graph_condensation_layers",
+    "graph_rich_club",
+    "stat_seasonal_mannkendall",
 ]
 
 
