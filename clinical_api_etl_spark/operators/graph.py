@@ -1170,3 +1170,35 @@ def dag_layers(
     for extra in layers[1:]:
         out = out.unionByName(extra)
     return out
+
+
+def reachable_set(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Set of nodes reachable from ANY seed (seeds included): plain
+    frontier BFS over a directed edge list with no per-source state —
+    the cheap reachability primitive behind bow-tie classification.
+    Frontier-only expansion (only last round's discoveries join the
+    edges), left-anti against the settled set; state checkpointed per
+    round. Output: one ``node`` column."""
+    state = seeds.select(F.col(node)).distinct().localCheckpoint(eager=True)
+    frontier = state
+    for _ in range(max_rounds):
+        nxt = (
+            edges.join(frontier.select(F.col(node).alias(src)), src)
+            .select(F.col(dst).alias(node))
+            .distinct()
+            .join(state, node, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        state = state.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return state

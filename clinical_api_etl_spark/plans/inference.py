@@ -4363,3 +4363,113 @@ def seasonal_mk_from_daily(daily: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("z_sk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d / Hedges' g effect sizes for every event-type pair.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_cohens_d_pairs",
+    f"""
+    WITH grp AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM({_CENTS}) AS BIGINT) AS s,
+             CAST(SUM({_CENTS} * {_CENTS}) AS BIGINT) AS q
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT a.event_type AS ga, b.event_type AS gb,
+           a.n AS n_a, b.n AS n_b, a.s AS s_a, b.s AS s_b,
+           a.q AS q_a, b.q AS q_b,
+           CASE WHEN a.n + b.n <= 2 THEN NULL ELSE
+             (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+              - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+             / sqrt(((CAST(a.q AS DOUBLE)
+                      - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE)
+                        / CAST(a.n AS DOUBLE))
+                    + (CAST(b.q AS DOUBLE)
+                       - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE)
+                         / CAST(b.n AS DOUBLE)))
+                    / CAST(a.n + b.n - 2 AS DOUBLE))
+           END AS cohens_d,
+           CASE WHEN a.n + b.n <= 2 THEN NULL ELSE
+             (1e0 - 3e0 / CAST(4 * (a.n + b.n - 2) - 1 AS DOUBLE))
+             * ((CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+                 - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+                / sqrt(((CAST(a.q AS DOUBLE)
+                         - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE)
+                           / CAST(a.n AS DOUBLE))
+                       + (CAST(b.q AS DOUBLE)
+                          - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE)
+                            / CAST(b.n AS DOUBLE)))
+                       / CAST(a.n + b.n - 2 AS DOUBLE)))
+           END AS hedges_g
+    FROM grp a JOIN grp b ON a.event_type < b.event_type
+    """,
+    doc="[EXT] Cohen's d and Hedges' g for every event-type pair over "
+    "the cents-exact value distribution -- the practical-significance "
+    "companion to stat_welch_pairs' p-values: d = (mean_a - mean_b) / "
+    "pooled SD, g = J*d with the small-sample factor J = 1 - 3/(4*df-1) "
+    "(a fixed rational tree, no gamma function). Every input is an "
+    "exact BIGINT (n, sum, sum-of-squares per group; q <= ~6e15 at "
+    "sf0.1, within exact-double range -- documented magnitude audit), "
+    "the statistic is one fixed IEEE tree over their exact double "
+    "conversions: divisions, one correctly-rounded sqrt, one multiply. "
+    "Group stats aggregate map-side; the pair join runs over |types| "
+    "rows, never events.",
+    tags=("stats",),
+)
+def stat_cohens_d_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    grp = (
+        ev.select("event_type", _cents().alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+            F.sum(F.col("cents") * F.col("cents")).cast("long").alias("q"),
+        )
+        .coalesce(1)
+        .persist()
+    )
+    a = grp.select(
+        F.col("event_type").alias("ga"),
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+        F.col("q").alias("q_a"),
+    )
+    b = grp.select(
+        F.col("event_type").alias("gb"),
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+        F.col("q").alias("q_b"),
+    )
+    pairs = a.join(b, F.col("ga") < F.col("gb"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("s_a").cast("double"), F.col("s_b").cast("double")
+    qa, qb = F.col("q_a").cast("double"), F.col("q_b").cast("double")
+    df_d = (F.col("n_a") + F.col("n_b") - 2).cast("double")
+    mean_diff = sa / na - sb / nb
+    pooled = F.sqrt(((qa - sa * sa / na) + (qb - sb * sb / nb)) / df_d)
+    d = mean_diff / pooled
+    j = F.lit(1.0) - F.lit(3.0) / (4 * (F.col("n_a") + F.col("n_b") - 2) - 1).cast(
+        "double"
+    )
+    degenerate = (F.col("n_a") + F.col("n_b")) <= 2
+    return pairs.select(
+        "ga",
+        "gb",
+        "n_a",
+        "n_b",
+        "s_a",
+        "s_b",
+        "q_a",
+        "q_b",
+        F.when(degenerate, F.lit(None).cast("double")).otherwise(d).alias("cohens_d"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(j * d)
+        .alias("hedges_g"),
+    )

@@ -2918,3 +2918,101 @@ def graph_condensation_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = dag_layers(labels.select("scc_id"), rem_edges)
     return sizes.join(out, "scc_id").select("scc_id", "n_nodes", "layer")
+
+
+# ---------------------------------------------------------------------------
+# Broder bow-tie classification of the directed interaction graph.
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "graph_bowtie_regions",
+    f"""
+    WITH RECURSIVE {_DIRECTED_EDGES_SQL},
+    {_SCC_LABEL_CTES},
+    giant AS MATERIALIZED (
+      SELECT scc_id FROM (
+        SELECT scc_id, COUNT(*) AS c FROM scc GROUP BY scc_id
+        ORDER BY c DESC, scc_id LIMIT 1
+      )
+    ),
+    fwd AS MATERIALIZED (
+      SELECT DISTINCT cl.b AS node
+      FROM cl JOIN scc s ON s.node = cl.a
+      WHERE s.scc_id = (SELECT scc_id FROM giant)
+    ),
+    bwd AS MATERIALIZED (
+      SELECT DISTINCT cl.a AS node
+      FROM cl JOIN scc s ON s.node = cl.b
+      WHERE s.scc_id = (SELECT scc_id FROM giant)
+    )
+    SELECT s.node,
+           CASE WHEN s.scc_id = (SELECT scc_id FROM giant) THEN 'core'
+                WHEN s.node IN (SELECT node FROM fwd) THEN 'out'
+                WHEN s.node IN (SELECT node FROM bwd) THEN 'in'
+                ELSE 'other' END AS region
+    FROM scc s
+    """,
+    doc="[EXT] Broder bow-tie classification of the directed interaction "
+    "graph: every node labeled core (the giant SCC, largest by size with "
+    "min-scc_id tiebreak), out (reachable FROM the core), in (reaches "
+    "the core), or other (tendrils/tubes/disconnected) — the region "
+    "census a web/interaction crawl publishes (Broder et al. 2000). "
+    "Spark side: scc_components picks the giant, then TWO plain "
+    "frontier-BFS reachability passes (operators/graph.py:reachable_set "
+    "— set-state only, no per-source explosion) over the edges and "
+    "their reversal; labels are canonical so the 24th hash-gated "
+    "iterative composes SCC + reachability under one hash. Oracle "
+    "derives the identical regions from the UNION-distinct closure.",
+    tags=("graph", "iterative"),
+)
+def graph_bowtie_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.graph import (
+        reachable_set,
+        scc_components,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    odd = F.col("o_orderkey") % 2 == 1
+    c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.when(odd, c).otherwise(s).alias("src"),
+            F.when(odd, s).otherwise(c).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = scc_components(e0).localCheckpoint(eager=True)
+    giant = (
+        labels.groupBy("scc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("scc_id"))
+        .limit(1)
+        .select("scc_id")
+    )
+    giant_nodes = labels.join(F.broadcast(giant), "scc_id").select("node")
+    fwd = reachable_set(e0, giant_nodes).select(
+        F.col("node"), F.lit(True).alias("in_fwd")
+    )
+    rev = e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    bwd = reachable_set(rev, giant_nodes).select(
+        F.col("node"), F.lit(True).alias("in_bwd")
+    )
+    gid = giant.withColumnRenamed("scc_id", "giant_id")
+    return (
+        labels.crossJoin(F.broadcast(gid))
+        .join(F.broadcast(fwd), "node", "left")
+        .join(F.broadcast(bwd), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("scc_id") == F.col("giant_id"), F.lit("core"))
+            .when(F.col("in_fwd"), F.lit("out"))
+            .when(F.col("in_bwd"), F.lit("in"))
+            .otherwise(F.lit("other"))
+            .alias("region"),
+        )
+    )

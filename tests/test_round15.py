@@ -465,3 +465,74 @@ class TestQualityFunnel:
             assert cur.n_docs <= prev.n_docs and cur.n_tokens <= prev.n_tokens
         for r in rows:
             assert r.retained == r.n_docs / want_docs[0]
+
+
+class TestReachableSet:
+    def test_planted_chain_and_seeds(self, spark):
+        from clinical_api_etl_spark.operators.graph import reachable_set
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("d", "c")], "src string, dst string"
+        )
+        seeds = spark.createDataFrame([("a",)], "node string")
+        got = {r.node for r in reachable_set(edges, seeds).collect()}
+        assert got == {"a", "b", "c"}
+        seeds_c = spark.createDataFrame([("c",)], "node string")
+        assert {r.node for r in reachable_set(edges, seeds_c).collect()} == {"c"}
+
+
+class TestBowtieRegions:
+    def test_region_partition_and_core(self, spark):
+        from clinical_api_etl_spark.plans.mining import (
+            graph_bowtie_regions,
+            graph_scc_components,
+        )
+
+        regions = graph_bowtie_regions(spark, SF).collect()
+        sccs = graph_scc_components(spark, SF).collect()
+        assert len(regions) == len(sccs)  # every node labeled once
+        allowed = {"core", "out", "in", "other"}
+        assert {r.region for r in regions} <= allowed
+        # Core region == the largest SCC (min-id tiebreak).
+        from collections import Counter
+
+        comp_sizes = Counter(r.scc_id for r in sccs)
+        giant_size = max(comp_sizes.values())
+        giant_id = min(i for i, c in comp_sizes.items() if c == giant_size)
+        core_nodes = {r.node for r in regions if r.region == "core"}
+        want_core = {r.node for r in sccs if r.scc_id == giant_id}
+        assert core_nodes == want_core
+
+
+class TestCohensD:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.inference import stat_cohens_d_pairs
+
+        pdf = pd.read_parquet(f"{SF}/events.parquet")
+        pdf = pdf[pdf["value"].notna()].copy()
+        pdf["cents"] = (pdf["value"] * 100).round().astype("int64")
+        grp = {
+            et: (
+                len(sub),
+                int(sub["cents"].sum()),
+                int((sub["cents"].astype(object) ** 2).sum()),
+            )
+            for et, sub in pdf.groupby("event_type")
+        }
+        got = {(r.ga, r.gb): r for r in stat_cohens_d_pairs(spark, SF).collect()}
+        names = sorted(grp)
+        assert set(got) == {(a, b) for a in names for b in names if a < b}
+        for (ga, gb), row in got.items():
+            na, sa, qa = grp[ga]
+            nb, sb, qb = grp[gb]
+            assert (row.n_a, row.s_a, row.q_a) == (na, sa, qa)
+            assert (row.n_b, row.s_b, row.q_b) == (nb, sb, qb)
+            mean_diff = sa / na - sb / nb
+            pooled = math.sqrt(
+                ((qa - float(sa) * float(sa) / na) + (qb - float(sb) * float(sb) / nb))
+                / (na + nb - 2)
+            )
+            d = mean_diff / pooled
+            assert row.cohens_d == d
+            j = 1.0 - 3.0 / float(4 * (na + nb - 2) - 1)
+            assert row.hedges_g == j * d
