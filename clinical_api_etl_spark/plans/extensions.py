@@ -2637,9 +2637,27 @@ def text_source_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality", "mlprep"),
 )
 def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return quality_funnel_from_docs(docs)
+
+
+#: The cumulative funnel stages (index -> name); rules live in
+#: funnel_stage_counts so batch and streaming twins can never drift.
+FUNNEL_STAGES = (
+    "all",
+    "nonempty",
+    "min_chars_100",
+    "min_tokens_20",
+    "diversity_30pct",
+    "max_token_len_40",
+)
+
+
+def funnel_stage_counts(docs: DataFrame) -> DataFrame:
+    """(stage, stage_name, n_docs, n_tokens) for one docs batch — the
+    additive state the streaming monitor accumulates per trigger."""
     from clinical_api_etl_spark.functions.text import tokens as _tok
 
-    docs = load(spark, sf_dir, "documents")
     t = _tok(F.col("text"))
     flags = docs.select(
         (F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)).alias("f1"),
@@ -2652,21 +2670,15 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(t).cast("long").alias("toks"),
     ).localCheckpoint(eager=True)
     conds = {
-        0: ("all", F.lit(True)),
-        1: ("nonempty", F.col("f1")),
-        2: ("min_chars_100", F.col("f1") & F.col("f2")),
-        3: ("min_tokens_20", F.col("f1") & F.col("f2") & F.col("f3")),
-        4: (
-            "diversity_30pct",
-            F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4"),
-        ),
-        5: (
-            "max_token_len_40",
-            F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4") & F.col("f5"),
-        ),
+        0: F.lit(True),
+        1: F.col("f1"),
+        2: F.col("f1") & F.col("f2"),
+        3: F.col("f1") & F.col("f2") & F.col("f3"),
+        4: F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4"),
+        5: F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4") & F.col("f5"),
     }
     aggs = []
-    for i, (_nm, cond) in conds.items():
+    for i, cond in conds.items():
         aggs.append(
             F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"d{i}")
         )
@@ -2677,14 +2689,26 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     wide = flags.agg(*aggs)
     stack_args = ", ".join(
-        f"{i}, '{nm}', d{i}, t{i}" for i, (nm, _c) in conds.items()
+        f"{i}, '{FUNNEL_STAGES[i]}', d{i}, t{i}" for i in conds
     )
-    stages = wide.selectExpr(
+    return wide.selectExpr(
         f"stack(6, {stack_args}) AS (stage, stage_name, n_docs, n_tokens)"
-    )
-    base = wide.select(F.col("d0").alias("n0"))
-    return stages.crossJoin(F.broadcast(base)).select(
+    ).select(
         F.col("stage").cast("int").alias("stage"),
+        "stage_name",
+        "n_docs",
+        "n_tokens",
+    )
+
+
+def quality_funnel_from_docs(docs: DataFrame) -> DataFrame:
+    """Full funnel report (counts + retained fraction) for a docs frame."""
+    stages = funnel_stage_counts(docs)
+    base = stages.filter(F.col("stage") == 0).select(
+        F.col("n_docs").alias("n0")
+    )
+    return stages.crossJoin(F.broadcast(base)).select(
+        "stage",
         "stage_name",
         "n_docs",
         "n_tokens",
