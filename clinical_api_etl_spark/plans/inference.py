@@ -4473,3 +4473,197 @@ def stat_cohens_d_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(j * d)
         .alias("hedges_g"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra ordered-alternative trend across quantity doses.
+# ---------------------------------------------------------------------------
+
+_JT_PRICE_CENTS = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def _jt_contrib_sql() -> str:
+    """Per-value J2 contribution: sum over h of c_h*(2*sum_{g<h} cumb_g
+    + sum_{g<h} c_g) -- expanded literally for the 5 fixed doses."""
+    terms = []
+    for h in range(1, 5):
+        cumb = " + ".join(f"cb{g}" for g in range(h))
+        cs = " + ".join(f"c{g}" for g in range(h))
+        terms.append(f"c{h} * (2 * ({cumb}) + ({cs}))")
+    return " + ".join(terms)
+
+
+@QS.add(
+    "stat_jonckheere_trend",
+    f"""
+    WITH rows_ AS (
+      SELECT LEAST(4, (CAST(l_quantity AS BIGINT) - 1) // 10) AS g,
+             {_JT_PRICE_CENTS} AS v
+      FROM lineitem
+    ),
+    hist AS (
+      SELECT v,
+             {", ".join(f"CAST(SUM(CASE WHEN g = {g} THEN 1 ELSE 0 END) AS BIGINT) AS c{g}" for g in range(5))}
+      FROM rows_ GROUP BY v
+    ),
+    walk AS (
+      SELECT v, {", ".join(f"c{g}" for g in range(5))},
+             {", ".join(
+               f"CAST(COALESCE(SUM(c{g}) OVER (ORDER BY v ROWS BETWEEN "
+               f"UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb{g}"
+               for g in range(5))}
+      FROM hist
+    ),
+    jstat AS (
+      SELECT CAST(SUM({_jt_contrib_sql()}) AS BIGINT) AS j2 FROM walk
+    ),
+    grps AS (
+      SELECT {", ".join(f"CAST(SUM(c{g}) AS BIGINT) AS n{g}" for g in range(5))}
+      FROM hist
+    ),
+    scal AS (
+      SELECT n0 + n1 + n2 + n3 + n4 AS n,
+             {" + ".join(f"n{g} * n{g}" for g in range(5))} AS sn2,
+             {" + ".join(f"n{g} * (n{g} - 1) * (2 * n{g} + 5)" for g in range(5))}
+               AS ag,
+             {" + ".join(f"n{g} * (n{g} - 1) * (n{g} - 2)" for g in range(5))}
+               AS bg,
+             {" + ".join(f"n{g} * (n{g} - 1)" for g in range(5))} AS cg
+      FROM grps
+    ),
+    ties AS (
+      SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS at_,
+             CAST(SUM(t * (t - 1) * (t - 2)) AS BIGINT) AS bt,
+             CAST(SUM(t * (t - 1)) AS BIGINT) AS ct
+      FROM (SELECT c0 + c1 + c2 + c3 + c4 AS t FROM hist)
+    )
+    ,
+    vcalc AS (
+      SELECT j.j2, s.n, s.sn2,
+             CAST(s.n * (s.n - 1) * (2 * s.n + 5) - s.ag - t.at_ AS BIGINT)
+               AS a_comp,
+             CAST(s.bg AS BIGINT) AS bg, t.bt,
+             CAST(s.cg AS BIGINT) AS cg, t.ct,
+             CAST(s.n * (s.n - 1) * (2 * s.n + 5) - s.ag - t.at_ AS DOUBLE)
+               / 72e0
+             + (CAST(s.bg AS DOUBLE) * CAST(t.bt AS DOUBLE))
+               / (36e0 * CAST(s.n * (s.n - 1) * (s.n - 2) AS DOUBLE))
+             + (CAST(s.cg AS DOUBLE) * CAST(t.ct AS DOUBLE))
+               / (8e0 * CAST(s.n * (s.n - 1) AS DOUBLE)) AS var_jt
+      FROM jstat j, scal s, ties t
+    )
+    SELECT n AS n_total, j2,
+           CAST(n * n - sn2 AS BIGINT) AS mean4,
+           a_comp, bg, bt, cg, ct,
+           CASE WHEN var_jt > 0e0 THEN
+             CAST(2 * j2 - (n * n - sn2) AS DOUBLE) / (4e0 * sqrt(var_jt))
+           END AS z_jt
+    FROM vcalc
+    """,
+    doc="[EXT] Jonckheere-Terpstra test for an ORDERED alternative "
+    "(does extendedprice shift stochastically upward across quantity "
+    "doses 0..4?) -- the trend-aware completion of stat_kruskal_wallis, "
+    "strictly more powerful when the alternative is monotone. "
+    "J2 = 2J = sum over dose pairs g<h of (2*#{{x_g<x_h}} + #{{ties}}), "
+    "computed from ONE pivoted value histogram: per distinct price, "
+    "each dose's strictly-below cumulative (shared global walk over "
+    "the VALUE domain -- the Mann-Whitney cost law) and the in-block "
+    "counts expand the pair sum literally over the 5 fixed doses. "
+    "Mean4 = N^2 - sum n_g^2 and the full Lehmann tie-corrected "
+    "variance components (A/72 + B/(36 N(N-1)(N-2)) + C/(8 N(N-1))) "
+    "are exact BIGINTs (A <= 2N^3 ~ 4e17 at sf0.1, within int64); the "
+    "B and C cross-products would overflow int64, so the z tree "
+    "multiplies their correctly-rounded DOUBLE casts -- deterministic "
+    "on both engines (bit-identical casts), the documented relaxation "
+    "of the exact-double-convertibility bonus.",
+    tags=("stats",),
+)
+def stat_jonckheere_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    rows_ = li.select(
+        F.least(
+            F.lit(4), F.expr("(CAST(l_quantity AS BIGINT) - 1) div 10")
+        ).alias("g"),
+        F.expr(_JT_PRICE_CENTS).alias("v"),
+    )
+    return jonckheere_from_rows(rows_)
+
+
+def jonckheere_from_rows(rows_: DataFrame) -> DataFrame:
+    """JT statistic from a (g in 0..4, v BIGINT) sample table (template
+    shared with the planted-trend property test)."""
+    from pyspark.sql.window import Window as W
+
+    hist = rows_.groupBy("v").agg(
+        *[
+            F.sum(F.when(F.col("g") == g, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{g}")
+            for g in range(5)
+        ]
+    )
+    w_prev = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    walk = hist.select(
+        "v",
+        *[F.col(f"c{g}") for g in range(5)],
+        *[
+            F.coalesce(F.sum(f"c{g}").over(w_prev), F.lit(0))
+            .cast("long")
+            .alias(f"cb{g}")
+            for g in range(5)
+        ],
+    )
+    jstat = walk.agg(F.expr(f"CAST(SUM({_jt_contrib_sql()}) AS BIGINT)").alias("j2"))
+    grps = hist.agg(
+        *[F.sum(f"c{g}").cast("long").alias(f"n{g}") for g in range(5)]
+    )
+    scal = grps.selectExpr(
+        "n0 + n1 + n2 + n3 + n4 AS n",
+        " + ".join(f"n{g} * n{g}" for g in range(5)) + " AS sn2",
+        " + ".join(f"n{g} * (n{g} - 1) * (2 * n{g} + 5)" for g in range(5))
+        + " AS ag",
+        " + ".join(f"n{g} * (n{g} - 1) * (n{g} - 2)" for g in range(5)) + " AS bg",
+        " + ".join(f"n{g} * (n{g} - 1)" for g in range(5)) + " AS cg",
+    )
+    ties = hist.select(
+        (sum(F.col(f"c{g}") for g in range(1, 5)) + F.col("c0")).alias("t")
+    ).agg(
+        F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+        .cast("long")
+        .alias("at_"),
+        F.sum(F.col("t") * (F.col("t") - 1) * (F.col("t") - 2))
+        .cast("long")
+        .alias("bt"),
+        F.sum(F.col("t") * (F.col("t") - 1)).cast("long").alias("ct"),
+    )
+    j = jstat.crossJoin(F.broadcast(scal)).crossJoin(F.broadcast(ties))
+    mean4 = F.col("n") * F.col("n") - F.col("sn2")
+    a_comp = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("ag")
+        - F.col("at_")
+    )
+    var = (
+        a_comp.cast("double") / F.lit(72.0)
+        + (F.col("bg").cast("double") * F.col("bt").cast("double"))
+        / (
+            F.lit(36.0)
+            * (F.col("n") * (F.col("n") - 1) * (F.col("n") - 2)).cast("double")
+        )
+        + (F.col("cg").cast("double") * F.col("ct").cast("double"))
+        / (F.lit(8.0) * (F.col("n") * (F.col("n") - 1)).cast("double"))
+    )
+    return j.select(
+        F.col("n").alias("n_total"),
+        "j2",
+        mean4.cast("long").alias("mean4"),
+        a_comp.cast("long").alias("a_comp"),
+        F.col("bg").cast("long").alias("bg"),
+        "bt",
+        F.col("cg").cast("long").alias("cg"),
+        "ct",
+        F.when(
+            var > 0.0,
+            (2 * F.col("j2") - mean4).cast("double") / (F.lit(4.0) * F.sqrt(var)),
+        ).alias("z_jt"),
+    )

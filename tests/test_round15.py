@@ -536,3 +536,64 @@ class TestCohensD:
             assert row.cohens_d == d
             j = 1.0 - 3.0 / float(4 * (na + nb - 2) - 1)
             assert row.hedges_g == j * d
+
+
+class TestJonckheereTerpstra:
+    def test_matches_python_replay(self, spark, li_pdf):
+        import numpy as np
+
+        from clinical_api_etl_spark.plans.inference import stat_jonckheere_trend
+
+        row = stat_jonckheere_trend(spark, SF).collect()[0]
+        cents = (li_pdf["l_extendedprice"] * 100).round().astype("int64")
+        dose = np.minimum(4, (li_pdf["l_quantity"].astype("int64") - 1) // 10)
+        groups = [np.sort(cents[dose == g].to_numpy()) for g in range(5)]
+        j2 = 0
+        for g in range(5):
+            for h in range(g + 1, 5):
+                lo = np.searchsorted(groups[g], groups[h], side="left")
+                hi = np.searchsorted(groups[g], groups[h], side="right")
+                j2 += int(2 * lo.sum() + (hi - lo).sum())
+        assert row.j2 == j2
+        ns = [len(g_) for g_ in groups]
+        n = sum(ns)
+        assert row.n_total == n
+        assert row.mean4 == n * n - sum(x * x for x in ns)
+        pooled = np.concatenate(groups)
+        _, t_counts = np.unique(pooled, return_counts=True)
+        at_ = sum(int(t) * (int(t) - 1) * (2 * int(t) + 5) for t in t_counts)
+        bt = sum(int(t) * (int(t) - 1) * (int(t) - 2) for t in t_counts)
+        ct = sum(int(t) * (int(t) - 1) for t in t_counts)
+        ag = sum(x * (x - 1) * (2 * x + 5) for x in ns)
+        assert row.a_comp == n * (n - 1) * (2 * n + 5) - ag - at_
+        assert row.bg == sum(x * (x - 1) * (x - 2) for x in ns)
+        assert row.bt == bt
+        assert row.cg == sum(x * (x - 1) for x in ns)
+        assert row.ct == ct
+        var = (
+            float(row.a_comp) / 72.0
+            + (float(row.bg) * float(bt)) / (36.0 * float(n * (n - 1) * (n - 2)))
+            + (float(row.cg) * float(ct)) / (8.0 * float(n * (n - 1)))
+        )
+        assert row.z_jt == float(2 * j2 - row.mean4) / (4.0 * math.sqrt(var))
+
+    def test_planted_monotone_and_null(self, spark):
+        from clinical_api_etl_spark.plans.inference import jonckheere_from_rows
+
+        # Strictly separated groups: every cross-pair concordant, so
+        # J2 = 2 * sum_{g<h} n_g n_h = mean4 * 2 -> z > 0 and maximal.
+        rows = [(g, 1000 * g + i) for g in range(5) for i in range(30)]
+        df = spark.createDataFrame(rows, "g long, v long")
+        r = jonckheere_from_rows(df).collect()[0]
+        n_pairs = sum(30 * 30 for g in range(5) for h in range(g + 1, 5))
+        assert r.j2 == 2 * n_pairs
+        assert r.z_jt > 5
+        # Identical distributions across groups (all values equal):
+        # every cross pair is a tie, J2 == mean4 exactly -> z == 0.
+        flat = [(g, 7) for g in range(5) for _ in range(30)]
+        df2 = spark.createDataFrame(flat, "g long, v long")
+        r2 = jonckheere_from_rows(df2).collect()[0]
+        assert 2 * r2.j2 == r2.mean4  # ties contribute exactly half weight
+        # Fully degenerate: the tie-corrected variance is exactly 0, so
+        # z is NULL (never NaN / no ANSI divide-by-zero).
+        assert r2.z_jt is None

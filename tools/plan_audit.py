@@ -187,6 +187,9 @@ GLOBAL_WINDOW_OK: set[str] = {
     # (bounded by the length domain, not the corpus).
     "ml_roc_points",
     "ml_ks_separation",
+    # pooled strictly-below walk over the extendedprice VALUE HISTOGRAM
+    # (the stat_kruskal_wallis / Mann-Whitney bounded-domain class).
+    "stat_jonckheere_trend",
 }
 
 
