@@ -2635,6 +2635,7 @@ def text_source_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "false AND NULL = false law makes null-text rows drop identically "
     "on both engines.",
     tags=("text", "quality", "mlprep"),
+    headline=True,
 )
 def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -2715,4 +2716,91 @@ def quality_funnel_from_docs(docs: DataFrame) -> DataFrame:
         (F.col("n_docs").cast("double") / F.col("n0").cast("double")).alias(
             "retained"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication survivorship: kept/dropped per source after near-dup
+# clustering (the release-notes table of a dedup run).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "dedup_survivorship_by_source",
+    f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_06_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS id FROM edges),
+    walk(id, label) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.a, w.label FROM walk w JOIN edges e ON w.id = e.b
+      WHERE w.label < e.a
+    ),
+    comp AS MATERIALIZED (
+      SELECT id AS doc_id, MIN(label) AS component FROM walk GROUP BY id
+    ),
+    keepers AS (
+      SELECT component, MIN(doc_id) AS keep_id FROM comp GROUP BY component
+    ),
+    labeled AS (
+      SELECT d.source,
+             CASE WHEN c.doc_id IS NULL THEN TRUE
+                  ELSE k.keep_id = d.doc_id END AS kept
+      FROM documents d
+      LEFT JOIN comp c ON c.doc_id = d.doc_id
+      LEFT JOIN keepers k ON k.component = c.component
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS drop_rate
+    FROM labeled GROUP BY source
+    """,
+    doc="[EXT] dedup survivorship report: after 0.6-Jaccard near-dup "
+    "clustering (dedup_components' groups), keep the MIN-doc_id "
+    "representative per cluster plus every singleton, and report "
+    "kept/dropped counts and drop rate PER SOURCE — the release-notes "
+    "table a corpus dedup run publishes, and the per-domain skew check "
+    "(is one source contributing all the duplicates?). Spark reuses "
+    "ngram_jaccard_pairs + min-label connected components; the keeper "
+    "rule is canonical (min id), so the composed artifact hash-matches "
+    "the recursive-CTE closure end to end. Counts exact BIGINT; drop "
+    "rate one division.",
+    tags=("dedup", "quality"),
+)
+def dedup_survivorship_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.dedup import ngram_jaccard_pairs
+    from clinical_api_etl_spark.operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    ).localCheckpoint(eager=True)
+    keepers = comp.groupBy("component").agg(F.min("doc_id").alias("keep_id"))
+    labeled = (
+        docs.join(comp, "doc_id", "left")
+        .join(F.broadcast(keepers), "component", "left")
+        .select(
+            "source",
+            F.when(F.col("component").isNull(), F.lit(True))
+            .otherwise(F.col("keep_id") == F.col("doc_id"))
+            .alias("kept"),
+        )
+    )
+    return labeled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).cast("long").alias("n_dropped"),
+        (
+            F.sum(F.when(F.col("kept"), 0).otherwise(1)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("drop_rate"),
     )

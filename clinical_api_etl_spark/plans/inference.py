@@ -4577,6 +4577,7 @@ def _jt_contrib_sql() -> str:
     "on both engines (bit-identical casts), the documented relaxation "
     "of the exact-double-convertibility bonus.",
     tags=("stats",),
+    headline=True,
 )
 def stat_jonckheere_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")

@@ -2606,3 +2606,199 @@ def ml_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stump learning curve: training-set size vs held-out accuracy.
+# ---------------------------------------------------------------------------
+
+_LC_BUCKET_DUCK = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER)"
+)
+_LC_BUCKET_SPARK = (
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS INT)"
+)
+#: Training-pool fractions: md5 bucket < limit out of the 0..127 pool
+#: (128 = the full pool); holdout is fixed at bucket >= 128.
+_LC_LIMITS = (16, 32, 64, 128)
+
+
+@QS.add(
+    "ml_learning_curve",
+    f"""
+    WITH docs2 AS MATERIALIZED (
+      SELECT doc_id, n_chars, lang, {_LC_BUCKET_DUCK} AS b FROM documents
+    ),
+    fracs AS (SELECT unnest(ARRAY{list(_LC_LIMITS)}) AS f),
+    hist AS (
+      SELECT fr.f, d.n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS pos
+      FROM docs2 d JOIN fracs fr ON d.b < fr.f
+      GROUP BY fr.f, d.n_chars
+    ),
+    walk AS (
+      SELECT f, v,
+             CAST(SUM(cnt) OVER (PARTITION BY f ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_l,
+             CAST(SUM(pos) OVER (PARTITION BY f ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pos_l,
+             CAST(SUM(cnt) OVER (PARTITION BY f) AS BIGINT) AS n,
+             CAST(SUM(pos) OVER (PARTITION BY f) AS BIGINT) AS p
+      FROM hist
+    ),
+    scored AS (
+      SELECT f, v AS threshold, n_l, pos_l, n - n_l AS n_r,
+             p - pos_l AS pos_r, n, p,
+             CAST(pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l) AS DOUBLE)
+               / CAST(n_l AS DOUBLE)
+             + CAST((p - pos_l) * (p - pos_l)
+                    + ((n - n_l) - (p - pos_l)) * ((n - n_l) - (p - pos_l))
+                    AS DOUBLE) / CAST(n - n_l AS DOUBLE) AS purity
+      FROM walk WHERE n - n_l > 0
+    ),
+    stumps AS MATERIALIZED (
+      SELECT f, threshold, n, pos_l * 2 > n_l AS pl,
+             pos_r * 2 > n_r AS pr,
+             CAST(GREATEST(pos_l, n_l - pos_l)
+                  + GREATEST(pos_r, n_r - pos_r) AS DOUBLE)
+               / CAST(n AS DOUBLE) AS train_accuracy
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY f
+                        ORDER BY purity DESC, threshold) AS rk
+            FROM scored)
+      WHERE rk = 1
+    ),
+    hh AS MATERIALIZED (
+      SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS pos
+      FROM docs2 WHERE b >= 128 GROUP BY n_chars
+    ),
+    ev AS (
+      SELECT s.f, CAST(SUM(hh.cnt) AS BIGINT) AS n_holdout,
+             CAST(SUM(CASE WHEN hh.v <= s.threshold THEN
+                        CASE WHEN s.pl THEN hh.pos ELSE hh.cnt - hh.pos END
+                      ELSE
+                        CASE WHEN s.pr THEN hh.pos ELSE hh.cnt - hh.pos END
+                      END) AS BIGINT) AS n_correct
+      FROM stumps s CROSS JOIN hh GROUP BY s.f
+    )
+    SELECT s.f AS bucket_limit, s.n AS n_train, s.threshold,
+           s.pl AS pred_left_en, s.pr AS pred_right_en,
+           s.train_accuracy, e.n_holdout, e.n_correct,
+           CAST(e.n_correct AS DOUBLE) / CAST(e.n_holdout AS DOUBLE)
+             AS holdout_accuracy
+    FROM stumps s JOIN ev e ON s.f = e.f
+    """,
+    doc="[EXT] learning curve of the Gini stump: refit on nested "
+    "hash-deterministic training fractions (md5 bucket < 16/32/64/128 "
+    "of the 0..127 pool) and score every fit on the FIXED bucket>=128 "
+    "holdout — the sample-efficiency artifact that says whether more "
+    "data would still buy accuracy. Candidate thresholds walk "
+    "per-fraction value HISTOGRAMS with f-PARTITIONED windows (no "
+    "global window at all — the fraction key partitions the walk); "
+    "holdout evaluation is a 4x|values| conditional aggregate over the "
+    "holdout histogram. Exact BIGINT counts, fixed-tree purity, "
+    "accuracy divisions; md5 bucketing is the engine-portable sampler "
+    "(round-2 rule).",
+    tags=("ml",),
+)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "n_chars", "lang", f"{_LC_BUCKET_SPARK} AS b"
+    ).localCheckpoint(eager=True)
+    fracs = docs.sparkSession.createDataFrame(
+        [(f,) for f in _LC_LIMITS], "f int"
+    )
+    hist = (
+        docs.join(F.broadcast(fracs), docs["b"] < fracs["f"])
+        .groupBy("f", F.col("n_chars").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+    w_run = W.partitionBy("f").orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy("f")
+    walk = hist.select(
+        "f",
+        "v",
+        F.sum("cnt").over(w_run).cast("long").alias("n_l"),
+        F.sum("pos").over(w_run).cast("long").alias("pos_l"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
+        F.sum("pos").over(w_all).cast("long").alias("p"),
+    )
+    scored = walk.filter(F.col("n") > F.col("n_l")).selectExpr(
+        "f",
+        "v AS threshold",
+        "n_l",
+        "pos_l",
+        "n - n_l AS n_r",
+        "p - pos_l AS pos_r",
+        "n",
+        "p",
+        "CAST(pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l) AS DOUBLE)"
+        " / CAST(n_l AS DOUBLE)"
+        " + CAST((p - pos_l) * (p - pos_l)"
+        "        + ((n - n_l) - (p - pos_l)) * ((n - n_l) - (p - pos_l))"
+        "        AS DOUBLE) / CAST(n - n_l AS DOUBLE) AS purity",
+    )
+    w_rk = W.partitionBy("f").orderBy(F.desc("purity"), F.asc("threshold"))
+    stumps = (
+        scored.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") == 1)
+        .selectExpr(
+            "f",
+            "threshold",
+            "n",
+            "pos_l * 2 > n_l AS pl",
+            "pos_r * 2 > n_r AS pr",
+            "CAST(GREATEST(pos_l, n_l - pos_l)"
+            " + GREATEST(pos_r, n_r - pos_r) AS DOUBLE)"
+            " / CAST(n AS DOUBLE) AS train_accuracy",
+        )
+        .localCheckpoint(eager=True)
+    )
+    hh = (
+        docs.filter(F.col("b") >= 128)
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+    correct = F.when(
+        F.col("v") <= F.col("threshold"),
+        F.when(F.col("pl"), F.col("pos")).otherwise(F.col("cnt") - F.col("pos")),
+    ).otherwise(
+        F.when(F.col("pr"), F.col("pos")).otherwise(F.col("cnt") - F.col("pos"))
+    )
+    ev = (
+        stumps.crossJoin(hh)
+        .groupBy("f")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_holdout"),
+            F.sum(correct).cast("long").alias("n_correct"),
+        )
+    )
+    return stumps.join(ev, "f").select(
+        F.col("f").cast("int").alias("bucket_limit"),
+        F.col("n").alias("n_train"),
+        "threshold",
+        F.col("pl").alias("pred_left_en"),
+        F.col("pr").alias("pred_right_en"),
+        "train_accuracy",
+        "n_holdout",
+        "n_correct",
+        (
+            F.col("n_correct").cast("double") / F.col("n_holdout").cast("double")
+        ).alias("holdout_accuracy"),
+    )

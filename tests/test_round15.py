@@ -597,3 +597,90 @@ class TestJonckheereTerpstra:
         # Fully degenerate: the tie-corrected variance is exactly 0, so
         # z is NULL (never NaN / no ANSI divide-by-zero).
         assert r2.z_jt is None
+
+
+class TestLearningCurve:
+    def test_monotone_train_size_and_consistency(self, spark):
+        from clinical_api_etl_spark.plans.modeling import ml_learning_curve
+
+        rows = sorted(
+            ml_learning_curve(spark, SF).collect(), key=lambda r: r.bucket_limit
+        )
+        assert [r.bucket_limit for r in rows] == [16, 32, 64, 128]
+        # Nested hash buckets: training sets grow monotonically.
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur.n_train > prev.n_train
+        # Same fixed holdout for every fraction.
+        assert len({r.n_holdout for r in rows}) == 1
+        for r in rows:
+            assert 0.0 < r.train_accuracy <= 1.0
+            assert r.holdout_accuracy == r.n_correct / r.n_holdout
+
+    def test_full_pool_stump_matches_direct_refit(self, spark):
+        """The bucket_limit=128 row must equal a stump trained directly
+        on the b<128 half -- a python replay of threshold selection."""
+        from clinical_api_etl_spark.plans.modeling import ml_learning_curve
+
+        import hashlib
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet")
+        b = docs["doc_id"].map(
+            lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16)
+        )
+        train = docs[b < 128]
+        hold = docs[b >= 128]
+        hist = {}
+        for v, en in zip(train["n_chars"], train["lang"] == "en"):
+            c, p = hist.get(v, (0, 0))
+            hist[v] = (c + 1, p + int(en))
+        vs = sorted(hist)
+        n = sum(c for c, _ in hist.values())
+        p = sum(q for _, q in hist.values())
+        best = None
+        n_l = pos_l = 0
+        for v in vs:
+            c, q = hist[v]
+            n_l += c
+            pos_l += q
+            if n - n_l <= 0:
+                continue
+            pur = (pos_l**2 + (n_l - pos_l) ** 2) / n_l + (
+                (p - pos_l) ** 2 + ((n - n_l) - (p - pos_l)) ** 2
+            ) / (n - n_l)
+            key = (-pur, v)
+            if best is None or key < best[0]:
+                best = (key, v, n_l, pos_l)
+        _, t, n_l, pos_l = best
+        pl = pos_l * 2 > n_l
+        pr = (p - pos_l) * 2 > (n - n_l)
+        correct = sum(
+            int(en) if (v <= t and pl) or (v > t and pr) else int(not en)
+            for v, en in zip(hold["n_chars"], hold["lang"] == "en")
+        )
+        row = {r.bucket_limit: r for r in ml_learning_curve(spark, SF).collect()}[128]
+        assert row.threshold == t
+        assert row.n_train == n
+        assert row.n_correct == correct
+
+
+class TestDedupSurvivorship:
+    def test_conservation_and_component_consistency(self, spark):
+        from clinical_api_etl_spark.plans.extensions import (
+            dedup_components,
+            dedup_survivorship_by_source,
+        )
+
+        rows = dedup_survivorship_by_source(spark, SF).collect()
+        docs = pd.read_parquet(f"{SF}/documents.parquet")
+        assert sum(r.n_docs for r in rows) == len(docs)
+        comp = dedup_components(spark, SF).collect()
+        from collections import Counter
+
+        comp_sizes = Counter(r.component for r in comp)
+        # kept total = singletons (docs outside any component) + one per
+        # component.
+        want_kept = (len(docs) - len(comp)) + len(comp_sizes)
+        assert sum(r.n_kept for r in rows) == want_kept
+        for r in rows:
+            assert r.n_kept + r.n_dropped == r.n_docs
+            assert r.drop_rate == r.n_dropped / r.n_docs
