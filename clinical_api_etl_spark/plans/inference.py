@@ -4668,3 +4668,130 @@ def jonckheere_from_rows(rows_: DataFrame) -> DataFrame:
             (2 * F.col("j2") - mean4).cast("double") / (F.lit(4.0) * F.sqrt(var)),
         ).alias("z_jt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Friedman test over complete weekly blocks (blocked analogue of KW).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_friedman_weekday",
+    f"""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // {_DAY_MS} AS d,
+             (epoch_ms(ts) // {_DAY_MS}) // 7 AS wk,
+             (epoch_ms(ts) // {_DAY_MS}) % 7 AS dow,
+             CAST(SUM({_CENTS}) AS BIGINT) AS s
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, d
+    ),
+    complete AS (
+      SELECT event_type, wk FROM daily
+      GROUP BY event_type, wk HAVING COUNT(*) = 7
+    ),
+    cells AS MATERIALIZED (
+      SELECT d.event_type, d.wk, d.dow, d.s,
+             CAST(2 * RANK() OVER (PARTITION BY d.event_type, d.wk
+                                   ORDER BY d.s)
+                  + COUNT(*) OVER (PARTITION BY d.event_type, d.wk, d.s)
+                  - 1 AS BIGINT) AS r2
+      FROM daily d JOIN complete c
+        ON d.event_type = c.event_type AND d.wk = c.wk
+    ),
+    cols AS (
+      SELECT event_type, dow, CAST(SUM(r2) AS BIGINT) AS r2j
+      FROM cells GROUP BY event_type, dow
+    ),
+    scal AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT wk) AS BIGINT) AS m,
+             CAST(SUM(r2 * r2) AS BIGINT) AS a4
+      FROM cells GROUP BY event_type
+    )
+    SELECT s.event_type, s.m, CAST(7 AS BIGINT) AS n_treat,
+           CAST(SUM((c.r2j - s.m * 8) * (c.r2j - s.m * 8)) AS BIGINT)
+             AS num4,
+           CAST(s.a4 - s.m * 7 * 64 AS BIGINT) AS den4,
+           CASE WHEN s.a4 - s.m * 7 * 64 = 0 THEN NULL
+                ELSE 6e0 * CAST(SUM((c.r2j - s.m * 8)
+                                    * (c.r2j - s.m * 8)) AS DOUBLE)
+                     / CAST(s.a4 - s.m * 7 * 64 AS DOUBLE)
+           END AS friedman_t1
+    FROM scal s JOIN cols c ON s.event_type = c.event_type
+    GROUP BY s.event_type, s.m, s.a4
+    """,
+    doc="[EXT] Friedman test on complete weekly blocks: does weekday "
+    "systematically shift daily revenue, with week-to-week level "
+    "differences blocked out? Conover's tie-robust T1 form in DOUBLED "
+    "midranks (2*rank + tiecount - 1 stays integer, the round-7 rule): "
+    "T1 = (n-1) * Sum_j (R2_j - m(n+1))^2 / (Sum r2^2 - m n (n+1)^2) "
+    "with n = 7 weekdays, so (n-1) folds into the literal 6e0 and the "
+    "centering/denominator constants become m*8 and m*7*64 -- exact "
+    "BIGINTs end to end, ONE division (NULL when every value in every "
+    "block ties). Incomplete weeks are excluded (classic complete-"
+    "block design); ranks come from (event_type, week)-PARTITIONED "
+    "windows over the DAILY pre-aggregate -- calendar-bounded cost. "
+    "Completes the rank-test ladder: KW (unblocked), JT (ordered), "
+    "Friedman (blocked).",
+    tags=("stats", "timeseries"),
+)
+def stat_friedman_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_millis(ts) div {_DAY_MS}").alias("d"),
+            _cents().alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").cast("long").alias("s"))
+        .select(
+            "event_type",
+            F.expr("d div 7").cast("long").alias("wk"),
+            (F.col("d") % 7).alias("dow"),
+            "s",
+        )
+    )
+    complete = (
+        daily.groupBy("event_type", "wk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == 7)
+        .select("event_type", "wk")
+    )
+    blocked = daily.join(complete, ["event_type", "wk"])
+    w_rank = Window.partitionBy("event_type", "wk").orderBy("s")
+    w_tie = Window.partitionBy("event_type", "wk", "s")
+    cells = blocked.select(
+        "event_type",
+        "wk",
+        "dow",
+        (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1)
+        .cast("long")
+        .alias("r2"),
+    ).coalesce(8).persist()
+    cols = cells.groupBy("event_type", "dow").agg(
+        F.sum("r2").cast("long").alias("r2j")
+    )
+    scal = cells.groupBy("event_type").agg(
+        F.count_distinct("wk").cast("long").alias("m"),
+        F.sum(F.col("r2") * F.col("r2")).cast("long").alias("a4"),
+    )
+    j = cols.join(F.broadcast(scal), "event_type")
+    dev = F.col("r2j") - F.col("m") * 8
+    agg = j.groupBy("event_type", "m", "a4").agg(
+        F.sum(dev * dev).cast("long").alias("num4")
+    )
+    den4 = F.col("a4") - F.col("m") * 7 * 64
+    return agg.select(
+        "event_type",
+        "m",
+        F.lit(7).cast("long").alias("n_treat"),
+        "num4",
+        den4.cast("long").alias("den4"),
+        F.when(den4 == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.lit(6.0) * F.col("num4").cast("double") / den4.cast("double")
+        )
+        .alias("friedman_t1"),
+    )

@@ -1147,3 +1147,57 @@ def graph_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("j") * F.col("n_nodes")).cast("double")
         ).alias("knn"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Edge embeddedness spectrum (Granovetter weak ties).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "graph_edge_embeddedness",
+    "WITH "
+    + ",\n".join(_lpa_ctes(0)[:2])
+    + """,
+    cn AS (
+      SELECT s1.v AS a, s2.v AS b, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+      GROUP BY s1.v, s2.v
+    ),
+    emb AS (
+      SELECT e0.u, e0.v, CAST(COALESCE(cn.cn, 0) AS BIGINT) AS embeddedness
+      FROM e0 LEFT JOIN cn ON cn.a = e0.u AND cn.b = e0.v
+    )
+    SELECT embeddedness, CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM emb GROUP BY embeddedness
+    """,
+    doc="[EXT] edge-embeddedness spectrum (Granovetter): for every "
+    "EDGE of the co-purchase graph, the number of common neighbors of "
+    "its endpoints, histogrammed — embeddedness 0 = weak ties/bridges "
+    "(the edges whose removal fragments information flow), high "
+    "embeddedness = redundant intra-community links. The same wedge "
+    "join as graph_linkpred_topk pointed at ADJACENT pairs instead of "
+    "non-adjacent ones (one LEFT join of the wedge counts onto the "
+    "edge list — edges with no wedge coalesce to 0); pure BIGINT "
+    "counts. The spectrum is the standard tie-strength diagnostic "
+    "next to the clustering-coefficient and assortativity summaries.",
+    tags=("graph", "stats"),
+)
+def graph_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e0, sym = _lp_graph(spark, sf_dir)
+    s1 = sym.select(F.col("u").alias("w"), F.col("v").alias("a"))
+    s2 = sym.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    cn = (
+        s1.join(s2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+    emb = e0.join(
+        cn,
+        (F.col("u") == F.col("a")) & (F.col("v") == F.col("b")),
+        "left",
+    ).select(F.coalesce("cn", F.lit(0)).cast("long").alias("embeddedness"))
+    return emb.groupBy("embeddedness").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )

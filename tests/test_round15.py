@@ -684,3 +684,65 @@ class TestDedupSurvivorship:
         for r in rows:
             assert r.n_kept + r.n_dropped == r.n_docs
             assert r.drop_rate == r.n_dropped / r.n_docs
+
+
+class TestFriedman:
+    def test_matches_python_replay(self, spark):
+        from clinical_api_etl_spark.plans.inference import stat_friedman_weekday
+
+        pdf = pd.read_parquet(f"{SF}/events.parquet")
+        pdf = pdf[pdf["value"].notna()].copy()
+        pdf["cents"] = (pdf["value"] * 100).round().astype("int64")
+        pdf["d"] = pdf["ts"].astype("datetime64[us]").astype("int64") // (
+            _DAY_MS * 1000
+        )
+        daily = pdf.groupby(["event_type", "d"])["cents"].sum().reset_index()
+        daily["wk"] = daily["d"] // 7
+        want = {}
+        for et, sub in daily.groupby("event_type"):
+            blocks = [
+                list(b["cents"])
+                for _, b in sub.groupby("wk")
+                if len(b) == 7
+            ]
+            if not blocks:
+                continue
+            m = len(blocks)
+            r2j = [0] * 7
+            a4 = 0
+            for b in blocks:
+                order = sorted(b)
+                for j, x in enumerate(b):
+                    lo = order.index(x)  # min rank - 1
+                    t = order.count(x)
+                    r2 = 2 * (lo + 1) + t - 1
+                    r2j[j] += r2
+                    a4 += r2 * r2
+            num4 = sum((r - 8 * m) ** 2 for r in r2j)
+            den4 = a4 - m * 7 * 64
+            want[et] = (m, num4, den4)
+        got = {r.event_type: r for r in stat_friedman_weekday(spark, SF).collect()}
+        assert set(got) == set(want)
+        for et, (m, num4, den4) in want.items():
+            row = got[et]
+            assert row.m == m and row.num4 == num4 and row.den4 == den4
+            if den4 == 0:
+                assert row.friedman_t1 is None
+            else:
+                assert row.friedman_t1 == 6.0 * float(num4) / float(den4)
+
+
+class TestEdgeEmbeddedness:
+    def test_triangle_consistency(self, spark):
+        from clinical_api_etl_spark.plans.mining import graph_triangle_count
+        from clinical_api_etl_spark.plans.ranking.graphrank import (
+            graph_edge_embeddedness,
+        )
+
+        rows = graph_edge_embeddedness(spark, SF).collect()
+        # Sum of embeddedness over edges counts each triangle 3 times.
+        total_emb = sum(r.embeddedness * r.n_edges for r in rows)
+        tri = graph_triangle_count(spark, SF).collect()[0]
+        n_tri = tri[0] if not hasattr(tri, "n_triangles") else tri.n_triangles
+        assert total_emb == 3 * n_tri
+        assert all(r.n_edges > 0 for r in rows)
