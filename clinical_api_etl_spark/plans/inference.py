@@ -4675,10 +4675,9 @@ def jonckheere_from_rows(rows_: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@QS.add(
-    "stat_friedman_weekday",
-    f"""
-    WITH daily AS (
+#: Complete-weekly-block doubled midranks — shared by the Friedman and
+#: Page trend tests (one CTE prefix, two finishes).
+_BLOCK_CELLS_SQL = f"""daily AS (
       SELECT event_type, epoch_ms(ts) // {_DAY_MS} AS d,
              (epoch_ms(ts) // {_DAY_MS}) // 7 AS wk,
              (epoch_ms(ts) // {_DAY_MS}) % 7 AS dow,
@@ -4698,7 +4697,13 @@ def jonckheere_from_rows(rows_: DataFrame) -> DataFrame:
                   - 1 AS BIGINT) AS r2
       FROM daily d JOIN complete c
         ON d.event_type = c.event_type AND d.wk = c.wk
-    ),
+    )"""
+
+
+@QS.add(
+    "stat_friedman_weekday",
+    f"""
+    WITH {_BLOCK_CELLS_SQL},
     cols AS (
       SELECT event_type, dow, CAST(SUM(r2) AS BIGINT) AS r2j
       FROM cells GROUP BY event_type, dow
@@ -4737,6 +4742,37 @@ def jonckheere_from_rows(rows_: DataFrame) -> DataFrame:
     tags=("stats", "timeseries"),
 )
 def stat_friedman_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = _weekday_block_cells(spark, sf_dir)
+    cols = cells.groupBy("event_type", "dow").agg(
+        F.sum("r2").cast("long").alias("r2j")
+    )
+    scal = cells.groupBy("event_type").agg(
+        F.count_distinct("wk").cast("long").alias("m"),
+        F.sum(F.col("r2") * F.col("r2")).cast("long").alias("a4"),
+    )
+    j = cols.join(F.broadcast(scal), "event_type")
+    dev = F.col("r2j") - F.col("m") * 8
+    agg = j.groupBy("event_type", "m", "a4").agg(
+        F.sum(dev * dev).cast("long").alias("num4")
+    )
+    den4 = F.col("a4") - F.col("m") * 7 * 64
+    return agg.select(
+        "event_type",
+        "m",
+        F.lit(7).cast("long").alias("n_treat"),
+        "num4",
+        den4.cast("long").alias("den4"),
+        F.when(den4 == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.lit(6.0) * F.col("num4").cast("double") / den4.cast("double")
+        )
+        .alias("friedman_t1"),
+    )
+
+
+def _weekday_block_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, wk, dow, r2): doubled within-block midranks over
+    complete weekly blocks — shared by Friedman and Page."""
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     daily = (
         ev.select(
@@ -4762,7 +4798,7 @@ def stat_friedman_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked = daily.join(complete, ["event_type", "wk"])
     w_rank = Window.partitionBy("event_type", "wk").orderBy("s")
     w_tie = Window.partitionBy("event_type", "wk", "s")
-    cells = blocked.select(
+    return blocked.select(
         "event_type",
         "wk",
         "dow",
@@ -4770,28 +4806,73 @@ def stat_friedman_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("r2"),
     ).coalesce(8).persist()
+
+
+# ---------------------------------------------------------------------------
+# Page's L trend test over the same weekly blocks (ordered weekdays).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_page_trend_weekday",
+    f"""
+    WITH {_BLOCK_CELLS_SQL},
+    cols AS (
+      SELECT event_type, dow, CAST(SUM(r2) AS BIGINT) AS r2j
+      FROM cells GROUP BY event_type, dow
+    ),
+    m_ AS (
+      SELECT event_type, CAST(COUNT(DISTINCT wk) AS BIGINT) AS m
+      FROM cells GROUP BY event_type
+    )
+    SELECT c.event_type, m_.m,
+           CAST(SUM((c.dow + 1) * c.r2j) AS BIGINT) AS l2,
+           CAST(224 * m_.m AS BIGINT) AS mean_l2,
+           CAST(18816 * m_.m AS BIGINT) AS var144,
+           CASE WHEN m_.m = 0 THEN NULL ELSE
+             CAST(SUM((c.dow + 1) * c.r2j) - 224 * m_.m AS DOUBLE)
+             / (2e0 * sqrt(CAST(18816 * m_.m AS DOUBLE) / 144e0))
+           END AS z_page
+    FROM cols c JOIN m_ ON c.event_type = m_.event_type
+    GROUP BY c.event_type, m_.m
+    """,
+    doc="[EXT] Page's L trend test on the SAME complete weekly blocks "
+    "as stat_friedman_weekday (one shared doubled-midrank CTE prefix, "
+    "two finishes): does daily revenue shift monotonically ACROSS the "
+    "week (dow order 1..7), which Friedman's omnibus statistic cannot "
+    "distinguish from arbitrary weekday differences? L2 = 2L = "
+    "Sum_j j * R2_j is an exact BIGINT (ties enter through the "
+    "midranks); the null mean 2E[L] = m*n(n+1)^2/2 = 224m and the "
+    "classic variance Var(L) = m*n^2(n+1)(n^2-1)/144 = 18816m/144 fold "
+    "to literal constants at n = 7. z uses the standard untied "
+    "variance (the textbook approximation -- components are exact, the "
+    "normalizer is the classic one); one division after one sqrt.",
+    tags=("stats", "timeseries"),
+)
+def stat_page_trend_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = _weekday_block_cells(spark, sf_dir)
     cols = cells.groupBy("event_type", "dow").agg(
         F.sum("r2").cast("long").alias("r2j")
     )
-    scal = cells.groupBy("event_type").agg(
-        F.count_distinct("wk").cast("long").alias("m"),
-        F.sum(F.col("r2") * F.col("r2")).cast("long").alias("a4"),
+    m_ = cells.groupBy("event_type").agg(
+        F.count_distinct("wk").cast("long").alias("m")
     )
-    j = cols.join(F.broadcast(scal), "event_type")
-    dev = F.col("r2j") - F.col("m") * 8
-    agg = j.groupBy("event_type", "m", "a4").agg(
-        F.sum(dev * dev).cast("long").alias("num4")
+    j = cols.join(F.broadcast(m_), "event_type")
+    agg = j.groupBy("event_type", "m").agg(
+        F.sum((F.col("dow") + 1) * F.col("r2j")).cast("long").alias("l2")
     )
-    den4 = F.col("a4") - F.col("m") * 7 * 64
+    mean_l2 = 224 * F.col("m")
+    var144 = 18816 * F.col("m")
     return agg.select(
         "event_type",
         "m",
-        F.lit(7).cast("long").alias("n_treat"),
-        "num4",
-        den4.cast("long").alias("den4"),
-        F.when(den4 == 0, F.lit(None).cast("double"))
+        "l2",
+        mean_l2.cast("long").alias("mean_l2"),
+        var144.cast("long").alias("var144"),
+        F.when(F.col("m") == 0, F.lit(None).cast("double"))
         .otherwise(
-            F.lit(6.0) * F.col("num4").cast("double") / den4.cast("double")
+            (F.col("l2") - mean_l2).cast("double")
+            / (F.lit(2.0) * F.sqrt(var144.cast("double") / F.lit(144.0)))
         )
-        .alias("friedman_t1"),
+        .alias("z_page"),
     )

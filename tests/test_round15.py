@@ -746,3 +746,40 @@ class TestEdgeEmbeddedness:
         n_tri = tri[0] if not hasattr(tri, "n_triangles") else tri.n_triangles
         assert total_emb == 3 * n_tri
         assert all(r.n_edges > 0 for r in rows)
+
+
+class TestPageTrend:
+    def test_consistency_with_friedman_cells(self, spark):
+        from clinical_api_etl_spark.plans.inference import (
+            stat_friedman_weekday,
+            stat_page_trend_weekday,
+        )
+
+        fr = {r.event_type: r for r in stat_friedman_weekday(spark, SF).collect()}
+        pg = {r.event_type: r for r in stat_page_trend_weekday(spark, SF).collect()}
+        assert set(fr) == set(pg)
+        for et, p in pg.items():
+            assert p.m == fr[et].m  # identical complete-block sets
+            assert p.mean_l2 == 224 * p.m
+            assert p.var144 == 18816 * p.m
+            # Identity: sum_j R2_j = m * n(n+1) = 56m, so L2 is bounded
+            # by the extreme orderings m*[sum j*2j forms]:
+            # min = 2m*(1*7+2*6+...+7*1) = 168m? compute directly:
+            lo = 2 * sum((j + 1) * (7 - j) for j in range(7))
+            hi = 2 * sum((j + 1) * (j + 1) for j in range(7))
+            assert lo * p.m <= p.l2 <= hi * p.m
+            if p.m > 0:
+                import math as _m
+
+                want_z = float(p.l2 - p.mean_l2) / (
+                    2.0 * _m.sqrt(float(p.var144) / 144.0)
+                )
+                assert p.z_page == want_z
+
+    def test_planted_monotone_week(self, spark):
+        # Planted check of the L2 algebra on one perfectly rising week
+        # replayed in python (no Spark needed for the formula pin).
+        r2 = [2 * (k + 1) for k in range(7)]  # untied ranks, rising
+        l2 = sum((j + 1) * r2[j] for j in range(7))
+        assert l2 == 2 * sum((j + 1) * (j + 1) for j in range(7))  # max
+        assert l2 > 224  # above the null mean for m=1
