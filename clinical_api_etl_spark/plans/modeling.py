@@ -2802,3 +2802,208 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_correct").cast("double") / F.col("n_holdout").cast("double")
         ).alias("holdout_accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired test: do the n_chars and n_tokens stumps have
+# different error rates on the SAME documents?
+# ---------------------------------------------------------------------------
+
+_MCN_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+
+def _mcn_stump_sql(feat: str) -> str:
+    """Gini-stump CTE chain over an arbitrary integer feature expr."""
+    return f"""
+    hist_{feat} AS (
+      SELECT fv AS v, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS pos
+      FROM feats GROUP BY fv
+    ),
+    walk_{feat} AS (
+      SELECT v,
+             CAST(SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS n_l,
+             CAST(SUM(pos) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS pos_l,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n,
+             CAST(SUM(pos) OVER () AS BIGINT) AS p
+      FROM hist_{feat}
+    ),
+    stump_{feat} AS MATERIALIZED (
+      SELECT v AS t, pos_l * 2 > n_l AS pl, (p - pos_l) * 2 > n - n_l AS pr
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY
+          CAST(pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l) AS DOUBLE)
+            / CAST(n_l AS DOUBLE)
+          + CAST((p - pos_l) * (p - pos_l)
+                 + ((n - n_l) - (p - pos_l)) * ((n - n_l) - (p - pos_l))
+                 AS DOUBLE) / CAST(n - n_l AS DOUBLE) DESC, v) AS rk
+        FROM walk_{feat} WHERE n - n_l > 0
+      ) WHERE rk = 1
+    )"""
+
+
+@QS.add(
+    "ml_mcnemar_stumps",
+    f"""
+    WITH docs2 AS MATERIALIZED (
+      SELECT doc_id, n_chars, len({_MCN_TOKS}) AS n_toks,
+             lang = 'en' AS y FROM documents
+    ),
+    feats AS (SELECT n_chars AS fv, CASE WHEN y THEN 'en' ELSE 'x' END
+                AS lang FROM docs2),
+    {_mcn_stump_sql('a')},
+    feats_b AS (SELECT n_toks AS fv, CASE WHEN y THEN 'en' ELSE 'x' END
+                  AS lang FROM docs2),
+    hist_b AS (
+      SELECT fv AS v, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS pos
+      FROM feats_b GROUP BY fv
+    ),
+    walk_b AS (
+      SELECT v,
+             CAST(SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS n_l,
+             CAST(SUM(pos) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS pos_l,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n,
+             CAST(SUM(pos) OVER () AS BIGINT) AS p
+      FROM hist_b
+    ),
+    stump_b AS MATERIALIZED (
+      SELECT v AS t, pos_l * 2 > n_l AS pl, (p - pos_l) * 2 > n - n_l AS pr
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY
+          CAST(pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l) AS DOUBLE)
+            / CAST(n_l AS DOUBLE)
+          + CAST((p - pos_l) * (p - pos_l)
+                 + ((n - n_l) - (p - pos_l)) * ((n - n_l) - (p - pos_l))
+                 AS DOUBLE) / CAST(n - n_l AS DOUBLE) DESC, v) AS rk
+        FROM walk_b WHERE n - n_l > 0
+      ) WHERE rk = 1
+    ),
+    scored AS (
+      SELECT d.y,
+             (CASE WHEN d.n_chars <= sa.t THEN sa.pl ELSE sa.pr END) = d.y
+               AS ok_a,
+             (CASE WHEN d.n_toks <= sb.t THEN sb.pl ELSE sb.pr END) = d.y
+               AS ok_b
+      FROM docs2 d CROSS JOIN stump_a sa CROSS JOIN stump_b sb
+    ),
+    cells AS (
+      SELECT CAST(SUM(CASE WHEN ok_a AND ok_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS both_right,
+             CAST(SUM(CASE WHEN ok_a AND NOT ok_b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b_,
+             CAST(SUM(CASE WHEN NOT ok_a AND ok_b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_,
+             CAST(SUM(CASE WHEN NOT ok_a AND NOT ok_b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS both_wrong
+      FROM scored
+    )
+    SELECT both_right, b_ AS only_a_right, c_ AS only_b_right, both_wrong,
+           CASE WHEN b_ + c_ = 0 THEN NULL
+                ELSE CAST((abs(b_ - c_) - 1) * (abs(b_ - c_) - 1) AS DOUBLE)
+                     / CAST(b_ + c_ AS DOUBLE)
+           END AS mcnemar_chi2
+    FROM cells
+    """,
+    doc="[EXT] McNemar's paired test comparing TWO Gini stumps (n_chars "
+    "vs whitespace token count) on the SAME documents — the correct "
+    "are-these-models-different test when predictions are paired "
+    "(accuracy deltas ignore the pairing and overstate significance). "
+    "Both stumps refit with the ml_stump_nchars_lang argmax (identical "
+    "purity tree, ties by threshold); the discordant cells b/c are "
+    "exact BIGINTs and the continuity-corrected statistic "
+    "(|b-c|-1)^2/(b+c) is ONE division (NULL when no discordant pairs "
+    "— never a 0/0). Histogram walks bounded by each feature's value "
+    "domain (GLOBAL_WINDOW_OK class); the per-doc scoring pass is one "
+    "scan against two broadcast 1-row stumps.",
+    tags=("ml", "stats"),
+)
+def ml_mcnemar_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "n_chars",
+        r"size(split(lower(trim(text)), '\\s+')) AS n_toks",
+        "lang = 'en' AS y",
+    ).localCheckpoint(eager=True)
+
+    def stump(feat: str):
+        hist = docs.groupBy(F.col(feat).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("pos"),
+        )
+        w_run = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+        w_all = W.partitionBy()
+        walk = hist.select(
+            "v",
+            F.sum("cnt").over(w_run).cast("long").alias("n_l"),
+            F.sum("pos").over(w_run).cast("long").alias("pos_l"),
+            F.sum("cnt").over(w_all).cast("long").alias("n"),
+            F.sum("pos").over(w_all).cast("long").alias("p"),
+        )
+        scored = walk.filter(F.col("n") > F.col("n_l")).selectExpr(
+            "v",
+            "pos_l * 2 > n_l AS pl",
+            "(p - pos_l) * 2 > n - n_l AS pr",
+            "CAST(pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l) AS DOUBLE)"
+            " / CAST(n_l AS DOUBLE)"
+            " + CAST((p - pos_l) * (p - pos_l)"
+            "        + ((n - n_l) - (p - pos_l)) * ((n - n_l) - (p - pos_l))"
+            "        AS DOUBLE) / CAST(n - n_l AS DOUBLE) AS purity",
+        )
+        w_rk = W.orderBy(F.desc("purity"), F.asc("v"))
+        return (
+            scored.withColumn("rk", F.row_number().over(w_rk))
+            .filter(F.col("rk") == 1)
+            .select(F.col("v").alias("t"), "pl", "pr")
+        )
+
+    sa = stump("n_chars").selectExpr("t AS ta", "pl AS pla", "pr AS pra")
+    sb = stump("n_toks").selectExpr("t AS tb", "pl AS plb", "pr AS prb")
+    scored = docs.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb)).select(
+        (
+            F.when(F.col("n_chars") <= F.col("ta"), F.col("pla")).otherwise(
+                F.col("pra")
+            )
+            == F.col("y")
+        ).alias("ok_a"),
+        (
+            F.when(F.col("n_toks") <= F.col("tb"), F.col("plb")).otherwise(
+                F.col("prb")
+            )
+            == F.col("y")
+        ).alias("ok_b"),
+    )
+    cells = scored.agg(
+        F.sum(F.when(F.col("ok_a") & F.col("ok_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("both_right"),
+        F.sum(F.when(F.col("ok_a") & ~F.col("ok_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("b_"),
+        F.sum(F.when(~F.col("ok_a") & F.col("ok_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("c_"),
+        F.sum(F.when(~F.col("ok_a") & ~F.col("ok_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("both_wrong"),
+    )
+    diff = F.abs(F.col("b_") - F.col("c_")) - 1
+    return cells.select(
+        "both_right",
+        F.col("b_").alias("only_a_right"),
+        F.col("c_").alias("only_b_right"),
+        "both_wrong",
+        F.when(F.col("b_") + F.col("c_") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            (diff * diff).cast("double") / (F.col("b_") + F.col("c_")).cast("double")
+        )
+        .alias("mcnemar_chi2"),
+    )

@@ -783,3 +783,23 @@ class TestPageTrend:
         l2 = sum((j + 1) * r2[j] for j in range(7))
         assert l2 == 2 * sum((j + 1) * (j + 1) for j in range(7))  # max
         assert l2 > 224  # above the null mean for m=1
+
+
+class TestMcNemar:
+    def test_cell_conservation_and_statistic(self, spark):
+        from clinical_api_etl_spark.plans.modeling import ml_mcnemar_stumps
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet")
+        row = ml_mcnemar_stumps(spark, SF).collect()[0]
+        total = (
+            row.both_right
+            + row.only_a_right
+            + row.only_b_right
+            + row.both_wrong
+        )
+        assert total == len(docs)
+        b, c = row.only_a_right, row.only_b_right
+        if b + c == 0:
+            assert row.mcnemar_chi2 is None
+        else:
+            assert row.mcnemar_chi2 == float((abs(b - c) - 1) ** 2) / float(b + c)

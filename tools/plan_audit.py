@@ -190,6 +190,9 @@ GLOBAL_WINDOW_OK: set[str] = {
     # pooled strictly-below walk over the extendedprice VALUE HISTOGRAM
     # (the stat_kruskal_wallis / Mann-Whitney bounded-domain class).
     "stat_jonckheere_trend",
+    # two stump-refit walks over the n_chars / token-count VALUE
+    # HISTOGRAMS (the ml_stump_nchars_lang bounded-domain class).
+    "ml_mcnemar_stumps",
 }
 
 
