@@ -100,6 +100,8 @@ QUERIES = [
     "graph_condensation_layers",
     "graph_rich_club",
     "stat_seasonal_mannkendall",
+    # bow-tie = SCC + two reachability BFS passes (set-state).
+    "graph_bowtie_regions",
 ]
 
 
@@ -265,8 +267,21 @@ def main() -> int:
         gen_s = round(time.time() - t0, 1)
         print(f"# synthesized {factor}x under {dest} in {gen_s}s", file=sys.stderr)
 
+        # SCALE_PROBE_ONLY=a,b,c probes just those queries and MERGES
+        # into the existing out_path (incremental refresh for new ops
+        # without re-running the whole list).
+        only = {
+            n for n in os.environ.get("SCALE_PROBE_ONLY", "").split(",") if n
+        }
         results = {}
+        if only and os.path.exists(out_path):
+            with open(out_path) as f:
+                prior = json.load(f)
+            if prior.get("factor") == factor:
+                results.update(prior.get("queries", {}))
         for name in QUERIES:
+            if only and name not in only:
+                continue
             q = qs[name]
             times = {}
             for label, d in (("base", BASE), (f"x{factor}", dest)):
