@@ -37,6 +37,11 @@ def main() -> int:
         extra_conf={
             "spark.ui.enabled": "true",
             "spark.ui.showConsoleProgress": "false",
+            # The default retention (1000 jobs/stages) evicts early
+            # queries' stages once the headline set passed ~50 queries —
+            # the audit then silently under-reports (34 of 81 captured).
+            "spark.ui.retainedJobs": "100000",
+            "spark.ui.retainedStages": "100000",
         },
     )
     sc = spark.sparkContext
