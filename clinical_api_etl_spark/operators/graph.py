@@ -1166,6 +1166,10 @@ def dag_layers(
     else:
         if not rem_nodes.isEmpty():
             raise ValueError("dag_layers: max_rounds exhausted")
+    if not layers:
+        return rem_nodes.select(
+            F.col(node), F.lit(0).cast("long").alias("layer")
+        ).limit(0)
     out = layers[0]
     for extra in layers[1:]:
         out = out.unionByName(extra)
@@ -1201,4 +1205,9 @@ def reachable_set(
             break
         state = state.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
+    else:
+        # Mirror dag_layers' exhaustion guard: a nonempty final frontier
+        # means the BFS has NOT converged — returning the partial set
+        # would silently misclassify reachable nodes downstream.
+        raise ValueError("reachable_set: max_rounds exhausted")
     return state

@@ -1339,11 +1339,11 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         deg = nodes.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
         keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+        # keep is O(|V|) — no broadcast hint: AQE picks broadcast while it
+        # is small and degrades to a shuffled semi-join at scale.
         edges = (
-            edges.join(
-                F.broadcast(keep.select(F.col("node").alias("u"))), "u", "left_semi"
-            )
-            .join(F.broadcast(keep.select(F.col("node").alias("v"))), "v", "left_semi")
+            edges.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
             .select("u", "v")
             .coalesce(8)
             .localCheckpoint(eager=True)
@@ -1991,7 +1991,8 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("idx"),
     ).localCheckpoint(eager=True)
     deg = adj.groupBy("src").agg(F.max("idx").cast("int").alias("deg"))
-    adj_deg = adj.join(F.broadcast(deg), "src").localCheckpoint(eager=True)
+    # deg is O(|V|) — unhinted equi-join; AQE broadcasts while small.
+    adj_deg = adj.join(deg, "src").localCheckpoint(eager=True)
 
     starts = (
         deg.select(F.col("src").alias("walker"))
@@ -2017,8 +2018,11 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             % F.col("deg")
             + 1
         )
+        # Broadcast the BOUNDED walker frontier (<= _WALK_STARTS rows) onto
+        # the O(|E|) indexed adjacency — never the reverse: the adjacency
+        # grows with the corpus and would OOM a broadcast at scale.
         w = (
-            w.join(F.broadcast(adj_deg), w["node"] == adj_deg["src"])
+            adj_deg.join(F.broadcast(w), w["node"] == adj_deg["src"])
             .filter(F.col("idx") == pick)
             .select(
                 "walker",
@@ -3003,10 +3007,13 @@ def graph_bowtie_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node"), F.lit(True).alias("in_bwd")
     )
     gid = giant.withColumnRenamed("scc_id", "giant_id")
+    # fwd/bwd are O(|V|) reachable regions (a constant fraction of all
+    # nodes on a real bow-tie) — equi-joins on node need no hint; only
+    # the single-row giant id stays broadcast.
     return (
         labels.crossJoin(F.broadcast(gid))
-        .join(F.broadcast(fwd), "node", "left")
-        .join(F.broadcast(bwd), "node", "left")
+        .join(fwd, "node", "left")
+        .join(bwd, "node", "left")
         .select(
             "node",
             F.when(F.col("scc_id") == F.col("giant_id"), F.lit("core"))

@@ -2850,7 +2850,7 @@ def _mcn_stump_sql(feat: str) -> str:
     f"""
     WITH docs2 AS MATERIALIZED (
       SELECT doc_id, n_chars, len({_MCN_TOKS}) AS n_toks,
-             lang = 'en' AS y FROM documents
+             lang = 'en' AS y FROM documents WHERE text IS NOT NULL
     ),
     feats AS (SELECT n_chars AS fv, CASE WHEN y THEN 'en' ELSE 'x' END
                 AS lang FROM docs2),
@@ -2927,12 +2927,17 @@ def _mcn_stump_sql(feat: str) -> str:
 def ml_mcnemar_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
-    docs = load(spark, sf_dir, "documents").selectExpr(
-        "doc_id",
-        "n_chars",
-        r"size(split(lower(trim(text)), '\\s+')) AS n_toks",
-        "lang = 'en' AS y",
-    ).localCheckpoint(eager=True)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .selectExpr(
+            "doc_id",
+            "n_chars",
+            r"size(split(lower(trim(text)), '\\s+')) AS n_toks",
+            "lang = 'en' AS y",
+        )
+        .localCheckpoint(eager=True)
+    )
 
     def stump(feat: str):
         hist = docs.groupBy(F.col(feat).alias("v")).agg(

@@ -279,6 +279,14 @@ def main() -> int:
                 prior = json.load(f)
             if prior.get("factor") == factor:
                 results.update(prior.get("queries", {}))
+            else:
+                print(
+                    f"# WARNING: prior {out_path} was recorded at factor "
+                    f"{prior.get('factor')} != {factor}; its entries are "
+                    "NOT merged — the output will contain only the "
+                    "SCALE_PROBE_ONLY subset.",
+                    file=sys.stderr,
+                )
         for name in QUERIES:
             if only and name not in only:
                 continue
