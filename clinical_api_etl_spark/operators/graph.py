@@ -114,7 +114,12 @@ def _all_settled(state: DataFrame, n_sources: int, n_nodes: int) -> bool:
     is EXACT, order-one jobs on checkpointed state, and conservative on
     disconnected graphs (never fires; rounds proceed as before). Results
     and hashes are unchanged by construction — the skipped round could
-    only have produced an empty frontier."""
+    only have produced an empty frontier.
+
+    NOTE: the BFS loops now track the state count DRIVER-SIDE (each
+    frontier's materializing count accumulates into state_count), so
+    this check costs zero jobs inline; the function is retained as the
+    executable statement of the invariant (used by tests/docs)."""
     return state.count() == n_sources * n_nodes
 
 
@@ -181,11 +186,13 @@ def connected_components(
         nbr = sym.join(labels, sym.b == labels.id).select(
             F.col("a").alias("id"), F.col("label")
         )
+        # lazy checkpoint: the changed-probe count is the materializing
+        # action (one blocking job per round instead of two)
         new = (
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new.alias("n")
@@ -286,8 +293,11 @@ def bfs_hops(
     # edge join once over the whole run instead of every round — and the
     # persisted edge table stops re-deriving its upstream join per round.
     # dist stays a UNION of already-checkpointed frontier layers — each
-    # layer is materialized once and never re-checkpointed (one blocking
-    # job per round, not two)
+    # layer is materialized once and never re-checkpointed. Each round
+    # is ONE blocking job: a LAZY localCheckpoint materialized by the
+    # count that doubles as the emptiness probe (the eager-checkpoint +
+    # isEmpty pattern paid two scheduler round-trips per round; job
+    # count amplifies host scheduling latency — BENCH_r08 cohort).
     frontier = dist
     for _ in range(iters):
         fr = _replicated(frontier)
@@ -301,8 +311,8 @@ def bfs_hops(
         )
         frontier = cand.join(
             dist.select("node"), "node", "left_anti"
-        ).localCheckpoint(eager=True)
-        if frontier.isEmpty():
+        ).localCheckpoint(eager=False)
+        if frontier.count() == 0:
             break
         dist = dist.unionByName(frontier)
     e.unpersist(False)
@@ -538,7 +548,7 @@ def bfs_hops_per_source(
     e = _salted_edges(edges, src, dst)
     dist = sources.select(
         F.col("node").alias("s"), F.col("node"), F.lit(0).cast("long").alias("dist")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # FRONTIER propagation, not full-state relaxation: in BFS the first
     # reach IS the min distance, so only nodes discovered last round can
     # improve anything. Joining the full (source, node) state against the
@@ -546,15 +556,20 @@ def bfs_hops_per_source(
     # |sources| x |E| (21.7s at sf0.1); with the frontier each (source,
     # node) pair crosses the join exactly once over the whole run —
     # total work Σ deg(v) per source, spread across rounds.
+    # ONE blocking job per round: each frontier is a LAZY localCheckpoint
+    # materialized by the count that doubles as the emptiness probe, and
+    # the running state count is tracked DRIVER-SIDE (state_count +=
+    # frontier rows), so the settled-|V| shortcut costs zero jobs.
+    n_sources = dist.count()  # materializes the seed checkpoint
+    state_count = n_sources
     frontier = dist
-    n_sources = n_nodes = None
+    n_nodes = None
     for k in range(iters):
         if k > 0:
             if n_nodes is None:
-                n_sources = sources.count()
                 n_nodes = _node_count(e)
-            if _all_settled(dist, n_sources, n_nodes):
-                break
+            if state_count == n_sources * n_nodes:
+                break  # settled-|V| shortcut (see _all_settled)
         fr = _replicated(frontier)
         cand = (
             e.join(fr, (e["src"] == fr["node"]) & (e["_slt"] == fr["_slt"]))
@@ -568,10 +583,12 @@ def bfs_hops_per_source(
         )
         frontier = (
             cand.join(dist.select("s", "node"), ["s", "node"], "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if frontier.isEmpty():
+        n_new = frontier.count()
+        if n_new == 0:
             break
+        state_count += n_new
         dist = dist.unionByName(frontier)
     e.unpersist(False)
     return dist
@@ -637,20 +654,22 @@ def _bfs_path_counts_with_levels(
         F.col("node"),
         F.lit(0).cast("long").alias("dist"),
         F.lit(1).cast("long").alias("sigma"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
+    # ONE blocking job per level: lazy checkpoint + the count doubles as
+    # the emptiness probe; state count tracked driver-side so the
+    # settled-|V| shortcut (skip the final empty-verify expansion — it
+    # joins 90% of state on the betweenness probe) costs zero jobs.
+    n_sources = state.count()
+    state_count = n_sources
     frontier = state
     levels = [state]
-    n_sources = n_nodes = None
+    n_nodes = None
     for k in range(iters):
         if k > 0:
-            # Skip the final empty-verify expansion when every source has
-            # provably settled the whole graph (see _all_settled) — on the
-            # betweenness probe that round joins 90% of state for nothing.
             if n_nodes is None:
-                n_sources = sources.count()
                 n_nodes = _node_count(e)
-            if _all_settled(state, n_sources, n_nodes):
-                break
+            if state_count == n_sources * n_nodes:
+                break  # settled-|V| shortcut (see _all_settled)
         fr = _replicated(frontier)
         cand = (
             e.join(fr, (e["src"] == fr["node"]) & (e["_slt"] == fr["_slt"]))
@@ -661,9 +680,11 @@ def _bfs_path_counts_with_levels(
         )
         frontier = cand.join(
             state.select("s", "node"), ["s", "node"], "left_anti"
-        ).localCheckpoint(eager=True)
-        if frontier.isEmpty():
+        ).localCheckpoint(eager=False)
+        n_new = frontier.count()
+        if n_new == 0:
             break
+        state_count += n_new
         state = state.unionByName(frontier)
         levels.append(frontier)
     if _prepared_e is None:
@@ -815,13 +836,15 @@ def bellman_ford_bounded(
             .agg(F.min("dist").cast("long").alias("dist"))
         )
         old = state.select("s", "node", F.col("dist").alias("old_dist"))
+        # lazy checkpoint + count = one blocking job for materialize +
+        # emptiness probe (was eager checkpoint + isEmpty = two jobs)
         improved = (
             cand.join(old, ["s", "node"], "left")
             .filter(F.col("old_dist").isNull() | (F.col("dist") < F.col("old_dist")))
             .select("s", "node", "dist")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if improved.isEmpty():
+        if improved.count() == 0:
             break
         state = (
             state.join(improved.select("s", "node"), ["s", "node"], "left_anti")
@@ -842,23 +865,28 @@ def _reach_fixpoint(es: DataFrame, seeds: DataFrame) -> DataFrame:
     stays ≤ |V| rows when seeds are one-per-weak-component. ``es`` is a
     ``_salted_edges`` table; to traverse backward, pass one built with
     src/dst swapped (the salt is a function of the probe side either
-    way, so the hub-skew discipline holds in both directions)."""
-    reach = seeds.localCheckpoint(eager=True)
+    way, so the hub-skew discipline holds in both directions). ``seeds``
+    must already be checkpointed/materialized by the caller (both
+    callers per pivot round share one seed materialization)."""
+    reach = seeds
     frontier = reach
     while True:
         fr = _replicated(frontier)
+        # ONE blocking job per level: lazy checkpoint materialized by the
+        # count that doubles as the emptiness probe. reach stays a lazy
+        # UNION of already-materialized frontier layers (shallow lineage —
+        # unions of checkpointed RDDs cost nothing to re-traverse, unlike
+        # the k-core multiplicative-JOIN lineage that rule targets).
         nxt = (
             es.join(fr, (es["src"] == fr["node"]) & (es["_slt"] == fr["_slt"]))
             .select("p", F.col("dst").alias("node"))
             .distinct()
             .join(reach, ["p", "node"], "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             return reach
-        # reach feeds BOTH the next anti-join and the final union —
-        # multiplicative lineage, checkpoint every round (k-core rule).
-        reach = reach.unionByName(nxt).localCheckpoint(eager=True)
+        reach = reach.unionByName(nxt)
         frontier = nxt
 
 
@@ -898,11 +926,13 @@ def _weak_cc_labels(e: DataFrame) -> DataFrame:
         nbr = sym.join(labels, sym["dst"] == labels["node"]).select(
             sym["src"].alias("node"), F.col("wcc")
         )
+        # lazy checkpoint: the changed-probe count is the materializing
+        # action (one blocking job per round instead of two)
         new = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("wcc").alias("wcc"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new.alias("n")
@@ -986,29 +1016,46 @@ def scc_components(
         e_act.select(F.col("src").alias("node"))
         .unionByName(e_act.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    active_count = active.count()
     parts: list[DataFrame] = []
     lab: DataFrame | None = None
     pivot_rounds = 0
     for _ in range(max_rounds):
-        # --- 1. trim to fixpoint
+        # --- 1. trim to fixpoint. Each round is TWO blocking jobs (was
+        # four): the keep-set is ONE fused aggregation — union both
+        # endpoint projections tagged has-out/has-in and group once —
+        # instead of two distinct-projections + a join (three shuffles),
+        # lazily checkpointed and materialized by its count; the trimmed
+        # set's emptiness falls out of driver-side arithmetic
+        # (keep ⊆ active, so trimmed empty ⟺ |keep| == |active|), and the
+        # trimmed ROWS are lazy plans over already-materialized RDDs,
+        # computed once in the final union job.
         while True:
             keep = (
-                e_act.select(F.col("src").alias("node"))
-                .distinct()
-                .join(e_act.select(F.col("dst").alias("node")).distinct(), "node")
-                .localCheckpoint(eager=True)
+                e_act.select(F.col("src").alias("node"), F.lit(1).alias("o"))
+                .unionByName(
+                    e_act.select(F.col("dst").alias("node"), F.lit(0).alias("o"))
+                )
+                .groupBy("node")
+                .agg(F.max("o").alias("o"), F.min("o").alias("i"))
+                .filter((F.col("o") == 1) & (F.col("i") == 0))
+                .select("node")
+                .localCheckpoint(eager=False)
             )
-            trimmed = active.join(keep, "node", "left_anti").localCheckpoint(
-                eager=True
-            )
-            if trimmed.isEmpty():
+            keep_count = keep.count()
+            if keep_count == active_count:
                 break
-            parts.append(trimmed.select("node", F.col("node").alias("scc_id")))
+            parts.append(
+                active.join(keep, "node", "left_anti").select(
+                    "node", F.col("node").alias("scc_id")
+                )
+            )
             active = keep
+            active_count = keep_count
             e_act = _restrict_edges(e_act, keep)
-        if active.isEmpty():
+        if active_count == 0:
             break
         # --- 2. FW-BW, pivots in parallel across weak components.
         # Round 1 uses the single global-min pivot (free; on the bowtie
@@ -1040,14 +1087,21 @@ def scc_components(
         es_b = _salted_edges(e_act, "dst", "src")
         fwd = _reach_fixpoint(es_f, seeds)
         bwd = _reach_fixpoint(es_b, seeds)
-        scc = fwd.join(bwd, ["p", "node"]).localCheckpoint(eager=True)
+        # ONE blocking job closes the round: scc and the shrunken active
+        # set are lazy checkpoints materialized together by the active
+        # count (scc is referenced once inside that job; the final parts
+        # union reads its stored copy). fwd/bwd are unions of already-
+        # checkpointed frontiers, so unpersisting the salted edge tables
+        # before the join is safe.
+        scc = fwd.join(bwd, ["p", "node"]).localCheckpoint(eager=False)
         es_f.unpersist(False)
         es_b.unpersist(False)
         parts.append(scc.select("node", F.col("p").alias("scc_id")))
         active = active.join(
             scc.select("node"), "node", "left_anti"
-        ).localCheckpoint(eager=True)
-        if active.isEmpty():
+        ).localCheckpoint(eager=False)
+        active_count = active.count()
+        if active_count == 0:
             break
         e_act = _restrict_edges(e_act, active)
     else:
@@ -1106,13 +1160,15 @@ def temporal_earliest_arrival(
             .agg(F.min("arr").cast("long").alias("arr"))
         )
         old = state.select("s", "node", F.col("arr").alias("old_arr"))
+        # lazy checkpoint + count = one blocking job for materialize +
+        # emptiness probe (was eager checkpoint + isEmpty = two jobs)
         improved = (
             cand.join(old, ["s", "node"], "left")
             .filter(F.col("old_arr").isNull() | (F.col("arr") < F.col("old_arr")))
             .select("s", "node", "arr")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if improved.isEmpty():
+        if improved.count() == 0:
             break
         state = (
             state.join(improved.select("s", "node"), ["s", "node"], "left_anti")
@@ -1142,29 +1198,36 @@ def dag_layers(
     round with an empty frontier but nonempty remainder (a cycle —
     callers feed condensations, which are acyclic by construction).
     """
-    rem_nodes = nodes.select(F.col(node)).distinct().localCheckpoint(eager=True)
-    rem_edges = edges.select(src, dst).localCheckpoint(eager=True)
+    # ONE blocking job per layer: every state table is a LAZY checkpoint
+    # materialized inside the next frontier count (each is referenced
+    # exactly once per round), and convergence/cycle checks are driver
+    # arithmetic on the tracked remaining-node count.
+    rem_nodes = nodes.select(F.col(node)).distinct().localCheckpoint(eager=False)
+    rem_edges = edges.select(src, dst).localCheckpoint(eager=False)
+    rem_count = rem_nodes.count()
     layers: list[DataFrame] = []
     for layer in range(max_rounds):
         dsts = rem_edges.select(F.col(dst).alias(node)).distinct()
         frontier = rem_nodes.join(dsts, node, "left_anti").localCheckpoint(
-            eager=True
+            eager=False
         )
-        if frontier.isEmpty():
-            if not rem_nodes.isEmpty():
+        n_front = frontier.count()
+        if n_front == 0:
+            if rem_count > 0:
                 raise ValueError("dag_layers: cycle detected (empty frontier)")
             break
         layers.append(
             frontier.select(node, F.lit(layer).cast("long").alias("layer"))
         )
+        rem_count -= n_front
         rem_nodes = rem_nodes.join(frontier, node, "left_anti").localCheckpoint(
-            eager=True
+            eager=False
         )
         rem_edges = rem_edges.join(
             frontier.select(F.col(node).alias(src)), src, "left_anti"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     else:
-        if not rem_nodes.isEmpty():
+        if rem_count > 0:
             raise ValueError("dag_layers: max_rounds exhausted")
     if not layers:
         return rem_nodes.select(
@@ -1191,6 +1254,8 @@ def reachable_set(
     Frontier-only expansion (only last round's discoveries join the
     edges), left-anti against the settled set; state checkpointed per
     round. Output: one ``node`` column."""
+    # ONE blocking job per level (lazy checkpoint + count-as-probe);
+    # state stays a lazy union of materialized frontier layers.
     state = seeds.select(F.col(node)).distinct().localCheckpoint(eager=True)
     frontier = state
     for _ in range(max_rounds):
@@ -1199,11 +1264,11 @@ def reachable_set(
             .select(F.col(dst).alias(node))
             .distinct()
             .join(state, node, "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
-        state = state.unionByName(nxt).localCheckpoint(eager=True)
+        state = state.unionByName(nxt)
         frontier = nxt
     else:
         # Mirror dag_layers' exhaustion guard: a nonempty final frontier
