@@ -1207,7 +1207,8 @@ def corpus_clean_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("train_id").alias("doc_id")
     )
     return (
-        train.join(F.broadcast(flagged), "doc_id", "left_anti")
+        # flagged ids scale with the corpus — unhinted anti-join
+        train.join(flagged, "doc_id", "left_anti")
         .select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
         .filter(F.col("n_tokens") >= 20)
     )
@@ -1816,7 +1817,8 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("train_id").alias("doc_id")
     )
     clean = (
-        survivors.join(F.broadcast(flagged), "doc_id", "left_anti")
+        # flagged ids scale with the corpus — unhinted anti-join
+        survivors.join(flagged, "doc_id", "left_anti")
         .select(
             "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
         )
@@ -2787,7 +2789,8 @@ def dedup_survivorship_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers = comp.groupBy("component").agg(F.min("doc_id").alias("keep_id"))
     labeled = (
         docs.join(comp, "doc_id", "left")
-        .join(F.broadcast(keepers), "component", "left")
+        # keeper set is O(components) — scales with the corpus; unhinted
+        .join(keepers, "component", "left")
         .select(
             "source",
             F.when(F.col("component").isNull(), F.lit(True))

@@ -869,8 +869,9 @@ def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("q_id"), "tok", F.col("c").alias("qc")
     )
     s = (
+        # q is the bounded probe set; idf is vocabulary-scale — unhinted
         tf.join(F.broadcast(q), "tok")
-        .join(F.broadcast(idf), "tok")
+        .join(idf, "tok")
         .filter(F.col("doc_id") != F.col("q_id"))
         .groupBy("q_id", "doc_id")
         .agg(
@@ -1296,9 +1297,8 @@ def ml_naive_bayes_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(cls_tot.select(F.col("lang").alias("cls"), "tot")), "cls"
         )
         .join(
-            F.broadcast(
-                cls_tok.select(F.col("lang").alias("cls"), "tok", "c")
-            ),
+            # class-conditional token counts are vocabulary-scale — unhinted
+            cls_tok.select(F.col("lang").alias("cls"), "tok", "c"),
             ["cls", "tok"],
             "left",
         )
@@ -2057,8 +2057,9 @@ def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("q_id"), "tok", F.col("c").alias("qc")
     )
     s = (
+        # q is the bounded probe set; idf is vocabulary-scale — unhinted
         tf.join(F.broadcast(q), "tok")
-        .join(F.broadcast(idf), "tok")
+        .join(idf, "tok")
         .filter(F.col("doc_id") != F.col("q_id"))
         .groupBy("q_id", "doc_id")
         .agg(

@@ -144,11 +144,127 @@ def text_impact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("q_id"), "tok"
     )
     s = (
+        # q is the bounded probe set; idf is vocabulary-scale — unhinted
         tf.join(F.broadcast(q), "tok")
-        .join(F.broadcast(idf), "tok")
+        .join(idf, "tok")
         .filter(F.col("doc_id") != F.col("q_id"))
         .groupBy("q_id", "doc_id")
         .agg(F.sum(F.col("c") * F.col("impact")).cast("long").alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        s.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "doc_id", "rnk", "score")
+    )
+
+
+@QS.add(
+    "retrieval_bm25_topk",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM t GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dl
+           FROM tf GROUP BY doc_id),
+    scal AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                    CAST(SUM(c) AS BIGINT) AS dlsum FROM tf),
+    idf AS (SELECT tok,
+                   CAST(1 AS BIGINT)
+                     << (length(bin(scal.n_docs // CAST(COUNT(*) AS BIGINT))) - 1)
+                     AS impact
+            FROM tf CROSS JOIN scal GROUP BY tok, scal.n_docs),
+    q AS (SELECT doc_id AS q_id, tok FROM tf
+          WHERE doc_id < {_N_QUERY_DOCS}),
+    terms AS (
+      SELECT q.q_id, tf.doc_id, tf.tok,
+             CAST(idf.impact AS DOUBLE)
+               * (CAST(44 * tf.c * scal.dlsum AS DOUBLE)
+                  / CAST(20 * tf.c * scal.dlsum + 6 * scal.dlsum
+                         + 18 * dl.dl * scal.n_docs AS DOUBLE)) AS term
+      FROM tf JOIN q USING (tok)
+              JOIN idf ON tf.tok = idf.tok
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN scal
+      WHERE tf.doc_id <> q.q_id),
+    s AS (SELECT q_id, doc_id,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(term ORDER BY tok)), (x, y) -> x + y) AS score
+          FROM terms GROUP BY q_id, doc_id),
+    r AS (SELECT q_id, doc_id, score,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT)
+                   AS rnk
+          FROM s)
+    SELECT q_id, doc_id, rnk, score FROM r WHERE rnk <= {_TOP_K}
+    """,
+    doc="[EXT] BM25 ranking (Robertson/Sparck-Jones), fully hash-gated. "
+    "k1=1.2 and b=0.75 are the RATIONALS 6/5 and 3/4, so the whole "
+    "per-term saturation collapses to ONE division of exact BIGINTs: "
+    "tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) == 44*tf*dlsum / "
+    "(20*tf*dlsum + 6*dlsum + 18*dl*n_docs) with avgdl = dlsum/n_docs "
+    "multiplied through — no float literal parses, no intermediate "
+    "rounding. The idf factor is the power-of-two quantized impact "
+    "(binary-digit-count of N div df — the round-8 no-Math.log rule), "
+    "and multiplying a correctly-rounded quotient by a power of two is "
+    "EXACT, so each term is bit-identical across engines; the per-doc "
+    "score is a tok-pinned-order float fold. Query terms are set "
+    "semantics (standard BM25). Posting-list equi-join shape as "
+    "text_sparse_topk: query side broadcasts, idf/doclen sides are "
+    "corpus-scale and deliberately unhinted. Integer components stay "
+    "under 2^63 while 44*tf*dlsum does (~10^14 tokens) — far past any "
+    "single-index shard. Ties rank by doc_id (total order).",
+    headline=True,
+    tags=("text", "retrieval"),
+)
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = _tf(spark, sf_dir).coalesce(8).persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("c").cast("long").alias("dl"))
+    scal = tf.agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("c").cast("long").alias("dlsum"),
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = (
+        df_t.crossJoin(F.broadcast(scal))
+        .withColumn("m", F.expr("n_docs div df"))
+        .withColumn(
+            "e", F.length(F.conv(F.col("m").cast("string"), 10, 2)) - F.lit(1)
+        )
+        .select(
+            "tok",
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(e AS INT)) AS BIGINT)")
+            .alias("impact"),
+        )
+    )
+    q = tf.filter(F.col("doc_id") < _N_QUERY_DOCS).select(
+        F.col("doc_id").alias("q_id"), "tok"
+    )
+    terms = (
+        # q is the bounded probe set; idf/dl are corpus-scale — unhinted
+        tf.join(F.broadcast(q), "tok")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .join(idf, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "q_id",
+            "doc_id",
+            "tok",
+            F.expr(
+                "CAST(impact AS DOUBLE)"
+                " * (CAST(44 * c * dlsum AS DOUBLE)"
+                "    / CAST(20 * c * dlsum + 6 * dlsum"
+                "           + 18 * dl * n_docs AS DOUBLE))"
+            ).alias("term"),
+        )
+    )
+    s = terms.groupBy("q_id", "doc_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("tok", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("score")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (

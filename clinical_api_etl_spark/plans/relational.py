@@ -125,8 +125,9 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,4)"
     )
     return (
+        # orders/customer scale with SF — no broadcast hint (AQE decides)
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))),
+            orders.join(cust, F.col("o_custkey") == F.col("c_custkey")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -172,10 +173,11 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         "decimal(18,4)"
     )
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))),
+        # orders/customer/supplier scale with SF — unhinted (AQE decides)
+        li.join(orders.join(cust, F.col("o_custkey") == F.col("c_custkey")),
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -1572,7 +1574,8 @@ def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        # orders scales with SF — unhinted equi-join (AQE decides)
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             dsum("l_quantity", "total_qty"),
@@ -1638,11 +1641,13 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier/orders/customer scale with SF — only the 25-row nations
+        # stay hinted
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(
-            F.broadcast(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-                        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))),
+            orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+                  .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .filter(pair_ok)
@@ -1685,11 +1690,10 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast("decimal(3,2)")
     dp = (money("l_extendedprice") * (one - money("l_discount"))).cast("decimal(18,4)")
     return (
+        # orders/customer scale with SF — only the 25-row nation is hinted
         li.join(
-            F.broadcast(
-                orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-                .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-            ),
+            orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
@@ -1730,7 +1734,8 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", dp).otherwise(
         F.lit(0).cast("decimal(18,4)")
     )
-    agg = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).agg(
+    # part scales with SF — unhinted (AQE decides)
+    agg = li.join(part, F.col("l_partkey") == F.col("p_partkey")).agg(
         F.sum(promo).cast("double").alias("promo_revenue"),
         F.sum(dp).cast("double").alias("total_revenue"),
     )
@@ -1779,7 +1784,8 @@ def tpch_q19_brand_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        # part scales with SF — unhinted (AQE decides)
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(band)
         .agg(F.sum(dp).cast("double").alias("revenue"))
     )

@@ -97,11 +97,13 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     dp = _disc_price()
     zero = F.lit(0).cast("decimal(18,4)")
     joined = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # part/supplier/customer scale with SF — only the 25-row nations
+        # keep hints (inside cust_in_region); AQE decides the rest
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust_in_region, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
             dp.alias("dp"),
@@ -154,8 +156,9 @@ def tpch_q9_profit_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         - money("l_extendedprice") * money("l_tax")
     ).cast("decimal(18,4)")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # part/supplier scale with SF — unhinted; nation (25 rows) hinted
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
@@ -197,8 +200,10 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    # supplier scales with SF — the composite is unhinted (nation inside
+    # stays a 25-row hint); AQE decides
     filtered = li.join(
-        F.broadcast(supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))),
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")),
         F.col("l_suppkey") == F.col("s_suppkey"),
     )
     per_part = filtered.groupBy(F.col("l_partkey").alias("partkey")).agg(
@@ -319,7 +324,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(top))
         .filter(F.col("total_revenue") == F.col("_max"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -355,9 +360,11 @@ def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     li = load(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        # part and the LIKE-filtered supplier denylist scale with SF —
+        # unhinted (AQE decides)
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(denylist),
+            denylist,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -394,12 +401,14 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # part — brand/type are functionally determined by partkey, so
     # semi-joining the fact to the filtered part dim first is equivalent
     # and prunes before the aggregate.
-    matched = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    # the brand/container-filtered part slice and its per-part thresholds
+    # scale with SF — unhinted (AQE decides)
+    matched = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     thresholds = matched.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("_qty_cap")
     )
     return (
-        matched.join(F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))
+        matched.join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("_qty_cap"))
         .agg(
             (F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
@@ -474,9 +483,9 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
         .join(
-            F.broadcast(
-                supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-            ),
+            # supplier scales with SF — composite unhinted (nation inside
+            # stays a 25-row hint)
+            supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
     )
@@ -606,14 +615,15 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_cost = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
+    # supplier scales with SF — unhinted (AQE decides)
     regional = pair_cost.join(
-        F.broadcast(supp_region), F.col("l_suppkey") == F.col("s_suppkey")
+        supp_region, F.col("l_suppkey") == F.col("s_suppkey")
     )
     w = Window.partitionBy("l_partkey")
     return (
         regional.withColumn("_min_cost", F.min("unit_cost").over(w))
         .filter(F.col("unit_cost") == F.col("_min_cost"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "s_acctbal",
             "s_name",
@@ -678,7 +688,8 @@ def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
     grp = (
-        li.join(F.broadcast(bolt_parts), F.col("l_partkey") == F.col("p_partkey"))
+        # the name-filtered part slice scales with SF — unhinted
+        li.join(bolt_parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(money("l_quantity")).alias("qty"))
     )

@@ -118,6 +118,58 @@ def graph():
     return _copurchase_graph()
 
 
+class TestBm25Topk:
+    def test_matches_python_replay(self, spark, tf_py):
+        """Bit-exact python replay: same rational arithmetic (one BIGINT
+        division per term, exact power-of-two idf scaling) and the same
+        tok-sorted left fold, so float equality is exact, not approx."""
+        from clinical_api_etl_spark.plans.ranking import retrieval_bm25_topk
+
+        got = {
+            (r.q_id, r.doc_id, r.rnk, r.score)
+            for r in retrieval_bm25_topk(spark, SF).collect()
+        }
+        n_docs = len(tf_py)
+        dl = {d: sum(c.values()) for d, c in tf_py.items()}
+        dlsum = sum(dl.values())
+        df = collections.Counter(t for c in tf_py.values() for t in c)
+        impact = {t: 1 << ((n_docs // v).bit_length() - 1) for t, v in df.items()}
+        scores = {}
+        for q in range(10):
+            per = {}
+            qtoks = set(tf_py[q])
+            for d, c in tf_py.items():
+                if d == q:
+                    continue
+                acc = 0.0
+                for t in sorted(c):
+                    if t not in qtoks:
+                        continue
+                    tf = c[t]
+                    num = float(44 * tf * dlsum)
+                    den = float(20 * tf * dlsum + 6 * dlsum + 18 * dl[d] * n_docs)
+                    acc += float(impact[t]) * (num / den)
+                if acc:
+                    per[d] = acc
+            scores[q] = per
+        assert got == _topk(scores)
+
+    def test_length_normalization_direction(self, spark, tf_py):
+        """BM25's b-term must penalize long documents: for two docs with
+        the same tf on a query term, the shorter one scores higher on
+        that term. Checked via the closed rational form."""
+        n_docs, dlsum = 7, 700
+
+        def term(tf, dl):
+            return float(44 * tf * dlsum) / float(
+                20 * tf * dlsum + 6 * dlsum + 18 * dl * n_docs
+            )
+
+        assert term(3, 50) > term(3, 200)
+        # and saturation: doubling tf less than doubles the term
+        assert term(2, 100) < 2 * term(1, 100)
+
+
 class TestLinkPred:
     def test_matches_python_replay(self, spark, graph):
         from clinical_api_etl_spark.plans.ranking import graph_linkpred_topk
