@@ -1,0 +1,1177 @@
+"""Moment/contingency/effect-size/time-series statistics: Welch, two-proportion z, autocorrelation + ACF + CCF, EWMA, PCA gate, Benford, Tukey fences, Cochran-Armitage, Mantel-Haenszel/CMH, Cohen's d.
+
+Mechanical split of the former 4,878-line plans/inference.py (VERDICT r08 task 8); zero behavior change."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clinical_api_etl_spark.functions.text import tokens
+from clinical_api_etl_spark.plans.base import QuerySet
+from clinical_api_etl_spark.sources.catalog import load
+
+from ._shared import _CENTS, _DAY_MS, _DAY_MS_I, _EDF_SRC, _HOUR_MS, _TOKS, _cents  # noqa: F401
+
+QS = QuerySet()
+
+
+@QS.add(
+    "stat_welch_ttest_pairs",
+    f"""
+    WITH t AS (
+      SELECT event_type AS g, {_CENTS} AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    c AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM t GROUP BY g
+    )
+    SELECT a.g AS ga, b.g AS gb, a.n AS n_a, b.n AS n_b,
+           CAST(a.n * a.sxx - a.sx * a.sx AS BIGINT) AS ssq_a,
+           CAST(b.n * b.sxx - b.sx * b.sx AS BIGINT) AS ssq_b,
+           (CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE)
+            - CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE))
+             / sqrt(CAST(a.n * a.sxx - a.sx * a.sx AS DOUBLE)
+                      / CAST(a.n * a.n * (a.n - 1) AS DOUBLE)
+                    + CAST(b.n * b.sxx - b.sx * b.sx AS DOUBLE)
+                      / CAST(b.n * b.n * (b.n - 1) AS DOUBLE)) AS t_welch
+    FROM c a JOIN c b ON a.g < b.g
+    """,
+    doc="[EXT] Welch's unequal-variance t statistic between every pair of "
+    "event types on exact cents. The sufficient statistics (n, Σx, Σx²) "
+    "are ONE map-side-combinable aggregate — the mergeable form a 100 TB "
+    "scan ships per partition; the pair join runs on the k-row aggregate "
+    "(k² never N²). The float t is a FIXED expression tree — two "
+    "divisions of exact BIGINTs per side, one add, one correctly-rounded "
+    "sqrt, one subtract, one divide — applied in the same order by both "
+    "engines, so it hash-matches bit-identically (same discipline as "
+    "stat_pearson_value_time). ssq components stay integer for "
+    "downstream exact use.",
+    tags=("stats",),
+)
+def stat_welch_ttest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = ev.select(F.col("event_type").alias("g"), _cents().alias("x"))
+    c = t.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    a = c.select(*[F.col(x).alias(f"{x}_a") for x in ("g", "n", "sx", "sxx")])
+    b = c.select(*[F.col(x).alias(f"{x}_b") for x in ("g", "n", "sx", "sxx")])
+    j = a.join(F.broadcast(b), F.col("g_a") < F.col("g_b"))
+
+    def ssq(s: str) -> F.Column:
+        return F.col(f"n_{s}") * F.col(f"sxx_{s}") - F.col(f"sx_{s}") * F.col(
+            f"sx_{s}"
+        )
+
+    def s2n(s: str) -> F.Column:
+        den = F.col(f"n_{s}") * F.col(f"n_{s}") * (F.col(f"n_{s}") - 1)
+        return ssq(s).cast("double") / den.cast("double")
+
+    mean_diff = F.col("sx_a").cast("double") / F.col("n_a").cast(
+        "double"
+    ) - F.col("sx_b").cast("double") / F.col("n_b").cast("double")
+    return j.select(
+        F.col("g_a").alias("ga"),
+        F.col("g_b").alias("gb"),
+        F.col("n_a"),
+        F.col("n_b"),
+        ssq("a").cast("long").alias("ssq_a"),
+        ssq("b").cast("long").alias("ssq_b"),
+        (mean_diff / F.sqrt(s2n("a") + s2n("b"))).alias("t_welch"),
+    )
+
+
+@QS.add(
+    "stat_autocorr_lag1",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, epoch_ms(ts) // {_HOUR_MS} AS h,
+             CAST(SUM({_CENTS}) AS BIGINT) AS s
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, h
+    ),
+    lagged AS (
+      SELECT event_type, s AS y,
+             lag(s) OVER (PARTITION BY event_type ORDER BY h) AS x,
+             h - lag(h) OVER (PARTITION BY event_type ORDER BY h) AS dh
+      FROM hourly
+    ),
+    pairs AS (SELECT event_type, x, y FROM lagged WHERE dh = 1),
+    c AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS den_x,
+           CAST(n * syy - sy * sy AS BIGINT) AS den_y,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+    FROM c
+    """,
+    doc="[EXT] lag-1 autocorrelation of each event type's hourly revenue "
+    "series (exact cents): the time-series persistence diagnostic that "
+    "decides whether seasonal-naive (ts_seasonal_naive_eval) or "
+    "last-value forecasting is defensible. Shape: the fact table "
+    "collapses to an |hours|-sized pre-aggregate FIRST, the lag window "
+    "walks that pre-aggregate (same cost law as ts_seasonal_naive_eval), "
+    "gap hours pair with nothing (dh = 1 guard) rather than faking "
+    "adjacency, and the Pearson machinery on the pairs is the exact "
+    "integer component form with the one fixed-order float finish.",
+    tags=("stats", "timeseries"),
+)
+def stat_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_millis(ts) div {_HOUR_MS}").alias("h"),
+            _cents().alias("cents"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("cents").cast("long").alias("s"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = hourly.select(
+        "event_type",
+        F.col("s").alias("y"),
+        F.lag("s").over(w).alias("x"),
+        (F.col("h") - F.lag("h").over(w)).alias("dh"),
+    )
+    pairs = lagged.filter(F.col("dh") == 1)
+    c = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return c.select(
+        "event_type",
+        "n",
+        num.cast("long").alias("num"),
+        den_x.cast("long").alias("den_x"),
+        den_y.cast("long").alias("den_y"),
+        (
+            num.cast("double")
+            / (F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double")))
+        ).alias("r"),
+    )
+
+
+_EWMA_DEPTH = 8
+
+
+def _ewma_sql() -> tuple[str, str]:
+    """(num_expr, den_expr) over lag(x, i) with weights 2^(depth-1-i)."""
+    num, den = [], []
+    for i in range(_EWMA_DEPTH):
+        w = 1 << (_EWMA_DEPTH - 1 - i)
+        x = "x" if i == 0 else f"lag(x, {i}) OVER uw"
+        num.append(f"COALESCE({x} * {w}, 0)")
+        den.append(f"CASE WHEN {x} IS NOT NULL THEN {w} ELSE 0 END")
+    return " + ".join(num), " + ".join(den)
+
+
+@QS.add(
+    "w15_ewma_dyadic",
+    f"""
+    WITH t AS (
+      SELECT user_id, event_id, {_CENTS} AS x, ts
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id, event_id,
+           CAST({_ewma_sql()[0]} AS BIGINT) AS num,
+           CAST({_ewma_sql()[1]} AS BIGINT) AS den,
+           CAST({_ewma_sql()[0]} AS DOUBLE)
+             / CAST({_ewma_sql()[1]} AS DOUBLE) AS ewma
+    FROM t
+    WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="[EXT] exponentially-decay-weighted moving average as an EXACT "
+    "window: weights are the dyadic ladder 2^7..2^0 over the current + 7 "
+    "preceding events per user, so numerator and normalizer are BIGINTs "
+    "(no float powers, no fp accumulation drift) and the emitted ewma is "
+    "ONE IEEE division — hash-matches across engines. Partial windows "
+    "renormalize over the weights actually present (den tracks "
+    "presence), matching pandas ewm(adjust=True) semantics restricted "
+    "to a depth-8 horizon (weight below 2^-8 is under float ulp of the "
+    "head anyway). One shuffle: all 8 lags share one window spec. The "
+    "decayed-revenue feature for recsys/feature-store pipelines.",
+    tags=("window", "timeseries"),
+)
+def w15_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = ev.select("user_id", "event_id", _cents().alias("x"), "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for i in range(_EWMA_DEPTH):
+        wt = 1 << (_EWMA_DEPTH - 1 - i)
+        x = F.col("x") if i == 0 else F.lag("x", i).over(w)
+        num = num + F.coalesce(x * wt, F.lit(0))
+        den = den + F.when(x.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+    return t.select(
+        "user_id",
+        "event_id",
+        num.cast("long").alias("num"),
+        den.cast("long").alias("den"),
+        (num.cast("double") / den.cast("double")).alias("ewma"),
+    )
+
+
+@QS.add(
+    "emb_pca_gate",
+    """
+    WITH u AS (
+      SELECT vec_id, g.i AS i,
+             CAST(floor(CAST(embedding[g.i + 1] AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS x
+      FROM embeddings, (SELECT UNNEST(range(0, 64)) AS i) g
+    ),
+    d AS (
+      SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM u GROUP BY i
+    ),
+    v AS (SELECT i, n, CAST(n * sxx - sx * sx AS BIGINT) AS var_units FROM d)
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN var_units = (SELECT MAX(var_units) FROM v)
+                         THEN i END) AS BIGINT) AS best_axis,
+           CAST(MAX(var_units) AS BIGINT) AS axis_var_units,
+           TRUE AS pc1_ge_axis
+    FROM v
+    """,
+    doc="[EXT] PCA readiness gate for the embedding corpus: per-axis "
+    "variances n·Σx²−(Σx)² in exact micro-unit BIGINTs (hash-matched "
+    "cross-engine, ties to the lowest axis index), plus the boolean "
+    "pinned TRUE that the top principal component captures at least the "
+    "best single axis's variance — guaranteed by the Rayleigh quotient "
+    "(λ1 ≥ max_i C_ii for symmetric PSD C), so any FALSE flags a broken "
+    "covariance assembly, the HLL/theta gate pattern for "
+    "non-SQL-expressible math. Spark side: the exact Gram cells and dim "
+    "sums reduce distributed (map-side-combinable aggs over the "
+    "posexploded table), the 64x64 eigensolve runs driver-side on "
+    "python ints -> numpy (covariance n·G−ssᵀ assembled in arbitrary "
+    "precision, immune to the BIGINT n·G overflow past sf~0.03).",
+    tags=("embedding", "stats"),
+)
+def emb_pca_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    u = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5).cast("long"),
+            )
+        ).alias("i", "x"),
+    ).persist()
+    gram = {
+        (r.dim_i, r.dim_j): (r.n, r.sum_units)
+        for r in (
+            u.alias("a")
+            .join(
+                u.alias("b"),
+                (F.col("a.vec_id") == F.col("b.vec_id"))
+                & (F.col("a.i") <= F.col("b.i")),
+            )
+            .groupBy(F.col("a.i").alias("dim_i"), F.col("b.i").alias("dim_j"))
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(F.col("a.x") * F.col("b.x")).cast("long").alias("sum_units"),
+            )
+            .collect()
+        )
+    }
+    sums = {
+        r.i: r.sx
+        for r in u.groupBy("i").agg(F.sum("x").cast("long").alias("sx")).collect()
+    }
+    u.unpersist()
+    dim = 64
+    n = gram[(0, 0)][0]
+    # Covariance in python ints (exact, overflow-free), then float eigh.
+    cov = [
+        [
+            n * gram[(min(i, j), max(i, j))][1] - sums[i] * sums[j]
+            for j in range(dim)
+        ]
+        for i in range(dim)
+    ]
+    axis_vars = [cov[i][i] for i in range(dim)]
+    best_axis = min(range(dim), key=lambda i: (-axis_vars[i], i))
+    lam1 = float(np.linalg.eigvalsh(np.array(cov, dtype=np.float64))[-1])
+    ok = lam1 >= max(axis_vars) * (1.0 - 1e-9)
+    return spark.createDataFrame(
+        [(n, best_axis, axis_vars[best_axis], bool(ok))],
+        schema="n BIGINT, best_axis BIGINT, axis_var_units BIGINT, "
+        "pc1_ge_axis BOOLEAN",
+    )
+
+
+@QS.add(
+    "stat_proportion_ztest_pairs",
+    f"""
+    WITH t AS (
+      SELECT event_type AS g,
+             CASE WHEN (epoch_ms(ts) // {_DAY_MS_I}) % 7 IN (5, 6)
+                  THEN 1 ELSE 0 END AS hit
+      FROM events
+    ),
+    c AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(hit) AS BIGINT) AS k
+      FROM t GROUP BY g
+    )
+    SELECT a.g AS ga, b.g AS gb, a.n AS n_a, a.k AS k_a, b.n AS n_b,
+           b.k AS k_b,
+           (CAST(a.k AS DOUBLE) / CAST(a.n AS DOUBLE)
+            - CAST(b.k AS DOUBLE) / CAST(b.n AS DOUBLE))
+             / sqrt(CAST((a.k + b.k) * (a.n + b.n - a.k - b.k) AS DOUBLE)
+                    / CAST((a.n + b.n) * a.n * b.n AS DOUBLE)) AS z
+    FROM c a JOIN c b ON a.g < b.g
+    """,
+    doc="[EXT] two-proportion z-test between every pair of event types on "
+    "the weekend-share of events (epoch-day mod 7 — calendar-free on "
+    "both engines): z = (p_a − p_b) / sqrt(p(1−p)(1/n_a + 1/n_b)) with "
+    "the pooled term algebraically cleared to ONE ratio of exact BIGINT "
+    "products — (k)(N−k)N / (n_a·n_b·N²) — so the float z is a fixed "
+    "two-division + sqrt + divide tree, bit-identical across engines. "
+    "Counts are a single map-side-combinable aggregate; the pair join "
+    "runs on k rows. The conversion-rate A/B primitive next to the "
+    "mean-shift (Welch) and shape-shift (KS) tests.",
+    tags=("stats",),
+)
+def stat_proportion_ztest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    t = ev.select(
+        F.col("event_type").alias("g"),
+        F.when(
+            F.expr(f"(unix_millis(ts) div {_DAY_MS_I}) % 7").isin(5, 6), 1
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    c = t.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("hit").cast("long").alias("k"),
+    )
+    a = c.select(*[F.col(x).alias(f"{x}_a") for x in ("g", "n", "k")])
+    b = c.select(*[F.col(x).alias(f"{x}_b") for x in ("g", "n", "k")])
+    j = a.join(F.broadcast(b), F.col("g_a") < F.col("g_b"))
+    na, ka = F.col("n_a"), F.col("k_a")
+    nb, kb = F.col("n_b"), F.col("k_b")
+    big_n = na + nb
+    big_k = ka + kb
+    diff = ka.cast("double") / na.cast("double") - kb.cast("double") / nb.cast(
+        "double"
+    )
+    num = (big_k * (big_n - big_k)).cast("double")
+    den = (big_n * na * nb).cast("double")
+    z = diff / F.sqrt(num / den)
+    return j.select(
+        F.col("g_a").alias("ga"),
+        F.col("g_b").alias("gb"),
+        "n_a",
+        "k_a",
+        "n_b",
+        "k_b",
+        z.alias("z"),
+    )
+
+
+_BENFORD_PPM = {
+    1: 301029,
+    2: 176091,
+    3: 124938,
+    4: 96910,
+    5: 79181,
+    6: 66946,
+    7: 57991,
+    8: 51152,
+    9: 45757,
+}
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+)
+
+
+@QS.add(
+    "stat_benford_first_digit",
+    f"""
+    WITH t AS (
+      SELECT CAST(substr(CAST({_CENTS} AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM events WHERE value IS NOT NULL AND value > 0
+    ),
+    c AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY d
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT c.d, c.n,
+           c.n * 1000000 // tot.total AS observed_ppm,
+           CAST(CASE c.d {_BENFORD_CASE} END AS BIGINT) AS benford_ppm,
+           abs(c.n * 1000000 // tot.total
+               - CASE c.d {_BENFORD_CASE} END) AS abs_dev_ppm
+    FROM c CROSS JOIN tot
+    """,
+    doc="[EXT] Benford first-digit conformance over positive value cents — "
+    "the fraud/data-fabrication forensic screen. First digits come from "
+    "the decimal string of the exact integer cents (no float log10 "
+    "anywhere: the Benford expectation is a shared table of "
+    "floor(log10(1+1/d)·1e6) INTEGER literals, observed shares are "
+    "floor-div ppm), so every output column is an exact BIGINT and the "
+    "whole screen hash-matches. One map-side-combinable aggregate; the "
+    "1-row total rides a cross join. Uniform synthetic data is EXPECTED "
+    "to deviate — the query reports deviations, it does not assert "
+    "conformance.",
+    tags=("stats", "quality"),
+)
+def stat_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    t = ev.select(
+        F.substring(_cents().cast("string"), 1, 1).cast("long").alias("d")
+    )
+    c = t.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = c.agg(F.sum("n").cast("long").alias("total"))
+    benford = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "n",
+            F.expr("n * 1000000 div total").alias("observed_ppm"),
+            benford[F.col("d")].cast("long").alias("benford_ppm"),
+            F.abs(
+                F.expr("n * 1000000 div total")
+                - benford[F.col("d")].cast("long")
+            ).alias("abs_dev_ppm"),
+        )
+    )
+
+
+@QS.add(
+    "stat_tukey_summary",
+    f"""
+    WITH t AS (
+      SELECT event_type AS g, {_CENTS} AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM t
+    ),
+    pos AS (
+      SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MIN(x) AS BIGINT) AS min_c,
+             CAST(MAX(x) AS BIGINT) AS max_c,
+             CAST(SUM((CASE WHEN rn = ((n + 1) // 2 + 1) // 2
+                              OR rn = ((n + 1) // 2 + 2) // 2
+                            THEN x ELSE 0 END)
+                  * (CASE WHEN ((n + 1) // 2 + 1) // 2
+                               = ((n + 1) // 2 + 2) // 2 THEN 2 ELSE 1 END))
+                  AS BIGINT) AS q1_x2,
+             CAST(SUM((CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                            THEN x ELSE 0 END)
+                  * (CASE WHEN (n + 1) // 2 = (n + 2) // 2
+                          THEN 2 ELSE 1 END)) AS BIGINT) AS med_x2,
+             CAST(SUM((CASE WHEN rn = n - (n + 1) // 2
+                                      + ((n + 1) // 2 + 1) // 2
+                              OR rn = n - (n + 1) // 2
+                                      + ((n + 1) // 2 + 2) // 2
+                            THEN x ELSE 0 END)
+                  * (CASE WHEN ((n + 1) // 2 + 1) // 2
+                               = ((n + 1) // 2 + 2) // 2 THEN 2 ELSE 1 END))
+                  AS BIGINT) AS q3_x2
+      FROM ranked GROUP BY g
+    ),
+    fenced AS (
+      SELECT g, n, min_c, max_c, q1_x2, med_x2, q3_x2,
+             2 * q1_x2 - 3 * (q3_x2 - q1_x2) AS lo4,
+             2 * q3_x2 + 3 * (q3_x2 - q1_x2) AS hi4
+      FROM pos
+    )
+    SELECT f.g AS event_type, f.n, f.min_c, f.max_c, f.q1_x2, f.med_x2,
+           f.q3_x2,
+           CAST(SUM(CASE WHEN 4 * t.x < f.lo4 OR 4 * t.x > f.hi4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM fenced f JOIN t ON t.g = f.g
+    GROUP BY f.g, f.n, f.min_c, f.max_c, f.q1_x2, f.med_x2, f.q3_x2
+    """,
+    doc="[EXT] Tukey five-number summary + 1.5-IQR outlier counts, EXACT: "
+    "the boxplot/EDA primitive with zero fp boundary risk. Hinges "
+    "include the median in both halves (Tukey's convention); every "
+    "quantile is an average of at most two order statistics, kept "
+    "integer by DOUBLING, and the 1.5-IQR fences go to QUADRUPLED units "
+    "(2·q1_2 − 3·iqr_2) so the outlier comparison 4x < lo4 is pure "
+    "integer — the same scaled-units ladder as MAD/winsorize, one step "
+    "further. Shape: one rank window over the per-group sort, order "
+    "statistics picked by rank arithmetic (no percentile interpolation "
+    "anywhere), one broadcast-sized fence join back for the count.",
+    tags=("stats",),
+)
+def stat_tukey_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = ev.select(F.col("event_type").alias("g"), _cents().alias("x"))
+    wr = Window.partitionBy("g").orderBy("x")
+    wn = Window.partitionBy("g")
+    ranked = t.select(
+        "g",
+        "x",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    m = F.expr("(n + 1) div 2")
+    q1a, q1b = F.expr("((n + 1) div 2 + 1) div 2"), F.expr(
+        "((n + 1) div 2 + 2) div 2"
+    )
+    meda, medb = F.expr("(n + 1) div 2"), F.expr("(n + 2) div 2")
+    q3a, q3b = (F.col("n") - m + q1a), (F.col("n") - m + q1b)
+
+    def picked(a, b):
+        hit = F.when((F.col("rn") == a) | (F.col("rn") == b), F.col("x")).otherwise(
+            0
+        )
+        dbl = F.when(a == b, 2).otherwise(1)
+        return (F.sum(hit * dbl)).cast("long")
+
+    # a == b comparisons involve n (constant per group) — move the doubling
+    # factor inside the sum so it stays row-local.
+    pos = ranked.groupBy("g").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min("x").cast("long").alias("min_c"),
+        F.max("x").cast("long").alias("max_c"),
+        picked(q1a, q1b).alias("q1_x2"),
+        picked(meda, medb).alias("med_x2"),
+        picked(q3a, q3b).alias("q3_x2"),
+    )
+    fenced = pos.select(
+        "*",
+        (2 * F.col("q1_x2") - 3 * (F.col("q3_x2") - F.col("q1_x2"))).alias("lo4"),
+        (2 * F.col("q3_x2") + 3 * (F.col("q3_x2") - F.col("q1_x2"))).alias("hi4"),
+    )
+    fenced = fenced.withColumnRenamed("g", "fenced_g")
+    joined = t.join(F.broadcast(fenced), F.col("g") == F.col("fenced_g"))
+    out = joined.groupBy(
+        "fenced_g", "n", "min_c", "max_c", "q1_x2", "med_x2", "q3_x2"
+    ).agg(
+        F.sum(
+            F.when(
+                (4 * F.col("x") < F.col("lo4")) | (4 * F.col("x") > F.col("hi4")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers")
+    )
+    return out.select(
+        F.col("fenced_g").alias("event_type"),
+        "n",
+        "min_c",
+        "max_c",
+        "q1_x2",
+        "med_x2",
+        "q3_x2",
+        "n_outliers",
+    )
+
+
+@QS.add(
+    "stat_crosscorr_lags",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, epoch_ms(ts) // {_HOUR_MS} AS h,
+             CAST(SUM({_CENTS}) AS BIGINT) AS s
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, h
+    ),
+    a AS (SELECT h, s AS x FROM hourly WHERE event_type = 'click'),
+    b AS (SELECT h, s AS y FROM hourly WHERE event_type = 'purchase'),
+    lagged AS (
+      SELECT l.lag, a.x, b.y
+      FROM (SELECT UNNEST(range(-3, 4)) AS lag) l
+      JOIN a ON TRUE
+      JOIN b ON b.h = a.h + l.lag
+    ),
+    c AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM lagged GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS den_x,
+           CAST(n * syy - sy * sy AS BIGINT) AS den_y,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+    FROM c
+    """,
+    doc="[EXT] cross-correlation function: the click-hourly series against "
+    "the purchase-hourly series at lags −3..+3 — which direction leads, "
+    "and by how many hours (the lead-lag discovery step before any "
+    "causal/forecast modeling; a peak at positive lag means clicks lead "
+    "purchases). Per lag, the exact Pearson component form over the "
+    "aligned hour pairs; the 7-lag fan-out multiplies the calendar-"
+    "bounded HOURLY table, never events, and each lag's components are "
+    "one map-side-combinable aggregate. Floats finish with the fixed "
+    "sqrt·sqrt division tree — hash-matched.",
+    tags=("stats", "timeseries"),
+)
+def stat_crosscorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_millis(ts) div {_HOUR_MS}").alias("h"),
+            _cents().alias("cents"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("cents").cast("long").alias("s"))
+    )
+    a = hourly.filter(F.col("event_type") == "click").select(
+        "h", F.col("s").alias("x")
+    )
+    b = hourly.filter(F.col("event_type") == "purchase").select(
+        F.col("h").alias("hb"), F.col("s").alias("y")
+    )
+    lags = a.select(
+        "h", "x", F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("lag")
+    )
+    lagged = lags.join(b, F.col("hb") == F.col("h") + F.col("lag"))
+    c = lagged.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return c.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n",
+        num.cast("long").alias("num"),
+        den_x.cast("long").alias("den_x"),
+        den_y.cast("long").alias("den_y"),
+        (
+            num.cast("double")
+            / (F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double")))
+        ).alias("r"),
+    )
+
+
+_ACF_MAX_LAG = 7
+
+
+
+
+@QS.add(
+    "ts_acf_daily",
+    f"""
+    WITH daily AS (
+      SELECT event_type, epoch_ms(ts) // {_DAY_MS} AS d,
+             CAST(SUM({_CENTS}) AS BIGINT) AS s
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, d
+    ),
+    scal AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(s) AS BIGINT) AS tot
+      FROM daily GROUP BY event_type
+    ),
+    cent AS (
+      SELECT d.event_type, d.d, sc.n,
+             CAST(sc.n * d.s - sc.tot AS BIGINT) AS c
+      FROM daily d JOIN scal sc ON sc.event_type = d.event_type
+    ),
+    den AS (
+      SELECT event_type, MAX(n) AS n,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(CAST(c AS DOUBLE) * CAST(c AS DOUBLE) ORDER BY d)),
+               (p, q) -> p + q) AS den
+      FROM cent GROUP BY event_type
+    ),
+    lagged AS (
+      SELECT event_type, d, c,
+             {", ".join(
+                 f"lead(c, {k}) OVER w AS y{k},"
+                 f" lead(d, {k}) OVER w - d AS dd{k}"
+                 for k in range(1, _ACF_MAX_LAG + 1)
+             )}
+      FROM cent
+      WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    terms AS (
+      {" UNION ALL ".join(
+          f"SELECT event_type, CAST({k} AS BIGINT) AS lag, d,"
+          f" CAST(c AS DOUBLE) * CAST(y{k} AS DOUBLE) AS t"
+          f" FROM lagged WHERE dd{k} = {k}"
+          for k in range(1, _ACF_MAX_LAG + 1)
+      )}
+    ),
+    num AS (
+      SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(t ORDER BY d)), (p, q) -> p + q) AS num
+      FROM terms GROUP BY event_type, lag
+    )
+    SELECT n.event_type, n.lag, d.n AS n_days, n.n_pairs,
+           n.num / d.den AS acf
+    FROM num n JOIN den d ON d.event_type = n.event_type
+    """,
+    doc="[EXT] sample autocorrelation function (lags 1-7) of each event "
+    "type's daily revenue series — the ARIMA-order / seasonality "
+    "diagnostic beyond stat_autocorr_lag1's Pearson-of-pairs form: the "
+    "standard single-mean estimator r_k = Σ(x_t−x̄)(x_{{t+k}}−x̄) / "
+    "Σ(x_t−x̄)², computed on n-scaled centered values n·x−S (exact "
+    "BIGINTs ≤ 2^53, so each product is ONE IEEE multiply of exactly-"
+    "converted doubles) with numerator and denominator as PINNED "
+    "day-order folds and one final division — bit-portable per the "
+    "round-8 fold rule, where the naive all-BIGINT form overflows at "
+    "Σ(n·x−S)². Gap days pair with nothing (lead-day check = k); all "
+    "seven lag numerators ride ONE window pass (7 leads in one "
+    "WindowExec) over the |days| pre-aggregate, never the event table.",
+    tags=("stats", "timeseries"),
+)
+def ts_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_millis(ts) div {_DAY_MS}").alias("d"),
+            _cents().alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").cast("long").alias("s"))
+    )
+    scal = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("s").cast("long").alias("tot"),
+    )
+    cent = daily.join(F.broadcast(scal), "event_type").select(
+        "event_type",
+        "d",
+        "n",
+        (F.col("n") * F.col("s") - F.col("tot")).cast("long").alias("c"),
+    )
+    den = cent.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "d",
+                        (F.col("c").cast("double") * F.col("c").cast("double")).alias(
+                            "t"
+                        ),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("den"),
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lag_cols = []
+    for k in range(1, _ACF_MAX_LAG + 1):
+        lag_cols.append(F.lead("c", k).over(w).alias(f"y{k}"))
+        lag_cols.append((F.lead("d", k).over(w) - F.col("d")).alias(f"dd{k}"))
+    lagged = cent.select("event_type", "d", "c", *lag_cols)
+    stack = ", ".join(
+        f"{k}L, CASE WHEN dd{k} = {k} THEN CAST(c AS DOUBLE) * CAST(y{k} AS DOUBLE) END"
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    terms = lagged.selectExpr(
+        "event_type",
+        "d",
+        f"stack({_ACF_MAX_LAG}, {stack}) AS (lag, t)",
+    ).filter(F.col("t").isNotNull())
+    num = terms.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("d", "t"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("num"),
+    )
+    return num.join(F.broadcast(den), "event_type").select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        "n_days",
+        "n_pairs",
+        (F.col("num") / F.col("den")).alias("acf"),
+    )
+
+
+@QS.add(
+    "stat_cochran_armitage_trend",
+    """
+    WITH dose AS (
+      SELECT LEAST(4, (CAST(l_quantity AS BIGINT) - 1) // 10) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_i,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r_i
+      FROM lineitem GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+             CAST(SUM(r_i) AS BIGINT) AS r,
+             CAST(SUM(s * r_i) AS BIGINT) AS sr,
+             CAST(SUM(s * n_i) AS BIGINT) AS sn,
+             CAST(SUM(s * s * n_i) AS BIGINT) AS ssn,
+             CAST(COUNT(*) AS BIGINT) AS k_doses
+      FROM dose
+    )
+    SELECT n AS n_total, r AS n_returns, k_doses,
+           CAST(n * sr - r * sn AS BIGINT) AS t_num,
+           CAST(r * (n - r) AS BIGINT) AS d1,
+           CAST(n * ssn - sn * sn AS BIGINT) AS d2,
+           CASE WHEN r * (n - r) = 0 OR n * ssn - sn * sn = 0 THEN NULL
+                ELSE CAST(n * sr - r * sn AS DOUBLE)
+                     / sqrt(CAST(r * (n - r) AS DOUBLE)
+                            * CAST(n * ssn - sn * sn AS DOUBLE)
+                            / CAST(n AS DOUBLE))
+           END AS z_trend
+    FROM agg
+    """,
+    doc="[EXT] Cochran-Armitage trend test: does return probability "
+    "trend monotonically with ordered quantity dose (l_quantity decile "
+    "buckets 0..4, scores = bucket index)? Scaled statistic "
+    "T' = N*Sum(s_i r_i) - R*Sum(s_i n_i) and its variance "
+    "Var(T') = R(N-R)*(N*Sum(n_i s_i^2) - (Sum n_i s_i)^2)/N are exact "
+    "BIGINT compositions; Z = T'/sqrt(d1*d2/N) is one fixed IEEE tree "
+    "(each operand exactly double-convertible at bench scale -- "
+    "magnitudes < 2^53 documented in the builder). One scan, one 5-row "
+    "aggregate; the dose-trend screen an observational pipeline runs "
+    "before modeling.",
+    tags=("stats",),
+)
+def stat_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Magnitude audit for the exact-double conversions (sf0.1: |lineitem|
+    # ~ 6e5): t_num <= N*4*N ~ 1.4e12, d1 <= N^2/4 ~ 9e10,
+    # d2 <= N*16*N ~ 5.8e12 -- all far below 2^53, so CAST(... AS DOUBLE)
+    # is exact and the z tree is bit-identical across engines.
+    li = load(spark, sf_dir, "lineitem").select("l_quantity", "l_returnflag")
+    dose = li.select(
+        F.least(
+            F.lit(4), F.expr("(CAST(l_quantity AS BIGINT) - 1) div 10")
+        ).alias("s"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    ).groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum("ret").cast("long").alias("r_i"),
+    )
+    return cochran_armitage_from_dose(dose)
+
+
+def cochran_armitage_from_dose(dose: DataFrame) -> DataFrame:
+    """CA trend statistic from a (s, n_i, r_i) dose table (template shared
+    with the property gate — the EDF *_from_samples discipline)."""
+    agg = dose.agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum("r_i").cast("long").alias("r"),
+        F.sum(F.col("s") * F.col("r_i")).cast("long").alias("sr"),
+        F.sum(F.col("s") * F.col("n_i")).cast("long").alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n_i")).cast("long").alias("ssn"),
+        F.count(F.lit(1)).cast("long").alias("k_doses"),
+    )
+    t_num = F.col("n") * F.col("sr") - F.col("r") * F.col("sn")
+    d1 = F.col("r") * (F.col("n") - F.col("r"))
+    d2 = F.col("n") * F.col("ssn") - F.col("sn") * F.col("sn")
+    return agg.select(
+        F.col("n").alias("n_total"),
+        F.col("r").alias("n_returns"),
+        "k_doses",
+        t_num.cast("long").alias("t_num"),
+        d1.cast("long").alias("d1"),
+        d2.cast("long").alias("d2"),
+        F.when((d1 == 0) | (d2 == 0), F.lit(None).cast("double"))
+        .otherwise(
+            t_num.cast("double")
+            / F.sqrt(d1.cast("double") * d2.cast("double") / F.col("n").cast("double"))
+        )
+        .alias("z_trend"),
+    )
+
+
+@QS.add(
+    "stat_mantel_haenszel",
+    """
+    WITH cells AS (
+      SELECT o.o_orderpriority AS stratum,
+             CAST(SUM(CASE WHEN l.l_discount > 0.05
+                            AND l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN l.l_discount > 0.05
+                            AND l.l_returnflag <> 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN l.l_discount <= 0.05
+                            AND l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN l.l_discount <= 0.05
+                            AND l.l_returnflag <> 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1
+    ),
+    terms AS (
+      SELECT stratum, a, b, c, d, a + b + c + d AS n,
+             CAST(a * d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE) AS ad_n,
+             CAST(b * c AS DOUBLE) / CAST(a + b + c + d AS DOUBLE) AS bc_n,
+             CAST((a + b) * (a + c) AS DOUBLE)
+               / CAST(a + b + c + d AS DOUBLE) AS e_a,
+             (CAST((a + b) * (c + d) AS DOUBLE)
+                / CAST((a + b + c + d) * (a + b + c + d - 1) AS DOUBLE))
+             * (CAST((a + c) * (b + d) AS DOUBLE)
+                / CAST(a + b + c + d AS DOUBLE)) AS v_a
+      FROM cells
+    ),
+    folded AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k_strata,
+             CAST(SUM(a) AS BIGINT) AS sum_a,
+             list_reduce(list_prepend(0.0e0,
+               list(ad_n ORDER BY stratum)), (x, y) -> x + y) AS sum_ad_n,
+             list_reduce(list_prepend(0.0e0,
+               list(bc_n ORDER BY stratum)), (x, y) -> x + y) AS sum_bc_n,
+             list_reduce(list_prepend(0.0e0,
+               list(e_a ORDER BY stratum)), (x, y) -> x + y) AS sum_e_a,
+             list_reduce(list_prepend(0.0e0,
+               list(v_a ORDER BY stratum)), (x, y) -> x + y) AS sum_v_a
+      FROM terms
+    )
+    SELECT k_strata, sum_a, sum_ad_n, sum_bc_n, sum_e_a, sum_v_a,
+           CASE WHEN sum_bc_n = 0e0 THEN NULL
+                ELSE sum_ad_n / sum_bc_n END AS or_mh,
+           CASE WHEN sum_v_a = 0e0 THEN NULL
+                ELSE (CAST(sum_a AS DOUBLE) - sum_e_a)
+                     * (CAST(sum_a AS DOUBLE) - sum_e_a) / sum_v_a
+           END AS cmh_chi2
+    FROM folded
+    """,
+    doc="[EXT] Mantel-Haenszel stratified 2x2 analysis: exposure = "
+    "deep discount (l_discount > 0.05), outcome = returned, strata = "
+    "order priority. OR_MH = Sum(a_i d_i/n_i)/Sum(b_i c_i/n_i) and the "
+    "CMH chi-square (Sum a - Sum E)^2/Sum V, with E_i=(a+b)(a+c)/n and "
+    "V_i restructured as ((a+b)(c+d)/(n(n-1)))*((a+c)(b+d)/n) so every "
+    "operand is an exact-double BIGINT product (< 2^53; the naive "
+    "4-factor numerator overflows BIGINT). Per-stratum terms are single "
+    "divisions over exact counts; the cross-stratum sums are pinned-"
+    "order folds keyed by stratum -- bit-identical both engines. The "
+    "confounding-aware effect estimate next to stat_stratified_ate.",
+    tags=("stats", "causal"),
+)
+def stat_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_discount", "l_returnflag"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    exp = F.col("l_discount") > 0.05
+    ret = F.col("l_returnflag") == "R"
+    cells = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("o_orderpriority").alias("stratum"))
+        .agg(
+            F.sum(F.when(exp & ret, 1).otherwise(0)).cast("long").alias("a"),
+            F.sum(F.when(exp & ~ret, 1).otherwise(0)).cast("long").alias("b"),
+            F.sum(F.when(~exp & ret, 1).otherwise(0)).cast("long").alias("c"),
+            F.sum(F.when(~exp & ~ret, 1).otherwise(0)).cast("long").alias("d"),
+        )
+    )
+    return mantel_haenszel_from_cells(cells)
+
+
+def mantel_haenszel_from_cells(cells: DataFrame) -> DataFrame:
+    """MH estimator from a (stratum, a, b, c, d) 2x2 table (template
+    shared with the Simpson's-paradox property test)."""
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    terms = cells.select(
+        "stratum",
+        "a",
+        (F.col("a") * F.col("d")).cast("double").alias("adx"),
+        (F.col("b") * F.col("c")).cast("double").alias("bcx"),
+        n.cast("double").alias("nd"),
+        ((F.col("a") + F.col("b")) * (F.col("a") + F.col("c")))
+        .cast("double")
+        .alias("e_num"),
+        ((F.col("a") + F.col("b")) * (F.col("c") + F.col("d")))
+        .cast("double")
+        .alias("v1"),
+        (n * (n - 1)).cast("double").alias("v2"),
+        ((F.col("a") + F.col("c")) * (F.col("b") + F.col("d")))
+        .cast("double")
+        .alias("v3"),
+    ).select(
+        "stratum",
+        "a",
+        (F.col("adx") / F.col("nd")).alias("ad_n"),
+        (F.col("bcx") / F.col("nd")).alias("bc_n"),
+        (F.col("e_num") / F.col("nd")).alias("e_a"),
+        ((F.col("v1") / F.col("v2")) * (F.col("v3") / F.col("nd"))).alias("v_a"),
+    )
+
+    def fold(col: str) -> F.Column:
+        return F.aggregate(
+            F.sort_array(F.collect_list(F.struct("stratum", F.col(col).alias("t")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        )
+
+    folded = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k_strata"),
+        F.sum("a").cast("long").alias("sum_a"),
+        fold("ad_n").alias("sum_ad_n"),
+        fold("bc_n").alias("sum_bc_n"),
+        fold("e_a").alias("sum_e_a"),
+        fold("v_a").alias("sum_v_a"),
+    )
+    diff = F.col("sum_a").cast("double") - F.col("sum_e_a")
+    return folded.select(
+        "k_strata",
+        "sum_a",
+        "sum_ad_n",
+        "sum_bc_n",
+        "sum_e_a",
+        "sum_v_a",
+        F.when(F.col("sum_bc_n") == 0.0, F.lit(None).cast("double"))
+        .otherwise(F.col("sum_ad_n") / F.col("sum_bc_n"))
+        .alias("or_mh"),
+        F.when(F.col("sum_v_a") == 0.0, F.lit(None).cast("double"))
+        .otherwise(diff * diff / F.col("sum_v_a"))
+        .alias("cmh_chi2"),
+    )
+
+
+@QS.add(
+    "stat_cohens_d_pairs",
+    f"""
+    WITH grp AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM({_CENTS}) AS BIGINT) AS s,
+             CAST(SUM({_CENTS} * {_CENTS}) AS BIGINT) AS q
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT a.event_type AS ga, b.event_type AS gb,
+           a.n AS n_a, b.n AS n_b, a.s AS s_a, b.s AS s_b,
+           a.q AS q_a, b.q AS q_b,
+           CASE WHEN a.n + b.n <= 2 THEN NULL ELSE
+             (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+              - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+             / sqrt(((CAST(a.q AS DOUBLE)
+                      - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE)
+                        / CAST(a.n AS DOUBLE))
+                    + (CAST(b.q AS DOUBLE)
+                       - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE)
+                         / CAST(b.n AS DOUBLE)))
+                    / CAST(a.n + b.n - 2 AS DOUBLE))
+           END AS cohens_d,
+           CASE WHEN a.n + b.n <= 2 THEN NULL ELSE
+             (1e0 - 3e0 / CAST(4 * (a.n + b.n - 2) - 1 AS DOUBLE))
+             * ((CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+                 - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+                / sqrt(((CAST(a.q AS DOUBLE)
+                         - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE)
+                           / CAST(a.n AS DOUBLE))
+                       + (CAST(b.q AS DOUBLE)
+                          - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE)
+                            / CAST(b.n AS DOUBLE)))
+                       / CAST(a.n + b.n - 2 AS DOUBLE)))
+           END AS hedges_g
+    FROM grp a JOIN grp b ON a.event_type < b.event_type
+    """,
+    doc="[EXT] Cohen's d and Hedges' g for every event-type pair over "
+    "the cents-exact value distribution -- the practical-significance "
+    "companion to stat_welch_pairs' p-values: d = (mean_a - mean_b) / "
+    "pooled SD, g = J*d with the small-sample factor J = 1 - 3/(4*df-1) "
+    "(a fixed rational tree, no gamma function). Every input is an "
+    "exact BIGINT (n, sum, sum-of-squares per group; q <= ~6e15 at "
+    "sf0.1, within exact-double range -- documented magnitude audit), "
+    "the statistic is one fixed IEEE tree over their exact double "
+    "conversions: divisions, one correctly-rounded sqrt, one multiply. "
+    "Group stats aggregate map-side; the pair join runs over |types| "
+    "rows, never events.",
+    tags=("stats",),
+)
+def stat_cohens_d_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    grp = (
+        ev.select("event_type", _cents().alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+            F.sum(F.col("cents") * F.col("cents")).cast("long").alias("q"),
+        )
+        .coalesce(1)
+        .persist()
+    )
+    a = grp.select(
+        F.col("event_type").alias("ga"),
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+        F.col("q").alias("q_a"),
+    )
+    b = grp.select(
+        F.col("event_type").alias("gb"),
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+        F.col("q").alias("q_b"),
+    )
+    pairs = a.join(b, F.col("ga") < F.col("gb"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("s_a").cast("double"), F.col("s_b").cast("double")
+    qa, qb = F.col("q_a").cast("double"), F.col("q_b").cast("double")
+    df_d = (F.col("n_a") + F.col("n_b") - 2).cast("double")
+    mean_diff = sa / na - sb / nb
+    pooled = F.sqrt(((qa - sa * sa / na) + (qb - sb * sb / nb)) / df_d)
+    d = mean_diff / pooled
+    j = F.lit(1.0) - F.lit(3.0) / (4 * (F.col("n_a") + F.col("n_b") - 2) - 1).cast(
+        "double"
+    )
+    degenerate = (F.col("n_a") + F.col("n_b")) <= 2
+    return pairs.select(
+        "ga",
+        "gb",
+        "n_a",
+        "n_b",
+        "s_a",
+        "s_b",
+        "q_a",
+        "q_b",
+        F.when(degenerate, F.lit(None).cast("double")).otherwise(d).alias("cohens_d"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(j * d)
+        .alias("hedges_g"),
+    )
