@@ -1606,8 +1606,9 @@ def stat_friedman_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _weekday_block_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(event_type, wk, dow, r2): doubled within-block midranks over
-    complete weekly blocks — shared by Friedman and Page."""
+    """(event_type, wk, dow, s, r2): raw cell values plus doubled
+    within-block midranks over complete weekly blocks — shared by
+    Friedman, Page and Quade (Quade needs ``s`` for the block ranges)."""
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     daily = (
         ev.select(
@@ -1637,6 +1638,7 @@ def _weekday_block_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "wk",
         "dow",
+        "s",
         (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1)
         .cast("long")
         .alias("r2"),
@@ -1705,4 +1707,107 @@ def stat_page_trend_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2.0) * F.sqrt(var144.cast("double") / F.lit(144.0)))
         )
         .alias("z_page"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quade test over the same complete weekly blocks (range-weighted Friedman).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_quade_weekday",
+    f"""
+    WITH {_BLOCK_CELLS_SQL},
+    ranges AS (
+      SELECT event_type, wk, CAST(MAX(s) - MIN(s) AS BIGINT) AS rng
+      FROM cells GROUP BY event_type, wk
+    ),
+    q AS (
+      SELECT event_type, wk,
+             CAST(2 * RANK() OVER (PARTITION BY event_type ORDER BY rng)
+                  + COUNT(*) OVER (PARTITION BY event_type, rng)
+                  - 1 AS BIGINT) AS q2
+      FROM ranges
+    ),
+    u AS (
+      SELECT c.event_type, c.dow, q.q2 * (c.r2 - 8) AS u
+      FROM cells c JOIN q ON c.event_type = q.event_type AND c.wk = q.wk
+    ),
+    a AS (
+      SELECT event_type, CAST(COUNT(*) // 7 AS BIGINT) AS b,
+             CAST(SUM(u * u) AS BIGINT) AS a16
+      FROM u GROUP BY event_type
+    ),
+    cols AS (
+      SELECT event_type, dow, CAST(SUM(u) AS BIGINT) AS sj
+      FROM u GROUP BY event_type, dow
+    ),
+    bs AS (
+      SELECT event_type, CAST(SUM(sj * sj) AS BIGINT) AS b16b
+      FROM cols GROUP BY event_type
+    )
+    SELECT a.event_type, a.b, a.a16, bs.b16b,
+           CASE WHEN a.b * a.a16 - bs.b16b = 0 THEN NULL
+                ELSE CAST((a.b - 1) * bs.b16b AS DOUBLE)
+                     / CAST(a.b * a.a16 - bs.b16b AS DOUBLE)
+           END AS quade_t3
+    FROM a JOIN bs USING (event_type)
+    """,
+    doc="[EXT] Quade test per event type over the SAME complete weekly "
+    "blocks as Friedman — the range-weighted blocked rank test: blocks "
+    "with a larger within-block spread (daily-revenue range) carry more "
+    "weight, so it beats Friedman exactly when treatment effects scale "
+    "with block variability. All components in doubled-rank units: "
+    "S_ij = Q_i(R_ij - 4) becomes U = q2*(r2 - 8) = 4*S_ij (q2/r2 are "
+    "doubled midranks — ties stay exact), A' = SUM(U^2) = 16A and "
+    "B' = SUM_j(SUM_i U)^2 = 16bB, so Conover's "
+    "T3 = (b-1)B/(A-B) = (b-1)*B' / (b*A' - B') — ONE division of exact "
+    "BIGINTs. Degenerate all-tied blocks give U = 0 (midrank 8 "
+    "everywhere) -> 0/0 -> NULL via lazy CASE on both engines (the "
+    "ANSI-divide rule). Cost: the Friedman histogram walk + one "
+    "per-block range aggregate — bounded by the (type, week) domain, "
+    "never |events|.",
+    tags=("stats",),
+)
+def stat_quade_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = _weekday_block_cells(spark, sf_dir)
+    ranges = cells.groupBy("event_type", "wk").agg(
+        (F.max("s") - F.min("s")).cast("long").alias("rng")
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("rng")
+    w_tie = Window.partitionBy("event_type", "rng")
+    q = ranges.select(
+        "event_type",
+        "wk",
+        (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1)
+        .cast("long")
+        .alias("q2"),
+    )
+    u = cells.join(q, ["event_type", "wk"]).select(
+        "event_type", "dow", (F.col("q2") * (F.col("r2") - 8)).alias("u")
+    )
+    a = u.groupBy("event_type").agg(
+        F.expr("CAST(COUNT(*) div 7 AS BIGINT)").alias("b"),
+        F.sum(F.col("u") * F.col("u")).cast("long").alias("a16"),
+    )
+    cols = u.groupBy("event_type", "dow").agg(
+        F.sum("u").cast("long").alias("sj")
+    )
+    bs = cols.groupBy("event_type").agg(
+        F.sum(F.col("sj") * F.col("sj")).cast("long").alias("b16b")
+    )
+    return a.join(bs, "event_type").select(
+        "event_type",
+        "b",
+        "a16",
+        "b16b",
+        F.when(
+            F.col("b") * F.col("a16") - F.col("b16b") == 0, F.lit(None)
+        )
+        .otherwise(
+            ((F.col("b") - 1) * F.col("b16b")).cast("double")
+            / (F.col("b") * F.col("a16") - F.col("b16b")).cast("double")
+        )
+        .alias("quade_t3"),
     )

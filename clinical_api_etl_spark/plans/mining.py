@@ -1354,6 +1354,136 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.groupBy("node").agg(F.count("*").cast("long").alias("core_deg"))
 
 
+# ---------------------------------------------------------------------------
+# k-truss decomposition: the EDGE-level cohesion analogue of k-core.
+# ---------------------------------------------------------------------------
+
+# k=3 (edges in >= 1 triangle at fixpoint): the co-purchase graph's edge
+# supports top out at 3 even at sf0.1-scale regenerations, so k=4 peels
+# to EMPTY — the 3-truss is the non-degenerate cohesion level here.
+_TRUSS_K = 3
+_TRUSS_ROUNDS = 3
+
+
+def _truss_oracle() -> str:
+    """Unrolled MATERIALIZED peel rounds (the kcore-oracle discipline);
+    each round = one oriented triangle enumeration + per-edge support
+    counts + the support filter."""
+    rounds = []
+    prev = "e0"
+    for r in range(1, _TRUSS_ROUNDS + 1):
+        rounds.append(f"""
+    tri{r} AS MATERIALIZED (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM {prev} e1
+      JOIN {prev} e2 ON e2.u = e1.v
+      JOIN {prev} e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    sup{r} AS MATERIALIZED (
+      SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support FROM (
+        SELECT a AS u, b AS v FROM tri{r}
+        UNION ALL SELECT b AS u, c AS v FROM tri{r}
+        UNION ALL SELECT a AS u, c AS v FROM tri{r}
+      ) t GROUP BY u, v
+    ),
+    e{r} AS MATERIALIZED (
+      SELECT u, v FROM sup{r} WHERE support >= {_TRUSS_K - 2}
+    )""")
+        prev = f"e{r}"
+    its = ",".join(rounds)
+    return f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= {_TRI_SUPPORT}
+    ),{its},
+    trif AS MATERIALIZED (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM {prev} e1
+      JOIN {prev} e2 ON e2.u = e1.v
+      JOIN {prev} e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    supf AS (
+      SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support FROM (
+        SELECT a AS u, b AS v FROM trif
+        UNION ALL SELECT b AS u, c AS v FROM trif
+        UNION ALL SELECT a AS u, c AS v FROM trif
+      ) t GROUP BY u, v
+    )
+    SELECT e.u, e.v, CAST(COALESCE(s.support, 0) AS BIGINT) AS support
+    FROM {prev} e LEFT JOIN supf s ON e.u = s.u AND e.v = s.v
+    """
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """(u, v, support) per canonical u<v edge: each oriented triangle
+    (a<b<c) credits its three edges — the standard oriented wedge join,
+    never neighborhood intersection per edge pair."""
+    ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    edges3 = (
+        tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+        .unionByName(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+    )
+    return edges3.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+
+
+@QS.add(
+    "graph_ktruss_edges",
+    _truss_oracle(),
+    doc=f"[EXT] k-truss decomposition (k={_TRUSS_K}) of the co-purchase "
+    "graph: keep edges participating in >= k-2 triangles among "
+    "surviving edges, to fixpoint — the EDGE-level cohesion analogue "
+    "of k-core (strictly stronger: the k-truss is a subgraph of the "
+    f"(k-1)-core), via {_TRUSS_ROUNDS} bounded peel rounds. Same "
+    "iterative-under-full-value-hash pattern as graph_kcore_members "
+    "(unrolled MATERIALIZED oracle; convergence pinned by test). Per "
+    "round: ONE oriented triangle enumeration (the triangle-count "
+    "wedge join — cost sum of deg^2 over the oriented adjacency, "
+    "never per-edge neighborhood intersection) + one per-edge support "
+    "aggregate; output = surviving edges with their fixpoint support. "
+    "25th hash-gated iterative.",
+    tags=("graph", "iterative"),
+)
+def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= _TRI_SUPPORT)
+        .select("u", "v")
+        .coalesce(8)
+        .localCheckpoint(eager=True)
+    )
+    # peel rounds: edges feed the wedge join THREE times per round —
+    # multiplicative lineage, eager checkpoint every round (k-core rule)
+    for _ in range(_TRUSS_ROUNDS):
+        sup = _edge_support(edges)
+        edges = (
+            sup.filter(F.col("support") >= _TRUSS_K - 2)
+            .select("u", "v")
+            .coalesce(8)
+            .localCheckpoint(eager=True)
+        )
+    final_sup = _edge_support(edges)
+    return edges.join(final_sup, ["u", "v"], "left").select(
+        "u", "v", F.coalesce("support", F.lit(0)).cast("long").alias("support")
+    )
+
+
 def _affinity_oracle() -> str:
     dot = " + ".join(
         f"a.s{j} * b.s{j}" for j in range(_CENT_DIM)

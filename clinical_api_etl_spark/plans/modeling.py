@@ -1200,6 +1200,7 @@ def ml_stump_cv_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Harmonic centrality of a supplier probe set — exact x12 integer units.
+# (+ the classic closeness variant on the same BFS, one division.)
 # ---------------------------------------------------------------------------
 
 _HC_ITERS = 4
@@ -1298,6 +1299,95 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
             / F.lit(12.0)
         ).alias("harmonic"),
+    )
+
+
+def _closeness_oracle() -> str:
+    """Same unrolled per-source BFS as harmonic; the aggregate is the
+    classic closeness numerator/denominator instead of the x12 sum."""
+    it = """
+    it{k} AS MATERIALIZED (
+      SELECT s, node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        SELECT s, node, dist FROM it{p}
+        UNION ALL
+        SELECT r.s, e.dst AS node, r.dist + 1 AS dist
+        FROM edges e JOIN it{p} r ON e.src = r.node
+      ) u GROUP BY s, node
+    )"""
+    its = ",".join(it.format(k=k, p=k - 1) for k in range(1, _HC_ITERS + 1))
+    return f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ),
+    it0 AS MATERIALIZED (
+      SELECT 's' || CAST(s_suppkey AS VARCHAR) AS s,
+             's' || CAST(s_suppkey AS VARCHAR) AS node, CAST(0 AS BIGINT) AS dist
+      FROM supplier WHERE s_suppkey < 8
+    ),
+    {its}
+    SELECT s AS source_node,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+           CAST(SUM(dist) AS BIGINT) AS sum_dist,
+           CASE WHEN SUM(dist) = 0 THEN NULL
+                ELSE CAST(COUNT(*) - 1 AS DOUBLE) / CAST(SUM(dist) AS DOUBLE)
+           END AS closeness
+    FROM it{_HC_ITERS} GROUP BY s
+    """
+
+
+@QS.add(
+    "graph_closeness_probe",
+    _closeness_oracle(),
+    doc="[EXT] closeness centrality (reached-nodes count over summed hop "
+    "distances — the Wasserman-Faust bounded-reach form) for the same "
+    "8-supplier probe set and symmetrized interaction graph as "
+    f"graph_harmonic_centrality, within {_HC_ITERS} hops. Components "
+    "are exact BIGINTs off ONE tagged per-source BFS "
+    "(bfs_hops_per_source — the run is shared work-shape-wise with "
+    "harmonic, not plan-shared, so each query stays independently "
+    "checkable); closeness = (n_reached-1)/sum_dist is ONE division, "
+    "NULL on an isolated probe (ANSI-divide rule). Harmonic is the "
+    "disconnect-safe variant; classic closeness is what most "
+    "centrality consumers still ask for first.",
+    tags=("graph", "iterative"),
+)
+def graph_closeness_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.graph import (
+        bfs_hops_per_source,
+        symmetrize,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = symmetrize(e0)
+    sources = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 8)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
+    )
+    dist = bfs_hops_per_source(edges, sources, iters=_HC_ITERS)
+    return dist.groupBy(F.col("s").alias("source_node")).agg(
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_reached"),
+        F.sum("dist").cast("long").alias("sum_dist"),
+        F.when(F.sum("dist") == 0, F.lit(None))
+        .otherwise(
+            (F.count(F.lit(1)) - 1).cast("double")
+            / F.sum("dist").cast("double")
+        )
+        .alias("closeness"),
     )
 
 
@@ -2536,6 +2626,62 @@ def ml_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
         (F.col("tp").cast("double") / F.col("p").cast("double")).alias("tpr"),
         (F.col("fp").cast("double") / F.col("nn").cast("double")).alias("fpr"),
+    )
+
+
+@QS.add(
+    "ml_pr_curve_points",
+    f"""
+    WITH {_ROC_WALK}
+    SELECT w.v AS threshold, w.tp, w.fp,
+           CAST(w.tp AS DOUBLE) / CAST(w.tp + w.fp AS DOUBLE) AS precision_,
+           CAST(w.tp AS DOUBLE) / CAST(s.p AS DOUBLE) AS recall_,
+           CAST(2 * w.tp AS DOUBLE)
+             / CAST(w.tp + w.fp + s.p AS DOUBLE) AS f1
+    FROM walk w, scal s
+    """,
+    doc="[EXT] full precision/recall curve of the n_chars score for "
+    "lang='en' — the imbalanced-class companion to ml_roc_points (PR "
+    "curves ignore true negatives, so they move when the negative class "
+    "dwarfs the positive one and ROC barely does). Same single "
+    "descending histogram walk (cost |distinct lengths|, never |docs|); "
+    "precision tp/(tp+fp), recall tp/P, and F1 in the closed form "
+    "2tp/(tp+fp+P) (denominator = tp+fp+tp+fn) — each ONE division of "
+    "exact BIGINTs, no harmonic-mean float chain. tp+fp >= 1 on every "
+    "walk row (each threshold row carries its own count), so no "
+    "zero-denominator case exists by construction.",
+    tags=("ml",),
+)
+def ml_pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    hist = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("pos"),
+    )
+    scal = hist.agg(F.sum("pos").cast("long").alias("p"))
+    w_cum = W.orderBy(F.desc("v")).rowsBetween(W.unboundedPreceding, 0)
+    walk = hist.select(
+        "v",
+        F.sum("pos").over(w_cum).cast("long").alias("tp"),
+        F.sum(F.col("cnt") - F.col("pos")).over(w_cum).cast("long").alias("fp"),
+    )
+    return walk.crossJoin(F.broadcast(scal)).select(
+        F.col("v").alias("threshold"),
+        "tp",
+        "fp",
+        (
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double")
+        ).alias("precision_"),
+        (F.col("tp").cast("double") / F.col("p").cast("double")).alias(
+            "recall_"
+        ),
+        (
+            (F.lit(2) * F.col("tp")).cast("double")
+            / (F.col("tp") + F.col("fp") + F.col("p")).cast("double")
+        ).alias("f1"),
     )
 
 

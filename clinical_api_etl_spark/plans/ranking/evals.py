@@ -2100,3 +2100,157 @@ def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(5.0)
         ).alias("ap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (the KM curve's additive-hazard twin).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "surv_nelson_aalen",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+             MAX(ts) AS tend
+      FROM events GROUP BY user_id
+      HAVING MIN(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL
+    ),
+    conv AS (
+      SELECT u.user_id, u.t0, u.tend, MIN(e.ts) AS tp
+      FROM per_user u LEFT JOIN events e
+        ON e.user_id = u.user_id AND e.event_type = 'purchase'
+       AND e.ts >= u.t0
+      GROUP BY u.user_id, u.t0, u.tend
+    ),
+    durations AS (
+      SELECT user_id,
+             CASE WHEN tp IS NOT NULL
+                  THEN (epoch_ms(tp) - epoch_ms(t0)) // 86400000
+                  ELSE (epoch_ms(tend) - epoch_ms(t0)) // 86400000
+             END AS dur,
+             CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM conv
+    ),
+    km AS (
+      SELECT dur AS t,
+             CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c,
+             CAST(
+               (SELECT COUNT(*) FROM durations d2 WHERE d2.dur >= d1.dur)
+               AS BIGINT) AS n_risk
+      FROM durations d1
+      GROUP BY dur
+      HAVING SUM(ev) >= 1
+    ),
+    arr AS (
+      SELECT list({'d': d, 'n': n_risk} ORDER BY t) AS a FROM km
+    ),
+    idx AS (
+      SELECT t, d, c, n_risk,
+             CAST(ROW_NUMBER() OVER (ORDER BY t) AS INT) AS rn
+      FROM km
+    )
+    SELECT idx.t, idx.d, idx.c, idx.n_risk,
+           list_reduce(
+             list_prepend(CAST(0 AS DOUBLE),
+               list_transform(arr.a[1:idx.rn],
+                 x -> CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE))),
+             (x, y) -> x + y) AS cum_hazard,
+           list_reduce(
+             list_prepend(CAST(0 AS DOUBLE),
+               list_transform(arr.a[1:idx.rn],
+                 x -> CAST(x.d * (x.n - x.d) AS DOUBLE)
+                      / CAST(x.n AS DOUBLE) / CAST(x.n AS DOUBLE)
+                      / CAST(x.n AS DOUBLE))),
+             (x, y) -> x + y) AS var_hazard
+    FROM idx CROSS JOIN arr
+    """,
+    doc="[EXT] Nelson-Aalen cumulative hazard for view->purchase "
+    "conversion — the additive twin of stat_kaplan_meier_conversion "
+    "(same durations, censoring convention and risk sets): "
+    "H(t) = SUM_{t_i<=t} d_i/n_i, preferred over -log(KM) for small "
+    "risk sets and the base quantity of Cox/Aalen modeling. Each "
+    "hazard increment is ONE division of exact BIGINTs and the prefix "
+    "is the PINNED-ORDER fold (sums pin exactly like KM's products), "
+    "so every float hash-matches. The Aalen variance term "
+    "d(n-d)/n^3 is three chained divisions — a fixed IEEE tree with "
+    "no n^3 BIGINT overflow at any n. Curve table bounded by "
+    "|distinct event days|; the per-row prefix fold is quadratic only "
+    "in that tiny table.",
+    tags=("stats", "temporal"),
+)
+def surv_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t0"),
+            F.max("ts").alias("tend"),
+        )
+        .filter(F.col("t0").isNotNull())
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    conv = (
+        per_user.join(
+            purch,
+            (per_user.user_id == purch.user_id) & (F.col("pts") >= F.col("t0")),
+            "left",
+        )
+        .groupBy(per_user.user_id, "t0", "tend")
+        .agg(F.min("pts").alias("tp"))
+    )
+    durations = conv.select(
+        F.when(
+            F.col("tp").isNotNull(),
+            F.expr("(unix_millis(tp) - unix_millis(t0)) div 86400000"),
+        )
+        .otherwise(F.expr("(unix_millis(tend) - unix_millis(t0)) div 86400000"))
+        .alias("dur"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    ).coalesce(1).persist()
+    by_t = durations.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("d"),
+        (F.count(F.lit(1)) - F.sum("ev")).cast("long").alias("c_all"),
+    )
+    w = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = by_t.withColumn(
+        "n_risk", F.sum(F.col("d") + F.col("c_all")).over(w).cast("long")
+    )
+    km = risk.filter(F.col("d") >= 1).select(
+        F.col("dur").alias("t"), "d", F.col("c_all").alias("c"), "n_risk"
+    )
+    arr = km.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "n_risk"))).alias("a")
+    )
+    wrn = Window.orderBy("t")
+    idx = km.withColumn("rn", F.row_number().over(wrn))
+    return (
+        idx.crossJoin(F.broadcast(arr))
+        .select(
+            "t",
+            "d",
+            "c",
+            "n_risk",
+            F.aggregate(
+                F.slice(F.col("a"), 1, F.col("rn")),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + x["d"].cast("double") / x["n_risk"].cast("double"),
+            ).alias("cum_hazard"),
+            F.aggregate(
+                F.slice(F.col("a"), 1, F.col("rn")),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + (x["d"] * (x["n_risk"] - x["d"])).cast("double")
+                / x["n_risk"].cast("double")
+                / x["n_risk"].cast("double")
+                / x["n_risk"].cast("double"),
+            ).alias("var_hazard"),
+        )
+    )

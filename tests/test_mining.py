@@ -678,3 +678,74 @@ class TestSkipgrams:
         # the window relation is symmetric: (a,b) and (b,a) counts match
         for (c, x), n in got.items():
             assert got.get((x, c)) == n
+
+
+class TestKTruss:
+    def test_registry_ktruss_converged(self, spark):
+        """The round-bounded peel must reach its fixpoint: every surviving
+        edge participates in >= k-2 triangles among surviving edges (its
+        reported support IS measured on the final edge set)."""
+        from clinical_api_etl_spark.plans.mining import (
+            _TRUSS_K,
+            graph_ktruss_edges,
+        )
+
+        rows = graph_ktruss_edges(spark, "/root/testdata/sf0.001").collect()
+        spark.catalog.clearCache()
+        assert rows, "3-truss unexpectedly empty on testdata"
+        assert all(r.support >= _TRUSS_K - 2 for r in rows)
+
+    def test_hand_graph_peels_pendant_triangles(self, spark):
+        """K4 survives at k=4 (every edge in 2 triangles); a triangle
+        hanging off one K4 node peels away (its edges sit in 1)."""
+        from clinical_api_etl_spark.plans.mining import _edge_support
+
+        k4 = [(u, v) for u in range(1, 5) for v in range(u + 1, 5)]
+        pendant = [(4, 8), (4, 9), (8, 9)]
+        df = spark.createDataFrame(k4 + pendant, ["u", "v"]).localCheckpoint(
+            eager=True
+        )
+        from pyspark.sql import functions as F
+
+        for _ in range(3):
+            sup = _edge_support(df)
+            df = (
+                sup.filter(F.col("support") >= 2)
+                .select("u", "v")
+                .localCheckpoint(eager=True)
+            )
+        surv = {(r.u, r.v) for r in df.collect()}
+        assert surv == set(k4)
+
+    def test_truss_subset_of_edges_with_triangles(self, spark):
+        """Every 3-truss edge must carry support >= 1 in the ORIGINAL
+        graph too (peeling only removes edges, never adds support)."""
+        from clinical_api_etl_spark.plans.mining import (
+            _TRI_SUPPORT,
+            _edge_support,
+            graph_ktruss_edges,
+        )
+        from clinical_api_etl_spark.sources.catalog import load
+        from pyspark.sql import functions as F
+
+        sf = "/root/testdata/sf0.001"
+        li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+        a, b = li.alias("a"), li.alias("b")
+        e0 = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+            .agg(F.count("*").alias("s"))
+            .filter(F.col("s") >= _TRI_SUPPORT)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        orig = {
+            (r.u, r.v): r.support for r in _edge_support(e0).collect()
+        }
+        truss = graph_ktruss_edges(spark, sf).collect()
+        spark.catalog.clearCache()
+        assert all(orig.get((r.u, r.v), 0) >= r.support for r in truss)

@@ -803,3 +803,135 @@ class TestMcNemar:
             assert row.mcnemar_chi2 is None
         else:
             assert row.mcnemar_chi2 == float((abs(b - c) - 1) ** 2) / float(b + c)
+
+
+class TestQuadeWeekday:
+    def test_matches_python_replay(self, spark):
+        """Recompute T3 from the registry's own block cells with plain
+        python midranks/ranges — exact integer equality on components,
+        bit equality on the one division."""
+        from clinical_api_etl_spark.plans.inference import (
+            _weekday_block_cells,
+            stat_quade_weekday,
+        )
+
+        cells = _weekday_block_cells(spark, "/root/testdata/sf0.001").collect()
+        got = {
+            r.event_type: (r.b, r.a16, r.b16b, r.quade_t3)
+            for r in stat_quade_weekday(spark, "/root/testdata/sf0.001").collect()
+        }
+        spark.catalog.clearCache()
+        import collections
+
+        by_et = collections.defaultdict(dict)
+        svals = collections.defaultdict(dict)
+        for c in cells:
+            by_et[c.event_type].setdefault(c.wk, {})[c.dow] = c.r2
+            svals[c.event_type].setdefault(c.wk, {})[c.dow] = c.s
+        for et, weeks in by_et.items():
+            rngs = {wk: max(sv.values()) - min(sv.values()) for wk, sv in svals[et].items()}
+            ordered = sorted(rngs.values())
+            q2 = {
+                wk: 2 * (1 + sum(1 for x in ordered if x < rng))
+                + sum(1 for x in ordered if x == rng)
+                - 1
+                for wk, rng in rngs.items()
+            }
+            u = {
+                (wk, dow): q2[wk] * (r2 - 8)
+                for wk, cells_w in weeks.items()
+                for dow, r2 in cells_w.items()
+            }
+            b = len(weeks)
+            a16 = sum(x * x for x in u.values())
+            sj = collections.Counter()
+            for (wk, dow), x in u.items():
+                sj[dow] += x
+            b16b = sum(x * x for x in sj.values())
+            exp_b, exp_a, exp_bb, exp_t3 = got[et]
+            assert (b, a16, b16b) == (exp_b, exp_a, exp_bb)
+            den = b * a16 - b16b
+            if den == 0:
+                assert exp_t3 is None
+            else:
+                assert exp_t3 == float((b - 1) * b16b) / float(den)
+
+
+class TestNelsonAalen:
+    def test_increments_match_km_risk_sets(self, spark):
+        """NA and KM share durations/risk sets: on identical (t, d, n)
+        rows, each hazard INCREMENT is d/n and H is their prefix sum
+        (python float replay, exact — same left fold)."""
+        from clinical_api_etl_spark.plans.ranking import (
+            stat_kaplan_meier_conversion,
+            surv_nelson_aalen,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        na = sorted(surv_nelson_aalen(spark, sf).collect(), key=lambda r: r.t)
+        km = sorted(
+            stat_kaplan_meier_conversion(spark, sf).collect(), key=lambda r: r.t
+        )
+        spark.catalog.clearCache()
+        assert [(r.t, r.d, r.n_risk) for r in na] == [
+            (r.t, r.d, r.n_risk) for r in km
+        ]
+        acc = 0.0
+        vacc = 0.0
+        for r in na:
+            acc += float(r.d) / float(r.n_risk)
+            vacc += (
+                float(r.d * (r.n_risk - r.d))
+                / float(r.n_risk)
+                / float(r.n_risk)
+                / float(r.n_risk)
+            )
+            assert r.cum_hazard == acc and r.var_hazard == vacc
+
+
+class TestClosenessProbe:
+    def test_consistent_with_harmonic_reach(self, spark):
+        """Closeness and harmonic run the same probe BFS — n_reached must
+        agree, and closeness must replay from the BFS distances."""
+        from clinical_api_etl_spark.operators.graph import (
+            bfs_hops_per_source,
+            symmetrize,
+        )
+        from clinical_api_etl_spark.plans.modeling import (
+            graph_closeness_probe,
+            graph_harmonic_centrality,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        close = {r.source_node: r for r in graph_closeness_probe(spark, sf).collect()}
+        harm = {r.source_node: r for r in graph_harmonic_centrality(spark, sf).collect()}
+        spark.catalog.clearCache()
+        assert set(close) == set(harm)
+        for k, r in close.items():
+            assert r.n_reached == harm[k].n_reached
+            if r.sum_dist == 0:
+                assert r.closeness is None
+            else:
+                assert r.closeness == float(r.n_reached) / float(r.sum_dist)
+
+
+class TestPrCurvePoints:
+    def test_same_walk_as_roc(self, spark):
+        """PR and ROC ride the same descending histogram walk: identical
+        thresholds and tp/fp, and each PR row replays exactly."""
+        from clinical_api_etl_spark.plans.modeling import (
+            ml_pr_curve_points,
+            ml_roc_points,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        pr = {r.threshold: r for r in ml_pr_curve_points(spark, sf).collect()}
+        roc = {r.threshold: r for r in ml_roc_points(spark, sf).collect()}
+        spark.catalog.clearCache()
+        assert set(pr) == set(roc)
+        p_total = max(r.tp for r in pr.values())
+        for t, r in pr.items():
+            assert (r.tp, r.fp) == (roc[t].tp, roc[t].fp)
+            assert r.precision_ == float(r.tp) / float(r.tp + r.fp)
+            assert r.recall_ == float(r.tp) / float(p_total)
+            assert r.f1 == float(2 * r.tp) / float(r.tp + r.fp + p_total)

@@ -102,6 +102,12 @@ QUERIES = [
     "stat_seasonal_mannkendall",
     # bow-tie = SCC + two reachability BFS passes (set-state).
     "graph_bowtie_regions",
+    # round-9 (driver numbering): BM25 — posting-join + pinned fold; the
+    # vocabulary/doclen sides are deliberately unhinted (AQE decides).
+    "retrieval_bm25_topk",
+    # round-9: k-truss (25th iterative — triangle-support peel; the 10x
+    # synthesizer keeps partkeys, so the co-purchase graph densifies).
+    "graph_ktruss_edges",
 ]
 
 
