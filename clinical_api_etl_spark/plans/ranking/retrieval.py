@@ -219,6 +219,18 @@ def text_impact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = _tf(spark, sf_dir).coalesce(8).persist()
+    q = tf.filter(F.col("doc_id") < _N_QUERY_DOCS).select(
+        F.col("doc_id").alias("q_id"), "tok"
+    )
+    return bm25_topk_from_tf(tf, q, k=_TOP_K)
+
+
+def bm25_topk_from_tf(tf: DataFrame, q: DataFrame, *, k: int) -> DataFrame:
+    """BM25 top-k over a (doc_id, tok, c) term-frequency table for a
+    (q_id, tok) query-token table — shared verbatim by the batch query
+    above and the streaming inverted-index MV (`streaming/invindex.py`),
+    so stream search == batch search is true by construction once the
+    tf tables match."""
     dl = tf.groupBy("doc_id").agg(F.sum("c").cast("long").alias("dl"))
     scal = tf.agg(
         F.count_distinct("doc_id").cast("long").alias("n_docs"),
@@ -236,9 +248,6 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(e AS INT)) AS BIGINT)")
             .alias("impact"),
         )
-    )
-    q = tf.filter(F.col("doc_id") < _N_QUERY_DOCS).select(
-        F.col("doc_id").alias("q_id"), "tok"
     )
     terms = (
         # q is the bounded probe set; idf/dl are corpus-scale — unhinted
@@ -269,7 +278,7 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         s.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= _TOP_K)
+        .filter(F.col("rnk") <= k)
         .select("q_id", "doc_id", "rnk", "score")
     )
 
@@ -671,4 +680,106 @@ def retrieval_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.select(
         "n_common",
         ((F.lit(1.0) - F.lit(0.9)) * F.element_at("st", 2)).alias("rbo_min"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet-smoothed query-likelihood ranking (the LM-retrieval classic).
+# ---------------------------------------------------------------------------
+
+_QL_MU = 300  # Dirichlet pseudo-count, integer so every term stays rational
+
+
+@QS.add(
+    "retrieval_query_likelihood",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM t GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dl
+           FROM tf GROUP BY doc_id),
+    coll AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cf FROM tf GROUP BY tok),
+    scal AS (SELECT CAST(SUM(c) AS BIGINT) AS ctot FROM tf),
+    q AS (SELECT doc_id AS q_id, tok FROM tf
+          WHERE doc_id < {_N_QUERY_DOCS}),
+    pairs AS (
+      SELECT q.q_id, d.doc_id, q.tok
+      FROM q CROSS JOIN dl d
+      WHERE d.doc_id <> q.q_id
+    ),
+    terms AS (
+      SELECT p.q_id, p.doc_id, p.tok,
+             CAST(COALESCE(tf.c, 0) * s.ctot + {_QL_MU} * co.cf AS DOUBLE)
+               / CAST((d.dl + {_QL_MU}) * s.ctot AS DOUBLE) AS term
+      FROM pairs p
+      JOIN coll co ON co.tok = p.tok
+      JOIN dl d ON d.doc_id = p.doc_id
+      LEFT JOIN tf ON tf.doc_id = p.doc_id AND tf.tok = p.tok
+      CROSS JOIN scal s
+    ),
+    s AS (SELECT q_id, doc_id,
+                 list_reduce(list_prepend(CAST(1 AS DOUBLE),
+                   list(term ORDER BY tok)), (x, y) -> x * y) AS score
+          FROM terms GROUP BY q_id, doc_id),
+    r AS (SELECT q_id, doc_id, score,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT)
+                   AS rnk
+          FROM s)
+    SELECT q_id, doc_id, rnk, score FROM r WHERE rnk <= {_TOP_K}
+    """,
+    doc="[EXT] Dirichlet-smoothed query-likelihood ranking (Ponte-Croft "
+    "LM retrieval, Zhai-Lafferty smoothing) — the probabilistic classic "
+    f"next to BM25: score(q,d) = prod_t p(t|d) with p = (tf + mu*cf/C)"
+    f"/(dl + mu), mu={_QL_MU}. Every factor is ONE division of exact "
+    "BIGINTs — multiplied through by the collection length C, the "
+    "numerator tf*C + mu*cf and denominator (dl+mu)*C are exact — and "
+    "the per-doc likelihood is a tok-pinned-order float PRODUCT fold "
+    "(log-free: products pin exactly like sums; query-prefix bounded "
+    "like DSIR so the product cannot underflow double range at these "
+    "query lengths). Because unseen terms still contribute mass, the "
+    "candidate set is the full (bounded probe) x doclen grid — query "
+    "side and smoothing tables are the join keys, never all-pairs over "
+    "queries. Ties rank by doc_id.",
+    tags=("text", "retrieval"),
+)
+def retrieval_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = _tf(spark, sf_dir).coalesce(8).persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("c").cast("long").alias("dl"))
+    coll = tf.groupBy("tok").agg(F.sum("c").cast("long").alias("cf"))
+    scal = tf.agg(F.sum("c").cast("long").alias("ctot"))
+    q = tf.filter(F.col("doc_id") < _N_QUERY_DOCS).select(
+        F.col("doc_id").alias("q_id"), "tok"
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(dl)
+        .filter(F.col("doc_id") != F.col("q_id"))
+    )
+    terms = (
+        pairs.join(coll, "tok")
+        .join(tf, ["doc_id", "tok"], "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "q_id",
+            "doc_id",
+            "tok",
+            F.expr(
+                f"CAST(COALESCE(c, 0) * ctot + {_QL_MU} * cf AS DOUBLE)"
+                f" / CAST((dl + {_QL_MU}) * ctot AS DOUBLE)"
+            ).alias("term"),
+        )
+    )
+    s = terms.groupBy("q_id", "doc_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("tok", "term"))),
+            F.lit(1.0),
+            lambda acc, x: acc * x["term"],
+        ).alias("score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        s.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "doc_id", "rnk", "score")
     )

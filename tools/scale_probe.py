@@ -105,8 +105,8 @@ QUERIES = [
     # round-9 (driver numbering): BM25 — posting-join + pinned fold; the
     # vocabulary/doclen sides are deliberately unhinted (AQE decides).
     "retrieval_bm25_topk",
-    # round-9: k-truss (25th iterative — triangle-support peel; the 10x
-    # synthesizer keeps partkeys, so the co-purchase graph densifies).
+    # round-9: k-truss (25th iterative — triangle-support peel; partkeys
+    # shift per copy, so the co-purchase graph gains disjoint nodes).
     "graph_ktruss_edges",
 ]
 
