@@ -783,3 +783,129 @@ def retrieval_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("q_id", "doc_id", "rnk", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance feedback (Rocchio/RM-style two-pass expansion).
+# ---------------------------------------------------------------------------
+
+_PRF_FB_DOCS = 3   # feedback depth: top docs of the first pass
+_PRF_FB_TERMS = 8  # expansion terms per query
+
+
+@QS.add(
+    "retrieval_prf_expansion",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM t GROUP BY doc_id, tok),
+    q AS (SELECT doc_id AS q_id, tok, c AS qc FROM tf
+          WHERE doc_id < {_N_QUERY_DOCS}),
+    pass1 AS (
+      SELECT q.q_id, tf.doc_id,
+             CAST(SUM(tf.c * q.qc) AS BIGINT) AS score
+      FROM tf JOIN q USING (tok)
+      WHERE tf.doc_id <> q.q_id
+      GROUP BY q.q_id, tf.doc_id
+    ),
+    fb AS (
+      SELECT q_id, doc_id FROM (
+        SELECT q_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, doc_id) AS rk
+        FROM pass1) WHERE rk <= {_PRF_FB_DOCS}
+    ),
+    fbterms AS (
+      SELECT q_id, tok, fw FROM (
+        SELECT fb.q_id, tf.tok, CAST(SUM(tf.c) AS BIGINT) AS fw,
+               ROW_NUMBER() OVER (PARTITION BY fb.q_id
+                                  ORDER BY SUM(tf.c) DESC, tf.tok) AS rk
+        FROM fb JOIN tf ON tf.doc_id = fb.doc_id
+        GROUP BY fb.q_id, tf.tok) WHERE rk <= {_PRF_FB_TERMS}
+    ),
+    expanded AS (
+      SELECT COALESCE(q.q_id, f.q_id) AS q_id,
+             COALESCE(q.tok, f.tok) AS tok,
+             CAST(2 * COALESCE(q.qc, 0) + COALESCE(f.fw, 0) AS BIGINT) AS w
+      FROM q FULL OUTER JOIN fbterms f
+        ON q.q_id = f.q_id AND q.tok = f.tok
+    ),
+    pass2 AS (
+      SELECT e.q_id, tf.doc_id,
+             CAST(SUM(tf.c * e.w) AS BIGINT) AS score
+      FROM tf JOIN expanded e ON tf.tok = e.tok
+      WHERE tf.doc_id <> e.q_id
+      GROUP BY e.q_id, tf.doc_id
+    ),
+    r AS (SELECT q_id, doc_id, score,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT)
+                   AS rnk
+          FROM pass2)
+    SELECT q_id, doc_id, rnk, score FROM r WHERE rnk <= {_TOP_K}
+    """,
+    doc="[EXT] pseudo-relevance feedback retrieval (Rocchio/RM-style, "
+    "fully integer): pass 1 ranks by the exact tf dot product; the top-"
+    f"{_PRF_FB_DOCS} docs per query donate their top-{_PRF_FB_TERMS} "
+    "terms by summed tf; the expanded query weights 2*qc + fw (the 2:1 "
+    "original:feedback Rocchio mix as exact integers — no float alpha) "
+    "rescore the corpus in pass 2. Every score is an exact BIGINT dot "
+    "product, every selection a deterministic (value DESC, key ASC) "
+    "ROW_NUMBER — the whole two-pass pipeline hash-gates as one query. "
+    "Both passes are posting-list equi-joins (the expansion multiplies "
+    "query terms by <= 1 + {_PRF_FB_TERMS}/|q|, never the corpus side); "
+    "feedback depth and term count are literals, so the expanded query "
+    "side stays a bounded broadcast.",
+    tags=("text", "retrieval"),
+)
+def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = _tf(spark, sf_dir).coalesce(8).persist()
+    q = tf.filter(F.col("doc_id") < _N_QUERY_DOCS).select(
+        F.col("doc_id").alias("q_id"), "tok", F.col("c").alias("qc")
+    )
+    pass1 = (
+        tf.join(F.broadcast(q), "tok")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum(F.col("c") * F.col("qc")).cast("long").alias("score"))
+    )
+    w1 = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    fb = (
+        pass1.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= _PRF_FB_DOCS)
+        .select("q_id", "doc_id")
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("fw"), F.asc("tok"))
+    fbterms = (
+        fb.join(tf, "doc_id")
+        .groupBy("q_id", "tok")
+        .agg(F.sum("c").cast("long").alias("fw"))
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= _PRF_FB_TERMS)
+        .select("q_id", "tok", "fw")
+    )
+    expanded = (
+        q.join(fbterms, ["q_id", "tok"], "full_outer")
+        .select(
+            "q_id",
+            "tok",
+            (
+                2 * F.coalesce(F.col("qc"), F.lit(0))
+                + F.coalesce(F.col("fw"), F.lit(0))
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    pass2 = (
+        tf.join(F.broadcast(expanded), "tok")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum(F.col("c") * F.col("w")).cast("long").alias("score"))
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        pass2.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "doc_id", "rnk", "score")
+    )

@@ -121,3 +121,17 @@ class TestGlobalWindow:
             ),
         )
         assert not _global_window(_root(good))
+
+
+class TestBroadcastAudit:
+    def test_every_broadcast_site_is_documented(self):
+        """Every F.broadcast hint must carry a cardinality-boundedness
+        justification in BROADCAST_ALLOWLIST.json — an undocumented site
+        is the next scale-killing inversion waiting to ship (the r08
+        verdict found three). Pure-AST check, no Spark session."""
+        import sys
+
+        sys.path.insert(0, "tools")
+        import broadcast_audit
+
+        assert broadcast_audit.main() == 0

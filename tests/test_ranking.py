@@ -2145,3 +2145,46 @@ class TestDecompositionStrength:
         assert row["f_seasonal"] == fs
         assert row["f_trend"] == ft
         assert 0.0 <= fs <= 1.0 and 0.0 <= ft <= 1.0
+
+
+class TestPrfExpansion:
+    def test_matches_python_replay(self, spark, tf_py):
+        """Full two-pass replay in plain python: pass-1 dot products,
+        top-3 feedback docs, top-8 feedback terms, 2:1 Rocchio mix,
+        pass-2 rescoring — exact integer equality end to end."""
+        from clinical_api_etl_spark.plans.ranking import (
+            retrieval_prf_expansion,
+        )
+
+        got = {
+            (r.q_id, r.doc_id, r.rnk, r.score)
+            for r in retrieval_prf_expansion(spark, SF).collect()
+        }
+        scores = {}
+        for q in range(10):
+            qtf = tf_py[q]
+            p1 = {}
+            for d, c in tf_py.items():
+                if d == q:
+                    continue
+                s = sum(n * qtf[t] for t, n in c.items() if t in qtf)
+                if s:
+                    p1[d] = s
+            fb = [d for d, _ in sorted(p1.items(), key=lambda t: (-t[1], t[0]))[:3]]
+            fw = collections.Counter()
+            for d in fb:
+                for t, n in tf_py[d].items():
+                    fw[t] += n
+            top_terms = sorted(fw.items(), key=lambda t: (-t[1], t[0]))[:8]
+            w = {t: 2 * qtf.get(t, 0) for t in qtf}
+            for t, n in top_terms:
+                w[t] = w.get(t, 0) + n
+            p2 = {}
+            for d, c in tf_py.items():
+                if d == q:
+                    continue
+                s = sum(n * w[t] for t, n in c.items() if t in w)
+                if s:
+                    p2[d] = s
+            scores[q] = p2
+        assert got == _topk(scores)

@@ -138,6 +138,12 @@ GLOBAL_WINDOW_OK: set[str] = {
     # table — bounded by distinct durations, not events.
     "stat_kaplan_meier_conversion",
     "stat_logrank_cohorts",
+    # same risk-set reverse running sum + row_number over the grouped
+    # duration table (the KM class — bounded by distinct durations).
+    "surv_nelson_aalen",
+    # descending threshold walk over the n_chars VALUE HISTOGRAM
+    # (the ml_roc_points/ml_auc_nchars_lang bounded-domain class).
+    "ml_pr_curve_points",
     # NTILE is a total-order construct by definition (§2.6 parity row);
     # the scale twin is f_percentile_approx's sketch path.
     "w17_ntile_value_deciles",
@@ -285,9 +291,12 @@ def _no_pushdown(root) -> bool:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])  # optional subset: plan_audit.py <sf_dir> <q...>
     spark = get_spark("plan-audit")
     failures = 0
     for name, q in all_queries().items():
+        if only and name not in only:
+            continue
         try:
             df = q.builder(spark, sf_dir)
             root = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
