@@ -1201,3 +1201,116 @@ def graph_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.groupBy("embeddedness").agg(
         F.count(F.lit(1)).cast("long").alias("n_edges")
     )
+
+
+# ---------------------------------------------------------------------------
+# Neighborhood Jaccard similarity (the normalized common-neighbor score).
+# ---------------------------------------------------------------------------
+
+_JS_TOPK = 20
+
+
+@QS.add(
+    "graph_jaccard_similarity_topk",
+    f"""
+    WITH {_LP_EDGES_SQL},
+    cn AS (
+      SELECT s1.v AS a, s2.v AS b, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+      GROUP BY s1.v, s2.v
+    ),
+    scored AS (
+      SELECT cn.a AS u, cn.b AS v, cn.cn,
+             da.d AS deg_u, db.d AS deg_v,
+             EXISTS (SELECT 1 FROM e0
+                     WHERE e0.u = cn.a AND e0.v = cn.b) AS adjacent,
+             CAST(cn.cn AS DOUBLE)
+               / CAST(da.d + db.d - cn.cn AS DOUBLE) AS jaccard
+      FROM cn
+      JOIN deg da ON da.node = cn.a
+      JOIN deg db ON db.node = cn.b
+    ),
+    r AS (
+      SELECT u, v, cn, deg_u, deg_v, adjacent, jaccard,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY jaccard DESC, u, v) AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT u, v, cn, deg_u, deg_v, adjacent, jaccard, rnk
+    FROM r WHERE rnk <= {_JS_TOPK}
+    """,
+    doc="[EXT] neighborhood Jaccard similarity over the co-purchase "
+    "graph's wedge candidates: |N(u) ∩ N(v)| / |N(u) ∪ N(v)| — the "
+    "normalized form of the common-neighbor family (linkpred's raw cn, "
+    "edge embeddedness) that makes scores comparable across degree "
+    "scales. One algebraic subtlety makes the formula UNIFORM: u,v are "
+    "never their own neighbors, so the endpoints cancel and "
+    "union = deg_u + deg_v - cn holds for adjacent and non-adjacent "
+    "pairs alike (the adjacent flag rides along from an EXISTS probe). "
+    "cn and the union are exact BIGINTs; jaccard is ONE division — "
+    "hash-safe; candidates come from the wedge equi-join, never "
+    "all-pairs; output is the deterministic top-20 (the global "
+    "ROW_NUMBER sorts only the candidate set and takes a literal "
+    "prefix).",
+    tags=("graph",),
+)
+def graph_jaccard_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= _LP_SUPPORT)
+        .select("u", "v")
+        .coalesce(8)
+        .persist()
+    )
+    sym = e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    s1 = sym.select(F.col("u").alias("w"), F.col("v").alias("a"))
+    s2 = sym.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    cn = (
+        s1.join(s2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+    adj = e0.select(
+        F.col("u").alias("a"), F.col("v").alias("b"), F.lit(True).alias("adjacent")
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("deg_u"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("deg_v"))
+    scored = (
+        cn.join(da, "a")
+        .join(db, "b")
+        .join(adj, ["a", "b"], "left")
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            "cn",
+            "deg_u",
+            "deg_v",
+            F.coalesce("adjacent", F.lit(False)).alias("adjacent"),
+            (
+                F.col("cn").cast("double")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("cn")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    # distributed top-k FIRST (TakeOrderedAndProject — no global window
+    # over the corpus-scale candidate set); the rank window then sorts
+    # exactly k=20 rows (the retrieval_rbo_rankings allowlist pattern).
+    top = scored.orderBy(
+        F.desc("jaccard"), F.asc("u"), F.asc("v")
+    ).limit(_JS_TOPK)
+    w = Window.orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        "u", "v", "cn", "deg_u", "deg_v", "adjacent", "jaccard", "rnk"
+    )

@@ -174,6 +174,9 @@ GLOBAL_WINDOW_OK: set[str] = {
     # global window sorts exactly k=20 rows (the distributed top-k ran
     # first); second window ditto for the other ranking.
     "retrieval_rbo_rankings",
+    # same shape: distributed top-20 first, rank window over the 20
+    # survivors only.
+    "graph_jaccard_similarity_topk",
     # largest-remainder ranking over |source domains| rows (k-bounded;
     # the mixture_temperature_sampling class).
     "corpus_doremi_resample",
