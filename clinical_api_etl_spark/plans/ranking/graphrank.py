@@ -1314,3 +1314,77 @@ def graph_jaccard_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
         "u", "v", "cn", "deg_u", "deg_v", "adjacent", "jaccard", "rnk"
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution + CCDF (the first chart of any graph analysis).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "graph_degree_distribution",
+    f"""
+    WITH {_LP_EDGES_SQL},
+    hist AS (
+      SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM deg GROUP BY d
+    ),
+    tot AS (SELECT CAST(SUM(n_nodes) AS BIGINT) AS n FROM hist),
+    walk AS (
+      SELECT degree, n_nodes,
+             CAST(SUM(n_nodes) OVER (ORDER BY degree DESC) AS BIGINT)
+               AS n_at_least
+      FROM hist
+    )
+    SELECT w.degree, w.n_nodes, w.n_at_least,
+           CAST(w.n_nodes AS DOUBLE) / CAST(t.n AS DOUBLE) AS pmf,
+           CAST(w.n_at_least AS DOUBLE) / CAST(t.n AS DOUBLE) AS ccdf
+    FROM walk w CROSS JOIN tot t
+    """,
+    doc="[EXT] degree distribution of the co-purchase graph: per distinct "
+    "degree the node count, the >=-degree tail count (CCDF numerator via "
+    "one DESCENDING running sum over the degree HISTOGRAM — bounded by "
+    "the degree domain, never |V|), and pmf/ccdf as single divisions of "
+    "exact BIGINTs. The CCDF is the power-law/hub diagnostic every graph "
+    "analysis starts with (and what the rich-club ladder conditions on).",
+    tags=("graph",),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= _LP_SUPPORT)
+        .select("u", "v")
+    )
+    sym = e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    hist = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    tot = hist.agg(F.sum("n_nodes").cast("long").alias("n"))
+    w_cum = W.orderBy(F.desc("degree")).rowsBetween(W.unboundedPreceding, 0)
+    walk = hist.select(
+        "degree",
+        "n_nodes",
+        F.sum("n_nodes").over(w_cum).cast("long").alias("n_at_least"),
+    )
+    return walk.crossJoin(F.broadcast(tot)).select(
+        "degree",
+        "n_nodes",
+        "n_at_least",
+        (F.col("n_nodes").cast("double") / F.col("n").cast("double")).alias("pmf"),
+        (F.col("n_at_least").cast("double") / F.col("n").cast("double")).alias(
+            "ccdf"
+        ),
+    )

@@ -177,6 +177,9 @@ GLOBAL_WINDOW_OK: set[str] = {
     # same shape: distributed top-20 first, rank window over the 20
     # survivors only.
     "graph_jaccard_similarity_topk",
+    # descending CCDF running sum over the DEGREE HISTOGRAM (bounded by
+    # the degree domain, never |V| — the histogram-walk class).
+    "graph_degree_distribution",
     # largest-remainder ranking over |source domains| rows (k-bounded;
     # the mixture_temperature_sampling class).
     "corpus_doremi_resample",
