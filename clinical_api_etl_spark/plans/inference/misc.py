@@ -838,3 +838,55 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double")))
         ).alias("r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate FILTER clause (SQL:2003 surface parity).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "sql_filter_clause_aggregates",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(COUNT(*) FILTER (WHERE value IS NULL) AS BIGINT) AS n_null,
+           CAST(COUNT(*) FILTER (
+             WHERE CAST(value AS DECIMAL(18,2)) >= 500) AS BIGINT) AS n_big,
+           CAST(COALESCE(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  FILTER (WHERE CAST(value AS DECIMAL(18,2)) >= 500), 0)
+                AS BIGINT) AS big_cents,
+           CAST(COUNT(DISTINCT user_id) FILTER (
+             WHERE event_type IS NOT NULL) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="[EXT] SQL:2003 aggregate FILTER clause parity (the declarative "
+    "form of conditional aggregation — Spark 4 and DuckDB both parse "
+    "it): per event type, total/null/above-threshold counts, a filtered "
+    "SUM (coalesced — a never-matching filter returns NULL on both "
+    "engines, and NULL vs 0 is a hash mismatch), and a filtered "
+    "COUNT(DISTINCT). IDENTICAL query text on both engines; exact cents "
+    "discipline. The unfiltered twin of every column exists across "
+    "a3/a17 — this row pins that the FILTER spelling compiles to the "
+    "same conditional-aggregate plan Spark's CASE WHEN form produces.",
+    tags=("agg", "sql"),
+)
+def sql_filter_clause_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("fltr_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_all,
+               CAST(COUNT(*) FILTER (WHERE value IS NULL) AS BIGINT) AS n_null,
+               CAST(COUNT(*) FILTER (
+                 WHERE CAST(value AS DECIMAL(18,2)) >= 500) AS BIGINT) AS n_big,
+               CAST(COALESCE(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                      FILTER (WHERE CAST(value AS DECIMAL(18,2)) >= 500), 0)
+                    AS BIGINT) AS big_cents,
+               CAST(COUNT(DISTINCT user_id) FILTER (
+                 WHERE event_type IS NOT NULL) AS BIGINT) AS n_users
+        FROM fltr_events
+        GROUP BY event_type
+        """
+    )
