@@ -1811,3 +1811,152 @@ def stat_quade_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("quade_t3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test (k-group location test on the grand-median split).
+# ---------------------------------------------------------------------------
+
+
+@QS.add(
+    "stat_mood_median",
+    f"""
+    WITH h AS (
+      SELECT event_type, {_CENTS} AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, v
+    ),
+    pooled AS (SELECT v, CAST(SUM(c) AS BIGINT) AS c FROM h GROUP BY v),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM pooled),
+    walk AS (
+      SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM pooled
+    ),
+    med AS (
+      SELECT CAST(MIN(v) AS BIGINT) AS m
+      FROM walk CROSS JOIN tot WHERE cum * 2 >= n
+    ),
+    cells AS (
+      SELECT h.event_type,
+             CAST(SUM(CASE WHEN h.v > med.m THEN h.c ELSE 0 END) AS BIGINT)
+               AS above,
+             CAST(SUM(h.c) AS BIGINT) AS n_g
+      FROM h CROSS JOIN med GROUP BY h.event_type
+    ),
+    marg AS (
+      SELECT CAST(SUM(above) AS BIGINT) AS tot_above,
+             CAST(SUM(n_g) AS BIGINT) AS n
+      FROM cells
+    ),
+    oc AS (
+      SELECT c.event_type, j.side,
+             CAST(CASE WHEN j.side = 'a' THEN c.above
+                       ELSE c.n_g - c.above END AS BIGINT) AS o,
+             CAST(CASE WHEN j.side = 'a' THEN m.tot_above
+                       ELSE m.n - m.tot_above END AS BIGINT) AS cj,
+             m.n, c.n_g
+      FROM cells c CROSS JOIN marg m
+      CROSS JOIN (SELECT 'a' AS side UNION ALL SELECT 'b' AS side) j
+    ),
+    terms AS (
+      SELECT event_type, side,
+             CAST(o * n - n_g * cj AS DOUBLE)
+               * CAST(o * n - n_g * cj AS DOUBLE)
+               / CAST(n AS DOUBLE) / CAST(n_g AS DOUBLE)
+               / CAST(cj AS DOUBLE) AS t
+      FROM oc
+    ),
+    folded AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(t ORDER BY event_type, side)), (x, y) -> x + y) AS chi2
+      FROM terms
+    )
+    SELECT med.m AS grand_median_cents, marg.n, marg.tot_above, folded.chi2
+    FROM med CROSS JOIN marg CROSS JOIN folded
+    """,
+    doc="[EXT] Mood's median test across ALL event types at once: split "
+    "every value at the pooled grand median (the lower order statistic "
+    "— smallest v with 2*cum >= N off the VALUE-HISTOGRAM walk, exact "
+    "cents), count above/not-above per group, and form the 2xk "
+    "chi-square in the multiplied-through form "
+    "(O*N - n_g*c_j)^2 / (N*n_g*c_j): the inner difference is an exact "
+    "BIGINT, its square and the three chained divisions are a fixed "
+    "IEEE tree, and the 2k cell terms sum via a pinned-order fold — "
+    "fully hash-gated. The k-group companion to the runs/median "
+    "family: robust to outliers where ANOVA is not, cruder than "
+    "Kruskal-Wallis but defined under heavy ties (ties-below "
+    "convention documented in the split predicate).",
+    tags=("stats",),
+)
+def stat_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    h = ev.select("event_type", _cents().alias("v")).groupBy(
+        "event_type", "v"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    h = h.coalesce(8).persist()
+    pooled = h.groupBy("v").agg(F.sum("c").cast("long").alias("c"))
+    tot = pooled.agg(F.sum("c").cast("long").alias("n"))
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    walk = pooled.select("v", F.sum("c").over(w_cum).cast("long").alias("cum"))
+    med = (
+        walk.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") * 2 >= F.col("n"))
+        .agg(F.min("v").cast("long").alias("m"))
+    )
+    cells = (
+        h.crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("v") > F.col("m"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("above"),
+            F.sum("c").cast("long").alias("n_g"),
+        )
+    )
+    marg = cells.agg(
+        F.sum("above").cast("long").alias("tot_above"),
+        F.sum("n_g").cast("long").alias("n"),
+    )
+    sides = ev.sparkSession.createDataFrame([("a",), ("b",)], "side string")
+    oc = (
+        cells.crossJoin(F.broadcast(marg))
+        .crossJoin(F.broadcast(sides))
+        .select(
+            "event_type",
+            "side",
+            F.when(F.col("side") == "a", F.col("above"))
+            .otherwise(F.col("n_g") - F.col("above"))
+            .alias("o"),
+            F.when(F.col("side") == "a", F.col("tot_above"))
+            .otherwise(F.col("n") - F.col("tot_above"))
+            .alias("cj"),
+            "n",
+            "n_g",
+        )
+    )
+    terms = oc.select(
+        "event_type",
+        "side",
+        F.expr(
+            "CAST(o * n - n_g * cj AS DOUBLE)"
+            " * CAST(o * n - n_g * cj AS DOUBLE)"
+            " / CAST(n AS DOUBLE) / CAST(n_g AS DOUBLE)"
+            " / CAST(cj AS DOUBLE)"
+        ).alias("t"),
+    )
+    folded = terms.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("event_type", "side", "t"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("chi2")
+    )
+    return (
+        med.crossJoin(F.broadcast(marg))
+        .crossJoin(F.broadcast(folded))
+        .select(
+            F.col("m").alias("grand_median_cents"),
+            "n",
+            "tot_above",
+            "chi2",
+        )
+    )

@@ -170,6 +170,9 @@ GLOBAL_WINDOW_OK: set[str] = {
     # pooled-midrank walk over the DISTINCT-VALUE histogram (bounded by
     # the cents-value domain, not events — the Mann-Whitney cost law).
     "stat_kruskal_wallis",
+    # grand-median order statistic off the same pooled VALUE-HISTOGRAM
+    # walk (cents-domain-bounded).
+    "stat_mood_median",
     # rank assignment AFTER TakeOrderedAndProject's limit(20): the
     # global window sorts exactly k=20 rows (the distributed top-k ran
     # first); second window ditto for the other ranking.
