@@ -935,3 +935,107 @@ class TestPrCurvePoints:
             assert r.precision_ == float(r.tp) / float(r.tp + r.fp)
             assert r.recall_ == float(r.tp) / float(p_total)
             assert r.f1 == float(2 * r.tp) / float(r.tp + r.fp + p_total)
+
+
+class TestMoodMedian:
+    def test_matches_python_replay(self, spark):
+        """Replay grand median + 2xk chi-square from the raw events with
+        plain python — exact component equality, bit equality on chi2."""
+        from clinical_api_etl_spark.plans.inference import stat_mood_median
+        from clinical_api_etl_spark.sources.catalog import load
+        from pyspark.sql import functions as F
+        import collections
+        import decimal
+
+        sf = "/root/testdata/sf0.001"
+        got = stat_mood_median(spark, sf).collect()[0]
+        rows = (
+            load(spark, sf, "events")
+            .filter(F.col("value").isNotNull())
+            .select("event_type", "value")
+            .collect()
+        )
+        spark.catalog.clearCache()
+        cents = [
+            (r.event_type, int(decimal.Decimal(r.value).quantize(
+                decimal.Decimal("0.01")) * 100))
+            for r in rows
+        ]
+        vals = sorted(v for _, v in cents)
+        n = len(vals)
+        # lower median: smallest v with 2*cum >= n
+        cum = 0
+        m = None
+        last = None
+        for v in vals:
+            cum += 1
+            if last != v and 2 * cum >= n and m is None:
+                m = v
+            last = v
+        # recompute exactly as the walk does (per distinct value)
+        hist = collections.Counter(vals)
+        cum = 0
+        m = None
+        for v in sorted(hist):
+            cum += hist[v]
+            if m is None and 2 * cum >= n:
+                m = v
+        above = collections.Counter()
+        n_g = collections.Counter()
+        for et, v in cents:
+            n_g[et] += 1
+            if v > m:
+                above[et] += 1
+        tot_above = sum(above.values())
+        assert (got.grand_median_cents, got.n, got.tot_above) == (
+            m,
+            n,
+            tot_above,
+        )
+        chi2 = 0.0
+        for et in sorted(n_g):
+            for side in ("a", "b"):
+                o = above[et] if side == "a" else n_g[et] - above[et]
+                cj = tot_above if side == "a" else n - tot_above
+                d = float(o * n - n_g[et] * cj)
+                chi2 += d * d / float(n) / float(n_g[et]) / float(cj)
+        assert got.chi2 == chi2
+
+
+class TestJaccardSimilarity:
+    def test_scores_in_unit_interval_and_replay(self, spark):
+        from clinical_api_etl_spark.plans.ranking import (
+            graph_jaccard_similarity_topk,
+        )
+
+        rows = graph_jaccard_similarity_topk(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        spark.catalog.clearCache()
+        assert rows and len(rows) <= 20
+        for r in rows:
+            assert 0.0 < r.jaccard <= 1.0
+            assert r.jaccard == float(r.cn) / float(r.deg_u + r.deg_v - r.cn)
+            assert r.cn <= min(r.deg_u, r.deg_v)
+
+
+class TestDegreeDistribution:
+    def test_conservation_and_monotone_ccdf(self, spark):
+        from clinical_api_etl_spark.plans.ranking import (
+            graph_degree_distribution,
+        )
+
+        rows = sorted(
+            graph_degree_distribution(spark, "/root/testdata/sf0.001").collect(),
+            key=lambda r: r.degree,
+        )
+        spark.catalog.clearCache()
+        n = sum(r.n_nodes for r in rows)
+        assert rows[0].n_at_least <= n and max(r.n_at_least for r in rows) == n
+        # ccdf non-increasing in degree; tail counts telescope exactly
+        for a, b in zip(rows, rows[1:]):
+            assert a.n_at_least == b.n_at_least + a.n_nodes
+            assert a.ccdf >= b.ccdf
+        for r in rows:
+            assert r.pmf == float(r.n_nodes) / float(n)
+            assert r.ccdf == float(r.n_at_least) / float(n)
