@@ -108,6 +108,11 @@ QUERIES = [
     # round-9: k-truss (25th iterative — triangle-support peel; partkeys
     # shift per copy, so the co-purchase graph gains disjoint nodes).
     "graph_ktruss_edges",
+    # round-9 late: LM ranking (probe x doclen grid + product folds),
+    # two-pass PRF expansion, and the wedge-join Jaccard top-k.
+    "retrieval_query_likelihood",
+    "retrieval_prf_expansion",
+    "graph_jaccard_similarity_topk",
 ]
 
 
