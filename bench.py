@@ -1,10 +1,28 @@
 """Benchmark harness (driver contract).
 
 Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line::
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]``.
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Stdout carries exactly TWO JSON lines (the driver's capture keeps only the
+last ~2000 characters of stdout, so the FINAL line must fit entirely inside
+that window — BENCH_r08/r09 recorded ``parsed: null`` because the single
+rich line was ~2.5k chars and arrived start-truncated):
+
+1. FIRST line — the full named contract record (compact separators)::
+
+       {"metric": "headline_queries_total_sec", "value": N, "unit": "sec",
+        "queries": {"<name>": sec, ...}, "sf": ...}
+
+2. FINAL line — a <=2000-char record with per-query seconds as an array in
+   ``headline_queries()`` iteration order (the registry order is
+   deterministic; names for index i are the first line's / history's keys)::
+
+       {"metric": ..., "value": N, "unit": "sec", "sf": ..., "n": K,
+        "order": "registry_headline", "q": [sec, ...],
+        "vs_history_median_ratio": R}
+
+The rich per-run record (named timings + per-query vs-history ratios) is
+appended to ``bench_history.jsonl`` as before.
 
 Each query is executed TWICE (fresh builder each time, cache cleared
 between) and reports the per-query MIN: run-to-run spread on this host is
@@ -103,6 +121,48 @@ def main() -> None:
     }
     ratios = sorted(vs_hist.values())
     median_ratio = ratios[len(ratios) // 2] if ratios else None
+    # Line 1: full named contract record (for parsers that capture all of
+    # stdout). Compact separators; vs_history lives in bench_history.jsonl.
+    named_line = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    print(named_line)
+    # Final line: must fit ENTIRELY within the driver's ~2000-char stdout
+    # tail window, so per-query seconds go as an array in registry headline
+    # order (names recoverable from line 1 / bench_history.jsonl).
+    compact_line = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n": len(timings),
+            "order": "registry_headline",
+            "q": [round(t, 2) for t in timings.values()],
+            "vs_history_median_ratio": median_ratio,
+        },
+        separators=(",", ":"),
+    )
+    if len(compact_line) > 1900:  # never let the parseability fix regress
+        compact_line = json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n": len(timings),
+                "vs_history_median_ratio": median_ratio,
+            },
+            separators=(",", ":"),
+        )
+    print(compact_line)
     line = json.dumps(
         {
             "metric": "headline_queries_total_sec",
@@ -114,7 +174,6 @@ def main() -> None:
             "vs_history_median_ratio": median_ratio,
         }
     )
-    print(line)
     # Local round-over-round history: every run appends its per-query line
     # so regressions are visible without waiting for the driver's
     # BENCH_r{N}.json snapshots.

@@ -538,9 +538,12 @@ def bfs_hops_per_source(
     whole probe set instead of |sources| sequential BFS runs. State size is
     |sources| x |reached nodes|; use a bounded probe set (the standard
     posture for centrality at scale). Output: (s, node, dist), nodes
-    unreached within ``iters`` absent. Rounds eager-checkpoint (the state
-    table is referenced twice per round — multiplicative lineage, k-core
-    rule)."""
+    unreached within ``iters`` absent. Rounds use LAZY
+    ``localCheckpoint(eager=False)`` to truncate the logical plan, and the
+    frontier count that materializes each checkpoint doubles as the
+    emptiness probe — ONE blocking job per round (round-9 discipline; the
+    old eager-checkpoint k-core rule applies only where a persisted table
+    is unpersisted before return)."""
     # pin the partitioning BEFORE persist: AQE would coalesce the small
     # edge exchange to 1 partition and serialize every expansion join
     # (CLAUDE.md round-1 rule; AQE leaves user repartitions alone).

@@ -1818,13 +1818,14 @@ def stat_quade_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@QS.add(
-    "stat_mood_median",
-    f"""
-    WITH h AS (
-      SELECT event_type, {_CENTS} AS v, CAST(COUNT(*) AS BIGINT) AS c
-      FROM events WHERE value IS NOT NULL
-      GROUP BY event_type, v
+def _mood_oracle(src: str) -> str:
+    """DuckDB Mood's-median SQL over any (g: VARCHAR, x: BIGINT) sample
+    source — shared by the registry oracle and the degenerate-input gate."""
+    return f"""
+    WITH t AS ({src}),
+    h AS (
+      SELECT g AS event_type, x AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM t GROUP BY g, x
     ),
     pooled AS (SELECT v, CAST(SUM(c) AS BIGINT) AS c FROM h GROUP BY v),
     tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM pooled),
@@ -1859,10 +1860,12 @@ def stat_quade_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     terms AS (
       SELECT event_type, side,
-             CAST(o * n - n_g * cj AS DOUBLE)
-               * CAST(o * n - n_g * cj AS DOUBLE)
-               / CAST(n AS DOUBLE) / CAST(n_g AS DOUBLE)
-               / CAST(cj AS DOUBLE) AS t
+             CASE WHEN cj > 0 THEN
+               CAST(o * n - n_g * cj AS DOUBLE)
+                 * CAST(o * n - n_g * cj AS DOUBLE)
+                 / CAST(n AS DOUBLE) / CAST(n_g AS DOUBLE)
+                 / CAST(cj AS DOUBLE)
+             ELSE NULL END AS t
       FROM oc
     ),
     folded AS (
@@ -1872,7 +1875,12 @@ def stat_quade_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT med.m AS grand_median_cents, marg.n, marg.tot_above, folded.chi2
     FROM med CROSS JOIN marg CROSS JOIN folded
-    """,
+    """
+
+
+@QS.add(
+    "stat_mood_median",
+    _mood_oracle(_EDF_SRC),
     doc="[EXT] Mood's median test across ALL event types at once: split "
     "every value at the pooled grand median (the lower order statistic "
     "— smallest v with 2*cum >= N off the VALUE-HISTOGRAM walk, exact "
@@ -1884,12 +1892,22 @@ def stat_quade_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fully hash-gated. The k-group companion to the runs/median "
     "family: robust to outliers where ANOVA is not, cruder than "
     "Kruskal-Wallis but defined under heavy ties (ties-below "
-    "convention documented in the split predicate).",
+    "convention documented in the split predicate). Degenerate margins "
+    "(tot_above = 0 when the max value carries >= half the mass, or its "
+    "complement) emit chi2 = NULL via a lazy CASE on both engines — "
+    "never NaN (ADVICE r09).",
     tags=("stats",),
 )
 def stat_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    h = ev.select("event_type", _cents().alias("v")).groupBy(
+    t = ev.select(F.col("event_type").alias("g"), _cents().alias("x"))
+    return mood_from_samples(t)
+
+
+def mood_from_samples(t: DataFrame) -> DataFrame:
+    """Mood's median test over any (g: string, x: long) sample frame
+    (shared by the registry query and the degenerate-input gate)."""
+    h = t.select(F.col("g").alias("event_type"), F.col("x").alias("v")).groupBy(
         "event_type", "v"
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
     h = h.coalesce(8).persist()
@@ -1916,7 +1934,7 @@ def stat_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("above").cast("long").alias("tot_above"),
         F.sum("n_g").cast("long").alias("n"),
     )
-    sides = ev.sparkSession.createDataFrame([("a",), ("b",)], "side string")
+    sides = t.sparkSession.createDataFrame([("a",), ("b",)], "side string")
     oc = (
         cells.crossJoin(F.broadcast(marg))
         .crossJoin(F.broadcast(sides))
@@ -1936,11 +1954,18 @@ def stat_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = oc.select(
         "event_type",
         "side",
+        # cj == 0 (tot_above == 0 under heavy top-ties, or its complement)
+        # makes the term 0.0/0.0 = NaN on both engines; the discipline is
+        # NULL, never NaN (CASE is lazy both sides — KW/Quade/JT rule). A
+        # NULL term propagates through the pinned fold, so the degenerate
+        # statistic reads as chi2 = NULL on Spark, DuckDB and python alike.
         F.expr(
-            "CAST(o * n - n_g * cj AS DOUBLE)"
+            "CASE WHEN cj > 0 THEN"
+            " CAST(o * n - n_g * cj AS DOUBLE)"
             " * CAST(o * n - n_g * cj AS DOUBLE)"
             " / CAST(n AS DOUBLE) / CAST(n_g AS DOUBLE)"
             " / CAST(cj AS DOUBLE)"
+            " ELSE NULL END"
         ).alias("t"),
     )
     folded = terms.agg(

@@ -1,0 +1,25 @@
+"""Mining package — the former 3,155-line plans/mining.py split along
+its families (VERDICT r09 task 8): miningraph, sketchstats, miningmisc.
+Mechanical split, zero behavior change: the merged ``QS`` is what the
+registry consumes, and every top-level name of every family module
+(builders AND private helpers that tests import) is re-exported here so
+``from clinical_api_etl_spark.plans.mining import X`` keeps working
+unchanged."""
+
+from __future__ import annotations
+
+from clinical_api_etl_spark.plans.base import QuerySet
+
+from . import miningmisc, miningraph, sketchstats
+
+for _mod in (miningmisc, sketchstats, miningraph):
+    globals().update(
+        {k: v for k, v in vars(_mod).items() if not k.startswith("__")}
+    )
+
+QS = QuerySet()
+for _mod in (miningmisc, sketchstats, miningraph):
+    for _name, _q in _mod.QS.queries.items():
+        if _name in QS._queries:
+            raise ValueError(f"duplicate query {_name!r} across mining modules")
+        QS._queries[_name] = _q

@@ -1,22 +1,12 @@
-"""Round-11 modeling family: seasonal/recurrence time-series models,
-deterministic resampling inference, rank fusion, instance-based and
-split-based learners, HITS link analysis, and data-quality profiling.
+"""Round-11+ modeling family, ML-eval slice: RRF fusion, kNN eval, decision stumps + CV + learning curve + McNemar, contrastive pairs, rank AUC, kNN calibration + Brier, conformal intervals, lift/gains, ROC/PR/KS curves.
 
-Design notes
-------------
-* Sequential recurrences (Holt-Winters, Wilder RSI) follow the round-10
-  pinned-fold template: both engines run the identical left-fold over the
-  day-ordered series — Spark ``aggregate`` with an ``array<double>``
-  accumulator == DuckDB ``list_reduce`` with a ``DOUBLE[]`` accumulator
-  (LIST, never STRUCT: DuckDB mutates struct accumulators in place,
-  CLAUDE.md round-10 hazard). Every fold term is a fixed IEEE tree over
-  exact integers (daily counts / cents), so intermediates are
-  bit-identical and the queries carry full value hashes.
-* The bootstrap avoids RNG entirely: replica weights are md5-derived
-  (``conv(substr(md5(id||':'||b),1,2),16,10) % 3`` ∈ {0,1,2}) — the
-  round-6 portable-hash-arithmetic pattern — and each replica mean is
-  one division over exact BIGINT sums, evaluated as 2·B conditional
-  aggregates in a single pass (no row blow-up, mergeable partials).
+Part of the ``plans.modeling`` package — the former 3,160-line
+plans/modeling.py split along its families (VERDICT r09 task 8):
+tsmisc (sequential-recurrence time series, bootstrap, DQ/CDC/sampling),
+graphs (HITS, centralities, Brandes, Bellman-Ford, temporal reach),
+mlevals (kNN/stump learners, calibration, ROC/PR/lift/learning-curve,
+McNemar). Mechanical split, zero behavior change; the package __init__
+merges the QuerySets and re-exports every top-level name.
 """
 
 from __future__ import annotations
@@ -28,363 +18,6 @@ from clinical_api_etl_spark.plans.base import QuerySet
 from clinical_api_etl_spark.sources.catalog import load
 
 QS = QuerySet()
-
-
-# ---------------------------------------------------------------------------
-# Holt-Winters additive seasonal smoothing (m=7) — sequential recurrence.
-# ---------------------------------------------------------------------------
-
-# lnew inlined wherever referenced (both engines inline the identical
-# expression tree, so intermediates stay bit-equal; fold lambdas are
-# interpreted per element — no codegen CSE concern at |days| scale).
-_HW_L_DUCK = "(0.5e0 * (e[1] - acc[4]) + 0.5e0 * (acc[1] + acc[2]))"
-_HW_L_SPARK = (
-    "(0.5D * (y - element_at(acc, 4)) + 0.5D * (element_at(acc, 1) + element_at(acc, 2)))"
-)
-
-
-@QS.add(
-    "ts_holt_winters_daily",
-    f"""
-    WITH daily AS (
-      SELECT event_type, epoch_ms(ts) // 86400000 AS d,
-             CAST(COUNT(*) AS BIGINT) AS y
-      FROM events GROUP BY event_type, d
-    ),
-    series AS (
-      SELECT event_type, list(CAST(y AS DOUBLE) ORDER BY d) AS ys
-      FROM daily GROUP BY event_type
-    ),
-    init AS (
-      -- week-1/week-2 init: integer-count sums are exact in DOUBLE, so
-      -- l0/b0/s_i are single correctly-rounded ops — portable.
-      SELECT event_type, ys, len(ys) AS n_days,
-             list_reduce(ys[1:7], (a, x) -> a + x) / 7e0 AS l0,
-             (list_reduce(ys[8:14], (a, x) -> a + x)
-              - list_reduce(ys[1:7], (a, x) -> a + x)) / 49e0 AS b0
-      FROM series WHERE len(ys) >= 14
-    ),
-    folded AS (
-      SELECT event_type, n_days,
-        list_reduce(
-          list_concat(
-            [[l0, b0, CAST(0 AS DOUBLE),
-              ys[1] - l0, ys[2] - l0, ys[3] - l0, ys[4] - l0,
-              ys[5] - l0, ys[6] - l0, ys[7] - l0]],
-            list_transform(ys[8:], y -> [y])),
-          (acc, e) -> list_concat(list_concat(
-            [{_HW_L_DUCK},
-             0.25e0 * ({_HW_L_DUCK} - acc[1]) + 0.75e0 * acc[2],
-             acc[3] + (e[1] - (acc[1] + acc[2] + acc[4]))
-                    * (e[1] - (acc[1] + acc[2] + acc[4]))],
-            acc[5:10]),
-            [0.25e0 * (e[1] - {_HW_L_DUCK}) + 0.75e0 * acc[4]])
-        ) AS st
-      FROM init
-    )
-    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
-           st[1] AS level, st[2] AS trend, st[4] AS seasonal_next,
-           st[1] + st[2] + st[4] AS forecast_1, st[3] AS sse
-    FROM folded
-    """,
-    doc="[EXT] additive Holt-Winters (level + trend + weekly seasonality, "
-    "m=7, alpha=0.5 beta=0.25 gamma=0.25 — exact binary fractions) over "
-    "the daily event-count series. Init: l0 = mean(week1), b0 = "
-    "(mean(week2)-mean(week1))/7 expressed as one /49 division, s_i = "
-    "y_i - l0; the fold runs over days 8..n with a 10-slot DOUBLE "
-    "accumulator [l, b, sse, s1..s7] that rotates the seasonal ring "
-    "each step. Extends the round-10 sequential-recurrence class to "
-    "VECTOR state: both engines rebuild the accumulator list per step "
-    "(all element expressions read the ORIGINAL accumulator — the "
-    "DuckDB in-place-struct hazard does not apply to lists), so level/"
-    "trend/seasonal/SSE are bit-identical. One shuffle to the per-type "
-    "daily pre-aggregate; fold cost |days| per type, never |events|.",
-    headline=True,
-    tags=("timeseries", "stats"),
-)
-def ts_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    daily = (
-        ev.selectExpr("event_type", "unix_millis(ts) div 86400000 AS d")
-        .groupBy("event_type", "d")
-        .agg(F.count(F.lit(1)).cast("long").alias("y"))
-    )
-    series = daily.groupBy("event_type").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(d, CAST(y AS DOUBLE) AS yv))),"
-            " s -> s.yv)"
-        ).alias("ys")
-    )
-    init = series.filter(F.size("ys") >= 14).selectExpr(
-        "event_type",
-        "ys",
-        "size(ys) AS n_days",
-        "aggregate(slice(ys, 1, 7), 0D, (a, x) -> a + x) / 7D AS l0",
-        "(aggregate(slice(ys, 8, 7), 0D, (a, x) -> a + x)"
-        " - aggregate(slice(ys, 1, 7), 0D, (a, x) -> a + x)) / 49D AS b0",
-    )
-    fold = f"""aggregate(
-        slice(ys, 8, size(ys) - 7),
-        array(l0, b0, 0D,
-              element_at(ys, 1) - l0, element_at(ys, 2) - l0,
-              element_at(ys, 3) - l0, element_at(ys, 4) - l0,
-              element_at(ys, 5) - l0, element_at(ys, 6) - l0,
-              element_at(ys, 7) - l0),
-        (acc, y) -> concat(
-          array({_HW_L_SPARK},
-                0.25D * ({_HW_L_SPARK} - element_at(acc, 1))
-                  + 0.75D * element_at(acc, 2),
-                element_at(acc, 3)
-                  + (y - (element_at(acc, 1) + element_at(acc, 2) + element_at(acc, 4)))
-                  * (y - (element_at(acc, 1) + element_at(acc, 2) + element_at(acc, 4)))),
-          slice(acc, 5, 6),
-          array(0.25D * (y - {_HW_L_SPARK}) + 0.75D * element_at(acc, 4)))
-      ) AS st"""
-    return (
-        init.selectExpr("event_type", "CAST(n_days AS BIGINT) AS n_days", fold)
-        .selectExpr(
-            "event_type",
-            "n_days",
-            "element_at(st, 1) AS level",
-            "element_at(st, 2) AS trend",
-            "element_at(st, 4) AS seasonal_next",
-            "element_at(st, 1) + element_at(st, 2) + element_at(st, 4) AS forecast_1",
-            "element_at(st, 3) AS sse",
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Wilder RSI (alpha = 1/16, binary) — sequential recurrence on cents deltas.
-# ---------------------------------------------------------------------------
-
-
-@QS.add(
-    "ts_rsi_wilder_daily",
-    """
-    WITH daily AS (
-      SELECT event_type, epoch_ms(ts) // 86400000 AS d,
-             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
-                  AS BIGINT) AS cents
-      FROM events WHERE value IS NOT NULL
-      GROUP BY event_type, d
-    ),
-    series AS (
-      SELECT event_type, list(CAST(cents AS DOUBLE) ORDER BY d) AS cs
-      FROM daily GROUP BY event_type
-    ),
-    deltas AS (
-      SELECT event_type, len(cs) AS n_days,
-             list_transform(range(1, len(cs)), i -> cs[i + 1] - cs[i]) AS ds
-      FROM series WHERE len(cs) >= 18
-    ),
-    init AS (
-      -- first 16 deltas seed the averages: integer sums / 2^4 are EXACT.
-      SELECT event_type, n_days, ds,
-        list_reduce(list_transform(ds[1:16], x -> greatest(x, 0e0)),
-                    (a, x) -> a + x) / 16e0 AS g0,
-        list_reduce(list_transform(ds[1:16], x -> greatest(-x, 0e0)),
-                    (a, x) -> a + x) / 16e0 AS l0
-      FROM deltas
-    ),
-    folded AS (
-      SELECT event_type, n_days,
-        list_reduce(
-          list_concat([[g0, l0]], list_transform(ds[17:], x -> [x, 0e0])),
-          (acc, e) -> [
-            acc[1] + (greatest(e[1], 0e0) - acc[1]) * 0.0625e0,
-            acc[2] + (greatest(-e[1], 0e0) - acc[2]) * 0.0625e0]
-        ) AS st
-      FROM init
-    )
-    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
-           st[1] AS avg_gain, st[2] AS avg_loss,
-           CASE WHEN st[1] + st[2] = 0e0 THEN 50e0
-                ELSE 100e0 * st[1] / (st[1] + st[2]) END AS rsi
-    FROM folded
-    """,
-    doc="[EXT] Wilder-smoothed RSI over the daily cents-total series per "
-    "event type, alpha = 1/16 (binary fraction; Wilder's 1/14 is not "
-    "representable — the power-of-two neighbor keeps every smoothing "
-    "step a pair of exact-scale ops). Day-over-day deltas are exact "
-    "integer cents; the first 16 deltas seed avg gain/loss (integer "
-    "sum / 2^4 — EXACT), then a two-slot [g, l] pinned fold consumes "
-    "the rest. Final RSI = 100·g/(g+l) is one multiply + one division — "
-    "fixed IEEE tree, hash-portable. Gaps in the daily series follow "
-    "the trading-day convention (consecutive PRESENT days), identical "
-    "in both engines by construction.",
-    tags=("timeseries", "stats"),
-)
-def ts_rsi_wilder_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    daily = (
-        ev.filter(F.col("value").isNotNull())
-        .selectExpr(
-            "event_type",
-            "unix_millis(ts) div 86400000 AS d",
-            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c",
-        )
-        .groupBy("event_type", "d")
-        .agg(F.sum("c").cast("long").alias("cents"))
-    )
-    series = daily.groupBy("event_type").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(d, CAST(cents AS DOUBLE)"
-            " AS cv))), s -> s.cv)"
-        ).alias("cs")
-    )
-    return (
-        series.filter(F.size("cs") >= 18)
-        .selectExpr(
-            "event_type",
-            "CAST(size(cs) AS BIGINT) AS n_days",
-            "transform(sequence(1, size(cs) - 1),"
-            " i -> element_at(cs, i + 1) - element_at(cs, i)) AS ds",
-        )
-        .selectExpr(
-            "event_type",
-            "n_days",
-            "ds",
-            "aggregate(transform(slice(ds, 1, 16), x -> greatest(x, 0D)),"
-            " 0D, (a, x) -> a + x) / 16D AS g0",
-            "aggregate(transform(slice(ds, 1, 16), x -> greatest(-x, 0D)),"
-            " 0D, (a, x) -> a + x) / 16D AS l0",
-        )
-        .selectExpr(
-            "event_type",
-            "n_days",
-            """aggregate(
-                 slice(ds, 17, size(ds) - 16),
-                 array(g0, l0),
-                 (acc, x) -> array(
-                   element_at(acc, 1)
-                     + (greatest(x, 0D) - element_at(acc, 1)) * 0.0625D,
-                   element_at(acc, 2)
-                     + (greatest(-x, 0D) - element_at(acc, 2)) * 0.0625D)
-               ) AS st""",
-        )
-        .selectExpr(
-            "event_type",
-            "n_days",
-            "element_at(st, 1) AS avg_gain",
-            "element_at(st, 2) AS avg_loss",
-            "CASE WHEN element_at(st, 1) + element_at(st, 2) = 0D THEN 50D"
-            " ELSE 100D * element_at(st, 1)"
-            " / (element_at(st, 1) + element_at(st, 2)) END AS rsi",
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Deterministic (hash-multinomial) bootstrap CI for the mean.
-# ---------------------------------------------------------------------------
-
-_BOOT_B = 20
-
-
-def _boot_w_duck(b: int) -> str:
-    return (
-        f"CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':{b}'), 1, 2)"
-        f" AS INTEGER) % 3"
-    )
-
-
-def _boot_w_spark(b: int) -> str:
-    return (
-        f"CAST(conv(substring(md5(CAST(event_id AS STRING) || ':{b}'), 1, 2),"
-        f" 16, 10) AS INT) % 3"
-    )
-
-
-def _bootstrap_oracle() -> str:
-    reps = ",\n".join(
-        f"      CAST(SUM(({_boot_w_duck(b)}) * cents) AS BIGINT) AS num{b},\n"
-        f"      CAST(SUM({_boot_w_duck(b)}) AS BIGINT) AS den{b}"
-        for b in range(_BOOT_B)
-    )
-    means = ", ".join(
-        f"CASE WHEN den{b} = 0 THEN CAST(snum AS DOUBLE) / CAST(n AS DOUBLE)"
-        f" ELSE CAST(num{b} AS DOUBLE) / CAST(den{b} AS DOUBLE) END"
-        for b in range(_BOOT_B)
-    )
-    return f"""
-    WITH base AS (
-      SELECT event_type, event_id,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-      FROM events WHERE value IS NOT NULL
-    ),
-    agg AS (
-      SELECT event_type,
-             CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(cents) AS BIGINT) AS snum,
-{reps}
-      FROM base GROUP BY event_type
-    ),
-    m AS (
-      SELECT event_type, n,
-             CAST(snum AS DOUBLE) / CAST(100 * n AS DOUBLE) AS mean_value,
-             list_sort([{means}]) AS ms
-      FROM agg
-    )
-    SELECT event_type, n, mean_value,
-           ms[2] / 100e0 AS boot_lo, ms[{_BOOT_B - 1}] / 100e0 AS boot_hi
-    FROM m
-    """
-
-
-@QS.add(
-    "stat_bootstrap_ci_mean",
-    _bootstrap_oracle(),
-    doc="[EXT] bootstrap confidence interval for the mean event value per "
-    "type with ZERO RNG: replica b reweights row i by "
-    "md5(event_id||':'||b) % 3 in {0,1,2} (a deterministic multinomial-"
-    "style resample, mean weight ≈ 1), so both engines draw the SAME "
-    f"{_BOOT_B} replicas. Each replica mean is one division over exact "
-    "BIGINT cents sums; the CI is the 2nd-smallest / 2nd-largest replica "
-    "mean (≈ 5th/95th percentile of B=20). Evaluated as 2·B conditional "
-    "aggregates in ONE pass over events — no row blow-up, map-side "
-    "partials, mergeable at any scale.",
-    headline=True,
-    tags=("stats",),
-)
-def stat_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    base = ev.filter(F.col("value").isNotNull()).selectExpr(
-        "event_type",
-        "event_id",
-        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
-    )
-    aggs = [
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("cents").cast("long").alias("snum"),
-    ]
-    for b in range(_BOOT_B):
-        w = F.expr(_boot_w_spark(b))
-        aggs.append(F.sum(w * F.col("cents")).cast("long").alias(f"num{b}"))
-        aggs.append(F.sum(w).cast("long").alias(f"den{b}"))
-    means = ", ".join(
-        f"CASE WHEN den{b} = 0 THEN CAST(snum AS DOUBLE) / CAST(n AS DOUBLE)"
-        f" ELSE CAST(num{b} AS DOUBLE) / CAST(den{b} AS DOUBLE) END"
-        for b in range(_BOOT_B)
-    )
-    return (
-        base.groupBy("event_type")
-        .agg(*aggs)
-        .selectExpr(
-            "event_type",
-            "n",
-            "CAST(snum AS DOUBLE) / CAST(100 * n AS DOUBLE) AS mean_value",
-            f"array_sort(array({means})) AS ms",
-        )
-        .selectExpr(
-            "event_type",
-            "n",
-            "mean_value",
-            "element_at(ms, 2) / 100D AS boot_lo",
-            f"element_at(ms, {_BOOT_B - 1}) / 100D AS boot_hi",
-        )
-    )
-
 
 # ---------------------------------------------------------------------------
 # Reciprocal-rank fusion of two retrieval rankers (cosine + dot/MIPS).
@@ -723,149 +356,6 @@ def ml_stump_nchars_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Column-uniqueness / null-fraction DQ profile across the star schema.
-# ---------------------------------------------------------------------------
-
-_UNIQ_COLS: dict[str, tuple[str, ...]] = {
-    "orders": ("o_orderkey", "o_custkey", "o_orderstatus"),
-    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"),
-    "customer": ("c_custkey", "c_nationkey"),
-    "documents": ("doc_id", "lang", "source"),
-}
-
-
-def _uniqueness_oracle() -> str:
-    parts = []
-    for tbl, cols in _UNIQ_COLS.items():
-        for c in cols:
-            parts.append(
-                f"SELECT '{tbl}' AS tbl, '{c}' AS col_name,"
-                f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
-                f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,"
-                f" CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,"
-                f" CAST(COUNT(DISTINCT {c}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
-                f" AS uniqueness"
-                f" FROM {tbl}"
-            )
-    return " UNION ALL ".join(parts)
-
-
-@QS.add(
-    "dq_uniqueness_profile",
-    _uniqueness_oracle(),
-    doc="[EXT] column uniqueness/null profile over a declared column set "
-    "of the star schema: per (table, column) exact distinct count, null "
-    "count, and uniqueness ratio (one division over exact BIGINTs). "
-    "Spark runs ONE pass per table (multi-distinct aggregate -> Expand, "
-    "map-side partials) and stacks to long format; the oracle is the "
-    "equivalent per-column UNION ALL. Key columns profile at 1.0 "
-    "uniqueness — the generalized form of the reference's unique-key "
-    "constraints (database/05_processed_measurements.sql uq_pm_obs).",
-    tags=("dq",),
-)
-def dq_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = None
-    for tbl, cols in _UNIQ_COLS.items():
-        df = load(spark, sf_dir, tbl)
-        aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
-        for c in cols:
-            aggs.append(F.countDistinct(c).cast("long").alias(f"d_{c}"))
-            aggs.append(
-                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-                .cast("long")
-                .alias(f"z_{c}")
-            )
-        wide = df.agg(*aggs)
-        stack = ", ".join(f"'{c}', d_{c}, z_{c}" for c in cols)
-        long = wide.selectExpr(
-            f"'{tbl}' AS tbl",
-            "n_rows",
-            f"stack({len(cols)}, {stack}) AS (col_name, n_distinct, n_nulls)",
-        ).selectExpr(
-            "tbl",
-            "col_name",
-            "n_rows",
-            "n_distinct",
-            "n_nulls",
-            "CAST(n_distinct AS DOUBLE) / CAST(n_rows AS DOUBLE) AS uniqueness",
-        )
-        out = long if out is None else out.unionByName(long)
-    return out
-
-
-# ---------------------------------------------------------------------------
-# HITS hubs & authorities — 10th fully hash-gated iterative algorithm.
-# ---------------------------------------------------------------------------
-
-_HITS_ITERS = 3
-_HITS_SCALE = 1_000_000
-
-
-def _hits_oracle() -> str:
-    its = []
-    for k in range(1, _HITS_ITERS + 1):
-        its.append(
-            f"""
-    a{k}raw AS MATERIALIZED (
-      SELECT s, CAST(SUM(h) AS BIGINT) AS ar
-      FROM e JOIN h{k - 1} USING (c) GROUP BY s),
-    a{k} AS MATERIALIZED (
-      SELECT s, CAST(ar * {_HITS_SCALE} // (SELECT SUM(ar) FROM a{k}raw)
-                AS BIGINT) AS a
-      FROM a{k}raw),
-    h{k}raw AS MATERIALIZED (
-      SELECT c, CAST(SUM(a) AS BIGINT) AS hr
-      FROM e JOIN a{k} USING (s) GROUP BY c),
-    h{k} AS MATERIALIZED (
-      SELECT c, CAST(hr * {_HITS_SCALE} // (SELECT SUM(hr) FROM h{k}raw)
-                AS BIGINT) AS h
-      FROM h{k}raw)"""
-        )
-    return f"""
-    WITH e AS MATERIALIZED (
-      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-    h0 AS (SELECT DISTINCT c, CAST({_HITS_SCALE} AS BIGINT) AS h FROM e),
-    {",".join(its)}
-    SELECT 'c' || CAST(c AS VARCHAR) AS node, 'hub' AS kind,
-           h AS score_units FROM h{_HITS_ITERS}
-    UNION ALL
-    SELECT 's' || CAST(s AS VARCHAR) AS node, 'auth' AS kind,
-           a AS score_units FROM a{_HITS_ITERS}
-    """
-
-
-@QS.add(
-    "graph_hits_scores",
-    _hits_oracle(),
-    doc="[EXT] HITS (Kleinberg) hubs & authorities over the directed "
-    "customer->supplier purchase graph, 3 iterations in EXACT integer "
-    "arithmetic: scores L1-normalize to 1e6 units per half-step via "
-    "BIGINT floor-division, so both engines agree bit-for-bit — the "
-    "10th iterative algorithm under a full value hash. Spark: each "
-    "half-step is one score-vector equi-join + one key shuffle with "
-    "map-side partials; the raw aggregate is referenced twice (total + "
-    "normalization) so it eager-checkpoints per half-step (k-core "
-    "rule), and the total rides a 1-row broadcast cross join. Oracle: "
-    "unrolled CTE chain, every stage MATERIALIZED (the round-6 "
-    "exponential-re-expansion rule). operators/graph.py:hits_int.",
-    headline=True,
-    tags=("graph",),
-)
-def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clinical_api_etl_spark.operators.graph import hits_int
-
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    e = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    return hits_int(e, iters=_HITS_ITERS, scale=_HITS_SCALE)
-
-
-# ---------------------------------------------------------------------------
 # Contrastive pair mining (anchor, positive, hard negative) on embeddings.
 # ---------------------------------------------------------------------------
 
@@ -1199,494 +689,6 @@ def ml_stump_cv_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Harmonic centrality of a supplier probe set — exact x12 integer units.
-# (+ the classic closeness variant on the same BFS, one division.)
-# ---------------------------------------------------------------------------
-
-_HC_ITERS = 4
-
-
-def _harmonic_oracle() -> str:
-    """Unrolled per-source BFS; every it{k} referenced twice -> MATERIALIZED.
-    Harmonic sum stays exact: with hop distances bounded by the iteration
-    count (<= 4), 12/d is an exact integer (12 = lcm(1..4)), so the
-    centrality numerator is a BIGINT and the final value one division."""
-    it = """
-    it{k} AS MATERIALIZED (
-      SELECT s, node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
-        SELECT s, node, dist FROM it{p}
-        UNION ALL
-        SELECT r.s, e.dst AS node, r.dist + 1 AS dist
-        FROM edges e JOIN it{p} r ON e.src = r.node
-      ) u GROUP BY s, node
-    )"""
-    its = ",".join(it.format(k=k, p=k - 1) for k in range(1, _HC_ITERS + 1))
-    return f"""
-    WITH e0 AS MATERIALIZED (
-      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-                      's' || CAST(l_suppkey AS VARCHAR) AS dst
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    ),
-    edges AS MATERIALIZED (
-      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
-    ),
-    it0 AS MATERIALIZED (
-      SELECT 's' || CAST(s_suppkey AS VARCHAR) AS s,
-             's' || CAST(s_suppkey AS VARCHAR) AS node, CAST(0 AS BIGINT) AS dist
-      FROM supplier WHERE s_suppkey < 8
-    ),
-    {its}
-    SELECT s AS source_node,
-           CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
-           CAST(SUM(CASE WHEN dist > 0 THEN 12 // dist ELSE 0 END)
-                AS BIGINT) AS harmonic_x12,
-           CAST(SUM(CASE WHEN dist > 0 THEN 12 // dist ELSE 0 END) AS DOUBLE)
-             / 12e0 AS harmonic
-    FROM it{_HC_ITERS} GROUP BY s
-    """
-
-
-@QS.add(
-    "graph_harmonic_centrality",
-    _harmonic_oracle(),
-    doc="[EXT] harmonic centrality (sum of 1/d to every reachable node, "
-    "the disconnect-safe closeness variant) for a supplier probe set "
-    "(fixed 8-supplier probe — bounded at every SF; centrality probes "
-    "are bounded sets by posture) over the symmetrized interaction graph, "
-    f"within {_HC_ITERS} hops. EXACT arithmetic trick: hop distances "
-    "are bounded by the iteration count, so multiplying by lcm(1..4)=12 "
-    "makes the harmonic sum an exact BIGINT (12//d per term) and the "
-    "final centrality ONE division — no float association anywhere. "
-    "One tagged BFS run covers the whole probe set: state keyed "
-    "(source, node), same Pregel join+min rounds as bfs_hops "
-    "(operators/graph.py:bfs_hops_per_source), eager-checkpointed per "
-    "round. 11th hash-gated iterative.",
-    headline=True,
-    tags=("graph", "iterative"),
-)
-def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clinical_api_etl_spark.operators.graph import bfs_hops_per_source
-
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    e0 = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .distinct()
-    )
-    from clinical_api_etl_spark.operators.graph import symmetrize
-
-    edges = symmetrize(e0)
-    sources = (
-        load(spark, sf_dir, "supplier")
-        .filter(F.col("s_suppkey") < 8)
-        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
-    )
-    dist = bfs_hops_per_source(edges, sources, iters=_HC_ITERS)
-    return dist.groupBy(F.col("s").alias("source_node")).agg(
-        (F.count(F.lit(1)) - 1).cast("long").alias("n_reached"),
-        F.sum(
-            F.when(F.col("dist") > 0, F.expr("12 div dist")).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("harmonic_x12"),
-        (
-            F.sum(
-                F.when(F.col("dist") > 0, F.expr("12 div dist")).otherwise(F.lit(0))
-            ).cast("double")
-            / F.lit(12.0)
-        ).alias("harmonic"),
-    )
-
-
-def _closeness_oracle() -> str:
-    """Same unrolled per-source BFS as harmonic; the aggregate is the
-    classic closeness numerator/denominator instead of the x12 sum."""
-    it = """
-    it{k} AS MATERIALIZED (
-      SELECT s, node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
-        SELECT s, node, dist FROM it{p}
-        UNION ALL
-        SELECT r.s, e.dst AS node, r.dist + 1 AS dist
-        FROM edges e JOIN it{p} r ON e.src = r.node
-      ) u GROUP BY s, node
-    )"""
-    its = ",".join(it.format(k=k, p=k - 1) for k in range(1, _HC_ITERS + 1))
-    return f"""
-    WITH e0 AS MATERIALIZED (
-      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-                      's' || CAST(l_suppkey AS VARCHAR) AS dst
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    ),
-    edges AS MATERIALIZED (
-      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
-    ),
-    it0 AS MATERIALIZED (
-      SELECT 's' || CAST(s_suppkey AS VARCHAR) AS s,
-             's' || CAST(s_suppkey AS VARCHAR) AS node, CAST(0 AS BIGINT) AS dist
-      FROM supplier WHERE s_suppkey < 8
-    ),
-    {its}
-    SELECT s AS source_node,
-           CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
-           CAST(SUM(dist) AS BIGINT) AS sum_dist,
-           CASE WHEN SUM(dist) = 0 THEN NULL
-                ELSE CAST(COUNT(*) - 1 AS DOUBLE) / CAST(SUM(dist) AS DOUBLE)
-           END AS closeness
-    FROM it{_HC_ITERS} GROUP BY s
-    """
-
-
-@QS.add(
-    "graph_closeness_probe",
-    _closeness_oracle(),
-    doc="[EXT] closeness centrality (reached-nodes count over summed hop "
-    "distances — the Wasserman-Faust bounded-reach form) for the same "
-    "8-supplier probe set and symmetrized interaction graph as "
-    f"graph_harmonic_centrality, within {_HC_ITERS} hops. Components "
-    "are exact BIGINTs off ONE tagged per-source BFS "
-    "(bfs_hops_per_source — the run is shared work-shape-wise with "
-    "harmonic, not plan-shared, so each query stays independently "
-    "checkable); closeness = (n_reached-1)/sum_dist is ONE division, "
-    "NULL on an isolated probe (ANSI-divide rule). Harmonic is the "
-    "disconnect-safe variant; classic closeness is what most "
-    "centrality consumers still ask for first.",
-    tags=("graph", "iterative"),
-)
-def graph_closeness_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clinical_api_etl_spark.operators.graph import (
-        bfs_hops_per_source,
-        symmetrize,
-    )
-
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    e0 = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .distinct()
-    )
-    edges = symmetrize(e0)
-    sources = (
-        load(spark, sf_dir, "supplier")
-        .filter(F.col("s_suppkey") < 8)
-        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
-    )
-    dist = bfs_hops_per_source(edges, sources, iters=_HC_ITERS)
-    return dist.groupBy(F.col("s").alias("source_node")).agg(
-        (F.count(F.lit(1)) - 1).cast("long").alias("n_reached"),
-        F.sum("dist").cast("long").alias("sum_dist"),
-        F.when(F.sum("dist") == 0, F.lit(None))
-        .otherwise(
-            (F.count(F.lit(1)) - 1).cast("double")
-            / F.sum("dist").cast("double")
-        )
-        .alias("closeness"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Bollinger-band breaches on the daily cents series — exact integer algebra.
-# ---------------------------------------------------------------------------
-
-
-@QS.add(
-    "ts_bollinger_breaches",
-    """
-    WITH daily AS (
-      SELECT event_type, epoch_ms(ts) // 86400000 AS d,
-             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
-                  AS BIGINT) AS cents
-      FROM events WHERE value IS NOT NULL
-      GROUP BY event_type, d
-    ),
-    win AS (
-      SELECT event_type, d, cents,
-             CAST(SUM(cents) OVER w AS BIGINT) AS s7,
-             CAST(SUM(cents * cents) OVER w AS BIGINT) AS q7,
-             CAST(COUNT(*) OVER w AS BIGINT) AS n7
-      FROM daily
-      WINDOW w AS (PARTITION BY event_type ORDER BY d
-                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-    )
-    SELECT event_type, d AS day_index, cents,
-           CAST(s7 AS DOUBLE) / 7e0 AS mean7,
-           7 * cents - s7 > 0
-             AND (7 * cents - s7) * (7 * cents - s7) > 4 * (7 * q7 - s7 * s7)
-             AS breach_upper,
-           s7 - 7 * cents > 0
-             AND (7 * cents - s7) * (7 * cents - s7) > 4 * (7 * q7 - s7 * s7)
-             AS breach_lower
-    FROM win WHERE n7 = 7
-    """,
-    doc="[EXT] Bollinger-band breach detection on the trailing-7-day "
-    "window of the daily cents series: |x - mu| > 2*sigma decided "
-    "ENTIRELY in exact integer algebra — (7x - S)^2 > 4(7Q - S^2) with "
-    "S, Q the window sum and sum-of-squares (the anomaly_zscore "
-    "population-variance identity moved into a moving frame; "
-    "n*sigma^2*n = nQ - S^2). Only full windows emit. The band test "
-    "never touches a float; mean7 is the single reporting division. "
-    "One exchange per type, two running sums share one WindowExec.",
-    tags=("timeseries", "stats"),
-)
-def ts_bollinger_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
-    ev = load(spark, sf_dir, "events")
-    daily = (
-        ev.filter(F.col("value").isNotNull())
-        .selectExpr(
-            "event_type",
-            "unix_millis(ts) div 86400000 AS d",
-            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c",
-        )
-        .groupBy("event_type", "d")
-        .agg(F.sum("c").cast("long").alias("cents"))
-    )
-    w = W.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
-    win = daily.select(
-        "event_type",
-        "d",
-        "cents",
-        F.sum("cents").over(w).cast("long").alias("s7"),
-        F.sum(F.col("cents") * F.col("cents")).over(w).cast("long").alias("q7"),
-        F.count(F.lit(1)).over(w).cast("long").alias("n7"),
-    )
-    return win.filter(F.col("n7") == 7).selectExpr(
-        "event_type",
-        "d AS day_index",
-        "cents",
-        "CAST(s7 AS DOUBLE) / 7D AS mean7",
-        "7 * cents - s7 > 0"
-        " AND (7 * cents - s7) * (7 * cents - s7) > 4 * (7 * q7 - s7 * s7)"
-        " AS breach_upper",
-        "s7 - 7 * cents > 0"
-        " AND (7 * cents - s7) * (7 * cents - s7) > 4 * (7 * q7 - s7 * s7)"
-        " AS breach_lower",
-    )
-
-
-# ---------------------------------------------------------------------------
-# Deterministic fixed-size per-group sample (hash-order "reservoir").
-# ---------------------------------------------------------------------------
-
-
-@QS.add(
-    "sample_reservoir_hash",
-    """
-    WITH keyed AS (
-      SELECT event_type, event_id, user_id,
-             substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS hk
-      FROM events
-    ),
-    ranked AS (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
-                                   ORDER BY hk, event_id) AS rk
-      FROM keyed
-    )
-    SELECT event_type, CAST(rk AS BIGINT) AS rk, event_id, user_id
-    FROM ranked WHERE rk <= 50
-    """,
-    doc="[EXT] fixed-size-per-group deterministic sample: the 50 events "
-    "with the smallest md5(event_id) hex prefix per type — the "
-    "distributed, rerun-stable equivalent of per-group reservoir "
-    "sampling (uniform over any id distribution because md5 order is "
-    "independent of insertion/value order; fixed-width lowercase hex "
-    "compares lexicographically == numerically, round-2 rule). "
-    "Complements hash-Bernoulli (fixed RATE) with fixed SIZE semantics. "
-    "One window per group; at scale the rank-50 cut is a per-partition "
-    "top-k before the final per-group merge (TakeOrdered-style partial "
-    "aggregation inside WindowGroupLimit).",
-    tags=("sampling",),
-)
-def sample_reservoir_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
-    ev = load(spark, sf_dir, "events")
-    keyed = ev.select(
-        "event_type",
-        "event_id",
-        "user_id",
-        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8).alias("hk"),
-    )
-    w = W.partitionBy("event_type").orderBy("hk", "event_id")
-    return (
-        keyed.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 50)
-        .select("event_type", "rk", "event_id", "user_id")
-    )
-
-
-# ---------------------------------------------------------------------------
-# CDC apply: last-writer-wins snapshot of an upsert/delete change log.
-# ---------------------------------------------------------------------------
-
-
-@QS.add(
-    "cdc_last_writer_wins",
-    """
-    WITH log AS (
-      SELECT user_id, ts, event_id, event_type,
-             -- sentinel, not NULL: a null BIGINT turns into NaN through
-             -- pandas and breaks the value hash (CLAUDE.md rule)
-             COALESCE(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
-                      -1) AS cents
-      FROM events
-    ),
-    ranked AS (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-                                   ORDER BY ts DESC, event_id DESC) AS rk,
-             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes
-      FROM log
-    )
-    SELECT user_id, epoch_ms(ts) AS last_ts_ms, event_type AS last_type,
-           cents AS last_cents, n_changes,
-           event_type = 'error' AS is_tombstone
-    FROM ranked WHERE rk = 1
-    """,
-    doc="[EXT] CDC apply-changes: treat the event stream as an upsert "
-    "change log keyed by user, ordered by (ts, event_id) — last writer "
-    "wins, 'error' as the tombstone op (Debezium/Delta "
-    "APPLY CHANGES INTO semantics: the snapshot keeps the tombstone "
-    "row flagged so downstream merges can delete). One window per key "
-    "computes the winner AND the change count; total order under ts "
-    "ties via event_id. The deterministic-ordering requirement is "
-    "exactly the reference's idempotent-upsert discipline "
-    "(etl-service/src/etl.py ON CONFLICT upserts) generalized to "
-    "change streams.",
-    tags=("warehouse", "cdc"),
-)
-def cdc_last_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
-    ev = load(spark, sf_dir, "events")
-    log = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.expr(
-            "COALESCE(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), -1)"
-        ).alias("cents"),
-    )
-    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    w_n = W.partitionBy("user_id")
-    return (
-        log.withColumn("rk", F.row_number().over(w))
-        .withColumn("n_changes", F.count(F.lit(1)).over(w_n).cast("long"))
-        .filter(F.col("rk") == 1)
-        .select(
-            "user_id",
-            F.expr("unix_millis(ts)").alias("last_ts_ms"),
-            F.col("event_type").alias("last_type"),
-            F.col("cents").alias("last_cents"),
-            "n_changes",
-            (F.col("event_type") == "error").alias("is_tombstone"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Shortest-path counts (Brandes sigma) from a bounded probe set.
-# ---------------------------------------------------------------------------
-
-_SPC_ITERS = 4
-
-
-def _path_counts_oracle() -> str:
-    """Unrolled frontier BFS with path counting: lvl{k} holds the nodes
-    FIRST reached at hop k with sigma = sum of level-(k-1) predecessor
-    sigmas; set{k} accumulates the settled state used to reject
-    re-discoveries. Every CTE is referenced more than once downstream ->
-    all MATERIALIZED (the k-core exponential-re-expansion rule)."""
-    step = """
-    lvl{k} AS MATERIALIZED (
-      SELECT c.s, c.node, CAST({k} AS BIGINT) AS dist, c.sigma FROM (
-        SELECT r.s, e.dst AS node, CAST(SUM(r.sigma) AS BIGINT) AS sigma
-        FROM edges e JOIN lvl{p} r ON e.src = r.node
-        GROUP BY r.s, e.dst
-      ) c LEFT JOIN set{p} st ON st.s = c.s AND st.node = c.node
-      WHERE st.node IS NULL
-    ),
-    set{k} AS MATERIALIZED (
-      SELECT s, node FROM set{p} UNION ALL SELECT s, node FROM lvl{k}
-    )"""
-    its = ",".join(step.format(k=k, p=k - 1) for k in range(1, _SPC_ITERS + 1))
-    union_all = " UNION ALL ".join(
-        f"SELECT s, node, dist, sigma FROM lvl{k}" for k in range(_SPC_ITERS + 1)
-    )
-    return f"""
-    WITH e0 AS MATERIALIZED (
-      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-                      's' || CAST(l_suppkey AS VARCHAR) AS dst
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    ),
-    edges AS MATERIALIZED (
-      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
-    ),
-    lvl0 AS MATERIALIZED (
-      SELECT 's' || CAST(s_suppkey AS VARCHAR) AS s,
-             's' || CAST(s_suppkey AS VARCHAR) AS node,
-             CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS sigma
-      FROM supplier WHERE s_suppkey < 8
-    ),
-    set0 AS MATERIALIZED (SELECT s, node FROM lvl0),
-    {its}
-    SELECT s AS source_node, node, dist, sigma FROM ({union_all}) u
-    """
-
-
-@QS.add(
-    "graph_path_counts",
-    _path_counts_oracle(),
-    doc="[EXT] exact shortest-path COUNTS (Brandes sigma, the forward "
-    "half of betweenness centrality) from the fixed 8-supplier probe "
-    "set over the symmetrized interaction graph, within "
-    f"{_SPC_ITERS} hops. sigma(v) at level k+1 = SUM of sigma over "
-    "level-k predecessors — path counts are sums of exact BIGINTs, so "
-    "the whole computation is integer arithmetic and carries a full "
-    "value hash (12th hash-gated iterative). Frontier discipline: each "
-    "(source, node) pair crosses the edge join exactly once over the "
-    "run (operators/graph.py:bfs_path_counts); equal-level and backward "
-    "edges die in the settled anti-join, matching the Brandes BFS DAG. "
-    "Oracle: unrolled frontier levels + settled sets, all MATERIALIZED.",
-    headline=True,
-    tags=("graph", "iterative"),
-)
-def graph_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clinical_api_etl_spark.operators.graph import bfs_path_counts
-
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    e0 = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .distinct()
-    )
-    from clinical_api_etl_spark.operators.graph import symmetrize
-
-    edges = symmetrize(e0)
-    sources = (
-        load(spark, sf_dir, "supplier")
-        .filter(F.col("s_suppkey") < 8)
-        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
-    )
-    st = bfs_path_counts(edges, sources, iters=_SPC_ITERS)
-    return st.select(
-        F.col("s").alias("source_node"), "node", "dist", "sigma"
-    )
-
-
-# ---------------------------------------------------------------------------
 # kNN vote-confidence calibration (reliability table + exact ECE).
 # ---------------------------------------------------------------------------
 
@@ -1992,460 +994,6 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Brandes dependency accumulation — k-bounded betweenness (backward pass).
-# ---------------------------------------------------------------------------
-
-
-def _betweenness_oracle() -> str:
-    """Forward unrolled frontier levels (as in _path_counts_oracle), then
-    the backward dependency CTEs d{k}: each node's delta folds its
-    successors' (sigma_v/sigma_w)(1+delta_w) in successor-id order —
-    the pinned-order float fold, applied level by level downward."""
-    fwd_step = """
-    lvl{k} AS MATERIALIZED (
-      SELECT c.s, c.node, CAST({k} AS BIGINT) AS dist, c.sigma FROM (
-        SELECT r.s, e.dst AS node, CAST(SUM(r.sigma) AS BIGINT) AS sigma
-        FROM edges e JOIN lvl{p} r ON e.src = r.node
-        GROUP BY r.s, e.dst
-      ) c LEFT JOIN set{p} st ON st.s = c.s AND st.node = c.node
-      WHERE st.node IS NULL
-    ),
-    set{k} AS MATERIALIZED (
-      SELECT s, node FROM set{p} UNION ALL SELECT s, node FROM lvl{k}
-    )"""
-    fwd = ",".join(fwd_step.format(k=k, p=k - 1) for k in range(1, _SPC_ITERS + 1))
-    bwd_step = """
-    f{k} AS MATERIALIZED (
-      SELECT v.s, v.node,
-             list_reduce(
-               list_prepend(CAST(0 AS DOUBLE),
-                 list((CAST(v.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE))
-                      * (1e0 + w.delta) ORDER BY w.node)),
-               (x, y) -> x + y) AS delta
-      FROM lvl{k} v JOIN edges e ON e.src = v.node
-      JOIN (SELECT l.s, l.node, l.sigma, dd.delta
-            FROM lvl{n} l JOIN d{n} dd ON l.s = dd.s AND l.node = dd.node) w
-        ON w.s = v.s AND w.node = e.dst
-      GROUP BY v.s, v.node, v.sigma
-    ),
-    d{k} AS MATERIALIZED (
-      SELECT l.s, l.node, COALESCE(f.delta, CAST(0 AS DOUBLE)) AS delta
-      FROM lvl{k} l LEFT JOIN f{k} f ON f.s = l.s AND f.node = l.node
-    )"""
-    bwd = ",".join(
-        bwd_step.format(k=k, n=k + 1) for k in range(_SPC_ITERS - 1, -1, -1)
-    )
-    finals = " UNION ALL ".join(
-        f"SELECT l.s, l.node, l.dist, l.sigma, d.delta FROM lvl{k} l "
-        f"JOIN d{k} d ON d.s = l.s AND d.node = l.node"
-        for k in range(_SPC_ITERS + 1)
-    )
-    return f"""
-    WITH e0 AS MATERIALIZED (
-      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-                      's' || CAST(l_suppkey AS VARCHAR) AS dst
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    ),
-    edges AS MATERIALIZED (
-      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
-    ),
-    lvl0 AS MATERIALIZED (
-      SELECT 's' || CAST(s_suppkey AS VARCHAR) AS s,
-             's' || CAST(s_suppkey AS VARCHAR) AS node,
-             CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS sigma
-      FROM supplier WHERE s_suppkey < 8
-    ),
-    set0 AS MATERIALIZED (SELECT s, node FROM lvl0),
-    {fwd},
-    d{_SPC_ITERS} AS MATERIALIZED (
-      SELECT s, node, CAST(0 AS DOUBLE) AS delta FROM lvl{_SPC_ITERS}
-    ),
-    {bwd}
-    SELECT s AS source_node, node, dist, sigma, delta FROM ({finals}) u
-    """
-
-
-@QS.add(
-    "graph_betweenness_probe",
-    _betweenness_oracle(),
-    doc="[EXT] Brandes dependency accumulation — the BACKWARD half of "
-    "betweenness centrality, completing graph_path_counts' forward "
-    "pass: delta(v) = sum over one-level-deeper successors of "
-    "(sigma_v/sigma_w)(1+delta_w), run level-by-level from the horizon "
-    f"down (k-bounded betweenness, horizon {_SPC_ITERS}: longer paths "
-    "do not contribute — the standard truncation for probe-set "
-    "centrality). 13th hash-gated iterative, and the first with FLOAT "
-    "state: sigma ratios are single divisions over exact BIGINTs and "
-    "every successor sum is a pinned-order fold (successor-id-sorted), "
-    "so deltas are bit-identical level after level. Operator: "
-    "operators/graph.py:brandes_dependencies (per-level equi-join + "
-    "grouped fold, eager-checkpointed). Oracle: forward frontier CTEs + "
-    "unrolled backward d{k} chain, all MATERIALIZED.",
-    headline=True,
-    tags=("graph", "iterative"),
-)
-def graph_betweenness_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clinical_api_etl_spark.operators.graph import brandes_dependencies
-
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    e0 = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .distinct()
-    )
-    from clinical_api_etl_spark.operators.graph import symmetrize
-
-    edges = symmetrize(e0)
-    sources = (
-        load(spark, sf_dir, "supplier")
-        .filter(F.col("s_suppkey") < 8)
-        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
-    )
-    dep = brandes_dependencies(edges, sources, iters=_SPC_ITERS)
-    return dep.select(
-        F.col("s").alias("source_node"), "node", "dist", "sigma", "delta"
-    )
-
-
-# ---------------------------------------------------------------------------
-# Bounded-hop weighted shortest paths (Bellman-Ford) — exact BIGINT costs.
-# ---------------------------------------------------------------------------
-
-_BF_ITERS = 4
-
-
-def _bf_oracle() -> str:
-    """Full-relaxation unrolled Bellman-Ford: it{k} = min total weight
-    over paths of <= k edges — the same fixpoint the queue-optimized
-    operator reaches after k rounds (every improvement propagates the
-    following round). Every it{k} referenced twice -> MATERIALIZED."""
-    it = """
-    it{k} AS MATERIALIZED (
-      SELECT s, node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
-        SELECT s, node, dist FROM it{p}
-        UNION ALL
-        SELECT r.s, e.dst AS node, r.dist + e.w AS dist
-        FROM edges e JOIN it{p} r ON e.src = r.node
-      ) u GROUP BY s, node
-    )"""
-    its = ",".join(it.format(k=k, p=k - 1) for k in range(1, _BF_ITERS + 1))
-    return f"""
-    WITH w0 AS MATERIALIZED (
-      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-             's' || CAST(l_suppkey AS VARCHAR) AS dst,
-             CAST(COUNT(*) AS BIGINT) AS w
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      GROUP BY o_custkey, l_suppkey
-    ),
-    edges AS MATERIALIZED (
-      SELECT src, dst, w FROM w0 UNION ALL SELECT dst AS src, src AS dst, w FROM w0
-    ),
-    it0 AS MATERIALIZED (
-      SELECT 's' || CAST(s_suppkey AS VARCHAR) AS s,
-             's' || CAST(s_suppkey AS VARCHAR) AS node, CAST(0 AS BIGINT) AS dist
-      FROM supplier WHERE s_suppkey < 8
-    ),
-    {its}
-    SELECT s AS source_node, node, dist AS cost FROM it{_BF_ITERS}
-    """
-
-
-@QS.add(
-    "graph_weighted_shortest_paths",
-    _bf_oracle(),
-    doc="[EXT] bounded-hop WEIGHTED shortest paths (Bellman-Ford, "
-    f"{_BF_ITERS} relaxation rounds) from the 8-supplier probe set: "
-    "edge weight = lineitem count per (customer, supplier) pair "
-    "(symmetrized), costs exact BIGINT sums — 14th hash-gated "
-    "iterative. The operator is queue-optimized (SPFA): only nodes "
-    "whose distance improved re-enter the edge join, which preserves "
-    "the <=k-edge minimum invariant because every improvement "
-    "propagates the next round; the oracle runs the plain full "
-    "relaxation and meets the same fixpoint — the test of the "
-    "equivalence claim IS the hash gate. operators/graph.py:"
-    "bellman_ford_bounded.",
-    headline=True,
-    tags=("graph", "iterative"),
-)
-def graph_weighted_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clinical_api_etl_spark.operators.graph import bellman_ford_bounded
-
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    w0 = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .groupBy("o_custkey", "l_suppkey")
-        .agg(F.count(F.lit(1)).cast("long").alias("w"))
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-            "w",
-        )
-    )
-    edges = w0.union(
-        w0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    )
-    sources = (
-        load(spark, sf_dir, "supplier")
-        .filter(F.col("s_suppkey") < 8)
-        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
-    )
-    st = bellman_ford_bounded(edges, sources, iters=_BF_ITERS)
-    return st.select(
-        F.col("s").alias("source_node"), "node", F.col("dist").alias("cost")
-    )
-
-
-@QS.add(
-    "ml_conformal_interval",
-    """
-    WITH e AS (
-      SELECT event_type, event_id,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-             substr(md5(CAST(event_id AS VARCHAR)), 1, 1) AS h
-      FROM events WHERE value IS NOT NULL
-    ),
-    tr AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_train,
-                  CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-                    AS mu
-           FROM e WHERE h <= '7' GROUP BY event_type),
-    ca AS (
-      SELECT e.event_type, e.event_id,
-             ABS(CAST(e.cents AS DOUBLE) - tr.mu) AS resid
-      FROM e JOIN tr USING (event_type)
-      WHERE e.h >= '8' AND e.h <= 'b'
-    ),
-    car AS (
-      SELECT event_type, resid,
-             ROW_NUMBER() OVER (PARTITION BY event_type
-               ORDER BY resid, event_id) AS rn,
-             COUNT(*) OVER (PARTITION BY event_type) AS n_calib
-      FROM ca
-    ),
-    q AS (
-      SELECT event_type, CAST(MAX(n_calib) AS BIGINT) AS n_calib,
-             MAX(CASE WHEN rn = LEAST(
-                   (9 * (n_calib + 1) + 9) // 10, n_calib)
-                 THEN resid END) AS q_hat
-      FROM car GROUP BY event_type
-    ),
-    te AS (
-      SELECT e.event_type,
-             CAST(COUNT(*) AS BIGINT) AS n_test,
-             CAST(SUM(CASE WHEN ABS(CAST(e.cents AS DOUBLE) - tr.mu)
-                                <= q.q_hat THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_covered
-      FROM e JOIN tr USING (event_type) JOIN q USING (event_type)
-      WHERE e.h >= 'c' GROUP BY e.event_type
-    )
-    SELECT tr.event_type, tr.n_train, tr.mu, q.n_calib, q.q_hat,
-           te.n_test, te.n_covered,
-           CAST(te.n_covered AS DOUBLE) / CAST(te.n_test AS DOUBLE)
-             AS coverage
-    FROM tr JOIN q USING (event_type) JOIN te USING (event_type)
-    """,
-    doc="[EXT] split conformal prediction intervals (Vovk; Lei et al. "
-    "2018) — the distribution-free uncertainty wrapper every deployed "
-    "regressor needs: md5-deterministic 3-way split (train/calibrate/"
-    "test on the event_id hash — the engine's RNG-free convention), "
-    "per-type mean predictor fit on train, q_hat = the "
-    "ceil(0.9(n+1))-th order statistic of calibration |residuals| "
-    "(rank arithmetic in exact integers, (event_id)-tie-broken "
-    "selection of a bit-identical double), and held-out COVERAGE of "
-    "the interval mu ± q_hat — the finite-sample >=90% guarantee made "
-    "measurable. Residuals are single IEEE subtract/abs over exact "
-    "cents and the bit-identical mu; coverage is one division — every "
-    "column hash-gates. One scan + per-type windows over the "
-    "calibration slice.",
-    tags=("ml", "stats"),
-)
-def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
-    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    e = ev.select(
-        "event_type",
-        "event_id",
-        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
-            "cents"
-        ),
-        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).alias("h"),
-    ).persist()
-    tr = (
-        e.filter(F.col("h") <= "7")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_train"),
-            (
-                F.sum("cents").cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("mu"),
-        )
-    )
-    ca = (
-        e.filter((F.col("h") >= "8") & (F.col("h") <= "b"))
-        .join(F.broadcast(tr), "event_type")
-        .select(
-            "event_type",
-            "event_id",
-            F.abs(F.col("cents").cast("double") - F.col("mu")).alias("resid"),
-        )
-    )
-    wr = W.partitionBy("event_type").orderBy("resid", "event_id")
-    wn = W.partitionBy("event_type")
-    car = ca.select(
-        "event_type",
-        "resid",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n_calib"),
-    )
-    q = car.groupBy("event_type").agg(
-        F.max("n_calib").cast("long").alias("n_calib"),
-        F.max(
-            F.when(
-                F.col("rn")
-                == F.least(
-                    F.expr("(9 * (n_calib + 1) + 9) div 10"), F.col("n_calib")
-                ),
-                F.col("resid"),
-            )
-        ).alias("q_hat"),
-    )
-    te = (
-        e.filter(F.col("h") >= "c")
-        .join(F.broadcast(tr), "event_type")
-        .join(F.broadcast(q), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_test"),
-            F.sum(
-                F.when(
-                    F.abs(F.col("cents").cast("double") - F.col("mu"))
-                    <= F.col("q_hat"),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_covered"),
-        )
-    )
-    return (
-        tr.join(q, "event_type")
-        .join(te, "event_type")
-        .select(
-            "event_type",
-            "n_train",
-            "mu",
-            "n_calib",
-            "q_hat",
-            "n_test",
-            "n_covered",
-            (
-                F.col("n_covered").cast("double")
-                / F.col("n_test").cast("double")
-            ).alias("coverage"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Time-respecting reachability over the timestamped contact network.
-# ---------------------------------------------------------------------------
-
-_TR_ITERS = 4
-
-
-def _temporal_oracle() -> str:
-    """Unrolled full-relaxation twin of
-    operators/graph.py:temporal_earliest_arrival — each round admits an
-    edge only when its contact day is >= the current arrival at its
-    source. Every it{k} referenced twice -> MATERIALIZED."""
-    it = """
-    it{k} AS MATERIALIZED (
-      SELECT s, node, CAST(MIN(arr) AS BIGINT) AS arr FROM (
-        SELECT s, node, arr FROM it{p}
-        UNION ALL
-        SELECT r.s, e.dst AS node, e.t AS arr
-        FROM edges e JOIN it{p} r ON e.src = r.node AND e.t >= r.arr
-      ) u GROUP BY s, node
-    )"""
-    its = ",".join(it.format(k=k, p=k - 1) for k in range(1, _TR_ITERS + 1))
-    return f"""
-    WITH c0 AS MATERIALIZED (
-      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-             's' || CAST(l_suppkey AS VARCHAR) AS dst,
-             CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS t
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    ),
-    edges AS MATERIALIZED (
-      SELECT src, dst, t FROM c0 UNION ALL SELECT dst AS src, src AS dst, t FROM c0
-    ),
-    it0 AS MATERIALIZED (
-      SELECT 's' || CAST(s_suppkey AS VARCHAR) AS s,
-             's' || CAST(s_suppkey AS VARCHAR) AS node, CAST(0 AS BIGINT) AS arr
-      FROM supplier WHERE s_suppkey < 8
-    ),
-    {its}
-    SELECT s AS source_node, node, arr AS earliest_day FROM it{_TR_ITERS}
-    """
-
-
-@QS.add(
-    "graph_temporal_reachability",
-    _temporal_oracle(),
-    doc="[EXT] TIME-RESPECTING reachability (temporal-graph earliest "
-    "arrival) from the 8-supplier probe set over the timestamped "
-    "contact network (each customer-supplier order is a contact on its "
-    "order day, symmetrized): a path is valid only if contact days "
-    "never decrease along it — the contagion / information-flow "
-    "semantics static reachability OVERSTATES (it routes through "
-    "contacts that happened before the node was reached). "
-    f"{_TR_ITERS} relaxation rounds; arrivals exact BIGINT epoch days, "
-    "so the 22nd hash-gated iterative. Operator is improved-frontier "
-    "(an earlier arrival at u can unlock earlier paths THROUGH u, so "
-    "improved rows re-enter the join and state rows are replaced — "
-    "the SPFA discipline); the oracle runs plain full relaxation and "
-    "meets the same fixpoint: the hash gate IS the equivalence proof, "
-    "as with Bellman-Ford. operators/graph.py:temporal_earliest_arrival.",
-    headline=True,
-    tags=("graph", "iterative", "temporal"),
-)
-def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clinical_api_etl_spark.operators.graph import temporal_earliest_arrival
-
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate"
-    )
-    c0 = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-            F.expr("unix_millis(o_orderdate) div 86400000").alias("t"),
-        )
-        .distinct()
-    )
-    edges = c0.union(
-        c0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "t")
-    )
-    sources = (
-        load(spark, sf_dir, "supplier")
-        .filter(F.col("s_suppkey") < 8)
-        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
-    )
-    st = temporal_earliest_arrival(edges, sources, iters=_TR_ITERS)
-    return st.select(
-        F.col("s").alias("source_node"), "node", F.col("arr").alias("earliest_day")
-    )
-
-
-# ---------------------------------------------------------------------------
 # Lift / cumulative-gains deciles for the n_chars score (campaign-targeting
 # diagnostic for the same single-feature classifier ml_auc_nchars_lang
 # evaluates globally).

@@ -10,15 +10,15 @@ from __future__ import annotations
 
 from clinical_api_etl_spark.plans.base import QuerySet
 
-from . import _shared, evals, graphrank, retrieval, stats
+from . import _shared, communities, evals, graphrank, retrieval, stats
 
-for _mod in (retrieval, graphrank, evals, stats, _shared):
+for _mod in (retrieval, graphrank, communities, evals, stats, _shared):
     globals().update(
         {k: v for k, v in vars(_mod).items() if not k.startswith("__")}
     )
 
 QS = QuerySet()
-for _mod in (retrieval, graphrank, evals, stats):
+for _mod in (retrieval, graphrank, communities, evals, stats):
     for _name, _q in _mod.QS.queries.items():
         if _name in QS._queries:
             raise ValueError(f"duplicate query {_name!r} across ranking modules")

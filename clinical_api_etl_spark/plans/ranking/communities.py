@@ -1,0 +1,329 @@
+"""Louvain-style community detection (VERDICT r09 task 4). [EXT]
+
+The graph family had LPA (``graph_lpa_communities``) and the modularity
+METRIC (``graph_modularity_lpa``) but not the modularity-OPTIMIZING
+algorithm practitioners reach for. This module adds a deterministic
+Louvain: semi-synchronous best-ΔQ local moves (the Louvain phase-1 sweep,
+made order-free by moving one node-id PARITY class per round against the
+previous round's labels — fully synchronous moves let adjacent nodes swap
+communities forever; parity alternation is the standard deterministic
+fix) for a fixed number of rounds, then ONE graph contraction (communities → weighted
+super-nodes, the Louvain phase 2) and the same move rounds on the weighted
+super-graph, and finally a canonical relabel (community id = MIN original
+member node id — algorithm-independent, the SCC labeling rule).
+
+Why it hash-gates: the move objective is the exact Louvain ΔQ ordering
+with every float division multiplied through. Moving node i into
+community c (evaluated against the previous round's labels, i excluded
+from every community aggregate) improves Q by a constant plus
+
+    k_{i,c}/m − k_i·Σtot(c∖i)/(2m²)
+
+so argmax_c ΔQ == argmax_c [ 2m·k_{i,c} − k_i·Σtot(c∖i) ]  — an exact
+BIGINT score (k_{i,c} = weight from i into c, k_i = i's weighted degree,
+Σtot = community weighted-degree sum, m = total edge weight, constant
+across levels). Ties break on MIN community id; rounds are fixed; both
+engines replay the identical trajectory, so the final labels value-hash.
+Overflow guard: scores are bounded by 4m² — exact while m < 2^31 edges
+(this corpus: ~10^4; a 100-TB graph beyond that uses the round-15
+correctly-rounded-cast rule at the cost of >2^53 tie exactness).
+
+Scale posture: each round is one edges⋈labels equi-join + one grouped
+argmax over the (node, neighbor-community) histogram — LPA's plan shape
+plus one broadcast-sized community-degree table; the contraction is two
+equi-joins. No all-pairs, no driver-side state.
+
+Reference scope note: the reference (arthurmosley/clinical-api-etl) has
+no graph engine at all (etl-service/src/etl.py is a pandas row loop);
+this is [EXT] surface for the LLM-pipeline/graph family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clinical_api_etl_spark.plans.base import QuerySet
+
+from .graphrank import _LP_SUPPORT, _lp_graph
+
+QS = QuerySet()
+
+_LOUVAIN_ROUNDS = 4  # semi-synchronous move rounds per level (2 per parity)
+_LOUVAIN_LEVELS = 2  # local-move level + one contracted level
+
+
+# ---------------------------------------------------------------------------
+# Oracle: unrolled MATERIALIZED CTE chain (the k-core/LPA discipline —
+# DuckDB re-inlines multiply-referenced CTEs and a round chain re-expands
+# exponentially without MATERIALIZED).
+# ---------------------------------------------------------------------------
+
+
+def _move_round_ctes(tag: str, r: int, sym: str, deg: str, prev: str) -> list[str]:
+    """One semi-synchronous ΔQ move round: candidate histogram + pinned
+    argmax over the MOVER half (node % 2 == r % 2); the other half keeps
+    its previous label. Fully synchronous moves oscillate (two adjacent
+    nodes each grab the other's community and swap forever — the toy
+    two-triangle graph fragments); parity alternation is the standard
+    deterministic fix (semi-synchronous LPA, Cordasco-Gargano'10).
+
+    ``sym``: (u, v, w) both-direction weighted edges; ``deg``: (node, k)
+    weighted degrees; ``prev``: (node, lbl) previous labels. Emits
+    ``{tag}cand{r}``, ``{tag}cd{r}`` and ``{tag}l{r}``.
+    """
+    par = r % 2
+    return [
+        f"""{tag}cand{r} AS MATERIALIZED (
+          SELECT node, c, CAST(SUM(kin) AS BIGINT) AS kin FROM (
+            SELECT s.u AS node, p.lbl AS c, s.w AS kin
+            FROM {sym} s JOIN {prev} p ON s.v = p.node
+            UNION ALL
+            SELECT node, lbl AS c, 0 FROM {prev}
+          ) WHERE node % 2 = {par} GROUP BY node, c
+        )""",
+        f"""{tag}cd{r} AS MATERIALIZED (
+          SELECT p.lbl AS c, CAST(SUM(d.k) AS BIGINT) AS tot
+          FROM {prev} p JOIN {deg} d ON d.node = p.node GROUP BY p.lbl
+        )""",
+        f"""{tag}l{r} AS MATERIALIZED (
+          SELECT node, c AS lbl FROM (
+            SELECT t.node, t.c,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY t.node
+                     ORDER BY 2 * mm.m * t.kin
+                              - d.k * (cd.tot -
+                                  CASE WHEN t.c = p.lbl THEN d.k ELSE 0 END)
+                              DESC, t.c) AS rk
+            FROM {tag}cand{r} t
+            JOIN {deg} d ON d.node = t.node
+            JOIN {prev} p ON p.node = t.node
+            JOIN {tag}cd{r} cd ON cd.c = t.c
+            CROSS JOIN mm
+          ) WHERE rk = 1
+          UNION ALL
+          SELECT node, lbl FROM {prev} WHERE node % 2 <> {par}
+        )""",
+    ]
+
+
+def _louvain_oracle() -> str:
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey
+          HAVING COUNT(*) >= {_LP_SUPPORT}
+        )""",
+        "sym1 AS MATERIALIZED (SELECT u, v, CAST(1 AS BIGINT) AS w FROM e0"
+        " UNION ALL SELECT v AS u, u AS v, CAST(1 AS BIGINT) AS w FROM e0)",
+        """deg1 AS MATERIALIZED (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS k FROM (
+            SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+          GROUP BY node)""",
+        "mm AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0)",
+        "v1l0 AS MATERIALIZED (SELECT node, node AS lbl FROM deg1)",
+    ]
+    prev = "v1l0"
+    for r in range(1, _LOUVAIN_ROUNDS + 1):
+        ctes += _move_round_ctes("v1", r, "sym1", "deg1", prev)
+        prev = f"v1l{r}"
+    ctes += [
+        f"com1 AS MATERIALIZED (SELECT node, lbl FROM {prev})",
+        """ce AS MATERIALIZED (
+          SELECT a.lbl AS cu, b.lbl AS cv, CAST(COUNT(*) AS BIGINT) AS w
+          FROM e0 JOIN com1 a ON e0.u = a.node JOIN com1 b ON e0.v = b.node
+          GROUP BY a.lbl, b.lbl)""",
+        """inter AS MATERIALIZED (
+          SELECT LEAST(cu, cv) AS u, GREATEST(cu, cv) AS v,
+                 CAST(SUM(w) AS BIGINT) AS w
+          FROM ce WHERE cu <> cv GROUP BY 1, 2)""",
+        "sym2 AS MATERIALIZED (SELECT u, v, w FROM inter"
+        " UNION ALL SELECT v AS u, u AS v, w FROM inter)",
+        """deg2 AS MATERIALIZED (
+          SELECT c.lbl AS node, CAST(SUM(d.k) AS BIGINT) AS k
+          FROM com1 c JOIN deg1 d ON d.node = c.node GROUP BY c.lbl)""",
+        "v2l0 AS MATERIALIZED (SELECT node, node AS lbl FROM deg2)",
+    ]
+    prev = "v2l0"
+    for r in range(1, _LOUVAIN_ROUNDS + 1):
+        ctes += _move_round_ctes("v2", r, "sym2", "deg2", prev)
+        prev = f"v2l{r}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    assign AS MATERIALIZED (
+      SELECT c1.node AS node, c2.lbl AS g
+      FROM com1 c1 JOIN {prev} c2 ON c2.node = c1.lbl)
+    SELECT node,
+           CAST(MIN(node) OVER (PARTITION BY g) AS BIGINT) AS community
+    FROM assign
+    """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark builder.
+# ---------------------------------------------------------------------------
+
+
+def _move_rounds(
+    sym: DataFrame, deg: DataFrame, m_df: DataFrame, rounds: int
+) -> DataFrame:
+    """Run ``rounds`` synchronous ΔQ move rounds; returns (node, lbl).
+
+    ``sym``: (u, v, w) both-direction weighted edges. ``deg``: (node, k)
+    weighted degrees (covers every node, including ones isolated at this
+    level — the own-community candidate row keeps their label). ``m_df``:
+    single-row (m) total edge weight, broadcast into the score.
+    """
+    labels = deg.select("node", F.col("node").alias("lbl"))
+    for r in range(1, rounds + 1):
+        par = r % 2  # semi-synchronous parity: only node % 2 == par moves
+        cand = (
+            sym.join(
+                labels.select(F.col("node").alias("v"), F.col("lbl").alias("c")),
+                "v",
+            )
+            .select(F.col("u").alias("node"), "c", F.col("w").alias("kin"))
+            .unionByName(
+                labels.select(
+                    "node", F.col("lbl").alias("c"), F.lit(0).cast("long").alias("kin")
+                )
+            )
+            .filter((F.col("node") % 2) == par)
+            .groupBy("node", "c")
+            .agg(F.sum("kin").cast("long").alias("kin"))
+        )
+        comdeg = (
+            labels.join(deg, "node")
+            .groupBy(F.col("lbl").alias("c"))
+            .agg(F.sum("k").cast("long").alias("tot"))
+        )
+        scored = (
+            cand.join(deg, "node")
+            .join(labels.select("node", F.col("lbl").alias("own")), "node")
+            # comdeg is one row per community LABEL — O(|V|) in the first
+            # rounds, shrinking as communities coalesce. Deliberately NOT
+            # broadcast-hinted (the r08 rule: no SF-scaling broadcasts);
+            # AQE downgrades to broadcast when the label table is small.
+            .join(comdeg, "c")
+            .crossJoin(F.broadcast(m_df))
+            .select(
+                "node",
+                "c",
+                (
+                    F.lit(2) * F.col("m") * F.col("kin")
+                    - F.col("k")
+                    * (
+                        F.col("tot")
+                        - F.when(F.col("c") == F.col("own"), F.col("k")).otherwise(
+                            F.lit(0)
+                        )
+                    )
+                )
+                .cast("long")
+                .alias("score"),
+            )
+        )
+        # deterministic argmax: (score DESC, community ASC); the resting
+        # parity keeps its previous label. Each round's labels feed THREE
+        # branches of the next round (candidate join, community degrees,
+        # own-label join) — multiplicative lineage, so truncate the
+        # logical plan per round (lazy localCheckpoint; the k-core rule —
+        # without this the optimizer hangs on the 3^rounds plan expansion
+        # even at sf0.001).
+        labels = (
+            scored.groupBy("node")
+            .agg(F.min(F.struct((-F.col("score")).alias("ns"), F.col("c"))).alias("top"))
+            .select("node", F.col("top.c").alias("lbl"))
+            .unionByName(labels.filter((F.col("node") % 2) != par))
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+def louvain_labels(e0: DataFrame) -> DataFrame:
+    """Two-level deterministic Louvain over undirected unit-weight edges
+    ``e0`` (u < v, distinct): returns (node, community) with community =
+    MIN original member node id (canonical)."""
+    sym1 = e0.select("u", "v", F.lit(1).cast("long").alias("w")).unionByName(
+        e0.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), F.lit(1).cast("long").alias("w")
+        )
+    )
+    deg1 = (
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        .coalesce(8)
+        .persist()
+    )
+    m_df = e0.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    # level-round model tables are tiny but feed joins on BOTH sides of the
+    # next round — materialize per round via the shared persist of deg1 and
+    # let AQE size the label exchanges (labels are (node, lbl) longs).
+    com1 = _move_rounds(sym1, deg1, m_df, _LOUVAIN_ROUNDS).coalesce(8).persist()
+    # contraction: communities → weighted super-graph (self-loops stay in
+    # the super-node degree via the member-degree sum; they never enter
+    # k_{i,c}, exactly the Louvain convention)
+    ce = (
+        e0.join(com1.select(F.col("node").alias("u"), F.col("lbl").alias("cu")), "u")
+        .join(com1.select(F.col("node").alias("v"), F.col("lbl").alias("cv")), "v")
+        .groupBy("cu", "cv")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    inter = (
+        ce.filter(F.col("cu") != F.col("cv"))
+        .groupBy(
+            F.least("cu", "cv").alias("u"), F.greatest("cu", "cv").alias("v")
+        )
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    sym2 = inter.unionByName(
+        inter.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    deg2 = (
+        com1.join(deg1, "node")
+        .groupBy(F.col("lbl").alias("node"))
+        .agg(F.sum("k").cast("long").alias("k"))
+        .coalesce(8)
+        .persist()
+    )
+    com2 = _move_rounds(sym2, deg2, m_df, _LOUVAIN_ROUNDS)
+    # pair each node's level-1 label with its level-2 label, then relabel
+    # every final group to its minimum original member id (canonical)
+    assign = com1.join(
+        com2.select(F.col("node").alias("lbl"), F.col("lbl").alias("g")),
+        "lbl",
+    )
+    w = Window.partitionBy("g")
+    return assign.select(
+        "node", F.min("node").over(w).cast("long").alias("community")
+    )
+
+
+@QS.add(
+    "graph_louvain_communities",
+    _louvain_oracle(),
+    doc="[EXT] deterministic two-level Louvain over the co-purchase graph "
+    "(Blondel'08 made semi-synchronous): fixed rounds of best-ΔQ local "
+    "moves — one node-id parity class per round, so adjacent nodes can "
+    "never swap communities — with the exact integer score "
+    "2m·k_{i,c} − k_i·Σtot(c∖i) (ties → min community id), "
+    "one community contraction to a weighted super-graph, "
+    "the same rounds there, and a canonical min-member-id relabel — the "
+    "26th hash-gated iterative. Oracle = unrolled MATERIALIZED round "
+    "chain replaying the identical trajectory. Each round is LPA's plan "
+    "shape (edges⋈labels equi-join + grouped pinned argmax) plus a "
+    "broadcast community-degree table; the contraction is two equi-joins "
+    "— no all-pairs, no driver state, scores exact while m < 2^31.",
+    tags=("graph", "iterative"),
+    headline=True,
+)
+def graph_louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e0, _sym = _lp_graph(spark, sf_dir)
+    return louvain_labels(e0)

@@ -688,6 +688,10 @@ def retrieval_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _QL_MU = 300  # Dirichlet pseudo-count, integer so every term stays rational
+_QL_MAX_QTOKS = 32  # scored-query-token cap (DSIR rule): 32 terms of ~1e-4
+#                     bottom out near 1e-128 — far inside double range, so
+#                     the product fold can NEVER underflow to 0.0 and
+#                     degenerate the ranking to doc_id order (ADVICE r09)
 
 
 @QS.add(
@@ -700,8 +704,11 @@ _QL_MU = 300  # Dirichlet pseudo-count, integer so every term stays rational
            FROM tf GROUP BY doc_id),
     coll AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cf FROM tf GROUP BY tok),
     scal AS (SELECT CAST(SUM(c) AS BIGINT) AS ctot FROM tf),
-    q AS (SELECT doc_id AS q_id, tok FROM tf
-          WHERE doc_id < {_N_QUERY_DOCS}),
+    q AS (SELECT q_id, tok FROM (
+            SELECT doc_id AS q_id, tok,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tok) AS qrk
+            FROM tf WHERE doc_id < {_N_QUERY_DOCS})
+          WHERE qrk <= {_QL_MAX_QTOKS}),
     pairs AS (
       SELECT q.q_id, d.doc_id, q.tok
       FROM q CROSS JOIN dl d
@@ -735,9 +742,11 @@ _QL_MU = 300  # Dirichlet pseudo-count, integer so every term stays rational
     "BIGINTs — multiplied through by the collection length C, the "
     "numerator tf*C + mu*cf and denominator (dl+mu)*C are exact — and "
     "the per-doc likelihood is a tok-pinned-order float PRODUCT fold "
-    "(log-free: products pin exactly like sums; query-prefix bounded "
-    "like DSIR so the product cannot underflow double range at these "
-    "query lengths). Because unseen terms still contribute mass, the "
+    "(log-free: products pin exactly like sums; the scored query-token "
+    f"set is capped at the {_QL_MAX_QTOKS} lexicographically-smallest "
+    "distinct tokens per query — the DSIR rule, enforced on BOTH engine "
+    "sides — so the product is bounded away from double underflow by "
+    "construction). Because unseen terms still contribute mass, the "
     "candidate set is the full (bounded probe) x doclen grid — query "
     "side and smoothing tables are the join keys, never all-pairs over "
     "queries. Ties rank by doc_id.",
@@ -748,8 +757,12 @@ def retrieval_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = tf.groupBy("doc_id").agg(F.sum("c").cast("long").alias("dl"))
     coll = tf.groupBy("tok").agg(F.sum("c").cast("long").alias("cf"))
     scal = tf.agg(F.sum("c").cast("long").alias("ctot"))
-    q = tf.filter(F.col("doc_id") < _N_QUERY_DOCS).select(
-        F.col("doc_id").alias("q_id"), "tok"
+    wq = Window.partitionBy("doc_id").orderBy("tok")
+    q = (
+        tf.filter(F.col("doc_id") < _N_QUERY_DOCS)
+        .withColumn("qrk", F.row_number().over(wq))
+        .filter(F.col("qrk") <= _QL_MAX_QTOKS)
+        .select(F.col("doc_id").alias("q_id"), "tok")
     )
     pairs = (
         F.broadcast(q)

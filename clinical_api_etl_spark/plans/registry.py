@@ -28,11 +28,13 @@ def all_queries() -> dict[str, Query]:
         extensions,
         inference,
         mining,
+        mlmodels,
         mlprep,
         modeling,
         ranking,
         recursive,
         relational,
+        sketches,
         tpch_deep,
     )
 
@@ -48,6 +50,8 @@ def all_queries() -> dict[str, Query]:
         inference,
         ranking,
         modeling,
+        mlmodels,
+        sketches,
         recursive,
     ):
         for name, q in mod.QS.queries.items():

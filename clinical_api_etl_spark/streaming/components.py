@@ -12,7 +12,7 @@ labels incrementally under streaming edge INSERTS:
           label both endpoints from durable state        [equi-join]
           union-find over the batch's LABEL pairs        [driver, batch-bounded]
           remap merged labels + insert new nodes          [equi-join]
-          atomic state swap (tmp + rename, txn-set meta)  [exactly-once]
+          versioned dir + CURRENT-pointer rename publish  [exactly-once]
 
 Why this converges to the batch labeling bit-for-bit, in any arrival
 order: min-id labels under edge inserts form a join-semilattice — adding
@@ -27,10 +27,11 @@ the state join) with the parent-of-larger convention, exactly
 Scale posture: the only driver-side work is the batch's label-pair set;
 state updates are two equi-joins (remap is a tiny broadcastable table —
 bounded by labels TOUCHED this batch). Exactly-once: the state directory
-carries the applied-txn set in an underscore meta file INSIDE data/ (the
-IncrementalMV discipline — labels and the txn watermark publish in one
-rename, so a crash can never pair new labels with an old txn set and
-double-apply); replayed batches are consumed (persist+count — Spark 4
+carries the applied-txn set in an underscore meta file INSIDE each
+versioned data dir (the IncrementalMV discipline — labels and the txn
+watermark publish together via one CURRENT-pointer rename, so a crash can
+never pair new labels with an old txn set, and no crash point ever leaves
+the state absent); replayed batches are consumed (persist+count — Spark 4
 validates state-store commits) then dropped.
 """
 
@@ -58,34 +59,55 @@ class StreamingComponents:
         self.state = self.root / "labels"
 
     # -- state ------------------------------------------------------------
+    # Publish discipline (ADVICE r09): versioned data dirs + ONE pointer
+    # file. The old two-rename swap (dest→old, tmp→dest) had a crash
+    # window where the labels AND the applied-txn meta vanished entirely —
+    # snapshot() read None and the next batch silently rebuilt from only
+    # new edges. Now every state version lives in its own uuid-named dir
+    # and `CURRENT` names the live one; the single os.rename of the
+    # pointer is the only visible transition (the avro/IncrementalMV
+    # "rename winners before deleting" rule), and stale dirs are swept
+    # only AFTER the pointer moves.
 
     @property
-    def _meta_path(self) -> Path:
-        return self.state / "data" / "_cc_meta.json"
+    def _current_ptr(self) -> Path:
+        return self.state / "CURRENT"
+
+    def _data_dir(self) -> Path | None:
+        if not self._current_ptr.exists():
+            return None
+        d = self.state / self._current_ptr.read_text().strip()
+        return d if d.exists() else None
 
     def _applied(self) -> set[str]:
-        if not self._meta_path.exists():
+        d = self._data_dir()
+        if d is None:
             return set()
-        return set(json.loads(self._meta_path.read_text())["txns"])
+        return set(json.loads((d / "_cc_meta.json").read_text())["txns"])
 
     def snapshot(self) -> DataFrame | None:
         """Current (id, component) labels, or None before any edge."""
-        if not (self.state / "data").exists():
+        d = self._data_dir()
+        if d is None:
             return None
-        return self.spark.read.parquet(str(self.state / "data"))
+        return self.spark.read.parquet(str(d))
 
     def _write_state(self, df: DataFrame, txns: set[str]) -> None:
-        tmp = self.state / f"_tmp_{uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(str(tmp))
-        (tmp / "_cc_meta.json").write_text(json.dumps({"txns": sorted(txns)}))
-        dest = self.state / "data"
-        old = self.state / f"_old_{uuid.uuid4().hex}"
         self.state.mkdir(parents=True, exist_ok=True)
-        if dest.exists():
-            os.rename(dest, old)
-        os.rename(tmp, dest)  # atomic publish of labels + applied txns
-        if old.exists():
-            shutil.rmtree(old)
+        new = self.state / f"data_{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(str(new))
+        (new / "_cc_meta.json").write_text(json.dumps({"txns": sorted(txns)}))
+        # atomic publish: write the pointer beside its target, then ONE
+        # rename — readers see either the old version or the new, never
+        # an absent state
+        ptr_tmp = self.state / f"_ptr_{uuid.uuid4().hex}"
+        ptr_tmp.write_text(new.name)
+        os.rename(ptr_tmp, self._current_ptr)
+        for stale in self.state.glob("data_*"):
+            if stale.name != new.name:
+                shutil.rmtree(stale, ignore_errors=True)
+        for orphan in self.state.glob("_ptr_*"):
+            orphan.unlink(missing_ok=True)
 
     # -- per-batch merge ---------------------------------------------------
 

@@ -997,9 +997,53 @@ class TestMoodMedian:
             for side in ("a", "b"):
                 o = above[et] if side == "a" else n_g[et] - above[et]
                 cj = tot_above if side == "a" else n - tot_above
+                if cj == 0:  # degenerate margin -> chi2 is NULL (never NaN)
+                    chi2 = None
+                    break
                 d = float(o * n - n_g[et] * cj)
                 chi2 += d * d / float(n) / float(n_g[et]) / float(cj)
+            if chi2 is None:
+                break
         assert got.chi2 == chi2
+
+    def test_degenerate_margin_emits_null_both_engines(self, spark):
+        """ADVICE r09 (medium): when no pooled value exceeds the grand
+        median (max value carries >= half the mass — heavy top-ties, not
+        only all-identical input), tot_above = 0 and the side-'a' terms
+        were 0.0/0.0 = NaN. The CASE guard must emit chi2 = NULL on BOTH
+        engines; the exact components stay populated."""
+        import duckdb
+
+        from clinical_api_etl_spark.plans.inference import (
+            _mood_oracle,
+            mood_from_samples,
+        )
+
+        # two groups, max value (=7) carries 3/4 of the mass -> the walk's
+        # lower median is 7 itself, nothing is strictly above ->
+        # tot_above = 0, cj('a') = 0
+        samples = [("a", 1), ("a", 7), ("b", 7), ("b", 7)]
+        t = spark.createDataFrame(samples, "g string, x long")
+        got = mood_from_samples(t).collect()[0]
+        assert got.tot_above == 0 and got.n == 4
+        assert got.chi2 is None  # NULL, not NaN
+
+        vals = ", ".join(f"('{g}', {x})" for g, x in samples)
+        src = f"SELECT * FROM (VALUES {vals}) AS s(g, x)"
+        drow = duckdb.sql(_mood_oracle(src)).fetchone()
+        assert drow[2] == 0 and drow[3] is None  # tot_above, chi2
+
+        # non-degenerate control: both engines agree and chi2 is finite
+        samples2 = [("a", 1), ("a", 9), ("b", 3), ("b", 7), ("b", 8)]
+        t2 = spark.createDataFrame(samples2, "g string, x long")
+        got2 = mood_from_samples(t2).collect()[0]
+        spark.catalog.clearCache()
+        vals2 = ", ".join(f"('{g}', {x})" for g, x in samples2)
+        drow2 = duckdb.sql(
+            _mood_oracle(f"SELECT * FROM (VALUES {vals2}) AS s(g, x)")
+        ).fetchone()
+        assert (got2.grand_median_cents, got2.n, got2.tot_above) == drow2[:3]
+        assert got2.chi2 == drow2[3] and got2.chi2 == got2.chi2  # not NaN
 
 
 class TestJaccardSimilarity:

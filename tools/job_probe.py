@@ -59,10 +59,12 @@ def _install_action_counter() -> None:
         wrap(n)
     orig_lc = DataFrame.localCheckpoint
 
-    def lc(self, eager=True):
+    def lc(self, eager=True, *a, **k):
+        # signature-transparent: pass through Spark 4's storageLevel (and
+        # any future positional/keyword extras) unchanged (ADVICE r09)
         if eager:
             _ACTIONS["n"] += 1
-        return orig_lc(self, eager)
+        return orig_lc(self, eager, *a, **k)
 
     DataFrame.localCheckpoint = lc
 

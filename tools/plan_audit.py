@@ -57,6 +57,9 @@ ARROW_OK = {
     "emb_pq_gate",
     "ann_ivfpq_topk",
     "ann_ivfpq_gate",
+    # KLL partial-sketch build: per-(day, shard) Arrow kernel, the
+    # sketch-push row loop is O(rows) per partition (operators/kll.py)
+    "sketch_kll_quantiles",
 }
 #: Tables with fixed, tiny cardinality (TPC-H region=5, nation=25 rows at
 #: every SF) — a sort-merge join whose whole side derives from only these
