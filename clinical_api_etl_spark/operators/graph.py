@@ -897,9 +897,14 @@ def _weak_cc_labels(e: DataFrame) -> DataFrame:
     """(node, wcc) weak-component labels of a directed (src, dst) edge
     list; wcc = the component's minimum node id — which is therefore a
     valid FW-BW pivot AND the minimum of its own SCC. Scale-adaptive like
-    :func:`connected_components`: driver union-find (type-preserving — the
-    SCC node ids are strings) under ``DRIVER_CC_MAX_EDGES``, distributed
-    min-label loop above it."""
+    :func:`connected_components`: driver union-find (type-preserving —
+    long ids since the scc factorization, strings from direct callers)
+    under ``DRIVER_CC_MAX_EDGES``; above it, TWO pointer-jumping
+    min-propagation rounds followed by a driver union-find over the
+    CONTRACTED distinct cross-label pair set (exactness argued at the
+    contraction site below), with the full distributed fixpoint loop as
+    the fallback when even the contracted pair set exceeds the driver
+    bound."""
     if e.limit(DRIVER_CC_MAX_EDGES + 1).count() <= DRIVER_CC_MAX_EDGES:
         pdf = e.select("src", "dst").toPandas()
         parent: dict = {}
@@ -912,12 +917,23 @@ def _weak_cc_labels(e: DataFrame) -> DataFrame:
                 parent[x], x = root, parent[x]
             return root
 
-        for a, b in zip(pdf["src"], pdf["dst"]):
+        # .tolist() yields plain python ints/strs (numpy scalars would
+        # reach createDataFrame otherwise)
+        for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         rows = [(n, find(n)) for n in parent]
-        return e.sparkSession.createDataFrame(rows, "node string, wcc string")
+        from pyspark.sql.types import StructField, StructType
+
+        node_type = e.schema["src"].dataType  # type-preserving (long ids
+        # since the scc factorization; strings from any direct caller)
+        return e.sparkSession.createDataFrame(
+            rows,
+            StructType(
+                [StructField("node", node_type), StructField("wcc", node_type)]
+            ),
+        )
     sym = symmetrize(e).distinct().localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("node"))
@@ -925,18 +941,90 @@ def _weak_cc_labels(e: DataFrame) -> DataFrame:
         .withColumn("wcc", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    while True:
+
+    def _round(labels: DataFrame) -> DataFrame:
+        """One min-propagation round with POINTER JUMPING: fold in both
+        the neighbor minima and l(l(v)) — label values are node ids, so
+        one |V|-row self-join per round squares the distance a label
+        travels (O(log d) rounds instead of O(diameter)). Labels only
+        decrease; the fixpoint of min(self, neighbors, jump) is the same
+        component-min fixpoint plain min-propagation reaches."""
         nbr = sym.join(labels, sym["dst"] == labels["node"]).select(
             sym["src"].alias("node"), F.col("wcc")
         )
-        # lazy checkpoint: the changed-probe count is the materializing
-        # action (one blocking job per round instead of two)
-        new = (
+        jump = labels.alias("a").join(
+            labels.alias("b"), F.col("a.wcc") == F.col("b.node")
+        ).select(F.col("a.node").alias("node"), F.col("b.wcc").alias("wcc"))
+        return (
             labels.unionByName(nbr)
+            .unionByName(jump)
             .groupBy("node")
             .agg(F.min("wcc").alias("wcc"))
             .localCheckpoint(eager=False)
         )
+
+    # CONTRACT-THEN-FINISH (the streaming/components.py discipline, and
+    # the big cost cut): two bounded propagation rounds shrink the label
+    # set (each label = min over a 2-hop-plus-jump neighborhood), then
+    # the residual merging collapses to the DISTINCT cross-label pair
+    # set — typically orders of magnitude below |E| — which a driver
+    # union-find finishes exactly. Exactness: every partial label is
+    # >= its component's min node M, and M keeps label M, so the min
+    # representative of each label-graph component IS M; composing
+    # node -> partial -> root therefore reproduces the exact min-label
+    # fixpoint the full loop computes (hashes unchanged). Driver work is
+    # bounded by DRIVER_CC_MAX_EDGES; above it, fall back to looping the
+    # distributed round to fixpoint.
+    for _ in range(2):
+        labels = _round(labels)
+        labels.count()  # materialize the lazy checkpoint
+    pairs = (
+        sym.join(
+            labels.select(F.col("node").alias("src"), F.col("wcc").alias("la")),
+            "src",
+        )
+        .join(
+            labels.select(F.col("node").alias("dst"), F.col("wcc").alias("lb")),
+            "dst",
+        )
+        .filter(F.col("la") != F.col("lb"))
+        .select("la", "lb")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if pairs.limit(DRIVER_CC_MAX_EDGES + 1).count() <= DRIVER_CC_MAX_EDGES:
+        pdf = pairs.toPandas()
+        parent: dict = {}
+
+        def find2(x):
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(pdf["la"].tolist(), pdf["lb"].tolist()):
+            ra, rb = find2(a), find2(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = [(l, find2(l)) for l in parent if find2(l) != l]
+        from pyspark.sql.types import StructField, StructType
+
+        node_type = e.schema["src"].dataType
+        root_df = e.sparkSession.createDataFrame(
+            roots,
+            StructType(
+                [StructField("wcc", node_type), StructField("_root", node_type)]
+            ),
+        )
+        # plain join — AQE broadcasts when the merge map is small; the
+        # root map can approach DRIVER_CC_MAX_EDGES rows, so no hint
+        return labels.join(root_df, "wcc", "left").select(
+            "node", F.coalesce("_root", "wcc").alias("wcc")
+        )
+    while True:  # label-pair graph still too large — loop to fixpoint
+        new = _round(labels)
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "node")
@@ -1013,7 +1101,36 @@ def scc_components(
     scale-adaptive weak-CC fast path (same bound as
     ``connected_components``).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e_raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # ORDER-PRESERVING dense LONG ids for the hot loops: every level of
+    # every reach pass (and the weak-CC labeling) scans/joins the edge
+    # table ~20+ times, and the callers' node ids are strings ('c123') —
+    # long keys hash/compare several times faster and cache smaller. The
+    # mapping is rank-by-node-order (orderBy + zipWithIndex: distributed,
+    # deterministic — range partitions + per-partition offsets, no
+    # single-task sort), so min-nid == min-node EVERYWHERE the algorithm
+    # takes a MIN (trim singleton labels, weak-CC labels, pivot seeds,
+    # scc_id) and the final translation back restores the exact original
+    # labeling — values and hashes unchanged by construction.
+    nodes_raw = (
+        e_raw.select(F.col("src").alias("node"))
+        .unionByName(e_raw.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    node_type = nodes_raw.schema["node"].dataType
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    nid = edges.sparkSession.createDataFrame(
+        nodes_raw.orderBy("node").rdd.map(lambda r: r[0]).zipWithIndex(),
+        StructType(
+            [StructField("node", node_type), StructField("nid", LongType())]
+        ),
+    ).localCheckpoint(eager=True)
+    e = (
+        e_raw.join(nid.select(F.col("node").alias("src"), F.col("nid").alias("sid")), "src")
+        .join(nid.select(F.col("node").alias("dst"), F.col("nid").alias("did")), "dst")
+        .select(F.col("sid").alias("src"), F.col("did").alias("dst"))
+    )
     e_act = e.localCheckpoint(eager=True)
     active = (
         e_act.select(F.col("src").alias("node"))
@@ -1116,7 +1233,22 @@ def scc_components(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    # translate the long ids back to the caller's node values (both the
+    # member column and the min-id label — order preservation makes the
+    # translated labels identical to an all-string run)
+    return (
+        out.join(
+            nid.select(F.col("nid").alias("node"), F.col("node").alias("_n")),
+            "node",
+        )
+        .join(
+            nid.select(
+                F.col("nid").alias("scc_id"), F.col("node").alias("_s")
+            ),
+            "scc_id",
+        )
+        .select(F.col("_n").alias("node"), F.col("_s").alias("scc_id"))
+    )
 
 
 def temporal_earliest_arrival(
