@@ -147,6 +147,12 @@ GLOBAL_WINDOW_OK: set[str] = {
     # descending threshold walk over the n_chars VALUE HISTOGRAM
     # (the ml_roc_points/ml_auc_nchars_lang bounded-domain class).
     "ml_pr_curve_points",
+    # same class over the ridge classifier's SCORE histogram: the walk
+    # runs on |distinct scores| rows (250 on this corpus — scores are
+    # the bit-identical w·x chain over a 22-word vocabulary), never the
+    # holdout docs.
+    "ml_ridge_roc_points",
+    "ml_ridge_pr_points",
     # NTILE is a total-order construct by definition (§2.6 parity row);
     # the scale twin is f_percentile_approx's sketch path.
     "w17_ntile_value_deciles",

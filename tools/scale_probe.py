@@ -113,6 +113,14 @@ QUERIES = [
     "retrieval_query_likelihood",
     "retrieval_prf_expansion",
     "graph_jaccard_similarity_topk",
+    # round-10 (driver numbering): two-level Louvain (26th iterative —
+    # parity-alternating dQ moves over the co-purchase graph), the
+    # coordinate-descent ridge classifier (model size fixed; cost is the
+    # feature build + Gram aggregation), and the KLL sketch build (per-
+    # (day, shard) Arrow kernel + driver merge of O(k)-byte partials).
+    "graph_louvain_communities",
+    "ml_ridge_text_classifier",
+    "sketch_kll_quantiles",
 ]
 
 
