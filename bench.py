@@ -74,10 +74,17 @@ def main() -> None:
     except Exception:
         spark.range(1000).selectExpr("sum(id)").collect()
 
+    from clinical_api_etl_spark.functions import memo
+
     timings: dict[str, float] = {}
     for name, q in headline_queries().items():
         best, n = None, 0
         for _ in range(2):
+            # Timing honesty contract: shared-artifact memo entries (SCC
+            # labeling, ridge scores) are dropped before EVERY attempt so
+            # each recorded number is the standalone cold cost — the memo
+            # accelerates real sessions, never the benchmark.
+            memo.reset()
             t0 = time.perf_counter()
             df = q.builder(spark, sf_dir)
             n = df.count() if "limit" not in name else len(df.collect())
@@ -119,6 +126,11 @@ def main() -> None:
         for name, t in timings.items()
         if name in hist_min
     }
+    # VERDICT r10 task 7: per-query vs-all-time-minimum ratios as an array
+    # in the same registry-headline order as "q" (null = no history yet),
+    # so the driver/judge can spot real regressions without re-deriving
+    # the rotation analysis from bench_history.jsonl.
+    vs_min_arr = [vs_hist.get(name) for name in timings]
     ratios = sorted(vs_hist.values())
     median_ratio = ratios[len(ratios) // 2] if ratios else None
     # Line 1: full named contract record (for parsers that capture all of
@@ -146,11 +158,25 @@ def main() -> None:
             "n": len(timings),
             "order": "registry_headline",
             "q": [round(t, 2) for t in timings.values()],
+            "vs_min": vs_min_arr,
             "vs_history_median_ratio": median_ratio,
         },
         separators=(",", ":"),
     )
     if len(compact_line) > 1900:  # never let the parseability fix regress
+        compact_line = json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n": len(timings),
+                "q": [round(t, 2) for t in timings.values()],
+                "vs_history_median_ratio": median_ratio,
+            },
+            separators=(",", ":"),
+        )
+    if len(compact_line) > 1900:
         compact_line = json.dumps(
             {
                 "metric": "headline_queries_total_sec",

@@ -1055,12 +1055,40 @@ def scc_components(
     dst: str = "dst",
     max_rounds: int = 50,
 ) -> DataFrame:
-    """Strongly connected components of a DIRECTED edge list: (node,
-    scc_id) for every vertex, where ``scc_id`` is the MINIMUM vertex id
-    of the component — a canonical labeling independent of the algorithm,
-    which is what makes the result oracle-able (the DuckDB oracle derives
-    the identical labeling from a UNION-distinct recursive transitive
-    closure, which Spark 4 cannot declare — UNION ALL only).
+    """(node, scc_id) strongly-connected-component labels — the public
+    DataFrame face of :func:`scc_artifacts` (see there for the algorithm
+    and scale notes)."""
+    return scc_artifacts(edges, src=src, dst=dst, max_rounds=max_rounds)[
+        "labels"
+    ]
+
+
+def scc_artifacts(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> dict:
+    """Strongly connected components of a DIRECTED edge list, returned as
+    a dict of shared artifacts so the family of consumer queries
+    (components / condensation / layers / bow-tie) can run their
+    incremental passes on the SAME materialized internals instead of
+    re-deriving them (VERDICT r10 task 1):
+
+    - ``labels``   — (node, scc_id) in the caller's node type, where
+      ``scc_id`` is the MINIMUM vertex id of the component — a canonical
+      labeling independent of the algorithm, which is what makes the
+      result oracle-able (the DuckDB oracle derives the identical
+      labeling from a UNION-distinct recursive transitive closure, which
+      Spark 4 cannot declare — UNION ALL only).
+    - ``nid``      — (node, nid) the order-preserving dense LONG id map
+      (eagerly checkpointed); min-nid == min-node, so consumers can take
+      MINs on nids and translate at their output boundary.
+    - ``e``        — the full long-keyed (src, dst) edge list (eagerly
+      checkpointed) — consumers traverse/condense THIS, never re-joining
+      the string mapping per pass.
+    - ``labels_l`` — (node, scc_id) on LONG ids (eagerly checkpointed).
 
     Algorithm: FW-BW decomposition with recursive trimming (Fleischer/
     Hendrickson/Pinar 2000 — the standard parallel SCC):
@@ -1070,22 +1098,28 @@ def scc_components(
        would supply both). Each trim round is two distinct-projections +
        one anti-join; the fixpoint peels entire DAG tendrils (the IN/OUT
        sets of the web bowtie) in eccentricity-bounded rounds.
-    2. PIVOT, one per WEAK component in parallel: the first pivot round
-       seeds only the global minimum node (free; on the bowtie shape it
-       captures the giant SCC and trim finishes the rest). If more pivot
-       rounds are needed — K disjoint regions, e.g. graph shards — ONE
-       weak-CC labeling (:func:`_weak_cc_labels`, scale-adaptive) is
-       computed and every later round seeds the min active node of every
-       surviving label at once, so K regions decompose in O(1) extra
-       rounds instead of K (the labels stay valid: components only split
-       as SCCs are removed, and an SCC never spans weak components, so
-       each seed is the minimum of its own SCC). Forward and backward
-       reachable sets run as ONE tagged multi-source salted-frontier BFS
-       each (EDGE_SALT discipline both directions — the backward pass
-       runs on a src/dst-swapped salted table); per-pivot intersections
-       are exactly the pivots' SCCs, removed together. Removal preserves
-       every other SCC (an SCC's internal paths never leave it, so
-       membership never depends on removed nodes).
+    2. PIVOT, one per WEAK component in parallel, ALL components from
+       round 1 (VERDICT r10 task 1 — the lazy single-global-min first
+       round cost a whole extra reach pass whenever the graph had >1
+       weak component, e.g. shards or the 10x probe's copies): ONE
+       weak-CC labeling (:func:`_weak_cc_labels`, scale-adaptive —
+       driver union-find under the edge bound, else two pointer-jumping
+       rounds + contracted-pair union-find) is computed on the
+       POST-TRIM graph, and every pivot round seeds the min active node
+       of every surviving label at once, so K regions decompose in O(1)
+       rounds instead of K (the labels stay valid across rounds:
+       components only split as SCCs are removed, and an SCC never
+       spans weak components, so each seed is the minimum of its own
+       SCC). On a single-component graph this degrades to the old
+       global-min seeding plus the labeling cost — bounded, and far
+       below the reach pass it saves in the multi-component case.
+       Forward and backward reachable sets run as ONE tagged
+       multi-source salted-frontier BFS each (EDGE_SALT discipline both
+       directions — the backward pass runs on a src/dst-swapped salted
+       table); per-pivot intersections are exactly the pivots' SCCs,
+       removed together. Removal preserves every other SCC (an SCC's
+       internal paths never leave it, so membership never depends on
+       removed nodes).
     3. Repeat on the remainder.
 
     Outer rounds = max over weak components of (non-trivial SCCs in the
@@ -1131,7 +1165,8 @@ def scc_components(
         .join(nid.select(F.col("node").alias("dst"), F.col("nid").alias("did")), "dst")
         .select(F.col("sid").alias("src"), F.col("did").alias("dst"))
     )
-    e_act = e.localCheckpoint(eager=True)
+    e_full = e.localCheckpoint(eager=True)
+    e_act = e_full
     active = (
         e_act.select(F.col("src").alias("node"))
         .unionByName(e_act.select(F.col("dst").alias("node")))
@@ -1141,7 +1176,6 @@ def scc_components(
     active_count = active.count()
     parts: list[DataFrame] = []
     lab: DataFrame | None = None
-    pivot_rounds = 0
     for _ in range(max_rounds):
         # --- 1. trim to fixpoint. Each round is TWO blocking jobs (was
         # four): the keep-set is ONE fused aggregation — union both
@@ -1177,32 +1211,21 @@ def scc_components(
             e_act = _restrict_edges(e_act, keep)
         if active_count == 0:
             break
-        # --- 2. FW-BW, pivots in parallel across weak components.
-        # Round 1 uses the single global-min pivot (free; on the bowtie
-        # shape it captures the giant SCC and trim finishes the rest).
-        # Only if MORE pivot rounds are needed — disjoint regions, e.g.
-        # the 10x probe's copies or shards of a real graph — pay ONE
-        # weak-CC labeling and seed every remaining region at once; the
-        # labels stay valid (components only split as SCCs are removed,
-        # and an SCC never spans weak components), so later rounds just
-        # re-minimize per label over the surviving active set.
-        if lab is None and pivot_rounds > 0:
-            lab = _weak_cc_labels(e_act)
+        # --- 2. FW-BW, pivots in parallel across weak components, ALL
+        # components seeded from round 1 (one labeling, computed once on
+        # the post-trim graph; valid across rounds — components only
+        # split as SCCs are removed, and an SCC never spans weak
+        # components — so later rounds just re-minimize per label over
+        # the surviving active set).
         if lab is None:
-            seeds = (
-                active.agg(F.min("node").alias("p"))
-                .select("p", F.col("p").alias("node"))
-                .localCheckpoint(eager=True)
-            )
-        else:
-            seeds = (
-                active.join(lab, "node")
-                .groupBy("wcc")
-                .agg(F.min("node").alias("p"))
-                .select("p", F.col("p").alias("node"))
-                .localCheckpoint(eager=True)
-            )
-        pivot_rounds += 1
+            lab = _weak_cc_labels(e_act)
+        seeds = (
+            active.join(lab, "node")
+            .groupBy("wcc")
+            .agg(F.min("node").alias("p"))
+            .select("p", F.col("p").alias("node"))
+            .localCheckpoint(eager=True)
+        )
         es_f = _salted_edges(e_act, "src", "dst")
         es_b = _salted_edges(e_act, "dst", "src")
         fwd = _reach_fixpoint(es_f, seeds)
@@ -1233,11 +1256,12 @@ def scc_components(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    labels_l = out.localCheckpoint(eager=True)
     # translate the long ids back to the caller's node values (both the
     # member column and the min-id label — order preservation makes the
     # translated labels identical to an all-string run)
-    return (
-        out.join(
+    labels = (
+        labels_l.join(
             nid.select(F.col("nid").alias("node"), F.col("node").alias("_n")),
             "node",
         )
@@ -1249,6 +1273,7 @@ def scc_components(
         )
         .select(F.col("_n").alias("node"), F.col("_s").alias("scc_id"))
     )
+    return {"labels": labels, "labels_l": labels_l, "nid": nid, "e": e_full}
 
 
 def temporal_earliest_arrival(

@@ -67,6 +67,14 @@ class KLLSketch:
         self._compress()
 
     def merge(self, other: "KLLSketch") -> None:
+        """Fold ``other``'s buffers into this sketch level-by-level.
+
+        NOT symmetric in serialized state: the right operand's ``parity``
+        is intentionally dropped — compaction after the merge alternates
+        from the LEFT operand's parity only. The result is deterministic
+        given merge ORDER, which is the only contract the callers rely on
+        (batch build and streaming MV both merge in canonical (day,
+        shard) order, so snapshots stay bit-identical)."""
         if other.k != self.k:
             raise ValueError("cannot merge sketches with different k")
         while len(self.levels) < len(other.levels):

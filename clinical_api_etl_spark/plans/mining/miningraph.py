@@ -773,6 +773,61 @@ _DIRECTED_EDGES_SQL = """
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     )"""
 
+def _interaction_scc(spark: SparkSession, sf_dir: str) -> dict:
+    """Shared SCC artifact of the directed interaction graph (VERDICT r10
+    task 1): the edge derivation (lineitem⋈orders parity rule) and the
+    full FW-BW labeling run ONCE per session via the session memo; the
+    four consumer queries (components / condensation / layers / bow-tie)
+    each add only their incremental pass, on the artifact's LONG-keyed
+    internals, translating to the caller-facing string ids at their
+    output boundary. bench.py / scale_probe reset the memo per attempt,
+    so published numbers remain standalone cold costs."""
+    from clinical_api_etl_spark.functions.memo import session_memo
+    from clinical_api_etl_spark.operators.graph import scc_artifacts
+
+    def build() -> dict:
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        odd = F.col("o_orderkey") % 2 == 1
+        c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+        s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+        e0 = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .select(
+                F.when(odd, c).otherwise(s).alias("src"),
+                F.when(odd, s).otherwise(c).alias("dst"),
+            )
+            .distinct()
+        )
+        return scc_artifacts(e0)
+
+    return session_memo(spark, ("interaction_scc", sf_dir), build)
+
+
+def _condensed_edges_l(art: dict) -> DataFrame:
+    """Distinct long-keyed SCC→SCC condensation edges (a, b) off the
+    shared artifact — two equi-joins of the long label table onto the
+    long edge list (no string keys anywhere in the hot pass)."""
+    labels_l, e = art["labels_l"], art["e"]
+    la = labels_l.select(F.col("node").alias("src"), F.col("scc_id").alias("a"))
+    lb = labels_l.select(F.col("node").alias("dst"), F.col("scc_id").alias("b"))
+    return (
+        e.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def _scc_id_names(art: dict) -> DataFrame:
+    """(scc_id_long → scc_id string) translation for output boundaries."""
+    return art["nid"].select(
+        F.col("nid").alias("_l"), F.col("node").alias("scc_id")
+    )
+
+
 # The oracle leans on a DuckDB capability Spark 4 lacks: UNION-distinct
 # recursion, which terminates on CYCLIC graphs (Spark is UNION ALL only —
 # tests/test_recursive.py pins that limitation; a UNION ALL closure over a
@@ -831,22 +886,7 @@ _SCC_ORACLE = f"""
     headline=True,
 )
 def graph_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clinical_api_etl_spark.operators.graph import scc_components
-
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    odd = F.col("o_orderkey") % 2 == 1
-    c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-    e0 = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            F.when(odd, c).otherwise(s).alias("src"),
-            F.when(odd, s).otherwise(c).alias("dst"),
-        )
-        .distinct()
-    )
-    return scc_components(e0)
+    return _interaction_scc(spark, sf_dir)["labels"]
 
 
 @QS.add(
@@ -886,39 +926,14 @@ def graph_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "iterative"),
 )
 def graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clinical_api_etl_spark.operators.graph import scc_components
-
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    odd = F.col("o_orderkey") % 2 == 1
-    c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-    e0 = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            F.when(odd, c).otherwise(s).alias("src"),
-            F.when(odd, s).otherwise(c).alias("dst"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    labels = scc_components(e0).localCheckpoint(eager=True)
-    la = labels.select(F.col("node").alias("src"), F.col("scc_id").alias("a"))
-    lb = labels.select(F.col("node").alias("dst"), F.col("scc_id").alias("b"))
-    cond = (
-        e0.join(la, "src")
-        .join(lb, "dst")
-        .filter(F.col("a") != F.col("b"))
-        .select("a", "b")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    sizes = labels.groupBy("scc_id").agg(
+    art = _interaction_scc(spark, sf_dir)
+    cond = _condensed_edges_l(art)
+    sizes = art["labels_l"].groupBy("scc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
     od = cond.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
     ind = cond.groupBy("b").agg(F.count(F.lit(1)).alias("d"))
-    return (
+    out_l = (
         sizes.join(od, sizes["scc_id"] == od["a"], "left")
         .select("scc_id", "n_nodes", F.coalesce("d", F.lit(0)).cast("long").alias("out_deg"))
         .join(ind, F.col("scc_id") == ind["b"], "left")
@@ -928,6 +943,11 @@ def graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "out_deg",
             F.coalesce("d", F.lit(0)).cast("long").alias("in_deg"),
         )
+    )
+    return (
+        out_l.withColumnRenamed("scc_id", "_l")
+        .join(_scc_id_names(art), "_l")
+        .select("scc_id", "n_nodes", "out_deg", "in_deg")
     )
 
 
@@ -1209,38 +1229,20 @@ def ml_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "iterative"),
 )
 def graph_condensation_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clinical_api_etl_spark.operators.graph import dag_layers, scc_components
+    from clinical_api_etl_spark.operators.graph import dag_layers
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    odd = F.col("o_orderkey") % 2 == 1
-    c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-    e0 = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            F.when(odd, c).otherwise(s).alias("src"),
-            F.when(odd, s).otherwise(c).alias("dst"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    labels = scc_components(e0).localCheckpoint(eager=True)
-    la = labels.select(F.col("node").alias("src"), F.col("scc_id").alias("a"))
-    lb = labels.select(F.col("node").alias("dst"), F.col("scc_id").alias("b"))
-    rem_edges = (
-        e0.join(la, "src")
-        .join(lb, "dst")
-        .filter(F.col("a") != F.col("b"))
-        .select("a", "b")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    sizes = labels.groupBy("scc_id").agg(
+    art = _interaction_scc(spark, sf_dir)
+    rem_edges = _condensed_edges_l(art)
+    sizes = art["labels_l"].groupBy("scc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
-    out = dag_layers(labels.select("scc_id"), rem_edges)
-    return sizes.join(out, "scc_id").select("scc_id", "n_nodes", "layer")
+    out = dag_layers(art["labels_l"].select("scc_id"), rem_edges)
+    return (
+        sizes.join(out, "scc_id")
+        .withColumnRenamed("scc_id", "_l")
+        .join(_scc_id_names(art), "_l")
+        .select("scc_id", "n_nodes", "layer")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1290,38 +1292,31 @@ def graph_condensation_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "iterative"),
 )
 def graph_bowtie_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clinical_api_etl_spark.operators.graph import (
-        reachable_set,
-        scc_components,
-    )
+    from clinical_api_etl_spark.operators.graph import reachable_set
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    odd = F.col("o_orderkey") % 2 == 1
-    c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-    e0 = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            F.when(odd, c).otherwise(s).alias("src"),
-            F.when(odd, s).otherwise(c).alias("dst"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    labels = scc_components(e0).localCheckpoint(eager=True)
+    art = _interaction_scc(spark, sf_dir)
+    labels_l, e = art["labels_l"], art["e"]
+    # giant pick on STRING semantics: the canonical tie-break is
+    # (size DESC, string scc_id ASC), and with >1 equally-sized giants
+    # (the 10x probe's disjoint copies) the long-id ASC order differs
+    # from the string order ('c1086' < 'c16171' lexicographically but
+    # not numerically) — translate ids BEFORE the order-by.
     giant = (
-        labels.groupBy("scc_id")
+        labels_l.groupBy("scc_id")
         .agg(F.count(F.lit(1)).alias("c"))
+        .withColumnRenamed("scc_id", "_l")
+        .join(_scc_id_names(art), "_l")
         .orderBy(F.desc("c"), F.asc("scc_id"))
         .limit(1)
-        .select("scc_id")
+        .select(F.col("_l").alias("scc_id"))
     )
-    giant_nodes = labels.join(F.broadcast(giant), "scc_id").select("node")
-    fwd = reachable_set(e0, giant_nodes).select(
+    giant_nodes = labels_l.join(F.broadcast(giant), "scc_id").select("node")
+    # reach passes run on the artifact's LONG-keyed edge list (never the
+    # string ids) and translate once at the output boundary
+    fwd = reachable_set(e, giant_nodes).select(
         F.col("node"), F.lit(True).alias("in_fwd")
     )
-    rev = e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     bwd = reachable_set(rev, giant_nodes).select(
         F.col("node"), F.lit(True).alias("in_bwd")
     )
@@ -1330,7 +1325,7 @@ def graph_bowtie_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nodes on a real bow-tie) — equi-joins on node need no hint; only
     # the single-row giant id stays broadcast.
     return (
-        labels.crossJoin(F.broadcast(gid))
+        labels_l.crossJoin(F.broadcast(gid))
         .join(fwd, "node", "left")
         .join(bwd, "node", "left")
         .select(
@@ -1341,4 +1336,9 @@ def graph_bowtie_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("other"))
             .alias("region"),
         )
+        .withColumnRenamed("node", "_l")
+        .join(
+            art["nid"].select(F.col("nid").alias("_l"), "node"), "_l"
+        )
+        .select("node", "region")
     )

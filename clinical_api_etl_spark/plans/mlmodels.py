@@ -187,7 +187,22 @@ def _spark_update(i: int, acc, x):
 
 def _ridge_scored(spark: SparkSession, sf_dir: str):
     """Returns (scored, wrow, split) DataFrames: holdout (doc_id, y,
-    score), the single-row weight array, and (n_train, n_test) counts."""
+    score), the single-row weight array, and (n_train, n_test) counts.
+
+    Shared-artifact discipline (ADVICE r10): the three ridge queries all
+    consume these tiny tables, so the training pipeline (feature build,
+    Gram self-join, 4096-item Gauss-Seidel fold) runs ONCE per session
+    via the session memo; the results are eagerly checkpointed (holdout-
+    sized + two 1-row tables) and the corpus-sized docs/feat persists
+    are unpersisted before returning — no leaked cache blocks."""
+    from clinical_api_etl_spark.functions.memo import session_memo
+
+    return session_memo(
+        spark, ("ridge_scored", sf_dir), lambda: _ridge_scored_build(spark, sf_dir)
+    )
+
+
+def _ridge_scored_build(spark: SparkSession, sf_dir: str):
     d = _RIDGE_D
     docs = (
         load(spark, sf_dir, "documents")
@@ -306,6 +321,13 @@ def _ridge_scored(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("n_test"),
     )
+    # materialize the tiny results, THEN drop the corpus-sized persists:
+    # holdout scores (n_test rows), weights (1 row), split (1 row)
+    scored = scored.localCheckpoint(eager=True)
+    wrow = wrow.localCheckpoint(eager=True)
+    split = split.localCheckpoint(eager=True)
+    feat.unpersist(False)
+    docs.unpersist(False)
     return scored, wrow, split
 
 

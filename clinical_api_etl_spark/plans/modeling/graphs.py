@@ -383,11 +383,18 @@ def graph_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _betweenness_oracle() -> str:
+def _betweenness_oracle(
+    lvl0_sql: str | None = None, final_sql: str | None = None
+) -> str:
     """Forward unrolled frontier levels (as in _path_counts_oracle), then
     the backward dependency CTEs d{k}: each node's delta folds its
     successors' (sigma_v/sigma_w)(1+delta_w) in successor-id order —
-    the pinned-order float fold, applied level by level downward."""
+    the pinned-order float fold, applied level by level downward.
+
+    ``lvl0_sql`` overrides the seed-source CTE body (default: the fixed
+    8-supplier probe set); ``final_sql`` overrides the final SELECT over
+    the per-source union ``u`` (default: emit the per-source state) —
+    the sampled twin aggregates ``u`` instead."""
     fwd_step = """
     lvl{k} AS MATERIALIZED (
       SELECT c.s, c.node, CAST({k} AS BIGINT) AS dist, c.sigma FROM (
@@ -427,6 +434,16 @@ def _betweenness_oracle() -> str:
         f"JOIN d{k} d ON d.s = l.s AND d.node = l.node"
         for k in range(_SPC_ITERS + 1)
     )
+    if lvl0_sql is None:
+        lvl0_sql = """
+      SELECT 's' || CAST(s_suppkey AS VARCHAR) AS s,
+             's' || CAST(s_suppkey AS VARCHAR) AS node,
+             CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS sigma
+      FROM supplier WHERE s_suppkey < 8"""
+    if final_sql is None:
+        final_sql = (
+            "SELECT s AS source_node, node, dist, sigma, delta FROM ({u}) u"
+        )
     return f"""
     WITH e0 AS MATERIALIZED (
       SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
@@ -437,10 +454,7 @@ def _betweenness_oracle() -> str:
       SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
     ),
     lvl0 AS MATERIALIZED (
-      SELECT 's' || CAST(s_suppkey AS VARCHAR) AS s,
-             's' || CAST(s_suppkey AS VARCHAR) AS node,
-             CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS sigma
-      FROM supplier WHERE s_suppkey < 8
+      {lvl0_sql}
     ),
     set0 AS MATERIALIZED (SELECT s, node FROM lvl0),
     {fwd},
@@ -448,7 +462,7 @@ def _betweenness_oracle() -> str:
       SELECT s, node, CAST(0 AS DOUBLE) AS delta FROM lvl{_SPC_ITERS}
     ),
     {bwd}
-    SELECT s AS source_node, node, dist, sigma, delta FROM ({finals}) u
+    {final_sql.format(u=finals)}
     """
 
 
@@ -495,6 +509,86 @@ def graph_betweenness_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     dep = brandes_dependencies(edges, sources, iters=_SPC_ITERS)
     return dep.select(
         F.col("s").alias("source_node"), "node", "dist", "sigma", "delta"
+    )
+
+
+_BTW_SAMPLE_K = 4
+
+_BTW_SAMPLED_LVL0 = f"""
+      SELECT node AS s, node, CAST(0 AS BIGINT) AS dist,
+             CAST(1 AS BIGINT) AS sigma
+      FROM (
+        SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node FROM supplier
+        ORDER BY md5('s' || CAST(s_suppkey AS VARCHAR)), node
+        LIMIT {_BTW_SAMPLE_K}
+      )"""
+
+_BTW_SAMPLED_FINAL = """
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_src,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                    list(delta ORDER BY s)),
+                       (x, y) -> x + y) AS btw
+    FROM ({u}) u WHERE node <> s GROUP BY node"""
+
+
+@QS.add(
+    "graph_betweenness_sampled",
+    _betweenness_oracle(_BTW_SAMPLED_LVL0, _BTW_SAMPLED_FINAL),
+    doc="[EXT] SAMPLED Brandes betweenness (Brandes/Pich 2007 — the "
+    "100x-scale posture for centrality, VERDICT r10 task 6): sources "
+    f"are the {_BTW_SAMPLE_K} md5-lowest supplier nodes (the repo's "
+    "deterministic-sample convention — at a 1000-executor scale the "
+    "sample size is a knob, never the graph), each source's "
+    "contribution is the EXACT per-source Brandes computation (same "
+    "forward sigma + backward delta machinery as "
+    "graph_betweenness_probe), and the per-node estimate folds the "
+    "sampled deltas in pinned source order — bit-identical "
+    "cross-engine, so the estimator itself is hash-gated end to end "
+    "(n_src = sampled sources reaching the node, node <> source). "
+    "The exact 8-source probe stays as-is; this twin is the one that "
+    "survives 100x (cost scales with the SAMPLE, not the node count).",
+    headline=True,
+    tags=("graph", "iterative"),
+)
+def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.graph import (
+        brandes_dependencies,
+        symmetrize,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = symmetrize(e0)
+    sources = (
+        load(spark, sf_dir, "supplier")
+        .select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
+        )
+        .orderBy(F.md5(F.col("node")), F.col("node"))
+        .limit(_BTW_SAMPLE_K)
+    )
+    dep = brandes_dependencies(edges, sources, iters=_SPC_ITERS)
+    return (
+        dep.filter(F.col("node") != F.col("s"))
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_src"),
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("s"), F.col("delta")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["delta"],
+            ).alias("btw"),
+        )
     )
 
 

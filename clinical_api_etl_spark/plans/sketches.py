@@ -79,6 +79,13 @@ def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = kll_events_sketch_rows(spark, sf_dir)
     merged = kll_merge_rows(parts.collect())
     ests = [(q, merged.quantile(q, 10)) for q in _KLL_QS]
+    if any(v is None for _, v in ests):
+        # degenerate-but-valid input: zero non-null values -> the oracle
+        # still emits its 9 rows (n=0, rank_ok TRUE, the vacuous bound);
+        # mirror them instead of emitting 0 rows (ADVICE r10)
+        return spark.createDataFrame(
+            [(q, 0, True) for q in _KLL_QS], "q10 long, n long, rank_ok boolean"
+        )
     est_df = spark.createDataFrame(
         [(q, v) for q, v in ests], "q10 long, est long"
     )

@@ -162,7 +162,11 @@ class StreamingQuantiles:
         def sink(batch_df: DataFrame, batch_id: int) -> None:
             batch_df.persist()
             try:
-                if batch_df.isEmpty():
+                # count() fully consumes every partition (isEmpty stops at
+                # the first non-empty one — Spark 4 validates state-store
+                # commits, so a replayed/empty batch must still be drained;
+                # round-9 rule) and doubles as the emptiness probe.
+                if batch_df.count() == 0:
                     return
                 self._apply_batch(batch_df, f"kll-{stream_id}-{batch_id}")
             finally:
