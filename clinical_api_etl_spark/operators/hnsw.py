@@ -1,0 +1,221 @@
+"""Graph-structured ANN: a deterministic HNSW/NSW-style index. [EXT]
+
+The quantizer ladder (LSH / IVF / IVFPQ / SQ8 / 1-bit binary —
+``operators/similarity.py``, ``operators/pq.py``) lacked the
+industry-default GRAPH family (Malkov & Yashunin 2018, "HNSW"). This
+module adds a deterministic two-layer navigable small-world index:
+
+* **Layer assignment** — node v is promoted to layer 1 iff
+  ``md5(v)`` starts with a '0' hex char (geometric p = 1/16, the
+  repo's md5-determinism convention — no RNG state, identical on every
+  engine/executor). The ENTRY point is the md5-minimum layer-1 member
+  (falling back to the md5-minimum corpus node when the layer is empty
+  — tiny corpora).
+* **Layer-1 adjacency** — exact M-NN among the ~N/16 layer members
+  (pair join + per-node top-M window). These are HNSW's LONG-RANGE
+  navigation links; the layer is a 1/16 sample, so the pair scan is
+  N²/256 — and at true scale this layer recurses the same cell trick
+  as layer 0 (each layer is to the next what layer 0 is to layer 1).
+* **Layer-0 adjacency** — M-NN restricted to deterministic k-means
+  cells (``operators/clustering.kmeans_fit`` — the SemDeDup cost
+  bound: Σ|cell|² work, an equi-join on the cell id, never all-pairs).
+  These are the LOCAL links; cross-cell navigability comes from the
+  upper layer, exactly the HNSW division of labor.
+* **Search** — beam search with ALL queries advancing concurrently:
+  state is (query_id, node, cos_sim) bounded by Q × beam, each round
+  is one adjacency equi-join (the small beam side broadcasts — never
+  the corpus-sized adjacency, the r09 random-walks rule) + exact
+  cosine scoring + a per-query top-beam window; fixed round counts
+  per layer keep the trajectory deterministic. The final top-k
+  re-ranks everything the search VISITED — so reported similarities
+  are exact, recall is the only approximation (the ladder-wide
+  contract, gated by ``ann_hnsw_recall_gate``).
+
+Scale: the index is edge tables keyed by source node — at 100 TB it is
+a materialized table; search cost is rounds × beam × M per query,
+independent of corpus size. Reference scope note: the reference
+(arthurmosley/clinical-api-etl) has no ANN surface at all
+(etl-service/src/etl.py is a pandas validation loop); [EXT] per the
+brief's similarity-search clause.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from clinical_api_etl_spark.functions.vectors import as_double, dot, norm
+
+HNSW_M = 8  # out-degree per node per layer (pre-symmetrize)
+HNSW_BEAM = 16  # beam width during search
+HNSW_R1 = 2  # expansion rounds on layer 1
+HNSW_R0 = 4  # expansion rounds on layer 0
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    v = as_double(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias("nid"), v.alias("vec"), norm(v).alias("nrm")
+    )
+
+
+def _knn_edges(members: DataFrame, m: int, cell_key: str | None) -> DataFrame:
+    """Symmetrized M-NN edges among ``members`` (nid, vec, nrm [, cell]).
+
+    ``cell_key`` None → full pair scan (the bounded upper layer);
+    otherwise pairs are restricted to equal ``cell_key`` (the SemDeDup
+    equi-join bound). Ties break on neighbor id — deterministic."""
+    a = members.select(
+        F.col("nid").alias("id_a"),
+        F.col("vec").alias("v_a"),
+        F.col("nrm").alias("n_a"),
+        *([F.col(cell_key).alias("ck")] if cell_key else []),
+    )
+    b = members.select(
+        F.col("nid").alias("id_b"),
+        F.col("vec").alias("v_b"),
+        F.col("nrm").alias("n_b"),
+        *([F.col(cell_key).alias("ck")] if cell_key else []),
+    )
+    if cell_key:
+        pairs = a.join(b, "ck").filter(F.col("id_a") != F.col("id_b"))
+    else:
+        pairs = a.join(F.broadcast(b), F.col("id_a") != F.col("id_b"))
+    sim = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    w = W.partitionBy("id_a").orderBy(F.desc("sim"), F.asc("id_b"))
+    knn = (
+        pairs.select("id_a", "id_b", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= m)
+        .select("id_a", "id_b")
+    )
+    # bidirectional links (the HNSW convention): a→b implies b→a
+    return (
+        knn.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            knn.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+
+
+def hnsw_build(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = HNSW_M,
+    n_clusters: int = 8,
+) -> dict:
+    """Build the two-layer index; returns eagerly-materialized artifacts:
+    ``adj1``/``adj0`` (src, dst) edge tables, ``entry`` (1-row nid),
+    ``prep`` (nid, vec, nrm)."""
+    from clinical_api_etl_spark.operators.clustering import kmeans_fit
+
+    prep = (
+        _prep(corpus, id_col, vec_col)
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+    lvl1 = prep.filter(
+        F.substring(F.md5(F.col("nid").cast("string")), 1, 1) == "0"
+    )
+    # entry: md5-min of layer 1, md5-min of the corpus when layer 1 is
+    # empty (both deterministic; ties break on nid)
+    entry_pool = lvl1 if lvl1.limit(1).count() > 0 else prep
+    entry = (
+        entry_pool.select("nid")
+        .orderBy(F.md5(F.col("nid").cast("string")), F.col("nid"))
+        .limit(1)
+        .localCheckpoint(eager=True)
+    )
+    adj1 = _knn_edges(lvl1, m, None).localCheckpoint(eager=True)
+    assign, _cent = kmeans_fit(
+        corpus, id_col=id_col, vec_col=vec_col, k=n_clusters, iterations=3
+    )
+    members0 = prep.join(
+        assign.select(F.col("id").alias("nid"), "cluster"), "nid"
+    )
+    adj0 = _knn_edges(members0, m, "cluster").localCheckpoint(eager=True)
+    return {"adj1": adj1, "adj0": adj0, "entry": entry, "prep": prep}
+
+
+def hnsw_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = HNSW_M,
+    beam: int = HNSW_BEAM,
+    index: dict | None = None,
+) -> DataFrame:
+    """Approximate top-k via beam search over the navigable graph.
+
+    Output shape matches :func:`similarity.cosine_topk`:
+    (query_id, neighbor_id, cos_sim, rank) — similarities exact, the
+    candidate set approximate."""
+    idx = index if index is not None else hnsw_build(
+        corpus, id_col=id_col, vec_col=vec_col, m=m
+    )
+    prep, entry = idx["prep"], idx["entry"]
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q = q.select(
+        "query_id",
+        as_double(F.col("qv")).alias("q_vec"),
+        norm(as_double(F.col("qv"))).alias("q_nrm"),
+    ).localCheckpoint(eager=True)
+
+    def _score(cand: DataFrame) -> DataFrame:
+        """(query_id, node) → + exact cos_sim via one corpus join."""
+        sim = dot(F.col("q_vec"), F.col("vec")) / (F.col("q_nrm") * F.col("nrm"))
+        return (
+            prep.join(
+                F.broadcast(cand.select(F.col("node").alias("nid"), "query_id")),
+                "nid",
+            )
+            .join(F.broadcast(q), "query_id")
+            .select("query_id", F.col("nid").alias("node"), sim.alias("cos_sim"))
+        )
+
+    seed = q.select("query_id").crossJoin(
+        F.broadcast(entry.select(F.col("nid").alias("node")))
+    )
+    state = _score(seed).localCheckpoint(eager=True)  # beam ∪ visited seed
+    beam_df = state
+    topw = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("node"))
+    for adj, rounds in ((idx["adj1"], HNSW_R1), (idx["adj0"], HNSW_R0)):
+        for _ in range(rounds):
+            cand = (
+                adj.join(
+                    F.broadcast(
+                        beam_df.select(F.col("node").alias("src"), "query_id")
+                    ),
+                    "src",
+                )
+                .select("query_id", F.col("dst").alias("node"))
+                .distinct()
+                .join(
+                    state.select("query_id", "node"),
+                    ["query_id", "node"],
+                    "left_anti",
+                )
+            )
+            scored = _score(cand)
+            state = state.unionByName(scored).localCheckpoint(eager=False)
+            beam_df = (
+                state.withColumn("rn", F.row_number().over(topw))
+                .filter(F.col("rn") <= beam)
+                .drop("rn")
+                .localCheckpoint(eager=False)
+            )
+    return (
+        state.filter(F.col("query_id") != F.col("node"))
+        .select("query_id", F.col("node").alias("neighbor_id"), "cos_sim")
+        .withColumn("rank", F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+        ))
+        .filter(F.col("rank") <= k)
+    )

@@ -679,6 +679,130 @@ def png_decode_images(
     )
 
 
+def synth_image_planted(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """:func:`synth_image` with PLANTED near-duplicates for the image-dedup
+    family: docs with ``doc_id % 16 <= 1`` draw their pixels from the
+    BASE id (``doc_id - doc_id % 16``), and the ``% 16 == 1`` copy
+    perturbs pixel 0 by +8 (mod 256) — so every (16k, 16k+1) pair is a
+    perceptual near-duplicate (dHash Hamming ≤ 1) while all other images
+    are md5-random (expected Hamming ≈ 28 of 56). Fully engine-derivable,
+    so the dedup output value-hashes."""
+    bid = F.when(
+        F.col(id_col) % 16 <= 1, F.col(id_col) - F.col(id_col) % 16
+    ).otherwise(F.col(id_col))
+    hexes = [
+        F.md5(F.concat(F.lit(f"im{c}:"), bid.cast("string"))) for c in range(4)
+    ]
+    hx = F.concat(*hexes)
+    p0 = (F.conv(F.substring(hx, 1, 2), 16, 10).cast("long") + 8) % 256
+    hx_pert = F.concat(
+        F.lpad(F.lower(F.hex(p0)), 2, "0"), F.substring(hx, 3, 126)
+    )
+    return df.select(
+        F.col(id_col),
+        F.unhex(
+            F.when(F.col(id_col) % 16 == 1, hx_pert).otherwise(hx)
+        ).alias("image"),
+    )
+
+
+#: dHash banding for Hamming ≤ 4 over the 56-bit signature: 5 contiguous
+#: bands (pigeonhole-complete, the simhash_pairs argument).
+DHASH_BITS = 56
+DHASH_MAX_HAMMING = 4
+
+
+def image_dhash_pairs(
+    pixels: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    pixel_col: str = "pixels",
+    side: int = 8,
+    max_hamming: int = DHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Perceptual-hash image near-duplicates over DECODED grayscale
+    pixels: the dHash signature (Krawetz's difference hash — bit (r, c) =
+    1 iff px[r][c] < px[r][c+1], row-major, ``side·(side−1)`` bits packed
+    into one BIGINT), banded candidate generation (contiguous bit bands,
+    complete for Hamming ≤ ``max_hamming`` by pigeonhole — the
+    ``simhash_pairs`` machinery on a packed integer), exact
+    ``bit_count(xor)`` verify. Output (id_a, id_b, hamming).
+
+    Scale: signatures are one 64-bit column; the band self-join carries
+    (id, bucket) only; verification joins signatures back by id — the
+    SimHash cost shape, corpus never pairs all-vs-all."""
+    bits = side * (side - 1)
+    # pixel array as a named column (the no-HOF-CSE rule: element_at is
+    # referenced 2·bits times; the alias boundary materializes it once)
+    hxcol = F.hex(F.col(pixel_col))
+    pxa = F.transform(
+        F.sequence(F.lit(0), F.lit(side * side - 1)),
+        lambda i: F.conv(hxcol.substr(i * 2 + 1, F.lit(2)), 16, 10).cast(
+            "long"
+        ),
+    )
+    sigd = pixels.select(F.col(id_col).alias("doc_id"), pxa.alias("pxa"))
+    sig = None
+    for r in range(side):
+        for c in range(side - 1):
+            k = r * (side - 1) + c
+            term = F.when(
+                F.element_at(F.col("pxa"), r * side + c + 1)
+                < F.element_at(F.col("pxa"), r * side + c + 2),
+                F.lit(1 << k).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            sig = term if sig is None else sig + term
+    sh = (
+        sigd.select("doc_id", sig.alias("sig"))
+        .repartition(pixels.sparkSession.sparkContext.defaultParallelism)
+        .persist()
+    )
+    n_bands = max_hamming + 1
+    base, rem = divmod(bits, n_bands)
+    widths = [base + (1 if b < rem else 0) for b in range(n_bands)]
+    starts = [sum(widths[:b]) for b in range(n_bands)]
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sig"), starts[b])
+                .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                .alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sh.select("doc_id", F.explode(band_arr).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = buckets.select(F.col("doc_id").alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col("doc_id").alias("id_b"), "band", "bucket")
+    candidates = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .repartition(
+            pixels.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(
+        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    ).cast("long")
+    return (
+        candidates.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def resize_gray8(
     df: DataFrame,
     *,

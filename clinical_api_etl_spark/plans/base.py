@@ -55,6 +55,18 @@ class QuerySet:
         def deco(fn: Builder) -> Builder:
             if name in self._queries:
                 raise ValueError(f"duplicate query name {name!r}")
+            # Guard against helper-between-decorator-and-def slips: a
+            # helper inserted between @QS.add(...) and the builder def
+            # silently registers the WRONG function (bit twice in round
+            # 18 — _condensed_edges_l and _louvain_shared both got
+            # registered as query builders). Builders are named after
+            # their query by convention, so enforce it at import time.
+            if fn.__name__ != name:
+                raise ValueError(
+                    f"query {name!r} decorates function {fn.__name__!r} — "
+                    "a helper def likely slipped between @QS.add and the "
+                    "builder"
+                )
             self._queries[name] = Query(
                 name=name,
                 builder=fn,

@@ -312,6 +312,54 @@ def ann_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @QS.add(
+    "ann_hnsw_topk",
+    None,  # graph-search recall < 1 by design → rows-only; gated below.
+    doc="[EXT] graph-structured ANN (deterministic two-layer HNSW/NSW, "
+    "operators/hnsw.py — the quantizer ladder's missing industry-default "
+    "family, VERDICT r10 task 2): md5-geometric layer promotion "
+    "(p=1/16), exact M-NN long-range links on the sampled upper layer, "
+    "k-means-cell-restricted M-NN local links on layer 0 (the SemDeDup "
+    "equi-join bound — no all-pairs), md5-min entry point, and "
+    "fixed-round beam search (beam 12; 2 upper + 3 base rounds) with "
+    "every query advancing concurrently — the beam side broadcasts, "
+    "never the corpus-sized adjacency. Reported similarities are exact "
+    "(full re-rank of visited nodes); recall is the only approximation.",
+    headline=True,
+    tags=("similarity", "approx"),
+)
+def ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.hnsw import hnsw_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return hnsw_topk(queries, emb, k=5).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+@QS.add(
+    "ann_hnsw_recall_gate",
+    "SELECT CAST(50 AS BIGINT) AS n_exact, 0.8 AS recall_floor, TRUE AS met",
+    doc="[EXT] hash-checked recall floor for ann_hnsw_topk: recall vs the "
+    "exact brute-force top-k must stay >= 0.8 (the index build and beam "
+    "trajectory are fully deterministic, so the gate is stable; "
+    "tools/measure_recalls.py records the per-round measurements). "
+    "Converts the approximate query's rows-only status into a "
+    "driver-enforced invariant — the ann_lsh_recall_gate pattern.",
+    tags=("similarity", "approx", "gate"),
+)
+def ann_hnsw_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.hnsw import hnsw_topk
+    from clinical_api_etl_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return _recall_gate(
+        hnsw_topk(queries, emb, k=5), cosine_topk(queries, emb, k=5), 0.8
+    )
+
+
+@QS.add(
     "dedup_semantic_pairs",
     None,
     doc="[EXT] SemDeDup (Abbas et al. 2023): near-dup pairs restricted to "
@@ -577,6 +625,76 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("cnt"),
         F.sum("v").cast("long").alias("px_sum"),
     )
+
+
+@QS.add(
+    "dedup_image_phash",
+    f"""
+    WITH img AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 16 <= 1 THEN doc_id - (doc_id % 16)
+                  ELSE doc_id END AS bid,
+             doc_id % 16 = 1 AS pert
+      FROM documents
+    ),
+    hx AS (
+      SELECT doc_id, pert,
+             md5('im0:' || CAST(bid AS VARCHAR)) ||
+             md5('im1:' || CAST(bid AS VARCHAR)) ||
+             md5('im2:' || CAST(bid AS VARCHAR)) ||
+             md5('im3:' || CAST(bid AS VARCHAR)) AS hx
+      FROM img
+    ),
+    px AS (
+      SELECT doc_id, i,
+             CASE WHEN i = 0 AND pert
+                  THEN (CAST('0x' || substr(hx, 1, 2) AS BIGINT) + 8) % 256
+                  ELSE CAST('0x' || substr(hx, CAST(i * 2 + 1 AS INTEGER), 2)
+                       AS BIGINT) END AS v
+      FROM hx, range(64) t(i)
+    ),
+    sig AS (
+      SELECT a.doc_id,
+             CAST(COALESCE(SUM(
+               CASE WHEN a.v < b.v
+                    THEN CAST(1 AS BIGINT) << CAST((a.i // 8) * 7 + (a.i % 8)
+                                                   AS INTEGER)
+                    ELSE 0 END), 0) AS BIGINT) AS sig
+      FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      WHERE a.i % 8 < 7
+      GROUP BY a.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 4
+    """,
+    doc="[EXT] cross-modal dedup: perceptual-hash (dHash) image "
+    "near-duplicates, fully value-hash-gated through the REAL stdlib "
+    "PNG codec (VERDICT r10 task 3). synth_image_planted plants a "
+    "perturbed near-copy on every (16k, 16k+1) doc pair (pixel 0 +8 mod "
+    "256; all other images md5-random at expected Hamming ~28/56); the "
+    "Spark side PNG-encodes, PNG-decodes (zlib + all-five-filters "
+    "unfilter), packs the 56-bit row-major difference hash into one "
+    "BIGINT, generates candidates from 5 contiguous bit bands "
+    "(pigeonhole-complete for Hamming ≤ 4 — the simhash machinery on a "
+    "packed integer) and verifies with bit_count(xor). The oracle "
+    "re-derives pixels straight from the md5 bytes and brute-forces the "
+    "pair scan — any codec or banding defect breaks the hash.",
+    tags=("multimodal", "dedup", "udf"),
+    headline=True,
+)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clinical_api_etl_spark.operators.multimodal import (
+        image_dhash_pairs,
+        png_decode_images,
+        png_encode_images,
+        synth_image_planted,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    px = png_decode_images(png_encode_images(synth_image_planted(docs)))
+    return image_dhash_pairs(px)
 
 
 @QS.add(

@@ -56,6 +56,15 @@ def main():
     r = topk_recall(ivf_topk(queries, emb, k=5, n_clusters=8, n_probe=2), exact5)
     print(f"ann_ivf           recall={r:.3f}  floor=0.75")
 
+    from clinical_api_etl_spark.operators.hnsw import hnsw_topk
+
+    # measured 0.88/0.98/0.88 at sf0.001/0.01/0.1 on 2026-08-16 with
+    # M=8, beam=16, rounds 2+4 (M=6/beam=12/rounds 2+3 measured
+    # 0.84/0.86/0.82 — too thin over the 0.8 floor; widened per the
+    # corpus-proportional-depth lesson)
+    r = topk_recall(hnsw_topk(queries, emb, k=5), exact5)
+    print(f"ann_hnsw          recall={r:.3f}  floor=0.8")
+
     from clinical_api_etl_spark.plans.extensions import ann_ivfpq_topk
 
     r = topk_recall(

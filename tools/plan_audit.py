@@ -60,6 +60,9 @@ ARROW_OK = {
     # KLL partial-sketch build: per-(day, shard) Arrow kernel, the
     # sketch-push row loop is O(rows) per partition (operators/kll.py)
     "sketch_kll_quantiles",
+    # dHash image dedup: the PNG encode/decode Arrow kernels (the
+    # mm_decode_features codec path); signatures/banding stay JVM-side
+    "dedup_image_phash",
 }
 #: Tables with fixed, tiny cardinality (TPC-H region=5, nation=25 rows at
 #: every SF) — a sort-merge join whose whole side derives from only these
