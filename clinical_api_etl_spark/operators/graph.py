@@ -69,8 +69,16 @@ def symmetrize(e0: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
 EDGE_SALT = 8
 
 
-def _salted_edges(edges: DataFrame, src: str, dst: str, extra: tuple = ()) -> DataFrame:
-    """(src, dst, extra..., _slt) repartitioned on (src, _slt) + persisted."""
+def _salted_edges(
+    edges: DataFrame, src: str, dst: str, extra: tuple = (), parts: int | None = None
+) -> DataFrame:
+    """(src, dst, extra..., _slt) repartitioned on (src, _slt) + persisted.
+
+    ``parts`` overrides the pinned partition count (default: full
+    parallelism). Probe-bounded callers (the sampled-Brandes twin) pass
+    a small count: with per-source state in the tens of thousands of
+    rows, 32-task stages are pure scheduler overhead — the per-level
+    join cost is fixed latency, not compute."""
     sel = [F.col(src).alias("src"), F.col(dst).alias("dst"), *extra]
     return (
         edges.select(*sel)
@@ -78,7 +86,9 @@ def _salted_edges(edges: DataFrame, src: str, dst: str, extra: tuple = ()) -> Da
             "_slt", F.pmod(F.xxhash64(F.col("dst")), F.lit(EDGE_SALT)).cast("int")
         )
         .repartition(
-            edges.sparkSession.sparkContext.defaultParallelism, "src", "_slt"
+            parts or edges.sparkSession.sparkContext.defaultParallelism,
+            "src",
+            "_slt",
         )
         .persist()
     )
@@ -702,6 +712,7 @@ def brandes_dependencies(
     iters: int = 4,
     src: str = "src",
     dst: str = "dst",
+    parts: int | None = None,
 ) -> DataFrame:
     """Brandes dependency accumulation (the backward half of betweenness
     centrality) over the ``iters``-bounded shortest-path DAG: for every
@@ -732,7 +743,7 @@ def brandes_dependencies(
     # repartitioned + persisted table feeds the forward frontier joins,
     # then gets column-aliased for the backward successor joins (a select
     # on a persisted frame keeps the cache AND the partitioning).
-    e_fwd = _salted_edges(edges, src, dst)
+    e_fwd = _salted_edges(edges, src, dst, parts=parts)
     _, levels = _bfs_path_counts_with_levels(
         edges, sources, iters=iters, src=src, dst=dst, _prepared_e=e_fwd
     )
@@ -893,7 +904,9 @@ def _reach_fixpoint(es: DataFrame, seeds: DataFrame) -> DataFrame:
         frontier = nxt
 
 
-def _weak_cc_labels(e: DataFrame) -> DataFrame:
+def _weak_cc_labels(
+    e: DataFrame, driver_max_edges: int = DRIVER_CC_MAX_EDGES
+) -> DataFrame:
     """(node, wcc) weak-component labels of a directed (src, dst) edge
     list; wcc = the component's minimum node id — which is therefore a
     valid FW-BW pivot AND the minimum of its own SCC. Scale-adaptive like
@@ -905,7 +918,9 @@ def _weak_cc_labels(e: DataFrame) -> DataFrame:
     contraction site below), with the full distributed fixpoint loop as
     the fallback when even the contracted pair set exceeds the driver
     bound."""
-    if e.limit(DRIVER_CC_MAX_EDGES + 1).count() <= DRIVER_CC_MAX_EDGES:
+    if e.limit(driver_max_edges + 1).count() <= driver_max_edges:
+        import pandas as pd
+
         pdf = e.select("src", "dst").toPandas()
         parent: dict = {}
 
@@ -923,13 +938,17 @@ def _weak_cc_labels(e: DataFrame) -> DataFrame:
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-        rows = [(n, find(n)) for n in parent]
         from pyspark.sql.types import StructField, StructType
 
         node_type = e.schema["src"].dataType  # type-preserving (long ids
         # since the scc factorization; strings from any direct caller)
+        # pandas frame -> Arrow createDataFrame (a plain tuple list pays
+        # per-row driver serialization — measurable at |V| ~ 10^5+)
+        out = pd.DataFrame(
+            {"node": list(parent), "wcc": [find(v) for v in parent]}
+        )
         return e.sparkSession.createDataFrame(
-            rows,
+            out,
             StructType(
                 [StructField("node", node_type), StructField("wcc", node_type)]
             ),
@@ -1218,7 +1237,12 @@ def scc_artifacts(
         # components — so later rounds just re-minimize per label over
         # the surviving active set).
         if lab is None:
-            lab = _weak_cc_labels(e_act)
+            # 4x the generic driver bound for THIS call: the labeling is
+            # collected once per scc run (2 longs/row ≈ 64 MB at the cap)
+            # and the distributed fallback's pointer-jump rounds would
+            # cost more than one saved reach pass at mid scales; beyond
+            # the cap the contract-then-finish fallback still applies
+            lab = _weak_cc_labels(e_act, driver_max_edges=4 * DRIVER_CC_MAX_EDGES)
         seeds = (
             active.join(lab, "node")
             .groupBy("wcc")
@@ -1256,7 +1280,10 @@ def scc_artifacts(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    labels_l = out.localCheckpoint(eager=True)
+    # lazy checkpoint: the first consumer action materializes it once
+    # (an eager checkpoint here would be an extra blocking job on the
+    # scc_components path, which immediately re-traverses it anyway)
+    labels_l = out.localCheckpoint(eager=False)
     # translate the long ids back to the caller's node values (both the
     # member column and the min-id label — order preservation makes the
     # translated labels identical to an all-string run)

@@ -575,7 +575,9 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.md5(F.col("node")), F.col("node"))
         .limit(_BTW_SAMPLE_K)
     )
-    dep = brandes_dependencies(edges, sources, iters=_SPC_ITERS)
+    # parts=8: the 4-source probe state is tens of thousands of rows —
+    # full-parallelism stages are pure scheduler overhead at that size
+    dep = brandes_dependencies(edges, sources, iters=_SPC_ITERS, parts=8)
     return (
         dep.filter(F.col("node") != F.col("s"))
         .groupBy("node")

@@ -121,6 +121,17 @@ QUERIES = [
     "graph_louvain_communities",
     "ml_ridge_text_classifier",
     "sketch_kll_quantiles",
+    # round-11 (driver numbering): sampled Brandes (cost scales with the
+    # source sample, not |V| — expect ~flat), AR(2) Yule-Walker (daily
+    # pre-aggregate + 2x2 closed solve), Leiden refinement (CC over
+    # intra-community edges), HNSW graph ANN (search cost independent of
+    # corpus size; build is cell-bounded), dHash image dedup (banded
+    # candidates — output-bound on the planted-pair count).
+    "graph_betweenness_sampled",
+    "ts_ar2_yule_walker",
+    "graph_leiden_refine",
+    "ann_hnsw_topk",
+    "dedup_image_phash",
 ]
 
 
