@@ -3,24 +3,23 @@
 The quantizer ladder (LSH / IVF / IVFPQ / SQ8 / 1-bit binary —
 ``operators/similarity.py``, ``operators/pq.py``) lacked the
 industry-default GRAPH family (Malkov & Yashunin 2018, "HNSW"). This
-module adds a deterministic two-layer navigable small-world index:
+module adds a deterministic three-layer navigable small-world index:
 
-* **Layer assignment** — node v is promoted to layer 1 iff
-  ``md5(v)`` starts with a '0' hex char (geometric p = 1/16, the
-  repo's md5-determinism convention — no RNG state, identical on every
-  engine/executor). The ENTRY point is the md5-minimum layer-1 member
-  (falling back to the md5-minimum corpus node when the layer is empty
-  — tiny corpora).
-* **Layer-1 adjacency** — exact M-NN among the ~N/16 layer members
-  (pair join + per-node top-M window). These are HNSW's LONG-RANGE
-  navigation links; the layer is a 1/16 sample, so the pair scan is
-  N²/256 — and at true scale this layer recurses the same cell trick
-  as layer 0 (each layer is to the next what layer 0 is to layer 1).
-* **Layer-0 adjacency** — M-NN restricted to deterministic k-means
-  cells (``operators/clustering.kmeans_fit`` — the SemDeDup cost
-  bound: Σ|cell|² work, an equi-join on the cell id, never all-pairs).
-  These are the LOCAL links; cross-cell navigability comes from the
-  upper layer, exactly the HNSW division of labor.
+* **Layer assignment** — node v is promoted to layer 1 iff ``md5(v)``
+  starts with '0', to layer 2 iff it starts with '00' (geometric
+  p = 1/16 per level, the repo's md5-determinism convention — no RNG
+  state, identical on every engine/executor). The ENTRY point is the
+  md5-minimum member of the topmost non-empty layer.
+* **Per-layer adjacency** — M-NN links. A layer with ≤ BRUTE_MAX
+  members gets the exact pair scan; larger layers restrict pairs to
+  deterministic LSH sign-bit cells sized for ~CELL_TARGET members —
+  cell COUNT scales with the layer, cell SIZE stays constant, so every
+  layer's pair scan is layer-linear (the round-14 fixed-parameter-decay
+  lesson: the first cut used k=8 k-means cells, whose size grew
+  linearly and made the 10x build quadratic). Upper layers carry the
+  LONG-RANGE navigation links, layer 0 the LOCAL ones — the HNSW
+  division of labor; corpora past ~10^6 vectors add layers (each layer
+  is to the next what layer 0 is to layer 1).
 * **Search** — beam search with ALL queries advancing concurrently:
   state is (query_id, node, cos_sim) bounded by Q × beam, each round
   is one adjacency equi-join (the small beam side broadcasts — never
@@ -100,45 +99,75 @@ def _knn_edges(members: DataFrame, m: int, cell_key: str | None) -> DataFrame:
     )
 
 
+#: A layer with at most this many members gets exact brute-force M-NN
+#: links; larger layers are cell-restricted (corpus-proportional LSH
+#: sign-bit buckets targeting ~CELL_TARGET members per cell, so the
+#: per-layer pair scan is N·CELL_TARGET — corpus-linear). The TOP layer
+#: is 1/256-sampled, so the brute bound covers corpora to ~10^6 vectors;
+#: beyond that, add layers (the HNSW log-layer recursion — each layer is
+#: to the next what layer 0 is to layer 1).
+BRUTE_MAX = 4096
+CELL_TARGET = 64
+
+
+def _layer_adj(members: DataFrame, n_members: int, m: int, dim: int) -> DataFrame:
+    """M-NN adjacency for one layer: brute force when bounded, else
+    restricted to deterministic LSH sign-bit cells sized for
+    ~CELL_TARGET members (the fixed-parameter-decay lesson: cell COUNT
+    scales with the layer, cell SIZE stays constant)."""
+    import math
+
+    from clinical_api_etl_spark.operators.similarity import _signature
+
+    if n_members <= BRUTE_MAX:
+        return _knn_edges(members, m, None)
+    bits = max(1, math.ceil(math.log2(n_members / CELL_TARGET)))
+    sig = _signature("vec", bits, dim)
+    mb = members.select(
+        "nid", "vec", "nrm", F.concat_ws("", *sig).alias("ck")
+    )
+    return _knn_edges(mb, m, "ck")
+
+
 def hnsw_build(
     corpus: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     m: int = HNSW_M,
-    n_clusters: int = 8,
+    dim: int = 64,
 ) -> dict:
-    """Build the two-layer index; returns eagerly-materialized artifacts:
-    ``adj1``/``adj0`` (src, dst) edge tables, ``entry`` (1-row nid),
-    ``prep`` (nid, vec, nrm)."""
-    from clinical_api_etl_spark.operators.clustering import kmeans_fit
-
+    """Build the three-layer index; returns eagerly-materialized
+    artifacts: ``layers`` (list of (adj, rounds) from top down), ``entry``
+    (1-row nid), ``prep`` (nid, vec, nrm)."""
     prep = (
         _prep(corpus, id_col, vec_col)
         .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
     )
-    lvl1 = prep.filter(
-        F.substring(F.md5(F.col("nid").cast("string")), 1, 1) == "0"
-    )
-    # entry: md5-min of layer 1, md5-min of the corpus when layer 1 is
-    # empty (both deterministic; ties break on nid)
-    entry_pool = lvl1 if lvl1.limit(1).count() > 0 else prep
+    n = prep.count()
+    md5c = F.md5(F.col("nid").cast("string"))
+    lvl1 = prep.filter(F.substring(md5c, 1, 1) == "0")
+    lvl2 = prep.filter(F.substring(md5c, 1, 2) == "00")
+    n1, n2 = lvl1.count(), lvl2.count()
+    entry_pool = lvl2 if n2 > 0 else (lvl1 if n1 > 0 else prep)
     entry = (
         entry_pool.select("nid")
         .orderBy(F.md5(F.col("nid").cast("string")), F.col("nid"))
         .limit(1)
         .localCheckpoint(eager=True)
     )
-    adj1 = _knn_edges(lvl1, m, None).localCheckpoint(eager=True)
-    assign, _cent = kmeans_fit(
-        corpus, id_col=id_col, vec_col=vec_col, k=n_clusters, iterations=3
-    )
-    members0 = prep.join(
-        assign.select(F.col("id").alias("nid"), "cluster"), "nid"
-    )
-    adj0 = _knn_edges(members0, m, "cluster").localCheckpoint(eager=True)
-    return {"adj1": adj1, "adj0": adj0, "entry": entry, "prep": prep}
+    layers: list[tuple[DataFrame, int]] = []
+    if n2 > 1:
+        layers.append(
+            (_layer_adj(lvl2, n2, m, dim).localCheckpoint(eager=True), 1)
+        )
+    if n1 > 1:
+        layers.append(
+            (_layer_adj(lvl1, n1, m, dim).localCheckpoint(eager=True), HNSW_R1)
+        )
+    layers.append((_layer_adj(prep, n, m, dim).localCheckpoint(eager=True), HNSW_R0))
+    return {"layers": layers, "entry": entry, "prep": prep}
 
 
 def hnsw_topk(
@@ -186,7 +215,7 @@ def hnsw_topk(
     state = _score(seed).localCheckpoint(eager=True)  # beam ∪ visited seed
     beam_df = state
     topw = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("node"))
-    for adj, rounds in ((idx["adj1"], HNSW_R1), (idx["adj0"], HNSW_R0)):
+    for adj, rounds in idx["layers"]:
         for _ in range(rounds):
             cand = (
                 adj.join(

@@ -314,16 +314,17 @@ def ann_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @QS.add(
     "ann_hnsw_topk",
     None,  # graph-search recall < 1 by design → rows-only; gated below.
-    doc="[EXT] graph-structured ANN (deterministic two-layer HNSW/NSW, "
+    doc="[EXT] graph-structured ANN (deterministic three-layer HNSW/NSW, "
     "operators/hnsw.py — the quantizer ladder's missing industry-default "
-    "family, VERDICT r10 task 2): md5-geometric layer promotion "
-    "(p=1/16), exact M-NN long-range links on the sampled upper layer, "
-    "k-means-cell-restricted M-NN local links on layer 0 (the SemDeDup "
-    "equi-join bound — no all-pairs), md5-min entry point, and "
-    "fixed-round beam search (beam 12; 2 upper + 3 base rounds) with "
-    "every query advancing concurrently — the beam side broadcasts, "
-    "never the corpus-sized adjacency. Reported similarities are exact "
-    "(full re-rank of visited nodes); recall is the only approximation.",
+    "family, VERDICT r10 task 2): md5-geometric layer promotion (p=1/16 "
+    "per level), exact M-NN links on bounded layers, corpus-proportional "
+    "LSH sign-bit cells (~64 members each — cell COUNT grows, size "
+    "doesn't, so every layer's pair scan stays layer-linear) on large "
+    "ones, md5-min entry point, and fixed-round beam search (beam 16) "
+    "with every query advancing concurrently — the beam side "
+    "broadcasts, never the corpus-sized adjacency. Reported "
+    "similarities are exact (full re-rank of visited nodes); recall is "
+    "the only approximation.",
     headline=True,
     tags=("similarity", "approx"),
 )

@@ -83,9 +83,11 @@ class TestHnsw:
         emb = load(spark, SF, "embeddings")
         a = hnsw_build(emb)
         b = hnsw_build(emb)
-        for key in ("adj1", "adj0"):
-            ea = {(r["src"], r["dst"]) for r in a[key].collect()}
-            eb = {(r["src"], r["dst"]) for r in b[key].collect()}
+        assert len(a["layers"]) == len(b["layers"]) >= 2
+        for (adj_a, r_a), (adj_b, r_b) in zip(a["layers"], b["layers"]):
+            assert r_a == r_b
+            ea = {(r["src"], r["dst"]) for r in adj_a.collect()}
+            eb = {(r["src"], r["dst"]) for r in adj_b.collect()}
             assert ea == eb and len(ea) > 0
         assert (
             a["entry"].collect()[0][0] == b["entry"].collect()[0][0]

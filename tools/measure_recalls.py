@@ -58,10 +58,11 @@ def main():
 
     from clinical_api_etl_spark.operators.hnsw import hnsw_topk
 
-    # measured 0.88/0.98/0.88 at sf0.001/0.01/0.1 on 2026-08-16 with
-    # M=8, beam=16, rounds 2+4 (M=6/beam=12/rounds 2+3 measured
-    # 0.84/0.86/0.82 — too thin over the 0.8 floor; widened per the
-    # corpus-proportional-depth lesson)
+    # measured 1.0/1.0/1.0 at sf0.001/0.01/0.1 on 2026-08-17 with the
+    # three-layer corpus-proportional LSH-cell build (M=8, beam=16,
+    # ~64-member cells). History: k-means-cell build with M=8/beam=16
+    # measured 0.88/0.98/0.88 but its fixed k=8 cells grew linearly and
+    # made the 10x build quadratic; M=6/beam=12 measured 0.84/0.86/0.82.
     r = topk_recall(hnsw_topk(queries, emb, k=5), exact5)
     print(f"ann_hnsw          recall={r:.3f}  floor=0.8")
 
