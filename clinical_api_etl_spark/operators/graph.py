@@ -133,31 +133,57 @@ def _all_settled(state: DataFrame, n_sources: int, n_nodes: int) -> bool:
     return state.count() == n_sources * n_nodes
 
 
+def _np_min_labels(src_vals, dst_vals):
+    """Vectorized min-label connected components over driver-side edge
+    arrays: returns ``(uniq, lab)`` where ``uniq`` is the SORTED distinct
+    node array and ``uniq[lab[i]]`` is the minimum node value of
+    ``uniq[i]``'s component. np.unique codes are sorted, so code order ==
+    node-value order (ints numerically, strings lexicographically —
+    matching python min/max): MINs over codes commute with the value
+    mapping and the converged label is exactly the component minimum a
+    union-find produces. Hooking (scatter-min both edge directions) +
+    full pointer jumping per round = O(log n) vectorized rounds — the
+    per-row python find() loop this replaces cost ~7s at |E| ~ 1.2M
+    (measured sf0.1, round 11)."""
+    import numpy as np
+
+    allv = np.concatenate([src_vals, dst_vals])
+    uniq, codes = np.unique(allv, return_inverse=True)
+    a, b = codes[: len(src_vals)], codes[len(src_vals) :]
+    lab = np.arange(len(uniq), dtype=np.int64)
+    while True:
+        old = lab
+        m = np.minimum(lab[a], lab[b])
+        nxt = lab.copy()
+        np.minimum.at(nxt, a, m)
+        np.minimum.at(nxt, b, m)
+        while True:  # pointer-jump to the round's fixpoint
+            j = nxt[nxt]
+            if np.array_equal(j, nxt):
+                break
+            nxt = j
+        if np.array_equal(nxt, old):
+            break
+        lab = nxt
+    return uniq, lab
+
+
 def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    """Union-find with path compression over a collected edge list;
-    component label = min vertex id (identical to the distributed loop)."""
+    """Min-label connected components over a collected edge list
+    (vectorized — see :func:`_np_min_labels`); component label = min
+    vertex id, identical to the distributed loop and to the per-row
+    union-find this replaces."""
     import pandas as pd
 
     pdf = edges.select(src, dst).toPandas()
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        root = x
-        while parent.setdefault(root, root) != root:
-            root = parent[root]
-        while parent[x] != root:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    for a, b in zip(pdf[src], pdf[dst]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    # min-id labeling: roots are already the minimum of their component
-    # (unions always point the larger root at the smaller one)
-    rows = pd.DataFrame(
-        {"id": list(parent), "component": [find(v) for v in parent]}
+    if len(pdf) == 0:
+        return edges.sparkSession.createDataFrame(
+            pd.DataFrame({"id": [], "component": []}), "id long, component long"
+        )
+    uniq, lab = _np_min_labels(
+        pdf[src].to_numpy(), pdf[dst].to_numpy()
     )
+    rows = pd.DataFrame({"id": uniq, "component": uniq[lab]})
     return edges.sparkSession.createDataFrame(
         rows, "id long, component long"
     )
@@ -757,10 +783,17 @@ def brandes_dependencies(
         # exactly like the state.filter(dist==k) form did.
         return levels[k] if k < len(levels) else levels[0].limit(0)
 
+    # Start the backward pass at the DEEPEST REACHED level, not the
+    # nominal horizon: when BFS exhausted at level L < iters, every level
+    # above L is empty, so each skipped round would join empty frames and
+    # pay an eager checkpoint job for nothing. Nodes at L get delta = 0
+    # either way (their successor level is empty → the left-join coalesce
+    # yields 0.0, exactly the horizon seeding) — output identical.
+    start = min(iters, len(levels) - 1)
     # horizon nodes carry delta = 0 (k-bounded truncation)
-    delta = _lvl(iters).withColumn("delta", F.lit(0.0))
+    delta = _lvl(start).withColumn("delta", F.lit(0.0))
     out = delta
-    for k in range(iters - 1, -1, -1):
+    for k in range(start - 1, -1, -1):
         succ_lvl = delta.select(
             F.col("s").alias("w_s"),
             F.col("node").alias("w_node"),
@@ -805,9 +838,20 @@ def brandes_dependencies(
                 "s", "node", "dist", "sigma",
                 F.coalesce("delta", F.lit(0.0)).alias("delta"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY: each level still checkpoints (it is referenced by both
+            # the union below and the next round's successor join — the
+            # multiplicative-lineage rule), but materialization is deferred
+            # to the single count below, which computes the whole backward
+            # chain as ONE cascading job instead of one blocking job per
+            # level (8 driver round-trips → 1).
+            .localCheckpoint(eager=False)
         )
         out = out.unionByName(delta)
+    out = out.localCheckpoint(eager=False)
+    # materialize the full backward chain BEFORE unpersisting the salted
+    # edge table (lazy checkpoints would otherwise recompute the joins
+    # from un-cached edges at the caller's first action).
+    out.count()
     e_fwd.unpersist(False)
     return out
 
@@ -919,7 +963,6 @@ def _weak_cc_labels(
     the fallback when even the contracted pair set exceeds the driver
     bound."""
     if e.limit(driver_max_edges + 1).count() <= driver_max_edges:
-        import numpy as np
         import pandas as pd
 
         pdf = e.select("src", "dst").toPandas()
@@ -934,36 +977,12 @@ def _weak_cc_labels(
             return e.sparkSession.createDataFrame(
                 pd.DataFrame({"node": [], "wcc": []}), schema
             )
-        # Vectorized min-label union-find (the per-row python find()
-        # loop cost ~7s at |E| ~ 1.2M — measured sf0.1, round 11; this
+        # Vectorized min-label union-find (see _np_min_labels — this
         # path is paid UPFRONT by every scc_components run since the
-        # multi-pivot rewrite, so it must be numpy-speed). np.unique is
-        # SORTED, so code order == node-value order (ints numerically,
-        # strings lexicographically — matching python min/max): taking
-        # MINs over codes commutes with the value mapping, and the
-        # converged label is exactly the component-min the union-find
-        # produced. Hooking (edge min both directions) + full pointer
-        # jumping per round = O(log n) vectorized rounds.
-        allv = np.concatenate(
-            [pdf["src"].to_numpy(), pdf["dst"].to_numpy()]
+        # multi-pivot rewrite, so it must be numpy-speed).
+        uniq, lab = _np_min_labels(
+            pdf["src"].to_numpy(), pdf["dst"].to_numpy()
         )
-        uniq, codes = np.unique(allv, return_inverse=True)
-        a, b = codes[: len(pdf)], codes[len(pdf) :]
-        lab = np.arange(len(uniq), dtype=np.int64)
-        while True:
-            old = lab
-            m = np.minimum(lab[a], lab[b])
-            nxt = lab.copy()
-            np.minimum.at(nxt, a, m)
-            np.minimum.at(nxt, b, m)
-            while True:  # pointer-jump to the round's fixpoint
-                j = nxt[nxt]
-                if np.array_equal(j, nxt):
-                    break
-                nxt = j
-            if np.array_equal(nxt, old):
-                break
-            lab = nxt
         # pandas frame -> Arrow createDataFrame (a plain tuple list pays
         # per-row driver serialization — measurable at |V| ~ 10^5+)
         out = pd.DataFrame({"node": uniq, "wcc": uniq[lab]})
@@ -1169,30 +1188,64 @@ def scc_artifacts(
     scale-adaptive weak-CC fast path (same bound as
     ``connected_components``).
     """
-    e_raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # ONE materialization of the caller's edge plan (usually an expensive
+    # join+distinct): it feeds BOTH the node-set scan below and the long-id
+    # factorization joins, and Spark performs no cross-branch CSE — the
+    # unchecked form derived lineitem⋈orders+distinct twice (2.2s each at
+    # sf0.1, round-11 dissection).
+    e_raw = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     # ORDER-PRESERVING dense LONG ids for the hot loops: every level of
     # every reach pass (and the weak-CC labeling) scans/joins the edge
     # table ~20+ times, and the callers' node ids are strings ('c123') —
     # long keys hash/compare several times faster and cache smaller. The
-    # mapping is rank-by-node-order (orderBy + zipWithIndex: distributed,
-    # deterministic — range partitions + per-partition offsets, no
-    # single-task sort), so min-nid == min-node EVERYWHERE the algorithm
-    # takes a MIN (trim singleton labels, weak-CC labels, pivot seeds,
-    # scc_id) and the final translation back restores the exact original
-    # labeling — values and hashes unchanged by construction.
+    # mapping is rank-by-node-order, so min-nid == min-node EVERYWHERE
+    # the algorithm takes a MIN (trim singleton labels, weak-CC labels,
+    # pivot seeds, scc_id) and the final translation back restores the
+    # exact original labeling — values and hashes unchanged by
+    # construction. Rank is computed JVM-native and distributed: range
+    # partition by node, per-partition row_number + driver-summed
+    # offsets (P tiny counts). The old rdd.zipWithIndex path serialized
+    # every node through Python (pickled rows + a python-built
+    # DataFrame: 5.5s of the 14s sf0.1 run); range boundaries may vary
+    # run to run, but offset+local-rank is the GLOBAL node-order rank
+    # regardless of where the boundaries fall.
     nodes_raw = (
         e_raw.select(F.col("src").alias("node"))
         .unionByName(e_raw.select(F.col("dst").alias("node")))
         .distinct()
     )
-    node_type = nodes_raw.schema["node"].dataType
-    from pyspark.sql.types import LongType, StructField, StructType
+    sc = edges.sparkSession.sparkContext
+    nd = (
+        nodes_raw.repartitionByRange(
+            max(1, sc.defaultParallelism), "node"
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["count"] for r in nd.groupBy("_pid").count().collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if not offsets:
+        offsets = {0: 0}
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    from pyspark.sql.window import Window as _W
 
-    nid = edges.sparkSession.createDataFrame(
-        nodes_raw.orderBy("node").rdd.map(lambda r: r[0]).zipWithIndex(),
-        StructType(
-            [StructField("node", node_type), StructField("nid", LongType())]
-        ),
+    nid = nd.select(
+        "node",
+        (
+            F.row_number().over(_W.partitionBy("_pid").orderBy("node"))
+            - 1
+            + off_map[F.col("_pid")]
+        ).cast("long").alias("nid"),
     ).localCheckpoint(eager=True)
     e = (
         e_raw.join(nid.select(F.col("node").alias("src"), F.col("nid").alias("sid")), "src")
@@ -1267,8 +1320,19 @@ def scc_artifacts(
         )
         es_f = _salted_edges(e_act, "src", "dst")
         es_b = _salted_edges(e_act, "dst", "src")
-        fwd = _reach_fixpoint(es_f, seeds)
-        bwd = _reach_fixpoint(es_b, seeds)
+        # The two reach passes are independent until the intersection, and
+        # each is a chain of SMALL blocking rounds that leaves most of the
+        # cluster idle — run them from two driver threads so their rounds
+        # interleave (guide §2.6 overlap; wall-clock ≈ max instead of sum:
+        # 4.1s + 2.7s → ~4s measured at sf0.1). Results are plain
+        # checkpointed frames; nothing about the trajectory changes.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_f = pool.submit(_reach_fixpoint, es_f, seeds)
+            fut_b = pool.submit(_reach_fixpoint, es_b, seeds)
+            fwd = fut_f.result()
+            bwd = fut_b.result()
         # ONE blocking job closes the round: scc and the shrunken active
         # set are lazy checkpoints materialized together by the active
         # count (scc is referenced once inside that job; the final parts

@@ -59,36 +59,95 @@ def _prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def _brute_knn_pairs_np(members: DataFrame, m: int) -> DataFrame:
+    """Driver-side numpy M-NN for a BRUTE layer (≤ BRUTE_MAX members by
+    construction, so the collect is a bounded constant — the kmeans/PQ
+    sample-train posture). Replaces a |layer|² interpreted-HOF pair join
+    (4M zip_with+fold evals at sf0.1's 2,000 vectors — ~6s of the build).
+
+    Bit-parity with the Spark expression it replaces: the JVM path folds
+    Σ aᵢ·bᵢ strictly left-to-right (functions/vectors.py:dot), so the
+    kernel accumulates one DIMENSION at a time in index order
+    (acc += a_d·b_d as 64 vectorized outer-product passes) — every
+    intermediate is the identical IEEE double, the final /(n_a·n_b) is
+    the identical two-operation tree, ties compare bit-identical doubles
+    and break on neighbor id exactly like the row_number ordering."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = members.select("nid", "vec", "nrm").toPandas()
+    n = len(pdf)
+    id_type = members.schema["nid"].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("id_a", id_type), StructField("id_b", id_type)]
+    )
+    if n < 2:
+        return members.sparkSession.createDataFrame(
+            pd.DataFrame({"id_a": [], "id_b": []}), schema
+        )
+    ids = pdf["nid"].to_numpy()
+    A = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+    nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+    acc = np.zeros((n, n))
+    for d in range(A.shape[1]):  # dimension-ordered: the JVM left fold
+        acc += np.outer(A[:, d], A[:, d])
+    sim = acc / np.outer(nrm, nrm)
+    # per-row order by (sim desc, neighbor id asc), self excluded;
+    # np.argsort(kind="stable") over -sim with a pre-sort by id gives the
+    # identical total order to the Spark window
+    id_order = np.argsort(ids, kind="stable")
+    out_a, out_b = [], []
+    for i in range(n):
+        row = sim[i, id_order]
+        cand = np.argsort(-row, kind="stable")  # stable: id-asc within ties
+        picked = 0
+        for j in cand:
+            orig = id_order[j]
+            if orig == i:
+                continue
+            out_a.append(ids[i])
+            out_b.append(ids[orig])
+            picked += 1
+            if picked >= m:
+                break
+    return members.sparkSession.createDataFrame(
+        pd.DataFrame({"id_a": out_a, "id_b": out_b}), schema
+    )
+
+
 def _knn_edges(members: DataFrame, m: int, cell_key: str | None) -> DataFrame:
     """Symmetrized M-NN edges among ``members`` (nid, vec, nrm [, cell]).
 
-    ``cell_key`` None → full pair scan (the bounded upper layer);
+    ``cell_key`` None → full pair scan (the bounded upper layer — runs as
+    a driver-side numpy kernel, see :func:`_brute_knn_pairs_np`);
     otherwise pairs are restricted to equal ``cell_key`` (the SemDeDup
     equi-join bound). Ties break on neighbor id — deterministic."""
-    a = members.select(
-        F.col("nid").alias("id_a"),
-        F.col("vec").alias("v_a"),
-        F.col("nrm").alias("n_a"),
-        *([F.col(cell_key).alias("ck")] if cell_key else []),
-    )
-    b = members.select(
-        F.col("nid").alias("id_b"),
-        F.col("vec").alias("v_b"),
-        F.col("nrm").alias("n_b"),
-        *([F.col(cell_key).alias("ck")] if cell_key else []),
-    )
-    if cell_key:
-        pairs = a.join(b, "ck").filter(F.col("id_a") != F.col("id_b"))
+    if cell_key is None:
+        knn = _brute_knn_pairs_np(members, m)
     else:
-        pairs = a.join(F.broadcast(b), F.col("id_a") != F.col("id_b"))
-    sim = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
-    w = W.partitionBy("id_a").orderBy(F.desc("sim"), F.asc("id_b"))
-    knn = (
-        pairs.select("id_a", "id_b", sim.alias("sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= m)
-        .select("id_a", "id_b")
-    )
+        a = members.select(
+            F.col("nid").alias("id_a"),
+            F.col("vec").alias("v_a"),
+            F.col("nrm").alias("n_a"),
+            F.col(cell_key).alias("ck"),
+        )
+        b = members.select(
+            F.col("nid").alias("id_b"),
+            F.col("vec").alias("v_b"),
+            F.col("nrm").alias("n_b"),
+            F.col(cell_key).alias("ck"),
+        )
+        pairs = a.join(b, "ck").filter(F.col("id_a") != F.col("id_b"))
+        sim = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+        w = W.partitionBy("id_a").orderBy(F.desc("sim"), F.asc("id_b"))
+        knn = (
+            pairs.select("id_a", "id_b", sim.alias("sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= m)
+            .select("id_a", "id_b")
+        )
     # bidirectional links (the HNSW convention): a→b implies b→a
     return (
         knn.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -140,16 +199,27 @@ def hnsw_build(
     """Build the three-layer index; returns eagerly-materialized
     artifacts: ``layers`` (list of (adj, rounds) from top down), ``entry``
     (1-row nid), ``prep`` (nid, vec, nrm)."""
+    # Partition count scales with the corpus (~64k vectors / 32 MB per
+    # partition), floor 8: the round-6 tiny-persisted-table rule — the
+    # old repartition(defaultParallelism) spread sf0.1's 2,000 vectors
+    # over 32 partitions and every downstream join/score stage paid 32
+    # task launches for microseconds of work each.
+    n = corpus.count()
+    parts = max(8, n // 65536)
     prep = (
         _prep(corpus, id_col, vec_col)
-        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        .repartition(parts)
         .localCheckpoint(eager=True)
     )
-    n = prep.count()
     md5c = F.md5(F.col("nid").cast("string"))
     lvl1 = prep.filter(F.substring(md5c, 1, 1) == "0")
     lvl2 = prep.filter(F.substring(md5c, 1, 2) == "00")
-    n1, n2 = lvl1.count(), lvl2.count()
+    # ONE job for both layer counts (was two separate .count() jobs)
+    lc = prep.agg(
+        F.count(F.when(F.substring(md5c, 1, 1) == "0", 1)).alias("n1"),
+        F.count(F.when(F.substring(md5c, 1, 2) == "00", 1)).alias("n2"),
+    ).collect()[0]
+    n1, n2 = lc["n1"], lc["n2"]
     entry_pool = lvl2 if n2 > 0 else (lvl1 if n1 > 0 else prep)
     entry = (
         entry_pool.select("nid")
