@@ -125,6 +125,29 @@ def _bcast_if(df: DataFrame, n_rows: int | None) -> DataFrame:
     return df
 
 
+def _frontier_expand(
+    e: DataFrame, frontier: DataFrame, fr_count: int | None
+) -> DataFrame:
+    """Expansion join of a frontier (``node`` + payload columns) against a
+    :func:`_salted_edges` table.
+
+    Broadcast path (frontier row count tracked by the caller and under
+    :data:`FRONTIER_BCAST_MAX`): a plain ``src == node`` broadcast-hash
+    join — the persisted edge table is STREAMED in place, nothing
+    shuffles, and the salt replication is skipped entirely (salting
+    exists to spread a SHUFFLE join's hub partition across reducers; a
+    broadcast join has no partitioning to skew, every task scans its own
+    edge slice). Fallback above the bound: the salted shuffle join.
+    Both paths produce the identical matched multiset — each edge meets
+    each matching frontier row exactly once — so downstream aggregates
+    and hashes are unchanged by construction."""
+    if fr_count is not None and fr_count <= FRONTIER_BCAST_MAX:
+        fr = _bcast_if(frontier, fr_count)
+        return e.join(fr, e["src"] == fr["node"])
+    fr = _replicated(frontier)
+    return e.join(fr, (e["src"] == fr["node"]) & (e["_slt"] == fr["_slt"]))
+
+
 def _node_count(e: DataFrame) -> int:
     """|V| of a (src, dst, ...) edge table — BOTH endpoint columns, so
     directed inputs with sink-only nodes count correctly (an undercount
@@ -359,10 +382,11 @@ def bfs_hops(
     # isEmpty pattern paid two scheduler round-trips per round; job
     # count amplifies host scheduling latency — BENCH_r08 cohort).
     frontier = dist
+    fr_count = dist.count()  # cheap — the seed checkpoint is materialized
+    state_count = fr_count
     for _ in range(iters):
-        fr = _replicated(frontier)
         cand = (
-            e.join(fr, (e["src"] == fr["node"]) & (e["_slt"] == fr["_slt"]))
+            _frontier_expand(e, frontier, fr_count)
             .select(
                 F.col("dst").alias("node"), (F.col("dist") + F.lit(1)).alias("dist")
             )
@@ -370,10 +394,12 @@ def bfs_hops(
             .agg(F.min("dist").cast("long").alias("dist"))
         )
         frontier = cand.join(
-            dist.select("node"), "node", "left_anti"
+            _bcast_if(dist.select("node"), state_count), "node", "left_anti"
         ).localCheckpoint(eager=False)
-        if frontier.count() == 0:
+        fr_count = frontier.count()
+        if fr_count == 0:
             break
+        state_count += fr_count
         dist = dist.unionByName(frontier)
     e.unpersist(False)
     return dist
@@ -637,10 +663,9 @@ def bfs_hops_per_source(
         # checkpointed frontiers/state are ExistingRDD scans with no size
         # stats — AQE would sort-merge-join them, re-shuffling the edge
         # table EVERY round; both probe sides are driver-count-bounded,
-        # so broadcast explicitly (see FRONTIER_BCAST_MAX)
-        fr = _bcast_if(_replicated(frontier), fr_count * EDGE_SALT)
+        # so broadcast explicitly (see _frontier_expand/FRONTIER_BCAST_MAX)
         cand = (
-            e.join(fr, (e["src"] == fr["node"]) & (e["_slt"] == fr["_slt"]))
+            _frontier_expand(e, frontier, fr_count)
             .select(
                 "s",
                 F.col("dst").alias("node"),
@@ -691,7 +716,7 @@ def bfs_path_counts(
     bounded probe set (centrality posture). sigma fits BIGINT far past any
     real scale: it is bounded by (max degree)^iters.
     """
-    state, _ = _bfs_path_counts_with_levels(
+    state, _, _ = _bfs_path_counts_with_levels(
         edges, sources, iters=iters, src=src, dst=dst
     )
     return state
@@ -705,16 +730,18 @@ def _bfs_path_counts_with_levels(
     src: str = "src",
     dst: str = "dst",
     _prepared_e: DataFrame | None = None,
-) -> tuple[DataFrame, list[DataFrame]]:
+) -> tuple[DataFrame, list[DataFrame], list[int]]:
     """:func:`bfs_path_counts` plus the per-level frontier slices.
 
-    Returns ``(state, levels)`` where ``levels[k]`` is the already-
-    localCheckpointed level-k frontier (s, node, dist, sigma) — BFS levels
-    are contiguous, so an exhausted search just yields a shorter list. The
+    Returns ``(state, levels, counts)`` where ``levels[k]`` is the
+    already-localCheckpointed level-k frontier (s, node, dist, sigma) and
+    ``counts[k]`` its driver-tracked row count — BFS levels are
+    contiguous, so an exhausted search just yields a shorter list. The
     backward Brandes pass (:func:`brandes_dependencies`) reuses these
-    slices instead of re-filtering the full state per level; it is the
-    only intended caller (ADVICE r07: the levels/ownership contract lives
-    here so the public function stays DataFrame-only).
+    slices instead of re-filtering the full state per level, and uses the
+    counts to bound its per-level broadcasts; it is the only intended
+    caller (ADVICE r07: the levels/ownership contract lives here so the
+    public function stays DataFrame-only).
 
     ``_prepared_e`` lets a caller that also needs the (src, dst)
     repartitioned+persisted edge table (the backward pass) share ONE
@@ -735,7 +762,9 @@ def _bfs_path_counts_with_levels(
     n_sources = state.count()
     state_count = n_sources
     frontier = state
+    fr_count = n_sources
     levels = [state]
+    counts = [n_sources]
     n_nodes = None
     for k in range(iters):
         if k > 0:
@@ -743,26 +772,32 @@ def _bfs_path_counts_with_levels(
                 n_nodes = _node_count(e)
             if state_count == n_sources * n_nodes:
                 break  # settled-|V| shortcut (see _all_settled)
-        fr = _replicated(frontier)
+        # broadcast the driver-count-bounded frontier / settled set (see
+        # _frontier_expand) — the persisted edge table streams in place
+        # instead of re-shuffling every level
         cand = (
-            e.join(fr, (e["src"] == fr["node"]) & (e["_slt"] == fr["_slt"]))
+            _frontier_expand(e, frontier, fr_count)
             .select("s", F.col("dst").alias("node"), "sigma")
             .groupBy("s", "node")
             .agg(F.sum("sigma").cast("long").alias("sigma"))
             .select("s", "node", F.lit(k + 1).cast("long").alias("dist"), "sigma")
         )
         frontier = cand.join(
-            state.select("s", "node"), ["s", "node"], "left_anti"
+            _bcast_if(state.select("s", "node"), state_count),
+            ["s", "node"],
+            "left_anti",
         ).localCheckpoint(eager=False)
         n_new = frontier.count()
         if n_new == 0:
             break
         state_count += n_new
+        fr_count = n_new
         state = state.unionByName(frontier)
         levels.append(frontier)
+        counts.append(n_new)
     if _prepared_e is None:
         e.unpersist(False)
-    return state, levels
+    return state, levels, counts
 
 
 def brandes_dependencies(
@@ -804,7 +839,7 @@ def brandes_dependencies(
     # then gets column-aliased for the backward successor joins (a select
     # on a persisted frame keeps the cache AND the partitioning).
     e_fwd = _salted_edges(edges, src, dst, parts=parts)
-    _, levels = _bfs_path_counts_with_levels(
+    _, levels, counts = _bfs_path_counts_with_levels(
         edges, sources, iters=iters, src=src, dst=dst, _prepared_e=e_fwd
     )
     e = e_fwd.select(
@@ -816,6 +851,9 @@ def brandes_dependencies(
         # exhausted — an empty slice, which propagates delta=0 downward
         # exactly like the state.filter(dist==k) form did.
         return levels[k] if k < len(levels) else levels[0].limit(0)
+
+    def _cnt(k: int) -> int:
+        return counts[k] if k < len(counts) else 0
 
     # Start the backward pass at the DEEPEST REACHED level, not the
     # nominal horizon: when BFS exhausted at level L < iters, every level
@@ -835,15 +873,25 @@ def brandes_dependencies(
             F.col("delta").alias("w_delta"),
         )
         cur = _lvl(k)
-        curr = _replicated(cur.select("s", "node", "sigma"))
-        contrib = (
-            curr.join(
+        cnt_k = _cnt(k)
+        # the current level slice and the successor delta slice are both
+        # driver-count-bounded: broadcast them so the persisted edge table
+        # streams in place instead of re-shuffling per level (see
+        # _frontier_expand; same matched-multiset argument). Fallback to
+        # the salted shuffle join above the bound.
+        if cnt_k <= FRONTIER_BCAST_MAX:
+            curr = _bcast_if(cur.select("s", "node", "sigma"), cnt_k)
+            expanded = curr.join(e, curr["node"] == e["e_src"]).drop("_slt")
+        else:
+            curr = _replicated(cur.select("s", "node", "sigma"))
+            expanded = curr.join(
                 e,
                 (curr["node"] == e["e_src"]) & (curr["_slt"] == e["_slt"]),
-            )
-            .drop("_slt")
+            ).drop("_slt")
+        contrib = (
+            expanded
             .join(
-                succ_lvl,
+                _bcast_if(succ_lvl, _cnt(k + 1)),
                 (F.col("w_s") == F.col("s")) & (F.col("w_node") == F.col("e_dst")),
             )
             .select(
@@ -867,7 +915,9 @@ def brandes_dependencies(
             )
         )
         delta = (
-            cur.join(contrib, ["s", "node"], "left")
+            # contrib is grouped by (s, node) within level k, so its row
+            # count is bounded by the level's tracked count
+            cur.join(_bcast_if(contrib, cnt_k), ["s", "node"], "left")
             .select(
                 "s", "node", "dist", "sigma",
                 F.coalesce("delta", F.lit(0.0)).alias("delta"),
@@ -919,10 +969,16 @@ def bellman_ford_bounded(
         F.col("node").alias("s"), F.col("node"), F.lit(0).cast("long").alias("dist")
     ).localCheckpoint(eager=True)
     frontier = state
+    # driver-tracked bounds for the per-round broadcasts (_frontier_expand):
+    # fr_count is exact (each improved set is counted); state_bound is an
+    # UPPER bound — state rows only grow by new discoveries, and every
+    # discovery appears in some improved set, so seeds + Σ improved ≥ |state|
+    # (replacements over-count, which is safe for a broadcast bound).
+    fr_count = state.count()
+    state_bound = fr_count
     for _ in range(iters):
-        fr = _replicated(frontier)
         cand = (
-            e.join(fr, (e["src"] == fr["node"]) & (e["_slt"] == fr["_slt"]))
+            _frontier_expand(e, frontier, fr_count)
             .select("s", F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
             .groupBy("s", "node")
             .agg(F.min("dist").cast("long").alias("dist"))
@@ -931,15 +987,21 @@ def bellman_ford_bounded(
         # lazy checkpoint + count = one blocking job for materialize +
         # emptiness probe (was eager checkpoint + isEmpty = two jobs)
         improved = (
-            cand.join(old, ["s", "node"], "left")
+            cand.join(_bcast_if(old, state_bound), ["s", "node"], "left")
             .filter(F.col("old_dist").isNull() | (F.col("dist") < F.col("old_dist")))
             .select("s", "node", "dist")
             .localCheckpoint(eager=False)
         )
-        if improved.count() == 0:
+        fr_count = improved.count()
+        if fr_count == 0:
             break
+        state_bound += fr_count
         state = (
-            state.join(improved.select("s", "node"), ["s", "node"], "left_anti")
+            state.join(
+                _bcast_if(improved.select("s", "node"), fr_count),
+                ["s", "node"],
+                "left_anti",
+            )
             .unionByName(improved)
             .localCheckpoint(eager=True)
         )
@@ -962,22 +1024,27 @@ def _reach_fixpoint(es: DataFrame, seeds: DataFrame) -> DataFrame:
     callers per pivot round share one seed materialization)."""
     reach = seeds
     frontier = reach
+    # seeds are caller-checkpointed, so this count is cheap; it seeds the
+    # driver-tracked bounds for the per-level broadcasts (_frontier_expand)
+    fr_count = seeds.count()
+    reach_count = fr_count
     while True:
-        fr = _replicated(frontier)
         # ONE blocking job per level: lazy checkpoint materialized by the
         # count that doubles as the emptiness probe. reach stays a lazy
         # UNION of already-materialized frontier layers (shallow lineage —
         # unions of checkpointed RDDs cost nothing to re-traverse, unlike
         # the k-core multiplicative-JOIN lineage that rule targets).
         nxt = (
-            es.join(fr, (es["src"] == fr["node"]) & (es["_slt"] == fr["_slt"]))
+            _frontier_expand(es, frontier, fr_count)
             .select("p", F.col("dst").alias("node"))
             .distinct()
-            .join(reach, ["p", "node"], "left_anti")
+            .join(_bcast_if(reach, reach_count), ["p", "node"], "left_anti")
             .localCheckpoint(eager=False)
         )
-        if nxt.count() == 0:
+        fr_count = nxt.count()
+        if fr_count == 0:
             return reach
+        reach_count += fr_count
         reach = reach.unionByName(nxt)
         frontier = nxt
 
@@ -1124,13 +1191,25 @@ def _weak_cc_labels(
             return labels
 
 
-def _restrict_edges(e: DataFrame, nodes: DataFrame) -> DataFrame:
+def _restrict_edges(
+    e: DataFrame, nodes: DataFrame, n_nodes: int | None = None
+) -> DataFrame:
     """Edges with BOTH endpoints in ``nodes`` (column ``node``), eagerly
     checkpointed — every outer SCC round re-restricts, so lineage must
-    not accumulate across rounds."""
+    not accumulate across rounds. ``n_nodes`` (caller-tracked) bounds a
+    broadcast of the node set for both semi-joins (see _frontier_expand's
+    rationale — checkpointed node sets carry no size stats)."""
     return (
-        e.join(nodes.select(F.col("node").alias("src")), "src", "left_semi")
-        .join(nodes.select(F.col("node").alias("dst")), "dst", "left_semi")
+        e.join(
+            _bcast_if(nodes.select(F.col("node").alias("src")), n_nodes),
+            "src",
+            "left_semi",
+        )
+        .join(
+            _bcast_if(nodes.select(F.col("node").alias("dst")), n_nodes),
+            "dst",
+            "left_semi",
+        )
         .localCheckpoint(eager=True)
     )
 
@@ -1323,13 +1402,12 @@ def scc_artifacts(
             if keep_count == active_count:
                 break
             parts.append(
-                active.join(keep, "node", "left_anti").select(
-                    "node", F.col("node").alias("scc_id")
-                )
+                active.join(_bcast_if(keep, keep_count), "node", "left_anti")
+                .select("node", F.col("node").alias("scc_id"))
             )
             active = keep
             active_count = keep_count
-            e_act = _restrict_edges(e_act, keep)
+            e_act = _restrict_edges(e_act, keep, keep_count)
         if active_count == 0:
             break
         # --- 2. FW-BW, pivots in parallel across weak components, ALL
@@ -1383,7 +1461,7 @@ def scc_artifacts(
         active_count = active.count()
         if active_count == 0:
             break
-        e_act = _restrict_edges(e_act, active)
+        e_act = _restrict_edges(e_act, active, active_count)
     else:
         raise RuntimeError(
             f"scc_components did not converge in {max_rounds} rounds: "
@@ -1446,15 +1524,15 @@ def temporal_earliest_arrival(
         F.col("node").alias("s"), F.col("node"), F.lit(0).cast("long").alias("arr")
     ).localCheckpoint(eager=True)
     frontier = state
+    # same driver-tracked broadcast bounds as bellman_ford_bounded: the
+    # time-respecting filter (t >= arr) rides the expansion join's payload
+    # either way, so the matched multiset is unchanged by the join strategy
+    fr_count = state.count()
+    state_bound = fr_count
     for _ in range(iters):
-        fr = _replicated(frontier)
         cand = (
-            e.join(
-                fr,
-                (e["src"] == fr["node"])
-                & (e["_slt"] == fr["_slt"])
-                & (e["t"] >= fr["arr"]),
-            )
+            _frontier_expand(e, frontier, fr_count)
+            .filter(F.col("t") >= F.col("arr"))
             .select("s", F.col("dst").alias("node"), F.col("t").alias("arr"))
             .groupBy("s", "node")
             .agg(F.min("arr").cast("long").alias("arr"))
@@ -1463,15 +1541,21 @@ def temporal_earliest_arrival(
         # lazy checkpoint + count = one blocking job for materialize +
         # emptiness probe (was eager checkpoint + isEmpty = two jobs)
         improved = (
-            cand.join(old, ["s", "node"], "left")
+            cand.join(_bcast_if(old, state_bound), ["s", "node"], "left")
             .filter(F.col("old_arr").isNull() | (F.col("arr") < F.col("old_arr")))
             .select("s", "node", "arr")
             .localCheckpoint(eager=False)
         )
-        if improved.count() == 0:
+        fr_count = improved.count()
+        if fr_count == 0:
             break
+        state_bound += fr_count
         state = (
-            state.join(improved.select("s", "node"), ["s", "node"], "left_anti")
+            state.join(
+                _bcast_if(improved.select("s", "node"), fr_count),
+                ["s", "node"],
+                "left_anti",
+            )
             .unionByName(improved)
             .localCheckpoint(eager=True)
         )
@@ -1520,11 +1604,16 @@ def dag_layers(
             frontier.select(node, F.lit(layer).cast("long").alias("layer"))
         )
         rem_count -= n_front
-        rem_nodes = rem_nodes.join(frontier, node, "left_anti").localCheckpoint(
+        # driver-count-bounded frontier broadcasts for the peel anti-joins
+        # (checkpointed frames carry no size stats — _frontier_expand note)
+        fr_b = _bcast_if(frontier, n_front)
+        rem_nodes = rem_nodes.join(fr_b, node, "left_anti").localCheckpoint(
             eager=False
         )
         rem_edges = rem_edges.join(
-            frontier.select(F.col(node).alias(src)), src, "left_anti"
+            _bcast_if(frontier.select(F.col(node).alias(src)), n_front),
+            src,
+            "left_anti",
         ).localCheckpoint(eager=False)
     else:
         if rem_count > 0:
@@ -1558,16 +1647,24 @@ def reachable_set(
     # state stays a lazy union of materialized frontier layers.
     state = seeds.select(F.col(node)).distinct().localCheckpoint(eager=True)
     frontier = state
+    # driver-tracked broadcast bounds (checkpointed frontiers carry no
+    # size stats — see _frontier_expand's rationale)
+    fr_count = state.count()
+    state_count = fr_count
     for _ in range(max_rounds):
         nxt = (
-            edges.join(frontier.select(F.col(node).alias(src)), src)
+            edges.join(
+                _bcast_if(frontier.select(F.col(node).alias(src)), fr_count), src
+            )
             .select(F.col(dst).alias(node))
             .distinct()
-            .join(state, node, "left_anti")
+            .join(_bcast_if(state, state_count), node, "left_anti")
             .localCheckpoint(eager=False)
         )
-        if nxt.count() == 0:
+        fr_count = nxt.count()
+        if fr_count == 0:
             break
+        state_count += fr_count
         state = state.unionByName(nxt)
         frontier = nxt
     else:

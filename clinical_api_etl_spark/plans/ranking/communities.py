@@ -178,7 +178,8 @@ def _louvain_oracle() -> str:
 
 
 def _move_rounds(
-    sym: DataFrame, deg: DataFrame, m_df: DataFrame, rounds: int
+    sym: DataFrame, deg: DataFrame, m_df: DataFrame, rounds: int,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """Run ``rounds`` synchronous ΔQ move rounds; returns (node, lbl).
 
@@ -186,13 +187,25 @@ def _move_rounds(
     weighted degrees (covers every node, including ones isolated at this
     level — the own-community candidate row keeps their label). ``m_df``:
     single-row (m) total edge weight, broadcast into the score.
+    ``n_nodes`` (caller-tracked |V|) bounds broadcasts of the
+    label-derived join sides: each round's label table is a lazy
+    localCheckpoint — an ExistingRDD scan with NO size statistics, so
+    AQE sort-merge-joins it and re-shuffles ``sym`` EVERY round (the
+    _frontier_expand rationale in operators/graph.py). labels has
+    exactly one row per node every round and comdeg at most that, so
+    the driver-side bound is exact and scale-adaptive.
     """
+    from clinical_api_etl_spark.operators.graph import _bcast_if
+
     labels = deg.select("node", F.col("node").alias("lbl"))
     for r in range(1, rounds + 1):
         par = r % 2  # semi-synchronous parity: only node % 2 == par moves
         cand = (
             sym.join(
-                labels.select(F.col("node").alias("v"), F.col("lbl").alias("c")),
+                _bcast_if(
+                    labels.select(F.col("node").alias("v"), F.col("lbl").alias("c")),
+                    n_nodes,
+                ),
                 "v",
             )
             .select(F.col("u").alias("node"), "c", F.col("w").alias("kin"))
@@ -211,13 +224,16 @@ def _move_rounds(
             .agg(F.sum("k").cast("long").alias("tot"))
         )
         scored = (
-            cand.join(deg, "node")
-            .join(labels.select("node", F.col("lbl").alias("own")), "node")
-            # comdeg is one row per community LABEL — O(|V|) in the first
-            # rounds, shrinking as communities coalesce. Deliberately NOT
-            # broadcast-hinted (the r08 rule: no SF-scaling broadcasts);
-            # AQE downgrades to broadcast when the label table is small.
-            .join(comdeg, "c")
+            cand.join(_bcast_if(deg, n_nodes), "node")
+            .join(
+                _bcast_if(labels.select("node", F.col("lbl").alias("own")), n_nodes),
+                "node",
+            )
+            # comdeg is one row per community LABEL — bounded by |V|, so it
+            # rides the same driver-tracked bound (scale-adaptive: above
+            # FRONTIER_BCAST_MAX every side falls back to the shuffle join,
+            # which is the r08 no-SF-scaling-broadcast posture).
+            .join(_bcast_if(comdeg, n_nodes), "c")
             .crossJoin(F.broadcast(m_df))
             .select(
                 "node",
@@ -271,10 +287,11 @@ def louvain_labels(e0: DataFrame) -> DataFrame:
         .persist()
     )
     m_df = e0.agg(F.count(F.lit(1)).cast("long").alias("m"))
-    # level-round model tables are tiny but feed joins on BOTH sides of the
-    # next round — materialize per round via the shared persist of deg1 and
-    # let AQE size the label exchanges (labels are (node, lbl) longs).
-    com1 = _move_rounds(sym1, deg1, m_df, _LOUVAIN_ROUNDS).coalesce(8).persist()
+    # |V| for the bounded label broadcasts inside the rounds (deg1 is
+    # persisted — the count doubles as its materialization) ; level-2
+    # communities are a subset of level-1 nodes, so n1 bounds both levels
+    n1 = deg1.count()
+    com1 = _move_rounds(sym1, deg1, m_df, _LOUVAIN_ROUNDS, n_nodes=n1).coalesce(8).persist()
     # contraction: communities → weighted super-graph (self-loops stay in
     # the super-node degree via the member-degree sum; they never enter
     # k_{i,c}, exactly the Louvain convention)
@@ -301,7 +318,7 @@ def louvain_labels(e0: DataFrame) -> DataFrame:
         .coalesce(8)
         .persist()
     )
-    com2 = _move_rounds(sym2, deg2, m_df, _LOUVAIN_ROUNDS)
+    com2 = _move_rounds(sym2, deg2, m_df, _LOUVAIN_ROUNDS, n_nodes=n1)
     # pair each node's level-1 label with its level-2 label, then relabel
     # every final group to its minimum original member id (canonical)
     assign = com1.join(
