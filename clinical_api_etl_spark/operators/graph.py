@@ -573,23 +573,31 @@ def hits_int(
         "c", F.lit(scale).cast("long").alias("h")
     )
     a = None
+    # score tables are one row per distinct hub/auth node — the counts
+    # are cheap on the just-materialized checkpoints and bound the
+    # per-half-step broadcasts (checkpointed tables carry no size stats;
+    # the _frontier_expand rationale). First half-step: h derives from a
+    # distinct aggregate, which AQE sizes at runtime — no count needed.
+    nh = None
     for _ in range(iters):
         araw = (
-            e.join(h, "c")
+            e.join(_bcast_if(h, nh), "c")
             .groupBy("s")
             .agg(F.sum("h").cast("long").alias("ar"))
             .localCheckpoint()
         )
+        na = araw.count()
         at = araw.agg(F.sum("ar").cast("long").alias("t"))
         a = araw.crossJoin(F.broadcast(at)).select(
             "s", F.expr(f"ar * {scale} div t").cast("long").alias("a")
         )
         hraw = (
-            e.join(a, "s")
+            e.join(_bcast_if(a, na), "s")
             .groupBy("c")
             .agg(F.sum("a").cast("long").alias("hr"))
             .localCheckpoint()
         )
+        nh = hraw.count()
         ht = hraw.agg(F.sum("hr").cast("long").alias("t"))
         h = hraw.crossJoin(F.broadcast(ht)).select(
             "c", F.expr(f"hr * {scale} div t").cast("long").alias("h")
@@ -1229,6 +1237,164 @@ def scc_components(
     ]
 
 
+#: Edge-count ceiling for the driver-side SCC fast path. The canonical
+#: labeling (scc_id = MIN node id of the component) is ALGORITHM-
+#: INDEPENDENT and all-integer, so any correct SCC algorithm produces
+#: bit-identical output — the driver path runs iterative Kosaraju over
+#: dense int codes (O(V+E), two passes). 16M edges ≈ 2×16M longs + the
+#: string endpoints ≈ low-GB driver footprint — the same bounded-collect
+#: posture as the weak-CC fast path (which already collects the SAME
+#: edge list at 4M for every in-bound scc run). Above the bound: the
+#: distributed FW-BW + trimming loop, which is the 100-TB path.
+DRIVER_SCC_MAX_EDGES = 16_000_000
+
+
+def _py_scc_min_labels(srcid, dstid, n: int):
+    """Iterative Kosaraju over dense 0..n-1 int codes: returns ``comp``
+    where ``comp[v]`` is the MINIMUM member code of v's strongly
+    connected component. Pure integer work — no floats anywhere."""
+    import numpy as np
+
+    def csr(s, d):
+        order = np.argsort(s, kind="stable")
+        ds = d[order]
+        counts = np.bincount(s, minlength=n)
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        return starts, ds
+
+    f_starts, f_dst = csr(srcid, dstid)
+    r_starts, r_dst = csr(dstid, srcid)
+    visited = np.zeros(n, dtype=bool)
+    ptr = f_starts[:-1].copy()  # per-node next-edge cursor (pass 1)
+    finish = np.empty(n, dtype=np.int64)
+    nf = 0
+    for root in range(n):
+        if visited[root]:
+            continue
+        visited[root] = True
+        stack = [root]
+        while stack:
+            v = stack[-1]
+            advanced = False
+            p = ptr[v]
+            end = f_starts[v + 1]
+            while p < end:
+                w = f_dst[p]
+                p += 1
+                if not visited[w]:
+                    visited[w] = True
+                    ptr[v] = p
+                    stack.append(w)
+                    advanced = True
+                    break
+            if not advanced:
+                ptr[v] = p
+                finish[nf] = v
+                nf += 1
+                stack.pop()
+    comp = np.full(n, -1, dtype=np.int64)
+    for i in range(n - 1, -1, -1):
+        v = finish[i]
+        if comp[v] != -1:
+            continue
+        comp[v] = v
+        members = [v]
+        stack = [v]
+        while stack:
+            u = stack.pop()
+            for j in range(r_starts[u], r_starts[u + 1]):
+                w = r_dst[j]
+                if comp[w] == -1:
+                    comp[w] = v
+                    stack.append(w)
+                    members.append(w)
+        mn = min(members)
+        if mn != v:
+            for u in members:
+                comp[u] = mn
+    return comp
+
+
+def _scc_artifacts_driver(e_raw: DataFrame) -> dict:
+    """Driver-side SCC artifacts for edge lists under
+    :data:`DRIVER_SCC_MAX_EDGES` — same artifact contract as the
+    distributed path (labels / labels_l / nid / e), identical values:
+    the nid map is the identical rank-by-node-order factorization
+    (python str comparison == Spark's UTF8 binary order — UTF-8 is
+    code-point-order-preserving, the `_np_min_labels` equivalence the
+    weak-CC fast path already relies on), and the labeling is the
+    canonical min-node-id per component."""
+    import numpy as np
+    import pandas as pd
+
+    spark = e_raw.sparkSession
+    node_type = e_raw.schema["src"].dataType
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    nid_schema = StructType(
+        [StructField("node", node_type), StructField("nid", LongType())]
+    )
+    lab_schema = StructType(
+        [StructField("node", node_type), StructField("scc_id", node_type)]
+    )
+    pdf = e_raw.select("src", "dst").toPandas()
+    m = len(pdf)
+    if m == 0:
+        empty_ll = spark.createDataFrame(
+            pd.DataFrame({"node": [], "scc_id": []}), "node long, scc_id long"
+        )
+        return {
+            "labels": spark.createDataFrame(
+                pd.DataFrame({"node": [], "scc_id": []}), lab_schema
+            ),
+            "labels_l": empty_ll,
+            "nid": spark.createDataFrame(
+                pd.DataFrame({"node": [], "nid": []}), nid_schema
+            ),
+            "e": spark.createDataFrame(
+                pd.DataFrame({"src": [], "dst": []}), "src long, dst long"
+            ),
+        }
+    allv = pd.concat([pdf["src"], pdf["dst"]], ignore_index=True)
+    codes, uniq = pd.factorize(allv)  # O(n) hashing, first-seen order
+    uniq = np.asarray(uniq, dtype=object)
+    order = np.argsort(uniq)  # only |V| strings sorted
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[order] = np.arange(len(uniq), dtype=np.int64)
+    nids = rank[codes]
+    srcid, dstid = nids[:m], nids[m:]
+    sorted_nodes = uniq[order]
+    n = len(uniq)
+    comp = _py_scc_min_labels(srcid, dstid, n)
+    sc_ = spark.sparkContext
+    parts = max(2, min(sc_.defaultParallelism, m // 65536 + 1))
+    nid = spark.createDataFrame(
+        pd.DataFrame(
+            {"node": sorted_nodes, "nid": np.arange(n, dtype=np.int64)}
+        ),
+        nid_schema,
+    ).localCheckpoint(eager=True)
+    e_full = (
+        spark.createDataFrame(
+            pd.DataFrame({"src": srcid, "dst": dstid}), "src long, dst long"
+        )
+        .repartition(parts)
+        .localCheckpoint(eager=True)
+    )
+    labels_l = spark.createDataFrame(
+        pd.DataFrame({"node": np.arange(n, dtype=np.int64), "scc_id": comp}),
+        "node long, scc_id long",
+    ).localCheckpoint(eager=True)
+    labels = spark.createDataFrame(
+        pd.DataFrame(
+            {"node": sorted_nodes, "scc_id": sorted_nodes[comp]}
+        ),
+        lab_schema,
+    )
+    return {"labels": labels, "labels_l": labels_l, "nid": nid, "e": e_full}
+
+
 def scc_artifacts(
     edges: DataFrame,
     *,
@@ -1309,6 +1475,10 @@ def scc_artifacts(
     e_raw = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint(eager=True)
+    # Scale-adaptive driver fast path (see DRIVER_SCC_MAX_EDGES): the
+    # count is one cheap job over the just-materialized checkpoint.
+    if e_raw.count() <= DRIVER_SCC_MAX_EDGES:
+        return _scc_artifacts_driver(e_raw)
     # ORDER-PRESERVING dense LONG ids for the hot loops: every level of
     # every reach pass (and the weak-CC labeling) scans/joins the edge
     # table ~20+ times, and the callers' node ids are strings ('c123') —
@@ -1360,9 +1530,27 @@ def scc_artifacts(
             + off_map[F.col("_pid")]
         ).cast("long").alias("nid"),
     ).localCheckpoint(eager=True)
+    # |V| is driver-tracked (acc = Σ per-partition counts), so the nid
+    # translation joins broadcast the bounded id map instead of
+    # sort-merge-shuffling the edge table twice (checkpointed nid has no
+    # size stats — the _frontier_expand rationale; falls back above the
+    # broadcast bound).
+    n_nodes_total = acc
     e = (
-        e_raw.join(nid.select(F.col("node").alias("src"), F.col("nid").alias("sid")), "src")
-        .join(nid.select(F.col("node").alias("dst"), F.col("nid").alias("did")), "dst")
+        e_raw.join(
+            _bcast_if(
+                nid.select(F.col("node").alias("src"), F.col("nid").alias("sid")),
+                n_nodes_total,
+            ),
+            "src",
+        )
+        .join(
+            _bcast_if(
+                nid.select(F.col("node").alias("dst"), F.col("nid").alias("did")),
+                n_nodes_total,
+            ),
+            "dst",
+        )
         .select(F.col("sid").alias("src"), F.col("did").alias("dst"))
     )
     e_full = e.localCheckpoint(eager=True)
@@ -1424,7 +1612,9 @@ def scc_artifacts(
             # the cap the contract-then-finish fallback still applies
             lab = _weak_cc_labels(e_act, driver_max_edges=4 * DRIVER_CC_MAX_EDGES)
         seeds = (
-            active.join(lab, "node")
+            # lab has one row per post-trim node — bounded by the tracked
+            # total node count, so the pivot-seed join broadcasts it
+            active.join(_bcast_if(lab, n_nodes_total), "node")
             .groupBy("wcc")
             .agg(F.min("node").alias("p"))
             .select("p", F.col("p").alias("node"))
@@ -1480,12 +1670,18 @@ def scc_artifacts(
     # translated labels identical to an all-string run)
     labels = (
         labels_l.join(
-            nid.select(F.col("nid").alias("node"), F.col("node").alias("_n")),
+            _bcast_if(
+                nid.select(F.col("nid").alias("node"), F.col("node").alias("_n")),
+                n_nodes_total,
+            ),
             "node",
         )
         .join(
-            nid.select(
-                F.col("nid").alias("scc_id"), F.col("node").alias("_s")
+            _bcast_if(
+                nid.select(
+                    F.col("nid").alias("scc_id"), F.col("node").alias("_s")
+                ),
+                n_nodes_total,
             ),
             "scc_id",
         )

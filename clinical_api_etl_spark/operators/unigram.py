@@ -214,10 +214,103 @@ def _usage_counts(segmented: DataFrame, chars: DataFrame) -> DataFrame:
     )
 
 
+#: Distinct-word ceiling for the driver-side EM fast path. The word
+#: table is VOCABULARY-scaled (distinct words ≤ MAXW chars — ~100k rows
+#: even at 100 TB, the BPE-apply posture), so under this bound the whole
+#: hard-EM runs as one bounded collect + python loops: the distributed
+#: rounds' cost is NOT data (31 distinct words at sf0.1) but Catalyst +
+#: codegen on the generated 48-slot DP/backtrack expressions — ~6-7 s
+#: PER ROUND of pure plan overhead (round-11 profile). viterbi_py runs
+#: the IDENTICAL IEEE float ops as the Spark/DuckDB DP (bitwise-asserted
+#: by the existing replay tests), integer usage counts are exact, and
+#: each score is the same single long->double division — so the fast
+#: path is bit-identical by construction, same as the driver-CC /
+#: kmeans sample-train precedent. Above the bound: the distributed EM.
+DRIVER_UNIGRAM_MAX_WORDS = 200_000
+
+
+def _learn_unigram_driver(w: DataFrame) -> DataFrame:
+    """Driver-side hard-EM over a collected (word, freq) table — the
+    exact trajectory of the distributed loop below (seed -> EM_ROUNDS x
+    (Viterbi segment, usage re-count with the +1 char floor, re-score)
+    -> prune), with every float op the same IEEE tree (see
+    :data:`DRIVER_UNIGRAM_MAX_WORDS`)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    rows = w.select("word", "freq").toPandas()
+    words = list(zip(rows["word"].tolist(), rows["freq"].tolist()))
+    spark = w.sparkSession
+    schema = "piece string, piece_len long, cnt long, score double"
+    if not words:
+        return spark.createDataFrame(
+            pd.DataFrame({"piece": [], "piece_len": [], "cnt": [], "score": []}),
+            schema,
+        )
+    span_cnt: Counter = Counter()
+    for word, freq in words:
+        wl = len(word)
+        for i in range(wl):
+            for k in range(1, MAXP + 1):
+                if i + k <= wl:
+                    span_cnt[word[i : i + k]] += freq
+    chars = sorted(p for p in span_cnt if len(p) == 1)
+    seed_multi = sorted(
+        ((p, c) for p, c in span_cnt.items() if len(p) >= 2),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:SEED_MULTI]
+    vocab_cnt = {p: span_cnt[p] for p in chars}
+    vocab_cnt.update(dict(seed_multi))
+
+    def _scores(vc: dict) -> dict:
+        tot = float(sum(vc.values()))  # exact while Σcnt < 2^53 (both
+        # engines cast the same BIGINT; the division is one IEEE op)
+        return {p: c / tot for p, c in vc.items()}
+
+    scores = _scores(vocab_cnt)
+    for _ in range(EM_ROUNDS):
+        use: Counter = Counter()
+        for word, freq in words:
+            for piece in viterbi_py(word, scores):
+                use[piece] += freq
+        # _usage_counts semantics: usage ∪ (+1 floor per char), summed —
+        # unused multi-char pieces drop out, unused chars keep cnt 1
+        vocab_cnt = {p: c for p, c in use.items()}
+        for c in chars:
+            vocab_cnt[c] = vocab_cnt.get(c, 0) + 1
+        scores = _scores(vocab_cnt)
+    kept_multi = sorted(
+        ((p, c) for p, c in vocab_cnt.items() if len(p) >= 2),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:FINAL_MULTI]
+    kept = {p: vocab_cnt[p] for p in chars}
+    kept.update(dict(kept_multi))
+    fscores = _scores(kept)
+    out = pd.DataFrame(
+        {
+            "piece": list(kept),
+            "piece_len": [len(p) for p in kept],
+            "cnt": [kept[p] for p in kept],
+            "score": [fscores[p] for p in kept],
+        }
+    )
+    return spark.createDataFrame(out, schema)
+
+
 def learn_unigram(docs: DataFrame) -> DataFrame:
     """Full unigram-LM training: returns the pruned vocab artifact
-    (piece, piece_len, cnt, score) — every value hash-gated."""
+    (piece, piece_len, cnt, score) — every value hash-gated.
+
+    Scale-adaptive: word tables under DRIVER_UNIGRAM_MAX_WORDS run the
+    EM driver-side (bit-identical by construction — see
+    :func:`_learn_unigram_driver`); larger corpora run the distributed
+    rounds below."""
     w = word_table(docs).coalesce(8).persist()
+    if w.limit(DRIVER_UNIGRAM_MAX_WORDS + 1).count() <= DRIVER_UNIGRAM_MAX_WORDS:
+        out = _learn_unigram_driver(w).localCheckpoint(eager=True)
+        w.unpersist(False)
+        return out
     sc = span_counts(w).coalesce(8).persist()
     chars = sc.filter(F.length("piece") == 1).select("piece")
     seed_multi = (

@@ -479,16 +479,24 @@ class TestSccComponents:
         self._check(spark, pairs)
 
     def test_max_rounds_backstop_raises(self, spark):
-        from clinical_api_etl_spark.operators.graph import scc_components
+        import clinical_api_etl_spark.operators.graph as G
 
         # two disjoint 2-cycles need two pivot rounds; max_rounds=1 must
-        # refuse loudly rather than return a partial labeling.
+        # refuse loudly rather than return a partial labeling. The
+        # backstop belongs to the DISTRIBUTED loop — the round-11 driver
+        # fast path always computes the complete labeling, so force the
+        # scale path for this failure-mode contract.
         df = spark.createDataFrame(
             [("a", "b"), ("b", "a"), ("c", "d"), ("d", "c"), ("b", "c")],
             "src string, dst string",
         )
-        with pytest.raises(RuntimeError, match="did not converge"):
-            scc_components(df, max_rounds=1)
+        orig = G.DRIVER_SCC_MAX_EDGES
+        G.DRIVER_SCC_MAX_EDGES = -1
+        try:
+            with pytest.raises(RuntimeError, match="did not converge"):
+                G.scc_components(df, max_rounds=1)
+        finally:
+            G.DRIVER_SCC_MAX_EDGES = orig
 
     def test_weak_cc_distributed_path_matches_driver(self, spark, monkeypatch):
         # Force the distributed min-label branch (bound -> 0) and check it
@@ -564,3 +572,33 @@ class TestTemporalReachability:
             for r in temporal_earliest_arrival(e, src, iters=4).collect()
         }
         assert got == {"a": 0, "m": 1, "b": 2, "z": 4}
+
+
+class TestSccDriverParity:
+    """The round-11 driver-side Kosaraju fast path must reproduce the
+    distributed FW-BW labeling exactly on every artifact (the canonical
+    min-node-id labeling is algorithm-independent; the nid factorization
+    is the identical rank-by-node-order map)."""
+
+    def test_driver_equals_distributed_all_artifacts(self, spark):
+        import clinical_api_etl_spark.operators.graph as G
+
+        edges = [
+            ("a", "b"), ("b", "c"), ("c", "a"),      # 3-cycle
+            ("c", "d"), ("d", "e"), ("e", "d"),      # 2-cycle downstream
+            ("x", "a"), ("e", "z"),                   # tendrils
+            ("p", "q"), ("q", "p"),                   # separate weak comp
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        fast = G.scc_artifacts(df)
+        orig = G.DRIVER_SCC_MAX_EDGES
+        G.DRIVER_SCC_MAX_EDGES = -1  # force the distributed path
+        try:
+            slow = G.scc_artifacts(df)
+        finally:
+            G.DRIVER_SCC_MAX_EDGES = orig
+        for key in ("labels", "labels_l", "nid", "e"):
+            got = {tuple(r) for r in fast[key].collect()}
+            want = {tuple(r) for r in slow[key].collect()}
+            assert got == want, key
+        spark.catalog.clearCache()

@@ -219,3 +219,26 @@ def sum_chain(w, x):
     for k in range(1, len(w)):
         acc = acc + w[k] * float(x[k])
     return acc
+
+
+class TestLouvainDriverParity:
+    """The round-11 driver-side Louvain fast path must reproduce the
+    distributed move rounds EXACTLY (all quantities are exact integers,
+    so equality is total, not approximate)."""
+
+    def test_driver_equals_distributed(self, spark):
+        from clinical_api_etl_spark.plans.ranking import communities as C
+        from clinical_api_etl_spark.sources.catalog import load
+        from clinical_api_etl_spark.plans.ranking.graphrank import _lp_graph
+
+        e0, _sym = _lp_graph(spark, "/root/testdata/sf0.001")
+        e0 = e0.localCheckpoint(eager=True)
+        fast = {r.node: r.community for r in C.louvain_labels(e0).collect()}
+        orig = C.DRIVER_LOUVAIN_MAX_EDGES
+        C.DRIVER_LOUVAIN_MAX_EDGES = -1  # force the distributed path
+        try:
+            slow = {r.node: r.community for r in C.louvain_labels(e0).collect()}
+        finally:
+            C.DRIVER_LOUVAIN_MAX_EDGES = orig
+        spark.catalog.clearCache()
+        assert fast == slow

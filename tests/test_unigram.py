@@ -162,3 +162,36 @@ class TestFamilyFertilityComposition:
                 ug[lang]["fertility"] / bpe[lang]["fertility"]
             )
             assert row["fertility_ratio"] > 0
+
+
+class TestDriverPathParity:
+    """The round-11 driver-side EM fast path must be BIT-IDENTICAL to the
+    distributed rounds it replaces (same seed, same Viterbi IEEE ops via
+    viterbi_py, same usage counts and single-division scores)."""
+
+    def test_driver_equals_distributed(self, spark):
+        from clinical_api_etl_spark.operators import unigram as U
+
+        docs = load(spark, SF, "documents")
+        fast = {
+            r["piece"]: (r["piece_len"], r["cnt"], r["score"])
+            for r in learn_unigram(docs).collect()
+        }
+        # force the distributed path by dropping the driver bound
+        orig = U.DRIVER_UNIGRAM_MAX_WORDS
+        U.DRIVER_UNIGRAM_MAX_WORDS = -1
+        try:
+            slow = {
+                r["piece"]: (r["piece_len"], r["cnt"], r["score"])
+                for r in learn_unigram(docs).collect()
+            }
+        finally:
+            U.DRIVER_UNIGRAM_MAX_WORDS = orig
+        assert set(fast) == set(slow)
+        for p, (ln, cnt, score) in fast.items():
+            sln, scnt, sscore = slow[p]
+            assert (ln, cnt) == (sln, scnt), p
+            # floats must match BITWISE, not approximately
+            import struct
+
+            assert struct.pack("<d", score) == struct.pack("<d", sscore), p
