@@ -148,6 +148,62 @@ def _frontier_expand(
     return e.join(fr, (e["src"] == fr["node"]) & (e["_slt"] == fr["_slt"]))
 
 
+#: Bounds for the driver-side BFS-family kernels (operators/graphkernel):
+#: probe-set operators carry |sources| x |V| state over dimension-scaled
+#: edge lists, so under these bounds the whole computation is one bounded
+#: collect + numpy passes — bit-identical by construction (integer state
+#: is order-free scatter-min/add; the one float state, the Brandes delta,
+#: replays the pinned successor-sorted left fold exactly — see the
+#: graphkernel module docstring). Above either bound: the distributed
+#: loops, unchanged (the 100-TB path).
+DRIVER_GRAPH_MAX_EDGES = 16_000_000
+DRIVER_GRAPH_MAX_SOURCES = 256
+
+
+def _driver_graph_collect(
+    e_ck: DataFrame, n_edges: int, sources: DataFrame, payload: str | None = None
+):
+    """Bounded collect for the graph kernels: returns
+    ``(srcid, dstid, payload_arr, all_nodes, source_codes)`` or ``None``
+    when the source set exceeds its bound / carries duplicates (the
+    distributed loops emit one seed row per source OCCURRENCE, so a
+    duplicated probe set must take that path to stay row-identical).
+    ``e_ck`` must be an already-checkpointed (src, dst[, payload])
+    selection with ``n_edges`` rows (caller-counted)."""
+    import numpy as np
+
+    from clinical_api_etl_spark.operators import graphkernel as K
+
+    if n_edges > DRIVER_GRAPH_MAX_EDGES:
+        return None
+    spdf = sources.select("node").limit(DRIVER_GRAPH_MAX_SOURCES + 1).toPandas()
+    svals = spdf["node"].tolist()
+    if len(svals) > DRIVER_GRAPH_MAX_SOURCES or len(set(svals)) != len(svals):
+        return None
+    pdf = e_ck.toPandas()
+    if len(pdf) == 0:
+        srcid = np.empty(0, dtype=np.int64)
+        dstid = np.empty(0, dtype=np.int64)
+        nodes = np.empty(0, dtype=object)
+    else:
+        srcid, dstid, nodes = K.factorize(pdf["src"], pdf["dst"])
+    pay = (
+        pdf[payload].to_numpy(dtype=np.int64)
+        if payload is not None and len(pdf)
+        else (np.empty(0, dtype=np.int64) if payload is not None else None)
+    )
+    source_codes, all_nodes = K._source_codes(svals, nodes)
+    # len(nodes) = nodes present in the EDGE LIST (codes < this expand);
+    # appended source codes are seed-only
+    return srcid, dstid, pay, all_nodes, len(nodes), source_codes
+
+
+def _kernel_frame(spark, cols: dict, schema) -> DataFrame:
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(cols), schema)
+
+
 def _node_count(e: DataFrame) -> int:
     """|V| of a (src, dst, ...) edge table — BOTH endpoint columns, so
     directed inputs with sink-only nodes count correctly (an undercount
@@ -366,8 +422,31 @@ def bfs_hops(
     every round (multiplicative growth), so each round is eagerly
     localCheckpoint-ed — the k-core rule from CLAUDE.md, not the
     pagerank (linear-growth) exception.
+
+    Scale-adaptive: under DRIVER_GRAPH_MAX_EDGES/_SOURCES the BFS runs
+    as a driver kernel (integer-only — bit-identical by construction);
+    the distributed loop is the fallback, fed from the same edge
+    checkpoint.
     """
-    e = _salted_edges(edges, src, dst)
+    e_ck = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    got = _driver_graph_collect(e_ck, e_ck.count(), sources)
+    if got is not None:
+        from clinical_api_etl_spark.operators import graphkernel as K
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        srcid, dstid, _, all_nodes, n_graph, scodes = got
+        nodes, dists = K.bfs_hops_kernel(srcid, dstid, n_graph, scodes, iters)
+        node_type = e_ck.schema["src"].dataType
+        return _kernel_frame(
+            edges.sparkSession,
+            {"node": all_nodes[nodes], "dist": dists},
+            StructType(
+                [StructField("node", node_type), StructField("dist", LongType())]
+            ),
+        )
+    e = _salted_edges(e_ck, src, dst)
     dist = sources.select(
         "node", F.lit(0).cast("long").alias("dist")
     ).localCheckpoint(eager=True)
@@ -638,11 +717,37 @@ def bfs_hops_per_source(
     emptiness probe — ONE blocking job per round (round-9 discipline; the
     old eager-checkpoint k-core rule applies only where a persisted table
     is unpersisted before return)."""
+    # Scale-adaptive: driver kernel under the graph bounds (integer-only
+    # BFS — bit-identical by construction), distributed loop above them.
+    e_ck = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    got = _driver_graph_collect(e_ck, e_ck.count(), sources)
+    if got is not None:
+        from clinical_api_etl_spark.operators import graphkernel as K
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        srcid, dstid, _, all_nodes, n_graph, scodes = got
+        ss, vv, dd = K.bfs_hops_per_source_kernel(
+            srcid, dstid, n_graph, scodes, iters
+        )
+        node_type = e_ck.schema["src"].dataType
+        return _kernel_frame(
+            edges.sparkSession,
+            {"s": all_nodes[ss], "node": all_nodes[vv], "dist": dd},
+            StructType(
+                [
+                    StructField("s", node_type),
+                    StructField("node", node_type),
+                    StructField("dist", LongType()),
+                ]
+            ),
+        )
     # pin the partitioning BEFORE persist: AQE would coalesce the small
     # edge exchange to 1 partition and serialize every expansion join
     # (CLAUDE.md round-1 rule; AQE leaves user repartitions alone).
     # Salted on (src, _slt) for hub-skew resilience (see EDGE_SALT).
-    e = _salted_edges(edges, src, dst)
+    e = _salted_edges(e_ck, src, dst)
     dist = sources.select(
         F.col("node").alias("s"), F.col("node"), F.lit(0).cast("long").alias("dist")
     ).localCheckpoint(eager=False)
@@ -724,10 +829,52 @@ def bfs_path_counts(
     bounded probe set (centrality posture). sigma fits BIGINT far past any
     real scale: it is bounded by (max degree)^iters.
     """
+    fast = _brandes_driver(edges, sources, iters, src, dst, with_delta=False)
+    if fast is not None:
+        return fast
     state, _, _ = _bfs_path_counts_with_levels(
         edges, sources, iters=iters, src=src, dst=dst
     )
     return state
+
+
+def _brandes_driver(
+    edges: DataFrame,
+    sources: DataFrame,
+    iters: int,
+    src: str,
+    dst: str,
+    *,
+    with_delta: bool,
+) -> DataFrame | None:
+    """Driver-kernel dispatch shared by :func:`bfs_path_counts` (forward
+    only) and :func:`brandes_dependencies` (+ backward deltas). Returns
+    ``None`` above the graph bounds — callers then run the distributed
+    loops. Bit-parity: integers are order-free scatter sums; the delta
+    fold is the strict left fold (graphkernel module docstring)."""
+    e_ck = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    got = _driver_graph_collect(e_ck, e_ck.count(), sources)
+    if got is None:
+        return None
+    from clinical_api_etl_spark.operators import graphkernel as K
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    srcid, dstid, _, all_nodes, n_graph, scodes = got
+    ss, vv, dd, gg, tt = K.brandes_kernel(srcid, dstid, n_graph, scodes, iters)
+    node_type = e_ck.schema["src"].dataType
+    cols = {"s": all_nodes[ss], "node": all_nodes[vv], "dist": dd, "sigma": gg}
+    fields = [
+        StructField("s", node_type),
+        StructField("node", node_type),
+        StructField("dist", LongType()),
+        StructField("sigma", LongType()),
+    ]
+    if with_delta:
+        cols["delta"] = tt
+        fields.append(StructField("delta", DoubleType()))
+    return _kernel_frame(edges.sparkSession, cols, StructType(fields))
 
 
 def _bfs_path_counts_with_levels(
@@ -842,6 +989,9 @@ def brandes_dependencies(
     along through the delta chain, so the final full-state join is gone
     — the output is just the union of the per-level delta frames.
     """
+    fast = _brandes_driver(edges, sources, iters, src, dst, with_delta=True)
+    if fast is not None:
+        return fast
     # ONE edge materialization for both passes: the salted (src, _slt)
     # repartitioned + persisted table feeds the forward frontier joins,
     # then gets column-aliased for the backward successor joins (a select
@@ -972,7 +1122,36 @@ def bellman_ford_bounded(
     referenced by the expansion, the improvement filter, and the
     replacement — multiplicative lineage, k-core rule).
     """
-    e = _salted_edges(edges, src, dst, extra=(F.col(weight).alias("w"),))
+    # Scale-adaptive: driver kernel under the graph bounds (synchronous
+    # k-round int64 relaxation == the SPFA fixpoint the oracle unrolls —
+    # every improvement propagates the following round on both forms).
+    e_ck = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    ).localCheckpoint(eager=True)
+    got = _driver_graph_collect(e_ck, e_ck.count(), sources, payload="w")
+    if got is not None:
+        from clinical_api_etl_spark.operators import graphkernel as K
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        srcid, dstid, ww, all_nodes, n_graph, scodes = got
+        ss, vv, dd = K.relax_min_kernel(
+            srcid, dstid, ww, n_graph, scodes, iters, temporal=False
+        )
+        node_type = e_ck.schema["src"].dataType
+        return _kernel_frame(
+            edges.sparkSession,
+            {"s": all_nodes[ss], "node": all_nodes[vv], "dist": dd},
+            StructType(
+                [
+                    StructField("s", node_type),
+                    StructField("node", node_type),
+                    StructField("dist", LongType()),
+                ]
+            ),
+        )
+    e = _salted_edges(e_ck, "src", "dst", extra=(F.col("w"),))
     state = sources.select(
         F.col("node").alias("s"), F.col("node"), F.lit(0).cast("long").alias("dist")
     ).localCheckpoint(eager=True)
@@ -1715,7 +1894,35 @@ def temporal_earliest_arrival(
     state hash-gates against an unrolled full-relaxation oracle — the
     hash IS the SPFA-fixpoint equivalence proof, as with Bellman-Ford.
     """
-    e = _salted_edges(edges, src, dst, extra=(F.col(t).alias("t"),))
+    # Scale-adaptive: driver kernel under the graph bounds (synchronous
+    # k-round earliest-arrival relaxation over exact int64 times).
+    e_ck = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(t).cast("long").alias("t"),
+    ).localCheckpoint(eager=True)
+    got = _driver_graph_collect(e_ck, e_ck.count(), sources, payload="t")
+    if got is not None:
+        from clinical_api_etl_spark.operators import graphkernel as K
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        srcid, dstid, tt, all_nodes, n_graph, scodes = got
+        ss, vv, aa = K.relax_min_kernel(
+            srcid, dstid, tt, n_graph, scodes, iters, temporal=True
+        )
+        node_type = e_ck.schema["src"].dataType
+        return _kernel_frame(
+            edges.sparkSession,
+            {"s": all_nodes[ss], "node": all_nodes[vv], "arr": aa},
+            StructType(
+                [
+                    StructField("s", node_type),
+                    StructField("node", node_type),
+                    StructField("arr", LongType()),
+                ]
+            ),
+        )
+    e = _salted_edges(e_ck, "src", "dst", extra=(F.col("t"),))
     state = sources.select(
         F.col("node").alias("s"), F.col("node"), F.lit(0).cast("long").alias("arr")
     ).localCheckpoint(eager=True)
