@@ -215,14 +215,121 @@ def _pair_counts(symtab: DataFrame) -> DataFrame:
     )
 
 
+#: Distinct-word ceiling for the driver-side merge-learning fast path —
+#: the unigram-EM bound's twin: the word table is VOCABULARY-scaled, and
+#: at bench scale (31 distinct words) every distributed iteration is
+#: pure job overhead. The python replay is exact by the round-7 rule the
+#: apply side already relies on: space-doubling + plain str.replace is
+#: leftmost-non-overlapping identically in JVM/DuckDB/python, counts are
+#: exact ints, and the WordPiece score is the same single BIGINT->double
+#: division. Above the bound: the distributed loops below.
+DRIVER_BPE_MAX_WORDS = 200_000
+
+
+def _collect_words(words: DataFrame):
+    """list[(word, freq)] under DRIVER_BPE_MAX_WORDS, else None."""
+    if (
+        words.limit(DRIVER_BPE_MAX_WORDS + 1).count()
+        > DRIVER_BPE_MAX_WORDS
+    ):
+        return None
+    pdf = words.select("word", F.col("freq").cast("long").alias("freq")).toPandas()
+    return list(zip(pdf["word"].tolist(), pdf["freq"].tolist()))
+
+
+def _py_initial_symbols(word: str) -> str:
+    return " ".join(word) + " " + EOW if word else EOW
+
+
+def _py_apply_merge(sym: str, left: str, right: str) -> str:
+    doubled = " " + sym.replace(" ", "  ") + " "
+    merged = doubled.replace(
+        " " + left + "  " + right + " ", " " + left + right + " "
+    )
+    return merged.replace("  ", " ").strip(" ")
+
+
+def _py_pair_counts(symtab) -> dict:
+    out: dict = {}
+    for freq, sym in symtab:
+        toks = sym.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            out[(a, b)] = out.get((a, b), 0) + freq
+    return out
+
+
+def _learn_bpe_driver(wlist, n_merges: int) -> list:
+    from pyspark.sql import Row
+
+    symtab = [(freq, _py_initial_symbols(w)) for w, freq in wlist]
+    out: list = []
+    for it in range(1, n_merges + 1):
+        pc = _py_pair_counts(symtab)
+        if not pc:
+            break
+        (lhs, rhs), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append(
+            Row(it=it, lhs=lhs, rhs=rhs, merged=lhs + rhs, pair_count=cnt)
+        )
+        symtab = [(f, _py_apply_merge(s, lhs, rhs)) for f, s in symtab]
+    return out
+
+
+def _learn_wordpiece_driver(wlist, n_merges: int) -> list:
+    from pyspark.sql import Row
+
+    symtab = [(freq, _py_initial_symbols(w)) for w, freq in wlist]
+    out: list = []
+    for it in range(1, n_merges + 1):
+        pc = _py_pair_counts(symtab)
+        if not pc:
+            break
+        uc: dict = {}
+        for freq, sym in symtab:
+            for tok in sym.split(" "):
+                uc[tok] = uc.get(tok, 0) + freq
+        best = None
+        for (lhs, rhs), cnt in pc.items():
+            # ONE correctly-rounded division of exact ints — the same
+            # IEEE op as the distributed projection
+            score = float(cnt) / float(uc[lhs] * uc[rhs])
+            key = (-score, lhs, rhs)
+            if best is None or key < best[0]:
+                best = (key, lhs, rhs, cnt, uc[lhs], uc[rhs], score)
+        _, lhs, rhs, cnt, lc, rc, score = best
+        out.append(
+            Row(
+                it=it,
+                lhs=lhs,
+                rhs=rhs,
+                merged=lhs + rhs,
+                pair_count=cnt,
+                lhs_count=lc,
+                rhs_count=rc,
+                score=score,
+            )
+        )
+        symtab = [(f, _py_apply_merge(s, lhs, rhs)) for f, s in symtab]
+    return out
+
+
 def learn_bpe_distributed(words: DataFrame, n_merges: int) -> list:
     """Learn ``n_merges`` BPE merges from a ``(word, freq)`` DataFrame,
     corpus-wide. Returns one Row per iteration:
     (it, lhs, rhs, merged, pair_count). Stops early if no pair remains;
     only ``n_merges`` single-row argmax collects ever reach the driver.
     Lineage growth per iteration is linear (one reference), so persists
-    rotate without eager checkpoints (see the pagerank finding)."""
+    rotate without eager checkpoints (see the pagerank finding).
+
+    Scale-adaptive: word tables under DRIVER_BPE_MAX_WORDS run the whole
+    loop driver-side (bit-identical — see the bound's docstring)."""
     from pyspark.sql import Row
+
+    wlist = _collect_words(words)
+    if wlist is not None:
+        return _learn_bpe_driver(wlist, n_merges)
 
     # coalesce(8) before persist: the word table is tiny relative to the
     # corpus, and 32 cached partitions would pay 32 task launches in every
@@ -298,9 +405,15 @@ def learn_wordpiece_distributed(words: DataFrame, n_merges: int) -> list:
     under int64) — bit-identical across engines, ties broken (lhs, rhs)
     lexicographically on bit-identical doubles. Returns one Row per
     iteration: (it, lhs, rhs, merged, pair_count, lhs_count, rhs_count,
-    score)."""
+    score).
+
+    Scale-adaptive: word tables under DRIVER_BPE_MAX_WORDS run the whole
+    loop driver-side (bit-identical — see the bound's docstring)."""
     from pyspark.sql import Row
 
+    wlist = _collect_words(words)
+    if wlist is not None:
+        return _learn_wordpiece_driver(wlist, n_merges)
     symtab = (
         words.select(
             F.col("freq").cast("long").alias("freq"),

@@ -374,31 +374,54 @@ def pagerank_int(
     with a symmetrized edge list; isolated vertices would hold static
     rank and can be unioned in afterwards).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # ONE materialization of the caller's (usually join+distinct) edge
+    # plan: the old fully-declarative form re-derived it from EVERY
+    # branch of the unrolled 3-iteration DAG — the static plan carried
+    # 44 parquet scans / 144 Exchanges with ZERO exchange reuse
+    # (round-11 dissection). |V| is then a cheap driver count off the
+    # checkpoint, which (a) turns base/init into literals with the
+    # IDENTICAL integer values the 1-row cross join produced and
+    # (b) bounds a per-iteration broadcast of the rank vector
+    # (_frontier_expand — the edge side streams in place; above the
+    # bound the salted shuffle join is the 100-TB fallback, as before).
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    nodes = e.select(F.col("src").alias("node")).distinct()
-    ncount = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    base = F.expr(f"{total_units * (100 - damping_pct)} div 100 div n")
-    ranks = nodes.crossJoin(F.broadcast(ncount)).select(
-        "node", F.expr(f"{total_units} div n").alias("r")
+    n = e.select("src").distinct().count()
+    if n == 0:
+        return e.select(
+            F.col("src").alias("node"), F.lit(0).cast("long").alias("rank_units")
+        ).limit(0)
+    base_val = total_units * (100 - damping_pct) // 100 // n
+    # broadcast bound: the rank vector after an iteration covers distinct
+    # DST nodes, so bound by BOTH-endpoint |V| (n itself stays the
+    # src-distinct count — it feeds the arithmetic and must not change)
+    n_both = _node_count(e)
+    ranks = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(total_units // n).cast("long").alias("r"))
     )
-    # salt the rank equi-join (hub-skew resilience, see EDGE_SALT): the
-    # shuffle partitions on (src, _slt) so a hub's out-edges spread over
-    # EDGE_SALT reducers; the rank vector replicates EDGE_SALT ways.
-    edeg = e.join(deg, "src").withColumn(
-        "_slt", F.pmod(F.xxhash64(F.col("dst")), F.lit(EDGE_SALT)).cast("int")
-    )
+    # salt the rank equi-join's SHUFFLE fallback (hub-skew resilience,
+    # see EDGE_SALT); the broadcast path needs no salt.
+    edeg = _salted_edges(e.join(deg, "src"), "src", "dst", extra=(F.col("deg"),))
     for _ in range(iters):
-        rk = _replicated(ranks)
-        contrib = edeg.join(
-            rk, (edeg["src"] == rk["node"]) & (edeg["_slt"] == rk["_slt"])
-        ).select("dst", F.expr("r div deg").alias("c"))
-        summed = contrib.groupBy("dst").agg(F.sum("c").cast("long").alias("s"))
-        ranks = summed.crossJoin(F.broadcast(ncount)).select(
-            F.col("dst").alias("node"),
-            (base + F.expr(f"{damping_pct} * s div 100")).cast("long").alias("r"),
+        contrib = _frontier_expand(edeg, ranks, n_both).select(
+            "dst", F.expr("r div deg").alias("c")
         )
-    return ranks.select("node", F.col("r").alias("rank_units"))
+        summed = contrib.groupBy("dst").agg(F.sum("c").cast("long").alias("s"))
+        ranks = summed.select(
+            F.col("dst").alias("node"),
+            (F.lit(base_val) + F.expr(f"{damping_pct} * s div 100"))
+            .cast("long")
+            .alias("r"),
+        ).localCheckpoint(eager=False)
+    out = ranks.select("node", F.col("r").alias("rank_units")).localCheckpoint(
+        eager=True
+    )
+    edeg.unpersist(False)
+    return out
 
 
 def bfs_hops(
@@ -506,29 +529,32 @@ def ppr_int(
     partial sums, one full-outer join with the (small, broadcastable)
     restart vector.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Same plan-blowup fix as pagerank_int: one edge checkpoint, a
+    # driver-counted node bound for the per-iteration rank broadcast
+    # (_frontier_expand), per-iteration lazy checkpoints. Values are
+    # unchanged — all arithmetic is the identical BIGINT expression tree.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    edeg = e.join(deg, "src")
     n_src = sources.count()
     if n_src == 0:
         raise ValueError("ppr_int: empty source set")
+    n_nodes = _node_count(e)  # both endpoints — rank-vector upper bound
     restart = sources.select(
         "node",
         F.lit(total_units * (100 - damping_pct) // 100 // n_src)
         .cast("long")
         .alias("base"),
-    )
-    ranks = sources.select(
+    ).localCheckpoint(eager=True)
+    ranks = restart.select(
         "node", F.lit(total_units // n_src).cast("long").alias("r")
     )
-    edeg = edeg.withColumn(
-        "_slt", F.pmod(F.xxhash64(F.col("dst")), F.lit(EDGE_SALT)).cast("int")
-    )
+    edeg = _salted_edges(e.join(deg, "src"), "src", "dst", extra=(F.col("deg"),))
     for _ in range(iters):
-        rk = _replicated(ranks)
-        contrib = edeg.join(
-            rk, (edeg["src"] == rk["node"]) & (edeg["_slt"] == rk["_slt"])
-        ).select("dst", F.expr("r div deg").alias("c"))
+        contrib = _frontier_expand(edeg, ranks, n_nodes + n_src).select(
+            "dst", F.expr("r div deg").alias("c")
+        )
         summed = contrib.groupBy("dst").agg(F.sum("c").cast("long").alias("s"))
         ranks = (
             summed.select(F.col("dst").alias("node"), "s")
@@ -542,8 +568,13 @@ def ppr_int(
                 .cast("long")
                 .alias("r"),
             )
+            .localCheckpoint(eager=False)
         )
-    return ranks.select("node", F.col("r").alias("rank_units"))
+    out = ranks.select("node", F.col("r").alias("rank_units")).localCheckpoint(
+        eager=True
+    )
+    edeg.unpersist(False)
+    return out
 
 
 def pagerank_weighted_int(
@@ -589,27 +620,42 @@ def pagerank_weighted_int(
         )
         .alias("w"),
     )
+    # Same plan-blowup fix as pagerank_int (one edge checkpoint, literal
+    # base/init with identical integer values, bounded rank broadcasts,
+    # per-iteration lazy checkpoints).
+    e = e.localCheckpoint(eager=True)
     sw = e.groupBy("src").agg(F.sum("w").cast("long").alias("sw"))
-    nodes = e.select(F.col("src").alias("node")).distinct()
-    ncount = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    base = F.expr(f"{total_units * (100 - damping_pct)} div 100 div n")
-    ranks = nodes.crossJoin(F.broadcast(ncount)).select(
-        "node", F.expr(f"{total_units} div n").alias("r")
+    n = e.select("src").distinct().count()
+    if n == 0:
+        return e.select(
+            F.col("src").alias("node"), F.lit(0).cast("long").alias("rank_units")
+        ).limit(0)
+    base_val = total_units * (100 - damping_pct) // 100 // n
+    n_both = _node_count(e)
+    ranks = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(total_units // n).cast("long").alias("r"))
     )
-    esw = e.join(sw, "src").withColumn(
-        "_slt", F.pmod(F.xxhash64(F.col("dst")), F.lit(EDGE_SALT)).cast("int")
+    esw = _salted_edges(
+        e.join(sw, "src"), "src", "dst", extra=(F.col("w"), F.col("sw"))
     )
     for _ in range(iters):
-        rk = _replicated(ranks)
-        contrib = esw.join(
-            rk, (esw["src"] == rk["node"]) & (esw["_slt"] == rk["_slt"])
-        ).select("dst", F.expr("r * w div sw").alias("c"))
-        summed = contrib.groupBy("dst").agg(F.sum("c").cast("long").alias("s"))
-        ranks = summed.crossJoin(F.broadcast(ncount)).select(
-            F.col("dst").alias("node"),
-            (base + F.expr(f"{damping_pct} * s div 100")).cast("long").alias("r"),
+        contrib = _frontier_expand(esw, ranks, n_both).select(
+            "dst", F.expr("r * w div sw").alias("c")
         )
-    return ranks.select("node", F.col("r").alias("rank_units"))
+        summed = contrib.groupBy("dst").agg(F.sum("c").cast("long").alias("s"))
+        ranks = summed.select(
+            F.col("dst").alias("node"),
+            (F.lit(base_val) + F.expr(f"{damping_pct} * s div 100"))
+            .cast("long")
+            .alias("r"),
+        ).localCheckpoint(eager=False)
+    out = ranks.select("node", F.col("r").alias("rank_units")).localCheckpoint(
+        eager=True
+    )
+    esw.unpersist(False)
+    return out
 
 
 def hits_int(

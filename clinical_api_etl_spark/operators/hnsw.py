@@ -188,6 +188,100 @@ def _layer_adj(members: DataFrame, n_members: int, m: int, dim: int) -> DataFram
     return _knn_edges(mb, m, "ck")
 
 
+#: Corpus ceiling for the driver-side search kernel: under it the build
+#: collects the per-layer adjacency + prep vectors into numpy artifacts
+#: (the `_np` index key) and hnsw_topk runs the ENTIRE beam search
+#: driver-side — bit-identical by construction: every cosine is the same
+#: dimension-ordered left fold / (nrm·nrm) tree as functions/vectors.py
+#: (the `_brute_knn_pairs_np` parity argument), beam/top-k ordering is
+#: (cos DESC bitwise, node ASC), and candidate/dedup logic is set
+#: algebra over exact (query, node) pairs. At bench scale the
+#: distributed search is 7 rounds of joins/windows over KB-sized state —
+#: pure overhead (20-31 s isolated vs ~2 s driver-side).
+HNSW_DRIVER_MAX = 200_000
+
+
+def _np_brute_adj(ids, vecs, nrms, member_idx, m):
+    """Symmetrized distinct M-NN edge set (as a set of (i, j) index
+    pairs) among ``member_idx``, exactly the _brute_knn_pairs_np
+    trajectory: dimension-ordered dot fold, /(n·n) finish, per-row order
+    (sim DESC, neighbor id ASC), self excluded, bidirectional."""
+    import numpy as np
+
+    mi = np.asarray(member_idx, dtype=np.int64)
+    nn = len(mi)
+    if nn < 2:
+        return set()
+    A = vecs[mi]
+    acc = np.zeros((nn, nn))
+    for d in range(A.shape[1]):
+        acc += np.outer(A[:, d], A[:, d])
+    sim = acc / np.outer(nrms[mi], nrms[mi])
+    # members are already in global-id order (ids sorted ascending), so
+    # column order == neighbor-id order; stable argsort on -sim gives
+    # (sim DESC, id ASC)
+    cand = np.argsort(-sim, axis=1, kind="stable")
+    edges = set()
+    for i in range(nn):
+        picked = 0
+        for j in cand[i]:
+            if j == i:
+                continue
+            a, b = mi[i], mi[j]
+            edges.add((a, b))
+            edges.add((b, a))
+            picked += 1
+            if picked >= m:
+                break
+    return edges
+
+
+def _np_cell_adj(spark, ids, vecs, nrms, member_idx, m, n_members, dim):
+    """Cell-restricted M-NN for an over-BRUTE_MAX layer: the identical
+    LSH sign-bit cells (the ±1 plane components come from ONE tiny Spark
+    collect of the same xxhash64 expression the distributed _signature
+    uses; the projection is the dimension-ordered fold), then per-cell
+    brute M-NN."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    bits = max(1, math.ceil(math.log2(n_members / CELL_TARGET)))
+    # the distributed _signature hashes INT-typed plane*dim+d — xxhash64
+    # is TYPE-sensitive (int32 vs int64 hash differently), so collect the
+    # components from the identical int-typed expression
+    comp_row = (
+        spark.range(1)
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits * dim - 1)),
+                lambda x: F.when(
+                    F.xxhash64(x).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
+                ).otherwise(F.lit(-1.0)),
+            ).alias("c")
+        )
+        .collect()[0]["c"]
+    )
+    comp = np.asarray(comp_row, dtype=np.float64).reshape(bits, dim)
+    mi = np.asarray(member_idx, dtype=np.int64)
+    A = vecs[mi]
+    keys = []
+    for p in range(bits):
+        acc = np.zeros(len(mi))
+        for d in range(dim):
+            acc = acc + A[:, d] * comp[p, d]
+        keys.append((acc >= 0).astype(np.int64))
+    cells: dict = {}
+    for row_i in range(len(mi)):
+        ck = tuple(k[row_i] for k in keys)
+        cells.setdefault(ck, []).append(mi[row_i])
+    edges = set()
+    for members in cells.values():
+        edges |= _np_brute_adj(ids, vecs, nrms, members, m)
+    return edges
+
+
 def hnsw_build(
     corpus: DataFrame,
     *,
@@ -198,13 +292,107 @@ def hnsw_build(
 ) -> dict:
     """Build the three-layer index; returns eagerly-materialized
     artifacts: ``layers`` (list of (adj, rounds) from top down), ``entry``
-    (1-row nid), ``prep`` (nid, vec, nrm)."""
-    # Partition count scales with the corpus (~64k vectors / 32 MB per
-    # partition), floor 8: the round-6 tiny-persisted-table rule — the
-    # old repartition(defaultParallelism) spread sf0.1's 2,000 vectors
-    # over 32 partitions and every downstream join/score stage paid 32
-    # task launches for microseconds of work each.
+    (1-row nid), ``prep`` (nid, vec, nrm) — plus, under
+    :data:`HNSW_DRIVER_MAX`, the ``_np`` numpy twin of all of it for the
+    driver-side search kernel.
+
+    Under the bound the whole build ALSO runs driver-side (one collect;
+    norms are the identical dimension-ordered x² fold + sqrt, layer
+    membership the identical md5-prefix rule, adjacency the proven
+    _brute_knn_pairs_np trajectory per layer/cell) and the DataFrame
+    artifacts are created FROM the numpy results — the distributed build
+    below is the over-bound path."""
+    import pandas as pd
+
     n = corpus.count()
+    if 0 < n <= HNSW_DRIVER_MAX:
+        import hashlib
+
+        import numpy as np
+
+        spark = corpus.sparkSession
+        pdf = corpus.select(id_col, vec_col).toPandas()
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        vecs = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)[order]
+        # norm: the identical left fold 0.0 + x0² + x1² + … then sqrt
+        acc = np.zeros(n)
+        for d in range(vecs.shape[1]):
+            acc = acc + vecs[:, d] * vecs[:, d]
+        nrms = np.sqrt(acc)
+        md5s = np.asarray(
+            [hashlib.md5(str(v).encode()).hexdigest() for v in ids],
+            dtype=object,
+        )
+        l1_idx = np.nonzero(np.char.startswith(md5s.astype(str), "0"))[0]
+        l2_idx = np.nonzero(np.char.startswith(md5s.astype(str), "00"))[0]
+        n1, n2 = len(l1_idx), len(l2_idx)
+        pool = l2_idx if n2 > 0 else (l1_idx if n1 > 0 else np.arange(n))
+        entry_pos = min(pool, key=lambda i: (md5s[i], ids[i]))
+        dimv = vecs.shape[1]
+
+        def adj_for(member_idx, n_members):
+            if n_members <= BRUTE_MAX:
+                return _np_brute_adj(ids, vecs, nrms, member_idx, m)
+            return _np_cell_adj(
+                spark, ids, vecs, nrms, member_idx, m, n_members, dimv
+            )
+
+        layer_specs = []
+        if n2 > 1:
+            layer_specs.append((l2_idx, n2, 1))
+        if n1 > 1:
+            layer_specs.append((l1_idx, n1, HNSW_R1))
+        layer_specs.append((np.arange(n), n, HNSW_R0))
+        id_type = corpus.schema[id_col].dataType.simpleString()
+        layers = []
+        np_layers = []
+        for member_idx, n_members, rounds in layer_specs:
+            edges = adj_for(member_idx, n_members)
+            if edges:
+                es = np.array(sorted(edges), dtype=np.int64)
+                s_arr, d_arr = es[:, 0], es[:, 1]
+            else:
+                s_arr = np.empty(0, dtype=np.int64)
+                d_arr = np.empty(0, dtype=np.int64)
+            adj_df = spark.createDataFrame(
+                pd.DataFrame({"src": ids[s_arr], "dst": ids[d_arr]}),
+                f"src {id_type}, dst {id_type}",
+            ).localCheckpoint(eager=True)
+            layers.append((adj_df, rounds))
+            counts = np.bincount(s_arr, minlength=n)
+            starts = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
+            np_layers.append((starts, d_arr, rounds))
+        entry_df = spark.createDataFrame(
+            pd.DataFrame({"nid": [ids[entry_pos]]}), f"nid {id_type}"
+        )
+        prep_df = spark.createDataFrame(
+            pd.DataFrame(
+                {"nid": ids, "vec": vecs.tolist(), "nrm": nrms}
+            ),
+            f"nid {id_type}, vec array<double>, nrm double",
+        )
+        return {
+            "layers": layers,
+            "entry": entry_df,
+            "prep": prep_df,
+            "_np": {
+                "ids": ids,
+                "vecs": vecs,
+                "nrms": nrms,
+                "pos": {v: i for i, v in enumerate(ids)},
+                "layers": np_layers,
+                "entry": ids[entry_pos],
+            },
+        }
+    # Distributed build (over-bound path). Partition count scales with
+    # the corpus (~64k vectors / 32 MB per partition), floor 8: the
+    # round-6 tiny-persisted-table rule — the old
+    # repartition(defaultParallelism) spread sf0.1's 2,000 vectors over
+    # 32 partitions and every downstream join/score stage paid 32 task
+    # launches for microseconds of work each.
     parts = max(8, n // 65536)
     prep = (
         _prep(corpus, id_col, vec_col)
@@ -240,6 +428,135 @@ def hnsw_build(
     return {"layers": layers, "entry": entry, "prep": prep}
 
 
+def _hnsw_topk_np(
+    queries: DataFrame, idx: dict, id_col: str, vec_col: str, k: int, beam: int
+) -> DataFrame | None:
+    """Driver-side beam search over the ``_np`` index twin — the exact
+    trajectory of the distributed rounds below (see HNSW_DRIVER_MAX for
+    the bitwise argument). Returns ``None`` for over-bound or duplicated
+    query sets (the distributed path then runs)."""
+    import numpy as np
+    import pandas as pd
+
+    npi = idx["_np"]
+    qdf = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("q_vec"),
+            norm(as_double(F.col(vec_col))).alias("q_nrm"),
+        )
+        .limit(HNSW_DRIVER_MAX + 1)
+        .toPandas()
+    )
+    if len(qdf) > HNSW_DRIVER_MAX:
+        return None
+    qids = qdf["query_id"].to_numpy()
+    if len(np.unique(qids)) != len(qids):
+        return None  # distributed state semantics differ on dup queries
+    nq = len(qids)
+    spark = queries.sparkSession
+    out_schema = (
+        f"query_id {queries.schema[id_col].dataType.simpleString()},"
+        f" neighbor_id {queries.schema[id_col].dataType.simpleString()},"
+        " cos_sim double, rank int"
+    )
+    if nq == 0:
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cos_sim": [], "rank": []}
+            ),
+            out_schema,
+        )
+    qvecs = np.asarray(qdf["q_vec"].tolist(), dtype=np.float64)
+    qnrms = qdf["q_nrm"].to_numpy(dtype=np.float64)
+    ids, vecs, nrms = npi["ids"], npi["vecs"], npi["nrms"]
+    n = len(ids)
+    dim = vecs.shape[1]
+    entry_pos = npi["pos"][npi["entry"]]
+
+    def score(q_idx, node_idx):
+        # dimension-ordered left fold == functions/vectors.py:dot, then
+        # the identical /(q_nrm * nrm) two-op finish
+        acc = np.zeros(len(q_idx), dtype=np.float64)
+        qv = qvecs[q_idx]
+        vv = vecs[node_idx]
+        for d in range(dim):
+            acc = acc + qv[:, d] * vv[:, d]
+        return acc / (qnrms[q_idx] * nrms[node_idx])
+
+    # state: encoded (q_idx * n + node_idx), kept SORTED for dedup probes
+    q0 = np.arange(nq, dtype=np.int64)
+    node0 = np.full(nq, entry_pos, dtype=np.int64)
+    state_keys = q0 * n + node0
+    state_cos = score(q0, node0)
+    order = np.argsort(state_keys, kind="stable")
+    state_keys, state_cos = state_keys[order], state_cos[order]
+    beam_q, beam_node = q0, node0
+
+    for starts, dsts, rounds in npi["layers"]:
+        for _ in range(rounds):
+            deg = starts[beam_node + 1] - starts[beam_node]
+            if deg.sum() == 0:
+                # no expansion → state unchanged → beam unchanged (the
+                # distributed round recomputes an identical beam)
+                continue
+            rq = np.repeat(beam_q, deg)
+            gather = np.concatenate(
+                [dsts[starts[v]: starts[v + 1]] for v in beam_node]
+            ) if len(beam_node) else np.empty(0, dtype=np.int64)
+            cand = np.unique(rq * n + gather)
+            cand = cand[
+                state_keys[
+                    np.clip(
+                        np.searchsorted(state_keys, cand), 0, len(state_keys) - 1
+                    )
+                ]
+                != cand
+            ]
+            if len(cand):
+                cq, cnode = cand // n, cand % n
+                ccos = score(cq, cnode)
+                state_keys = np.concatenate([state_keys, cand])
+                state_cos = np.concatenate([state_cos, ccos])
+                order = np.argsort(state_keys, kind="stable")
+                state_keys, state_cos = state_keys[order], state_cos[order]
+            # beam = per-query top-`beam` of STATE by (cos DESC, node ASC)
+            sq = state_keys // n
+            snode = state_keys % n
+            order = np.lexsort((snode, -state_cos, sq))
+            gq = sq[order]
+            grp_start = np.concatenate(([True], gq[1:] != gq[:-1]))
+            gsi = np.nonzero(grp_start)[0]
+            rank_in_grp = np.arange(len(gq)) - np.repeat(
+                gsi, np.diff(np.append(gsi, len(gq)))
+            )
+            keep = order[rank_in_grp < beam]
+            beam_q = sq[np.sort(keep)]
+            beam_node = snode[np.sort(keep)]
+    # final: drop self hits (by VALUE), per-query top-k by
+    # (cos DESC, neighbor ASC), contiguous ranks from 1
+    sq = state_keys // n
+    snode = state_keys % n
+    notself = qids[sq] != ids[snode]
+    sq, snode, scos = sq[notself], snode[notself], state_cos[notself]
+    order = np.lexsort((snode, -scos, sq))
+    gq = sq[order]
+    gsi = np.nonzero(np.concatenate(([True], gq[1:] != gq[:-1])))[0]
+    rank_in_grp = np.arange(len(gq)) - np.repeat(
+        gsi, np.diff(np.append(gsi, len(gq)))
+    )
+    sel = rank_in_grp < k
+    out = pd.DataFrame(
+        {
+            "query_id": qids[gq[sel]],
+            "neighbor_id": ids[snode[order][sel]],
+            "cos_sim": scos[order][sel],
+            "rank": (rank_in_grp[sel] + 1).astype(np.int32),
+        }
+    )
+    return spark.createDataFrame(out, out_schema)
+
+
 def hnsw_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -259,6 +576,10 @@ def hnsw_topk(
     idx = index if index is not None else hnsw_build(
         corpus, id_col=id_col, vec_col=vec_col, m=m
     )
+    if "_np" in idx:
+        fast = _hnsw_topk_np(queries, idx, id_col, vec_col, k, beam)
+        if fast is not None:
+            return fast
     prep, entry = idx["prep"], idx["entry"]
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     q = q.select(

@@ -289,3 +289,50 @@ class TestWordPieceLearn:
         assert (got[0].lhs, got[0].rhs) == ("q", "u")
         assert got[0].score == 6 / (6 * 6)
         assert (bpe[0].lhs, bpe[0].rhs) != ("q", "u")
+
+
+class TestMergeLearnDriverParity:
+    """The round-11 driver-side merge learning must reproduce the
+    distributed loops exactly: integer pair/symbol counts, the single
+    BIGINT->double WordPiece division (bitwise), and the space-doubling
+    leftmost-non-overlapping merge apply (the round-7 three-engine
+    rule)."""
+
+    def test_driver_equals_distributed(self, spark):
+        import struct
+
+        from pyspark.sql import functions as F
+
+        import clinical_api_etl_spark.operators.bpe as B
+        from clinical_api_etl_spark.functions.text import tokens
+        from clinical_api_etl_spark.sources.catalog import load
+
+        docs = load(spark, "/root/testdata/sf0.001", "documents")
+        words = (
+            docs.select(F.explode_outer(tokens(F.col("text"))).alias("word"))
+            .filter(F.col("word").isNotNull())
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        )
+
+        def norm(rows):
+            return [
+                tuple(
+                    struct.pack("<d", x).hex() if isinstance(x, float) else x
+                    for x in r
+                )
+                for r in rows
+            ]
+
+        fb = norm(B.learn_bpe_distributed(words, 6))
+        fw = norm(B.learn_wordpiece_distributed(words, 6))
+        orig = B.DRIVER_BPE_MAX_WORDS
+        B.DRIVER_BPE_MAX_WORDS = -1
+        try:
+            sb = norm(B.learn_bpe_distributed(words, 6))
+            sw = norm(B.learn_wordpiece_distributed(words, 6))
+        finally:
+            B.DRIVER_BPE_MAX_WORDS = orig
+        assert fb == sb and len(fb) == 6
+        assert fw == sw and len(fw) == 6
+        spark.catalog.clearCache()

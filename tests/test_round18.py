@@ -291,3 +291,55 @@ class TestBetweennessSampled:
         for r in rows:
             assert 1 <= r["n_src"] <= 4
             assert r["btw"] >= 0.0
+
+
+class TestHnswDriverParity:
+    """The round-11 driver-side HNSW build+search must be BIT-IDENTICAL
+    to the distributed path: norms/cosines are the dimension-ordered
+    left fold, layer membership the md5-prefix rule, cell keys the
+    identical int-typed xxhash64 sign planes, beam/top-k ordering
+    (cos DESC bitwise, node ASC)."""
+
+    @staticmethod
+    def _rows(df):
+        import struct
+
+        return sorted(
+            tuple(
+                struct.pack("<d", x).hex() if isinstance(x, float) else x
+                for x in r
+            )
+            for r in df.collect()
+        )
+
+    def test_brute_layers_bitwise(self, spark):
+        import clinical_api_etl_spark.operators.hnsw as H
+        from clinical_api_etl_spark.sources.catalog import load
+
+        emb = load(spark, SF, "embeddings")
+        fast = self._rows(H.hnsw_topk(emb, emb, k=5))
+        om = H.HNSW_DRIVER_MAX
+        H.HNSW_DRIVER_MAX = -1
+        try:
+            slow = self._rows(H.hnsw_topk(emb, emb, k=5))
+        finally:
+            H.HNSW_DRIVER_MAX = om
+        assert fast == slow and len(fast) > 0
+        spark.catalog.clearCache()
+
+    def test_cell_layers_bitwise(self, spark):
+        # force the LSH-cell adjacency branch on layer 0
+        import clinical_api_etl_spark.operators.hnsw as H
+        from clinical_api_etl_spark.sources.catalog import load
+
+        emb = load(spark, SF, "embeddings")
+        ob, om = H.BRUTE_MAX, H.HNSW_DRIVER_MAX
+        H.BRUTE_MAX = 64
+        try:
+            fast = self._rows(H.hnsw_topk(emb, emb, k=5))
+            H.HNSW_DRIVER_MAX = -1
+            slow = self._rows(H.hnsw_topk(emb, emb, k=5))
+        finally:
+            H.BRUTE_MAX, H.HNSW_DRIVER_MAX = ob, om
+        assert fast == slow and len(fast) > 0
+        spark.catalog.clearCache()
