@@ -110,11 +110,13 @@ def _replicated(frontier: DataFrame) -> DataFrame:
 #: on the 4-source Brandes forward pass at sf0.1). The row counts are
 #: tracked DRIVER-SIDE by the loops themselves (each round's
 #: materializing count), so the broadcast is explicitly bounded at call
-#: time — ~2M rows x ~65B unsafe rows ≈ 130 MB, well inside executor
-#: memory — and row counts above the bound fall back to the salted
-#: shuffle join, which is the correct 100-TB posture (scale-adaptive,
-#: not a constant tuned for local mode).
-FRONTIER_BCAST_MAX = 2_000_000
+#: time, and row counts above the bound fall back to the salted shuffle
+#: join — the correct 100-TB posture (scale-adaptive, not a constant
+#: tuned for local mode). 400k rows ≈ 25 MB serialized: the 10× probe
+#: showed re-BUILDING a ~1.3M-row (~85 MB) broadcast every round loses
+#: to the salted shuffle of the same frontier, while every sf0.1-scale
+#: probe side (≤128k rows) wins broadcast decisively.
+FRONTIER_BCAST_MAX = 400_000
 
 
 def _bcast_if(df: DataFrame, n_rows: int | None) -> DataFrame:

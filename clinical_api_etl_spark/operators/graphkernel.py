@@ -70,12 +70,37 @@ def _source_codes(sources, sorted_nodes):
     return np.asarray(out, dtype=np.int64), np.asarray(extra, dtype=object)
 
 
+def _csr(srcid, dstid, n):
+    """(starts, dst_sorted): adjacency in CSR form — built once per
+    kernel call so per-level expansion is slice gathers instead of
+    np.isin scans over the full edge array (the 10× probe's cost)."""
+    import numpy as np
+
+    order = np.argsort(srcid, kind="stable")
+    ds = dstid[order]
+    counts = np.bincount(srcid, minlength=n)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    return starts, ds
+
+
+def _gather(starts, ds, frontier):
+    import numpy as np
+
+    if len(frontier) == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(
+        [ds[starts[v]: starts[v + 1]] for v in frontier]
+    ) if len(frontier) else np.empty(0, dtype=np.int64)
+
+
 def bfs_hops_per_source_kernel(srcid, dstid, n, source_codes, iters):
     """[(s_code, node_code, dist)] exact per-source hop distances within
     ``iters`` — integer BFS, one boolean/level array per source."""
     import numpy as np
 
     INF = np.iinfo(np.int64).max
+    starts, ds = _csr(srcid, dstid, n)
     out_s, out_v, out_d = [], [], []
     for sc in source_codes:
         dist = np.full(n, INF, dtype=np.int64)
@@ -87,9 +112,8 @@ def bfs_hops_per_source_kernel(srcid, dstid, n, source_codes, iters):
         for k in range(iters):
             if len(frontier) == 0:
                 break
-            mask = np.isin(srcid, frontier)
-            cand = np.unique(dstid[mask])
-            new = cand[dist[cand] == INF]
+            cand = np.unique(_gather(starts, ds, frontier))
+            new = cand[dist[cand] == INF] if len(cand) else cand
             dist[new] = k + 1
             frontier = new
         reached = np.nonzero(dist != INF)[0]
@@ -112,6 +136,7 @@ def bfs_hops_kernel(srcid, dstid, n, source_codes, iters):
     import numpy as np
 
     INF = np.iinfo(np.int64).max
+    starts, ds = _csr(srcid, dstid, n)
     dist = np.full(n, INF, dtype=np.int64)
     seeds_in = source_codes[source_codes < n]
     dist[seeds_in] = 0
@@ -119,9 +144,8 @@ def bfs_hops_kernel(srcid, dstid, n, source_codes, iters):
     for k in range(iters):
         if len(frontier) == 0:
             break
-        mask = np.isin(srcid, frontier)
-        cand = np.unique(dstid[mask])
-        new = cand[dist[cand] == INF]
+        cand = np.unique(_gather(starts, ds, frontier))
+        new = cand[dist[cand] == INF] if len(cand) else cand
         dist[new] = k + 1
         frontier = new
     reached = np.nonzero(dist != INF)[0]
@@ -223,6 +247,7 @@ def brandes_kernel(srcid, dstid, n, source_codes, iters):
     import numpy as np
 
     INF = np.iinfo(np.int64).max
+    starts, ds = _csr(srcid, dstid, n)
     OS, OV, OD, OG, OT = [], [], [], [], []
     for sc in source_codes:
         dist = np.full(n, INF, dtype=np.int64)
@@ -237,8 +262,9 @@ def brandes_kernel(srcid, dstid, n, source_codes, iters):
         for k in range(iters):
             if len(frontier) == 0:
                 break
-            mask = np.isin(srcid, frontier)
-            es, ed = srcid[mask], dstid[mask]
+            deg = starts[frontier + 1] - starts[frontier]
+            es = np.repeat(frontier, deg)
+            ed = _gather(starts, ds, frontier)
             newmask = dist[ed] == INF
             new_nodes = np.unique(ed[newmask])
             if len(new_nodes) == 0:
@@ -270,11 +296,11 @@ def brandes_kernel(srcid, dstid, n, source_codes, iters):
             ) * (1.0 + delta[w])
             # pinned fold: terms already (u, w)-sorted; strict left fold
             # per u segment (see _seq_segment_sum — reduceat is pairwise)
-            starts = np.nonzero(
+            seg_starts = np.nonzero(
                 np.concatenate(([True], u[1:] != u[:-1]))
             )[0]
-            sums = _seq_segment_sum(terms, starts, len(terms))
-            delta[u[starts]] = sums
+            sums = _seq_segment_sum(terms, seg_starts, len(terms))
+            delta[u[seg_starts]] = sums
         reached = np.nonzero(dist != INF)[0]
         OS.append(np.full(len(reached), sc, dtype=np.int64))
         OV.append(reached)
