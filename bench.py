@@ -19,7 +19,16 @@ rich line was ~2.5k chars and arrived start-truncated):
 
        {"metric": ..., "value": N, "unit": "sec", "sf": ..., "n": K,
         "order": "registry_headline", "q": [sec, ...],
+        "names": "BENCH_MANIFEST.json", "names_md5": "...",
         "vs_history_median_ratio": R}
+
+VERDICT r11 task 2: at 90 queries a named dict is ~2.8k chars — it can
+never fit the 2000-char tail window again — so the per-query NAMES live in
+``BENCH_MANIFEST.json`` (registry-headline order, REWRITTEN at the start of
+every bench run so it can never go stale vs the timed set). Zip its
+``names`` with the final line's ``q``/``vs_min`` arrays to recover the
+named timings; ``names_md5`` (md5 of ",".join(names)) lets any consumer
+verify the manifest matches the run that printed the line.
 
 The rich per-run record (named timings + per-query vs-history ratios) is
 appended to ``bench_history.jsonl`` as before.
@@ -76,8 +85,35 @@ def main() -> None:
 
     from clinical_api_etl_spark.functions import memo
 
+    headline = headline_queries()
+    # Name manifest (VERDICT r11 task 2): registry-headline-order names for
+    # zipping with the final line's "q" array. Rewritten every run BEFORE
+    # timing starts so it always describes the set about to be measured.
+    import hashlib
+
+    names_list = list(headline)
+    names_md5 = hashlib.md5(",".join(names_list).encode()).hexdigest()
+    try:
+        manifest_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_MANIFEST.json"
+        )
+        with open(manifest_path, "w") as f:
+            json.dump(
+                {
+                    "order": "registry_headline",
+                    "n": len(names_list),
+                    "names_md5": names_md5,
+                    "names": names_list,
+                },
+                f,
+                indent=1,
+            )
+            f.write("\n")
+    except OSError:
+        pass
+
     timings: dict[str, float] = {}
-    for name, q in headline_queries().items():
+    for name, q in headline.items():
         best, n = None, 0
         for _ in range(2):
             # Timing honesty contract: shared-artifact memo entries (SCC
@@ -159,6 +195,8 @@ def main() -> None:
             "order": "registry_headline",
             "q": [round(t, 2) for t in timings.values()],
             "vs_min": vs_min_arr,
+            "names": "BENCH_MANIFEST.json",
+            "names_md5": names_md5,
             "vs_history_median_ratio": median_ratio,
         },
         separators=(",", ":"),
@@ -172,6 +210,8 @@ def main() -> None:
                 "sf": sf,
                 "n": len(timings),
                 "q": [round(t, 2) for t in timings.values()],
+                "names": "BENCH_MANIFEST.json",
+                "names_md5": names_md5,
                 "vs_history_median_ratio": median_ratio,
             },
             separators=(",", ":"),

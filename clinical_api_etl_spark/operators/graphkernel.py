@@ -16,10 +16,12 @@ distributed loops by construction:
 * the ONLY float state — the Brandes delta — replays the pinned
   successor-id-sorted fold exactly: terms are elementwise IEEE ops over
   exactly-cast int64 sigmas (correctly rounded on every engine), the
-  per-node sum runs ``np.add.reduceat`` over terms lexsorted by
-  (source, node, successor) — reduceat accumulates strictly left to
-  right, and the fold's 0.0 seed is a bitwise no-op because every term
-  is non-negative (sigma ratios > 0, 1 + delta >= 1). Node-id sort
+  per-node sum runs ``_seq_segment_sum`` over terms lexsorted by
+  (source, node, successor) — a strict one-position-at-a-time left
+  fold, used precisely because ``np.add.reduceat`` sums PAIRWISE and
+  would not be bit-identical to the distributed fold. The fold's 0.0
+  seed is a bitwise no-op because every term is non-negative (sigma
+  ratios > 0, 1 + delta >= 1). Node-id sort
   order: the kernels code nodes by rank of the node value (python str
   order == Spark UTF8 binary order — UTF-8 preserves code-point order),
   so integer code order IS the struct sort order the distributed fold
@@ -89,9 +91,7 @@ def _gather(starts, ds, frontier):
 
     if len(frontier) == 0:
         return np.empty(0, dtype=np.int64)
-    return np.concatenate(
-        [ds[starts[v]: starts[v + 1]] for v in frontier]
-    ) if len(frontier) else np.empty(0, dtype=np.int64)
+    return np.concatenate([ds[starts[v]: starts[v + 1]] for v in frontier])
 
 
 def bfs_hops_per_source_kernel(srcid, dstid, n, source_codes, iters):

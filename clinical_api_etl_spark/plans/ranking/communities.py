@@ -285,8 +285,21 @@ def _move_rounds_py(
     """Python replica of :func:`_move_rounds` (exact integers): ``adj``
     maps node -> list[(neighbor, w)] (both directions), ``deg`` maps
     node -> weighted degree k (covers isolated nodes), ``m`` = total
-    edge weight. Returns node -> label."""
+    edge weight. Returns node -> label.
+
+    Parity semantics: the distributed twin computes ``node % 2`` with
+    Spark ``%``, which FOLLOWS THE SIGN of the dividend (-3 % 2 == -1),
+    so a negative-odd node NEVER matches par in {0, 1} there. Python's
+    ``%`` is a floored mod (-3 % 2 == 1) and would silently move those
+    nodes — the parity test below replicates Spark's truncated mod
+    exactly (ADVICE r11). Latent on today's non-negative ids, load-
+    bearing for any future signed node domain."""
     labels = {n: n for n in deg}
+
+    def _spark_mod2(n: int) -> int:
+        # Spark % is truncated (sign-following): -3 % 2 == -1.
+        return n - (abs(n) // 2) * 2 * (1 if n >= 0 else -1)
+
     for r in range(1, rounds + 1):
         par = r % 2
         comdeg: dict = {}
